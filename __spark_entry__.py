@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship pipeline smoke check at sf0.001.
+`queries()` — one callable per implemented operator (SURVEY.md §2 op-ids).
+`oracle_sql()` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names are aliased identically on both sides; float aggregates
+are rounded on both sides so cross-engine summation-order noise cannot
+flip the driver's value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.io import load_table
+from awskinesisconsumer_spark.operators import (
+    asof_join_next_boundary,
+    assign_monotonic_id,
+    decode_explode,
+    last_row,
+    point_lookup,
+    route_errors,
+    segment_by_boundary,
+    aggregate_segments,
+    pivot_event_counts,
+    throttle_first_per_window,
+    top_k_by_recency,
+)
+from awskinesisconsumer_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from awskinesisconsumer_spark.operators.multimodal import (
+    decode_frames,
+    to_binary_payload,
+)
+from awskinesisconsumer_spark.operators.similarity import pairwise_topk_cosine
+from awskinesisconsumer_spark.operators.text import (
+    fingerprint,
+    language_id,
+    text_stats,
+    token_count,
+)
+from awskinesisconsumer_spark.plans.flagship import flagship_pipeline
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_pipeline(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries() — each callable is (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _scan_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 6 `scan-prune-elements`: projection+predicate reach
+    # the parquet scan (ref: skip-by-size, /root/reference/ebml.py:309-327).
+    li = load_table(spark, "lineitem", sf)
+    return li.where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def _pivot_tags(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 8 `pivot-tag-assembly` (ref parser.py:349-360).
+    ev = load_table(spark, "events", sf)
+    return pivot_event_counts(
+        ev, key="user_id", pivot_col="event_type",
+        values=EVENT_TYPES, value_expr="value",
+    )
+
+
+def _segment(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 9 `segment-fragments` (ref parser.py:362-375).
+    ev = load_table(spark, "events", sf)
+    seg = segment_by_boundary(
+        ev, key="user_id", order="event_id",
+        is_boundary=F.col("event_type") == "signup",
+    )
+    return aggregate_segments(
+        seg, key="user_id", order="event_id", value="value"
+    )
+
+
+def _error_route(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 10 `error-route` (ref parser.py:357-360).
+    ev = load_table(spark, "events", sf)
+    _, errors = route_errors(ev, F.col("event_type") == "error")
+    return errors.select("event_id", "user_id", "ts", "value")
+
+
+def _explode(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 11 `demux-decode-explode` (ref parser.py:415-442):
+    # track filter == event_type filter; frames-per-packet derived
+    # deterministically from the id.
+    ev = load_table(spark, "events", sf)
+    out = decode_explode(
+        ev,
+        track_filter=F.col("event_type") == "click",
+        n_frames=F.pmod(F.col("event_id"), F.lit(3)) + 1,
+    )
+    return out.select("event_id", "frame_seq", "value")
+
+
+def _asof(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 12 `join-asof-tags` (ref parser.py:421-432).
+    ev = load_table(spark, "events", sf)
+    joined = asof_join_next_boundary(
+        ev, key="user_id", order="event_id",
+        is_boundary=F.col("event_type") == "signup",
+        boundary_cols=["ts"],
+    )
+    return joined.select(
+        "user_id", "event_id", "value", "tag_event_id", "tag_ts"
+    )
+
+
+def _mono_id(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 13 `id-assign-monotonic` (ref parser.py:162,440).
+    ev = load_table(spark, "events", sf)
+    out = assign_monotonic_id(ev, order="event_id", key="user_id")
+    return out.select("event_id", "user_id", "row_id")
+
+
+def _throttle(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 14 `sample-throttle-time` (ref parser.py:460-463),
+    # deterministic window-dedup variant (SURVEY §7 hard-part b).
+    ev = load_table(spark, "events", sf)
+    return throttle_first_per_window(
+        ev, key="user_id", ts="ts", order="event_id", span_seconds=600
+    )
+
+
+def _retention(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 15 `enqueue-bounded-retention` (ref parser.py:470-481).
+    ev = load_table(spark, "events", sf)
+    return top_k_by_recency(ev, order="event_id", k=5, key="user_id")
+
+
+def _point(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 18 `query-point-lookup` (ref parser.py:489-500).
+    ev = load_table(spark, "events", sf)
+    return point_lookup(ev, id_col="event_id", id_value=57)
+
+
+def _last(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 19 `query-last-row` (ref parser.py:502-512).
+    ev = load_table(spark, "events", sf)
+    return last_row(ev, order="event_id")
+
+
+def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # Standard-agg surface (SURVEY §7 step 2): TPC-H-Q1-shaped rollup.
+    li = load_table(spark, "lineitem", sf)
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H-Q5-shaped join tree; dims broadcast (nation/region tiny at
+    # any SF; supplier small), fact-fact join shuffles on the key.
+    li = load_table(spark, "lineitem", sf)
+    orders = load_table(spark, "orders", sf)
+    cust = load_table(spark, "customer", sf)
+    nation = load_table(spark, "nation", sf)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _topk_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf)
+    cust = load_table(spark, "customer", sf)
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return dedup_exact(docs, text_col="text", id_col="doc_id")
+
+
+def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return text_stats(docs, text_col="text").select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "distinct_ratio"
+    )
+
+
+def _token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return token_count(docs, text_col="text").select("doc_id", "n_tokens")
+
+
+def _lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return language_id(docs, text_col="text").select("doc_id", "lang_pred")
+
+
+def _fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return fingerprint(docs, text_col="text").select("doc_id", "fingerprint")
+
+
+def _knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf)
+    return pairwise_topk_cosine(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=[0, 1, 2], k=5
+    )
+
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    # Non-SQL-expressible (engine-specific xxhash64) -> rows-only check.
+    docs = load_table(spark, "documents", sf)
+    return dedup_minhash_lsh(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, jaccard_threshold=0.5,
+    )
+
+
+def _simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: engine-specific hash.
+    docs = load_table(spark, "documents", sf)
+    return simhash(docs, text_col="text", id_col="doc_id", bits=16)
+
+
+def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: inverted-index candidate generation w/ skew guard.
+    docs = load_table(spark, "documents", sf)
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+
+
+def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: mapInPandas plumbing with stubbed codec (container has
+    # no media libs; see operators/multimodal.py).
+    docs = load_table(spark, "documents", sf)
+    payload = to_binary_payload(docs, id_col="doc_id", text_col="text")
+    return decode_frames(payload).select(
+        "doc_id", "n_bytes", "height", "width", "channels", "format"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan-prune-elements": _scan_prune,
+        "pivot-tag-assembly": _pivot_tags,
+        "segment-fragments": _segment,
+        "error-route": _error_route,
+        "demux-decode-explode": _explode,
+        "join-asof-tags": _asof,
+        "id-assign-monotonic": _mono_id,
+        "sample-throttle-time": _throttle,
+        "enqueue-bounded-retention": _retention,
+        "query-point-lookup": _point,
+        "query-last-row": _last,
+        "agg-pricing-summary": _pricing_summary,
+        "join-revenue-by-nation": _revenue_by_nation,
+        "topk-customers": _topk_customers,
+        "ext-dedup-exact": _dedup_exact,
+        "ext-text-stats": _text_stats,
+        "ext-token-count": _token_count,
+        "ext-lang-id": _lang_id,
+        "ext-fingerprint": _fingerprint,
+        "ext-similarity-knn": _knn,
+        "ext-dedup-minhash": _dedup_minhash,
+        "ext-dedup-simhash": _simhash,
+        "ext-dedup-ngram-jaccard": _ngram_jaccard,
+        "ext-multimodal-decode": _multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle_sql() — DuckDB-runnable ANSI SQL twins
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pivot_cols = ",\n  ".join(
+        "COALESCE(ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2), 0.0)"
+        " AS {t}".format(t=t)
+        for t in EVENT_TYPES
+    )
+    stop_list = "['the','a','and','of','to','in','is','it']"
+    words_expr = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(text), '\\s+') END"
+    )
+    words_lower = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+    )
+    lang_markers = {
+        "de": "['der','die','und','das','ist']",
+        "en": "['the','and','of','to','a']",
+        "es": "['el','la','de','que','y']",
+        "fr": "['le','la','et','les','des']",
+    }
+    lang_scores = ",\n    ".join(
+        f"len(list_filter(words, w -> list_contains({arr}, w))) AS s_{lang}"
+        for lang, arr in lang_markers.items()
+    )
+    return {
+        "scan-prune-elements": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        """,
+        "pivot-tag-assembly": f"""
+            SELECT user_id,
+              {pivot_cols}
+            FROM events GROUP BY user_id
+        """,
+        "segment-fragments": """
+            WITH seg AS (
+              SELECT user_id, event_id, value,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS segment_id
+              FROM events)
+            SELECT user_id, segment_id,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   MAX(event_id) AS end_position
+            FROM seg GROUP BY user_id, segment_id
+        """,
+        "error-route": """
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'error'
+        """,
+        "demux-decode-explode": """
+            SELECT event_id,
+                   CAST(UNNEST(generate_series(1, CAST(event_id % 3 + 1 AS BIGINT))) AS INT)
+                     AS frame_seq,
+                   value
+            FROM events WHERE event_type = 'click'
+        """,
+        "join-asof-tags": """
+            WITH base AS (
+              SELECT user_id, event_id, value, event_type,
+                MIN(CASE WHEN event_type = 'signup' THEN event_id END)
+                  OVER (PARTITION BY user_id ORDER BY event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS tag_event_id
+              FROM events)
+            SELECT b.user_id, b.event_id, b.value, b.tag_event_id, e2.ts AS tag_ts
+            FROM base b
+            LEFT JOIN events e2
+              ON e2.user_id = b.user_id AND e2.event_id = b.tag_event_id
+            WHERE b.event_type <> 'signup'
+        """,
+        "id-assign-monotonic": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                        AS BIGINT) AS row_id
+            FROM events
+        """,
+        "sample-throttle-time": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY user_id, CAST(FLOOR(EPOCH(ts) / 600) AS BIGINT)
+              ORDER BY event_id) = 1
+        """,
+        "enqueue-bounded-retention": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY event_id DESC) <= 5
+        """,
+        "query-point-lookup": "SELECT * FROM events WHERE event_id = 57",
+        "query-last-row": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (ORDER BY event_id DESC) = 1
+        """,
+        "agg-pricing-summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join-revenue-by-nation": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "topk-customers": """
+            SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "ext-dedup-exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "ext-text-stats": f"""
+            WITH w AS (
+              SELECT doc_id, text, {words_expr} AS words FROM documents)
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   ROUND(CASE WHEN len(words) > 0
+                     THEN length(regexp_replace(text, '\\s+', '', 'g'))
+                          / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END, 4) AS avg_word_len,
+                   ROUND(CASE WHEN len(words) > 0
+                     THEN len(list_filter(words, x -> list_contains({stop_list}, x)))
+                          / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END, 4) AS stopword_ratio,
+                   ROUND(CASE WHEN len(words) > 0
+                     THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+                     ELSE 0.0 END, 4) AS distinct_ratio
+            FROM w
+        """,
+        "ext-token-count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "ext-lang-id": f"""
+            WITH w AS (
+              SELECT doc_id, {words_lower} AS words FROM documents),
+            sc AS (
+              SELECT doc_id,
+                {lang_scores}
+              FROM w),
+            s AS (
+              SELECT doc_id, s_de, s_en, s_es, s_fr,
+                GREATEST(s_de, s_en, s_es, s_fr) AS best
+              FROM sc)
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN s_de = best THEN 'de'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_es = best THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "ext-fingerprint": f"""
+            WITH w AS (
+              SELECT doc_id, {words_lower} AS words FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(words) = 0 THEN 0 ELSE
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(words, wd ->
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(wd, ''),
+                                         ch -> CAST(ascii(ch) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % 2147483647))),
+                  (a, b) -> (a * 1000003 + b) % 2147483647)
+              END AS fingerprint
+            FROM w
+        """,
+        "ext-similarity-knn": """
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS probe_vec
+              FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT p.probe_id, e.vec_id AS neighbor_id,
+                ROUND(
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(p.probe_vec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(p.probe_vec AS DOUBLE[]),
+                                             CAST(p.probe_vec AS DOUBLE[])))),
+                  6) AS cosine_sim
+              FROM embeddings e CROSS JOIN probes p
+              WHERE e.vec_id <> p.probe_id)
+            SELECT probe_id, neighbor_id, cosine_sim
+            FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id) <= 5
+        """,
+    }

@@ -1,0 +1,235 @@
+"""Deduplication operators (north-star `ext-dedup-*`, SURVEY §2 extension
+table). Exact, MinHash-LSH, SimHash, and n-gram-Jaccard variants, each
+designed so the expensive comparison only happens inside small
+hash-defined buckets — the only shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# Deterministic modulus for the minhash permutation family. 2^31-1
+# (Mersenne prime) keeps every intermediate product well inside int64,
+# so the arithmetic is safe under ANSI mode (Spark 4 default) where
+# long overflow is an error, not a wrap.
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct text, with the
+    duplicate count. A single hash-aggregate shuffle; at 100 TB dedup
+    on a digest (xxhash64/sha2 of the text) instead of the full string
+    to keep shuffle rows narrow — we group on the digest and keep the
+    text only via the min-id survivor."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("_digest"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .drop("_digest")
+    )
+
+
+def shingles(df: DataFrame, *, text_col: str, n: int = 3,
+             out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingle set per document (narrow, no shuffle)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    # Empty/short docs -> empty shingle set, not null.
+    safe = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.withColumn(out_col, safe)
+
+
+def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
+                      num_hashes: int = 64,
+                      out_col: str = "minhash") -> DataFrame:
+    """MinHash signature: num_hashes permutations simulated as
+    (a*x + b) mod p over the xxhash64 of each shingle.
+
+    Shape matters: explode shingles once, derive all permutations as
+    flat scalar columns (whole-stage codegen — nested array lambdas
+    fall back to interpreted eval and are ~100x slower), then a single
+    groupBy(id).min(...) with map-side partial aggregation, so the
+    shuffle carries one num_hashes-wide row per document regardless of
+    document size. Returns (id_col, out_col); docs with zero shingles
+    get an empty signature.
+    """
+    ex = (
+        df.select(id_col, F.explode_outer(shingle_col).alias("_s"))
+        .withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+    )
+    mins = [
+        F.min((F.col("_h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % _MERSENNE)
+        .alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return agg.select(
+        F.col(id_col),
+        F.when(F.col("_m0").isNull(),
+               F.array().cast(ArrayType(LongType()))).otherwise(sig).alias(out_col),
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    shingle -> minhash -> split signature into `bands` bands ->
+    self-join on (band_index, band_hash) -> verify candidates with the
+    exact signature-estimated Jaccard. The band join is an equi-join on
+    a hash key, so it shuffles candidates only — never the O(n²)
+    cross product. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(
+        shingles(df.select(id_col, text_col), text_col=text_col, n=n),
+        id_col=id_col, shingle_col="shingles", num_hashes=num_hashes,
+    ).where(F.size("minhash") > 0)
+    sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", *[F.element_at("minhash", b * rows_per_band + r + 1)
+                               for r in range(rows_per_band)]
+                    )).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+    # Skew guard: a pathological bucket of m docs yields m^2 candidate
+    # pairs — cap bucket size (hot buckets carry no dedup signal worth
+    # a quadratic blowup; standard LSH practice at scale).
+    hot = (
+        banded.groupBy("band", "band_hash").count()
+        .where(F.col("count") > 200).select("band", "band_hash")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+
+    # Candidate pairs: narrow (id_a, id_b) rows only — signatures are
+    # re-attached after dedup so the band shuffle never carries arrays.
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x))
+        / F.size("sig_a")
+    )
+    return (
+        cand.join(sig_a, "id_a").join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit weighted vote of token
+    hashes, sign -> bit. Column-expression implementation: explode
+    tokens, aggregate per-bit sums via bitwise ops, one shuffle on id.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = (
+        df.select(id_col, F.explode(words).alias("_w"))
+        .where(F.col("_w") != "")
+        .withColumn("_h", F.xxhash64("_w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(0)
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(id_col, fp.alias(out_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-prefiltered candidates: compute
+    true Jaccard on pairs sharing at least one shingle hash bucket
+    (inverted-index join on shingle -> candidate pair -> exact verify).
+    The inverted index bounds the join to documents that share content;
+    hot shingles (stopword runs) are the skew risk — cap postings per
+    shingle (drop buckets larger than a limit, standard practice).
+    """
+    sh = shingles(df.select(id_col, text_col), text_col=text_col, n=n)
+    posts = sh.select(id_col, F.explode("shingles").alias("_s"))
+    # Skew guard: drop shingles appearing in too many docs (they carry
+    # no discriminative signal and create quadratic bucket joins).
+    hot = posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
+    posts = posts.join(F.broadcast(hot), "_s", "left_anti")
+    pairs = (
+        posts.alias("a")
+        .join(posts.alias("b"),
+              on=[F.col("a._s") == F.col("b._s"),
+                  F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,128 @@
+"""Vector similarity search (north-star `ext-similarity-search`).
+
+Two tiers over an `array<float>` embedding column:
+
+* brute-force cosine — exact baseline. All arithmetic via
+  `F.zip_with`/`F.aggregate` column expressions (JVM-side, codegen);
+  the query vector is inlined as a literal array (broadcast-by-value).
+  Scale shape: one narrow pass over the corpus + TakeOrderedAndProject
+  for top-k — no shuffle of the corpus at all.
+
+* LSH-bucketed (random hyperplane / SRP) — the scale path: sign-bit
+  sketch per vector, candidates = same-bucket vectors, exact cosine
+  re-rank inside buckets. Probe adjacent buckets (Hamming radius 1) to
+  trade recall vs. fan-out. At 100 TB the corpus is bucketed once
+  (write-time partitionBy(bucket)) and each query touches a handful of
+  partitions — partition pruning does the rest.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine_scores(
+    df: DataFrame, *, vec_col: str, query: list[float], out_col: str = "cosine_sim",
+) -> DataFrame:
+    """Cosine similarity of every row's vector against a literal query
+    vector (rounded to 6 dp for cross-engine comparability)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query))
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return df.withColumn(out_col, F.round(sim, 6))
+
+
+def knn_brute_force(
+    df: DataFrame, *, id_col: str, vec_col: str, query: list[float], k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: narrow scoring pass + global top-k
+    (TakeOrderedAndProject — per-partition heap, k-row merge)."""
+    scored = cosine_scores(df, vec_col=vec_col, query=query)
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def srp_bucket(df: DataFrame, *, vec_col: str, planes: list[list[float]],
+               out_col: str = "bucket") -> DataFrame:
+    """Signed-random-projection bucket id: one sign bit per hyperplane.
+    Planes are literals (deterministic, seeded by the caller); the
+    whole sketch is column arithmetic — no UDF, no shuffle."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(0)
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)
+
+
+def knn_lsh(
+    df: DataFrame, *, id_col: str, vec_col: str, query: list[float],
+    planes: list[list[float]], k: int = 10,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose SRP bucket is within Hamming
+    distance 1 of the query's bucket, then exact cosine re-rank."""
+    n_planes = len(planes)
+    qbits = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query, p))
+        if dot >= 0:
+            qbits |= 1 << i
+    probe = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
+    bucketed = srp_bucket(df, vec_col=vec_col, planes=planes)
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    return knn_brute_force(cand, id_col=id_col, vec_col=vec_col, query=query, k=k)
+
+
+def pairwise_topk_cosine(
+    df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int], k: int = 5,
+) -> DataFrame:
+    """For each probe id, top-k most-similar OTHER vectors: broadcast
+    the (tiny) probe set against the corpus — the corpus side never
+    shuffles; ranking is a per-probe window over the scored candidates."""
+    probes = df.where(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        df.alias("c")
+        .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _dot(F.col(vec_col), F.col("probe_vec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), "cosine_sim")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis operators (north-star `ext-text-analysis`): quality
+scoring, token counting, language-ID heuristic, fingerprinting. All
+pure column expressions over the `documents` table — no Python UDFs in
+the hot path, so every one of these runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic (public-knowledge common words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _words(text: Column) -> Column:
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def text_stats(df: DataFrame, *, text_col: str) -> DataFrame:
+    """Per-document quality metrics: char/word counts, average word
+    length, stopword ratio, distinct-word ratio. Narrow — no shuffle."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_distinct = F.size(F.array_distinct(words))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                F.when(n_words > 0, (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                                     / n_words)).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.when(n_words > 0, n_distinct / n_words).otherwise(F.lit(0.0)), 4),
+        )
+    )
+
+
+def token_count(df: DataFrame, *, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    """BPE-ish token counting: alphanumeric runs + each punctuation
+    char counts as a token (a deterministic stand-in for a real BPE
+    vocab; the regex is the public GPT-2-style pre-tokenizer shape)."""
+    pattern = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+    )
+
+
+def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by
+    marker-word hits, pick the argmax (ties -> lexicographic, 'und'
+    when no marker hits). Pure expressions: the scores form a small
+    array of structs reduced with array_max."""
+    words = _words(F.lower(F.col(text_col)))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(words, lambda w: F.array_contains(marr, w)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on struct compares score first, then lang DESC would be
+    # wrong — invert: max (score, reversed-lang) so ties break to the
+    # lexicographically smallest language. Simpler: pick max score then
+    # first lang matching it in sorted order via when-chain.
+    best = F.greatest(*[s["score"] for s in scores])
+    pred = F.lit("und")
+    for s in reversed(scores):
+        pred = F.when((best > 0) & (s["score"] == best), s["lang"]).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over normalized
+    words (base-31 mod 2^61-1), expressed with aggregate() — stable
+    across engines since it's plain integer arithmetic, unlike
+    engine-specific hash functions."""
+    # 2^31-1: keeps acc*1000003 inside int64 → safe under ANSI mode.
+    mod = (1 << 31) - 1
+    words = _words(F.lower(F.col(text_col)))
+    word_hash = lambda w: F.aggregate(  # noqa: E731 — char-level poly hash
+        F.split(w, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % mod,
+    )
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 1000003 + word_hash(w)) % mod,
+    )
+    return df.withColumn(out_col, fp)

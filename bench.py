@@ -1,0 +1,69 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution to a count-style action (foreach-noop
+would skip result materialization; collect would bottleneck the driver
+at larger SFs). Each query runs once after a shared session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from awskinesisconsumer_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline subset: the reference-pipeline ops + heaviest extension ops.
+HEADLINE = [
+    "agg-pricing-summary",
+    "join-revenue-by-nation",
+    "join-asof-tags",
+    "segment-fragments",
+    "pivot-tag-assembly",
+    "sample-throttle-time",
+    "enqueue-bounded-retention",
+    "demux-decode-explode",
+    "ext-dedup-exact",
+    "ext-text-stats",
+    "ext-token-count",
+    "ext-fingerprint",
+    "ext-similarity-knn",
+    "ext-dedup-minhash",
+]
+
+
+def main() -> None:
+    spark = get_spark("awskinesisconsumer-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footers with a trivial action.
+    qs["query-point-lookup"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
