@@ -265,6 +265,36 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ebml_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 3-6 `scan-ebml-tokenize`/`decode-*`: build KVS-like
+    # MKV fragments from documents, then run the chunk-parallel
+    # tokenizer scan. Rows-only (binary decode is not SQL-expressible).
+    from awskinesisconsumer_spark.sources.ebml import (
+        encode_element, parse_ebml_chunks,
+    )
+    docs = load_table(spark, "documents", sf)
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payloads.append(
+                    encode_element(0x4285, (2).to_bytes(1, "big"))
+                    + encode_element(0x45A3, b"AWS_KINESISVIDEO_FRAGMENT_NUMBER")
+                    + encode_element(0x4487, str(did).encode())
+                    + encode_element(0xA3, (text or "").encode()[:64])
+                )
+            yield pd.DataFrame({"chunk_id": pdf["doc_id"], "payload": payloads})
+
+    chunks = docs.mapInPandas(encode, "chunk_id bigint, payload binary")
+    elements = parse_ebml_chunks(chunks)
+    return (
+        elements.groupBy("name", "ebml_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("value_str").alias("n_str"))
+    )
+
+
 def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
     # Rows-only: mapInPandas plumbing with stubbed codec (container has
     # no media libs; see operators/multimodal.py).
@@ -301,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
         "ext-multimodal-decode": _multimodal,
+        "scan-ebml-tokenize": _ebml_tokenize,
     }
 
 

@@ -1,0 +1,133 @@
+"""EBML primitive decoders (SURVEY §2 rows 4-5: `decode-varint`,
+`decode-scalars`).
+
+Pure-Python byte-level decode kernels plus their vectorized pandas-UDF
+wrappers. The kernels implement RFC 8794 semantics:
+
+* element id: 1-4 byte varint, marker bits KEPT (Matroska convention);
+* element size: 1-8 byte varint, marker stripped; the all-VINT_DATA-ones
+  pattern per width means "unknown size" -> sentinel EBML_UNKNOWN_SIZE.
+  NB the reference has a latent 5-byte-path bug — a decimal `0x00001000`
+  comparison literal (/root/reference/ebml.py:228) — which this
+  implementation deliberately does NOT replicate (regression-tested in
+  tests/test_ebml.py).
+* integers: big-endian 1-8 bytes, two's-complement sign fixup for SINT;
+* floats: 4/8-byte big-endian IEEE 754;
+* date: signed nanoseconds since 2001-01-01T00:00:00 UTC.
+
+Inside Spark these run batch-at-a-time via Arrow (pandas UDFs), never
+row-at-a-time Python UDFs — and only in the scan/parse stage; once
+elements are relational rows everything downstream is JVM expressions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+EBML_UNKNOWN_SIZE = -1
+EBML_EPOCH = _dt.datetime(2001, 1, 1, tzinfo=_dt.timezone.utc)
+
+# Per-width "all data bits set" values for the unknown-size encoding:
+# width w has 7*w usable bits.
+_UNKNOWN_BY_WIDTH = {w: (1 << (7 * w)) - 1 for w in range(1, 9)}
+
+
+def varint_width(first_byte: int) -> int:
+    """Number of bytes in a varint whose first byte is given: position
+    of the leading 1 bit. 0x80->1, 0x40->2 ... 0x01->8. 0x00 is invalid."""
+    for w in range(1, 9):
+        if first_byte & (0x80 >> (w - 1)):
+            return w
+    raise ValueError("invalid EBML varint: first byte 0x00")
+
+
+def read_varint(buf: bytes, pos: int = 0, *, keep_marker: bool) -> tuple[int, int]:
+    """Decode one varint at buf[pos]. Returns (value, new_pos).
+
+    keep_marker=True -> element-id semantics (marker bit retained);
+    keep_marker=False -> size semantics (marker stripped, all-ones ->
+    EBML_UNKNOWN_SIZE).
+    """
+    first = buf[pos]
+    w = varint_width(first)
+    if pos + w > len(buf):
+        raise ValueError("truncated varint")
+    value = first if keep_marker else first & (0xFF >> w)
+    for i in range(1, w):
+        value = (value << 8) | buf[pos + i]
+    if not keep_marker and value == _UNKNOWN_BY_WIDTH[w]:
+        return EBML_UNKNOWN_SIZE, pos + w
+    return value, pos + w
+
+
+def decode_uint(data: bytes) -> int:
+    value = 0
+    for b in data:
+        value = (value << 8) | b
+    return value
+
+
+def decode_sint(data: bytes) -> int:
+    if not data:
+        return 0
+    value = decode_uint(data)
+    if data[0] & 0x80:  # two's-complement sign fixup
+        value -= 1 << (8 * len(data))
+    return value
+
+
+def decode_float(data: bytes) -> float:
+    if len(data) == 4:
+        return struct.unpack(">f", data)[0]
+    if len(data) == 8:
+        return struct.unpack(">d", data)[0]
+    if len(data) == 0:
+        return 0.0
+    raise ValueError(f"invalid EBML float width {len(data)}")
+
+
+def decode_date_ns(data: bytes) -> _dt.datetime:
+    """EBML DATE: signed ns since 2001-01-01T00:00:00 UTC (truncated to
+    microseconds, the finest Spark/DuckDB-portable resolution)."""
+    ns = decode_sint(data)
+    return EBML_EPOCH + _dt.timedelta(microseconds=ns // 1000)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow-batched) wrappers for use in DataFrame plans.
+# Built lazily: pandas_udf registration needs an active SparkSession,
+# so module import must stay session-free.
+# ---------------------------------------------------------------------------
+
+_UDF_SPECS = {
+    "udf_decode_uint": ("bigint", decode_uint),
+    "udf_decode_sint": ("bigint", decode_sint),
+    "udf_decode_float": ("double", decode_float),
+    "udf_decode_date": ("timestamp", decode_date_ns),
+    "udf_varint_value": (
+        "bigint", lambda b: read_varint(b, 0, keep_marker=False)[0]
+    ),
+}
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _make_udf(name: str):
+    if name not in _UDF_CACHE:
+        ret_type, kernel = _UDF_SPECS[name]
+
+        def wrapped(col: pd.Series, _k=kernel) -> pd.Series:
+            return col.map(lambda b: _k(b) if b is not None else None)
+
+        _UDF_CACHE[name] = pandas_udf(ret_type)(wrapped)
+    return _UDF_CACHE[name]
+
+
+def __getattr__(name: str):
+    if name in _UDF_SPECS:
+        return _make_udf(name)
+    raise AttributeError(name)
