@@ -305,6 +305,47 @@ def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _run_stream_to_table(df, spark: SparkSession, prefix: str) -> DataFrame:
+    """Execute a streaming DF to completion (AvailableNow) into a
+    memory sink and hand back the batch result — lets streaming
+    operators satisfy the batch-shaped driver contract."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _stream_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 12, streaming form: stateful as-of join via
+    # applyInPandasWithState (buffer packets per user, boundary
+    # flushes + evicts state — ref parser.py:421-432).
+    from awskinesisconsumer_spark.streaming import asof_join_stream, events_stream
+
+    out = asof_join_stream(events_stream(spark, sf))
+    return _run_stream_to_table(out, spark, "asof_stream")
+
+
+def _stream_segment(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 8-9, streaming form: watermarked session-window
+    # rollup. Rows-only: append-mode watermark holdback of the final
+    # open sessions is inherently streaming semantics.
+    from awskinesisconsumer_spark.streaming import events_stream, segment_rollup_stream
+
+    out = segment_rollup_stream(events_stream(spark, sf))
+    return _run_stream_to_table(out, spark, "seg_stream")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan-prune-elements": _scan_prune,
@@ -332,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
         "ext-multimodal-decode": _multimodal,
         "scan-ebml-tokenize": _ebml_tokenize,
+        "stream-asof-tags": _stream_asof,
+        "stream-segment-rollup": _stream_segment,
     }
 
 
@@ -530,6 +573,18 @@ def oracle_sql() -> dict[str, str]:
                   (a, b) -> (a * 1000003 + b) % 2147483647)
               END AS fingerprint
             FROM w
+        """,
+        "stream-asof-tags": """
+            WITH base AS (
+              SELECT user_id, event_id, value, event_type,
+                MIN(CASE WHEN event_type = 'signup' THEN event_id END)
+                  OVER (PARTITION BY user_id ORDER BY event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS tag_event_id
+              FROM events)
+            SELECT user_id, event_id, value, tag_event_id
+            FROM base
+            WHERE event_type <> 'signup' AND tag_event_id IS NOT NULL
         """,
         "ext-similarity-knn": """
             WITH probes AS (

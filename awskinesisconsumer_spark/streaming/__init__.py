@@ -1,0 +1,18 @@
+"""Structured Streaming layer — the reference's live pipeline
+(SURVEY §2 rows 1-2, 7-17, 20-23) re-expressed as streaming DataFrames.
+"""
+
+from awskinesisconsumer_spark.streaming.replay import events_stream
+from awskinesisconsumer_spark.streaming.pipeline import (
+    asof_join_stream,
+    frame_pipeline,
+    segment_rollup_stream,
+    throttle_stream,
+)
+from awskinesisconsumer_spark.streaming.sinks import start_fanout
+
+__all__ = [
+    "events_stream",
+    "asof_join_stream", "frame_pipeline", "segment_rollup_stream",
+    "throttle_stream", "start_fanout",
+]

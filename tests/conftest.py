@@ -10,7 +10,12 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("awskinesisconsumer-tests")
+    # 8 shuffle/state partitions: stateful streaming runs one task per
+    # state partition per micro-batch — 32 is pure overhead at test SF.
+    s = get_spark(
+        "awskinesisconsumer-tests",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
     yield s
 
 

@@ -1,0 +1,176 @@
+"""Streaming semantics tests (SURVEY §5 item 4-5): deterministic
+Trigger.AvailableNow runs over the events table — segmentation
+rollups, stateful as-of join vs the batch oracle, throttle, fan-out
+sinks with retention, and checkpoint restart.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.io import load_table
+from awskinesisconsumer_spark.operators import asof_join_next_boundary
+from awskinesisconsumer_spark.streaming import (
+    asof_join_stream,
+    events_stream,
+    frame_pipeline,
+    segment_rollup_stream,
+)
+from awskinesisconsumer_spark.streaming.sinks import BoundedMemorySink, start_fanout
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _run_available_now(df, tmp_path, name):
+    """Run a streaming DF to completion into a memory table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_asof_stream_matches_batch(spark, tmp_path):
+    stream = events_stream(spark, SF)
+    out = asof_join_stream(stream)
+    _run_available_now(out, tmp_path, "asof_stream")
+    got = {
+        (r.user_id, r.event_id): r.tag_event_id
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+
+    batch = asof_join_next_boundary(
+        load_table(spark, "events", SF),
+        key="user_id", order="event_id",
+        is_boundary=F.col("event_type") == "signup",
+        boundary_cols=[],
+    ).where(F.col("tag_event_id").isNotNull())
+    want = {
+        (r.user_id, r.event_id): r.tag_event_id
+        for r in batch.where(F.col("event_type") != "error").collect()
+    }
+    # Streaming emits only packets whose boundary arrived (orphans stay
+    # in state) == batch rows with a non-null tag. Errors flow through
+    # the stream variant too; restrict batch to the same row set.
+    want2 = {
+        (r.user_id, r.event_id): r.tag_event_id
+        for r in asof_join_next_boundary(
+            load_table(spark, "events", SF),
+            key="user_id", order="event_id",
+            is_boundary=F.col("event_type") == "signup",
+            boundary_cols=[],
+        ).where(F.col("tag_event_id").isNotNull()).collect()
+    }
+    assert got == want2
+    assert set(want).issubset(set(got))
+
+
+def test_segment_rollup_stream_runs(spark, tmp_path):
+    stream = events_stream(spark, SF)
+    out = segment_rollup_stream(stream, gap="30 minutes")
+    _run_available_now(out, tmp_path, "seg_stream")
+    rows = spark.sql("SELECT * FROM seg_stream").collect()
+    assert len(rows) > 0
+    ev = load_table(spark, "events", SF)
+    total = ev.count()
+    emitted = sum(r.n_rows for r in rows)
+    # Append mode withholds sessions still open at the final watermark
+    # (max_ts - delay): emitted <= total, and only the tail is held.
+    assert emitted <= total
+    assert emitted >= total * 0.9, f"too much held back: {emitted}/{total}"
+
+
+def test_frame_pipeline_fanout_and_retention(spark, tmpdirs):
+    out_dir, ckpt = tmpdirs
+    stream = events_stream(spark, SF)
+    frames, errors = frame_pipeline(stream)
+    sink = BoundedMemorySink(k=10)
+    fq, eq = start_fanout(
+        frames, errors, out_dir=out_dir, checkpoint_dir=ckpt, memory_sink=sink
+    )
+    fq.awaitTermination(120)
+    eq.awaitTermination(120)
+
+    # retention cap honored (row 15)
+    assert len(sink) <= 10
+    # last-row query (row 19): the newest admitted frame
+    last = sink.last()
+    assert last is not None
+    # point lookup (row 18)
+    assert sink.get(0) is not None and sink.get(9999) is None
+
+    # file sink wrote partitioned parquet (row 16)
+    frames_written = spark.read.parquet(f"{out_dir}/frames")
+    assert frames_written.count() > 0
+    assert "user_id=0" in ",".join(os.listdir(f"{out_dir}/frames"))
+
+    # dead-letter sink got exactly the error rows (row 10)
+    ev = load_table(spark, "events", SF)
+    n_err = ev.where(F.col("event_type") == "error").count()
+    errors_written = spark.read.parquet(f"{out_dir}/errors")
+    assert errors_written.count() == n_err
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Row 22 `recover-restart`: stop after the first micro-batch,
+    restart from the checkpoint, assert exactly-once delivery."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "events", SF)
+    total = ev.count()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.repartition(2).write.parquet(src)
+    part_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(part_files) == 2
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # stop after the first batch commits
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    n_after_first = spark.read.parquet(out).count()
+    q2 = start()
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == total, (
+        f"restart lost/duplicated rows: first={n_after_first} final={final.count()}"
+    )
+    assert final.select("event_id").distinct().count() == total
