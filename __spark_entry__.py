@@ -40,7 +40,12 @@ from awskinesisconsumer_spark.operators.multimodal import (
     decode_frames,
     to_binary_payload,
 )
-from awskinesisconsumer_spark.operators.similarity import pairwise_topk_cosine
+from awskinesisconsumer_spark.operators.similarity import (
+    deterministic_planes,
+    embedding_near_dup_pairs,
+    knn_lsh,
+    pairwise_topk_cosine,
+)
 from awskinesisconsumer_spark.operators.text import (
     fingerprint,
     language_id,
@@ -242,6 +247,29 @@ def _knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-cosine near-dup pairs (exact form; the SRP-bucketed
+    # scale path is exercised by ext-similarity-ann).
+    emb = load_table(spark, "embeddings", sf)
+    return embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35
+    )
+
+
+def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: SRP-LSH bucketed approximate knn (recall depends on
+    # bucket probing — not oracle-expressible without re-implementing
+    # the bucketer in SQL).
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    planes = deterministic_planes(64, 8)
+    return knn_lsh(
+        emb.where(F.col("vec_id") != 0),
+        id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding], planes=planes, k=10,
+    )
+
+
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     # Non-SQL-expressible (engine-specific xxhash64) -> rows-only check.
     docs = load_table(spark, "documents", sf)
@@ -368,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-lang-id": _lang_id,
         "ext-fingerprint": _fingerprint,
         "ext-similarity-knn": _knn,
+        "ext-dedup-embedding": _embedding_dedup,
+        "ext-similarity-ann": _ann_lsh,
         "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
@@ -573,6 +603,20 @@ def oracle_sql() -> dict[str, str]:
                   (a, b) -> (a * 1000003 + b) % 2147483647)
               END AS fingerprint
             FROM w
+        """,
+        "ext-dedup-embedding": """
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND(
+                  list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])))),
+                  6) AS cosine_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
         """,
         "stream-asof-tags": """
             WITH base AS (

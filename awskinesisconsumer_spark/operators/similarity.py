@@ -95,6 +95,49 @@ def knn_lsh(
     return knn_brute_force(cand, id_col=id_col, vec_col=vec_col, query=query, k=k)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame, *, id_col: str, vec_col: str, threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    With `planes` given, candidates are restricted to SRP buckets
+    within Hamming distance 1 (the 100 TB path: bucket-equi-join, no
+    cross product); without, an exact all-pairs self-join — only for
+    small/broadcastable corpora. Returns (id_a, id_b, cosine_sim)."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if planes is not None:
+        lb = srp_bucket(left, vec_col="_va", planes=planes, out_col="_ba")
+        rb = srp_bucket(right, vec_col="_vb", planes=planes, out_col="_bb")
+        # Hamming<=1 probe: equal buckets or single-bit flips.
+        probes = F.array(
+            F.col("_ba"), *[F.col("_ba").bitwiseXOR(F.lit(1 << i))
+                            for i in range(len(planes))]
+        )
+        pairs = lb.join(
+            rb,
+            on=[F.array_contains(probes, F.col("_bb")),
+                F.col("id_a") < F.col("id_b")],
+        )
+    else:
+        pairs = left.join(right, on=[F.col("id_a") < F.col("id_b")])
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("cosine_sim", F.round(sim, 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded hyperplanes for SRP sketches (numpy PRNG, reproducible)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
 def pairwise_topk_cosine(
     df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int], k: int = 5,
 ) -> DataFrame:

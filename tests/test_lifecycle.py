@@ -1,0 +1,78 @@
+"""Lifecycle tests (SURVEY §2 rows 20-24): pause/resume without loss,
+dispose idempotence, progress observability."""
+
+from __future__ import annotations
+
+import pytest
+
+from awskinesisconsumer_spark.io import load_table
+from awskinesisconsumer_spark.streaming.lifecycle import PipelineHandle
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pause_resume_no_loss(spark, tmp_path):
+    """Row 20: pause mid-stream, resume from checkpoint, total output
+    equals input — pause loses nothing (unlike the reference, which
+    drops frames while catch_frames is off)."""
+    ev = load_table(spark, "events", SF)
+    total = ev.count()
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def factory():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)  # row 21: admission control
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    handle = PipelineHandle(spark, factory)
+    with handle:
+        import time
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if handle.listener.total_rows() > 0:
+                break
+            time.sleep(0.2)
+        handle.pause()
+        n_mid = spark.read.parquet(out).count()
+        assert n_mid < total  # genuinely paused mid-stream
+        q = handle.resume()
+        q.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    assert final.count() == total
+    assert final.select("event_id").distinct().count() == total
+    # row 24: listener observed the batches
+    assert handle.listener.total_rows() >= total
+
+
+def test_dispose_idempotent(spark, tmp_path):
+    ev = load_table(spark, "events", SF)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    def factory():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        return (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    h = PipelineHandle(spark, factory)
+    h.start()
+    h.dispose()
+    h.dispose()  # second dispose is a no-op, not an error
+    assert h.query is None
