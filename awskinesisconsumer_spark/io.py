@@ -38,8 +38,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     for c in nano_cols:
         if isinstance(df.schema[c].dataType, LongType):
             # integer `div`, not `/`: ns epochs exceed double's exact
-            # integer range, so float division is off by ±1 us.
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # integer range, so float division is off by ±1 us. Cast to
+            # NTZ: parquet wrote naive timestamps, and Spark 4 reads
+            # the other tables' (us/ms) timestamps as timestamp_ntz —
+            # this keeps events.ts consistent with them and with the
+            # DuckDB oracle's naive values.
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 

@@ -125,7 +125,14 @@ def frame_pipeline(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     (frames, errors); callers fan both out via sinks.start_fanout
     (rows 7, 15-17). Frame ids (row 13) are minted per micro-batch in
     the sink from the monotone event_id — already unique and ordered."""
-    errors = events.where(F.col("event_type") == "error")
-    data = events.where(F.col("event_type") != "error")
+    observed = events.observe(
+        "frame_pipeline_metrics",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    errors = observed.where(F.col("event_type") == "error")
+    data = observed.where(F.col("event_type") != "error")
     frames = throttle_stream(data)
     return frames, errors

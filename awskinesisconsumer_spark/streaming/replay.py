@@ -23,6 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kinesis_stream(
+    spark: SparkSession,
+    *,
+    stream_name: str,
+    region: str,
+    starting_position: str = "LATEST",
+    endpoint_url: str | None = None,
+) -> DataFrame:
+    """Production source: the Spark Kinesis connector (the reference's
+    GetMedia loop + continuation token, rows 1-2, collapsed into
+    `format("aws-kinesis")` + the checkpoint offset log).
+
+    `starting_position` LATEST == the reference's 'NOW' start selector
+    (parser.py:292-303); resume-after-restart comes from the
+    checkpoint, not an option. Requires the kinesis connector on the
+    classpath (spark-sql-kinesis / Kinesis EFO connector) — not
+    present in the offline harness, where events_stream() below is the
+    drop-in stand-in.
+    """
+    reader = (
+        spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream_name)
+        .option("kinesis.region", region)
+        .option("kinesis.startingPosition", starting_position)
+        .option("kinesis.consumerType", "GetRecords")
+    )
+    if endpoint_url:
+        reader = reader.option("kinesis.endpointUrl", endpoint_url)
+    return reader.load()
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -47,4 +78,6 @@ def events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
+    # ltz (not ntz) here: streaming watermarks/session windows operate
+    # on TimestampType; batch oracle queries go through io.load_table.
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
