@@ -129,6 +129,29 @@ def _asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _asof_backward(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 12, general two-table backward form (merge-asof):
+    # latest signup at-or-before each event, per user. Single shuffle —
+    # union + one window pass, never a range join.
+    from awskinesisconsumer_spark.operators import asof_join_backward
+
+    ev = load_table(spark, "events", sf)
+    packets = ev.where(F.col("event_type") != "signup").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    tags = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("tag_event_id"),
+        F.col("value").alias("tag_value"),
+    )
+    out = asof_join_backward(
+        packets, tags,
+        key="user_id", left_on="event_id", right_on="tag_event_id",
+        right_cols=["tag_value"],
+    )
+    return out.select("user_id", "event_id", "value", "tag_event_id", "tag_value")
+
+
 def _mono_id(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 row 13 `id-assign-monotonic` (ref parser.py:162,440).
     ev = load_table(spark, "events", sf)
@@ -293,6 +316,37 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: decode -> explode frames -> metadata sample -> resize
+    # (stubbed codecs; the Spark plumbing — schema, narrow ops,
+    # Arrow batches — is real).
+    from awskinesisconsumer_spark.operators.multimodal import (
+        resize_frames, sample_frames,
+    )
+    docs = load_table(spark, "documents", sf)
+    payload = to_binary_payload(docs, id_col="doc_id", text_col="text")
+    frames = decode_explode(
+        decode_frames(payload),
+        track_filter=F.lit(True),
+        n_frames=F.pmod(F.col("n_bytes"), F.lit(6)) + 1,
+    )
+    sampled = sample_frames(frames, seq_col="frame_seq", every_k=2)
+    resized = resize_frames(sampled, height=224, width=224)
+    return resized.select(
+        "doc_id", "frame_seq", "n_bytes", "height", "width", "format"
+    )
+
+
+def _multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: windowed byte-stat features over binary payloads.
+    from awskinesisconsumer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    docs = load_table(spark, "documents", sf)
+    payload = to_binary_payload(docs, id_col="doc_id", text_col="text")
+    return extract_audio_features(payload, window_bytes=256)
+
+
 def _ebml_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 rows 3-6 `scan-ebml-tokenize`/`decode-*`: build KVS-like
     # MKV fragments from documents, then run the chunk-parallel
@@ -382,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error-route": _error_route,
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
+        "join-asof-backward": _asof_backward,
         "id-assign-monotonic": _mono_id,
         "sample-throttle-time": _throttle,
         "enqueue-bounded-retention": _retention,
@@ -402,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
         "ext-multimodal-decode": _multimodal,
+        "ext-multimodal-pipeline": _multimodal_pipeline,
+        "ext-multimodal-audio": _multimodal_audio,
         "scan-ebml-tokenize": _ebml_tokenize,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
@@ -486,6 +543,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN events e2
               ON e2.user_id = b.user_id AND e2.event_id = b.tag_event_id
             WHERE b.event_type <> 'signup'
+        """,
+        "join-asof-backward": """
+            SELECT p.user_id, p.event_id, p.value,
+                   t.tag_event_id, t.tag_value
+            FROM (SELECT user_id, event_id, ts, value FROM events
+                  WHERE event_type <> 'signup') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, event_id AS tag_event_id,
+                         value AS tag_value FROM events
+                  WHERE event_type = 'signup') t
+            ON p.user_id = t.user_id AND p.event_id >= t.tag_event_id
         """,
         "id-assign-monotonic": """
             SELECT event_id, user_id,

@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 FRAME_META_SCHEMA = StructType([
@@ -75,3 +76,58 @@ def decode_frames(df: DataFrame, *, real_codec: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(decode, FRAME_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, seq_col: str, every_k: int) -> DataFrame:
+    """Frame sampling by sequence position: keep every k-th frame —
+    the metadata-only analogue of the reference's time throttle applied
+    to decoded frames (parser.py:460-463). Narrow (no shuffle, no
+    decode): sampling on metadata BEFORE touching payload bytes is the
+    100 TB-critical ordering."""
+    return df.where(F.pmod(F.col(seq_col), F.lit(every_k)) == 0)
+
+
+def resize_frames(df: DataFrame, *, height: int, width: int,
+                  real_codec: bool = False) -> DataFrame:
+    """Resize: metadata transform + (stubbed) payload transform.
+
+    real_codec=True is the hook for an actual vision-lib resize (not in
+    this container -> NotImplementedError). The stub keeps the payload
+    opaque and rewrites the typed metadata — the Spark-side contract
+    (schema stability, narrow op) is what's being exercised."""
+    if real_codec:
+        raise NotImplementedError(
+            "image libs unavailable in this environment; stubbed resize only"
+        )
+    return (
+        df.withColumn("height", F.lit(height).cast("int"))
+        .withColumn("width", F.lit(width).cast("int"))
+        .withColumn("format", F.concat(F.col("format"), F.lit("-resized")))
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_windows", IntegerType()),
+    StructField("mean_byte", DoubleType()),
+])
+
+
+def extract_audio_features(df: DataFrame, *, window_bytes: int = 256) -> DataFrame:
+    """'Audio' feature extraction stub: windowed byte statistics via
+    mapInPandas — deterministic stand-in for MFCC/spectrogram kernels,
+    with the real Arrow batch plumbing (binary in, typed features out).
+    """
+    schema = AUDIO_FEATURE_SCHEMA
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_win = max(1, (len(b) + window_bytes - 1) // window_bytes)
+                mean = (sum(b) / len(b)) if b else 0.0
+                out.append((int(did), int(n_win), round(float(mean), 4)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_windows", "mean_byte"])
+
+    return df.mapInPandas(feats, schema)
