@@ -49,6 +49,7 @@ from awskinesisconsumer_spark.operators.similarity import (
 from awskinesisconsumer_spark.operators.text import (
     fingerprint,
     language_id,
+    quality_score,
     text_stats,
     token_count,
 )
@@ -253,6 +254,20 @@ def _token_count(spark: SparkSession, sf: str) -> DataFrame:
     return token_count(docs, text_col="text").select("doc_id", "n_tokens")
 
 
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf)
+    return quality_score(docs, text_col="text").select("doc_id", "quality")
+
+
+def _salted_sum(spark: SparkSession, sf: str) -> DataFrame:
+    # Skew-safe two-stage aggregation (operators/skew.py): identical
+    # result to a plain GROUP BY — which is exactly what the oracle is.
+    from awskinesisconsumer_spark.operators.skew import salted_agg_sum
+
+    ev = load_table(spark, "events", sf)
+    return salted_agg_sum(ev, key="event_type", value="value", salt_buckets=16)
+
+
 def _lang_id(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return language_id(docs, text_col="text").select("doc_id", "lang_pred")
@@ -449,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-text-stats": _text_stats,
         "ext-token-count": _token_count,
         "ext-lang-id": _lang_id,
+        "ext-quality-score": _quality,
+        "agg-salted-sum": _salted_sum,
         "ext-fingerprint": _fingerprint,
         "ext-similarity-knn": _knn,
         "ext-dedup-embedding": _embedding_dedup,
@@ -629,6 +646,24 @@ def oracle_sql() -> dict[str, str]:
                      THEN len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
                      ELSE 0.0 END, 4) AS distinct_ratio
             FROM w
+        """,
+        "ext-quality-score": f"""
+            WITH w AS (
+              SELECT doc_id, {words_expr} AS words FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(words) = 0 THEN 0.0 ELSE ROUND(
+                0.4 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+                + 0.3 * (1.0 - len(list_filter(words, x ->
+                    list_contains({stop_list}, x)))
+                    / CAST(len(words) AS DOUBLE))
+                + 0.3 * (len(list_distinct(words))
+                    / CAST(len(words) AS DOUBLE)),
+              4) END AS quality
+            FROM w
+        """,
+        "agg-salted-sum": """
+            SELECT event_type, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "ext-token-count": r"""
             SELECT doc_id,

@@ -1,0 +1,61 @@
+"""Skew-handling utilities — the 100 TB survival kit the task mandates
+(salting for hot keys, bucketing for co-located joins).
+
+AQE's skew-join splitting handles most cases at runtime
+(session.py turns it on); these are the explicit tools for the two
+shapes AQE can't fix: a *hot aggregation key* (salting) and a
+*repeatedly joined fact pair* (write-time bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg_sum(
+    df: DataFrame, *, key: str, value: str, salt_buckets: int = 16,
+    out_col: str = "sum_value",
+) -> DataFrame:
+    """Two-stage salted sum: stage 1 aggregates (key, salt) — spreading
+    a hot key over `salt_buckets` reducers — stage 2 merges the per-salt
+    partials. Identical result to a plain groupBy().sum(); the salt is
+    sprayed from a hash of the whole row (deterministic, uniform).
+
+    Worth it only when one key dominates: the price is a second (tiny)
+    shuffle of key x salt_buckets rows. For sums/counts/min/max any
+    map-side combine already absorbs most skew — salting matters when
+    the per-key state is heavy (collect_list, distinct counts)."""
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return stage1.groupBy(key).agg(F.round(F.sum("_partial"), 2).alias(out_col))
+
+
+def write_bucketed(
+    df: DataFrame, *, table: str, bucket_col: str, num_buckets: int,
+    sort_col: str | None = None, path: str | None = None,
+) -> None:
+    """Write-time bucketing: co-locates (and optionally sorts) rows by
+    the join key so repeated equi-joins/aggs on that key run with NO
+    exchange — the physical-layout contract Spark's bucketed tables
+    give us (hash(bucket_col) % num_buckets == file bucket).
+
+    `path` makes the table external (warehouse.dir is a static conf,
+    so tests point the data somewhere disposable)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key: Catalyst plans
+    a SortMergeJoin with zero Exchange on both sides."""
+    return spark.table(left_table).join(spark.table(right_table), on)

@@ -62,6 +62,27 @@ def text_stats(df: DataFrame, *, text_col: str) -> DataFrame:
     )
 
 
+def quality_score(df: DataFrame, *, text_col: str,
+                  out_col: str = "quality") -> DataFrame:
+    """Composite document-quality score in [0,1]: length signal
+    (saturating at 100 words), low stopword density, lexical diversity
+    — the standard cheap pre-filter for LLM training corpora. One
+    narrow pass; identical arithmetic is expressible in ANSI SQL so the
+    score is oracle-checkable."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(words))
+    nw = n_words.cast("double")
+    score = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        0.4 * F.least(nw / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - n_stop / nw)
+        + 0.3 * (n_distinct / nw)
+    )
+    return df.withColumn(out_col, F.round(score, 4))
+
+
 def token_count(df: DataFrame, *, text_col: str, out_col: str = "n_tokens") -> DataFrame:
     """BPE-ish token counting: alphanumeric runs + each punctuation
     char counts as a token (a deterministic stand-in for a real BPE
