@@ -308,6 +308,25 @@ def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: IVF-bucketed ANN (deterministic sampled centroids,
+    # 2-cell probe, exact cosine re-rank).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, knn_ivf,
+    )
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return knn_ivf(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding],
+        centroids=centroids, n_probes=2, k=10,
+    )
+
+
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     # Non-SQL-expressible (engine-specific xxhash64) -> rows-only check.
     docs = load_table(spark, "documents", sf)
@@ -470,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-similarity-knn": _knn,
         "ext-dedup-embedding": _embedding_dedup,
         "ext-similarity-ann": _ann_lsh,
+        "ext-similarity-ivf": _ann_ivf,
         "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,

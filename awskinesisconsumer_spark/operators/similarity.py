@@ -95,6 +95,60 @@ def knn_lsh(
     return knn_brute_force(cand, id_col=id_col, vec_col=vec_col, query=query, k=k)
 
 
+def ivf_assign(df: DataFrame, *, vec_col: str, centroids: list[list[float]],
+               out_col: str = "cell") -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (argmin over literal centroids, computed as min of (dist, idx)
+    structs — pure column expressions, narrow). At 100 TB the corpus is
+    written partitionBy(cell) once; queries then touch only probed
+    cells via partition pruning."""
+    dists = [
+        F.struct(
+            (_norm2_diff(F.col(vec_col), c)).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return df.withColumn(out_col, F.array_min(F.array(*dists))["i"])
+
+
+def _norm2_diff(v, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
+                              n_centroids: int) -> list[list[float]]:
+    """Deterministic centroid pick: the n lowest-id vectors. A k-means
+    refinement would improve cell balance; for a deterministic,
+    dependency-free quantizer the sampled seed is the standard
+    bootstrap (and at scale you'd train centroids offline anyway)."""
+    rows = (
+        df.orderBy(id_col).limit(n_centroids)
+        .select(vec_col).collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def knn_ivf(
+    df: DataFrame, *, id_col: str, vec_col: str, query: list[float],
+    centroids: list[list[float]], n_probes: int = 2, k: int = 10,
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors in the `n_probes` cells
+    nearest the query, exact cosine re-rank inside them."""
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: l2(query, centroids[i]))
+    probe = order[:n_probes]
+    assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    cand = assigned.where(F.col("cell").isin(probe))
+    return knn_brute_force(cand, id_col=id_col, vec_col=vec_col, query=query, k=k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, *, id_col: str, vec_col: str, threshold: float = 0.95,
     planes: list[list[float]] | None = None,
