@@ -557,7 +557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seg GROUP BY user_id, segment_id
         """,
         "error-route": """
-            SELECT event_id, user_id, ts, value
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
             FROM events WHERE event_type = 'error'
         """,
         "demux-decode-explode": """
@@ -575,7 +575,8 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   AS tag_event_id
               FROM events)
-            SELECT b.user_id, b.event_id, b.value, b.tag_event_id, e2.ts AS tag_ts
+            SELECT b.user_id, b.event_id, b.value, b.tag_event_id,
+                   CAST(e2.ts AS TIMESTAMP) AS tag_ts
             FROM base b
             LEFT JOIN events e2
               ON e2.user_id = b.user_id AND e2.event_id = b.tag_event_id
@@ -599,21 +600,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "sample-throttle-time": """
-            SELECT event_id, ts, user_id, event_type, value, props
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
             FROM events
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY user_id, CAST(FLOOR(EPOCH(ts) / 600) AS BIGINT)
               ORDER BY event_id) = 1
         """,
         "enqueue-bounded-retention": """
-            SELECT event_id, ts, user_id, event_type, value, props
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
             FROM events
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY user_id ORDER BY event_id DESC) <= 5
         """,
-        "query-point-lookup": "SELECT * FROM events WHERE event_id = 57",
+        "query-point-lookup": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value, props
+            FROM events WHERE event_id = 57
+        """,
         "query-last-row": """
-            SELECT event_id, ts, user_id, event_type, value, props
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
             FROM events
             QUALIFY ROW_NUMBER() OVER (ORDER BY event_id DESC) = 1
         """,
