@@ -430,15 +430,26 @@ def _run_stream_to_table(df, spark: SparkSession, prefix: str) -> DataFrame:
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Stateful streaming runs one task per state partition per
+    # micro-batch; a vanilla session's 200 shuffle partitions are pure
+    # scheduling overhead at harness SF. The count is baked into the
+    # (fresh) checkpoint at first start, so scoping the conf to this
+    # query is safe — restore afterwards.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # never leave a zombie query churning empty batches
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 

@@ -36,55 +36,75 @@ ASOF_OUTPUT_SCHEMA = StructType([
 _ASOF_STATE_SCHEMA = "pending_ids array<bigint>, pending_values array<double>"
 
 
-def _asof_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
+def _make_asof_fn(orphan_timeout_ms: int | None):
     """Per-user stateful as-of: buffer packets until the next boundary
     event arrives; the boundary flushes every buffered packet with its
     tag id, then the buffer resets — the exact state lifecycle of the
     reference's tags_line (parser.py:421-432), with buffering inverted
     to the forward-join direction (packets wait for their closing tag).
     """
-    if state.hasTimedOut:
-        state.remove()
-        return
-    ids, values = ([], []) if not state.exists else [list(x) for x in state.get]
-    out_rows: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id")
-        for eid, etype, val in zip(pdf["event_id"], pdf["event_type"], pdf["value"]):
-            if etype == "signup":
-                out_rows.extend(
-                    (key[0], p_id, p_val, int(eid))
-                    for p_id, p_val in zip(ids, values)
-                )
-                ids, values = [], []
-            else:
-                ids.append(int(eid))
-                values.append(float(val))
-    state.update((ids, values))
-    state.setTimeoutDuration(60 * 60 * 1000)  # late-data backstop
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows, columns=["user_id", "event_id", "value", "tag_event_id"]
-        )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, values = ([], []) if not state.exists else [list(x) for x in state.get]
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for eid, etype, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                if etype == "signup":
+                    out_rows.extend(
+                        (key[0], p_id, p_val, int(eid))
+                        for p_id, p_val in zip(ids, values)
+                    )
+                    ids, values = [], []
+                else:
+                    ids.append(int(eid))
+                    values.append(float(val))
+        state.update((ids, values))
+        if orphan_timeout_ms is not None:
+            state.setTimeoutDuration(orphan_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "event_id", "value", "tag_event_id"]
+            )
+
+    return fn
 
 
-def asof_join_stream(events: DataFrame) -> DataFrame:
+def asof_join_stream(events: DataFrame,
+                     *, orphan_timeout_ms: int | None = None) -> DataFrame:
     """Streaming forward as-of join via applyInPandasWithState, keyed
-    by user. Packets with no closing boundary stay in state until the
-    timeout evicts them (late/orphan policy: dropped, not errored)."""
+    by user. Packets with no closing boundary stay in state; pass
+    `orphan_timeout_ms` in continuous deployments to evict them
+    (late/orphan policy: dropped, not errored).
+
+    Default is NoTimeout: with Trigger.AvailableNow a pending
+    processing-time timeout keeps the query alive indefinitely (Spark
+    schedules empty batches until the timeout fires — a 60-minute
+    backstop means a 60-minute hang), so timeouts are strictly a
+    long-running-query feature."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if orphan_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.select("user_id", "event_id", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _asof_fn,
+            _make_asof_fn(orphan_timeout_ms),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=_ASOF_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
 

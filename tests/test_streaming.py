@@ -41,7 +41,8 @@ def _run_available_now(df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()  # no zombie queries bleeding into later tests
     return q
 
 
