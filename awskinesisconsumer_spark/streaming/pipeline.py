@@ -109,6 +109,83 @@ def asof_join_stream(events: DataFrame,
     )
 
 
+class AsofProcessor:
+    """transformWithStateInPandas form of the forward as-of join —
+    Spark 4's StatefulProcessor API with typed ListState for the
+    pending-packet buffer (vs the pickled tuple of the
+    applyInPandasWithState variant). Same semantics: a boundary row
+    flushes every buffered packet with its tag id and clears state
+    (ref parser.py:421-432 incl. the `del tags_line[:tags_i]` evict).
+    """
+
+    def init(self, handle) -> None:
+        self._pending = handle.getListState(
+            "pending", "event_id bigint, value double"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        buffered = [(int(r[0]), float(r[1])) for r in self._pending.get()]
+        out: list[tuple] = []
+        for pdf in rows:
+            pdf = pdf.sort_values("event_id")
+            for eid, etype, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                if etype == "signup":
+                    out.extend(
+                        (key[0], p_id, p_val, int(eid))
+                        for p_id, p_val in buffered
+                    )
+                    buffered = []
+                else:
+                    buffered.append((int(eid), float(val)))
+        self._pending.clear()
+        if buffered:
+            self._pending.put(buffered)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "value", "tag_event_id"]
+            )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def asof_join_stream_tws(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas twin of asof_join_stream.
+
+    NOTE: Spark's TWS Python runner speaks protobuf to the state
+    server; environments without `google.protobuf` (like this offline
+    container) crash the runner at init, so this variant is
+    environment-gated (tests importorskip protobuf) and
+    applyInPandasWithState remains the default implementation."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires protobuf (state-server "
+            "protocol); use asof_join_stream() instead"
+        ) from e
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            AsofProcessor(),
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def segment_rollup_stream(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     """Fragment rollup, streaming form of rows 8-9: session windows per
     user (the boundary-delimited fragment becomes an inactivity-gap
