@@ -25,6 +25,7 @@ HEADLINE = [
     "agg-pricing-summary",
     "join-revenue-by-nation",
     "join-asof-tags",
+    "join-asof-backward",
     "segment-fragments",
     "pivot-tag-assembly",
     "sample-throttle-time",
@@ -33,9 +34,12 @@ HEADLINE = [
     "ext-dedup-exact",
     "ext-text-stats",
     "ext-token-count",
+    "ext-quality-score",
     "ext-fingerprint",
     "ext-similarity-knn",
+    "ext-similarity-ivf",
     "ext-dedup-minhash",
+    "stream-asof-tags",
 ]
 
 
