@@ -237,6 +237,80 @@ def _topk_customers(spark: SparkSession, sf: str) -> DataFrame:
     return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
 
 
+def _semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    # Relational surface: left-semi + left-anti in one result — which
+    # customers have orders, which don't. Broadcast the aggregated key
+    # set; at scale a shuffled semi-join with AQE.
+    cust = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(True))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(False))
+    )
+    return with_orders.unionByName(without)
+
+
+def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # ROLLUP grouping sets: revenue by (region, nation) with subtotals
+    # — the hierarchical-agg surface, one shuffle, partial aggs.
+    cust = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    nation = load_table(spark, "nation", sf)
+    region = load_table(spark, "region", sf)
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _props_json(spark: SparkSession, sf: str) -> DataFrame:
+    # Semi-structured KV payload (the props column is SURVEY row 8's
+    # pivot-assembly source): JSON-extract k, aggregate per event_type.
+    ev = load_table(spark, "events", sf)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    # Tumbling event-time windows (batch form of the streaming rollup):
+    # per-hour counts/sums across all users.
+    ev = load_table(spark, "events", sf)
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return dedup_exact(docs, text_col="text", id_col="doc_id")
@@ -490,6 +564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-pricing-summary": _pricing_summary,
         "join-revenue-by-nation": _revenue_by_nation,
         "topk-customers": _topk_customers,
+        "join-semi-anti": _semi_anti,
+        "agg-rollup-revenue": _rollup_revenue,
+        "json-extract-props": _props_json,
+        "agg-tumbling-window": _tumbling_window,
         "ext-dedup-exact": _dedup_exact,
         "ext-text-stats": _text_stats,
         "ext-token-count": _token_count,
@@ -660,6 +738,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
+        """,
+        "join-semi-anti": """
+            SELECT c_custkey, c_name, TRUE AS has_orders
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, c_name, FALSE AS has_orders
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "agg-rollup-revenue": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "json-extract-props": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                     AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "agg-tumbling-window": """
+            SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)
+                                  * 1000000) AS w_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1
         """,
         "ext-dedup-exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
