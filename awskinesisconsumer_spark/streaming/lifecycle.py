@@ -43,12 +43,20 @@ class ProgressListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        observed = {}
+        try:
+            observed = {
+                name: row.asDict() for name, row in p.observedMetrics.items()
+            }
+        except Exception:
+            pass
         with self._lock:
             self.progress.append({
                 "id": str(p.id),
                 "batchId": p.batchId,
                 "numInputRows": p.numInputRows,
                 "durationMs": dict(p.durationMs) if p.durationMs else {},
+                "observed": observed,
             })
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
@@ -60,6 +68,17 @@ class ProgressListener(StreamingQueryListener):
     def total_rows(self) -> int:
         with self._lock:
             return sum(p["numInputRows"] for p in self.progress)
+
+    def observed_totals(self, metric_name: str) -> dict[str, int]:
+        """Sum each observed-metric column across batches (e.g. the
+        frame_pipeline's n_events/n_errors counters, row 24)."""
+        totals: dict[str, int] = {}
+        with self._lock:
+            for p in self.progress:
+                for col, val in p["observed"].get(metric_name, {}).items():
+                    if isinstance(val, (int, float)):
+                        totals[col] = totals.get(col, 0) + int(val)
+        return totals
 
 
 class PipelineHandle:

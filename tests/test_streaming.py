@@ -128,7 +128,11 @@ def test_segment_rollup_stream_runs(spark, tmp_path):
 
 
 def test_frame_pipeline_fanout_and_retention(spark, tmpdirs):
+    from awskinesisconsumer_spark.streaming.lifecycle import ProgressListener
+
     out_dir, ckpt = tmpdirs
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
     stream = events_stream(spark, SF)
     frames, errors = frame_pipeline(stream)
     sink = BoundedMemorySink(k=10)
@@ -137,6 +141,9 @@ def test_frame_pipeline_fanout_and_retention(spark, tmpdirs):
     )
     fq.awaitTermination(120)
     eq.awaitTermination(120)
+    import time as _t
+    _t.sleep(1)  # listener events are delivered asynchronously
+    spark.streams.removeListener(listener)
 
     # retention cap honored (row 15)
     assert len(sink) <= 10
@@ -156,6 +163,12 @@ def test_frame_pipeline_fanout_and_retention(spark, tmpdirs):
     n_err = ev.where(F.col("event_type") == "error").count()
     errors_written = spark.read.parquet(f"{out_dir}/errors")
     assert errors_written.count() == n_err
+
+    # row 24: observe() counters surfaced through the listener
+    obs = listener.observed_totals("frame_pipeline_metrics")
+    if obs:  # both sub-queries observe; totals cover >= one full pass
+        assert obs.get("n_errors", 0) >= n_err
+        assert obs.get("n_events", 0) >= ev.count()
 
 
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
