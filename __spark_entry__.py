@@ -485,6 +485,18 @@ def _ebml_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 4-5 `decode-scalars` as an oracle-checkable query:
+    # encode event_id to 8-byte big-endian binary JVM-side, decode with
+    # the Arrow pandas UDF — the oracle (decoded == event_id) is exact.
+    from awskinesisconsumer_spark.functions import ebml_decode
+
+    ev = load_table(spark, "events", sf)
+    be_bytes = F.expr("to_binary(lpad(hex(event_id), 16, '0'), 'hex')")
+    decoded = ebml_decode.udf_decode_uint(be_bytes)
+    return ev.select("event_id", decoded.alias("decoded_uint"))
+
+
 def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
     # Rows-only: mapInPandas plumbing with stubbed codec (container has
     # no media libs; see operators/multimodal.py).
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
         "scan-ebml-tokenize": _ebml_tokenize,
+        "decode-scalars-roundtrip": _decode_roundtrip,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
     }
@@ -855,6 +868,9 @@ def oracle_sql() -> dict[str, str]:
                   (a, b) -> (a * 1000003 + b) % 2147483647)
               END AS fingerprint
             FROM w
+        """,
+        "decode-scalars-roundtrip": """
+            SELECT event_id, event_id AS decoded_uint FROM events
         """,
         "ext-dedup-embedding": """
             WITH scored AS (

@@ -120,8 +120,8 @@ def _make_udf(name: str):
     if name not in _UDF_CACHE:
         ret_type, kernel = _UDF_SPECS[name]
 
-        def wrapped(col: pd.Series, _k=kernel) -> pd.Series:
-            return col.map(lambda b: _k(b) if b is not None else None)
+        def wrapped(col: pd.Series) -> pd.Series:
+            return col.map(lambda b: kernel(b) if b is not None else None)
 
         _UDF_CACHE[name] = pandas_udf(ret_type)(wrapped)
     return _UDF_CACHE[name]

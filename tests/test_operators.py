@@ -1,0 +1,127 @@
+"""Operator edge-case unit tests over tiny literal DataFrames:
+as-of exact/strict semantics, segmentation boundary ownership,
+global-K retention, throttle disable, explode zero-frames, id modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.operators import (
+    asof_join_backward,
+    asof_join_next_boundary,
+    assign_monotonic_id,
+    decode_explode,
+    segment_by_boundary,
+    throttle_first_per_window,
+    top_k_by_recency,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # (user, id, type, value)
+        (1, 1, "pkt", 10.0),
+        (1, 2, "boundary", 0.0),
+        (1, 3, "pkt", 30.0),
+        (1, 4, "pkt", 40.0),
+        (1, 5, "boundary", 0.0),
+        (1, 6, "pkt", 60.0),   # orphan: no boundary after
+        (2, 7, "pkt", 70.0),   # user with no boundary at all
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, value double"
+    )
+
+
+def test_asof_next_boundary_strictness_and_orphans(tiny):
+    out = asof_join_next_boundary(
+        tiny, key="user_id", order="event_id",
+        is_boundary=F.col("event_type") == "boundary",
+        boundary_cols=[],
+    )
+    got = {r.event_id: r.tag_event_id for r in out.collect()}
+    # packets before a boundary get THAT boundary (strictly after)
+    assert got[1] == 2 and got[3] == 5 and got[4] == 5
+    # orphans -> null, not error (reference raised; we route)
+    assert got[6] is None and got[7] is None
+    # boundary rows themselves are not emitted
+    assert 2 not in got and 5 not in got
+
+
+def test_asof_backward_exact_vs_strict(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b")], "k int, rt int, tag string"
+    )
+    exact = asof_join_backward(
+        left, right, key="k", left_on="t", right_on="rt",
+        right_cols=["tag"], allow_exact=True,
+    )
+    got = {r.t: r.tag for r in exact.collect()}
+    assert got == {10: "a", 20: "b"}
+    strict = asof_join_backward(
+        left, right, key="k", left_on="t", right_on="rt",
+        right_cols=["tag"], allow_exact=False,
+    )
+    got2 = {r.t: r.tag for r in strict.collect()}
+    assert got2 == {10: None, 20: "b"}  # rt=10 not < t=10
+
+
+def test_segment_boundary_belongs_to_closed_segment(tiny):
+    seg = segment_by_boundary(
+        tiny, key="user_id", order="event_id",
+        is_boundary=F.col("event_type") == "boundary",
+    )
+    got = {r.event_id: r.segment_id for r in seg.collect()}
+    # rows 1-2 close segment 0 (boundary included), 3-5 segment 1,
+    # trailing orphan 6 opens segment 2
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 1 and got[4] == 1 and got[5] == 1
+    assert got[6] == 2
+    assert got[7] == 0  # separate user partition
+
+
+def test_retention_global_take_ordered(tiny):
+    out = top_k_by_recency(tiny, order="event_id", k=3, key=None)
+    assert sorted(r.event_id for r in out.collect()) == [5, 6, 7]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_throttle_disabled_passthrough(tiny):
+    ts = tiny.withColumn("ts", F.timestamp_seconds(F.col("event_id") * 1000))
+    out = throttle_first_per_window(
+        ts, key="user_id", ts="ts", order="event_id", span_seconds=0
+    )
+    assert out.count() == tiny.count()
+
+
+def test_explode_zero_frames_drop(tiny):
+    out = decode_explode(
+        tiny,
+        track_filter=F.col("event_type") == "pkt",
+        n_frames=F.when(F.col("event_id") == 1, 0).otherwise(2),
+    )
+    rows = out.collect()
+    assert all(r.event_id != 1 for r in rows)  # 0-frame packet vanishes
+    assert sum(1 for r in rows if r.event_id == 3) == 2
+
+
+def test_monotonic_id_modes(tiny):
+    exact = assign_monotonic_id(tiny, order="event_id", key="user_id")
+    per_user = {
+        r.user_id: [] for r in exact.collect()
+    }
+    for r in exact.orderBy("event_id").collect():
+        per_user[r.user_id].append(r.row_id)
+    assert per_user[1] == [1, 2, 3, 4, 5, 6]
+    assert per_user[2] == [1]
+    loose = assign_monotonic_id(tiny, order="event_id", exact=False)
+    ids = [r.row_id for r in loose.collect()]
+    assert len(set(ids)) == len(ids)  # unique, not necessarily dense
