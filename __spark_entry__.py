@@ -485,6 +485,43 @@ def _ebml_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kvs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed reference pipeline (SURVEY rows 3-12): synthetic KVS
+    # fragments from documents -> EBML tokenize -> tag pivot -> frames
+    # joined to fragment tags. Rows-only (binary parse stage).
+    from awskinesisconsumer_spark.sources.ebml import encode_element
+    from awskinesisconsumer_spark.streaming.kvs_pipeline import (
+        kvs_frames_with_tags,
+    )
+    docs = load_table(spark, "documents", sf)
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = int(did) % 3 + 1
+                p = encode_element(0x4285, (2).to_bytes(1, "big"))
+                p += encode_element(0x45A3, b"AWS_KINESISVIDEO_FRAGMENT_NUMBER")
+                p += encode_element(0x4487, str(91340000000 + int(did)).encode())
+                p += encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+                p += encode_element(0x4487, f"tok-{did}".encode())
+                for i in range(n_frames):
+                    p += encode_element(
+                        0xA3, b"\x81\x00\x00\x00" + (text or "x").encode()[:16]
+                    )
+                payloads.append(p)
+            yield pd.DataFrame({"chunk_id": pdf["doc_id"], "payload": payloads})
+
+    chunks = docs.mapInPandas(encode, "chunk_id bigint, payload binary")
+    out = kvs_frames_with_tags(chunks)
+    return out.select(
+        "chunk_id", "frame_position",
+        "AWS_KINESISVIDEO_FRAGMENT_NUMBER",
+        "AWS_KINESISVIDEO_CONTINUATION_TOKEN",
+    )
+
+
 def _decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 rows 4-5 `decode-scalars` as an oracle-checkable query:
     # encode event_id to 8-byte big-endian binary JVM-side, decode with
@@ -599,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-audio": _multimodal_audio,
         "scan-ebml-tokenize": _ebml_tokenize,
         "decode-scalars-roundtrip": _decode_roundtrip,
+        "kvs-frames-with-tags": _kvs_pipeline,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
     }

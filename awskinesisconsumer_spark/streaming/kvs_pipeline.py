@@ -1,0 +1,132 @@
+"""The reference's ACTUAL pipeline, end-to-end on Spark: a stream of
+raw MKV fragment bytes -> EBML tokenize -> per-fragment tag pivot ->
+frames joined to their fragment's tags.
+
+This is the full composition the reference hand-fuses across two
+threads and a FIFO (/root/reference/parser.py:313-449), expressed as
+one streaming DataFrame DAG:
+
+  chunks (binary)                      GetMedia payload, pre-framed per
+      |                                fragment (KVS delivers fragments)
+  parse_ebml_chunks (mapInPandas)      ebml.py:307-349 tokenizer
+      |
+  +---+--------------------+
+  |                        |
+  tag KV rows          SimpleBlock rows
+  (TagName/TagString)  (the packet/frame payloads)
+      |                        |
+  pivot per chunk          frame id assign
+      |                        |
+  +---+------------------------+
+  |
+  broadcast-free equi-join on chunk_id  (the as-of join degenerates to
+  |                                      an equi-join once fragments
+  frames-with-tags                       are the parallelism unit —
+                                         position-based matching was an
+                                         artifact of the byte-stream
+                                         cursor, ref parser.py:421-432)
+
+Why the join simplifies: the reference matches packets to tags by byte
+position because both interleave in ONE unbounded stream. Framing the
+source per fragment (which Kinesis Video already guarantees — each
+GetMedia fragment is a self-contained MKV segment) makes fragment
+membership explicit, so the monotone-position as-of collapses into a
+keyed equi-join with no ordering dependence at all. That is the
+100 TB-correct formulation; the general as-of operators remain in
+operators/asof_join.py for sources without framing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.sources.ebml import parse_ebml_chunks
+
+KVS_TAG_NAMES = [
+    "AWS_KINESISVIDEO_FRAGMENT_NUMBER",
+    "AWS_KINESISVIDEO_SERVER_TIMESTAMP",
+    "AWS_KINESISVIDEO_PRODUCER_TIMESTAMP",
+    "AWS_KINESISVIDEO_MILLIS_BEHIND_NOW",
+    "AWS_KINESISVIDEO_CONTINUATION_TOKEN",
+]
+
+INTERESTING = ["TagName", "TagString", "SimpleBlock", "DocTypeReadVersion"]
+
+
+def kvs_frames_with_tags(chunks: DataFrame) -> DataFrame:
+    """(chunk_id, payload) -> one row per frame with its fragment tags.
+
+    Works identically on batch and streaming inputs (the parse + pivot
+    + join are all per-chunk-keyed, so streaming needs no watermark:
+    state never spans chunks).
+    """
+    elements = parse_ebml_chunks(chunks, interesting_names=INTERESTING)
+    tags = pivot_tags(elements)
+    frames = (
+        elements.where(F.col("name") == "SimpleBlock")
+        .select(
+            "chunk_id",
+            F.col("position").alias("frame_position"),
+            F.col("value_bin").alias("frame_payload"),
+        )
+    )
+    return frames.join(tags, "chunk_id")
+
+
+def kvs_stream(chunks_stream: DataFrame, *, out_path: str,
+               checkpoint: str, available_now: bool = True):
+    """Streaming form: every stage of kvs_frames_with_tags is
+    chunk-local (a chunk arrives whole in one micro-batch row), so the
+    correct streaming execution is foreachBatch over the SAME batch
+    DAG — no cross-batch state, no watermark, exactly-once via the
+    checkpoint + idempotent parquet append. This mirrors how the
+    production job would run: fragments in, frames-with-tags parquet
+    out."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        kvs_frames_with_tags(batch).write.mode("append").parquet(out_path)
+
+    writer = (
+        chunks_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def pivot_tags(elements: DataFrame) -> DataFrame:
+    """TagName/TagString pairing + pivot, per chunk.
+
+    Pairing trick: a TagString at position p belongs to the TagName
+    that immediately precedes it. Collect both streams per chunk,
+    sort by position, and zip name[i] -> string[i] (KVS emits strict
+    alternation, one TagString per TagName — ref parser.py:349-356).
+    Entirely aggregation-based: one shuffle on chunk_id, no windows.
+    """
+    names = (
+        elements.where(F.col("name") == "TagName")
+        .groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("position", "value_str")))
+             .alias("_names"))
+    )
+    strings = (
+        elements.where(F.col("name") == "TagString")
+        .groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("position", "value_str")))
+             .alias("_strings"))
+    )
+    paired = names.join(strings, "chunk_id").select(
+        "chunk_id",
+        F.map_from_entries(
+            F.zip_with(
+                "_names", "_strings",
+                lambda n, s: F.struct(
+                    n["value_str"].alias("k"), s["value_str"].alias("v")
+                ),
+            )
+        ).alias("tags"),
+    )
+    cols = [F.col("tags")[t].alias(t) for t in KVS_TAG_NAMES]
+    return paired.select("chunk_id", *cols)

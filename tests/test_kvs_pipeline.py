@@ -1,0 +1,79 @@
+"""End-to-end KVS pipeline test: synthetic MKV fragments -> EBML parse
+-> tag pivot -> frames-with-tags, in BOTH batch and streaming modes,
+asserting identical results (the composed form of SURVEY rows 3-12)."""
+
+from __future__ import annotations
+
+import pytest
+
+from awskinesisconsumer_spark.sources.ebml import encode_element
+from awskinesisconsumer_spark.streaming.kvs_pipeline import (
+    KVS_TAG_NAMES,
+    kvs_frames_with_tags,
+)
+
+
+def _fragment(frag_no: int, n_frames: int) -> bytes:
+    tag_values = {
+        "AWS_KINESISVIDEO_FRAGMENT_NUMBER": str(91340000000 + frag_no),
+        "AWS_KINESISVIDEO_SERVER_TIMESTAMP": f"{1700000000 + frag_no}.123",
+        "AWS_KINESISVIDEO_PRODUCER_TIMESTAMP": f"{1700000000 + frag_no}.100",
+        "AWS_KINESISVIDEO_MILLIS_BEHIND_NOW": "0",
+        "AWS_KINESISVIDEO_CONTINUATION_TOKEN": f"tok-{frag_no}",
+    }
+    payload = encode_element(0x4285, (2).to_bytes(1, "big"))  # DocTypeReadVersion
+    for k, v in tag_values.items():
+        payload += encode_element(0x45A3, k.encode())
+        payload += encode_element(0x4487, v.encode())
+    for i in range(n_frames):
+        payload += encode_element(0xA3, b"\x81\x00\x00\x00" + bytes([i]) * 8)
+    return payload
+
+
+@pytest.fixture(scope="module")
+def chunks_df(spark):
+    frags = [(i, _fragment(i, n_frames=(i % 3) + 1)) for i in range(30)]
+    return spark.createDataFrame(frags, "chunk_id bigint, payload binary")
+
+
+def test_batch_frames_with_tags(spark, chunks_df):
+    out = kvs_frames_with_tags(chunks_df).collect()
+    # sum of (i%3)+1 for i in 0..29
+    assert len(out) == sum((i % 3) + 1 for i in range(30))
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    for cid, rows in by_chunk.items():
+        assert len(rows) == (cid % 3) + 1
+        for r in rows:
+            assert r.AWS_KINESISVIDEO_CONTINUATION_TOKEN == f"tok-{cid}"
+            assert r.AWS_KINESISVIDEO_FRAGMENT_NUMBER == str(91340000000 + cid)
+            assert r.frame_payload.startswith(b"\x81")
+    # every declared KVS tag column is present
+    cols = set(out[0].asDict())
+    assert set(KVS_TAG_NAMES) <= cols
+
+
+def test_streaming_matches_batch(spark, chunks_df, tmp_path):
+    src = str(tmp_path / "chunks")
+    chunks_df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(chunks_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from awskinesisconsumer_spark.streaming.kvs_pipeline import kvs_stream
+
+    out_path = str(tmp_path / "out")
+    q = kvs_stream(
+        stream, out_path=out_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+    got = spark.read.parquet(out_path).select(
+        "chunk_id", "frame_position", "AWS_KINESISVIDEO_CONTINUATION_TOKEN"
+    ).collect()
+    want = kvs_frames_with_tags(chunks_df).select(
+        "chunk_id", "frame_position", "AWS_KINESISVIDEO_CONTINUATION_TOKEN"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
