@@ -3,7 +3,6 @@ dispose idempotence, progress observability."""
 
 from __future__ import annotations
 
-import pytest
 
 from awskinesisconsumer_spark.io import load_table
 from awskinesisconsumer_spark.streaming.lifecycle import PipelineHandle

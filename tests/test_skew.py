@@ -3,7 +3,6 @@ plans with no Exchange."""
 
 from __future__ import annotations
 
-import pytest
 
 from pyspark.sql import functions as F
 

@@ -7,7 +7,6 @@ sinks with retention, and checkpoint restart.
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 
@@ -55,20 +54,9 @@ def test_asof_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM asof_stream").collect()
     }
 
-    batch = asof_join_next_boundary(
-        load_table(spark, "events", SF),
-        key="user_id", order="event_id",
-        is_boundary=F.col("event_type") == "signup",
-        boundary_cols=[],
-    ).where(F.col("tag_event_id").isNotNull())
-    want = {
-        (r.user_id, r.event_id): r.tag_event_id
-        for r in batch.where(F.col("event_type") != "error").collect()
-    }
     # Streaming emits only packets whose boundary arrived (orphans stay
-    # in state) == batch rows with a non-null tag. Errors flow through
-    # the stream variant too; restrict batch to the same row set.
-    want2 = {
+    # in state) == exactly the batch rows with a non-null tag.
+    want = {
         (r.user_id, r.event_id): r.tag_event_id
         for r in asof_join_next_boundary(
             load_table(spark, "events", SF),
@@ -77,8 +65,7 @@ def test_asof_stream_matches_batch(spark, tmp_path):
             boundary_cols=[],
         ).where(F.col("tag_event_id").isNotNull()).collect()
     }
-    assert got == want2
-    assert set(want).issubset(set(got))
+    assert got == want
 
 
 def test_asof_tws_variant(spark, tmp_path):
