@@ -516,7 +516,7 @@ def _kvs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     chunks = docs.mapInPandas(encode, "chunk_id bigint, payload binary")
     out = kvs_frames_with_tags(chunks)
     return out.select(
-        "chunk_id", "frame_position",
+        "chunk_id", "frame_position", "track", "timecode", "n_frames",
         "AWS_KINESISVIDEO_FRAGMENT_NUMBER",
         "AWS_KINESISVIDEO_CONTINUATION_TOKEN",
     )

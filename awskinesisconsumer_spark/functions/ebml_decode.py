@@ -98,6 +98,42 @@ def decode_date_ns(data: bytes) -> _dt.datetime:
     return EBML_EPOCH + _dt.timedelta(microseconds=ns // 1000)
 
 
+def parse_simple_block(data: bytes) -> dict:
+    """Parse a Matroska SimpleBlock payload header (public spec,
+    matroska.org "SimpleBlock structure"): track-number varint,
+    signed 16-bit big-endian relative timecode, flags byte
+    (keyframe 0x80, invisible 0x08, lacing 0x06, discardable 0x01),
+    then 0..n laced frame payloads.
+
+    The reference hands this to libav (parser.py:415-442); parsing the
+    header ourselves gives the demux-level columns (track, timecode,
+    keyframe) relationally, so `demux(video=0)` becomes a plain
+    `filter(track == 0)` on real data. Lacing: NONE -> 1 frame;
+    EBML/Xiph/fixed lacing -> frame count from the lace header (frame
+    payloads stay opaque bytes).
+    """
+    track, pos = read_varint(data, 0, keep_marker=False)
+    timecode = int.from_bytes(data[pos:pos + 2], "big", signed=True)
+    flags = data[pos + 2]
+    body = data[pos + 3:]
+    lacing = (flags & 0x06) >> 1
+    if lacing == 0:
+        n_frames = 1
+    else:
+        # all lace modes lead with (frame_count - 1)
+        n_frames = (body[0] + 1) if body else 1
+    return {
+        "track": track,
+        "timecode": timecode,
+        "keyframe": bool(flags & 0x80),
+        "invisible": bool(flags & 0x08),
+        "discardable": bool(flags & 0x01),
+        "lacing": ("none", "xiph", "fixed", "ebml")[lacing],
+        "n_frames": n_frames,
+        "body_bytes": len(body),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Vectorized (Arrow-batched) wrappers for use in DataFrame plans.
 # Built lazily: pandas_udf registration needs an active SparkSession,

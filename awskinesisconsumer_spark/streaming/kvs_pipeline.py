@@ -63,15 +63,51 @@ def kvs_frames_with_tags(chunks: DataFrame) -> DataFrame:
     """
     elements = parse_ebml_chunks(chunks, interesting_names=INTERESTING)
     tags = pivot_tags(elements)
-    frames = (
-        elements.where(F.col("name") == "SimpleBlock")
-        .select(
+    frames = demux_blocks(
+        elements.where(F.col("name") == "SimpleBlock").select(
             "chunk_id",
             F.col("position").alias("frame_position"),
             F.col("value_bin").alias("frame_payload"),
         )
     )
     return frames.join(tags, "chunk_id")
+
+
+def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload") -> DataFrame:
+    """Demux stage (SURVEY row 11): parse each SimpleBlock's header
+    into relational columns (track/timecode/keyframe/lacing/n_frames)
+    via an Arrow-batched mapInPandas — `demux(video=0)` becomes
+    `filter(track == 0)` downstream, and the lace count feeds the
+    frame explode."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from awskinesisconsumer_spark.functions.ebml_decode import parse_simple_block
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in blocks.schema.fields
+    )
+    out_schema = (
+        f"{in_fields}, track bigint, timecode int, keyframe boolean, "
+        "lacing string, n_frames int"
+    )
+
+    def demux(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                parse_simple_block(bytes(b)) if b is not None else {}
+                for b in pdf[payload_col]
+            ]
+            out = pdf.copy()
+            out["track"] = [m.get("track") for m in meta]
+            out["timecode"] = [m.get("timecode") for m in meta]
+            out["keyframe"] = [m.get("keyframe") for m in meta]
+            out["lacing"] = [m.get("lacing") for m in meta]
+            out["n_frames"] = [m.get("n_frames") for m in meta]
+            yield out
+
+    return blocks.mapInPandas(demux, out_schema)
 
 
 def kvs_stream(chunks_stream: DataFrame, *, out_path: str,

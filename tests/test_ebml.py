@@ -187,3 +187,20 @@ def test_tokenize_spark_stage(spark):
     assert len(tag_strings) == 20
     # chunk-parallel: every chunk contributed
     assert {r.chunk_id for r in rows} == set(range(20))
+
+
+def test_parse_simple_block():
+    from awskinesisconsumer_spark.functions.ebml_decode import parse_simple_block
+
+    # track 1 (varint 0x81), timecode -2, keyframe, no lacing, payload
+    data = b"\x81" + (-2).to_bytes(2, "big", signed=True) + b"\x80" + b"PAYLOAD"
+    m = parse_simple_block(data)
+    assert m["track"] == 1 and m["timecode"] == -2
+    assert m["keyframe"] and m["lacing"] == "none" and m["n_frames"] == 1
+    assert m["body_bytes"] == 7
+
+    # track 2, fixed lacing (flags 0x04), 3 frames -> lace head 0x02
+    data = b"\x82" + (100).to_bytes(2, "big", signed=True) + b"\x04" + b"\x02" + b"xxyyzz"
+    m = parse_simple_block(data)
+    assert m["track"] == 2 and m["lacing"] == "fixed" and m["n_frames"] == 3
+    assert not m["keyframe"]
