@@ -522,6 +522,28 @@ def _kvs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kvs_replay_source(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 1-2 as a Python DataSource (DSv2): partitioned
+    # fragment synthesis -> full pipeline -> per-fragment rollup.
+    # Rows-only (source is generated, not a parquet table).
+    from awskinesisconsumer_spark.sources.kvs_replay import register
+    from awskinesisconsumer_spark.streaming.kvs_pipeline import (
+        kvs_frames_with_tags,
+    )
+    register(spark)
+    chunks = (
+        spark.read.format("kvs-replay")
+        .option("n_fragments", 200)
+        .option("num_partitions", 8)
+        .load()
+    )
+    out = kvs_frames_with_tags(chunks)
+    return out.groupBy("AWS_KINESISVIDEO_CONTINUATION_TOKEN").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("track").alias("track"),
+    )
+
+
 def _decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 rows 4-5 `decode-scalars` as an oracle-checkable query:
     # encode event_id to 8-byte big-endian binary JVM-side, decode with
@@ -637,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-ebml-tokenize": _ebml_tokenize,
         "decode-scalars-roundtrip": _decode_roundtrip,
         "kvs-frames-with-tags": _kvs_pipeline,
+        "source-kvs-replay": _kvs_replay_source,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
     }
