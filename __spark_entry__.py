@@ -97,6 +97,31 @@ def _segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sessions_gap(spark: SparkSession, sf: str) -> DataFrame:
+    # Gap-based sessionization (SURVEY row 9's inactivity-gap twin):
+    # 30-min gap per user, per-session rollup.
+    from awskinesisconsumer_spark.operators.segmentation import sessionize_by_gap
+
+    ev = load_table(spark, "events", sf)
+    s = sessionize_by_gap(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def _percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact interpolated percentiles per group (Spark `percentile` ==
+    # ANSI percentile_cont == DuckDB quantile_cont).
+    ev = load_table(spark, "events", sf)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
 def _error_route(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 row 10 `error-route` (ref parser.py:357-360).
     ev = load_table(spark, "events", sf)
@@ -623,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
+        "segment-sessions-gap": _sessions_gap,
+        "agg-percentiles": _percentiles,
         "error-route": _error_route,
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
@@ -718,6 +745,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value,
                    MAX(event_id) AS end_position
             FROM seg GROUP BY user_id, segment_id
+        """,
+        "segment-sessions-gap": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, event_id, value,
+                CAST(SUM(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   MAX(event_id) AS last_event_id
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "agg-percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   ROUND(MAX(value), 2) AS max_value
+            FROM events GROUP BY event_type
         """,
         "error-route": """
             SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

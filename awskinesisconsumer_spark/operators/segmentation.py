@@ -43,6 +43,39 @@ def segment_by_boundary(
     return df.withColumn(segment_col, n_before.cast("bigint"))
 
 
+def sessionize_by_gap(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (the inactivity-gap complement of the
+    boundary rule): a new session starts when the time since the
+    previous event within the key exceeds the gap. Same single-shuffle
+    window shape as segment_by_boundary — lag + running sum — and
+    (unlike F.session_window) trivially expressible in ANSI SQL, so
+    the operator is oracle-checkable."""
+    w = Window.partitionBy(key).orderBy(ts)
+    # microsecond-exact gap: unix_timestamp() truncates to seconds,
+    # which shifts session boundaries for sub-second timestamps.
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    prev_ts = F.lag(ts).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((micros(F.col(ts)) - micros(prev_ts)) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    running = (
+        Window.partitionBy(key).orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        session_col, F.sum(new_session).over(running).cast("bigint")
+    )
+
+
 def aggregate_segments(
     segmented: DataFrame,
     *,
