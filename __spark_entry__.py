@@ -336,6 +336,26 @@ def _tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    # Set-operation surface: (purchasers ∩ signups) \ erroring users.
+    ev = load_table(spark, "events", sf)
+
+    def users(etype: str) -> DataFrame:
+        return ev.where(F.col("event_type") == etype).select("user_id").distinct()
+
+    return users("purchase").intersect(users("signup")).exceptAll(users("error"))
+
+
+def _distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact distinct aggregation per group (the expensive two-shuffle
+    # shape; at 100 TB prefer approx_count_distinct when ±2% is fine).
+    ev = load_table(spark, "events", sf)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     return dedup_exact(docs, text_col="text", id_col="doc_id")
@@ -665,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-semi-anti": _semi_anti,
         "agg-rollup-revenue": _rollup_revenue,
         "json-extract-props": _props_json,
+        "set-ops-users": _set_ops,
+        "agg-distinct-users": _distinct_users,
         "agg-tumbling-window": _tumbling_window,
         "ext-dedup-exact": _dedup_exact,
         "ext-text-stats": _text_stats,
@@ -886,6 +908,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "set-ops-users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "agg-distinct-users": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "json-extract-props": """
             SELECT event_type,
