@@ -340,10 +340,17 @@ def _set_ops(spark: SparkSession, sf: str) -> DataFrame:
     # Set-operation surface: (purchasers ∩ signups) \ erroring users.
     ev = load_table(spark, "events", sf)
 
-    def users(etype: str) -> DataFrame:
-        return ev.where(F.col("event_type") == etype).select("user_id").distinct()
+    def users(etype: str, min_value: float) -> DataFrame:
+        return (
+            ev.where((F.col("event_type") == etype) & (F.col("value") > min_value))
+            .select("user_id").distinct()
+        )
 
-    return users("purchase").intersect(users("signup")).exceptAll(users("error"))
+    return (
+        users("purchase", 180.0)
+        .intersect(users("signup", 180.0))
+        .exceptAll(users("error", 195.0))
+    )
 
 
 def _distinct_users(spark: SparkSession, sf: str) -> DataFrame:
@@ -910,11 +917,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (r_name, n_name)
         """,
         "set-ops-users": """
-            SELECT user_id FROM events WHERE event_type = 'purchase'
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 180.0
             INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'signup'
+            SELECT user_id FROM events
+            WHERE event_type = 'signup' AND value > 180.0
             EXCEPT
-            SELECT user_id FROM events WHERE event_type = 'error'
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 195.0
         """,
         "agg-distinct-users": """
             SELECT event_type,
