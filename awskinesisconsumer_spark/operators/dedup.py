@@ -19,17 +19,19 @@ _MERSENNE = (1 << 31) - 1
 
 def dedup_exact(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct text, with the
-    duplicate count. A single hash-aggregate shuffle; at 100 TB dedup
-    on a digest (xxhash64/sha2 of the text) instead of the full string
-    to keep shuffle rows narrow — we group on the digest and keep the
-    text only via the min-id survivor."""
+    duplicate count. A single hash-aggregate shuffle on the text
+    itself — grouping by a 64-bit digest would be narrower on the wire
+    but silently merges distinct documents on hash collision, which at
+    multi-billion-row scale is a certainty (birthday bound), not a
+    tail risk. To narrow the shuffle at 100 TB, pre-hash with a
+    256-bit digest column (sha2(text, 256)) instead; never 64-bit."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("_digest"))
+        df.groupBy(text_col)
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_dups"),
         )
-        .drop("_digest")
+        .drop(text_col)
     )
 
 
@@ -85,9 +87,16 @@ def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
     document size. Returns (id_col, out_col); docs with zero shingles
     get an empty signature.
     """
+    # NULL-safe hash: xxhash64(NULL) returns the seed (42), NOT null —
+    # without the guard every zero-shingle doc would get the same bogus
+    # signature and compare as jaccard 1.0 with every other empty doc.
     ex = (
         df.select(id_col, F.explode_outer(shingle_col).alias("_s"))
-        .withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+        .withColumn(
+            "_h",
+            F.when(F.col("_s").isNotNull(),
+                   F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE))),
+        )
     )
     return _minhash_from_rows(ex, id_col=id_col, num_hashes=num_hashes,
                               out_col=out_col)
@@ -188,12 +197,18 @@ def dedup_minhash_lsh(
                         lambda x: x))
         / F.size("sig_a")
     )
-    return (
+    out = (
         cand.join(sig_a, "id_a").join(sig_b, "id_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # Materialize the (small) pair set eagerly so the big persisted
+    # signature intermediate can be released now — otherwise every call
+    # leaks cached partitions for the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
@@ -268,4 +283,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Same persist-release discipline as dedup_minhash_lsh.
+    out = out.localCheckpoint(eager=True)
+    all_posts.unpersist()
     return out

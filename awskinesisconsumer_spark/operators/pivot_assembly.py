@@ -46,11 +46,15 @@ def assemble_kv_map(
     v_col: str,
     map_col: str = "tags",
 ) -> DataFrame:
-    """The map-typed variant: collapse KV rows into one map per key
-    (`F.map_from_entries`), the direct analogue of the Tags record when
-    the key set is open-ended."""
-    return df.groupBy(key).agg(
+    """The map-typed variant: collapse KV rows into one map per key,
+    the direct analogue of the Tags record when the key set is
+    open-ended. Duplicate map keys are resolved deterministically
+    (min value per map key) BEFORE map construction —
+    `map_from_entries` on raw pairs throws DUPLICATED_MAP_KEY under
+    Spark's default mapKeyDedupPolicy."""
+    deduped = df.groupBy(key, k_col).agg(F.min(v_col).alias("_v"))
+    return deduped.groupBy(key).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct(F.col(k_col), F.col(v_col))))
+            F.array_sort(F.collect_list(F.struct(F.col(k_col), F.col("_v"))))
         ).alias(map_col)
     )

@@ -40,14 +40,23 @@ def _norm(a):
     ))
 
 
+def _safe_div(num, denom):
+    """NULL instead of NaN/Inf on zero denominators: NaN sorts GREATER
+    than every double in Spark, so an unguarded 0/0 would rank
+    zero-norm vectors at the TOP of every desc similarity ordering."""
+    return F.when(denom > 0, num / denom)
+
+
 def cosine_scores(
     df: DataFrame, *, vec_col: str, query: list[float], out_col: str = "cosine_sim",
 ) -> DataFrame:
     """Cosine similarity of every row's vector against a literal query
-    vector (rounded to 6 dp for cross-engine comparability)."""
+    vector (rounded to 6 dp for cross-engine comparability).
+    Zero-norm vectors score NULL (excluded by threshold filters,
+    sorted last by desc orderings)."""
     q = F.array(*[F.lit(float(v)) for v in query])
     qnorm = math.sqrt(sum(float(v) * float(v) for v in query))
-    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    sim = _safe_div(_dot(F.col(vec_col), q), _norm(F.col(vec_col)) * F.lit(qnorm))
     return df.withColumn(out_col, F.round(sim, 6))
 
 
@@ -176,7 +185,8 @@ def embedding_near_dup_pairs(
         )
     else:
         pairs = left.join(right, on=[F.col("id_a") < F.col("id_b")])
-    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
+                    _norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
         pairs.withColumn("cosine_sim", F.round(sim, 6))
         .where(F.col("cosine_sim") >= threshold)
@@ -207,8 +217,10 @@ def pairwise_topk_cosine(
         .withColumn(
             "cosine_sim",
             F.round(
-                _dot(F.col(vec_col), F.col("probe_vec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+                _safe_div(
+                    _dot(F.col(vec_col), F.col("probe_vec")),
+                    _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                ),
                 6,
             ),
         )

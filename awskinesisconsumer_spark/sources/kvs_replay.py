@@ -96,14 +96,22 @@ class KvsReplayStreamReader(DataSourceStreamReader):
         return {"index": self._head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        return [_RangePartition(start["index"], end["index"])]
+        # Restart safety: a fresh reader has _head=0, but the committed
+        # start offset from the checkpoint may be ahead of it — clamp
+        # so we never hand Spark a regressed (end < start) range, and
+        # fast-forward the head to the committed position.
+        s, e = start["index"], end["index"]
+        if e < s:
+            e = s
+        self._head = max(self._head, e)
+        return [_RangePartition(s, e)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
             yield (i, make_fragment(i))
 
     def commit(self, end: dict) -> None:
-        pass
+        self._head = max(self._head, end["index"])
 
     def stop(self) -> None:
         pass

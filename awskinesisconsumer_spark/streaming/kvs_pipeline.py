@@ -70,7 +70,11 @@ def kvs_frames_with_tags(chunks: DataFrame) -> DataFrame:
             F.col("value_bin").alias("frame_payload"),
         )
     )
-    return frames.join(tags, "chunk_id")
+    # LEFT join: a fragment with no (or corrupt) Tags section must not
+    # silently lose its frames — they surface with null tag columns so
+    # callers can route them (the late/missing-data-routed policy,
+    # vs the reference's hard error at parser.py:429).
+    return frames.join(tags, "chunk_id", "left")
 
 
 def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload") -> DataFrame:
@@ -115,10 +119,14 @@ def kvs_stream(chunks_stream: DataFrame, *, out_path: str,
     """Streaming form: every stage of kvs_frames_with_tags is
     chunk-local (a chunk arrives whole in one micro-batch row), so the
     correct streaming execution is foreachBatch over the SAME batch
-    DAG — no cross-batch state, no watermark, exactly-once via the
-    checkpoint + idempotent parquet append. This mirrors how the
-    production job would run: fragments in, frames-with-tags parquet
-    out."""
+    DAG — no cross-batch state, no watermark.
+
+    Delivery semantics: AT-LEAST-ONCE. foreachBatch re-runs a batch if
+    the driver dies between the parquet append and the offset-log
+    commit, so a crash can duplicate that batch's rows. Exactly-once
+    needs a transactional sink (Delta/Iceberg `txnAppId=batch_id`) or
+    a downstream dedup on (chunk_id, frame_position); clean
+    stop/restart (the tested path) replays nothing."""
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
         kvs_frames_with_tags(batch).write.mode("append").parquet(out_path)
@@ -155,14 +163,22 @@ def pivot_tags(elements: DataFrame) -> DataFrame:
     )
     paired = names.join(strings, "chunk_id").select(
         "chunk_id",
-        F.map_from_entries(
-            F.zip_with(
-                "_names", "_strings",
-                lambda n, s: F.struct(
-                    n["value_str"].alias("k"), s["value_str"].alias("v")
-                ),
-            )
-        ).alias("tags"),
+        F.zip_with(
+            "_names", "_strings",
+            lambda n, s: F.struct(
+                n["value_str"].alias("k"), s["value_str"].alias("v")
+            ),
+        ).alias("kv"),
     )
-    cols = [F.col("tags")[t].alias(t) for t in KVS_TAG_NAMES]
+    # Extract each fixed tag as the LAST matching pair (element_at -1):
+    # Matroska legally repeats TagNames and the reference's setattr is
+    # last-wins (parser.py:349-360). A map_from_entries here would
+    # THROW on duplicate keys under the default mapKeyDedupPolicy.
+    # try_element_at: an absent tag filters to an empty array, where
+    # plain element_at(-1) throws under ANSI mode.
+    cols = [
+        F.try_element_at(F.filter("kv", lambda e: e["k"] == F.lit(t)),
+                         F.lit(-1))["v"].alias(t)
+        for t in KVS_TAG_NAMES
+    ]
     return paired.select("chunk_id", *cols)

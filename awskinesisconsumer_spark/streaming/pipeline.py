@@ -54,10 +54,17 @@ def _make_asof_fn(orphan_timeout_ms: int | None):
             return
         ids, values = ([], []) if not state.exists else [list(x) for x in state.get]
         out_rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
+        # A group's rows arrive as MULTIPLE Arrow chunks in arbitrary
+        # order (split at maxRecordsPerBatch): sorting each chunk
+        # independently would misassign boundaries for >10k-event
+        # groups. Concatenate first, sort once, then fold.
+        all_chunks = list(pdfs)
+        if all_chunks:
+            merged = (
+                pd.concat(all_chunks) if len(all_chunks) > 1 else all_chunks[0]
+            ).sort_values("event_id")
             for eid, etype, val in zip(
-                pdf["event_id"], pdf["event_type"], pdf["value"]
+                merged["event_id"], merged["event_type"], merged["value"]
             ):
                 if etype == "signup":
                     out_rows.extend(
@@ -128,10 +135,15 @@ class AsofProcessor:
 
         buffered = [(int(r[0]), float(r[1])) for r in self._pending.get()]
         out: list[tuple] = []
-        for pdf in rows:
-            pdf = pdf.sort_values("event_id")
+        # Same multi-chunk ordering hazard as _make_asof_fn: merge all
+        # Arrow chunks before the order-sensitive fold.
+        all_chunks = list(rows)
+        if all_chunks:
+            merged = (
+                pd.concat(all_chunks) if len(all_chunks) > 1 else all_chunks[0]
+            ).sort_values("event_id")
             for eid, etype, val in zip(
-                pdf["event_id"], pdf["event_type"], pdf["value"]
+                merged["event_id"], merged["event_type"], merged["value"]
             ):
                 if etype == "signup":
                     out.extend(
@@ -208,12 +220,22 @@ def segment_rollup_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
 
 def throttle_stream(events: DataFrame, *, span_seconds: int = 600) -> DataFrame:
     """Streaming throttle (row 14): first event per (user, bucket) via
-    streaming dropDuplicates; the watermark bounds dedup state — the
-    streaming twin of the deterministic batch variant."""
+    dropDuplicatesWithinWatermark — the streaming twin of the
+    deterministic batch variant.
+
+    WithinWatermark matters: plain dropDuplicates only evicts state
+    when the watermarked event-time column is itself part of the key
+    set, and (user_id, _bucket) isn't — state would grow unboundedly.
+    The WithinWatermark variant expires each key after the watermark
+    delay passes its last sighting, which is exactly the bucket
+    lifecycle here (buckets are time-aligned, so a 1 h delay retires a
+    10 min bucket's state shortly after it closes)."""
     bucketed = events.withWatermark("ts", "1 hour").withColumn(
         "_bucket", F.floor(F.unix_timestamp("ts") / span_seconds)
     )
-    return bucketed.dropDuplicates(["user_id", "_bucket"]).drop("_bucket")
+    return bucketed.dropDuplicatesWithinWatermark(
+        ["user_id", "_bucket"]
+    ).drop("_bucket")
 
 
 def frame_pipeline(events: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -8,8 +8,11 @@ the newest K rows (row 15) — the memory sink is the *bounded* store,
 exactly like the reference's queue, so driver memory stays O(K);
 (2) an append-only parquet sink (row 16 — frames-as-files); and
 (3) a parquet dead-letter path for error rows (row 10).
-Pause/resume (row 20) == query.stop() + restart from checkpoint; both
-paths replay no data thanks to the offset log + idempotent sinks.
+Pause/resume (row 20) == query.stop() + restart from checkpoint; a
+clean stop replays nothing. Delivery under CRASH-retry is
+at-least-once (foreachBatch may re-run the uncommitted batch and
+re-append it); upgrade to exactly-once with a transactional sink
+(Delta/Iceberg keyed on batch_id) or downstream dedup on event_id.
 """
 
 from __future__ import annotations

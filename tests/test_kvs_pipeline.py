@@ -77,3 +77,42 @@ def test_streaming_matches_batch(spark, chunks_df, tmp_path):
         "chunk_id", "frame_position", "AWS_KINESISVIDEO_CONTINUATION_TOKEN"
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_tagless_fragment_keeps_frames(spark):
+    """Review regression: a fragment with SimpleBlocks but no Tags
+    section must surface its frames with null tag columns, not lose
+    them to an inner join."""
+    from awskinesisconsumer_spark.sources.ebml import encode_element
+
+    tagless = (
+        encode_element(0x4285, (2).to_bytes(1, "big"))
+        + encode_element(0xA3, b"\x81\x00\x00\x00FRAME")
+    )
+    df = spark.createDataFrame(
+        [(0, _fragment(0, 1)), (1, tagless)], "chunk_id bigint, payload binary"
+    )
+    out = kvs_frames_with_tags(df).collect()
+    by_chunk = {r.chunk_id: r for r in out}
+    assert set(by_chunk) == {0, 1}
+    assert by_chunk[1].AWS_KINESISVIDEO_CONTINUATION_TOKEN is None
+    assert by_chunk[0].AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-0"
+
+
+def test_duplicate_tagname_last_wins(spark):
+    """Review regression: Matroska legally repeats TagNames; the
+    reference's setattr is last-wins (parser.py:349-360) — must not
+    throw DUPLICATED_MAP_KEY."""
+    from awskinesisconsumer_spark.sources.ebml import encode_element
+
+    payload = (
+        encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+        + encode_element(0x4487, b"tok-old")
+        + encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+        + encode_element(0x4487, b"tok-new")
+        + encode_element(0xA3, b"\x81\x00\x00\x00FRAME")
+    )
+    df = spark.createDataFrame([(7, payload)], "chunk_id bigint, payload binary")
+    out = kvs_frames_with_tags(df).collect()
+    assert len(out) == 1
+    assert out[0].AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-new"

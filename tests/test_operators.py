@@ -125,3 +125,49 @@ def test_monotonic_id_modes(tiny):
     loose = assign_monotonic_id(tiny, order="event_id", exact=False)
     ids = [r.row_id for r in loose.collect()]
     assert len(set(ids)) == len(ids)  # unique, not necessarily dense
+
+
+def test_minhash_empty_docs_do_not_pair(spark):
+    """Review regression: xxhash64(NULL)=42 (the seed), not NULL — so
+    zero-shingle docs must not receive identical bogus signatures and
+    pair up as jaccard-1.0 near-dups."""
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_minhash_lsh, minhash_signature, shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "one two"), (4, "a b c d e f g h"),
+         (5, "a b c d e f g h")],
+        "doc_id bigint, text string",
+    )
+    sigs = minhash_signature(
+        shingles(docs, text_col="text", n=3),
+        id_col="doc_id", shingle_col="shingles", num_hashes=8,
+    )
+    by_id = {r.doc_id: list(r.minhash) for r in sigs.collect()}
+    assert by_id[1] == [] and by_id[2] == []  # empty, not bogus
+    pairs = dedup_minhash_lsh(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, jaccard_threshold=0.5,
+    ).collect()
+    pair_set = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) not in pair_set          # empty docs never pair
+    assert (4, 5) in pair_set              # real dups still found
+
+
+def test_knn_zero_vector_not_ranked_first(spark):
+    """Review regression: 0/0 cosine = NaN, and NaN sorts greatest —
+    zero vectors must score NULL and never pollute the top-k."""
+    from awskinesisconsumer_spark.operators.similarity import knn_brute_force
+
+    rows = [
+        (0, [0.0, 0.0]),            # zero-norm
+        (1, [1.0, 0.0]),            # identical direction to query
+        (2, [0.0, 1.0]),            # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = knn_brute_force(
+        df, id_col="vec_id", vec_col="embedding", query=[1.0, 0.0], k=2
+    ).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert all(r.cosine_sim is not None for r in out)
