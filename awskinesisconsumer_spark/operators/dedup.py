@@ -17,21 +17,32 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE = (1 << 31) - 1
 
 
+def _release_after(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Persist+materialize the (small) result, then release the big
+    cached intermediate. persist (not localCheckpoint) keeps lineage,
+    so executor loss recomputes instead of failing; the result stays
+    cached for the caller, who may unpersist it when done."""
+    out = out.persist()
+    out.count()
+    cached.unpersist()
+    return out
+
+
 def dedup_exact(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct text, with the
-    duplicate count. A single hash-aggregate shuffle on the text
-    itself — grouping by a 64-bit digest would be narrower on the wire
-    but silently merges distinct documents on hash collision, which at
-    multi-billion-row scale is a certainty (birthday bound), not a
-    tail risk. To narrow the shuffle at 100 TB, pre-hash with a
-    256-bit digest column (sha2(text, 256)) instead; never 64-bit."""
+    duplicate count. Groups on a 256-bit digest (sha2) of the text:
+    collision-safe for any realistic corpus (2^-128 birthday odds —
+    unlike a 64-bit hash, which WILL collide at billions of rows) while
+    keeping shuffle keys at 32 bytes instead of whole document
+    bodies."""
+    digest = F.sha2(F.col(text_col).cast("binary"), 256)
     return (
-        df.groupBy(text_col)
+        df.groupBy(digest.alias("_digest"))
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_dups"),
         )
-        .drop(text_col)
+        .drop("_digest")
     )
 
 
@@ -203,12 +214,7 @@ def dedup_minhash_lsh(
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    # Materialize the (small) pair set eagerly so the big persisted
-    # signature intermediate can be released now — otherwise every call
-    # leaks cached partitions for the session lifetime.
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
-    return out
+    return _release_after(out, sigs)
 
 
 def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
@@ -283,7 +289,4 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # Same persist-release discipline as dedup_minhash_lsh.
-    out = out.localCheckpoint(eager=True)
-    all_posts.unpersist()
-    return out
+    return _release_after(out, all_posts)

@@ -45,14 +45,20 @@ def assemble_kv_map(
     k_col: str,
     v_col: str,
     map_col: str = "tags",
+    order_col: str | None = None,
 ) -> DataFrame:
     """The map-typed variant: collapse KV rows into one map per key,
     the direct analogue of the Tags record when the key set is
-    open-ended. Duplicate map keys are resolved deterministically
-    (min value per map key) BEFORE map construction —
-    `map_from_entries` on raw pairs throws DUPLICATED_MAP_KEY under
-    Spark's default mapKeyDedupPolicy."""
-    deduped = df.groupBy(key, k_col).agg(F.min(v_col).alias("_v"))
+    open-ended. Duplicate map keys are resolved BEFORE map construction
+    (`map_from_entries` on raw pairs throws DUPLICATED_MAP_KEY under
+    Spark's default policy): pass `order_col` for the reference's
+    last-wins semantics (max order per key wins, parser.py:349-360);
+    without an ordering the fallback is deterministic min(value)."""
+    if order_col is not None:
+        winner = F.max_by(F.col(v_col), F.col(order_col)).alias("_v")
+    else:
+        winner = F.min(v_col).alias("_v")
+    deduped = df.groupBy(key, k_col).agg(winner)
     return deduped.groupBy(key).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col(k_col), F.col("_v"))))

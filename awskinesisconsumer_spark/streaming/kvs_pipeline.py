@@ -175,10 +175,16 @@ def pivot_tags(elements: DataFrame) -> DataFrame:
     # last-wins (parser.py:349-360). A map_from_entries here would
     # THROW on duplicate keys under the default mapKeyDedupPolicy.
     # try_element_at: an absent tag filters to an empty array, where
-    # plain element_at(-1) throws under ANSI mode.
+    # plain element_at(-1) throws under ANSI mode. Null-valued entries
+    # (an unpaired trailing TagName zip-padded with null) are excluded
+    # so a corrupt tail can't mask an earlier valid value — matching
+    # the reference's overwrite-only-on-TagString (parser.py:349-360).
     cols = [
-        F.try_element_at(F.filter("kv", lambda e: e["k"] == F.lit(t)),
-                         F.lit(-1))["v"].alias(t)
+        F.try_element_at(
+            F.filter("kv",
+                     lambda e: (e["k"] == F.lit(t)) & e["v"].isNotNull()),
+            F.lit(-1),
+        )["v"].alias(t)
         for t in KVS_TAG_NAMES
     ]
     return paired.select("chunk_id", *cols)

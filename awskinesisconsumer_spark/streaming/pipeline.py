@@ -36,6 +36,18 @@ ASOF_OUTPUT_SCHEMA = StructType([
 _ASOF_STATE_SCHEMA = "pending_ids array<bigint>, pending_values array<double>"
 
 
+def _merge_sorted_chunks(chunks, order_col: str = "event_id"):
+    """Merge a group's Arrow chunks and sort ONCE. A group's rows
+    arrive as multiple chunks in arbitrary order (split at
+    maxRecordsPerBatch); sorting each chunk independently would
+    misassign boundaries for large groups. Returns None when empty."""
+    all_chunks = list(chunks)
+    if not all_chunks:
+        return None
+    merged = pd.concat(all_chunks) if len(all_chunks) > 1 else all_chunks[0]
+    return merged.sort_values(order_col)
+
+
 def _make_asof_fn(orphan_timeout_ms: int | None):
     """Per-user stateful as-of: buffer packets until the next boundary
     event arrives; the boundary flushes every buffered packet with its
@@ -54,15 +66,8 @@ def _make_asof_fn(orphan_timeout_ms: int | None):
             return
         ids, values = ([], []) if not state.exists else [list(x) for x in state.get]
         out_rows: list[tuple] = []
-        # A group's rows arrive as MULTIPLE Arrow chunks in arbitrary
-        # order (split at maxRecordsPerBatch): sorting each chunk
-        # independently would misassign boundaries for >10k-event
-        # groups. Concatenate first, sort once, then fold.
-        all_chunks = list(pdfs)
-        if all_chunks:
-            merged = (
-                pd.concat(all_chunks) if len(all_chunks) > 1 else all_chunks[0]
-            ).sort_values("event_id")
+        merged = _merge_sorted_chunks(pdfs)
+        if merged is not None:
             for eid, etype, val in zip(
                 merged["event_id"], merged["event_type"], merged["value"]
             ):
@@ -135,13 +140,8 @@ class AsofProcessor:
 
         buffered = [(int(r[0]), float(r[1])) for r in self._pending.get()]
         out: list[tuple] = []
-        # Same multi-chunk ordering hazard as _make_asof_fn: merge all
-        # Arrow chunks before the order-sensitive fold.
-        all_chunks = list(rows)
-        if all_chunks:
-            merged = (
-                pd.concat(all_chunks) if len(all_chunks) > 1 else all_chunks[0]
-            ).sort_values("event_id")
+        merged = _merge_sorted_chunks(rows)
+        if merged is not None:
             for eid, etype, val in zip(
                 merged["event_id"], merged["event_type"], merged["value"]
             ):
@@ -227,10 +227,12 @@ def throttle_stream(events: DataFrame, *, span_seconds: int = 600) -> DataFrame:
     when the watermarked event-time column is itself part of the key
     set, and (user_id, _bucket) isn't — state would grow unboundedly.
     The WithinWatermark variant expires each key after the watermark
-    delay passes its last sighting, which is exactly the bucket
-    lifecycle here (buckets are time-aligned, so a 1 h delay retires a
-    10 min bucket's state shortly after it closes)."""
-    bucketed = events.withWatermark("ts", "1 hour").withColumn(
+    delay passes its last sighting; the delay must therefore cover a
+    full bucket span (dedup is only guaranteed for duplicates within
+    the delay), so it scales with span_seconds instead of being a
+    fixed constant."""
+    delay_s = max(3600, span_seconds)
+    bucketed = events.withWatermark("ts", f"{delay_s} seconds").withColumn(
         "_bucket", F.floor(F.unix_timestamp("ts") / span_seconds)
     )
     return bucketed.dropDuplicatesWithinWatermark(

@@ -116,3 +116,22 @@ def test_duplicate_tagname_last_wins(spark):
     out = kvs_frames_with_tags(df).collect()
     assert len(out) == 1
     assert out[0].AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-new"
+
+
+def test_unpaired_trailing_tagname_does_not_mask(spark):
+    """Review regression (round 2): a trailing TagName with no
+    TagString (corrupt/truncated tail) zip-pads a null value — it must
+    not mask the earlier valid value (reference overwrites only when a
+    TagString arrives, parser.py:349-360)."""
+    from awskinesisconsumer_spark.sources.ebml import encode_element
+
+    payload = (
+        encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+        + encode_element(0x4487, b"tok-old")
+        + encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+        + encode_element(0xA3, b"\x81\x00\x00\x00FRAME")
+    )
+    df = spark.createDataFrame([(9, payload)], "chunk_id bigint, payload binary")
+    out = kvs_frames_with_tags(df).collect()
+    assert len(out) == 1
+    assert out[0].AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-old"
