@@ -82,6 +82,13 @@ def asof_join_backward(
     back nullable (no prior right row -> null).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_on)]
+    clash = set(left.columns) & ({right_on, *right_cols})
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: right columns {sorted(clash)} collide with "
+            "left columns — rename one side before joining (the merge-asof "
+            "union would silently overwrite them otherwise)"
+        )
     l = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_on))
     r = right.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_on))
     merged = l.unionByName(r, allowMissingColumns=True)
