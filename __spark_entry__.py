@@ -732,13 +732,15 @@ def oracle_sql() -> dict[str, str]:
         for t in EVENT_TYPES
     )
     stop_list = "['the','a','and','of','to','in','is','it']"
+    # COALESCE: NULL text == empty document on both engines (the Spark
+    # side coalesces inside operators/text.py:_words / token_count).
     words_expr = (
-        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
-        "ELSE string_split_regex(trim(text), '\\s+') END"
+        "CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(trim(COALESCE(text, '')), '\\s+') END"
     )
     words_lower = (
-        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
-        "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+        "CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') END"
     )
     lang_markers = {
         "de": "['der','die','und','das','ist']",
@@ -990,8 +992,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ext-token-count": r"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
-                        AS BIGINT) AS n_tokens
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
             FROM documents
         """,
         "ext-lang-id": f"""

@@ -25,7 +25,10 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
 def _words(text: Column) -> Column:
-    trimmed = F.trim(text)
+    # NULL text == empty document (n_words 0, ratios 0.0) — not NULL
+    # metrics: dedup/quality pipelines treat absent text as empty, and
+    # the DuckDB oracles COALESCE identically.
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -89,7 +92,9 @@ def token_count(df: DataFrame, *, text_col: str, out_col: str = "n_tokens") -> D
     vocab; the regex is the public GPT-2-style pre-tokenizer shape)."""
     pattern = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
     return df.withColumn(
-        out_col, F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+        out_col,
+        F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pattern))
+        .cast("bigint"),
     )
 
 

@@ -57,9 +57,12 @@ INTERESTING = ["TagName", "TagString", "SimpleBlock", "DocTypeReadVersion"]
 def kvs_frames_with_tags(chunks: DataFrame) -> DataFrame:
     """(chunk_id, payload) -> one row per frame with its fragment tags.
 
-    Works identically on batch and streaming inputs (the parse + pivot
-    + join are all per-chunk-keyed, so streaming needs no watermark:
-    state never spans chunks).
+    Batch DataFrames only: the pivot aggregates and the left join are
+    not expressible in a single streaming append-mode DAG. Streaming
+    inputs go through `kvs_stream`, whose foreachBatch executes this
+    SAME batch DAG per micro-batch — semantically equivalent because
+    every stage is per-chunk-keyed and a chunk arrives whole in one
+    micro-batch row, so no state ever spans batches.
     """
     elements = parse_ebml_chunks(chunks, interesting_names=INTERESTING)
     tags = pivot_tags(elements)
@@ -143,48 +146,47 @@ def kvs_stream(chunks_stream: DataFrame, *, out_path: str,
 def pivot_tags(elements: DataFrame) -> DataFrame:
     """TagName/TagString pairing + pivot, per chunk.
 
-    Pairing trick: a TagString at position p belongs to the TagName
-    that immediately precedes it. Collect both streams per chunk,
-    sort by position, and zip name[i] -> string[i] (KVS emits strict
-    alternation, one TagString per TagName — ref parser.py:349-356).
-    Entirely aggregation-based: one shuffle on chunk_id, no windows.
+    Pairing rule: a TagString belongs to the NEAREST TagName at a
+    smaller byte position — the reference's lastTagName adjacency
+    (parser.py:349-356), computed as a running `last(TagName)` window
+    over position order. Position pairing (not index zip) means a
+    corrupt fragment missing one TagString mid-stream leaves only that
+    name unset instead of shifting every later string onto the wrong
+    name. Repeated TagNames stay last-wins via max_by on position
+    (the reference's setattr overwrite, parser.py:349-360).
+
+    One shuffle: the window partitions by chunk_id and the groupBy
+    reuses that partitioning (only an extra in-partition sort).
     """
-    names = (
-        elements.where(F.col("name") == "TagName")
-        .groupBy("chunk_id")
-        .agg(F.array_sort(F.collect_list(F.struct("position", "value_str")))
-             .alias("_names"))
+    from pyspark.sql import Window
+
+    kv = elements.where(F.col("name").isin("TagName", "TagString")).select(
+        "chunk_id", "position", "name", "value_str"
     )
-    strings = (
-        elements.where(F.col("name") == "TagString")
-        .groupBy("chunk_id")
-        .agg(F.array_sort(F.collect_list(F.struct("position", "value_str")))
-             .alias("_strings"))
+    w = (
+        Window.partitionBy("chunk_id")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    paired = names.join(strings, "chunk_id").select(
-        "chunk_id",
-        F.zip_with(
-            "_names", "_strings",
-            lambda n, s: F.struct(
-                n["value_str"].alias("k"), s["value_str"].alias("v")
-            ),
-        ).alias("kv"),
+    paired = kv.withColumn(
+        "_k",
+        F.last(
+            F.when(F.col("name") == "TagName", F.col("value_str")),
+            ignorenulls=True,
+        ).over(w),
+    ).where(
+        # Overwrite-only-on-valid-TagString (parser.py:349-360): a
+        # string before any name, or a null string value, is dropped so
+        # a corrupt pair can't mask an earlier valid value.
+        (F.col("name") == "TagString")
+        & F.col("_k").isNotNull()
+        & F.col("value_str").isNotNull()
     )
-    # Extract each fixed tag as the LAST matching pair (element_at -1):
-    # Matroska legally repeats TagNames and the reference's setattr is
-    # last-wins (parser.py:349-360). A map_from_entries here would
-    # THROW on duplicate keys under the default mapKeyDedupPolicy.
-    # try_element_at: an absent tag filters to an empty array, where
-    # plain element_at(-1) throws under ANSI mode. Null-valued entries
-    # (an unpaired trailing TagName zip-padded with null) are excluded
-    # so a corrupt tail can't mask an earlier valid value — matching
-    # the reference's overwrite-only-on-TagString (parser.py:349-360).
     cols = [
-        F.try_element_at(
-            F.filter("kv",
-                     lambda e: (e["k"] == F.lit(t)) & e["v"].isNotNull()),
-            F.lit(-1),
-        )["v"].alias(t)
+        F.max_by(
+            F.when(F.col("_k") == t, F.col("value_str")),
+            F.when(F.col("_k") == t, F.col("position")),
+        ).alias(t)
         for t in KVS_TAG_NAMES
     ]
-    return paired.select("chunk_id", *cols)
+    return paired.groupBy("chunk_id").agg(*cols)

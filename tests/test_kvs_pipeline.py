@@ -135,3 +135,28 @@ def test_unpaired_trailing_tagname_does_not_mask(spark):
     out = kvs_frames_with_tags(df).collect()
     assert len(out) == 1
     assert out[0].AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-old"
+
+
+def test_midstream_missing_tagstring_does_not_shift(spark):
+    """Advisor finding (round 2): a TagName missing its TagString
+    MID-stream must leave only that name unset — index-zip pairing
+    would shift every later string onto the wrong name. Position-based
+    pairing (nearest preceding TagName) keeps later pairs intact."""
+    from awskinesisconsumer_spark.sources.ebml import encode_element
+
+    payload = (
+        encode_element(0x45A3, b"AWS_KINESISVIDEO_FRAGMENT_NUMBER")
+        # <- missing TagString for FRAGMENT_NUMBER (corrupt fragment)
+        + encode_element(0x45A3, b"AWS_KINESISVIDEO_CONTINUATION_TOKEN")
+        + encode_element(0x4487, b"tok-good")
+        + encode_element(0x45A3, b"AWS_KINESISVIDEO_MILLIS_BEHIND_NOW")
+        + encode_element(0x4487, b"42")
+        + encode_element(0xA3, b"\x81\x00\x00\x00FRAME")
+    )
+    df = spark.createDataFrame([(3, payload)], "chunk_id bigint, payload binary")
+    out = kvs_frames_with_tags(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.AWS_KINESISVIDEO_FRAGMENT_NUMBER is None
+    assert row.AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-good"
+    assert row.AWS_KINESISVIDEO_MILLIS_BEHIND_NOW == "42"

@@ -171,3 +171,36 @@ def test_knn_zero_vector_not_ranked_first(spark):
     ).collect()
     assert [r.vec_id for r in out] == [1, 2]
     assert all(r.cosine_sim is not None for r in out)
+
+
+def test_text_ops_null_text_is_empty_doc(spark):
+    """Advisor finding (round 2): NULL text must behave as an empty
+    document on both engines (the oracles COALESCE the same way) — not
+    produce NULL metrics that diverge from the Spark side."""
+    from awskinesisconsumer_spark.operators.text import (
+        fingerprint, language_id, quality_score, text_stats, token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick fox")],
+        "doc_id bigint, text string",
+    )
+    stats = {r.doc_id: r for r in text_stats(df, text_col="text").collect()}
+    for did in (1, 2):
+        assert stats[did].n_words == 0
+        assert stats[did].avg_word_len == 0.0
+        assert stats[did].stopword_ratio == 0.0
+        assert stats[did].distinct_ratio == 0.0
+    assert stats[3].n_words == 3
+
+    toks = {r.doc_id: r.n_tokens for r in token_count(df, text_col="text").collect()}
+    assert toks[1] == 0 and toks[2] == 0 and toks[3] == 3
+
+    qual = {r.doc_id: r.quality for r in quality_score(df, text_col="text").collect()}
+    assert qual[1] == 0.0 and qual[2] == 0.0 and qual[3] > 0.0
+
+    lang = {r.doc_id: r.lang_pred for r in language_id(df, text_col="text").collect()}
+    assert lang[1] == "und" and lang[2] == "und" and lang[3] == "en"
+
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(df, text_col="text").collect()}
+    assert fp[1] == 0 and fp[2] == 0 and fp[3] != 0
