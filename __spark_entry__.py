@@ -650,6 +650,57 @@ def _run_stream_to_table(df, spark: SparkSession, prefix: str) -> DataFrame:
     return spark.table(name)
 
 
+def _fanout_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 7/16/17 driver-visible: stream events through the
+    # foreachBatch fan-out (parquet frames sink partitioned by user,
+    # parquet dead-letter sink, bounded memory sink), then read BOTH
+    # parquet sinks back — the roundtrip must reproduce the entire
+    # input table (oracle: SELECT * FROM events). Ref parser.py:465-485.
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming import events_stream, start_fanout
+    from awskinesisconsumer_spark.streaming.sinks import BoundedMemorySink
+
+    out_dir = tempfile.mkdtemp(prefix="fanout_out_")
+    ckpt = tempfile.mkdtemp(prefix="fanout_ckpt_")
+    ev = events_stream(spark, sf)
+    errors = ev.where(F.col("event_type") == "error")
+    frames = ev.where(F.col("event_type") != "error")
+    sink = BoundedMemorySink(k=100)
+    fq, eq = start_fanout(
+        frames, errors, out_dir=out_dir, checkpoint_dir=ckpt, memory_sink=sink
+    )
+    for q in (fq, eq):
+        if not q.awaitTermination(300):
+            q.stop()
+    if len(sink) == 0:
+        raise RuntimeError("bounded memory sink stayed empty during fan-out")
+
+    def back(path: str) -> DataFrame:
+        # partitionBy(user_id) re-reads the partition column as int;
+        # streaming ts is ltz — normalize both to the batch contract.
+        return spark.read.parquet(path).select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type", "value", "props",
+        )
+
+    return back(f"{out_dir}/frames").unionByName(back(f"{out_dir}/errors"))
+
+
+def _embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: the SRP-bucketed near-dup path (the 100 TB shape —
+    # Hamming<=1 bucket equi-join, never all-pairs) exercised under the
+    # driver; pair recall depends on the hash planes, so no SQL oracle.
+    emb = load_table(spark, "embeddings", sf)
+    planes = deterministic_planes(64, 8)
+    return embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.35, planes=planes,
+    )
+
+
 def _stream_asof(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 row 12, streaming form: stateful as-of join via
     # applyInPandasWithState (buffer packets per user, boundary
@@ -716,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode-scalars-roundtrip": _decode_roundtrip,
         "kvs-frames-with-tags": _kvs_pipeline,
         "source-kvs-replay": _kvs_replay_source,
+        "sink-fanout-roundtrip": _fanout_roundtrip,
+        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
     }
@@ -1081,5 +1134,192 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id) <= 5
+        """,
+        # Closed-form oracle for the EBML tokenizer scan: the synthetic
+        # fragments carry exactly one DocTypeReadVersion + TagName +
+        # TagString + SimpleBlock per document, so per-element counts
+        # are a pure function of the document count; value_str only
+        # decodes for the two UTF8 elements.
+        "scan-ebml-tokenize": """
+            WITH c AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT v.name, v.ebml_type,
+                   CAST(c.n_docs AS BIGINT) AS n,
+                   CAST(c.n_docs * v.has_str AS BIGINT) AS n_str
+            FROM (VALUES
+              ('DocTypeReadVersion', 'UINT',   0),
+              ('TagName',            'UTF8',   1),
+              ('TagString',          'UTF8',   1),
+              ('SimpleBlock',        'BINARY', 0)
+            ) AS v(name, ebml_type, has_str)
+            CROSS JOIN c
+        """,
+        # Closed-form oracle for the composed KVS pipeline: fragments
+        # are synthesized from documents by fixed arithmetic, so every
+        # output column is computable without parsing bytes. The EBML
+        # layout gives byte offsets: 4B DocTypeReadVersion element +
+        # 35B/14B fragment-number TagName/TagString + 38B token TagName
+        # + (7+len(doc_id))B token TagString = SimpleBlock data starts
+        # at 100+len(doc_id); each block is 2B head + 4B SimpleBlock
+        # header + min(16, octet_len(text)) body. Frames per doc =
+        # doc_id % 3 + 1; track/timecode/lace-count decode to 1/0/1.
+        "kvs-frames-with-tags": """
+            WITH d AS (
+              SELECT doc_id,
+                     length(CAST(doc_id AS VARCHAR)) AS idlen,
+                     octet_length(encode(CASE WHEN text IS NULL OR text = ''
+                                              THEN 'x' ELSE text END)) AS tb,
+                     CAST(doc_id % 3 + 1 AS BIGINT) AS nf
+              FROM documents)
+            SELECT doc_id AS chunk_id,
+                   CAST(100 + idlen
+                        + (UNNEST(generate_series(1, nf)) - 1)
+                          * (6 + LEAST(16, tb)) AS BIGINT) AS frame_position,
+                   CAST(1 AS BIGINT) AS track,
+                   CAST(0 AS INT) AS timecode,
+                   CAST(1 AS INT) AS n_frames,
+                   CAST(91340000000 + doc_id AS VARCHAR)
+                     AS "AWS_KINESISVIDEO_FRAGMENT_NUMBER",
+                   'tok-' || CAST(doc_id AS VARCHAR)
+                     AS "AWS_KINESISVIDEO_CONTINUATION_TOKEN"
+            FROM d
+        """,
+        # 200 generated fragments, i % 3 + 1 frames each, token tok-i.
+        "source-kvs-replay": """
+            SELECT 'tok-' || CAST(i AS VARCHAR)
+                     AS "AWS_KINESISVIDEO_CONTINUATION_TOKEN",
+                   CAST(i % 3 + 1 AS BIGINT) AS n_frames,
+                   CAST(1 AS BIGINT) AS track
+            FROM (SELECT UNNEST(generate_series(0, 199)) AS i)
+        """,
+        # The multimodal decode stub derives dims from payload size =
+        # utf-8 byte length of text (NULL -> empty payload -> 0 bytes).
+        "ext-multimodal-decode": """
+            WITH b AS (
+              SELECT doc_id,
+                     COALESCE(octet_length(encode(text)), 0) AS nb
+              FROM documents)
+            SELECT doc_id,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(nb % 480 + 1 AS INT) AS height,
+                   CAST(nb % 640 + 1 AS INT) AS width,
+                   CAST(3 AS INT) AS channels,
+                   'bgr24' AS format
+            FROM b
+        """,
+        # decode -> explode (nb % 6 + 1 frames) -> keep every 2nd frame
+        # -> resize to 224x224 (format gets the -resized suffix).
+        "ext-multimodal-pipeline": """
+            WITH b AS (
+              SELECT doc_id,
+                     COALESCE(octet_length(encode(text)), 0) AS nb
+              FROM documents),
+            f AS (
+              SELECT doc_id, nb,
+                     CAST(UNNEST(generate_series(1, nb % 6 + 1)) AS INT)
+                       AS frame_seq
+              FROM b)
+            SELECT doc_id, frame_seq,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(224 AS INT) AS height,
+                   CAST(224 AS INT) AS width,
+                   'bgr24-resized' AS format
+            FROM f WHERE frame_seq % 2 = 0
+        """,
+        # Windowed byte stats over the utf-8 payload: documents are
+        # ASCII, so per-char ascii() == per-byte value.
+        "ext-multimodal-audio": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     COALESCE(octet_length(encode(text)), 0) AS nb
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN nb = 0 THEN 1
+                             ELSE CAST(ceil(nb / 256.0) AS INT) END AS INT)
+                     AS n_windows,
+                   CASE WHEN nb = 0 THEN 0.0
+                        ELSE list_sum(list_transform(string_split(text, ''),
+                                                     c -> CAST(ascii(c) AS DOUBLE)))
+                             / nb END AS mean_byte
+            FROM b
+        """,
+        # Inverted-index n-gram Jaccard, replicated with list functions:
+        # distinct word 3-grams per doc, hot shingles (>100 docs) barred
+        # from seeding candidate pairs, true set sizes from UNFILTERED
+        # postings, exact Jaccard on candidates, threshold 0.3.
+        "ext-dedup-ngram-jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+            posts AS (SELECT doc_id, s FROM g
+                      WHERE s NOT IN (SELECT s FROM hot)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM posts a JOIN posts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                         AS DOUBLE), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.id_a
+            JOIN sizes sb ON sb.doc_id = pairs.id_b
+            WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                        AS DOUBLE), 4) >= 0.3
+        """,
+        # Fan-out roundtrip: frames sink + dead-letter sink together
+        # must reproduce the whole input table.
+        "sink-fanout-roundtrip": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value, props
+            FROM events
+        """,
+        # Streaming session rollup under Trigger.AvailableNow:
+        # append-mode emits exactly the sessions whose window end
+        # precedes the final watermark (max event time, ms-truncated,
+        # minus the 1 h delay); sessions still open at end-of-input are
+        # withheld. Oracle = batch gap sessionization + that filter.
+        "stream-segment-rollup": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS tus
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+                               OR tus - LAG(tus) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            sess AS (
+              SELECT user_id, event_id, value, tus,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+              FROM flagged),
+            rollup AS (
+              SELECT user_id,
+                     MIN(tus) AS ws,
+                     MAX(tus) + 1800000000 AS we,
+                     COUNT(*) AS n_rows,
+                     ROUND(SUM(value), 2) AS sum_value,
+                     MAX(event_id) AS end_position
+              FROM sess GROUP BY user_id, sid),
+            wm AS (SELECT ((MAX(epoch_us(ts)) // 1000) - 3600000) * 1000
+                     AS wm_us FROM events)
+            SELECT user_id,
+                   make_timestamp(ws) AS w_start,
+                   make_timestamp(we) AS w_end,
+                   n_rows, sum_value, end_position
+            FROM rollup, wm WHERE we <= wm_us
         """,
     }

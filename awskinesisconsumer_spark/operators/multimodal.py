@@ -126,8 +126,12 @@ def extract_audio_features(df: DataFrame, *, window_bytes: int = 256) -> DataFra
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n_win = max(1, (len(b) + window_bytes - 1) // window_bytes)
+                # Unrounded: int-sum / int-len is a single exact IEEE
+                # division, so any engine reproduces it bit-identically
+                # (rounding here would reintroduce banker's-vs-half-up
+                # divergence between Python and SQL engines).
                 mean = (sum(b) / len(b)) if b else 0.0
-                out.append((int(did), int(n_win), round(float(mean), 4)))
+                out.append((int(did), int(n_win), float(mean)))
             yield pd.DataFrame(out, columns=["doc_id", "n_windows", "mean_byte"])
 
     return df.mapInPandas(feats, schema)

@@ -66,6 +66,6 @@ def test_audio_features_deterministic(spark, payloads):
             load_table(spark, "documents", SF).collect()}
     did = next(iter(rows))
     b = docs[did].encode()
-    want_mean = round(sum(b) / len(b), 4) if b else 0.0
+    want_mean = (sum(b) / len(b)) if b else 0.0  # unrounded: exact IEEE division
     assert rows[did].mean_byte == want_mean
     assert rows[did].n_windows == max(1, (len(b) + 63) // 64)
