@@ -263,22 +263,21 @@ def _topk_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _semi_anti(spark: SparkSession, sf: str) -> DataFrame:
-    # Relational surface: left-semi + left-anti in one result — which
-    # customers have orders, which don't. Broadcast the aggregated key
-    # set; at scale a shuffled semi-join with AQE.
+    # Relational surface: left-semi + left-anti in ONE pass — which
+    # customers have orders, which don't. A single scan of orders
+    # (distinct keys) + one left join + a presence flag replaces the
+    # semi/anti pair that scanned and joined orders twice; the
+    # aggregated key set is small, so AQE broadcasts the join.
     cust = load_table(spark, "customer", sf)
     orders = load_table(spark, "orders", sf)
-    with_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .withColumn("has_orders", F.lit(True))
+    okeys = orders.select(F.col("o_custkey").alias("_ok")).distinct()
+    return (
+        cust.join(okeys, cust.c_custkey == F.col("_ok"), "left")
+        .select(
+            "c_custkey", "c_name",
+            F.col("_ok").isNotNull().alias("has_orders"),
+        )
     )
-    without = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .withColumn("has_orders", F.lit(False))
-    )
-    return with_orders.unionByName(without)
 
 
 def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
