@@ -17,6 +17,7 @@ re-append it); upgrade to exactly-once with a transactional sink
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame
@@ -108,3 +109,39 @@ def start_fanout(
             ew = ew.trigger(availableNow=True)
         error_query = ew.start()
     return frame_query, error_query
+
+
+def prune_file_sink(path: str, *, keep_files: int) -> list[str]:
+    """Retention for the file sink: delete the oldest data files beyond
+    the newest `keep_files` — the reference's evict-deletes-file
+    semantics (parser.py:475-481: pushing the Frames queue past its
+    bound unlinks the evicted frame's file on disk).
+
+    Applies to the foreachBatch parquet sink (`{out_dir}/frames`),
+    which appends plain part files with no `_spark_metadata`
+    transaction log — readers list the directory, so deleting old
+    parts is safe and atomic per file. Do NOT point it at a
+    `writeStream.format("parquet")` sink: that sink's `_spark_metadata`
+    log still references pruned files (those need their own log-aware
+    compaction; hidden/metadata paths are skipped here defensively).
+
+    Run as an out-of-band maintenance job (the reference prunes inline
+    on every enqueue; out-of-band keeps the hot path write-only). At
+    scale this is an object-store lifecycle/listing task — count-based
+    here to mirror the reference's max-queue-length bound. Ordering is
+    (mtime, name): append-only sinks advance mtime per batch, and the
+    name tiebreak keeps same-mtime batches deterministic. Returns the
+    deleted paths."""
+    files: list[tuple[float, str]] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in names:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            files.append((os.path.getmtime(p), p))
+    files.sort(key=lambda t: (t[0], t[1]))
+    doomed = [p for _, p in files[: max(0, len(files) - keep_files)]]
+    for p in doomed:
+        os.remove(p)
+    return doomed

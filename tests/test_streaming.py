@@ -206,3 +206,42 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
         f"restart lost/duplicated rows: first={n_after_first} final={final.count()}"
     )
     assert final.select("event_id").distinct().count() == total
+
+
+def test_prune_file_sink_evicts_oldest(spark, tmp_path):
+    """SURVEY row 15 applied to the file sink (row 16): the retention
+    job deletes the oldest part files beyond the bound — the
+    reference's evict-deletes-file semantics (parser.py:475-481) —
+    and the surviving sink stays readable."""
+    import time as _t
+
+    from awskinesisconsumer_spark.streaming.sinks import prune_file_sink
+
+    out = str(tmp_path / "frames")
+    ev = load_table(spark, "events", SF).limit(20)
+    # Three append batches with distinct mtimes (append-only sink).
+    for i in range(3):
+        ev.withColumn("batch", F.lit(i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        _t.sleep(1.1)
+
+    def data_files():
+        return sorted(
+            f for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    before = data_files()
+    assert len(before) == 3
+    oldest = min(
+        before, key=lambda f: os.path.getmtime(os.path.join(out, f))
+    )
+    deleted = prune_file_sink(out, keep_files=2)
+    assert [os.path.basename(p) for p in deleted] == [oldest]
+    after = data_files()
+    assert len(after) == 2 and oldest not in after
+    # survivors still form a valid parquet dataset
+    assert spark.read.parquet(out).count() == 40
+    # idempotent at the bound
+    assert prune_file_sink(out, keep_files=2) == []
