@@ -712,8 +712,10 @@ def _stream_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 def _stream_segment(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 rows 8-9, streaming form: watermarked session-window
-    # rollup. Rows-only: append-mode watermark holdback of the final
-    # open sessions is inherently streaming semantics.
+    # rollup. Oracle-checked: under AvailableNow the emitted set is
+    # exactly the sessions closed before the final watermark, which
+    # the closed-form gap-sessionization SQL in oracle_sql()
+    # reproduces — keep gap/watermark in sync with that SQL.
     from awskinesisconsumer_spark.streaming import events_stream, segment_rollup_stream
 
     out = segment_rollup_stream(events_stream(spark, sf))

@@ -6,7 +6,7 @@ hash-defined buckets — the only shape that survives 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -118,15 +118,22 @@ def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
                               out_col=out_col)
 
 
-def _minhash_from_rows(ex: DataFrame, *, id_col: str, num_hashes: int,
-                       out_col: str = "minhash") -> DataFrame:
-    """(id, _h) rows -> one signature row per id (groupBy + N mins)."""
-    mins = [
+def _perm_min_aggs(num_hashes: int) -> list:
+    """The minhash permutation family as groupBy aggregates: for each i,
+    min over the doc's base hashes `_h` of (h*(2i+1) + 7919*(i+1)) mod
+    _MERSENNE, aliased `_m{i}`. Single source of truth so banded-LSH
+    signatures stay bit-identical to `minhash_signature` ones."""
+    return [
         F.min((F.col("_h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % _MERSENNE)
         .alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    agg = ex.groupBy(id_col).agg(*mins)
+
+
+def _minhash_from_rows(ex: DataFrame, *, id_col: str, num_hashes: int,
+                       out_col: str = "minhash") -> DataFrame:
+    """(id, _h) rows -> one signature row per id (groupBy + N mins)."""
+    agg = ex.groupBy(id_col).agg(*_perm_min_aggs(num_hashes))
     sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
     return agg.select(
         F.col(id_col),
@@ -161,12 +168,7 @@ def dedup_minhash_lsh(
     # band hashes derive from those columns in the SAME projection (no
     # array materialization / element_at round-trip). Docs with zero
     # shingles have no rows here, so every _m is non-null.
-    mins = [
-        F.min((F.col("_h") * F.lit(2 * i + 1) + F.lit(7919 * (i + 1))) % _MERSENNE)
-        .alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = rows.groupBy(id_col).agg(*mins)
+    sigs = rows.groupBy(id_col).agg(*_perm_min_aggs(num_hashes))
     sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
 
     banded = sigs.select(

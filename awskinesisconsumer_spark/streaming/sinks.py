@@ -139,9 +139,35 @@ def prune_file_sink(path: str, *, keep_files: int) -> list[str]:
             if f.startswith(("_", ".")) or not f.endswith(".parquet"):
                 continue
             p = os.path.join(root, f)
-            files.append((os.path.getmtime(p), p))
+            try:
+                files.append((os.path.getmtime(p), p))
+            except FileNotFoundError:
+                # Concurrent prune / compaction already removed it:
+                # already-gone counts as success, never a crash.
+                continue
     files.sort(key=lambda t: (t[0], t[1]))
     doomed = [p for _, p in files[: max(0, len(files) - keep_files)]]
+    deleted: list[str] = []
     for p in doomed:
-        os.remove(p)
-    return doomed
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            continue
+        deleted.append(p)
+        # Checksum-filesystem sidecar (.<name>.crc) must go with its
+        # part file or retention only half-bounds disk usage.
+        crc = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+        try:
+            os.remove(crc)
+        except FileNotFoundError:
+            pass
+        # Drop partition dirs emptied by the prune (bottom-up to the
+        # sink root); rmdir on a non-empty dir just raises and stops.
+        d = os.path.dirname(p)
+        while os.path.abspath(d) != os.path.abspath(path):
+            try:
+                os.rmdir(d)
+            except OSError:
+                break
+            d = os.path.dirname(d)
+    return deleted

@@ -241,7 +241,16 @@ def test_prune_file_sink_evicts_oldest(spark, tmp_path):
     assert [os.path.basename(p) for p in deleted] == [oldest]
     after = data_files()
     assert len(after) == 2 and oldest not in after
+    # checksum sidecars go with their part files — no orphaned .crc
+    assert "." + oldest + ".crc" not in os.listdir(out)
     # survivors still form a valid parquet dataset
     assert spark.read.parquet(out).count() == 40
     # idempotent at the bound
     assert prune_file_sink(out, keep_files=2) == []
+    # pruning everything also removes partition dirs it empties
+    sub = str(tmp_path / "parts")
+    ev.withColumn("p", F.col("user_id") % 2).write.partitionBy(
+        "p"
+    ).parquet(sub)
+    assert prune_file_sink(sub, keep_files=0)
+    assert not [d for d in os.listdir(sub) if d.startswith("p=")]
