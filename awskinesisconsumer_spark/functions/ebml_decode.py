@@ -134,6 +134,85 @@ def parse_simple_block(data: bytes) -> dict:
     }
 
 
+def _read_lace_raw(buf: bytes, pos: int) -> tuple[int, int, int]:
+    """Decode one lace-size varint WITHOUT the unknown-size sentinel
+    mapping (all-data-bits-ones is a legal lace size, not "unknown").
+    Returns (value, width, new_pos)."""
+    w = varint_width(buf[pos])
+    if pos + w > len(buf):
+        raise ValueError("truncated lace varint")
+    value = buf[pos] & (0xFF >> w)
+    for i in range(1, w):
+        value = (value << 8) | buf[pos + i]
+    return value, w, pos + w
+
+
+def split_laced_frames(data: bytes) -> list[bytes]:
+    """Split a SimpleBlock payload into its individual frame payloads,
+    implementing all three Matroska lacing modes (public spec,
+    matroska.org "Lacing" / RFC 9559 §10) — the part the reference
+    delegates wholesale to libav (parser.py:415-442):
+
+    * no lacing: the body is the single frame;
+    * Xiph: sizes of frames 0..n-2 as 255-run-length byte sums
+      (each size = sum of bytes until one < 255); last = remainder;
+    * fixed-size: body divides evenly into n frames;
+    * EBML: first size as a plain varint, then signed varint deltas
+      (range-shifted by 2^(7w-1)-1) against the previous size;
+      last = remainder.
+
+    Raises ValueError on truncated/inconsistent lace headers (callers
+    route those blocks to the error channel rather than guessing).
+    """
+    _track, pos = read_varint(data, 0, keep_marker=False)
+    flags = data[pos + 2]
+    body = data[pos + 3:]
+    lacing = (flags & 0x06) >> 1
+    if lacing == 0:
+        return [body]
+    if not body:
+        raise ValueError("laced SimpleBlock with empty body")
+    n_frames = body[0] + 1
+    sizes: list[int] = []
+    lpos = 1  # past the frame-count byte
+    if lacing == 1:  # Xiph
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if lpos >= len(body):
+                    raise ValueError("truncated Xiph lace sizes")
+                b = body[lpos]
+                lpos += 1
+                size += b
+                if b != 255:
+                    break
+            sizes.append(size)
+    elif lacing == 2:  # fixed-size
+        total = len(body) - 1
+        if total % n_frames:
+            raise ValueError(
+                f"fixed lacing: {total} bytes not divisible by {n_frames} frames"
+            )
+        sizes = [total // n_frames] * (n_frames - 1)
+    else:  # EBML
+        prev, _, lpos = _read_lace_raw(body, lpos)
+        sizes.append(prev)
+        for _ in range(n_frames - 2):
+            raw, w, lpos = _read_lace_raw(body, lpos)
+            prev += raw - ((1 << (7 * w - 1)) - 1)  # signed range shift
+            if prev < 0:
+                raise ValueError("EBML lacing: negative frame size")
+            sizes.append(prev)
+    frames: list[bytes] = []
+    for size in sizes:
+        if lpos + size > len(body):
+            raise ValueError("lace sizes exceed block body")
+        frames.append(body[lpos:lpos + size])
+        lpos += size
+    frames.append(body[lpos:])  # last frame = remainder (all modes)
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # Vectorized (Arrow-batched) wrappers for use in DataFrame plans.
 # Built lazily: pandas_udf registration needs an active SparkSession,

@@ -80,17 +80,29 @@ def kvs_frames_with_tags(chunks: DataFrame) -> DataFrame:
     return frames.join(tags, "chunk_id", "left")
 
 
-def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload") -> DataFrame:
+def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload",
+                 explode_laced: bool = False) -> DataFrame:
     """Demux stage (SURVEY row 11): parse each SimpleBlock's header
     into relational columns (track/timecode/keyframe/lacing/n_frames)
     via an Arrow-batched mapInPandas — `demux(video=0)` becomes
     `filter(track == 0)` downstream, and the lace count feeds the
-    frame explode."""
+    frame explode.
+
+    explode_laced=True additionally splits each block's laced frame
+    payloads (Xiph / fixed-size / EBML lacing, the part the reference
+    delegates to libav) and emits one row per laced frame with
+    `lace_index` (0-based) and `lace_payload`. A block whose lace
+    header is corrupt stays visible as ONE row with null lace columns
+    — never silently dropped — so callers can route it to the error
+    channel (the late/missing-data-routed policy)."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
 
-    from awskinesisconsumer_spark.functions.ebml_decode import parse_simple_block
+    from awskinesisconsumer_spark.functions.ebml_decode import (
+        parse_simple_block,
+        split_laced_frames,
+    )
 
     in_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in blocks.schema.fields
@@ -99,6 +111,8 @@ def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload") -> Da
         f"{in_fields}, track bigint, timecode int, keyframe boolean, "
         "lacing string, n_frames int"
     )
+    if explode_laced:
+        out_schema += ", lace_index int, lace_payload binary"
 
     def demux(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -112,7 +126,27 @@ def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload") -> Da
             out["keyframe"] = [m.get("keyframe") for m in meta]
             out["lacing"] = [m.get("lacing") for m in meta]
             out["n_frames"] = [m.get("n_frames") for m in meta]
-            yield out
+            if not explode_laced:
+                yield out
+                continue
+            rows = []
+            for i in range(len(out)):
+                payload = pdf[payload_col].iloc[i]
+                base = out.iloc[i]
+                try:
+                    frames = (split_laced_frames(bytes(payload))
+                              if payload is not None else [])
+                except ValueError:
+                    frames = []
+                if not frames:
+                    rows.append({**base, "lace_index": None,
+                                 "lace_payload": None})
+                    continue
+                for j, fb in enumerate(frames):
+                    rows.append({**base, "lace_index": j,
+                                 "lace_payload": fb})
+            yield pd.DataFrame(rows, columns=list(out.columns)
+                               + ["lace_index", "lace_payload"])
 
     return blocks.mapInPandas(demux, out_schema)
 

@@ -204,3 +204,46 @@ def test_parse_simple_block():
     m = parse_simple_block(data)
     assert m["track"] == 2 and m["lacing"] == "fixed" and m["n_frames"] == 3
     assert not m["keyframe"]
+
+
+def _block(flags: int, body: bytes, track: bytes = b"\x81") -> bytes:
+    return track + (0).to_bytes(2, "big", signed=True) + bytes([flags]) + body
+
+
+def test_split_laced_frames_none_and_fixed():
+    from awskinesisconsumer_spark.functions.ebml_decode import split_laced_frames
+
+    assert split_laced_frames(_block(0x80, b"PAYLOAD")) == [b"PAYLOAD"]
+    # fixed lacing: 4 frames of 3 bytes each
+    body = b"\x03" + b"aaabbbcccddd"
+    assert split_laced_frames(_block(0x04, body)) == [b"aaa", b"bbb", b"ccc", b"ddd"]
+    # body not divisible by frame count -> error, not a guess
+    with pytest.raises(ValueError):
+        split_laced_frames(_block(0x04, b"\x02" + b"abcd"))
+
+
+def test_split_laced_frames_xiph():
+    from awskinesisconsumer_spark.functions.ebml_decode import split_laced_frames
+
+    # 3 frames: sizes 300 (=255+45) and 255 (=255+0, the exact-255
+    # run-length edge), last = remainder
+    f0, f1, f2 = b"x" * 300, b"y" * 255, b"z" * 17
+    body = b"\x02" + bytes([255, 45, 255, 0]) + f0 + f1 + f2
+    assert split_laced_frames(_block(0x02, body)) == [f0, f1, f2]
+    # truncated size run -> error
+    with pytest.raises(ValueError):
+        split_laced_frames(_block(0x02, b"\x02" + bytes([255])))
+
+
+def test_split_laced_frames_ebml():
+    from awskinesisconsumer_spark.functions.ebml_decode import split_laced_frames
+
+    # 3 frames: first size 500 (2-byte varint 0x41F4), then delta -100
+    # -> 400 (2-byte signed varint: raw = -100 + (2^13 - 1) = 8091)
+    f0, f1, f2 = b"a" * 500, b"b" * 400, b"c" * 9
+    body = b"\x02" + b"\x41\xf4" + (0x4000 | 8091).to_bytes(2, "big") + f0 + f1 + f2
+    assert split_laced_frames(_block(0x06, body)) == [f0, f1, f2]
+    # lace sizes exceeding the body -> error
+    body = b"\x01" + b"\x41\xf4" + b"short"
+    with pytest.raises(ValueError):
+        split_laced_frames(_block(0x06, body))

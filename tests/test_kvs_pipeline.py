@@ -160,3 +160,36 @@ def test_midstream_missing_tagstring_does_not_shift(spark):
     assert row.AWS_KINESISVIDEO_FRAGMENT_NUMBER is None
     assert row.AWS_KINESISVIDEO_CONTINUATION_TOKEN == "tok-good"
     assert row.AWS_KINESISVIDEO_MILLIS_BEHIND_NOW == "42"
+
+
+def test_demux_explode_laced_frames(spark):
+    """Laced SimpleBlocks (Xiph / fixed / EBML) split into one row per
+    frame; a corrupt lace header keeps its block visible as one
+    null-lace row for error routing instead of vanishing."""
+    from awskinesisconsumer_spark.streaming.kvs_pipeline import demux_blocks
+
+    def blk(flags, body, track=b"\x81"):
+        return track + (0).to_bytes(2, "big", signed=True) + bytes([flags]) + body
+
+    rows = [
+        (0, blk(0x80, b"SOLO")),                                   # no lacing
+        (1, blk(0x04, b"\x02" + b"aabbcc")),                       # fixed, 3x2
+        (2, blk(0x02, b"\x01" + bytes([3]) + b"xxx" + b"yy")),     # xiph, 3+2
+        (3, blk(0x06, b"\x01" + b"\x83" + b"dddee")),              # ebml, 3+2
+        (4, blk(0x04, b"\x02" + b"abcd")),                         # corrupt fixed
+    ]
+    df = spark.createDataFrame(rows, "chunk_id int, frame_payload binary")
+    out = demux_blocks(df, explode_laced=True).collect()
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    assert [bytes(r.lace_payload) for r in by_chunk[0]] == [b"SOLO"]
+    assert [bytes(r.lace_payload) for r in by_chunk[1]] == [b"aa", b"bb", b"cc"]
+    assert [bytes(r.lace_payload) for r in by_chunk[2]] == [b"xxx", b"yy"]
+    assert [bytes(r.lace_payload) for r in by_chunk[3]] == [b"ddd", b"ee"]
+    assert [r.lace_index for r in by_chunk[1]] == [0, 1, 2]
+    # header columns still present on every exploded row
+    assert all(r.track == 1 and r.lacing == "fixed" for r in by_chunk[1])
+    # corrupt block: one visible row, null lace columns
+    assert len(by_chunk[4]) == 1
+    assert by_chunk[4][0].lace_index is None and by_chunk[4][0].lace_payload is None
