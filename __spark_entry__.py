@@ -536,6 +536,38 @@ def _ebml_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ebml_heads(spark: SparkSession, sf: str) -> DataFrame:
+    # Heads-only structural scan (the reference's head-callback
+    # analogue, ebml.py:157,300-301): element boundaries with ZERO
+    # value decode, narrow HEAD_SCHEMA Arrow batches. Same synthesized
+    # fragments as scan-ebml-tokenize, so per-name counts and total
+    # payload bytes are pure arithmetic over `documents`.
+    from awskinesisconsumer_spark.sources.ebml import (
+        encode_element, parse_ebml_chunks,
+    )
+    docs = load_table(spark, "documents", sf)
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payloads.append(
+                    encode_element(0x4285, (2).to_bytes(1, "big"))
+                    + encode_element(0x45A3, b"AWS_KINESISVIDEO_FRAGMENT_NUMBER")
+                    + encode_element(0x4487, str(did).encode())
+                    + encode_element(0xA3, (text or "").encode()[:64])
+                )
+            yield pd.DataFrame({"chunk_id": pdf["doc_id"], "payload": payloads})
+
+    chunks = docs.mapInPandas(encode, "chunk_id bigint, payload binary")
+    heads = parse_ebml_chunks(chunks, heads_only=True)
+    return heads.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("size").alias("total_bytes"),
+    )
+
+
 def _kvs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # The composed reference pipeline (SURVEY rows 3-12): synthetic KVS
     # fragments from documents -> EBML tokenize -> tag pivot -> frames
@@ -765,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
         "scan-ebml-tokenize": _ebml_tokenize,
+        "scan-ebml-heads": _ebml_heads,
         "decode-scalars-roundtrip": _decode_roundtrip,
         "kvs-frames-with-tags": _kvs_pipeline,
         "source-kvs-replay": _kvs_replay_source,
@@ -1153,6 +1186,27 @@ def oracle_sql() -> dict[str, str]:
               ('SimpleBlock',        'BINARY', 0)
             ) AS v(name, ebml_type, has_str)
             CROSS JOIN c
+        """,
+        # Heads-only scan: per-name head count and summed payload
+        # sizes are fixed arithmetic over documents (tag name is 32
+        # chars; TagString payload = decimal doc_id; SimpleBlock
+        # payload = text truncated to 64 bytes, ASCII fixture).
+        "scan-ebml-heads": """
+            SELECT v.name,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v.sz) AS BIGINT) AS total_bytes
+            FROM (
+              SELECT 'DocTypeReadVersion' AS name, 1 AS sz FROM documents
+              UNION ALL
+              SELECT 'TagName', 32 FROM documents
+              UNION ALL
+              SELECT 'TagString', length(CAST(doc_id AS VARCHAR)) FROM documents
+              UNION ALL
+              SELECT 'SimpleBlock',
+                     LEAST(64, octet_length(encode(COALESCE(text, ''))))
+              FROM documents
+            ) v
+            GROUP BY v.name
         """,
         # Closed-form oracle for the composed KVS pipeline: fragments
         # are synthesized from documents by fixed arithmetic, so every

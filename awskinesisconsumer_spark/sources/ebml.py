@@ -58,18 +58,31 @@ ELEMENT_SCHEMA = StructType([
 
 _EMPTY = {f.name: None for f in ELEMENT_SCHEMA.fields}
 
+# Heads-only scan schema: element boundaries without any value decode —
+# the relational analogue of the reference's per-element head callback
+# (ebml.py:157,300-301: the hook fires with (id, size, position) BEFORE
+# the payload is read). Narrow on purpose: Arrow batches carry 6 columns
+# instead of 12, and no payload byte is ever copied.
+HEAD_SCHEMA = StructType([f for f in ELEMENT_SCHEMA.fields
+                          if not f.name.startswith("value_")])
+
 
 def tokenize_bytes(
     payload: bytes,
     chunk_id: int = 0,
     interesting_names: set[str] | None = None,
     max_errors: int = 0,
+    heads_only: bool = False,
 ) -> Iterator[dict]:
     """Single-pass tokenizer over one chunk. Yields one dict per
     element (ELEMENT_SCHEMA fields). Permissive: unknown ids yield
     name/type None with the raw value skipped; MASTER elements are
     descended into (children follow inline), matching the flattening
-    behavior of the reference (ebml.py:312-315)."""
+    behavior of the reference (ebml.py:312-315).
+
+    heads_only=True is the head-callback analogue (ref ebml.py:157,
+    300-301): every element head is yielded with values left null and
+    NO payload byte decoded — pure skip-by-size traversal."""
     pos = 0
     n = len(payload)
     errors = 0
@@ -91,6 +104,12 @@ def tokenize_bytes(
             ebml_type=etype.value if etype else None,
             size=None if size == EBML_UNKNOWN_SIZE else size,
         )
+        if heads_only:
+            if interesting_names is None or name in interesting_names:
+                yield row
+            descend = etype is EbmlType.MASTER or size == EBML_UNKNOWN_SIZE
+            pos = p2 if descend else min(p2 + size, n)
+            continue
         if etype is EbmlType.MASTER or size == EBML_UNKNOWN_SIZE:
             # Descend: children follow inline; no value to decode.
             if interesting_names is None or name in interesting_names:
@@ -134,27 +153,34 @@ def parse_ebml_chunks(
     payload_col: str = "payload",
     chunk_id_col: str = "chunk_id",
     interesting_names: list[str] | None = None,
+    heads_only: bool = False,
 ) -> DataFrame:
     """Scan stage: (chunk_id, payload binary) -> element rows.
 
     mapInPandas keeps the decode Arrow-batched and embarrassingly
     parallel across chunks; `interesting_names` is the projection
-    allowlist pushed INTO the parse (ref parser.py:324-332)."""
+    allowlist pushed INTO the parse (ref parser.py:324-332).
+
+    heads_only=True returns the narrow HEAD_SCHEMA (no value columns,
+    no payload decode) — the structural-index scan used for fragment
+    inventory/stats, analogous to the reference's head callback."""
     allow = set(interesting_names) if interesting_names else None
+    schema = HEAD_SCHEMA if heads_only else ELEMENT_SCHEMA
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in ELEMENT_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             rows: list[dict] = []
             for cid, payload in zip(pdf[chunk_id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 rows.extend(
-                    tokenize_bytes(bytes(payload), int(cid), allow)
+                    tokenize_bytes(bytes(payload), int(cid), allow,
+                                   heads_only=heads_only)
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return chunks.mapInPandas(parse, ELEMENT_SCHEMA)
+    return chunks.mapInPandas(parse, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,37 @@ def test_split_laced_frames_ebml():
     body = b"\x01" + b"\x41\xf4" + b"short"
     with pytest.raises(ValueError):
         split_laced_frames(_block(0x06, body))
+
+
+def test_heads_only_traversal():
+    """Head-callback analogue (ref ebml.py:157,300-301): every element
+    head surfaces with null values and no payload decode; master
+    elements still descend."""
+    frag = _kvs_fragment("91", "tok")
+    full = list(tokenize_bytes(frag))
+    heads = list(tokenize_bytes(frag, heads_only=True))
+    # identical boundary walk: same ids/positions/sizes, in order
+    assert [(h["element_id"], h["position"], h["size"]) for h in heads] == [
+        (f["element_id"], f["position"], f["size"]) for f in full
+    ]
+    # no value ever decoded
+    assert all(
+        h[k] is None
+        for h in heads
+        for k in ("value_uint", "value_str", "value_bin", "value_ts")
+    )
+    # filter still applies
+    only = list(tokenize_bytes(frag, interesting_names={"TagName"}, heads_only=True))
+    assert only and all(h["name"] == "TagName" for h in only)
+
+
+def test_heads_only_spark_stage(spark):
+    from awskinesisconsumer_spark.sources.ebml import HEAD_SCHEMA, parse_ebml_chunks
+
+    frags = [(i, _kvs_fragment(str(i), f"t{i}")) for i in range(4)]
+    df = spark.createDataFrame(frags, "chunk_id bigint, payload binary")
+    out = parse_ebml_chunks(df, heads_only=True)
+    assert out.schema == HEAD_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 4 * len(list(tokenize_bytes(_kvs_fragment("0", "t0"))))
+    assert all(r.size is not None for r in rows)
