@@ -475,6 +475,24 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairs -> duplicate clusters via iterative min-label propagation
+    # (the "keep one doc per duplicate group" resolution step). Input
+    # pairs are the deterministic n-gram-Jaccard candidates, so the
+    # whole query is oracle-checkable with a recursive CTE.
+    from awskinesisconsumer_spark.operators.dedup import (
+        connected_components, ngram_jaccard_pairs,
+    )
+    docs = load_table(spark, "documents", sf)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    cc = connected_components(
+        pairs, vertices=docs.select(F.col("doc_id").alias("id"))
+    )
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def _multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # Rows-only: decode -> explode frames -> metadata sample -> resize
     # (stubbed codecs; the Spark plumbing — schema, narrow ops,
@@ -793,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
+        "ext-dedup-cluster": _dedup_cluster,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -1333,6 +1352,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = pairs.id_b
             WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
                                         AS DOUBLE), 4) >= 0.3
+        """,
+        # Cluster resolution over the SAME deterministic pair set:
+        # recursive transitive closure, cluster id = min reachable doc
+        # id; docs in no pair are their own singleton cluster.
+        "ext-dedup-cluster": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+            posts AS (SELECT doc_id, s FROM g
+                      WHERE s NOT IN (SELECT s FROM hot)),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM posts a JOIN posts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sel AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sizes sa ON sa.doc_id = cand.id_a
+              JOIN sizes sb ON sb.doc_id = cand.id_b
+              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                          AS DOUBLE), 4) >= 0.3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM sel
+              UNION
+              SELECT id_b, id_a FROM sel),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e
+                ON e.src = reach.node),
+            cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         """,
         # Fan-out roundtrip: frames sink + dead-letter sink together
         # must reproduce the whole input table.

@@ -312,3 +312,71 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return _release_after(out, all_posts)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate CLUSTERS:
+    (id, cluster_id) where cluster_id = min doc id reachable through
+    the pair graph. The canonical "keep one document per duplicate
+    group" step that follows any pairwise dedup (minhash / simhash /
+    n-gram / embedding pairs all feed it).
+
+    Iterative min-label propagation: each round every vertex takes the
+    smallest label among itself and its neighbors (one equi-join + one
+    groupBy per round — no cross product, shuffles keyed by vertex id).
+    Rounds needed = graph diameter, and dedup-cluster graphs are
+    shallow (near-clique blobs), so 3-5 rounds is typical. Labels only
+    ever decrease, so sum(label) is a monotone convergence witness: one
+    scalar agg per round instead of an old-vs-new join. localCheckpoint
+    truncates the growing lineage each round (the standard guard for
+    iterative DataFrame algorithms — without it round N replans rounds
+    1..N-1).
+
+    `vertices` (optional) adds isolated docs: anything absent from
+    `pairs` becomes its own singleton cluster, so the output covers the
+    whole corpus and downstream keep-one filtering is a plain
+    `where(id == cluster_id)`.
+    """
+    e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    verts = edges.select(F.col("_src").alias(id_col)).distinct()
+    if vertices is not None:
+        verts = vertices.select(id_col).unionByName(verts).distinct()
+    labels = verts.select(id_col, F.col(id_col).alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["_src"] == labels[id_col])
+            .groupBy(F.col("_dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("_msg"))
+        )
+        labels = (
+            labels.join(msgs, id_col, "left")
+            .select(id_col,
+                    F.least("cluster_id", "_msg").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels

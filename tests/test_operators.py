@@ -204,3 +204,32 @@ def test_text_ops_null_text_is_empty_doc(spark):
 
     fp = {r.doc_id: r.fingerprint for r in fingerprint(df, text_col="text").collect()}
     assert fp[1] == 0 and fp[2] == 0 and fp[3] != 0
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation resolves pairs into clusters: a chain
+    (diameter > 1 forces multiple rounds), a separate blob, and
+    singletons supplied via `vertices`."""
+    from awskinesisconsumer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a bigint, id_b bigint",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 15)], "id bigint")
+    out = connected_components(pairs, vertices=verts)
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,          # 4-hop chain -> one cluster
+        10: 10, 11: 10, 12: 10,                 # triangle blob
+        6: 6, 7: 7, 8: 8, 9: 9, 13: 13, 14: 14  # singletons
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    from awskinesisconsumer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    verts = spark.createDataFrame([(1,), (2,)], "id bigint")
+    got = {r.id: r.cluster_id for r in connected_components(pairs, vertices=verts).collect()}
+    assert got == {1: 1, 2: 2}
