@@ -475,6 +475,31 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-doc line dedup (CCNet-style). The fixture has no newlines,
+    # so build multi-line docs deterministically: 5-word chunks of each
+    # document become its lines — repeated fixture vocabulary makes
+    # real cross-doc duplicate lines.
+    from awskinesisconsumer_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, "documents", sf)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(5)).cast("int"), F.lit(1)
+    )
+    chunked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, (i - 1) * F.lit(5) + 1, 5)
+            ),
+        ),
+        "\n",
+    )
+    multi = docs.select("doc_id", chunked.alias("text"))
+    return dedup_lines(multi, id_col="doc_id", text_col="text")
+
+
 def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     # Pairs -> duplicate clusters via iterative min-label propagation
     # (the "keep one doc per duplicate group" resolution step). Input
@@ -812,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
         "ext-dedup-cluster": _dedup_cluster,
+        "ext-dedup-lines": _dedup_lines,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -1352,6 +1378,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = pairs.id_b
             WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
                                         AS DOUBLE), 4) >= 0.3
+        """,
+        # Line-level dedup over deterministically chunked docs: a line
+        # survives only at its globally smallest (doc_id, line_no).
+        # Line numbering is 1-based here vs 0-based in Spark — only
+        # ordering matters, and it agrees.
+        "ext-dedup-lines": """
+            WITH w AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+              FROM documents),
+            ml AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         generate_series(
+                           1, GREATEST(CAST(ceil(len(ws) / 5.0) AS INT), 1)),
+                         i -> array_to_string(ws[(i-1)*5+1 : i*5], ' ')),
+                       chr(10)) AS text
+              FROM w),
+            lines AS (
+              SELECT doc_id,
+                     UNNEST(generate_series(1, len(ls))) AS line_no,
+                     UNNEST(ls) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM ml)),
+            flagged AS (
+              SELECT doc_id, line_no, line,
+                     (length(line) < 1) OR
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) = 1
+                     AS keep
+              FROM lines)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+            FROM flagged GROUP BY doc_id
         """,
         # Cluster resolution over the SAME deterministic pair set:
         # recursive transitive closure, cluster id = min reachable doc

@@ -380,3 +380,58 @@ def connected_components(
         )
     edges.unpersist()
     return labels
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document LINE-level dedup (the CCNet-style pass LLM
+    corpora run before doc-level dedup): a line survives only at its
+    globally first occurrence (smallest (doc, line_no)); every later
+    copy — in other docs or later in the same doc — is dropped, and
+    each doc is reassembled from its surviving lines in order.
+
+    Lines shorter than `min_chars` (e.g. blank separators) are exempt:
+    deduping them would collapse every blank line in the corpus into
+    one doc's copy and wreck document structure.
+
+    Shape: posexplode to (doc, line_no, line) rows; first-occurrence
+    test is one row_number window partitioned by the line's sha2-256
+    digest (32-byte shuffle key instead of the line text; collision
+    odds 2^-128); reassembly is one groupBy(doc) with an ordered
+    collect. Two shuffles total, both key-partitioned — no global
+    sort, no driver collect.
+
+    Returns (id_col, text, n_lines, n_kept).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("line_no", "line"),
+    )
+    w = Window.partitionBy(
+        F.sha2(F.col("line").cast("binary"), 256)
+    ).orderBy(id_col, "line_no")
+    flagged = lines.withColumn(
+        "_keep",
+        (F.length("line") < min_chars) | (F.row_number().over(w) == 1),
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("line_no", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+    )

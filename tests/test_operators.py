@@ -233,3 +233,39 @@ def test_connected_components_empty_pairs(spark):
     verts = spark.createDataFrame([(1,), (2,)], "id bigint")
     got = {r.id: r.cluster_id for r in connected_components(pairs, vertices=verts).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_dedup_lines_first_occurrence(spark):
+    """A line survives only at its globally smallest (doc, line_no);
+    short lines are exempt; docs reassemble in original line order."""
+    from awskinesisconsumer_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ncommon line\nunique one"),
+            (2, "common line\nalpha beta\n\nunique two"),
+            (3, "common line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(
+        docs, id_col="doc_id", text_col="text"
+    ).collect()}
+    # doc 1 is first for every one of its lines; blank line exempt
+    assert out[1].text == "alpha beta\n\ncommon line\nunique one"
+    assert out[1].n_lines == 4 and out[1].n_kept == 4
+    # doc 2 loses both cross-doc dups, keeps its blank + unique
+    assert out[2].text == "\nunique two"
+    assert out[2].n_lines == 4 and out[2].n_kept == 2
+    # doc 3 fully deduplicated -> empty text
+    assert out[3].text == "" and out[3].n_kept == 0
+
+
+def test_dedup_lines_within_doc(spark):
+    from awskinesisconsumer_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "same\nsame\nsame")], "doc_id bigint, text string"
+    )
+    r = dedup_lines(docs, id_col="doc_id", text_col="text").collect()[0]
+    assert r.text == "same" and r.n_lines == 3 and r.n_kept == 1
