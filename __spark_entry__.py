@@ -500,6 +500,30 @@ def _dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_lines(multi, id_col="doc_id", text_col="text")
 
 
+def _repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style repetition filters over the same deterministic
+    # 5-word-chunk lines as ext-dedup-lines (fixture docs have no
+    # newlines of their own).
+    from awskinesisconsumer_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, "documents", sf)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(5)).cast("int"), F.lit(1)
+    )
+    chunked = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, (i - 1) * F.lit(5) + 1, 5)
+            ),
+        ),
+        "\n",
+    )
+    multi = docs.select("doc_id", chunked.alias("text"))
+    return repetition_stats(multi, id_col="doc_id", text_col="text")
+
+
 def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     # Pairs -> duplicate clusters via iterative min-label propagation
     # (the "keep one doc per duplicate group" resolution step). Input
@@ -838,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
         "ext-dedup-cluster": _dedup_cluster,
         "ext-dedup-lines": _dedup_lines,
+        "ext-quality-repetition": _repetition,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -1415,6 +1440,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines,
                    CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
             FROM flagged GROUP BY doc_id
+        """,
+        # Gopher repetition metrics over the same chunked lines; top
+        # 2-gram ties break (count DESC, gram DESC) in both engines.
+        # Chunking preserves character count (every 5th space becomes
+        # a newline), so gram char fractions use the chunked length.
+        "ext-quality-repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+              FROM documents),
+            ml AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         generate_series(
+                           1, GREATEST(CAST(ceil(len(ws) / 5.0) AS INT), 1)),
+                         i -> array_to_string(ws[(i-1)*5+1 : i*5], ' ')),
+                       chr(10)) AS text
+              FROM w),
+            lines AS (
+              SELECT doc_id, UNNEST(string_split(trim(text), chr(10))) AS line
+              FROM ml),
+            pl AS (SELECT doc_id, line, COUNT(*) AS c
+                   FROM lines GROUP BY 1, 2),
+            ls AS (SELECT doc_id,
+                          SUM(c) AS n_lines,
+                          SUM(c - 1) AS dups,
+                          SUM(c * length(line)) AS tot,
+                          SUM((c - 1) * length(line)) AS dupc
+                   FROM pl GROUP BY doc_id),
+            mlen AS (SELECT doc_id, length(trim(text)) AS len FROM ml),
+            gws AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM ml),
+            gr AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 1)) AS i
+                    FROM gws WHERE len(ws) >= 2)
+              WHERE ws[i] <> ''),
+            pg AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+            topg AS (
+              SELECT doc_id, g, c FROM (
+                SELECT doc_id, g, c,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g DESC) AS rn
+                FROM pg) WHERE rn = 1)
+            SELECT ls.doc_id,
+                   CAST(ls.n_lines AS BIGINT) AS n_lines,
+                   ROUND(ls.dups / CAST(ls.n_lines AS DOUBLE), 4)
+                     AS dup_line_frac,
+                   CASE WHEN ls.tot > 0
+                        THEN ROUND(ls.dupc / CAST(ls.tot AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_line_char_frac,
+                   COALESCE(topg.g, '') AS top_2gram,
+                   CASE WHEN mlen.len > 0 AND topg.g IS NOT NULL
+                        THEN ROUND(topg.c * length(topg.g)
+                                   / CAST(mlen.len AS DOUBLE), 4)
+                        ELSE 0.0 END AS top_2gram_char_frac
+            FROM ls
+            JOIN mlen ON mlen.doc_id = ls.doc_id
+            LEFT JOIN topg ON topg.doc_id = ls.doc_id
         """,
         # Cluster resolution over the SAME deterministic pair set:
         # recursive transitive closure, cluster id = min reachable doc

@@ -151,3 +151,69 @@ def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -
         return texts.map(one)
 
     return df.withColumn(out_col, fp_udf(F.col(text_col)))
+
+
+def repetition_stats(df: DataFrame, *, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the standard LLM-corpus
+    repetition filters): per document,
+
+    * dup_line_frac — fraction of lines that are repeats of an
+      earlier identical line;
+    * dup_line_char_frac — fraction of line characters inside those
+      repeats;
+    * top_2gram / top_2gram_char_frac — the most frequent word 2-gram
+      (count ties break to the lexicographically largest gram, so the
+      result is deterministic) and the fraction of text characters its
+      occurrences cover.
+
+    Unlike the other text ops this one shuffles: per-(doc, line) and
+    per-(doc, gram) counts need a groupBy. All keys are doc-prefixed,
+    so partial aggregation combines map-side and the shuffle carries
+    one row per distinct line/gram per doc — no global state. Joins at
+    the end are id-keyed and AQE-broadcastable.
+    """
+    from awskinesisconsumer_spark.operators.dedup import shingle_rows
+
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(id_col, text.alias("_t"))
+
+    lines = base.select(
+        id_col,
+        F.length("_t").alias("_len"),
+        F.explode(F.split(F.col("_t"), "\n", -1)).alias("_line"),
+    )
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count(F.lit(1)).alias("_c"), F.first("_len").alias("_len")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        F.sum(F.col("_c") - 1).alias("_dups"),
+        F.sum(F.col("_c") * F.length("_line")).alias("_tot"),
+        F.sum((F.col("_c") - 1) * F.length("_line")).alias("_dupc"),
+        F.first("_len").alias("_len"),
+    )
+
+    grams = shingle_rows(base, id_col=id_col, text_col="_t", n=2)
+    per_gram = grams.groupBy(id_col, "shingle").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max(F.struct("_c", "shingle")).alias("_top")
+    )
+
+    return line_stats.join(top, id_col, "left").select(
+        id_col,
+        F.col("n_lines"),
+        F.round(F.col("_dups") / F.col("n_lines"), 4).alias("dup_line_frac"),
+        F.when(F.col("_tot") > 0,
+               F.round(F.col("_dupc") / F.col("_tot"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce(F.col("_top.shingle"), F.lit("")).alias("top_2gram"),
+        F.when(
+            (F.col("_len") > 0) & F.col("_top").isNotNull(),
+            F.round(F.col("_top._c") * F.length("_top.shingle")
+                    / F.col("_len"), 4),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+    )
