@@ -452,6 +452,28 @@ def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # Rows-only: IVF ANN with Lloyd-refined centroids (vs the sampled
+    # seed in ext-similarity-ivf) — the quantizer-quality scale path.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, kmeans_refine_centroids, knn_ivf,
+    )
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    seed = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    centroids = kmeans_refine_centroids(
+        corpus, vec_col="embedding", centroids=seed, n_iter=3
+    )
+    return knn_ivf(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding],
+        centroids=centroids, n_probes=2, k=10,
+    )
+
+
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     # Non-SQL-expressible (engine-specific xxhash64) -> rows-only check.
     docs = load_table(spark, "documents", sf)
@@ -857,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-embedding": _embedding_dedup,
         "ext-similarity-ann": _ann_lsh,
         "ext-similarity-ivf": _ann_ivf,
+        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
         "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,

@@ -235,3 +235,64 @@ def pairwise_topk_cosine(
         .where(F.col("_rn") <= k)
         .select("probe_id", F.col(id_col).alias("neighbor_id"), "cosine_sim")
     )
+
+
+def ivf_inertia(df: DataFrame, *, vec_col: str,
+                centroids: list[list[float]]) -> float:
+    """Total quantization error: sum over rows of the squared L2
+    distance to the nearest centroid. One narrow scoring pass + a
+    scalar agg — the standard k-means objective, used to verify that
+    refinement actually improved the quantizer."""
+    mind = F.array_min(
+        F.array(*[_norm2_diff(F.col(vec_col), c) for c in centroids])
+    )
+    return float(df.agg(F.sum(mind)).collect()[0][0] or 0.0)
+
+
+def kmeans_refine_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_iter: int = 5,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means refinement of IVF centroids: per round, (1)
+    narrow argmin assignment against the current literal centroids,
+    (2) element-wise mean per cell via posexplode + (cell, dim)-keyed
+    avg — map-side partial aggregation means the shuffle carries at
+    most k x dim rows per map task, and only the k x dim cell means
+    reach the driver (same bounded driver-state pattern as the literal
+    centroid arrays themselves). Empty cells keep their previous
+    centroid. Stops early when the max squared centroid shift drops
+    below `tol`.
+
+    At 100 TB: train on a sample (`df.sample(...)`) — the quantizer
+    needs distribution shape, not every row; assignment of the full
+    corpus happens once afterwards via `ivf_assign`.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, vec_col=vec_col, centroids=cents)
+        rows = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        new = [c[:] for c in cents]
+        for r in rows:
+            new[r["cell"]][r["pos"]] = float(r["_m"])
+        shift = max(
+            (
+                sum((a - b) ** 2 for a, b in zip(new[i], cents[i]))
+                for i in range(len(cents))
+            ),
+            default=0.0,
+        )
+        cents = new
+        if shift <= tol:
+            break
+    return cents

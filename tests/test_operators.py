@@ -269,3 +269,30 @@ def test_dedup_lines_within_doc(spark):
     )
     r = dedup_lines(docs, id_col="doc_id", text_col="text").collect()[0]
     assert r.text == "same" and r.n_lines == 3 and r.n_kept == 1
+
+
+def test_kmeans_refine_reduces_inertia(spark):
+    """Lloyd refinement: starting from two centroids inside the SAME
+    blob, refinement separates them and strictly lowers the k-means
+    objective; empty-cell handling keeps centroid count stable."""
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_inertia,
+        kmeans_refine_centroids,
+    )
+
+    # two tight 2-d blobs around (0,0) and (10,10)
+    pts = [(i, [0.0 + 0.1 * (i % 5), 0.0 + 0.1 * ((i * 3) % 5)]) for i in range(20)]
+    pts += [(100 + i, [10.0 + 0.1 * (i % 5), 10.0 + 0.1 * ((i * 7) % 5)])
+            for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<float>")
+
+    init = [[0.0, 0.0], [0.3, 0.1]]  # both in blob A
+    before = ivf_inertia(df, vec_col="embedding", centroids=init)
+    refined = kmeans_refine_centroids(
+        df, vec_col="embedding", centroids=init, n_iter=10
+    )
+    after = ivf_inertia(df, vec_col="embedding", centroids=refined)
+    assert after < before
+    # one centroid per blob, near each blob mean
+    cs = sorted(refined)
+    assert abs(cs[0][0] - 0.2) < 0.5 and abs(cs[1][0] - 10.2) < 0.5
