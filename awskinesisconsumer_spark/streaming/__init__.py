@@ -10,9 +10,10 @@ from awskinesisconsumer_spark.streaming.pipeline import (
     throttle_stream,
 )
 from awskinesisconsumer_spark.streaming.sinks import start_fanout
+from awskinesisconsumer_spark.streaming.lifecycle import use_rocksdb_state_store
 
 __all__ = [
     "events_stream",
     "asof_join_stream", "frame_pipeline", "segment_rollup_stream",
-    "throttle_stream", "start_fanout",
+    "throttle_stream", "start_fanout", "use_rocksdb_state_store",
 ]

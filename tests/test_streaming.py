@@ -254,3 +254,38 @@ def test_prune_file_sink_evicts_oldest(spark, tmp_path):
     ).parquet(sub)
     assert prune_file_sink(sub, keep_files=0)
     assert not [d for d in os.listdir(sub) if d.startswith("p=")]
+
+
+def test_rocksdb_state_store_session_rollup(spark, tmp_path):
+    """The RocksDB state store (the 100 TB state path: disk-backed
+    state instead of executor heap) produces identical session-window
+    results to the default provider."""
+    from awskinesisconsumer_spark.streaming import use_rocksdb_state_store
+    from awskinesisconsumer_spark.streaming.lifecycle import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        use_rocksdb_state_store(spark)
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        stream = events_stream(spark, SF)
+        out = segment_rollup_stream(stream, gap="30 minutes")
+        _run_available_now(out, tmp_path, "seg_rocks")
+        rocks = {
+            (r.user_id, r.w_start): r.n_rows
+            for r in spark.sql("SELECT * FROM seg_rocks").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # same sessions as the default-provider run (separate checkpoint)
+    stream = events_stream(spark, SF)
+    out = segment_rollup_stream(stream, gap="30 minutes")
+    _run_available_now(out, tmp_path / "dflt", "seg_dflt")
+    dflt = {
+        (r.user_id, r.w_start): r.n_rows
+        for r in spark.sql("SELECT * FROM seg_dflt").collect()
+    }
+    assert rocks == dflt and len(rocks) > 0
