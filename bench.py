@@ -39,6 +39,9 @@ HEADLINE = [
     "ext-similarity-knn",
     "ext-similarity-ivf",
     "ext-dedup-minhash",
+    "ext-dedup-lines",
+    "ext-dedup-cluster",
+    "ext-quality-repetition",
     "stream-asof-tags",
 ]
 
