@@ -34,6 +34,7 @@ from awskinesisconsumer_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     ngram_jaccard_pairs,
+    portable_hash52,
     simhash,
 )
 from awskinesisconsumer_spark.operators.multimodal import (
@@ -475,18 +476,22 @@ def _ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    # Non-SQL-expressible (engine-specific xxhash64) -> rows-only check.
+    # portable_hash52 (md5-derived) instead of the default xxhash64 so
+    # DuckDB can replicate the permutation family bit-for-bit and the
+    # full LSH pipeline gets a value-level oracle, not a rows-only one.
     docs = load_table(spark, "documents", sf)
     return dedup_minhash_lsh(
         docs, id_col="doc_id", text_col="text",
         num_hashes=32, bands=8, jaccard_threshold=0.5,
+        hash_fn=portable_hash52,
     )
 
 
 def _simhash(spark: SparkSession, sf: str) -> DataFrame:
-    # Rows-only: engine-specific hash.
+    # portable_hash52 -> oracle-checkable per-bit votes (see above).
     docs = load_table(spark, "documents", sf)
-    return simhash(docs, text_col="text", id_col="doc_id", bits=16)
+    return simhash(docs, text_col="text", id_col="doc_id", bits=16,
+                   hash_fn=portable_hash52)
 
 
 def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -932,6 +937,39 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(words, w -> list_contains({arr}, w))) AS s_{lang}"
         for lang, arr in lang_markers.items()
     )
+
+    # --- portable-hash minhash/simhash twins (dedup.portable_hash52) ---
+    # ('0x' || first 13 md5 hex chars)::BIGINT == Spark's
+    # conv(substring(md5(x),1,13),16,10) — verified bit-identical.
+    def p52(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 13))::BIGINT"
+
+    mh_n, mh_bands, mersenne = 32, 8, (1 << 31) - 1
+    mh_rpb = mh_n // mh_bands
+    mh_mins = ",\n                     ".join(
+        f"MIN((h * {2 * i + 1} + {7919 * (i + 1)}) % {mersenne}) AS m{i}"
+        for i in range(mh_n)
+    )
+    mh_bands_sql = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + p52("concat_ws(',', "
+              + ", ".join(f"m{b * mh_rpb + r}" for r in range(mh_rpb))
+              + ")")
+        + " AS band_hash FROM sig"
+        for b in range(mh_bands)
+    )
+    mh_match = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(mh_n)
+    )
+    sh_bits = 16
+    sh_votes = ",\n                   ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(sh_bits)
+    )
+    sh_fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(sh_bits)
+    )
+
     return {
         "scan-prune-elements": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -1389,6 +1427,73 @@ def oracle_sql() -> dict[str, str]:
                                                      c -> CAST(ascii(c) AS DOUBLE)))
                              / nb END AS mean_byte
             FROM b
+        """,
+        # Full banded MinHash-LSH replicated in SQL: the md5-derived
+        # portable hash makes every stage deterministic across engines —
+        # shingle hash -> 32 permutation minima -> 8 band hashes ->
+        # hot-bucket (>200) bar -> candidate pairs -> signature-estimated
+        # Jaccard >= 0.5. Mirrors operators/dedup.py:dedup_minhash_lsh.
+        "ext-dedup-minhash": f"""
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            hashed AS (
+              SELECT doc_id, {p52('s')} % {mersenne} AS h FROM g),
+            sig AS (
+              SELECT doc_id,
+                     {mh_mins}
+              FROM hashed GROUP BY doc_id),
+            banded AS (
+              {mh_bands_sql}),
+            hot AS (
+              SELECT band, band_hash FROM banded
+              GROUP BY 1, 2 HAVING COUNT(*) > 200),
+            kept AS (
+              SELECT bd.* FROM banded bd
+              LEFT JOIN hot ON bd.band = hot.band
+                           AND bd.band_hash = hot.band_hash
+              WHERE hot.band IS NULL),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM kept l JOIN kept r
+                ON l.band = r.band AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id)
+            SELECT id_a, id_b,
+                   ROUND(({mh_match}) / CAST({mh_n} AS DOUBLE), 4)
+                     AS est_jaccard
+            FROM cand
+            JOIN sig a ON a.doc_id = cand.id_a
+            JOIN sig b ON b.doc_id = cand.id_b
+            WHERE ROUND(({mh_match}) / CAST({mh_n} AS DOUBLE), 4) >= 0.5
+        """,
+        # 16-bit SimHash with the same portable hash: per-bit token
+        # votes (+1/-1 per occurrence), sign -> bit. Mirrors
+        # operators/dedup.py:simhash.
+        "ext-dedup-simhash": f"""
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+            hashed AS (
+              SELECT doc_id, {p52('t')} AS h FROM tok WHERE t <> ''),
+            v AS (
+              SELECT doc_id,
+                   {sh_votes}
+              FROM hashed GROUP BY doc_id)
+            SELECT doc_id, CAST({sh_fp} AS BIGINT) AS simhash FROM v
         """,
         # Inverted-index n-gram Jaccard, replicated with list functions:
         # distinct word 3-grams per doc, hot shingles (>100 docs) barred

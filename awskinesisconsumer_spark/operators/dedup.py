@@ -6,7 +6,7 @@ hash-defined buckets — the only shape that survives 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -15,6 +15,25 @@ from pyspark.sql.types import ArrayType, LongType
 # so the arithmetic is safe under ANSI mode (Spark 4 default) where
 # long overflow is an error, not a wrap.
 _MERSENNE = (1 << 31) - 1
+
+
+def xxhash64_col(col) -> Column:
+    """Default hash for the near-dup family: Spark's JVM-side xxhash64
+    (fast, codegen'd). Engine-specific — results are not reproducible
+    outside Spark."""
+    return F.xxhash64(col)
+
+
+def portable_hash52(col) -> Column:
+    """Engine-portable 52-bit hash: the first 13 hex chars of md5,
+    parsed as an integer. Reproducible bit-for-bit in any engine with
+    md5 + hex parsing (DuckDB: ``('0x' || substr(md5(x),1,13))::BIGINT``),
+    which makes minhash/simhash results oracle-checkable. 52 bits keeps
+    every downstream product (h * 127 + const) far inside int64, so
+    ANSI Spark and overflow-checking engines agree. ~3x slower than
+    xxhash64 (md5 + string slice + base conversion, still whole-stage
+    codegen) — use for verification fixtures, not the 100 TB path."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
 def _release_after(out: DataFrame, cached: DataFrame) -> DataFrame:
@@ -91,9 +110,11 @@ def shingle_rows(df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
 
 def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
                       num_hashes: int = 64,
-                      out_col: str = "minhash") -> DataFrame:
+                      out_col: str = "minhash",
+                      hash_fn=xxhash64_col) -> DataFrame:
     """MinHash signature: num_hashes permutations simulated as
-    (a*x + b) mod p over the xxhash64 of each shingle.
+    (a*x + b) mod p over a base hash (`hash_fn`, default xxhash64) of
+    each shingle.
 
     Shape matters: explode shingles once, derive all permutations as
     flat scalar columns (whole-stage codegen — nested array lambdas
@@ -111,7 +132,7 @@ def minhash_signature(df: DataFrame, *, id_col: str, shingle_col: str,
         .withColumn(
             "_h",
             F.when(F.col("_s").isNotNull(),
-                   F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE))),
+                   F.pmod(hash_fn(F.col("_s")), F.lit(_MERSENNE))),
         )
     )
     return _minhash_from_rows(ex, id_col=id_col, num_hashes=num_hashes,
@@ -151,6 +172,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    hash_fn=xxhash64_col,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
@@ -163,7 +185,7 @@ def dedup_minhash_lsh(
     rows_per_band = num_hashes // bands
     rows = shingle_rows(
         df.select(id_col, text_col), id_col=id_col, text_col=text_col, n=n
-    ).withColumn("_h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    ).withColumn("_h", F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE)))
     # One groupBy carries the whole signature as flat _m columns; the
     # band hashes derive from those columns in the SAME projection (no
     # array materialization / element_at round-trip). Docs with zero
@@ -177,7 +199,7 @@ def dedup_minhash_lsh(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(
+                    hash_fn(F.concat_ws(
                         ",", *[F.col(f"_m{b * rows_per_band + r}")
                                for r in range(rows_per_band)]
                     )).alias("band_hash"),
@@ -240,7 +262,7 @@ def dedup_minhash_lsh(
 
 
 def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash", hash_fn=xxhash64_col) -> DataFrame:
     """64-bit SimHash over word tokens: per-bit weighted vote of token
     hashes, sign -> bit. Column-expression implementation: explode
     tokens, aggregate per-bit sums via bitwise ops, one shuffle on id.
@@ -249,7 +271,7 @@ def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
     tok = (
         df.select(id_col, F.explode(words).alias("_w"))
         .where(F.col("_w") != "")
-        .withColumn("_h", F.xxhash64("_w"))
+        .withColumn("_h", hash_fn(F.col("_w")))
     )
     votes = [
         F.sum(
