@@ -421,9 +421,9 @@ def _embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # Rows-only: SRP-LSH bucketed approximate knn (recall depends on
-    # bucket probing — not oracle-expressible without re-implementing
-    # the bucketer in SQL).
+    # Oracle-checked: the seeded hyperplanes are pure f(seed), so the
+    # DuckDB twin re-buckets with the same literal planes (fold-order-
+    # exact double arithmetic) and replays probe + re-rank.
     emb = load_table(spark, "embeddings", sf)
     probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
     planes = deterministic_planes(64, 8)
@@ -435,8 +435,8 @@ def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # Rows-only: IVF-bucketed ANN (deterministic sampled centroids,
-    # 2-cell probe, exact cosine re-rank).
+    # Oracle-checked: deterministic sampled centroids (8 lowest ids),
+    # 2-cell probe, exact cosine re-rank — all replayed in DuckDB SQL.
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_centroids_from_sample, knn_ivf,
     )
@@ -815,9 +815,9 @@ def _fanout_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _embedding_dedup_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # Rows-only: the SRP-bucketed near-dup path (the 100 TB shape —
-    # Hamming<=1 bucket equi-join, never all-pairs) exercised under the
-    # driver; pair recall depends on the hash planes, so no SQL oracle.
+    # The SRP-bucketed near-dup path (the 100 TB shape — Hamming<=1
+    # bucket equi-join, never all-pairs), oracle-checked via the same
+    # literal planes in DuckDB.
     emb = load_table(spark, "embeddings", sf)
     planes = deterministic_planes(64, 8)
     return embedding_near_dup_pairs(
@@ -910,6 +910,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql() — DuckDB-runnable ANSI SQL twins
 # --------------------------------------------------------------------------
 
+# Vector-arithmetic SQL builders for the ANN oracles. Every reduction
+# is an explicit LEFT FOLD (list_reduce seeded with 0.0) so the
+# floating-point summation order matches Spark's F.aggregate and
+# Python's sum() exactly — verified bit-identical (incl. 6-dp rounded
+# cosines and every SRP sign bit) on the 500-row embeddings fixture.
+
+def _sql_vec(vs) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vs) + "]"
+
+
+def _sql_fold_sum(items: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+            "(acc, x) -> acc + x)")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Dot product of two list expressions (either may be a literal
+    from _sql_vec); elements cast to double like Spark's zip_with."""
+    return _sql_fold_sum(
+        f"list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return "sqrt(" + _sql_fold_sum(
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ) + ")"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """Round-6 cosine, NULL on zero denominators — mirrors
+    operators/similarity.py:_safe_div/cosine_scores."""
+    denom = f"{_sql_norm(a)} * {_sql_norm(b)}"
+    return (f"CASE WHEN {denom} > 0 "
+            f"THEN ROUND({_sql_dot(a, b)} / ({denom}), 6) END")
+
+
+def _sql_l2(a: str, b: str) -> str:
+    d = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return _sql_fold_sum(
+        f"list_transform(list_zip({a}, {b}), p -> {d} * {d})"
+    )
+
+
+def _sql_srp_bucket(vec: str, planes) -> str:
+    """SRP bucket id: one sign bit per literal hyperplane — mirrors
+    operators/similarity.py:srp_bucket."""
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot(vec, _sql_vec(p))} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pivot_cols = ",\n  ".join(
         "COALESCE(ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2), 0.0)"
@@ -969,6 +1024,13 @@ def oracle_sql() -> dict[str, str]:
     sh_fp = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(sh_bits)
     )
+
+    # --- ANN oracles: the same seeded hyperplanes the Spark queries use,
+    # inlined as SQL literals (deterministic_planes is pure f(seed)).
+    ann_planes = deterministic_planes(64, 8)
+    bucket_emb = _sql_srp_bucket("embedding", ann_planes)
+    bucket_q = _sql_srp_bucket("qv", ann_planes)
+    cos_q = _sql_cosine("embedding", "qv")
 
     return {
         "scan-prune-elements": """
@@ -1427,6 +1489,66 @@ def oracle_sql() -> dict[str, str]:
                                                      c -> CAST(ascii(c) AS DOUBLE)))
                              / nb END AS mean_byte
             FROM b
+        """,
+        # SRP-LSH ANN replicated in SQL: bucket every corpus vector with
+        # the same literal hyperplanes, probe Hamming<=1 around the
+        # query's bucket, exact round-6 cosine re-rank, top-10 with
+        # vec_id tie-break. Mirrors operators/similarity.py:knn_lsh.
+        "ext-similarity-ann": f"""
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            b AS (
+              SELECT vec_id, embedding, {bucket_emb} AS bkt
+              FROM embeddings WHERE vec_id <> 0),
+            qb AS (SELECT {bucket_q} AS qbkt FROM q)
+            SELECT vec_id, {cos_q} AS cosine_sim
+            FROM b, qb, q
+            WHERE b.bkt = qb.qbkt OR bit_count(xor(b.bkt, qb.qbkt)) = 1
+            ORDER BY cosine_sim DESC NULLS LAST, vec_id
+            LIMIT 10
+        """,
+        # IVF ANN replicated in SQL: centroids = the 8 lowest-vec_id
+        # corpus vectors (same deterministic seed as
+        # ivf_centroids_from_sample), argmin cell assignment with
+        # (distance, index) tie-break, 2-cell probe nearest the query,
+        # exact cosine re-rank. Mirrors operators/similarity.py:knn_ivf.
+        "ext-similarity-ivf": f"""
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cent AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+                     embedding AS cv
+              FROM corpus ORDER BY vec_id LIMIT 8),
+            assign AS (
+              SELECT vec_id, embedding, i,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+              FROM corpus CROSS JOIN cent),
+            probe AS (
+              SELECT i FROM cent, q
+              ORDER BY {_sql_l2('qv', 'cv')}, i LIMIT 2)
+            SELECT vec_id, {cos_q} AS cosine_sim
+            FROM assign, q
+            WHERE rn = 1 AND i IN (SELECT i FROM probe)
+            ORDER BY cosine_sim DESC NULLS LAST, vec_id
+            LIMIT 10
+        """,
+        # SRP-bucketed near-dup pairs: Hamming<=1 bucket join + round-6
+        # cosine >= 0.35 verify. Mirrors
+        # operators/similarity.py:embedding_near_dup_pairs (planes path).
+        "ext-dedup-embedding-lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {bucket_emb} AS bkt
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   {_sql_cosine('a.embedding', 'c.embedding')} AS cosine_sim
+            FROM b a JOIN b c
+              ON a.vec_id < c.vec_id
+             AND (a.bkt = c.bkt OR bit_count(xor(a.bkt, c.bkt)) = 1)
+            WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.35
         """,
         # Full banded MinHash-LSH replicated in SQL: the md5-derived
         # portable hash makes every stage deterministic across engines —
