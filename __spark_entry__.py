@@ -454,8 +454,10 @@ def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
-    # Rows-only: IVF ANN with Lloyd-refined centroids (vs the sampled
-    # seed in ext-similarity-ivf) — the quantizer-quality scale path.
+    # IVF ANN with Lloyd-refined centroids (vs the sampled seed in
+    # ext-similarity-ivf) — the quantizer-quality scale path.
+    # order_col + tol=0 make the 3 Lloyd rounds bit-deterministic, so
+    # the DuckDB twin replays them round by round.
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_centroids_from_sample, kmeans_refine_centroids, knn_ivf,
     )
@@ -466,7 +468,8 @@ def _ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
     )
     centroids = kmeans_refine_centroids(
-        corpus, vec_col="embedding", centroids=seed, n_iter=3
+        corpus, vec_col="embedding", centroids=seed, n_iter=3, tol=0.0,
+        order_col="vec_id",
     )
     return knn_ivf(
         corpus, id_col="vec_id", vec_col="embedding",
@@ -1032,6 +1035,34 @@ def oracle_sql() -> dict[str, str]:
     bucket_q = _sql_srp_bucket("qv", ann_planes)
     cos_q = _sql_cosine("embedding", "qv")
 
+    # Lloyd rounds for the kmeans-refined IVF oracle: each round is
+    # argmin assignment -> per-(cell, dim) ordered-fold mean ->
+    # centroid rebuild (empty cells keep the previous centroid).
+    # Mirrors similarity.py:kmeans_refine_centroids(order_col=...).
+    def _lloyd_round(r: int) -> str:
+        return f"""
+            assign{r} AS (
+              SELECT c.vec_id, c.embedding, t.i,
+                     ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_sql_l2('c.embedding', 't.cv')}, t.i) AS rn
+              FROM corpus c CROSS JOIN cent{r} t),
+            mean{r} AS (
+              SELECT i, pos,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+                  (acc, v) -> acc + v) / COUNT(*) AS m
+              FROM (SELECT vec_id, i, UNNEST(embedding) AS val,
+                           UNNEST(generate_series(1, len(embedding))) AS pos
+                    FROM assign{r} WHERE rn = 1)
+              GROUP BY i, pos),
+            cent{r + 1} AS (
+              SELECT p.i, COALESCE(n.cv, p.cv) AS cv
+              FROM cent{r} p
+              LEFT JOIN (SELECT i, list(m ORDER BY pos) AS cv
+                         FROM mean{r} GROUP BY i) n ON n.i = p.i)"""
+
+    lloyd_rounds = ",".join(_lloyd_round(r) for r in range(3))
+
     return {
         "scan-prune-elements": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -1532,6 +1563,35 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY {_sql_l2('qv', 'cv')}, i LIMIT 2)
             SELECT vec_id, {cos_q} AS cosine_sim
             FROM assign, q
+            WHERE rn = 1 AND i IN (SELECT i FROM probe)
+            ORDER BY cosine_sim DESC NULLS LAST, vec_id
+            LIMIT 10
+        """,
+        # IVF ANN after 3 deterministic Lloyd rounds, replayed in SQL:
+        # seed centroids = 8 lowest-id corpus vectors, then per round
+        # argmin assign -> ordered-fold per-dim means -> rebuild, then
+        # the same 2-cell probe + cosine re-rank as ext-similarity-ivf.
+        "ext-similarity-ivf-kmeans": f"""
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cent0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS cv
+              FROM corpus ORDER BY vec_id LIMIT 8),
+            {lloyd_rounds},
+            final_assign AS (
+              SELECT c.vec_id, c.embedding, t.i,
+                     ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_sql_l2('c.embedding', 't.cv')}, t.i) AS rn
+              FROM corpus c CROSS JOIN cent3 t),
+            probe AS (
+              SELECT i FROM cent3, q
+              ORDER BY {_sql_l2('qv', 'cv')}, i LIMIT 2)
+            SELECT vec_id, {cos_q} AS cosine_sim
+            FROM final_assign, q
             WHERE rn = 1 AND i IN (SELECT i FROM probe)
             ORDER BY cosine_sim DESC NULLS LAST, vec_id
             LIMIT 10

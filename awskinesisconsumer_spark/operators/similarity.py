@@ -256,6 +256,7 @@ def kmeans_refine_centroids(
     centroids: list[list[float]],
     n_iter: int = 5,
     tol: float = 1e-6,
+    order_col: str | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means refinement of IVF centroids: per round, (1)
     narrow argmin assignment against the current literal centroids,
@@ -270,18 +271,38 @@ def kmeans_refine_centroids(
     At 100 TB: train on a sample (`df.sample(...)`) — the quantizer
     needs distribution shape, not every row; assignment of the full
     corpus happens once afterwards via `ivf_assign`.
+
+    `order_col`: when set (a unique row key), each cell mean is a LEFT
+    FOLD over values sorted by that key instead of `F.avg` — avg's
+    partial-merge order follows shuffle-fetch order, so its low bits
+    can differ run to run; the ordered fold is bit-deterministic (and
+    therefore oracle-checkable). Costs a collect_list per (cell, dim)
+    group — bounded by cell size, so sample-scale training only.
     """
     cents = [[float(x) for x in c] for c in centroids]
     for _ in range(n_iter):
         assigned = ivf_assign(df, vec_col=vec_col, centroids=cents)
-        rows = (
-            assigned.select(
-                "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x")
-            )
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
-            .collect()
+        exploded = assigned.select(
+            *([order_col] if order_col else []),
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x"),
         )
+        if order_col is None:
+            agg = exploded.groupBy("cell", "pos").agg(
+                F.avg(F.col("_x").cast("double")).alias("_m")
+            )
+        else:
+            folded = F.aggregate(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col("_x").cast("double").alias("x"),
+                ))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            )
+            agg = exploded.groupBy("cell", "pos").agg(
+                (folded / F.count(F.lit(1))).alias("_m")
+            )
+        rows = agg.collect()
         new = [c[:] for c in cents]
         for r in rows:
             new[r["cell"]][r["pos"]] = float(r["_m"])
