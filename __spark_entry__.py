@@ -505,14 +505,13 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
-    # Cross-doc line dedup (CCNet-style). The fixture has no newlines,
-    # so build multi-line docs deterministically: 5-word chunks of each
-    # document become its lines — repeated fixture vocabulary makes
-    # real cross-doc duplicate lines.
-    from awskinesisconsumer_spark.operators.dedup import dedup_lines
-
-    docs = load_table(spark, "documents", sf)
+def _chunk_into_lines(docs: DataFrame) -> DataFrame:
+    # The fixture docs have no newlines, so build multi-line docs
+    # deterministically: 5-word chunks of each document become its
+    # lines — repeated fixture vocabulary makes real cross-doc
+    # duplicate lines. Shared by ext-dedup-lines and
+    # ext-quality-repetition; their DuckDB oracles replicate this exact
+    # chunking in a shared CTE shape, so the two call sites MUST agree.
     words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(5)).cast("int"), F.lit(1)
@@ -526,31 +525,23 @@ def _dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "\n",
     )
-    multi = docs.select("doc_id", chunked.alias("text"))
+    return docs.select("doc_id", chunked.alias("text"))
+
+
+def _dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-doc line dedup (CCNet-style) over deterministic chunk-lines.
+    from awskinesisconsumer_spark.operators.dedup import dedup_lines
+
+    multi = _chunk_into_lines(load_table(spark, "documents", sf))
     return dedup_lines(multi, id_col="doc_id", text_col="text")
 
 
 def _repetition(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher-style repetition filters over the same deterministic
-    # 5-word-chunk lines as ext-dedup-lines (fixture docs have no
-    # newlines of their own).
+    # 5-word-chunk lines as ext-dedup-lines.
     from awskinesisconsumer_spark.operators.text import repetition_stats
 
-    docs = load_table(spark, "documents", sf)
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    n_chunks = F.greatest(
-        F.ceil(F.size(words) / F.lit(5)).cast("int"), F.lit(1)
-    )
-    chunked = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_chunks),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, (i - 1) * F.lit(5) + 1, 5)
-            ),
-        ),
-        "\n",
-    )
-    multi = docs.select("doc_id", chunked.alias("text"))
+    multi = _chunk_into_lines(load_table(spark, "documents", sf))
     return repetition_stats(multi, id_col="doc_id", text_col="text")
 
 
@@ -1808,8 +1799,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_line_char_frac,
                    COALESCE(topg.g, '') AS top_2gram,
                    CASE WHEN mlen.len > 0 AND topg.g IS NOT NULL
-                        THEN ROUND(topg.c * length(topg.g)
-                                   / CAST(mlen.len AS DOUBLE), 4)
+                        THEN ROUND(LEAST(topg.c * length(topg.g)
+                                         / CAST(mlen.len AS DOUBLE), 1.0), 4)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM ls
             JOIN mlen ON mlen.doc_id = ls.doc_id

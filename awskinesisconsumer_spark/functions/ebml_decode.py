@@ -53,6 +53,8 @@ def read_varint(buf: bytes, pos: int = 0, *, keep_marker: bool) -> tuple[int, in
     keep_marker=False -> size semantics (marker stripped, all-ones ->
     EBML_UNKNOWN_SIZE).
     """
+    if pos >= len(buf):
+        raise ValueError("truncated varint")
     first = buf[pos]
     w = varint_width(first)
     if pos + w > len(buf):
@@ -113,6 +115,8 @@ def parse_simple_block(data: bytes) -> dict:
     payloads stay opaque bytes).
     """
     track, pos = read_varint(data, 0, keep_marker=False)
+    if pos + 3 > len(data):
+        raise ValueError("truncated SimpleBlock header")
     timecode = int.from_bytes(data[pos:pos + 2], "big", signed=True)
     flags = data[pos + 2]
     body = data[pos + 3:]
@@ -138,6 +142,8 @@ def _read_lace_raw(buf: bytes, pos: int) -> tuple[int, int, int]:
     """Decode one lace-size varint WITHOUT the unknown-size sentinel
     mapping (all-data-bits-ones is a legal lace size, not "unknown").
     Returns (value, width, new_pos)."""
+    if pos >= len(buf):
+        raise ValueError("truncated lace varint")
     w = varint_width(buf[pos])
     if pos + w > len(buf):
         raise ValueError("truncated lace varint")
@@ -165,6 +171,8 @@ def split_laced_frames(data: bytes) -> list[bytes]:
     route those blocks to the error channel rather than guessing).
     """
     _track, pos = read_varint(data, 0, keep_marker=False)
+    if pos + 3 > len(data):
+        raise ValueError("truncated SimpleBlock header")
     flags = data[pos + 2]
     body = data[pos + 3:]
     lacing = (flags & 0x06) >> 1
@@ -195,14 +203,17 @@ def split_laced_frames(data: bytes) -> list[bytes]:
             )
         sizes = [total // n_frames] * (n_frames - 1)
     else:  # EBML
-        prev, _, lpos = _read_lace_raw(body, lpos)
-        sizes.append(prev)
-        for _ in range(n_frames - 2):
-            raw, w, lpos = _read_lace_raw(body, lpos)
-            prev += raw - ((1 << (7 * w - 1)) - 1)  # signed range shift
-            if prev < 0:
-                raise ValueError("EBML lacing: negative frame size")
+        # n_frames == 1 (count byte 0x00) is legal: zero lace-size
+        # fields, the remainder is the single frame.
+        if n_frames > 1:
+            prev, _, lpos = _read_lace_raw(body, lpos)
             sizes.append(prev)
+            for _ in range(n_frames - 2):
+                raw, w, lpos = _read_lace_raw(body, lpos)
+                prev += raw - ((1 << (7 * w - 1)) - 1)  # signed range shift
+                if prev < 0:
+                    raise ValueError("EBML lacing: negative frame size")
+                sizes.append(prev)
     frames: list[bytes] = []
     for size in sizes:
         if lpos + size > len(body):

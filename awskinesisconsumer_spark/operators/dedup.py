@@ -356,11 +356,12 @@ def connected_components(
     groupBy per round — no cross product, shuffles keyed by vertex id).
     Rounds needed = graph diameter, and dedup-cluster graphs are
     shallow (near-clique blobs), so 3-5 rounds is typical. Labels only
-    ever decrease, so sum(label) is a monotone convergence witness: one
-    scalar agg per round instead of an old-vs-new join. localCheckpoint
-    truncates the growing lineage each round (the standard guard for
-    iterative DataFrame algorithms — without it round N replans rounds
-    1..N-1).
+    ever decrease, so a per-round count of rows whose incoming message
+    beat their label is an exact convergence witness — type-agnostic
+    (doc ids are often strings), one tiny agg over the already-
+    checkpointed round result. localCheckpoint truncates the growing
+    lineage each round (the standard guard for iterative DataFrame
+    algorithms — without it round N replans rounds 1..N-1).
 
     `vertices` (optional) adds isolated docs: anything absent from
     `pairs` becomes its own singleton cluster, so the output covers the
@@ -380,27 +381,33 @@ def connected_components(
         verts = vertices.select(id_col).unionByName(verts).distinct()
     labels = verts.select(id_col, F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges["_src"] == labels[id_col])
-            .groupBy(F.col("_dst").alias(id_col))
-            .agg(F.min("cluster_id").alias("_msg"))
-        )
-        labels = (
-            labels.join(msgs, id_col, "left")
-            .select(id_col,
-                    F.least("cluster_id", "_msg").alias("cluster_id"))
-        ).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    edges.unpersist()
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges["_src"] == labels[id_col])
+                .groupBy(F.col("_dst").alias(id_col))
+                .agg(F.min("cluster_id").alias("_msg"))
+            )
+            labels = (
+                labels.join(msgs, id_col, "left")
+                .select(
+                    id_col,
+                    F.least("cluster_id", "_msg").alias("cluster_id"),
+                    F.coalesce(F.col("_msg") < F.col("cluster_id"),
+                               F.lit(False)).alias("_changed"),
+                )
+            ).localCheckpoint(eager=True)
+            n_changed = labels.agg(
+                F.count_if(F.col("_changed"))).collect()[0][0]
+            labels = labels.drop("_changed")
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels
 
 

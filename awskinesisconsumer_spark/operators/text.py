@@ -166,7 +166,10 @@ def repetition_stats(df: DataFrame, *, id_col: str,
     * top_2gram / top_2gram_char_frac — the most frequent word 2-gram
       (count ties break to the lexicographically largest gram, so the
       result is deterministic) and the fraction of text characters its
-      occurrences cover.
+      occurrences cover. Occurrences may overlap ("spam spam spam"
+      counts 'spam spam' twice), so the raw product can exceed the
+      text length; the fraction is clamped to 1.0 to stay a [0,1]
+      filterable quantity.
 
     Unlike the other text ops this one shuffles: per-(doc, line) and
     per-(doc, gram) counts need a groupBy. All keys are doc-prefixed,
@@ -213,7 +216,7 @@ def repetition_stats(df: DataFrame, *, id_col: str,
         F.coalesce(F.col("_top.shingle"), F.lit("")).alias("top_2gram"),
         F.when(
             (F.col("_len") > 0) & F.col("_top").isNotNull(),
-            F.round(F.col("_top._c") * F.length("_top.shingle")
-                    / F.col("_len"), 4),
+            F.round(F.least(F.col("_top._c") * F.length("_top.shingle")
+                            / F.col("_len"), F.lit(1.0)), 4),
         ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
     )

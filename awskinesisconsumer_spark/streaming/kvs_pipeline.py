@@ -114,12 +114,19 @@ def demux_blocks(blocks: DataFrame, *, payload_col: str = "frame_payload",
     if explode_laced:
         out_schema += ", lace_index int, lace_payload binary"
 
+    def parse_or_empty(b) -> dict:
+        # A truncated/corrupt block header must surface as one row of
+        # null metadata, not abort the whole Arrow batch.
+        if b is None:
+            return {}
+        try:
+            return parse_simple_block(bytes(b))
+        except ValueError:
+            return {}
+
     def demux(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
-            meta = [
-                parse_simple_block(bytes(b)) if b is not None else {}
-                for b in pdf[payload_col]
-            ]
+            meta = [parse_or_empty(b) for b in pdf[payload_col]]
             out = pdf.copy()
             out["track"] = [m.get("track") for m in meta]
             out["timecode"] = [m.get("timecode") for m in meta]

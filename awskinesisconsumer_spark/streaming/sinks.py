@@ -145,7 +145,11 @@ def prune_file_sink(path: str, *, keep_files: int) -> list[str]:
                 # Concurrent prune / compaction already removed it:
                 # already-gone counts as success, never a crash.
                 continue
-    files.sort(key=lambda t: (t[0], t[1]))
+    # Tiebreak on the part-file NAME (the writer's monotone counter),
+    # not the full path — path order would let partition-dir names
+    # decide eviction across dirs. Full path last for determinism when
+    # even basenames collide.
+    files.sort(key=lambda t: (t[0], os.path.basename(t[1]), t[1]))
     doomed = [p for _, p in files[: max(0, len(files) - keep_files)]]
     deleted: list[str] = []
     for p in doomed:

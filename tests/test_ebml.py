@@ -247,6 +247,15 @@ def test_split_laced_frames_ebml():
     body = b"\x01" + b"\x41\xf4" + b"short"
     with pytest.raises(ValueError):
         split_laced_frames(_block(0x06, body))
+    # frame-count byte 0x00 (1 frame, zero lace-size fields) is legal
+    # per RFC 9559: the remainder is the single frame, NOT a varint.
+    assert split_laced_frames(_block(0x06, b"\x00HELLO")) == [b"HELLO"]
+    # body cut off right after the first lace varint's width byte ->
+    # ValueError (not IndexError), so demux routes it, not crashes
+    with pytest.raises(ValueError):
+        split_laced_frames(_block(0x06, b"\x02\x83"))
+    with pytest.raises(ValueError):
+        split_laced_frames(b"\x81\x00")  # truncated block header
 
 
 def test_heads_only_traversal():

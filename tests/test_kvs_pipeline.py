@@ -177,6 +177,7 @@ def test_demux_explode_laced_frames(spark):
         (2, blk(0x02, b"\x01" + bytes([3]) + b"xxx" + b"yy")),     # xiph, 3+2
         (3, blk(0x06, b"\x01" + b"\x83" + b"dddee")),              # ebml, 3+2
         (4, blk(0x04, b"\x02" + b"abcd")),                         # corrupt fixed
+        (5, b"\x81\x00"),                                          # truncated header
     ]
     df = spark.createDataFrame(rows, "chunk_id int, frame_payload binary")
     out = demux_blocks(df, explode_laced=True).collect()
@@ -193,3 +194,7 @@ def test_demux_explode_laced_frames(spark):
     # corrupt block: one visible row, null lace columns
     assert len(by_chunk[4]) == 1
     assert by_chunk[4][0].lace_index is None and by_chunk[4][0].lace_payload is None
+    # block truncated before the flags byte: metadata pass must not
+    # crash the batch — one row, null metadata AND null lace columns
+    assert len(by_chunk[5]) == 1
+    assert by_chunk[5][0].track is None and by_chunk[5][0].lace_payload is None

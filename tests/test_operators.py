@@ -226,6 +226,19 @@ def test_connected_components_clusters(spark):
     }
 
 
+def test_connected_components_string_ids(spark):
+    """Doc ids are often strings (URLs, hashes); the convergence
+    witness must not assume numeric labels."""
+    from awskinesisconsumer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {x: "a" for x in "abcde"}
+
+
 def test_connected_components_empty_pairs(spark):
     from awskinesisconsumer_spark.operators.dedup import connected_components
 

@@ -18,8 +18,8 @@ def test_repetition_stats(spark):
         docs, id_col="doc_id", text_col="text"
     ).collect()}
     assert out[1].top_2gram == "spam spam"
-    # 3 occurrences x 9 chars / 19 chars
-    assert out[1].top_2gram_char_frac == round(27 / 19, 4)
+    # 3 overlapping occurrences x 9 chars / 19 chars = 1.42, clamped to 1.0
+    assert out[1].top_2gram_char_frac == 1.0
     assert out[1].dup_line_frac == 0.0
     assert out[2].n_lines == 4 and out[2].dup_line_frac == 0.5
     # dup chars = 2x'aa' of total 2+2+2+2=8 line chars
