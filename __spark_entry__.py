@@ -545,6 +545,41 @@ def _repetition(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(multi, id_col="doc_id", text_col="text")
 
 
+def _pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    # PII scrub demo with deterministic injected PII (the fixture text
+    # has none): each doc gets an email/ip/phone/ssn derived from doc_id,
+    # then redact_pii must find and replace exactly those. Counts are
+    # taken pre-redaction, so the oracle replays injection + the same
+    # regex chain.
+    from awskinesisconsumer_spark.operators.text import redact_pii
+
+    docs = load_table(spark, "documents", sf)
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (did % 256).cast("string"), F.lit(".7 call 415-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(injected, text_col="text")
+    return out.select("doc_id", "n_email", "n_ssn", "n_ip", "n_phone",
+                      "redacted")
+
+
+def _tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # Top-5 TF-IDF terms per document (smoothed sklearn idf).
+    from awskinesisconsumer_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf)
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
+
+
 def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     # Pairs -> duplicate clusters via iterative min-label propagation
     # (the "keep one doc per duplicate group" resolution step). Input
@@ -885,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-cluster": _dedup_cluster,
         "ext-dedup-lines": _dedup_lines,
         "ext-quality-repetition": _repetition,
+        "ext-pii-redact": _pii_redact,
+        "ext-tfidf-terms": _tfidf_terms,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -986,6 +1023,25 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(words, w -> list_contains({arr}, w))) AS s_{lang}"
         for lang, arr in lang_markers.items()
     )
+
+    # --- PII redaction twin (operators/text.py:PII_PATTERNS) ---
+    # Same regexes (Java-regex/RE2 common subset), same order; DuckDB
+    # needs the explicit 'g' flag Spark's regexp_replace implies.
+    from awskinesisconsumer_spark.operators.text import PII_PATTERNS
+
+    pii_inj = (
+        "COALESCE(text, '') || ' contact user' || doc_id || "
+        "'@example.com ip 10.0.' || (doc_id % 256) || '.7 call 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    pii_counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    pii_red = "t"
+    for _name, pat, tok in PII_PATTERNS:
+        pii_red = f"regexp_replace({pii_red}, '{pat}', '{tok}', 'g')"
 
     # --- portable-hash minhash/simhash twins (dedup.portable_hash52) ---
     # ('0x' || first 13 md5 hex chars)::BIGINT == Spark's
@@ -1291,6 +1347,34 @@ def oracle_sql() -> dict[str, str]:
         "agg-salted-sum": """
             SELECT event_type, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "ext-pii-redact": f"""
+            WITH inj AS (SELECT doc_id, {pii_inj} AS t FROM documents)
+            SELECT doc_id,
+                   {pii_counts},
+                   {pii_red} AS redacted
+            FROM inj
+        """,
+        "ext-tfidf-terms": f"""
+            WITH w AS (SELECT doc_id, {words_lower} AS words
+                       FROM documents),
+            tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM tok WHERE term <> '' GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * (ln((nd + 1.0) / (dft + 1.0)) + 1.0), 4)
+                       AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS term_rank
+              FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(term_rank AS INT) AS term_rank
+            FROM ranked WHERE term_rank <= 5
         """,
         "ext-token-count": r"""
             SELECT doc_id,

@@ -220,3 +220,91 @@ def repetition_stats(df: DataFrame, *, id_col: str,
                             / F.col("_len"), F.lit(1.0)), 4),
         ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
     )
+
+
+# Default PII patterns, ordered: earlier patterns are redacted first,
+# so e.g. the email rule consumes 'user@host' before the phone rule
+# can see digit runs inside it. Every pattern stays inside the common
+# Java-regex/RE2 subset (no lookaround, no backrefs), so the same
+# strings drive Spark's regexp_replace and an external engine's
+# byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, *, text_col: str,
+               out_col: str = "redacted") -> DataFrame:
+    """PII redaction — the scrub pass every LLM training corpus runs
+    before anything else ships: emails, SSN-shaped ids, IPv4 addresses,
+    and phone-shaped numbers are replaced with typed tokens, and a
+    per-category match count (`n_email`, `n_ssn`, `n_ip`, `n_phone`,
+    counted BEFORE redaction) comes along for audit/filter use.
+
+    Narrow, pure column expressions (regexp_count + a regexp_replace
+    chain) — no shuffle, no UDF, whole-stage codegen; at 100 TB this is
+    a map-only pass that pipelines into whatever scan feeds it. Pattern
+    order matters and is part of the contract (see PII_PATTERNS).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(text, F.lit(pat)).cast("bigint"),
+        )
+    red = text
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn(out_col, red)
+
+
+def tfidf_top_terms(df: DataFrame, *, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed sklearn-style idf:
+    ln((N+1)/(df+1)) + 1), the standard keyword/topic signal for corpus
+    curation. Returns (id, term, tf, score, term_rank), term_rank 1..k
+    by (score DESC, term ASC) — fully deterministic.
+
+    Scale shape: tf = groupBy(doc, term) with map-side combine (the
+    shuffle carries one row per distinct term per doc); document
+    frequency = groupBy(term) count over those rows (stopword keys are
+    hot but it's a partial-aggregated count, not a list); N = scalar
+    subquery broadcast, never collected; idf joins back on term
+    (AQE broadcasts it when the vocabulary is small); final top-k is a
+    doc-partitioned window — no global sort anywhere.
+    """
+    words = _words(F.lower(F.col(text_col)))
+    tok = (
+        df.select(id_col, F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "score", "term_rank")
+    )

@@ -42,6 +42,8 @@ HEADLINE = [
     "ext-dedup-lines",
     "ext-dedup-cluster",
     "ext-quality-repetition",
+    "ext-pii-redact",
+    "ext-tfidf-terms",
     "stream-asof-tags",
 ]
 

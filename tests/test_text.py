@@ -27,3 +27,58 @@ def test_repetition_stats(spark):
     assert out[3].n_lines == 1 and out[3].top_2gram == ""
     assert out[3].dup_line_char_frac == 0.0 and out[3].top_2gram_char_frac == 0.0
     assert out[4].top_2gram == "one two" and out[4].top_2gram_char_frac == 1.0
+
+
+def test_redact_pii(spark):
+    """Typed PII tokens replace matches; per-category counts are taken
+    before redaction; pattern order keeps the email intact from the
+    phone/ip rules."""
+    from awskinesisconsumer_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_99@sub.example.org now"),
+            (2, "host 10.0.255.7 and phone 415-555-0199"),
+            (3, "ssn 123-45-6789 twice 123-45-0000"),
+            (4, None),
+            (5, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs, text_col="text").collect()}
+    assert out[1].redacted == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].redacted == "host <IP> and phone <PHONE>"
+    assert out[2].n_ip == 1 and out[2].n_phone == 1 and out[2].n_email == 0
+    assert out[3].redacted == "ssn <SSN> twice <SSN>" and out[3].n_ssn == 2
+    # SSNs must NOT double-count as phones (3-2-4 != 3-3-4 grouping)
+    assert out[3].n_phone == 0
+    assert out[4].redacted == "" and out[4].n_email == 0
+    assert out[5].redacted == "no pii here"
+
+
+def test_tfidf_top_terms(spark):
+    """Smoothed TF-IDF: corpus-wide terms score ln(1)+1 = tf, rarer
+    terms higher; deterministic (score DESC, term ASC) ranking."""
+    import math
+
+    from awskinesisconsumer_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "apple banana date date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=2)
+    rows = {(r.doc_id, r.term_rank): r for r in out.collect()}
+    idf = lambda df_t: math.log(4 / (df_t + 1)) + 1
+    # doc 1: apple tf=2 but df=3 (idf=1.0) -> 2.0; banana tf=1 df=2 -> 1.2877
+    assert rows[(1, 1)].term == "apple"
+    assert rows[(1, 1)].score == round(2 * idf(3), 4)
+    assert rows[(1, 2)].term == "banana"
+    # doc 3: date tf=2 df=1 -> top
+    assert rows[(3, 1)].term == "date"
+    assert rows[(3, 1)].score == round(2 * idf(1), 4)
+    assert {r.term_rank for r in out.collect()} == {1, 2}
