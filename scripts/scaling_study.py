@@ -1,0 +1,206 @@
+"""Data-proportional scaling study for the text/vector operators.
+
+The driver fixtures keep `documents` small (500-5000 rows), so this
+study amplifies them deterministically: each doc/vector is replicated
+R times with a per-replica mutation (appended marker tokens / a small
+per-replica vector perturbation), written to parquet once, and the
+operators are timed against the materialized corpus — so the numbers
+measure the operator, not the amplification expression. Replicas of
+one doc are near-duplicates of each other, which is exactly the hard
+case for the dedup family (dense LSH buckets, real candidate pairs).
+
+Each (op, N) runs twice in a warm session; the SECOND run is the
+headline number (steady-state data-proportional cost, JIT/codegen
+excluded — first-run times are printed too). Results feed SCALING.md.
+
+Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py [--quick]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from awskinesisconsumer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/scaling_study"
+
+
+def amplify_docs(spark, repl: int, path: str) -> None:
+    """5000 base docs x repl near-duplicate replicas -> parquet."""
+    if os.path.exists(path):
+        return
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("_rep"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("_rep")).alias("doc_id"),
+            # Mutation keeps replicas near-dups (jaccard ~0.9 at ~45
+            # words/doc): a replica marker + a doc-dependent token.
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" rep"), F.col("_rep").cast("string"),
+                F.lit(" marker"), (F.col("doc_id") % 7).cast("string"),
+            ).alias("text"),
+        )
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def amplify_embs(spark, repl: int, path: str) -> None:
+    """2000 base vectors x repl perturbed replicas -> parquet."""
+    if os.path.exists(path):
+        return
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = (
+        embs.select(
+            "vec_id", "embedding", "label",
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("_rep"),
+        )
+        .select(
+            (F.col("vec_id") * 1000 + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (x + F.col("_rep") * 0.0001 * ((i % 3) + 1))
+                .cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def doc_ops():
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_exact, dedup_lines, dedup_minhash_lsh, ngram_jaccard_pairs,
+        simhash,
+    )
+    from awskinesisconsumer_spark.operators.text import (
+        quality_score, redact_pii, repetition_stats, tfidf_top_terms,
+    )
+    return {
+        "dedup-exact": lambda d: dedup_exact(d, text_col="text", id_col="doc_id"),
+        "dedup-minhash-lsh": lambda d: dedup_minhash_lsh(
+            d, id_col="doc_id", text_col="text",
+            num_hashes=64, bands=16, jaccard_threshold=0.8,
+        ),
+        "dedup-simhash": lambda d: simhash(d, text_col="text", id_col="doc_id"),
+        "dedup-ngram-jaccard": lambda d: ngram_jaccard_pairs(
+            d, id_col="doc_id", text_col="text", n=3, threshold=0.8
+        ),
+        "dedup-lines": lambda d: dedup_lines(d, id_col="doc_id", text_col="text"),
+        "quality-repetition": lambda d: repetition_stats(
+            d, id_col="doc_id", text_col="text"
+        ),
+        "quality-score": lambda d: quality_score(d, text_col="text"),
+        "pii-redact": lambda d: redact_pii(d, text_col="text"),
+        "tfidf-terms": lambda d: tfidf_top_terms(
+            d, id_col="doc_id", text_col="text", k=5
+        ),
+    }
+
+
+def emb_ops():
+    from awskinesisconsumer_spark.operators.similarity import (
+        deterministic_planes, ivf_centroids_from_sample, knn_ivf, knn_lsh,
+        pairwise_topk_cosine,
+    )
+
+    def lsh(d):
+        planes = deterministic_planes(64, 8)
+        probe = [float(i % 13) / 13.0 for i in range(64)]
+        return knn_lsh(d, id_col="vec_id", vec_col="embedding",
+                       query=probe, planes=planes, k=10)
+
+    def ivf(d):
+        cents = ivf_centroids_from_sample(
+            d, id_col="vec_id", vec_col="embedding", n_centroids=8
+        )
+        probe = [float(i % 13) / 13.0 for i in range(64)]
+        return knn_ivf(d, id_col="vec_id", vec_col="embedding",
+                       query=probe, centroids=cents, n_probes=2, k=10)
+
+    return {
+        "knn-brute-topk": lambda d: pairwise_topk_cosine(
+            d, id_col="vec_id", vec_col="embedding",
+            probe_ids=[0, 1000, 2000], k=5,
+        ),
+        "ann-srp-lsh": lsh,
+        "ann-ivf": ivf,
+    }
+
+
+def timed(make_df, src, spark) -> tuple[float, float]:
+    times = []
+    for _ in range(2):
+        # Some operators persist() intermediates (and leave the output
+        # cached for the caller). Spark's CacheManager matches the
+        # identical logical plan of the repeat run and would serve it
+        # from cache, so "warm" would measure nothing; clearing keeps
+        # warm = steady-state recompute (JIT/codegen warm, data cold)
+        # and stops leaked cache blocks from pressuring later ops.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        make_df(src).write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 2))
+    spark.catalog.clearCache()
+    return times[0], times[1]
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("scaling-study")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    doc_sizes = [1, 10] if quick else [1, 10, 40]   # x5000 docs
+    emb_sizes = [1, 10] if quick else [1, 10, 40]   # x2000 vectors
+
+    corpora = {}
+    for r in doc_sizes:
+        p = f"{WORK}/docs_x{r}.parquet"
+        amplify_docs(spark, r, p)
+        corpora[("docs", r)] = spark.read.parquet(p)
+    for r in emb_sizes:
+        p = f"{WORK}/embs_x{r}.parquet"
+        amplify_embs(spark, r, p)
+        corpora[("embs", r)] = spark.read.parquet(p)
+
+    results: list[tuple[str, int, int, float, float]] = []
+    for name, op in doc_ops().items():
+        for r in doc_sizes:
+            # The inverted-index jaccard verify is quadratic in
+            # near-dup group size; 200k docs in 40-replica groups is
+            # a pathological stress we document but skip by default.
+            if name == "dedup-ngram-jaccard" and r > 10:
+                continue
+            n = 5000 * r
+            cold, warm = timed(op, corpora[("docs", r)], spark)
+            results.append((name, n, r, cold, warm))
+            print(f"{name:22s} n={n:7d} cold={cold:7.2f}s warm={warm:7.2f}s",
+                  flush=True)
+    for name, op in emb_ops().items():
+        for r in emb_sizes:
+            n = 2000 * r
+            cold, warm = timed(op, corpora[("embs", r)], spark)
+            results.append((name, n, r, cold, warm))
+            print(f"{name:22s} n={n:7d} cold={cold:7.2f}s warm={warm:7.2f}s",
+                  flush=True)
+
+    print("\n| operator | n | cold | warm |")
+    print("|---|---|---|---|")
+    for name, n, _r, cold, warm in results:
+        print(f"| {name} | {n:,} | {cold:.2f} s | {warm:.2f} s |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
