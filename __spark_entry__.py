@@ -580,6 +580,38 @@ def _tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
 
 
+def _decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    # evaluation suite; any doc sharing >= 5 distinct 3-grams with it
+    # is contaminated. With this fixture only the benchmark docs
+    # themselves clear the bar, which is exactly the property the
+    # oracle re-derives from first principles.
+    from awskinesisconsumer_spark.operators.corpus_prep import decontaminate
+
+    docs = load_table(spark, "documents", sf)
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    out = decontaminate(
+        docs, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+        n=3, min_overlap=5,
+    )
+    return out.select("doc_id", "n_matched_ngrams", "contaminated")
+
+
+def _pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # GPT-style sequence packing: BPE-ish token counts, docs
+    # concatenated in doc_id order, split into 512-token sequences.
+    from awskinesisconsumer_spark.operators.corpus_prep import pack_sequences
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf)
+    toks = token_count(docs, text_col="text").select("doc_id", "n_tokens")
+    return pack_sequences(toks, id_col="doc_id", token_col="n_tokens",
+                          capacity=512, group_size=64)
+
+
 def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     # Pairs -> duplicate clusters via iterative min-label propagation
     # (the "keep one doc per duplicate group" resolution step). Input
@@ -922,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-quality-repetition": _repetition,
         "ext-pii-redact": _pii_redact,
         "ext-tfidf-terms": _tfidf_terms,
+        "ext-decontaminate": _decontaminate,
+        "ext-pack-sequences": _pack_sequences,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -1788,6 +1822,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = pairs.id_b
             WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
                                         AS DOUBLE), 4) >= 0.3
+        """,
+        # Same 3-gram machinery as the jaccard oracle; benchmark =
+        # doc_id % 97 == 0, contaminated = >= 5 shared distinct grams.
+        "ext-decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+            m AS (
+              SELECT doc_id, COUNT(*) AS n_matched
+              FROM g WHERE s IN (SELECT s FROM bg)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched_ngrams,
+                   COALESCE(m.n_matched, 0) >= 5 AS contaminated
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        """,
+        # Global token prefix-sum == Spark's two-pass grouped cumsum.
+        "ext-pack-sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   tok_end - n_tokens AS tok_start, tok_end,
+                   (tok_end - n_tokens) // 512 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+                        ELSE (tok_end - n_tokens) // 512 END AS seq_last,
+                   (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+                         ELSE (tok_end - n_tokens) // 512 END)
+                     - ((tok_end - n_tokens) // 512) + 1 AS n_seqs
+            FROM c
         """,
         # Line-level dedup over deterministically chunked docs: a line
         # survives only at its globally smallest (doc_id, line_no).

@@ -1,0 +1,138 @@
+"""Corpus-preparation operators for training-data pipelines:
+benchmark decontamination and fixed-budget sequence packing.
+
+Both are pure DataFrame compositions (no Python UDFs), so they run
+inside whole-stage codegen and scale by partitioning:
+
+- `decontaminate` broadcasts the (small) benchmark n-gram set against
+  the (huge) corpus — the corpus is never shuffled by the join; only
+  the matched rows (a tiny fraction) shuffle for the per-doc rollup.
+- `pack_sequences` computes a global token prefix-sum with the
+  classic two-pass pattern (per-group cumsum + tiny group-offset
+  broadcast) instead of a single-partition global window, which is
+  the canonical Spark scaling trap for cumulative sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents that share >= `min_overlap` distinct word
+    n-grams with ANY benchmark document (training-set decontamination
+    against an evaluation suite).
+
+    Returns `docs` plus `n_matched_ngrams` (distinct corpus-side
+    n-grams that appear anywhere in the benchmark; 0 when clean) and
+    `contaminated` (boolean).
+
+    Scale shape: the benchmark n-gram set is tiny relative to a
+    training corpus (eval suites are fixed-size), so the join is a
+    broadcast hash join — the corpus side streams through map-side
+    with NO shuffle; only matched (doc, gram) rows (rare) shuffle for
+    the groupBy, and the final re-attach keys on `id_col` with the
+    match table on the small side, broadcast again. Hot/stop-word
+    grams never explode the join because both sides are per-doc
+    DISTINCT and the benchmark side is bounded by its corpus size.
+    """
+    doc_grams = shingle_rows(docs, id_col=id_col, text_col=text_col,
+                             n=n, distinct=True)
+    bench_grams = (
+        shingle_rows(benchmark, id_col=bench_id_col,
+                     text_col=bench_text_col, n=n, distinct=True)
+        .select(F.col("shingle")).distinct()
+    )
+    # No threshold filter here: docs below min_overlap must still
+    # report their true overlap count (contaminated=false), not 0.
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched_ngrams"))
+    )
+    return (
+        docs.join(F.broadcast(matched), id_col, "left")
+        .withColumn("n_matched_ngrams",
+                    F.coalesce(F.col("n_matched_ngrams"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_matched_ngrams") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    group_size: int = 1024,
+) -> DataFrame:
+    """Concatenate documents in `id_col` order into one token stream
+    and split it into fixed-`capacity` training sequences (GPT-style
+    packing where documents may straddle sequence boundaries).
+
+    Returns one row per document: `tok_start` / `tok_end` (global
+    token offsets, end exclusive), `seq_first` / `seq_last` (the
+    sequence indices the document lands in), `n_seqs` (how many
+    sequences it spans). Zero-token documents occupy no space and map
+    to the sequence at their offset.
+
+    `id_col` must be non-null numeric-orderable; ordering is by its
+    value, so the layout is deterministic (and SQL-reproducible) —
+    unlike `spark_partition_id`-based numbering.
+
+    Scale shape: a global cumulative sum via the two-pass prefix-sum
+    pattern — a window partitioned by `floor(id / group_size)` (many
+    small groups, parallel), then per-group totals prefix-summed on a
+    group-count-sized table that broadcasts back. The naive
+    formulation (`Window.orderBy(id)` with no partitionBy) funnels
+    the whole corpus through ONE task and is the thing this operator
+    exists to avoid.
+    """
+    from pyspark.sql import Window
+
+    toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    g = F.floor(F.col(id_col).cast("bigint") / group_size).alias("_g")
+    base = df.select(F.col(id_col), toks.alias("_t"), g)
+
+    in_group = Window.partitionBy("_g").orderBy(id_col)
+    local = base.withColumn("_local_end", F.sum("_t").over(in_group))
+
+    # Tiny: one row per group. The running offset over groups is a
+    # window on this small table only, then broadcast back.
+    group_w = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("_g").agg(F.sum("_t").alias("_gtot"))
+        .withColumn("_goff", F.coalesce(F.sum("_gtot").over(group_w),
+                                        F.lit(0)))
+        .select("_g", "_goff")
+    )
+
+    tok_end = F.col("_goff") + F.col("_local_end")
+    tok_start = tok_end - F.col("_t")
+    return (
+        local.join(F.broadcast(offsets), "_g")
+        .select(
+            F.col(id_col),
+            F.col("_t").alias("n_tokens"),
+            tok_start.alias("tok_start"),
+            tok_end.alias("tok_end"),
+            F.floor(tok_start / capacity).alias("seq_first"),
+            F.when(F.col("_t") > 0, F.floor((tok_end - 1) / capacity))
+            .otherwise(F.floor(tok_start / capacity)).alias("seq_last"),
+        )
+        .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
+    )

@@ -44,6 +44,8 @@ HEADLINE = [
     "ext-quality-repetition",
     "ext-pii-redact",
     "ext-tfidf-terms",
+    "ext-decontaminate",
+    "ext-pack-sequences",
     "stream-asof-tags",
 ]
 
