@@ -612,6 +612,54 @@ def _pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
                           capacity=512, group_size=64)
 
 
+def _prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed training-data pipeline, end to end: exact dedup ->
+    # benchmark decontamination -> quality filter -> sequence packing.
+    # Every stage is individually oracle-checked elsewhere; this entry
+    # proves the COMPOSITION (including how filters re-shape the
+    # packing layout) against one composed SQL oracle.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        decontaminate, pack_sequences,
+    )
+    from awskinesisconsumer_spark.operators.dedup import dedup_exact
+    from awskinesisconsumer_spark.operators.text import (
+        quality_score, token_count,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    survivors = dedup_exact(docs, text_col="text", id_col="doc_id").select(
+        "doc_id"
+    )
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    clean = decontaminate(
+        kept, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+        n=3, min_overlap=5,
+    ).where(~F.col("contaminated"))
+    good = quality_score(clean, text_col="text").where(
+        F.col("quality") >= 0.5
+    )
+    toks = token_count(good, text_col="text").select("doc_id", "n_tokens")
+    return pack_sequences(toks, id_col="doc_id", token_col="n_tokens",
+                          capacity=512, group_size=64)
+
+
+def _jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # Training-data export surface: documents -> sharded JSONL files ->
+    # read back with the explicit schema (inference would re-order and
+    # re-type columns). The roundtrip must reproduce the table exactly;
+    # oracle = SELECT * FROM documents.
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="jsonl_out_")
+    docs = load_table(spark, "documents", sf)
+    docs.repartition(8).write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
+
+
 def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     # Pairs -> duplicate clusters via iterative min-label propagation
     # (the "keep one doc per duplicate group" resolution step). Input
@@ -956,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-tfidf-terms": _tfidf_terms,
         "ext-decontaminate": _decontaminate,
         "ext-pack-sequences": _pack_sequences,
+        "ext-prepare-corpus": _prepare_corpus,
+        "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
         "ext-multimodal-audio": _multimodal_audio,
@@ -1870,6 +1920,69 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (tok_end - n_tokens) // 512 END)
                      - ((tok_end - n_tokens) // 512) + 1 AS n_seqs
             FROM c
+        """,
+        # Composed pipeline: dedup -> decontaminate -> quality >= 0.5
+        # -> pack. Stage twins reused verbatim from the per-op oracles.
+        "ext-prepare-corpus": f"""
+            WITH surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+            m AS (
+              SELECT doc_id, COUNT(*) AS n_matched
+              FROM g WHERE s IN (SELECT s FROM bg)
+              GROUP BY doc_id),
+            kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN surv ON surv.doc_id = d.doc_id
+              LEFT JOIN m ON m.doc_id = d.doc_id
+              WHERE COALESCE(m.n_matched, 0) < 5),
+            qual AS (
+              SELECT doc_id, text,
+                CASE WHEN len(words) = 0 THEN 0.0 ELSE ROUND(
+                  0.4 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+                  + 0.3 * (1.0 - len(list_filter(words, x ->
+                      list_contains({stop_list}, x)))
+                      / CAST(len(words) AS DOUBLE))
+                  + 0.3 * (len(list_distinct(words))
+                      / CAST(len(words) AS DOUBLE)),
+                4) END AS quality
+              FROM (SELECT doc_id, text, {words_expr} AS words FROM kept)),
+            t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+              FROM qual WHERE quality >= 0.5),
+            c AS (
+              SELECT doc_id, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   tok_end - n_tokens AS tok_start, tok_end,
+                   (tok_end - n_tokens) // 512 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+                        ELSE (tok_end - n_tokens) // 512 END AS seq_last,
+                   (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+                         ELSE (tok_end - n_tokens) // 512 END)
+                     - ((tok_end - n_tokens) // 512) + 1 AS n_seqs
+            FROM c
+        """,
+        "sink-jsonl-roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # Line-level dedup over deterministically chunked docs: a line
         # survives only at its globally smallest (doc_id, line_no).

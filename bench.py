@@ -46,6 +46,7 @@ HEADLINE = [
     "ext-tfidf-terms",
     "ext-decontaminate",
     "ext-pack-sequences",
+    "ext-prepare-corpus",
     "stream-asof-tags",
 ]
 
