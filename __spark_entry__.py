@@ -647,6 +647,38 @@ def _prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
                           capacity=512, group_size=64)
 
 
+def _sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source corpus downsampling with the portable md5 hash gate,
+    # so DuckDB reproduces membership bit-for-bit.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sample_stratified,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = load_table(spark, "documents", sf)
+    return sample_stratified(
+        docs, strata_col="source", key_col="doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.05, salt="v1", hash_fn=portable_hash52,
+    ).select("doc_id", "source", "lang")
+
+
+def _mixture_allocate(spark: SparkSession, sf: str) -> DataFrame:
+    # Data-mixture planning over BPE-ish token counts per source.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        mixture_allocation,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf)
+    toks = token_count(docs, text_col="text").select("source", "n_tokens")
+    return mixture_allocation(
+        toks, source_col="source", token_col="n_tokens",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=100_000,
+    )
+
+
 def _jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Training-data export surface: documents -> sharded JSONL files ->
     # read back with the explicit schema (inference would re-order and
@@ -1005,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-decontaminate": _decontaminate,
         "ext-pack-sequences": _pack_sequences,
         "ext-prepare-corpus": _prepare_corpus,
+        "ext-sample-stratified": _sample_stratified,
+        "ext-mixture-allocate": _mixture_allocate,
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
@@ -1983,6 +2017,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink-jsonl-roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # Portable md5 hash gate == Spark's portable_hash52; FLOOR
+        # before the BIGINT cast because Spark's cast truncates while
+        # DuckDB's rounds.
+        "ext-sample-stratified": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'),
+                    1, 13))::BIGINT % 1000000)
+                < CAST(FLOOR((CASE source
+                       WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                       WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                       ELSE 0.05 END) * 1000000) AS BIGINT)
+        """,
+        "ext-mixture-allocate": r"""
+            WITH t AS (
+              SELECT source,
+                CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+              FROM documents),
+            a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS available_tokens
+                  FROM t GROUP BY source),
+            b AS (
+              -- CAST: DuckDB types bare 50000.0 literals as DECIMAL,
+              -- which would ripple into every downstream column.
+              SELECT source, available_tokens,
+                ROUND(CAST(CASE source
+                      WHEN 'src0' THEN 50000.0 WHEN 'src1' THEN 30000.0
+                      WHEN 'src2' THEN 20000.0 ELSE 0.0 END AS DOUBLE), 2)
+                  AS target_tokens
+              FROM a)
+            SELECT source, available_tokens, target_tokens,
+              ROUND(LEAST(CAST(available_tokens AS DOUBLE), target_tokens),
+                    2) AS allocated_tokens,
+              ROUND(CASE WHEN available_tokens > 0
+                    THEN target_tokens / available_tokens
+                    ELSE 0.0 END, 4) AS epochs
+            FROM b
         """,
         # Line-level dedup over deterministically chunked docs: a line
         # survives only at its globally smallest (doc_id, line_no).

@@ -15,10 +15,10 @@ inside whole-stage codegen and scale by partitioning:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingle_rows
+from .dedup import portable_hash52, shingle_rows, xxhash64_col
 
 
 def decontaminate(
@@ -68,6 +68,77 @@ def decontaminate(
         .withColumn("n_matched_ngrams",
                     F.coalesce(F.col("n_matched_ngrams"), F.lit(0)))
         .withColumn("contaminated", F.col("n_matched_ngrams") >= min_overlap)
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "v1",
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff
+    ``hash(key, salt) mod 1e6 < rate(stratum) * 1e6``. The standard
+    corpus-mixture downsampler ("keep 10% of crawl, 100% of books"),
+    but reproducible: membership depends only on (key, salt, rate),
+    never on partitioning, ordering, or a session RNG — so reruns,
+    retried tasks, and incremental appends all agree, and raising a
+    rate strictly grows the kept set (nested samples).
+
+    Narrow (filter only, no shuffle). `hash_fn=portable_hash52` makes
+    the gate engine-portable (md5-based) for cross-engine checks;
+    the default xxhash64 is the fast 100 TB path.
+    """
+    gate = F.pmod(hash_fn(F.concat_ws("\x1f", F.col(key_col).cast("string"),
+                                      F.lit(salt))), F.lit(1_000_000))
+    rate_expr: Column = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(strata_col) == stratum,
+                           F.lit(float(rate))).otherwise(rate_expr)
+    return df.where(gate < (rate_expr * 1_000_000).cast("long"))
+
+
+def mixture_allocation(
+    df: DataFrame,
+    *,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Data-mixture planning: given per-source mixture `weights` and a
+    total `token_budget`, report per source the available tokens, the
+    target (= budget x normalized weight), the allocation
+    (= min(available, target)) and `epochs` (= target / available —
+    >1 means the source must repeat to hit its target, the standard
+    up-sampling diagnostic). One tiny agg (one row per source): the
+    corpus is reduced map-side; everything downstream is driver-scale.
+    """
+    total_w = sum(weights.values()) or 1.0
+    target: Column = F.lit(0.0)
+    for source, w in sorted(weights.items()):
+        target = F.when(F.col(source_col) == source,
+                        F.lit(float(w) / total_w * token_budget)
+                        ).otherwise(target)
+    avail = F.col("available_tokens").cast("double")
+    return (
+        df.groupBy(source_col)
+        .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0)).cast("bigint"))
+             .alias("available_tokens"))
+        .withColumn("target_tokens", F.round(target, 2))
+        .withColumn(
+            "allocated_tokens",
+            F.round(F.least(avail, F.col("target_tokens")), 2),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.when(avail > 0, F.col("target_tokens") / avail)
+                    .otherwise(F.lit(0.0)), 4),
+        )
     )
 
 

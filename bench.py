@@ -47,6 +47,8 @@ HEADLINE = [
     "ext-decontaminate",
     "ext-pack-sequences",
     "ext-prepare-corpus",
+    "ext-sample-stratified",
+    "ext-mixture-allocate",
     "stream-asof-tags",
 ]
 

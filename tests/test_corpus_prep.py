@@ -4,7 +4,9 @@ from pyspark.sql import functions as F
 
 from awskinesisconsumer_spark.operators.corpus_prep import (
     decontaminate,
+    mixture_allocation,
     pack_sequences,
+    sample_stratified,
 )
 
 
@@ -76,6 +78,97 @@ def test_pack_sequences_layout(spark):
     # doc 4 spans tokens 12..21 -> seqs 1..2
     assert (out[4].seq_first, out[4].seq_last, out[4].n_seqs) == (1, 2, 2)
     assert (out[5].tok_start, out[5].tok_end) == (22, 25)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    # The scale contract: the corpus is NEVER shuffled for the gram
+    # join — the benchmark gram set broadcasts. A sort-merge join here
+    # would shuffle 100 TB of (doc, gram) rows.
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"),
+                 F.lit(" a b c d e")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(1, "a b c d e")], "bench_id bigint, bench_text string"
+    )
+    out = decontaminate(
+        docs, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_plan_no_global_window(spark):
+    # The two-pass prefix sum must keep the corpus-sized window
+    # PARTITIONED (by _g); only the tiny per-group offsets table may
+    # pass through a single partition. The naive formulation
+    # (Window.orderBy with no partitionBy over the full input) shows
+    # up as a corpus-side Exchange SinglePartition — exactly one such
+    # exchange (the offsets table) is allowed.
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).alias("n_tokens")
+    )
+    out = pack_sequences(df, id_col="doc_id", token_col="n_tokens",
+                         capacity=128, group_size=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # and the corpus-side cumsum window is keyed by the group column
+    assert "[_g" in plan.replace("#", " #"), plan
+
+
+def test_sample_stratified_deterministic_and_nested(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("src"),
+    )
+
+    def keep_ids(rates):
+        out = sample_stratified(
+            docs, strata_col="src", key_col="doc_id", rates=rates,
+            default_rate=0.0, salt="s",
+        )
+        return {r.doc_id for r in out.collect()}
+
+    half = keep_ids({"web": 0.5, "books": 1.0})
+    # books stratum kept fully, web roughly half (hash-gated)
+    assert all(i in half for i in range(1, 2000, 2))
+    n_web = sum(1 for i in half if i % 2 == 0)
+    assert 350 < n_web < 650
+    # determinism: exact same membership on re-run
+    assert keep_ids({"web": 0.5, "books": 1.0}) == half
+    # nested samples: raising a rate only ADDS rows
+    fuller = keep_ids({"web": 0.8, "books": 1.0})
+    assert half <= fuller
+    # unknown stratum with default_rate=0 drops everything
+    assert keep_ids({"nope": 1.0}) == set()
+
+
+def test_mixture_allocation(spark):
+    rows = [("web", 100), ("web", 300), ("books", 50), ("code", 1000)]
+    df = spark.createDataFrame(rows, "src string, n_tokens bigint")
+    out = {
+        r.src: r
+        for r in mixture_allocation(
+            df, source_col="src", token_col="n_tokens",
+            weights={"web": 0.5, "books": 0.5}, token_budget=1000,
+        ).collect()
+    }
+    # web: 400 available, target 500 -> allocate 400, epochs 1.25
+    assert out["web"].available_tokens == 400
+    assert out["web"].target_tokens == 500.0
+    assert out["web"].allocated_tokens == 400.0
+    assert out["web"].epochs == 1.25
+    # books: 50 available, target 500 -> 10 epochs needed
+    assert out["books"].allocated_tokens == 50.0
+    assert out["books"].epochs == 10.0
+    # unweighted source: target 0, allocate 0
+    assert out["code"].target_tokens == 0.0
+    assert out["code"].allocated_tokens == 0.0
+    assert out["code"].epochs == 0.0
 
 
 def test_pack_sequences_group_size_invariant(spark):
