@@ -884,7 +884,8 @@ def _multimodal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _run_stream_to_table(df, spark: SparkSession, prefix: str) -> DataFrame:
+def _run_stream_to_table(df, spark: SparkSession, prefix: str,
+                         mode: str = "append") -> DataFrame:
     """Execute a streaming DF to completion (AvailableNow) into a
     memory sink and hand back the batch result — lets streaming
     operators satisfy the batch-shaped driver contract."""
@@ -904,7 +905,7 @@ def _run_stream_to_table(df, spark: SparkSession, prefix: str) -> DataFrame:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -975,6 +976,25 @@ def _stream_asof(spark: SparkSession, sf: str) -> DataFrame:
 
     out = asof_join_stream(events_stream(spark, sf))
     return _run_stream_to_table(out, spark, "asof_stream")
+
+
+def _stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming exact dedup: running (min id, count) per text digest
+    # over a replayed documents feed. Under AvailableNow + complete
+    # mode the final memory-sink table IS the full-corpus dedup, so
+    # the batch dedup oracle applies verbatim (digest dropped: the
+    # oracle groups by text itself).
+    from awskinesisconsumer_spark.streaming import table_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        dedup_exact_stream,
+    )
+
+    out = dedup_exact_stream(
+        table_stream(spark, sf, "documents"), text_col="text",
+        id_col="doc_id",
+    ).drop("digest")
+    return _run_stream_to_table(out, spark, "dedup_stream",
+                                mode="complete")
 
 
 def _stream_segment(spark: SparkSession, sf: str) -> DataFrame:
@@ -1052,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
+        "stream-dedup-exact": _stream_dedup,
     }
 
 
@@ -1427,6 +1448,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ext-dedup-exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        # Streaming form ends in the same final state as the batch op.
+        "stream-dedup-exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
         """,

@@ -2,7 +2,7 @@
 (SURVEY §2 rows 1-2, 7-17, 20-23) re-expressed as streaming DataFrames.
 """
 
-from awskinesisconsumer_spark.streaming.replay import events_stream
+from awskinesisconsumer_spark.streaming.replay import events_stream, table_stream
 from awskinesisconsumer_spark.streaming.pipeline import (
     asof_join_stream,
     frame_pipeline,
@@ -14,6 +14,7 @@ from awskinesisconsumer_spark.streaming.lifecycle import use_rocksdb_state_store
 
 __all__ = [
     "events_stream",
+    "table_stream",
     "asof_join_stream", "frame_pipeline", "segment_rollup_stream",
     "throttle_stream", "start_fanout", "use_rocksdb_state_store",
 ]

@@ -257,3 +257,25 @@ def frame_pipeline(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     data = observed.where(F.col("event_type") != "error")
     frames = throttle_stream(data)
     return frames, errors
+
+
+def dedup_exact_stream(docs: DataFrame, *, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Streaming exact dedup — the ingestion-time form of
+    `operators.dedup.dedup_exact`: a running (min id, count) per
+    sha2-256 text digest. Unbounded streaming aggregation (complete /
+    update output): corpus dedup state must live forever by
+    definition — there is no watermark that can evict a digest without
+    reopening the door to that duplicate. State is one 32-byte key +
+    (long, long) per DISTINCT document, hash-partitioned across
+    executors; at 100 TB pair this with the RocksDB state store
+    (`session.rocksdb_state_store`) so state spills to disk instead
+    of executor heap."""
+    digest = F.sha2(F.col(text_col).cast("binary"), 256)
+    return (
+        docs.groupBy(digest.alias("digest"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

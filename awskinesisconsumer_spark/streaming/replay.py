@@ -81,3 +81,16 @@ def events_stream(
     # ltz (not ntz) here: streaming watermarks/session windows operate
     # on TimestampType; batch oracle queries go through io.load_table.
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-stream replay of any fixture table (the generic form of
+    `events_stream`, minus the nano-ts conversion `events` needs) —
+    stands in for a continuous ingestion feed of that table."""
+    schema = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
+        .load(sf_dir)
+    )

@@ -289,3 +289,42 @@ def test_rocksdb_state_store_session_rollup(spark, tmp_path):
         for r in spark.sql("SELECT * FROM seg_dflt").collect()
     }
     assert rocks == dflt and len(rocks) > 0
+
+
+def test_dedup_exact_stream_across_microbatches(spark, tmp_path):
+    """Dedup state must carry ACROSS micro-batches: duplicates split
+    over separate files/batches still collapse to one row with the
+    global min id and total count."""
+    from awskinesisconsumer_spark.streaming.pipeline import dedup_exact_stream
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1); text "dup"
+    # appears in every batch, "once" in the middle one only.
+    batches = [
+        [(10, "dup"), (11, "a")],
+        [(5, "dup"), (6, "once")],
+        [(20, "dup"), (21, "b")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}.parquet")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    )
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = dedup_exact_stream(stream, text_col="text", id_col="doc_id")
+    q = (
+        out.drop("digest").writeStream.format("memory")
+        .queryName("dedup_mb").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.doc_id: r.n_dups for r in spark.table("dedup_mb").collect()}
+    assert got == {5: 3, 6: 1, 11: 1, 21: 1}
