@@ -149,6 +149,7 @@ def pack_sequences(
     token_col: str,
     capacity: int,
     group_size: int = 1024,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Concatenate documents in `id_col` order into one token stream
     and split it into fixed-`capacity` training sequences (GPT-style
@@ -177,6 +178,18 @@ def pack_sequences(
     toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
     g = F.floor(F.col(id_col).cast("bigint") / group_size).alias("_g")
     base = df.select(F.col(id_col), toks.alias("_t"), g)
+    if cache_input:
+        # `base` feeds BOTH branches of the prefix sum (the per-group
+        # cumsum and the group-totals table). Without materializing,
+        # Spark recomputes the ENTIRE upstream plan twice — ruinous
+        # when the input is the tail of an expensive pipeline (e.g.
+        # dedup -> decontaminate -> quality). The cached projection is
+        # three fixed-width columns per row, orders of magnitude
+        # smaller than any realistic upstream; eager count guarantees
+        # single computation even when the two consumer stages are
+        # scheduled concurrently. Caller may unpersist when done.
+        base = base.persist()
+        base.count()
 
     in_group = Window.partitionBy("_g").orderBy(id_col)
     local = base.withColumn("_local_end", F.sum("_t").over(in_group))

@@ -87,8 +87,34 @@ def doc_ops():
     from awskinesisconsumer_spark.operators.text import (
         quality_score, redact_pii, repetition_stats, tfidf_top_terms,
     )
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        decontaminate, pack_sequences,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    def prepare(d):
+        # The composed ext-prepare-corpus pipeline (dedup ->
+        # decontaminate -> quality -> pack); exercises pack_sequences'
+        # input materialization, without which the whole upstream
+        # would run twice.
+        surv = dedup_exact(d, text_col="text", id_col="doc_id").select("doc_id")
+        kept = d.join(surv, "doc_id", "left_semi")
+        bench = d.where(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+        )
+        clean = decontaminate(
+            kept, bench, id_col="doc_id", text_col="text",
+            bench_id_col="bench_id", bench_text_col="bench_text",
+            n=3, min_overlap=5,
+        ).where(~F.col("contaminated"))
+        good = quality_score(clean, text_col="text").where(F.col("quality") >= 0.5)
+        toks = token_count(good, text_col="text").select("doc_id", "n_tokens")
+        return pack_sequences(toks, id_col="doc_id", token_col="n_tokens",
+                              capacity=512)
+
     return {
         "dedup-exact": lambda d: dedup_exact(d, text_col="text", id_col="doc_id"),
+        "prepare-pipeline": prepare,
         "dedup-minhash-lsh": lambda d: dedup_minhash_lsh(
             d, id_col="doc_id", text_col="text",
             num_hashes=64, bands=16, jaccard_threshold=0.8,
