@@ -679,6 +679,25 @@ def _mixture_allocate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    # Tokenizer-vocab prep: top-100 corpus terms, deterministic ranks.
+    from awskinesisconsumer_spark.operators.text import top_terms
+
+    docs = load_table(spark, "documents", sf)
+    return top_terms(docs, text_col="text", k=100)
+
+
+def _embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
+    # Label-level mean-pooled centroid components (long format).
+    from awskinesisconsumer_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    embs = load_table(spark, "embeddings", sf)
+    return mean_pool_embeddings(embs, group_col="label",
+                                vec_col="embedding")
+
+
 def _jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Training-data export surface: documents -> sharded JSONL files ->
     # read back with the explicit schema (inference would re-order and
@@ -1059,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-prepare-corpus": _prepare_corpus,
         "ext-sample-stratified": _sample_stratified,
         "ext-mixture-allocate": _mixture_allocate,
+        "ext-vocabulary": _vocabulary,
+        "ext-embedding-pool": _embedding_pool,
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
@@ -2043,6 +2064,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink-jsonl-roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "ext-vocabulary": f"""
+            WITH w AS (SELECT {words_lower} AS words FROM documents),
+            t AS (SELECT UNNEST(words) AS term FROM w),
+            c AS (
+              SELECT term, COUNT(*) AS n FROM t
+              WHERE term <> '' GROUP BY term
+              ORDER BY n DESC, term LIMIT 100)
+            SELECT term, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT)
+                     AS rank
+            FROM c
+        """,
+        # AVG fold order differs between engines; ROUND(,4) absorbs
+        # the double-precision tail (same contract as the other
+        # cross-row float aggregates).
+        "ext-embedding-pool": """
+            SELECT label, pos, ROUND(AVG(v), 4) AS mean_val
+            FROM (SELECT label, UNNEST(embedding) AS v,
+                         CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+                           AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
         """,
         # Portable md5 hash gate == Spark's portable_hash52; FLOOR
         # before the BIGINT cast because Spark's cast truncates while

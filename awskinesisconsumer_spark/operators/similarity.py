@@ -317,3 +317,24 @@ def kmeans_refine_centroids(
         if shift <= tol:
             break
     return cents
+
+
+def mean_pool_embeddings(df: DataFrame, *, group_col: str,
+                         vec_col: str) -> DataFrame:
+    """Mean-pool vectors per group, LONG format: one row per (group,
+    dimension position) with the rounded mean component — the centroid
+    computation behind class prototypes / label-level embeddings.
+
+    posexplode + groupBy(group, pos): the shuffle carries one scalar
+    per (group, pos, partition) thanks to partial aggregation, and no
+    row ever holds more than one component, so arbitrarily wide
+    vectors and arbitrarily large groups both stream. (Long format on
+    purpose: re-assembling arrays forces a per-group sort+collect and
+    makes float results order-sensitive; downstream consumers can
+    pivot the k rows they need.)
+    """
+    return (
+        df.select(F.col(group_col), F.posexplode(vec_col).alias("pos", "_v"))
+        .groupBy(group_col, "pos")
+        .agg(F.round(F.avg("_v"), 4).alias("mean_val"))
+    )

@@ -308,3 +308,28 @@ def tfidf_top_terms(df: DataFrame, *, id_col: str, text_col: str,
         .where(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "score", "term_rank")
     )
+
+
+def top_terms(df: DataFrame, *, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus-wide vocabulary building: the k most frequent lowercased
+    whitespace terms with deterministic ranking (count DESC, term ASC)
+    — the counting pass behind tokenizer-vocab / BPE-seed preparation.
+
+    Shape: explode -> groupBy(term) with map-side partial counts (the
+    shuffle carries one row per distinct term per partition), then a
+    k-row TakeOrderedAndProject; the rank window runs AFTER the limit,
+    so its single-partition exchange sees k rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    words = _words(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return counts.withColumn("rank", F.row_number().over(w))

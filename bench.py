@@ -49,6 +49,8 @@ HEADLINE = [
     "ext-prepare-corpus",
     "ext-sample-stratified",
     "ext-mixture-allocate",
+    "ext-vocabulary",
+    "ext-embedding-pool",
     "stream-asof-tags",
 ]
 

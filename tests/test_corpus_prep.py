@@ -184,3 +184,21 @@ def test_pack_sequences_group_size_invariant(spark):
     # contiguity: each doc starts where the previous ended
     for prev, cur in zip(a, a[1:]):
         assert cur.tok_start == prev.tok_end
+
+
+def test_mean_pool_embeddings(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 2.0]), ("x", [3.0, 6.0]), ("y", [5.0, 5.0])],
+        "label string, embedding array<double>",
+    )
+    got = {
+        (r.label, r.pos): r.mean_val
+        for r in mean_pool_embeddings(
+            df, group_col="label", vec_col="embedding"
+        ).collect()
+    }
+    assert got == {("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 5.0, ("y", 1): 5.0}

@@ -82,3 +82,15 @@ def test_tfidf_top_terms(spark):
     assert rows[(3, 1)].term == "date"
     assert rows[(3, 1)].score == round(2 * idf(1), 4)
     assert {r.term_rank for r in out.collect()} == {1, 2}
+
+
+def test_top_terms_ranking(spark):
+    from awskinesisconsumer_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "A c b"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = top_terms(docs, text_col="text", k=2).collect()
+    # 'a' appears 3x (case-folded), 'b' 2x; ties would break term-ASC
+    assert [(r.term, r.n, r.rank) for r in rows] == [("a", 3, 1), ("b", 2, 2)]
