@@ -63,8 +63,13 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched_ngrams"))
     )
+    # No broadcast hint on the re-attach: `matched` is usually tiny
+    # (AQE will broadcast it), but its size is bounded only by the
+    # corpus — a FORCED broadcast would OOM if contamination is
+    # widespread. The bench-gram broadcast above is the safe one (its
+    # bound is the benchmark's size).
     return (
-        docs.join(F.broadcast(matched), id_col, "left")
+        docs.join(matched, id_col, "left")
         .withColumn("n_matched_ngrams",
                     F.coalesce(F.col("n_matched_ngrams"), F.lit(0)))
         .withColumn("contaminated", F.col("n_matched_ngrams") >= min_overlap)
@@ -161,9 +166,11 @@ def pack_sequences(
     sequences it spans). Zero-token documents occupy no space and map
     to the sequence at their offset.
 
-    `id_col` must be non-null numeric-orderable; ordering is by its
-    value, so the layout is deterministic (and SQL-reproducible) —
-    unlike `spark_partition_id`-based numbering.
+    `id_col` must be non-null, UNIQUE, and numeric-orderable; ordering
+    is by its value, so the layout is deterministic (and
+    SQL-reproducible) — unlike `spark_partition_id`-based numbering.
+    (Duplicate ids would tie in the cumsum's RANGE frame and overlap
+    in the token stream.)
 
     Scale shape: a global cumulative sum via the two-pass prefix-sum
     pattern — a window partitioned by `floor(id / group_size)` (many
