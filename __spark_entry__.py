@@ -549,8 +549,8 @@ def _pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     # PII scrub demo with deterministic injected PII (the fixture text
     # has none): each doc gets an email/ip/phone/ssn derived from doc_id,
     # then redact_pii must find and replace exactly those. Counts are
-    # taken pre-redaction, so the oracle replays injection + the same
-    # regex chain.
+    # incremental (category i counted after categories 0..i-1 were
+    # redacted), and the oracle replays injection + the same chain.
     from awskinesisconsumer_spark.operators.text import redact_pii
 
     docs = load_table(spark, "documents", sf)
@@ -694,8 +694,10 @@ def _embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     embs = load_table(spark, "embeddings", sf)
+    # order_col makes the mean an ordered fold, so the doubles match
+    # the DuckDB oracle bit-for-bit regardless of partitioning.
     return mean_pool_embeddings(embs, group_col="label",
-                                vec_col="embedding")
+                                vec_col="embedding", order_col="vec_id")
 
 
 def _jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -1195,13 +1197,19 @@ def oracle_sql() -> dict[str, str]:
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || "
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     )
-    pii_counts = ",\n                   ".join(
-        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _tok in PII_PATTERNS
-    )
-    pii_red = "t"
-    for _name, pat, tok in PII_PATTERNS:
-        pii_red = f"regexp_replace({pii_red}, '{pat}', '{tok}', 'g')"
+    # Counts are incremental, like the operator: pattern i is counted
+    # on the text after patterns 0..i-1 were redacted, so counts agree
+    # exactly with the tokens visible in the output.
+    _pii_count_parts = []
+    _pii_cur = "t"
+    for name, pat, tok in PII_PATTERNS:
+        _pii_count_parts.append(
+            f"CAST(len(regexp_extract_all({_pii_cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        _pii_cur = f"regexp_replace({_pii_cur}, '{pat}', '{tok}', 'g')"
+    pii_counts = ",\n                   ".join(_pii_count_parts)
+    pii_red = _pii_cur
 
     # --- portable-hash minhash/simhash twins (dedup.portable_hash52) ---
     # ('0x' || first 13 md5 hex chars)::BIGINT == Spark's
@@ -2077,12 +2085,14 @@ def oracle_sql() -> dict[str, str]:
                      AS rank
             FROM c
         """,
-        # AVG fold order differs between engines; ROUND(,4) absorbs
-        # the double-precision tail (same contract as the other
-        # cross-row float aggregates).
-        "ext-embedding-pool": """
-            SELECT label, pos, ROUND(AVG(v), 4) AS mean_val
-            FROM (SELECT label, UNNEST(embedding) AS v,
+        # Ordered-fold mean (components summed in vec_id order on both
+        # sides) — bit-reproducible across engines, unlike AVG whose
+        # partial-merge fold order is partitioning-dependent.
+        "ext-embedding-pool": f"""
+            SELECT label, pos,
+                   ROUND({_sql_fold_sum("list(CAST(v AS DOUBLE) ORDER BY vec_id)")}
+                         / COUNT(*), 4) + 0.0 AS mean_val
+            FROM (SELECT label, vec_id, UNNEST(embedding) AS v,
                          CAST(generate_subscripts(embedding, 1) - 1 AS INT)
                            AS pos
                   FROM embeddings)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import release_after as _release_after
 from .dedup import portable_hash52, shingle_rows, xxhash64_col
 
 
@@ -194,7 +195,9 @@ def pack_sequences(
         # three fixed-width columns per row, orders of magnitude
         # smaller than any realistic upstream; eager count guarantees
         # single computation even when the two consumer stages are
-        # scheduled concurrently. Caller may unpersist when done.
+        # scheduled concurrently. Released via release_after below —
+        # the caller never sees `base`, so it must not outlive the
+        # call (the RESULT stays cached and is the caller's to free).
         base = base.persist()
         base.count()
 
@@ -214,7 +217,7 @@ def pack_sequences(
 
     tok_end = F.col("_goff") + F.col("_local_end")
     tok_start = tok_end - F.col("_t")
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_g")
         .select(
             F.col(id_col),
@@ -227,3 +230,6 @@ def pack_sequences(
         )
         .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
     )
+    if cache_input:
+        out = _release_after(out, base)
+    return out

@@ -10,6 +10,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from .caching import release_after as _release_after
+
 # Deterministic modulus for the minhash permutation family. 2^31-1
 # (Mersenne prime) keeps every intermediate product well inside int64,
 # so the arithmetic is safe under ANSI mode (Spark 4 default) where
@@ -34,17 +36,6 @@ def portable_hash52(col) -> Column:
     xxhash64 (md5 + string slice + base conversion, still whole-stage
     codegen) — use for verification fixtures, not the 100 TB path."""
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
-
-
-def _release_after(out: DataFrame, cached: DataFrame) -> DataFrame:
-    """Persist+materialize the (small) result, then release the big
-    cached intermediate. persist (not localCheckpoint) keeps lineage,
-    so executor loss recomputes instead of failing; the result stays
-    cached for the caller, who may unpersist it when done."""
-    out = out.persist()
-    out.count()
-    cached.unpersist()
-    return out
 
 
 def dedup_exact(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:

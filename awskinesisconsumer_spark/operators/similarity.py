@@ -320,7 +320,8 @@ def kmeans_refine_centroids(
 
 
 def mean_pool_embeddings(df: DataFrame, *, group_col: str,
-                         vec_col: str) -> DataFrame:
+                         vec_col: str,
+                         order_col: str | None = None) -> DataFrame:
     """Mean-pool vectors per group, LONG format: one row per (group,
     dimension position) with the rounded mean component — the centroid
     computation behind class prototypes / label-level embeddings.
@@ -332,9 +333,42 @@ def mean_pool_embeddings(df: DataFrame, *, group_col: str,
     purpose: re-assembling arrays forces a per-group sort+collect and
     makes float results order-sensitive; downstream consumers can
     pivot the k rows they need.)
+
+    `order_col` (a unique per-row key, e.g. the vector id) switches the
+    mean to an ORDERED LEFT FOLD — components are summed in `order_col`
+    order, making the double-precision result bit-reproducible across
+    engines and partitionings (same contract as
+    kmeans_refine_centroids). That requires collecting one group's
+    components for a dimension into an array, so it serializes per
+    (group, pos) — fine for verification and modest group sizes; leave
+    it None for the partial-aggregation scale path.
     """
+    exploded = df.select(
+        F.col(group_col),
+        *([F.col(order_col)] if order_col else []),
+        F.posexplode(vec_col).alias("pos", "_v"),
+    )
+    if order_col is None:
+        return (
+            exploded.groupBy(group_col, "pos")
+            .agg(F.round(F.avg("_v"), 4).alias("mean_val"))
+        )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col(order_col).alias("o"),
+                     F.col("_v").cast("double").alias("v"))
+        )),
+        lambda s: s["v"],
+    )
+    fold = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
     return (
-        df.select(F.col(group_col), F.posexplode(vec_col).alias("pos", "_v"))
-        .groupBy(group_col, "pos")
-        .agg(F.round(F.avg("_v"), 4).alias("mean_val"))
+        exploded.groupBy(group_col, "pos")
+        .agg(fold.alias("_sum"), F.count("_v").alias("_n"))
+        .select(
+            F.col(group_col), F.col("pos"),
+            # + 0.0 canonicalizes IEEE -0.0 (engines disagree on
+            # whether round() preserves the sign of a negative zero).
+            (F.round(F.col("_sum") / F.col("_n"), 4) + F.lit(0.0))
+            .alias("mean_val"),
+        )
     )

@@ -242,25 +242,31 @@ def redact_pii(df: DataFrame, *, text_col: str,
     """PII redaction — the scrub pass every LLM training corpus runs
     before anything else ships: emails, SSN-shaped ids, IPv4 addresses,
     and phone-shaped numbers are replaced with typed tokens, and a
-    per-category match count (`n_email`, `n_ssn`, `n_ip`, `n_phone`,
-    counted BEFORE redaction) comes along for audit/filter use.
+    per-category match count (`n_email`, `n_ssn`, `n_ip`, `n_phone`)
+    comes along for audit/filter use.
+
+    Each category is counted against the text AFTER all earlier
+    patterns were redacted, so the counts agree exactly with the tokens
+    visible in the output: a phone- or IP-shaped run inside an email
+    local part is consumed by the email rule and counted once, as
+    email. (Counting every category on the raw text would let one
+    substring increment two counters while the replacement chain emits
+    only the first-matching token.)
 
     Narrow, pure column expressions (regexp_count + a regexp_replace
     chain) — no shuffle, no UDF, whole-stage codegen; at 100 TB this is
     a map-only pass that pipelines into whatever scan feeds it. Pattern
     order matters and is part of the contract (see PII_PATTERNS).
     """
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     out = df
-    for name, pat, _tok in PII_PATTERNS:
+    for name, pat, tok in PII_PATTERNS:
         out = out.withColumn(
             f"n_{name}",
-            F.regexp_count(text, F.lit(pat)).cast("bigint"),
+            F.regexp_count(cur, F.lit(pat)).cast("bigint"),
         )
-    red = text
-    for _name, pat, tok in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tok)
-    return out.withColumn(out_col, red)
+        cur = F.regexp_replace(cur, pat, tok)
+    return out.withColumn(out_col, cur)
 
 
 def tfidf_top_terms(df: DataFrame, *, id_col: str, text_col: str,

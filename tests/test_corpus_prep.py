@@ -112,12 +112,32 @@ def test_pack_sequences_plan_no_global_window(spark):
     df = spark.range(10000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 17).alias("n_tokens")
     )
+    # cache_input=False: the cached variant's executedPlan prints the
+    # result InMemoryRelation's stored plan AND the scan, double-
+    # counting every exchange in the text; the plan SHAPE is identical.
     out = pack_sequences(df, id_col="doc_id", token_col="n_tokens",
-                         capacity=128, group_size=256)
+                         capacity=128, group_size=256, cache_input=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange SinglePartition") <= 1, plan
     # and the corpus-side cumsum window is keyed by the group column
     assert "[_g" in plan.replace("#", " #"), plan
+
+
+def test_pack_sequences_releases_internal_cache(spark):
+    # cache_input=True persists an internal projection the caller never
+    # sees; the operator must release it before returning, leaving only
+    # the RESULT cached (the caller's to unpersist). Orphaned blocks
+    # would accumulate across repeated calls for the whole session.
+    spark.catalog.clearCache()
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
+    )
+    out = pack_sequences(df, id_col="doc_id", token_col="n_tokens",
+                         capacity=64, group_size=128)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 1
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() == 0
 
 
 def test_sample_stratified_deterministic_and_nested(spark):

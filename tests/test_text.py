@@ -30,9 +30,10 @@ def test_repetition_stats(spark):
 
 
 def test_redact_pii(spark):
-    """Typed PII tokens replace matches; per-category counts are taken
-    before redaction; pattern order keeps the email intact from the
-    phone/ip rules."""
+    """Typed PII tokens replace matches; per-category counts agree with
+    the tokens in the redacted output (category i counted after
+    categories 0..i-1 were redacted); pattern order keeps the email
+    intact from the phone/ip rules."""
     from awskinesisconsumer_spark.operators.text import redact_pii
 
     docs = spark.createDataFrame(
@@ -42,6 +43,10 @@ def test_redact_pii(spark):
             (3, "ssn 123-45-6789 twice 123-45-0000"),
             (4, None),
             (5, "no pii here"),
+            # phone-shaped run inside an email local part: the email
+            # rule consumes it, so it must count as email ONLY — the
+            # output shows one <EMAIL> and no <PHONE>.
+            (6, "ping a.415-555-0199@x.io ok"),
         ],
         "doc_id bigint, text string",
     )
@@ -54,6 +59,8 @@ def test_redact_pii(spark):
     assert out[3].n_phone == 0
     assert out[4].redacted == "" and out[4].n_email == 0
     assert out[5].redacted == "no pii here"
+    assert out[6].redacted == "ping <EMAIL> ok"
+    assert out[6].n_email == 1 and out[6].n_phone == 0
 
 
 def test_tfidf_top_terms(spark):
