@@ -360,11 +360,16 @@ def connected_components(
     `where(id == cluster_id)`.
     """
     e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+    # repartition on the per-round join key BEFORE persisting: the
+    # cached relation keeps its hash partitioning, so every round's
+    # edges-side exchange is elided — only the (smaller) labels side
+    # shuffles per round.
     edges = (
         e.unionByName(
             e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
+        .repartition("_src")
         .persist()
     )
     verts = edges.select(F.col("_src").alias(id_col)).distinct()
@@ -379,6 +384,10 @@ def connected_components(
                 .groupBy(F.col("_dst").alias(id_col))
                 .agg(F.min("cluster_id").alias("_msg"))
             )
+            # Lazy checkpoint: the convergence count below is the
+            # action that materializes it, so each round costs ONE
+            # job, not two (eager checkpoint + count). Deterministic
+            # input, so lazy materialization is safe.
             labels = (
                 labels.join(msgs, id_col, "left")
                 .select(
@@ -387,7 +396,7 @@ def connected_components(
                     F.coalesce(F.col("_msg") < F.col("cluster_id"),
                                F.lit(False)).alias("_changed"),
                 )
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             n_changed = labels.agg(
                 F.count_if(F.col("_changed"))).collect()[0][0]
             labels = labels.drop("_changed")
