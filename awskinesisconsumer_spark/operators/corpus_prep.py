@@ -233,3 +233,59 @@ def pack_sequences(
     if cache_input:
         out = _release_after(out, base)
     return out
+
+
+def build_user_sequences(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak_col: str,
+    max_len: int,
+) -> DataFrame:
+    """Per-user ordered interaction sequence — the training-example
+    construction step for behavioral/session models: each user's
+    events sorted by (ts, tiebreak), truncated to the MOST RECENT
+    `max_len`, emitted as one row per user with the item sequence in
+    chronological order plus span metadata (`n_events` = total before
+    truncation, `seq_start_ts`/`seq_end_ts` = kept-window span).
+
+    `tiebreak_col` must make (ts, tiebreak) unique per user, so the
+    layout is fully deterministic and SQL-reproducible.
+
+    Scale shape: the recency cap is applied BEFORE any collection — a
+    row_number window keeps at most `max_len` rows per user, so the
+    later collect_list buffers are bounded by `max_len`, not by the
+    heaviest user's history (power-law users would otherwise OOM the
+    agg buffer). The window and the groupBy hash-partition on the same
+    key, so Catalyst reuses one shuffle for both.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    ranked = (
+        df.select(user_col, ts_col, tiebreak_col, item_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy(user_col)))
+        .where(F.col("_rn") <= max_len)
+    )
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(tiebreak_col).alias("k"),
+                 F.col(item_col).alias("i"))
+    ))
+    return (
+        ranked.groupBy(user_col, "_n")
+        .agg(ordered.alias("_seq"))
+        .select(
+            F.col(user_col),
+            F.col("_n").alias("n_events"),
+            F.transform("_seq", lambda s: s["i"]).alias("seq"),
+            F.element_at("_seq", 1)["t"].alias("seq_start_ts"),
+            F.element_at("_seq", -1)["t"].alias("seq_end_ts"),
+        )
+    )

@@ -372,3 +372,63 @@ def mean_pool_embeddings(df: DataFrame, *, group_col: str,
             .alias("mean_val"),
         )
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, *, vec_col: str,
+    out_col: str = "qvec", scale_col: str = "scale",
+    err_col: str = "max_abs_err",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the standard
+    4x compression for embedding storage/serving (and the write-side
+    half of int8 ANN indexes).
+
+    Per row: scale = max(|v|)/127 (0 for all-zero vectors), qvec[i] =
+    clamp(round(v[i]/scale), -127, 127) as tinyint, plus the max
+    absolute reconstruction error |q*scale - v| (rounded, 6 dp) so a
+    curation pass can gate on quantization loss.
+
+    Pure column expressions over the array (transform/aggregate —
+    JVM-side, no UDF, no shuffle): a map-only pass that pipelines into
+    the scan at any corpus size. round() is half-up on both Spark
+    doubles and the DuckDB twin, so results are engine-portable.
+
+    Empty arrays yield empty qvec, scale 0, err NULL; NULL vectors
+    yield NULL qvec/err with scale 0.
+    """
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127),
+                        F.round(x.cast("double") / F.col(scale_col), 0)
+                        .cast("int")),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    err = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(out_col), v,
+                lambda qi, x: F.abs(qi.cast("double") * F.col(scale_col)
+                                    - x.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+        6,
+    )
+    return (
+        df.withColumn(scale_col, F.round(scale, 9))
+        .withColumn(out_col, q)
+        .withColumn(err_col, F.when(F.size(v) > 0, err))
+    )

@@ -339,3 +339,61 @@ def top_terms(df: DataFrame, *, text_col: str, k: int = 100) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("term"))
     return counts.withColumn("rank", F.row_number().over(w))
+
+
+# Domains filtered by default in url_features: the usual curation
+# blocklist shape (link farms, shorteners). Deliberately tiny — real
+# pipelines load theirs from config; the operator takes an override.
+URL_BLOCKLIST_DEFAULT: list[str] = [
+    "spam-mill.com",
+    "link-farm.net",
+    "t.co",
+]
+
+
+def url_features(df: DataFrame, *, url_col: str,
+                 blocklist: list[str] | None = None) -> DataFrame:
+    """URL normalization + domain curation signals — the dedup/filter
+    key derivation every crawl pipeline runs: web corpora dedup by
+    normalized URL before any content hash, and domain blocklists are
+    the first quality gate.
+
+    Adds:
+      * `norm_url` — scheme/host lowercased, `www.` and default ports
+        (:80/:443) stripped from the host, query string and fragment
+        dropped, trailing slashes trimmed;
+      * `domain` — registrable domain approximated as the last two
+        host labels (a public-suffix list is a config concern);
+      * `blocked` — domain membership in `blocklist` (default
+        URL_BLOCKLIST_DEFAULT).
+
+    Everything is regexp_extract/regexp_replace in the shared
+    Java-regex/RE2 subset (no lookaround): narrow, codegen'd, no
+    shuffle — and replayable verbatim in any engine for verification.
+    Rows that don't parse as scheme://host... yield NULL norm_url and
+    domain, blocked = false (route, don't drop, upstream).
+    """
+    url = F.coalesce(F.col(url_col), F.lit(""))
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    ok = (scheme != "") & (host != "")
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    blocked = domain.isin(
+        *(blocklist if blocklist is not None else URL_BLOCKLIST_DEFAULT)
+    )
+    return (
+        df.withColumn(
+            "norm_url",
+            F.when(ok, F.concat(scheme, F.lit("://"), host, path)),
+        )
+        .withColumn("domain", F.when(ok & (domain != ""), domain))
+        .withColumn("blocked", F.when(ok, blocked).otherwise(F.lit(False)))
+    )

@@ -1,0 +1,138 @@
+"""Round-3 operators: interval join, int8 quantization, user-sequence
+construction, URL features."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_interval_join_matches_bruteforce(spark):
+    # Randomized-ish (deterministic seed via id arithmetic) points and
+    # intervals, including multi-bucket and overlapping intervals.
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"), ((F.col("id") * 37) % 500).alias("p")
+    )
+    ivs = spark.range(40).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 61) % 450).alias("s"),
+    ).withColumn("e", F.col("s") + (F.col("iid") % 5) * 40)
+
+    from awskinesisconsumer_spark.operators.range_join import interval_join
+
+    got = interval_join(
+        pts, ivs, point_col="p", start_col="s", end_col="e",
+        bucket_width=32,
+    ).select("pid", "iid").collect()
+    want = (
+        pts.crossJoin(ivs)
+        .where((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .select("pid", "iid").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0  # the fixture actually exercises matches
+
+
+def test_interval_join_left_and_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "pid int, p int"
+    )
+    ivs = spark.createDataFrame(
+        [(100, 10, 20), (200, 20, 20)], "iid int, s int, e int"
+    )
+    from awskinesisconsumer_spark.operators.range_join import interval_join
+
+    rows = {
+        r.pid: r.iid
+        for r in interval_join(
+            pts, ivs, point_col="p", start_col="s", end_col="e",
+            bucket_width=7, how="left",
+        ).collect()
+    }
+    assert rows[1] == 100      # start is inclusive
+    assert rows[2] is None     # end is exclusive; empty [20,20) matches nothing
+    assert rows[3] is None     # unmatched point kept by left join
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, point_col="p", start_col="s",
+                      end_col="e", bucket_width=7, how="full")
+
+
+def test_quantize_embeddings_int8(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0]),
+            (3, []),
+            (4, None),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           quantize_embeddings_int8(df, vec_col="embedding").collect()}
+
+    r1 = out[1]
+    assert r1.qvec == [64, -127, 32]   # round(63.5) half-up, clamp, round(31.75)
+    assert abs(r1.scale - 2.0 / 127) < 1e-8
+    # reconstruction error bounded by half a quantization step
+    assert 0 < r1.max_abs_err <= r1.scale / 2 + 1e-9
+
+    assert out[2].scale == 0.0 and out[2].qvec == [0, 0]
+    assert out[2].max_abs_err == 0.0
+    assert out[3].qvec == [] and out[3].scale == 0.0
+    assert out[3].max_abs_err is None
+    assert out[4].qvec is None and out[4].max_abs_err is None
+
+
+def test_build_user_sequences(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        build_user_sequences,
+    )
+
+    rows = [
+        # user 1: 4 events, max_len 3 keeps the 3 most recent,
+        # emitted in chronological order
+        (1, 100, 1, "a"), (1, 200, 2, "b"), (1, 300, 3, "c"),
+        (1, 400, 4, "d"),
+        # user 2: tie on ts broken by event id (higher id = more recent)
+        (2, 100, 10, "x"), (2, 100, 11, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts long, event_id long, event_type string"
+    )
+    out = {r.user_id: r for r in build_user_sequences(
+        df, user_col="user_id", ts_col="ts", item_col="event_type",
+        tiebreak_col="event_id", max_len=3,
+    ).collect()}
+
+    assert out[1].n_events == 4
+    assert out[1].seq == ["b", "c", "d"]
+    assert out[1].seq_start_ts == 200 and out[1].seq_end_ts == 400
+    assert out[2].n_events == 2 and out[2].seq == ["x", "y"]
+
+
+def test_url_features(spark):
+    from awskinesisconsumer_spark.operators.text import url_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM:443/Path/Sub/?q=1#frag"),
+            (2, "http://spam-mill.com/offers"),
+            (3, "not a url"),
+            (4, None),
+            (5, "http://localhost/x"),   # single-label host: no domain
+        ],
+        "doc_id int, url string",
+    )
+    out = {r.doc_id: r for r in url_features(df, url_col="url").collect()}
+
+    assert out[1].norm_url == "https://example.com/Path/Sub"
+    assert out[1].domain == "example.com" and out[1].blocked is False
+    assert out[2].domain == "spam-mill.com" and out[2].blocked is True
+    assert out[3].norm_url is None and out[3].blocked is False
+    assert out[4].norm_url is None and out[4].blocked is False
+    assert out[5].norm_url == "http://localhost/x"
+    assert out[5].domain is None and out[5].blocked is False
