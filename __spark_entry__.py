@@ -662,6 +662,107 @@ def _tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
 
 
+BM25_QUERY = ["spark", "join", "window", "hash", "vector"]
+
+
+def _bm25(spark: SparkSession, sf: str) -> DataFrame:
+    # BM25 top-20 docs for a fixed query — decontamination-style
+    # retrieval scoring. No doc x term shuffle: per-term tf is an array
+    # expression; corpus stats are ONE aggregated row broadcast back.
+    from awskinesisconsumer_spark.operators.text import bm25_rank
+
+    docs = load_table(spark, "documents", sf)
+    return bm25_rank(
+        docs, id_col="doc_id", text_col="text", query_terms=BM25_QUERY,
+        k1=1.5, b=0.75, k=20,
+    )
+
+
+def _word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-doc unigram Shannon entropy (information-density quality
+    # signal). Narrow sorted-fold — oracle replays the identical
+    # fold order in DuckDB, so values are bit-identical.
+    from awskinesisconsumer_spark.operators.text import word_entropy
+
+    docs = load_table(spark, "documents", sf)
+    return word_entropy(docs, text_col="text").select("doc_id", "entropy")
+
+
+def _cdc_compact(spark: SparkSession, sf: str) -> DataFrame:
+    # Changelog compaction: events replayed as a CDC feed keyed
+    # (user_id, event_type), op derived deterministically (every 7th
+    # event is a tombstone). One max_by hash agg — no window sort.
+    from awskinesisconsumer_spark.operators.compaction import compact_latest
+
+    ev = load_table(spark, "events", sf)
+    log = ev.withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert")),
+    )
+    out = compact_latest(
+        log, key_cols=["user_id", "event_type"], seq_col="event_id",
+        op_col="op",
+    )
+    return out.select(
+        "user_id", "event_type", "ts",
+        F.round("value", 2).alias("value"),
+        "last_seq", "n_versions",
+    )
+
+
+def _grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # CUBE over orders: all four grouping combinations in one pass
+    # (Catalyst expands to a single Expand + hash agg — one shuffle,
+    # not four scans). grouping_id disambiguates the NULL group rows.
+    orders = load_table(spark, "orders", sf)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping_id is only resolvable inside the Aggregate node
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid",
+            "n_orders", "sum_price",
+        )
+    )
+
+
+def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-format breadth: events -> sharded CSV -> read back with
+    # the explicit schema (header off, so the reader never infers).
+    # Non-float columns only: CSV text round-trip of doubles is
+    # writer-format-dependent; the contract here is the scan path.
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_out_")
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(8).write.mode("overwrite").option("header", "false").csv(out)
+    return spark.read.schema(ev.schema).option("header", "false").csv(out)
+
+
+def _stream_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 14, streaming form: dropDuplicatesWithinWatermark
+    # per (user, 600 s bucket) over the replayed events feed. WHICH row
+    # of a bucket survives is arrival-order-dependent, so the query
+    # projects to the admitted (user_id, bucket_start) set — exactly
+    # one row per bucket, deterministic, and oracle = DISTINCT buckets.
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import throttle_stream
+
+    out = throttle_stream(events_stream(spark, sf), span_seconds=600)
+    admitted = out.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("bucket_start"),
+    )
+    return _run_stream_to_table(admitted, spark, "throttle_stream")
+
+
 def _decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # Benchmark decontamination: docs with doc_id % 97 == 0 play the
     # evaluation suite; any doc sharing >= 5 distinct 3-grams with it
@@ -1144,6 +1245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-embedding-quantize": _embedding_quantize,
         "ext-sequence-build": _sequence_build,
         "ext-url-curation": _url_curation,
+        "ext-bm25-rank": _bm25,
+        "ext-word-entropy": _word_entropy,
+        "ext-cdc-compact": _cdc_compact,
+        "agg-grouping-sets": _grouping_sets,
+        "source-csv-roundtrip": _csv_roundtrip,
+        "stream-throttle": _stream_throttle,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -1259,6 +1366,51 @@ def _sql_srp_bucket(vec: str, planes) -> str:
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+def _bm25_oracle_sql(words_lower: str, k1: float = 1.5, b: float = 0.75,
+                     k: int = 20) -> str:
+    """DuckDB twin of operators/text.py:bm25_rank on BM25_QUERY.
+
+    Every float input (tf, dl, df_t, N, sum_dl) is an exact integer
+    and the score is replayed as the same left-to-right chain of ops
+    as the Spark expression, so the 4-dp rounded score is
+    bit-identical — rank ties break on doc_id in both engines.
+    """
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(words, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = "0.0"
+    for i in range(len(BM25_QUERY)):
+        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        tfd = f"CAST(tf_{i} AS DOUBLE)"
+        denom = (f"({tfd} + {k1} * ({1.0 - b!r} + {b} * "
+                 f"(CAST(dl AS DOUBLE) / {avgdl})))")
+        score = f"({score} + {idf} * (({tfd} * {k1 + 1.0!r}) / {denom}))"
+    return f"""
+        WITH w AS (SELECT doc_id, {words_lower} AS words FROM documents),
+        base AS (SELECT doc_id, len(words) AS dl,
+                   {tf_cols}
+                 FROM w),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                   {df_cols}
+                  FROM base),
+        scored AS (
+          SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+                 ROUND({score}, 4) AS bm25
+          FROM base CROSS JOIN stats)
+        SELECT doc_id, doc_len, bm25,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                 AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1587,6 +1739,64 @@ def oracle_sql() -> dict[str, str]:
         "stream-dedup-exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        # Streaming throttle admits exactly one row per (user, 600 s
+        # bucket); WHICH row is arrival-order-dependent, so the query
+        # (and this oracle) compare the admitted bucket set.
+        "stream-throttle": """
+            SELECT DISTINCT user_id,
+                   CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT)
+                     AS bucket_start
+            FROM events
+        """,
+        "ext-bm25-rank": _bm25_oracle_sql(words_lower),
+        "ext-word-entropy": f"""
+            WITH w AS (SELECT doc_id, {words_lower} AS words FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(words) <= 0 THEN 0.0 ELSE
+                ROUND(ln(CAST(len(words) AS DOUBLE))
+                  - list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(list_sort(list_distinct(words)),
+                          d -> CAST(len(list_filter(words, x -> x = d))
+                                    AS DOUBLE)
+                               * ln(CAST(len(list_filter(words, x -> x = d))
+                                         AS DOUBLE)))),
+                      (a, x) -> a + x)
+                    / CAST(len(words) AS DOUBLE), 4)
+              END AS entropy
+            FROM w
+        """,
+        "ext-cdc-compact": """
+            WITH log AS (
+              SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete'
+                             ELSE 'upsert' END AS op
+              FROM events),
+            win AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     value, op,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY event_id DESC) AS rn,
+                     MAX(event_id) OVER (PARTITION BY user_id, event_type)
+                       AS last_seq,
+                     COUNT(*) OVER (PARTITION BY user_id, event_type)
+                       AS n_versions
+              FROM log)
+            SELECT user_id, event_type, ts, ROUND(value, 2) AS value,
+                   last_seq, CAST(n_versions AS BIGINT) AS n_versions
+            FROM win WHERE rn = 1 AND op <> 'delete'
+        """,
+        "agg-grouping-sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)
+                     AS gid,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "source-csv-roundtrip": """
+            SELECT event_id, user_id, event_type FROM events
         """,
         "ext-text-stats": f"""
             WITH w AS (

@@ -397,3 +397,101 @@ def url_features(df: DataFrame, *, url_col: str,
         .withColumn("domain", F.when(ok & (domain != ""), domain))
         .withColumn("blocked", F.when(ok, blocked).otherwise(F.lit(False)))
     )
+
+
+def bm25_rank(df: DataFrame, *, id_col: str, text_col: str,
+              query_terms: list[str], k1: float = 1.5, b: float = 0.75,
+              k: int = 20) -> DataFrame:
+    """BM25 relevance ranking of documents against a fixed query-term
+    set — the retrieval-side scoring every decontamination / curation
+    pipeline runs when it filters a corpus against benchmark queries.
+
+    Shape chosen for 100 TB, not textbook fidelity to an inverted
+    index: with a small bounded query (|Q| terms), per-document term
+    frequencies are plain vectorized array expressions over the token
+    array — NO doc x term explode, NO shuffle to build tf. The only
+    wide operation is one global aggregate producing a SINGLE row of
+    corpus statistics (N, avg doclen, per-term document frequencies),
+    which is cross-joined back (broadcast of 1 row) so scoring stays
+    narrow and codegen'd. Final top-k is a TakeOrderedAndProject (k
+    rows to the driver-side sort, never the corpus).
+
+    Determinism across engines: every float input (tf, dl, df_t, N) is
+    an exact integer; the score is a fixed-order chain of float ops, so
+    a DuckDB oracle replaying the same expression order is
+    bit-identical. idf uses the +1 "Lucene" form, always positive.
+    """
+    words = _words(F.lower(F.col(text_col)))
+
+    # NB: a `lambda w, t=t:` two-arg lambda would select F.filter's
+    # (element, index) overload and bind the INDEX to t — close over
+    # the term with a factory instead.
+    def _tf(term: str):
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)]
+    base = df.select(F.col(id_col), F.size(words).alias("_dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+            + 1.0
+        )
+        score = score + idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * (F.col("_dl").cast("double") / avgdl)))
+        )
+    out = scored.select(
+        F.col(id_col),
+        F.col("_dl").cast("bigint").alias("doc_len"),
+        F.round(score, 4).alias("bm25"),
+    )
+    from pyspark.sql import Window
+
+    top = out.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def word_entropy(df: DataFrame, *, text_col: str,
+                 out_col: str = "entropy") -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in nats — a cheap
+    information-density quality signal: near-zero entropy flags
+    boilerplate/repeated-token documents that slip past length filters.
+
+    H = ln(n) - (1/n) * sum_w c_w ln c_w, computed entirely with array
+    expressions (distinct -> sort -> fold): narrow, no shuffle, no
+    Python. The fold runs over the SORTED distinct-word list so the
+    float summation order is engine-independent — a DuckDB list_reduce
+    over the same sorted list reproduces the value bit-for-bit (same
+    trick as the ANN oracles). For pathological single-doc sizes where
+    the O(distinct x n) array scan dominates, the explode+groupBy form
+    is the fallback; at corpus scale this narrow form wins by avoiding
+    a doc x term shuffle entirely.
+    """
+    words = _words(F.lower(F.col(text_col)))
+    n = F.size(words)
+    dw = F.array_sort(F.array_distinct(words))
+    acc = F.aggregate(
+        dw,
+        F.lit(0.0),
+        lambda a, d: a
+        + F.size(F.filter(words, lambda w: w == d)).cast("double")
+        * F.log(F.size(F.filter(words, lambda w: w == d)).cast("double")),
+    )
+    ent = F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(F.log(n.cast("double")) - acc / n.cast("double"), 4)
+    )
+    return df.withColumn(out_col, ent)

@@ -62,10 +62,15 @@ def events_stream(
 ) -> DataFrame:
     """File-stream replay of events.parquet (the Kinesis stand-in).
 
-    The nano-timestamp handling mirrors io.load_table: read ts as a
-    nano-long (Spark 4 rejects parquet NANOS outright) and convert
-    with integer division.
+    The timestamp handling mirrors io.load_table's type guard: a
+    parquet TIMESTAMP(NANOS) file arrives as a nano-long (Spark 4
+    rejects the physical type; the legacy conf reads it as long) and
+    is converted with integer division; a micros file arrives as ntz
+    and only needs the ltz cast. Session tz is UTC, so the cast is
+    value-preserving either way.
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     reader = (
@@ -80,7 +85,9 @@ def events_stream(
     df = reader.load(sf_dir)
     # ltz (not ntz) here: streaming watermarks/session windows operate
     # on TimestampType; batch oracle queries go through io.load_table.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

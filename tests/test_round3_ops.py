@@ -136,3 +136,108 @@ def test_url_features(spark):
     assert out[4].norm_url is None and out[4].blocked is False
     assert out[5].norm_url == "http://localhost/x"
     assert out[5].domain is None and out[5].blocked is False
+
+
+# ---- BM25 ----------------------------------------------------------------
+
+def test_bm25_rank_basic(spark):
+    from awskinesisconsumer_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark filter"),
+            (3, "filter scan sort merge"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_rank(
+        docs, id_col="doc_id", text_col="text",
+        query_terms=["spark", "join"], k=10,
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 has both terms and the highest tf -> best score, rank 1
+    assert by_id[1].rank == 1 and by_id[1].bm25 > by_id[2].bm25
+    # doc with no query terms scores 0; null text scores 0 with dl 0
+    assert by_id[3].bm25 == 0.0
+    assert by_id[4].bm25 == 0.0 and by_id[4].doc_len == 0
+    # ranks are dense 1..n with doc_id tiebreak on equal scores
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+def test_bm25_respects_k(spark):
+    from awskinesisconsumer_spark.operators.text import bm25_rank
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark word"), F.col("id")).alias("text"),
+    )
+    out = bm25_rank(
+        docs, id_col="doc_id", text_col="text", query_terms=["spark"], k=7
+    )
+    assert out.count() == 7
+
+
+# ---- word entropy --------------------------------------------------------
+
+def test_word_entropy_values(spark):
+    import math
+
+    from awskinesisconsumer_spark.operators.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # single symbol -> 0
+            (2, "a b a b"),          # two equiprobable -> ln 2
+            (3, ""),                 # empty -> 0
+            (4, None),               # null -> 0
+            (5, "a b c d"),          # uniform over 4 -> ln 4
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.entropy for r in
+           word_entropy(docs, text_col="text").collect()}
+    assert got[1] == 0.0
+    assert got[2] == round(math.log(2), 4)
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert got[5] == round(math.log(4), 4)
+
+
+# ---- changelog compaction ------------------------------------------------
+
+def test_compact_latest_upserts_and_tombstones(spark):
+    from awskinesisconsumer_spark.operators.compaction import compact_latest
+
+    log = spark.createDataFrame(
+        [
+            # key (k) : seq, payload v, op
+            ("a", 1, 10, "upsert"),
+            ("a", 3, 30, "upsert"),
+            ("a", 2, 20, "upsert"),
+            ("b", 1, 1, "upsert"),
+            ("b", 5, 5, "delete"),   # latest is a tombstone -> dropped
+            ("c", 9, 99, "delete"),
+            ("c", 10, 100, "upsert"),  # delete then re-insert -> kept
+        ],
+        "k string, seq int, v int, op string",
+    )
+    out = {r.k: r for r in compact_latest(
+        log, key_cols=["k"], seq_col="seq", op_col="op"
+    ).collect()}
+    assert set(out) == {"a", "c"}
+    assert out["a"].v == 30 and out["a"].last_seq == 3 and out["a"].n_versions == 3
+    assert out["c"].v == 100 and out["c"].n_versions == 2
+    assert "op" not in compact_latest(
+        log, key_cols=["k"], seq_col="seq", op_col="op"
+    ).columns
+
+
+def test_compact_latest_no_op_col(spark):
+    from awskinesisconsumer_spark.operators.compaction import compact_latest
+
+    log = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20)], "k string, seq int, v int"
+    )
+    rows = compact_latest(log, key_cols=["k"], seq_col="seq").collect()
+    assert len(rows) == 1 and rows[0].v == 20 and rows[0].n_versions == 2
