@@ -665,6 +665,26 @@ def _tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
 BM25_QUERY = ["spark", "join", "window", "hash", "vector"]
 
 
+def _unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-LM fluency score: avg unigram log-prob per doc under the
+    # corpus' own add-one-smoothed distribution. Sorted-fold mean, so
+    # the DuckDB twin is bit-identical.
+    from awskinesisconsumer_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, "documents", sf)
+    return unigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-audit view: docs bucketed by BPE-ish token count.
+    from awskinesisconsumer_spark.operators.text import (
+        token_length_histogram,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return token_length_histogram(docs, text_col="text", bucket_width=50)
+
+
 def _bm25(spark: SparkSession, sf: str) -> DataFrame:
     # BM25 top-20 docs for a fixed query — decontamination-style
     # retrieval scoring. No doc x term shuffle: per-term tf is an array
@@ -1251,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-grouping-sets": _grouping_sets,
         "source-csv-roundtrip": _csv_roundtrip,
         "stream-throttle": _stream_throttle,
+        "ext-unigram-logprob": _unigram_logprob,
+        "ext-token-histogram": _token_histogram,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -1750,6 +1772,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "ext-bm25-rank": _bm25_oracle_sql(words_lower),
+        "ext-unigram-logprob": f"""
+            WITH w AS (SELECT doc_id, {words_lower} AS words FROM documents),
+            tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            dtf AS (SELECT doc_id, term, COUNT(*) AS c
+                    FROM tok2 GROUP BY 1, 2),
+            corpus AS (SELECT term, COUNT(*) AS cf FROM tok2 GROUP BY 1),
+            tot AS (SELECT SUM(cf) AS nt, COUNT(*) AS vocab FROM corpus),
+            per AS (
+              SELECT doc_id, SUM(c) AS n,
+                     list(struct_pack(c := c, cf := cf) ORDER BY term)
+                       AS es,
+                     ANY_VALUE(CAST(nt + vocab AS DOUBLE)) AS denom
+              FROM dtf JOIN corpus USING (term) CROSS JOIN tot
+              GROUP BY doc_id),
+            sc AS (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(es, e -> CAST(e.c AS DOUBLE)
+                     * (ln(CAST(e.cf AS DOUBLE) + 1.0) - ln(denom)))),
+                   (a, x) -> a + x) / CAST(n AS DOUBLE), 4) AS avg_logprob
+              FROM per)
+            SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+                   sc.avg_logprob
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        "ext-token-histogram": r"""
+            WITH c AS (
+              SELECT CAST(len(regexp_extract_all(COALESCE(text, ''),
+                          '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt
+              FROM documents)
+            SELECT CAST(FLOOR(nt / 50.0) AS BIGINT) * 50 AS bucket_lo,
+                   COUNT(*) AS n_docs,
+                   MIN(nt) AS min_tokens,
+                   MAX(nt) AS max_tokens
+            FROM c GROUP BY 1
+        """,
         "ext-word-entropy": f"""
             WITH w AS (SELECT doc_id, {words_lower} AS words FROM documents)
             SELECT doc_id,

@@ -495,3 +495,95 @@ def word_entropy(df: DataFrame, *, text_col: str,
         F.round(F.log(n.cast("double")) - acc / n.cast("double"), 4)
     )
     return df.withColumn(out_col, ent)
+
+
+def unigram_logprob(df: DataFrame, *, id_col: str, text_col: str,
+                    out_col: str = "avg_logprob") -> DataFrame:
+    """Per-document average unigram log-probability under the corpus'
+    own empirical word distribution (add-one smoothed) — the cheap
+    "perplexity-ish" fluency score used to rank documents before a
+    real LM gets involved: boilerplate and keyword-stuffed docs sit in
+    the tails.
+
+    Two passes: (1) corpus term frequencies — explode + groupBy(term)
+    with map-side combine, the same shape as vocabulary building;
+    (2) per-(doc, term) counts joined against the term table on the
+    term key, then a doc-keyed weighted average. Both shuffles carry
+    one row per distinct term (per doc), never raw tokens. At 100 TB
+    the term table is Zipf-bounded (millions of rows, not corpus-
+    sized) and AQE broadcasts it when it fits.
+
+    Determinism: log-prob inputs are exact integers (counts), and the
+    per-doc mean is computed as sum(c_t * ln p_t) / n in a single
+    aggregate whose addends are folded over the SORTED term list via
+    collect_list + array_sort + fold — engine-independent summation
+    order, same trick as word_entropy.
+    """
+    words = _words(F.lower(F.col(text_col)))
+    tok = (
+        df.select(id_col, F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+    )
+    doc_tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_c"))
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_cf"))
+    totals = corpus.agg(
+        F.sum("_cf").alias("_n_tokens"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    # ln p_t = ln(cf_t + 1) - ln(N + V)  (add-one smoothing)
+    joined = (
+        doc_tf.join(corpus, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("_c"),
+            F.struct("term", "_c", "_cf").alias("_e"),
+            (F.col("_n_tokens") + F.col("_vocab")).cast("double").alias("_denom"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.array_sort(F.collect_list("_e")).alias("_es"),
+        F.first("_denom").alias("_denom"),
+    )
+    acc = F.aggregate(
+        F.col("_es"),
+        F.lit(0.0),
+        lambda a, e: a
+        + e["_c"].cast("double")
+        * (F.log(e["_cf"].cast("double") + 1.0) - F.log(F.col("_denom"))),
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(acc / F.col("_n").cast("double"), 4).alias(out_col),
+    )
+    # Docs with zero words have no tok rows — restore them with NULL
+    # score (absent text is "no evidence", not "improbable").
+    return (
+        df.select(id_col).join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            out_col,
+        )
+    )
+
+
+def token_length_histogram(df: DataFrame, *, text_col: str,
+                           bucket_width: int = 50) -> DataFrame:
+    """Corpus token-length histogram: docs bucketed by BPE-ish token
+    count into fixed-width bins — the standard corpus-audit view
+    (sequence-length planning, truncation-rate estimates). One
+    narrow projection + one tiny groupBy(bucket) — the shuffle
+    carries one row per bucket per partition."""
+    counted = token_count(df, text_col=text_col, out_col="_nt")
+    bucket = (F.col("_nt") / bucket_width).cast("bigint") * bucket_width
+    return (
+        counted.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
