@@ -177,11 +177,25 @@ def dedup_minhash_lsh(
     rows = shingle_rows(
         df.select(id_col, text_col), id_col=id_col, text_col=text_col, n=n
     ).withColumn("_h", F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE)))
-    # One groupBy carries the whole signature as flat _m columns; the
-    # band hashes derive from those columns in the SAME projection (no
-    # array materialization / element_at round-trip). Docs with zero
-    # shingles have no rows here, so every _m is non-null.
-    sigs = rows.groupBy(id_col).agg(*_perm_min_aggs(num_hashes))
+    # One groupBy carries the whole signature as flat _m columns (the
+    # hot codegen'd path over every shingle row), then the signature
+    # immediately COLLAPSES to a single array column. Everything
+    # downstream — banding, the band join, the verify join — sees a
+    # 2-column schema instead of 1 + num_hashes attributes. That
+    # matters twice: Catalyst analysis cost grows superlinearly with
+    # attribute count through self-joins (measured: the flat-column
+    # formulation spent 17 s ANALYZING vs 0.5 s executing at sf0.1),
+    # and the band shuffle rows stay narrow. Docs with zero shingles
+    # have no rows here, so every _m is non-null.
+    sigs = (
+        rows.groupBy(id_col)
+        .agg(*_perm_min_aggs(num_hashes))
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+            .alias("_sig"),
+        )
+    )
     sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
 
     banded = sigs.select(
@@ -191,7 +205,7 @@ def dedup_minhash_lsh(
                 F.struct(
                     F.lit(b).alias("band"),
                     hash_fn(F.concat_ws(
-                        ",", *[F.col(f"_m{b * rows_per_band + r}")
+                        ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
                                for r in range(rows_per_band)]
                     )).alias("band_hash"),
                 )
@@ -229,19 +243,18 @@ def dedup_minhash_lsh(
         .distinct()
     )
     # Verify: estimated Jaccard = fraction of matching permutation
-    # minima, summed over flat scalar columns — whole-stage codegen,
-    # where the previous zip_with lambda fell back to interpreted eval.
-    sig_a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(num_hashes)],
-    )
-    sig_b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(num_hashes)],
-    )
-    n_match = sum(
-        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    # minima. The zip_with/filter lambda pair evaluates interpreted,
+    # but it only ever touches LSH candidate pairs (bucket-bounded by
+    # construction) — a per-pair O(num_hashes) cost that is noise next
+    # to the codegen'd shingle/minhash aggregation over the corpus,
+    # and the narrow (id, _sig) join schemas keep Catalyst analysis
+    # O(small) where flat signature columns made it the dominant cost.
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b
+        )
     )
     out = (
         cand.join(sig_a, "id_a").join(sig_b, "id_b")
