@@ -1277,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
         "ext-pack-sequences": _pack_sequences,
+        "ext-dedup-minhash": _dedup_minhash,
+        "ext-dedup-cluster": _dedup_cluster,
         # -- veterans (green in CORRECTNESS_r02.json)
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
@@ -1297,10 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-similarity-ann": _ann_lsh,
         "ext-similarity-ivf": _ann_ivf,
         "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
-        "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-simhash": _simhash,
         "ext-dedup-ngram-jaccard": _ngram_jaccard,
-        "ext-dedup-cluster": _dedup_cluster,
         "ext-dedup-lines": _dedup_lines,
         "ext-quality-repetition": _repetition,
         "ext-decontaminate": _decontaminate,
@@ -1772,6 +1772,111 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "ext-bm25-rank": _bm25_oracle_sql(words_lower),
+        "ext-join-range": """
+            WITH pts AS (
+              SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+              FROM events),
+            wins AS (
+              SELECT CAST(EPOCH(date_trunc('hour', ts)) AS BIGINT)
+                       AS win_start,
+                     COUNT(*) AS n_anchor
+              FROM events GROUP BY 1 HAVING COUNT(*) >= 15)
+            SELECT p.event_id, w.win_start,
+                   w.win_start + 7200 AS win_end, w.n_anchor
+            FROM pts p JOIN wins w
+              ON p.ep >= w.win_start AND p.ep < w.win_start + 7200
+        """,
+        "ext-embedding-quantize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, v,
+                ROUND(CASE WHEN m > 0 THEN m / 127.0 ELSE 0.0 END, 9)
+                  AS scale
+              FROM (SELECT vec_id, v,
+                      list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(v, x -> abs(x))),
+                        (a, x) -> greatest(a, x)) AS m
+                    FROM v)),
+            q AS (
+              SELECT vec_id, v, scale,
+                CASE WHEN scale > 0 THEN
+                  list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+                    CAST(ROUND(x / scale, 0) AS INT))) AS TINYINT))
+                ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS qvec
+              FROM s)
+            SELECT vec_id, scale, qvec,
+              CASE WHEN len(v) > 0 THEN
+                ROUND(list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_zip(qvec, v),
+                      p -> abs(CAST(p[1] AS DOUBLE) * scale
+                               - CAST(p[2] AS DOUBLE)))),
+                  (a, x) -> greatest(a, x)), 6)
+              END AS max_abs_err
+            FROM q
+        """,
+        "ext-sequence-build": """
+            WITH ranked AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                     event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   list(event_type ORDER BY ts, event_id) AS seq,
+                   MIN(ts) AS seq_start_ts,
+                   MAX(ts) AS seq_end_ts
+            FROM ranked WHERE rn <= 20
+            GROUP BY user_id, n
+        """,
+        "ext-url-curation": """
+            WITH inj AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+                     WHEN doc_id % 11 = 0 THEN
+                       'http://spam-mill.com/offers/' || doc_id
+                     WHEN doc_id % 13 = 0 THEN 'https://t.co/' || doc_id
+                     ELSE 'HTTPS://WWW.Site' || (doc_id % 7)
+                          || '.Example.COM'
+                          || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                          || '/Docs/' || doc_id
+                          || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                          || CASE WHEN doc_id % 5 = 0 THEN '?utm=x' ELSE '' END
+                          || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+                END AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  ':(80|443)$', ''), '^www\\.', '') AS host,
+                regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/+$', '') AS path
+              FROM inj),
+            feat AS (
+              SELECT doc_id, scheme, host, path,
+                     scheme <> '' AND host <> '' AS ok,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+              FROM parts)
+            SELECT doc_id,
+                   CASE WHEN ok THEN scheme || '://' || host || path END
+                     AS norm_url,
+                   CASE WHEN ok AND domain <> '' THEN domain END AS domain,
+                   CASE WHEN ok THEN domain IN
+                     ('spam-mill.com', 'link-farm.net', 't.co')
+                   ELSE FALSE END AS blocked
+            FROM feat
+        """,
         "ext-unigram-logprob": f"""
             WITH w AS (SELECT doc_id, {words_lower} AS words FROM documents),
             tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
