@@ -685,6 +685,48 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_length_histogram(docs, text_col="text", bucket_width=50)
 
 
+def _shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic output-shard routing + balance audit (the check a
+    # writer runs before partitionBy(shard)). Portable hash so the
+    # oracle reproduces the routing bit-for-bit.
+    from awskinesisconsumer_spark.operators.corpus_prep import shard_assign
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf)
+    toks = token_count(docs, text_col="text", out_col="n_tokens")
+    return shard_assign(
+        toks, key_col="doc_id", n_shards=16, salt="v1",
+        token_col="n_tokens", hash_fn=portable_hash52,
+    )
+
+
+def _moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # Window-function surface: per-user ordered lag / 4-row moving
+    # average / running sum in ONE window family — single shuffle on
+    # user_id, all three frames share the sort. Aggregates run on
+    # integer cents: windowed FLOAT sums are not fold-order-portable
+    # (Spark streams the frame, DuckDB merges a segment tree), but
+    # integer sums are associative-exact, so the 4-dp average and the
+    # running sum hash-match by construction.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = ev.select("event_id", "user_id", cents.alias("value_c"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return base.select(
+        "event_id", "user_id", "value_c",
+        F.lag("value_c", 1).over(w).alias("prev_value_c"),
+        F.round(
+            F.avg("value_c").over(w.rowsBetween(-3, 0)) / 100.0, 4
+        ).alias("mov_avg4"),
+        F.sum("value_c").over(
+            w.rangeBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_value_c"),
+    )
+
+
 def _bm25(spark: SparkSession, sf: str) -> DataFrame:
     # BM25 top-20 docs for a fixed query — decontamination-style
     # retrieval scoring. No doc x term shuffle: per-term tf is an array
@@ -1273,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-throttle": _stream_throttle,
         "ext-unigram-logprob": _unigram_logprob,
         "ext-token-histogram": _token_histogram,
+        "ext-shard-assign": _shard_assign,
+        "agg-moving-avg": _moving_avg,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -1961,6 +2005,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "ext-shard-assign": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+                ('0x' || substr(md5(doc_id || chr(31) || 'v1'), 1, 13))
+                  ::BIGINT % 16 AS shard
+              FROM documents)
+            SELECT CAST(shard AS INT) AS shard,
+                   COUNT(*) AS n_rows,
+                   MIN(doc_id) AS min_key,
+                   MAX(doc_id) AS max_key,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM t GROUP BY 1
+        """,
+        "agg-moving-avg": """
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c
+              FROM events)
+            SELECT event_id, user_id, value_c,
+                   lag(value_c, 1) OVER w AS prev_value_c,
+                   ROUND(AVG(value_c) OVER (PARTITION BY user_id
+                     ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0, 4)
+                     AS mov_avg4,
+                   CAST(SUM(value_c) OVER (PARTITION BY user_id
+                     ORDER BY event_id
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_value_c
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "ext-text-stats": f"""
             WITH w AS (

@@ -289,3 +289,40 @@ def build_user_sequences(
             F.element_at("_seq", -1)["t"].alias("seq_end_ts"),
         )
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: str = "v1",
+    token_col: str | None = None,
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: every
+    row gets `shard = hash(key, salt) mod n_shards`, and the result is
+    the per-shard summary (row count, token mass, key span) a writer
+    job uses to validate balance before `partitionBy(shard)` output.
+
+    Assignment depends only on (key, salt, n_shards) — never on
+    partitioning or execution order — so re-runs and incremental
+    appends route identically (the property resharding-free appends
+    need). One narrow projection + one n_shards-row aggregate; the
+    shuffle carries one row per shard per map partition.
+    `hash_fn=portable_hash52` makes shard routing engine-portable.
+    """
+    shard = F.pmod(
+        hash_fn(F.concat_ws("\x1f", F.col(key_col).cast("string"),
+                            F.lit(salt))),
+        F.lit(n_shards),
+    )
+    assigned = df.withColumn("shard", shard.cast("int"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("sum_tokens"))
+    return assigned.groupBy("shard").agg(*aggs)

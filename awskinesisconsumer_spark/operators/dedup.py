@@ -243,18 +243,22 @@ def dedup_minhash_lsh(
         .distinct()
     )
     # Verify: estimated Jaccard = fraction of matching permutation
-    # minima. The zip_with/filter lambda pair evaluates interpreted,
-    # but it only ever touches LSH candidate pairs (bucket-bounded by
-    # construction) — a per-pair O(num_hashes) cost that is noise next
-    # to the codegen'd shingle/minhash aggregation over the corpus,
-    # and the narrow (id, _sig) join schemas keep Catalyst analysis
-    # O(small) where flat signature columns made it the dominant cost.
+    # minima. Two costs pull in opposite directions here: wide FLAT
+    # signature columns keep the comparison codegen'd but blow up
+    # Catalyst analysis through the self-joins (measured 17 s of
+    # analysis at num_hashes=64), while a zip_with/filter lambda keeps
+    # the schema narrow but evaluates INTERPRETED per candidate pair
+    # (measured 2x wall at 200k docs / ~4M near-dup pairs). The
+    # element_at sum gets both: the join schemas stay (id, _sig) —
+    # analysis sees 2 attributes — and element_at is a codegen'd
+    # scalar expression, so the per-pair comparison stays JIT'd.
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
-    n_match = F.size(
-        F.filter(
-            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b
-        )
+    n_match = sum(
+        F.when(
+            F.element_at("_sa", i + 1) == F.element_at("_sb", i + 1), 1
+        ).otherwise(0)
+        for i in range(num_hashes)
     )
     out = (
         cand.join(sig_a, "id_a").join(sig_b, "id_b")

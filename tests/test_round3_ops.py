@@ -241,3 +241,36 @@ def test_compact_latest_no_op_col(spark):
     )
     rows = compact_latest(log, key_cols=["k"], seq_col="seq").collect()
     assert len(rows) == 1 and rows[0].v == 20 and rows[0].n_versions == 2
+
+
+# ---- shard assignment ----------------------------------------------------
+
+def test_shard_assign_deterministic_and_complete(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import shard_assign
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("toks")
+    )
+    out = shard_assign(
+        df, key_col="k", n_shards=8, token_col="toks"
+    ).collect()
+    assert sum(r.n_rows for r in out) == 1000
+    assert {r.shard for r in out} <= set(range(8))
+    # same inputs -> identical assignment (rerun)
+    out2 = shard_assign(
+        df, key_col="k", n_shards=8, token_col="toks"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # different salt -> different routing (with overwhelming probability)
+    out3 = shard_assign(
+        df, key_col="k", n_shards=8, salt="v2", token_col="toks"
+    ).collect()
+    assert sorted(map(tuple, out3)) != sorted(map(tuple, out))
+
+
+def test_shard_assign_no_tokens(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import shard_assign
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    cols = shard_assign(df, key_col="k", n_shards=4).columns
+    assert cols == ["shard", "n_rows", "min_key", "max_key"]
