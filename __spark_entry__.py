@@ -798,9 +798,15 @@ def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # the explicit schema (header off, so the reader never infers).
     # Non-float columns only: CSV text round-trip of doubles is
     # writer-format-dependent; the contract here is the scan path.
+    import hashlib
+    import os
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="csv_out_")
+    # Deterministic per-sf path + overwrite, so repeated gate/bench
+    # invocations reuse one directory instead of leaking a fresh
+    # mkdtemp of the full extract each run.
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"csv_roundtrip_{tag}")
     ev = load_table(spark, "events", sf).select(
         "event_id", "user_id", "event_type"
     )
@@ -808,19 +814,25 @@ def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(ev.schema).option("header", "false").csv(out)
 
 
+THROTTLE_SPAN_S = 600  # shared by the stream query, its projection, and oracle
+
+
 def _stream_throttle(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 row 14, streaming form: dropDuplicatesWithinWatermark
-    # per (user, 600 s bucket) over the replayed events feed. WHICH row
+    # per (user, span bucket) over the replayed events feed. WHICH row
     # of a bucket survives is arrival-order-dependent, so the query
     # projects to the admitted (user_id, bucket_start) set — exactly
     # one row per bucket, deterministic, and oracle = DISTINCT buckets.
     from awskinesisconsumer_spark.streaming import events_stream
     from awskinesisconsumer_spark.streaming.pipeline import throttle_stream
 
-    out = throttle_stream(events_stream(spark, sf), span_seconds=600)
+    out = throttle_stream(
+        events_stream(spark, sf), span_seconds=THROTTLE_SPAN_S
+    )
     admitted = out.select(
         "user_id",
-        (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("bucket_start"),
+        (F.floor(F.unix_timestamp("ts") / THROTTLE_SPAN_S)
+         * THROTTLE_SPAN_S).alias("bucket_start"),
     )
     return _run_stream_to_table(admitted, spark, "throttle_stream")
 
@@ -1806,13 +1818,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
         """,
-        # Streaming throttle admits exactly one row per (user, 600 s
+        # Streaming throttle admits exactly one row per (user, span
         # bucket); WHICH row is arrival-order-dependent, so the query
         # (and this oracle) compare the admitted bucket set.
-        "stream-throttle": """
+        "stream-throttle": f"""
             SELECT DISTINCT user_id,
-                   CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT)
-                     AS bucket_start
+                   CAST(FLOOR(EPOCH(ts) / {THROTTLE_SPAN_S})
+                        * {THROTTLE_SPAN_S} AS BIGINT) AS bucket_start
             FROM events
         """,
         "ext-bm25-rank": _bm25_oracle_sql(words_lower),

@@ -56,5 +56,9 @@ def compact_latest(
         "n_versions",
     )
     if op_col is not None:
-        out = out.where(F.col(op_col) != delete_op).drop(op_col)
+        # NULL op is "no marker", i.e. an upsert — a bare `!=` filter
+        # would silently drop NULL-op winners (NULL comparison).
+        out = out.where(
+            (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+        ).drop(op_col)
     return out

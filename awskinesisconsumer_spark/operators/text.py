@@ -484,12 +484,15 @@ def word_entropy(df: DataFrame, *, text_col: str,
     words = _words(F.lower(F.col(text_col)))
     n = F.size(words)
     dw = F.array_sort(F.array_distinct(words))
+    # Count each distinct word ONCE (transform), then fold — HOF
+    # lambdas run interpreted with no subexpression elimination, so
+    # inlining the count twice (multiplier + log argument) would
+    # double the dominant O(distinct x n) scan.
+    counts = F.transform(
+        dw, lambda d: F.size(F.filter(words, lambda w: w == d)).cast("double")
+    )
     acc = F.aggregate(
-        dw,
-        F.lit(0.0),
-        lambda a, d: a
-        + F.size(F.filter(words, lambda w: w == d)).cast("double")
-        * F.log(F.size(F.filter(words, lambda w: w == d)).cast("double")),
+        counts, F.lit(0.0), lambda a, c: a + c * F.log(c)
     )
     ent = F.when(n <= 0, F.lit(0.0)).otherwise(
         F.round(F.log(n.cast("double")) - acc / n.cast("double"), 4)

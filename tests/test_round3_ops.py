@@ -274,3 +274,19 @@ def test_shard_assign_no_tokens(spark):
     df = spark.range(100).select(F.col("id").alias("k"))
     cols = shard_assign(df, key_col="k", n_shards=4).columns
     assert cols == ["shard", "n_rows", "min_key", "max_key"]
+
+
+def test_compact_latest_null_op_is_upsert(spark):
+    # Regression: a NULL op marker means "no marker" (upsert), and a
+    # bare != filter would silently drop the key (NULL comparison).
+    from awskinesisconsumer_spark.operators.compaction import compact_latest
+
+    log = spark.createDataFrame(
+        [("a", 1, 10, "upsert"), ("a", 2, 20, None),
+         ("b", 1, 1, "delete")],
+        "k string, seq int, v int, op string",
+    )
+    out = {r.k: r for r in compact_latest(
+        log, key_cols=["k"], seq_col="seq", op_col="op"
+    ).collect()}
+    assert set(out) == {"a"} and out["a"].v == 20
