@@ -685,6 +685,23 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_length_histogram(docs, text_col="text", bucket_width=50)
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    # Count-min-sketch heavy hitters: sublinear-memory frequency
+    # estimation (vocab pruning / hot-key detection). Deterministic
+    # given the salted portable hash, so the oracle replays the SAME
+    # sketch — checking the estimator, not just the true counts.
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return cms_heavy_hitters(
+        docs, text_col="text", k=20, depth=4, width=1024,
+        hash_fn=portable_hash52,
+    )
+
+
 def _shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     # Deterministic output-shard routing + balance audit (the check a
     # writer runs before partitionBy(shard)). Portable hash so the
@@ -1190,6 +1207,11 @@ def _run_stream_to_table(df, spark: SparkSession, prefix: str,
         )
         if not q.awaitTermination(300):
             q.stop()  # never leave a zombie query churning empty batches
+            # A partial memory table would hash-compare as a WRONG
+            # answer; surface the timeout as an error instead.
+            raise RuntimeError(
+                f"streaming query {name} did not finish within 300 s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
@@ -1287,6 +1309,20 @@ def _stream_segment(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "seg_stream")
 
 
+def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming twin of agg-tumbling-window: watermarked 1 h windows,
+    # append mode -> emitted set == windows closed by the final
+    # watermark (deterministic under AvailableNow; oracle filters the
+    # batch rollup the same way).
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        tumbling_agg_stream,
+    )
+
+    out = tumbling_agg_stream(events_stream(spark, sf))
+    return _run_stream_to_table(out, spark, "tumbling_stream")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed: CORRECTNESS_r02.json == the first 50
@@ -1329,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-token-histogram": _token_histogram,
         "ext-shard-assign": _shard_assign,
         "agg-moving-avg": _moving_avg,
+        "ext-heavy-hitters-cms": _cms_heavy_hitters,
+        "stream-tumbling-agg": _stream_tumbling,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2017,6 +2055,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "ext-heavy-hitters-cms": f"""
+            WITH w AS (SELECT {words_lower} AS words FROM documents),
+            tok AS (SELECT t.term FROM w, UNNEST(words) AS t(term)
+                    WHERE t.term <> ''),
+            js AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+            pairs AS (
+              SELECT j, ('0x' || substr(md5(term || chr(31)
+                          || 'cms1:' || j), 1, 13))::BIGINT % 1024
+                       AS bucket
+              FROM tok CROSS JOIN js),
+            sketch AS (
+              SELECT j, bucket, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+            cand AS (SELECT term, COUNT(*) AS exact FROM tok GROUP BY 1),
+            probes AS (
+              SELECT c.term, c.exact, js.j,
+                     ('0x' || substr(md5(c.term || chr(31)
+                       || 'cms1:' || js.j), 1, 13))::BIGINT % 1024
+                       AS bucket
+              FROM cand c CROSS JOIN js),
+            est AS (
+              SELECT pr.term, pr.exact, MIN(s.n) AS cms_est
+              FROM probes pr
+              JOIN sketch s ON pr.j = s.j AND pr.bucket = s.bucket
+              GROUP BY 1, 2)
+            SELECT term, CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(exact AS BIGINT) AS exact,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cms_est DESC, term)
+                        AS INT) AS rank
+            FROM est
+            QUALIFY rank <= 20
         """,
         "ext-shard-assign": r"""
             WITH t AS (
@@ -2861,6 +2930,22 @@ def oracle_sql() -> dict[str, str]:
         # precedes the final watermark (max event time, ms-truncated,
         # minus the 1 h delay); sessions still open at end-of-input are
         # withheld. Oracle = batch gap sessionization + that filter.
+        "stream-tumbling-agg": """
+            WITH rollup AS (
+              -- FLOOR, not //: DuckDB's // on DOUBLE does not floor
+              SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS ws,
+                     COUNT(*) AS n_events,
+                     ROUND(SUM(value), 2) AS sum_value,
+                     MAX(event_id) AS max_event_id
+              FROM events GROUP BY 1),
+            wm AS (SELECT ((MAX(epoch_us(ts)) // 1000) - 3600000) * 1000
+                     AS wm_us FROM events)
+            SELECT make_timestamp(ws * 1000000) AS w_start,
+                   make_timestamp((ws + 3600) * 1000000) AS w_end,
+                   n_events, sum_value, max_event_id
+            FROM rollup, wm
+            WHERE (ws + 3600) * 1000000 <= wm_us
+        """,
         "stream-segment-rollup": """
             WITH e AS (
               SELECT user_id, event_id, value, epoch_us(ts) AS tus

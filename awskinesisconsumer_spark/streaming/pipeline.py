@@ -279,3 +279,26 @@ def dedup_exact_stream(docs: DataFrame, *, text_col: str,
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def tumbling_agg_stream(events: DataFrame, *, window: str = "1 hour",
+                        delay: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    the batch `agg-tumbling-window` rollup. Append mode emits exactly
+    the windows whose end is at or below the final watermark
+    (max event time - delay), which is a closed-form set under
+    AvailableNow replay — the property the oracle exploits."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events", "sum_value", "max_event_id",
+        )
+    )
