@@ -1309,6 +1309,34 @@ def _stream_segment(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "seg_stream")
 
 
+def _stream_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming changelog compaction over the replayed events feed:
+    # running max_by state per key, complete mode. Final state ==
+    # batch compaction, so the ext-cdc-compact oracle applies
+    # verbatim (same key/op derivation).
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        compact_latest_stream,
+    )
+
+    ev = events_stream(spark, sf)
+    log = ev.withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert")),
+    )
+    out = compact_latest_stream(
+        log, key_cols=["user_id", "event_type"], seq_col="event_id",
+        payload_cols=["ts", "value", "props", "op"], op_col="op",
+    ).select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.round("value", 2).alias("value"),
+        "last_seq", "n_versions",
+    )
+    return _run_stream_to_table(out, spark, "cdc_stream", mode="complete")
+
+
 def _stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     # Streaming twin of agg-tumbling-window: watermarked 1 h windows,
     # append mode -> emitted set == windows closed by the final
@@ -1367,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-moving-avg": _moving_avg,
         "ext-heavy-hitters-cms": _cms_heavy_hitters,
         "stream-tumbling-agg": _stream_tumbling,
+        "stream-cdc-compact": _stream_cdc,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2026,6 +2055,26 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "ext-cdc-compact": """
+            WITH log AS (
+              SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete'
+                             ELSE 'upsert' END AS op
+              FROM events),
+            win AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     value, op,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY event_id DESC) AS rn,
+                     MAX(event_id) OVER (PARTITION BY user_id, event_type)
+                       AS last_seq,
+                     COUNT(*) OVER (PARTITION BY user_id, event_type)
+                       AS n_versions
+              FROM log)
+            SELECT user_id, event_type, ts, ROUND(value, 2) AS value,
+                   last_seq, CAST(n_versions AS BIGINT) AS n_versions
+            FROM win WHERE rn = 1 AND op <> 'delete'
+        """,
+        # Streaming compaction ends in the same final state as batch.
+        "stream-cdc-compact": """
             WITH log AS (
               SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete'
                              ELSE 'upsert' END AS op

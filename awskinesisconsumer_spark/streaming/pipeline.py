@@ -302,3 +302,35 @@ def tumbling_agg_stream(events: DataFrame, *, window: str = "1 hour",
             "n_events", "sum_value", "max_event_id",
         )
     )
+
+
+def compact_latest_stream(log: DataFrame, *, key_cols: list[str],
+                          seq_col: str, payload_cols: list[str],
+                          op_col: str | None = None,
+                          delete_op: str = "delete") -> DataFrame:
+    """Streaming changelog compaction — the ingestion-time form of
+    `operators.compaction.compact_latest`: a running max_by(payload,
+    seq) per key. Like streaming corpus dedup, compaction state is
+    definitionally unbounded (every live key must be remembered), so
+    this is an unwatermarked complete/update-mode aggregation: one
+    row of state per DISTINCT key, hash-partitioned; pair with the
+    RocksDB state store at scale. Tombstones are filtered AFTER the
+    aggregate so a later re-insert can resurrect the key."""
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)
+    ).alias("_w")
+    out = log.groupBy(*key_cols).agg(
+        winner,
+        F.max(seq_col).alias("last_seq"),
+        F.count(F.lit(1)).alias("n_versions"),
+    ).select(
+        *key_cols,
+        *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
+        "last_seq",
+        "n_versions",
+    )
+    if op_col is not None:
+        out = out.where(
+            (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+        ).drop(op_col)
+    return out

@@ -52,6 +52,18 @@ HEADLINE = [
     "ext-vocabulary",
     "ext-embedding-pool",
     "stream-asof-tags",
+    # round 3 additions — totals across rounds are not comparable
+    # 1:1 (headline set grew 30 -> 38, and round-3 testdata scales
+    # documents 500 -> 5,000 and embeddings 500 -> 2,000 at sf0.1);
+    # compare per-query times.
+    "ext-bm25-rank",
+    "ext-word-entropy",
+    "ext-unigram-logprob",
+    "ext-heavy-hitters-cms",
+    "ext-cdc-compact",
+    "ext-shard-assign",
+    "agg-moving-avg",
+    "agg-grouping-sets",
 ]
 
 

@@ -290,3 +290,28 @@ def test_compact_latest_null_op_is_upsert(spark):
         log, key_cols=["k"], seq_col="seq", op_col="op"
     ).collect()}
     assert set(out) == {"a"} and out["a"].v == 20
+
+
+# ---- count-min sketch ----------------------------------------------------
+
+def test_cms_overcounts_never_undercounts(spark):
+    from awskinesisconsumer_spark.operators.sketches import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 4))) for i in range(60)],
+        "doc_id int, text string",
+    )
+    # Tiny width forces collisions -> estimates must still be >= exact.
+    out = cms_heavy_hitters(
+        docs, text_col="text", k=10, depth=3, width=8
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.cms_est >= r.exact
+    # With ample width there are no collisions: est == exact.
+    wide = cms_heavy_hitters(
+        docs, text_col="text", k=10, depth=4, width=4096
+    ).collect()
+    assert all(r.cms_est == r.exact for r in wide)
+    # ranks deterministic and dense
+    assert sorted(r.rank for r in wide) == list(range(1, len(wide) + 1))
