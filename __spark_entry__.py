@@ -685,6 +685,69 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_length_histogram(docs, text_col="text", bucket_width=50)
 
 
+def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher rule flags over deterministically decorated docs (the
+    # fixture text has no bullets/symbols/ellipses, so inject each
+    # rule's trigger shape by doc_id arithmetic — same pattern as the
+    # PII/URL injections; CASE order matters and the oracle replays it).
+    from awskinesisconsumer_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, "documents", sf)
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    inj = (
+        F.when(did % 23 == 0, F.lit("- a\n- b\n- c"))
+        .when(did % 19 == 0,
+              F.lit("end one...\nend two...\nplain line"))
+        .when(did % 9 == 0, F.concat(t, F.lit(" # # # # # # # #")))
+        .when(did % 8 == 0, F.lit("tiny doc"))
+        .otherwise(t)
+    )
+    out = gopher_rules(
+        docs.select("doc_id", inj.alias("text")), text_col="text"
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "flag_len",
+        "flag_word_len", "flag_symbol", "flag_bullet", "flag_ellipsis",
+        "keep",
+    )
+
+
+def _json_permissive(spark: SparkSession, sf: str) -> DataFrame:
+    # PERMISSIVE corrupt-record scan — the Spark analogue of the
+    # reference's permissive EBML parser (unknown elements skip, not
+    # fail; /root/reference/ebml.py:293-297): malformed lines land in
+    # _corrupt_record and route, valid rows parse against the schema.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_corrupt_{tag}")
+    docs = load_table(spark, "documents", sf)
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("{corrupt line "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.to_json(F.struct(
+            F.col("doc_id"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n"),
+        ))
+    )
+    docs.select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    back = (
+        spark.read.schema("doc_id long, n long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return back.select(
+        "doc_id", "n", F.col("_corrupt").isNotNull().alias("corrupt")
+    )
+
+
 def _cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     # Count-min-sketch heavy hitters: sublinear-memory frequency
     # estimation (vocab pruning / hot-key detection). Deterministic
@@ -1396,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-heavy-hitters-cms": _cms_heavy_hitters,
         "stream-tumbling-agg": _stream_tumbling,
         "stream-cdc-compact": _stream_cdc,
+        "ext-quality-gopher-rules": _gopher_rules,
+        "source-json-permissive": _json_permissive,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2104,6 +2169,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "ext-quality-gopher-rules": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 23 = 0 THEN '- a' || chr(10) || '- b'
+                           || chr(10) || '- c'
+                     WHEN doc_id % 19 = 0 THEN 'end one...' || chr(10)
+                           || 'end two...' || chr(10) || 'plain line'
+                     WHEN doc_id % 9 = 0 THEN COALESCE(text, '')
+                           || ' # # # # # # # #'
+                     WHEN doc_id % 8 = 0 THEN 'tiny doc'
+                     ELSE COALESCE(text, '') END AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id, t,
+                CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(t), '\s+') END AS words,
+                string_split(t, chr(10)) AS lines
+              FROM inj),
+            f AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                CASE WHEN len(words) > 0
+                  THEN length(regexp_replace(t, '\s+', '', 'g'))
+                       / CAST(len(words) AS DOUBLE)
+                  ELSE 0.0 END AS mean_wl,
+                CASE WHEN len(words) > 0
+                  THEN (length(t) - length(regexp_replace(t, '#', '', 'g'))
+                        + len(regexp_extract_all(t, '\.\.\.')))
+                       / CAST(len(words) AS DOUBLE)
+                  ELSE 0.0 END AS sym_ratio,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[-*•]')))
+                  / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '\.\.\.\s*$')))
+                  / CAST(len(lines) AS DOUBLE) AS ell_frac
+              FROM m)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_wl, 4) AS mean_word_len,
+                   (n_words < 50 OR n_words > 100000) AS flag_len,
+                   (mean_wl < 3.0 OR mean_wl > 10.0) AS flag_word_len,
+                   sym_ratio > 0.1 AS flag_symbol,
+                   bullet_frac > 0.9 AS flag_bullet,
+                   ell_frac > 0.3 AS flag_ellipsis,
+                   NOT ((n_words < 50 OR n_words > 100000)
+                        OR (mean_wl < 3.0 OR mean_wl > 10.0)
+                        OR sym_ratio > 0.1 OR bullet_frac > 0.9
+                        OR ell_frac > 0.3) AS keep
+            FROM f
+        """,
+        "source-json-permissive": """
+            SELECT doc_id,
+                   CAST(length(COALESCE(text, '')) AS BIGINT) AS n,
+                   FALSE AS corrupt
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), TRUE
+            FROM documents WHERE doc_id % 13 = 0
         """,
         "ext-heavy-hitters-cms": f"""
             WITH w AS (SELECT {words_lower} AS words FROM documents),

@@ -590,3 +590,54 @@ def token_length_histogram(df: DataFrame, *, text_col: str,
             F.max("_nt").alias("max_tokens"),
         )
     )
+
+
+def gopher_rules(df: DataFrame, *, text_col: str) -> DataFrame:
+    """Gopher rule-based quality flags (Rae et al. 2021, table A1 —
+    the public rule set): per document,
+
+    * n_words, mean_word_len — basic size signals;
+    * flag_len — word count outside [50, 100_000];
+    * flag_word_len — mean word length outside [3, 10];
+    * flag_symbol — (# or ...) to-word ratio > 0.1;
+    * flag_bullet / flag_ellipsis — >90% lines start with a bullet /
+      >30% end with an ellipsis;
+    * keep — passes every rule.
+
+    All narrow column expressions (no shuffle, codegen'd); thresholds
+    are the published constants, exposed as output columns rather than
+    config so the oracle replays them verbatim.
+    """
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                  r"\s+", "")) / nw,
+    ).otherwise(F.lit(0.0))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, r"#", ""))
+    n_ell = F.regexp_count(txt, F.lit(r"\.\.\."))
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ell) / nw).otherwise(F.lit(0.0))
+    lines = F.split(txt, "\n", -1)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    flag_len = (n_words < 50) | (n_words > 100_000)
+    flag_word_len = (mean_wl < 3.0) | (mean_wl > 10.0)
+    flag_symbol = sym_ratio > 0.1
+    flag_bullet = (n_bullet / n_lines.cast("double")) > 0.9
+    flag_ellipsis = (n_ell_end / n_lines.cast("double")) > 0.3
+    return df.select(
+        "*",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        flag_len.alias("flag_len"),
+        flag_word_len.alias("flag_word_len"),
+        flag_symbol.alias("flag_symbol"),
+        flag_bullet.alias("flag_bullet"),
+        flag_ellipsis.alias("flag_ellipsis"),
+        (~(flag_len | flag_word_len | flag_symbol | flag_bullet
+           | flag_ellipsis)).alias("keep"),
+    )
