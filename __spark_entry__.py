@@ -685,6 +685,29 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_length_histogram(docs, text_col="text", bucket_width=50)
 
 
+def _split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
+    # Cluster-level train/val split: near-dup pairs -> connected
+    # components -> hash gate on CLUSTER id, so no near-duplicate of a
+    # val doc can reach train. Pairs from the deterministic n-gram
+    # Jaccard generator (same as ext-dedup-cluster), so the whole
+    # query is replayable as a recursive CTE + md5 gate.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        split_leakage_free,
+    )
+    from awskinesisconsumer_spark.operators.dedup import (
+        ngram_jaccard_pairs, portable_hash52,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    return split_leakage_free(
+        docs, id_col="doc_id", pairs=pairs, val_fraction=0.1,
+        hash_fn=portable_hash52,
+    )
+
+
 def _gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher rule flags over deterministically decorated docs (the
     # fixture text has no bullets/symbols/ellipses, so inject each
@@ -1461,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-cdc-compact": _stream_cdc,
         "ext-quality-gopher-rules": _gopher_rules,
         "source-json-permissive": _json_permissive,
+        "ext-split-leakage-free": _split_leakage_free,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -3091,6 +3115,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
             FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        """,
+        # Same cluster CTE as ext-dedup-cluster + the md5 hash gate on
+        # the cluster id (cluster-level split => leakage-free).
+        "ext-split-leakage-free": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+            posts AS (SELECT doc_id, s FROM g
+                      WHERE s NOT IN (SELECT s FROM hot)),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM posts a JOIN posts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sel AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sizes sa ON sa.doc_id = cand.id_a
+              JOIN sizes sb ON sb.doc_id = cand.id_b
+              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                          AS DOUBLE), 4) >= 0.3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM sel
+              UNION
+              SELECT id_b, id_a FROM sel),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e
+                ON e.src = reach.node),
+            cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+            lab AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT)
+                       AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ('0x' || substr(md5(cluster_id || chr(31)
+                          || 'split1'), 1, 13))::BIGINT % 1000000 < 100000
+                        THEN 'val' ELSE 'train' END AS split
+            FROM lab
         """,
         # Fan-out roundtrip: frames sink + dead-letter sink together
         # must reproduce the whole input table.

@@ -326,3 +326,44 @@ def shard_assign(
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("sum_tokens"))
     return assigned.groupBy("shard").agg(*aggs)
+
+
+def split_leakage_free(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    pairs: DataFrame,
+    val_fraction: float,
+    salt: str = "split1",
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Leakage-free train/validation split: assign DUPLICATE CLUSTERS,
+    not documents, so a near-duplicate of a validation doc can never
+    land in train (the eval-contamination mode a per-doc hash split
+    silently permits). `pairs` is any near-dup candidate edge list
+    (minhash / simhash / n-gram / embedding — caller's choice of
+    generator); docs absent from `pairs` are singleton clusters.
+
+    Split membership is `hash(cluster_id, salt) mod 1e6 <
+    val_fraction * 1e6` — deterministic, rerun-stable, and nested
+    (raising val_fraction strictly grows val), the same gate contract
+    as `sample_stratified`. Cost beyond the caller's pair generation:
+    the connected-components rounds (diameter-bounded) plus one narrow
+    projection.
+    """
+    from .dedup import connected_components
+
+    cc = connected_components(
+        pairs, vertices=docs.select(F.col(id_col).alias("id"))
+    )
+    gate = F.pmod(
+        hash_fn(F.concat_ws("\x1f", F.col("cluster_id").cast("string"),
+                            F.lit(salt))),
+        F.lit(1_000_000),
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        F.when(gate < int(val_fraction * 1_000_000), F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )

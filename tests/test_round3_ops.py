@@ -315,3 +315,31 @@ def test_cms_overcounts_never_undercounts(spark):
     assert all(r.cms_est == r.exact for r in wide)
     # ranks deterministic and dense
     assert sorted(r.rank for r in wide) == list(range(1, len(wide) + 1))
+
+
+def test_split_leakage_free_clusters_never_straddle(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        split_leakage_free,
+    )
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 99)], "id_a long, id_b long"
+    )
+    out = split_leakage_free(
+        docs, id_col="doc_id", pairs=pairs, val_fraction=0.3
+    )
+    rows = out.collect()
+    assert len(rows) == 100
+    # every cluster maps to exactly one split
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n")
+    ).collect()
+    assert all(r.n == 1 for r in per_cluster)
+    # linked docs share cluster AND split
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].split == by_id[1].split == by_id[2].split
+    assert by_id[50].split == by_id[99].split
+    # both splits are populated at 30%
+    splits = {r.split for r in rows}
+    assert splits == {"train", "val"}
