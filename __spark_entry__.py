@@ -685,6 +685,26 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_length_histogram(docs, text_col="text", bucket_width=50)
 
 
+def _ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # Product-quantization ANN (ADC): 8 subspaces x 16 sampled
+    # centroids, codes-only query path. Deterministic codebooks ->
+    # the oracle replays encode + LUT + fold in SQL exactly.
+    from awskinesisconsumer_spark.operators.similarity import (
+        knn_pq_adc, pq_codebooks_from_sample,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    cbs = pq_codebooks_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16
+    )
+    return knn_pq_adc(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding], codebooks=cbs, k=10,
+    )
+
+
 def _split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
     # Cluster-level train/val split: near-dup pairs -> connected
     # components -> hash gate on CLUSTER id, so no near-duplicate of a
@@ -1485,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-quality-gopher-rules": _gopher_rules,
         "source-json-permissive": _json_permissive,
         "ext-split-leakage-free": _split_leakage_free,
+        "ext-similarity-pq": _ann_pq,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2676,6 +2697,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND i IN (SELECT i FROM probe)
             ORDER BY cosine_sim DESC NULLS LAST, vec_id
             LIMIT 10
+        """,
+        # Product-quantization ADC replayed in SQL: seed codebooks =
+        # 16 lowest-id corpus vectors sliced into 8 subspaces, argmin
+        # encode per (vector, subspace), query LUT, ordered-fold ADC
+        # sum. Mirrors operators/similarity.py:pq_encode/knn_pq_adc.
+        "ext-similarity-pq": f"""
+            WITH corpus AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id <> 0),
+            q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS cv
+              FROM corpus ORDER BY vec_id LIMIT 16),
+            js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+            cent AS (
+              SELECT j, i, list_slice(cv, j * 8 + 1, j * 8 + 8) AS cs
+              FROM seeds CROSS JOIN js),
+            sub AS (
+              SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS vs
+              FROM corpus CROSS JOIN js),
+            assign AS (
+              SELECT vec_id, j, i,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY {_sql_l2('vs', 'cs')}, i) AS rn
+              FROM sub JOIN cent USING (j)),
+            codes AS (SELECT vec_id, j, i AS code FROM assign WHERE rn = 1),
+            lut AS (
+              SELECT j, i,
+                     {_sql_l2("list_slice(qv, j * 8 + 1, j * 8 + 8)", "cs")}
+                       AS d
+              FROM cent, q),
+            per AS (
+              SELECT c.vec_id, c.j, c.code, l.d
+              FROM codes c JOIN lut l ON l.j = c.j AND l.i = c.code),
+            adc AS (
+              SELECT vec_id,
+                     ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(d ORDER BY j)),
+                       (a, x) -> a + x), 6) AS adc_dist,
+                     list(code ORDER BY j) AS pq_code
+              FROM per GROUP BY vec_id)
+            SELECT vec_id, adc_dist, pq_code,
+                   CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id)
+                        AS INT) AS rank
+            FROM adc
+            QUALIFY rank <= 10
         """,
         # SRP-bucketed near-dup pairs: Hamming<=1 bucket join + round-6
         # cosine >= 0.35 verify. Mirrors

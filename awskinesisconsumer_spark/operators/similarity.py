@@ -432,3 +432,100 @@ def quantize_embeddings_int8(
         .withColumn(out_col, q)
         .withColumn(err_col, F.when(F.size(v) > 0, err))
     )
+
+
+def pq_codebooks_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
+                             m: int, ksub: int) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the `ksub`
+    lowest-id vectors, sliced into `m` subspaces — [m][ksub][dim/m].
+    Same bootstrap contract as `ivf_centroids_from_sample` (offline
+    k-means training is the production path; the sampled seed keeps
+    the quantizer dependency-free and replayable)."""
+    rows = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    seeds = [[float(x) for x in r[0]] for r in rows]
+    dim = len(seeds[0])
+    dsub = dim // m
+    return [[s[j * dsub:(j + 1) * dsub] for s in seeds] for j in range(m)]
+
+
+def pq_encode(df: DataFrame, *, vec_col: str,
+              codebooks: list[list[list[float]]],
+              out_col: str = "pq_code") -> DataFrame:
+    """PQ encode: per subspace, argmin-L2 centroid index — m uint8-ish
+    codes per vector (the 32x-compressed representation an ANN index
+    stores instead of raw floats). Pure column expressions: slice +
+    fold per centroid, `array_min` over (dist, idx) structs for the
+    deterministic argmin. Narrow — pipelines into the scan."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dists = [
+            F.struct(_norm2_diff(sub, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(cb)
+        ]
+        codes.append(F.array_min(F.array(*dists))["i"].cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
+               query: list[float], codebooks: list[list[list[float]]],
+               k: int = 10, rerank: int | None = None) -> DataFrame:
+    """PQ ANN top-k via asymmetric distance computation: the query
+    precomputes an m x ksub lookup table of subspace distances
+    (driver-side floats — left-fold order matching the encode fold),
+    and each vector's approximate distance is the sum of m LUT
+    lookups on its codes — no float vector is touched at query time.
+    Returns (id, adc_dist, pq_code, rank), k rows.
+
+    Scale shape: encode is a one-off narrow write-side pass; the query
+    side reads only the m-byte codes (32x less IO than raw vectors),
+    the LUT rides the closure (m x ksub literals), and top-k is a
+    TakeOrderedAndProject. The standard IVF-PQ layout composes this
+    with `ivf_assign` partition pruning.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = []
+    for j, cb in enumerate(codebooks):
+        qs = query[j * dsub:(j + 1) * dsub]
+        luts.append([
+            sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in cb
+        ])
+    enc = pq_encode(df, vec_col=vec_col, codebooks=codebooks)
+    dist = F.lit(0.0)
+    for j in range(m):
+        lut = F.array(*[F.lit(float(v)) for v in luts[j]])
+        dist = dist + F.element_at(lut, F.element_at(F.col("pq_code"), j + 1) + 1)
+    scored = enc.select(
+        F.col(id_col),
+        F.round(dist, 6).alias("adc_dist"),
+        F.col("pq_code"),
+    )
+    if rerank is not None:
+        # Production shape: ADC shortlists rerank >> k candidates from
+        # codes alone, then ONLY those rows touch their float vectors
+        # for an exact-L2 re-rank — IO stays code-sized, accuracy
+        # becomes exact within the shortlist.
+        short = scored.orderBy("adc_dist", id_col).limit(rerank)
+        qarr = F.array(*[F.lit(float(x)) for x in query])
+        exact = F.aggregate(
+            F.zip_with(F.col(vec_col), qarr,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        rr = (
+            short.join(df.select(id_col, vec_col), id_col)
+            .withColumn("l2_dist", F.round(exact, 6))
+            .select(id_col, "l2_dist", "adc_dist", "pq_code")
+        )
+        top = rr.orderBy("l2_dist", id_col).limit(k)
+        w = Window.orderBy("l2_dist", F.col(id_col))
+        return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    top = scored.orderBy("adc_dist", id_col).limit(k)
+    w = Window.orderBy("adc_dist", id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
