@@ -1668,6 +1668,52 @@ def _bm25_oracle_sql(words_lower: str, k1: float = 1.5, b: float = 0.75,
     """
 
 
+# Shared by ext-dedup-cluster and ext-split-leakage-free: n-gram
+# Jaccard candidate pairs -> recursive-CTE connected components
+# (mirrors operators/dedup.py ngram_jaccard_pairs + connected_components).
+# One string so the two oracles cannot silently diverge.
+_CLUSTER_CTE_SQL = """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+            posts AS (SELECT doc_id, s FROM g
+                      WHERE s NOT IN (SELECT s FROM hot)),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM posts a JOIN posts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sel AS (
+              SELECT id_a, id_b FROM cand
+              JOIN sizes sa ON sa.doc_id = cand.id_a
+              JOIN sizes sb ON sb.doc_id = cand.id_b
+              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                          AS DOUBLE), 4) >= 0.3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM sel
+              UNION
+              SELECT id_b, id_a FROM sel),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e
+                ON e.src = reach.node),
+            cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)"""
+
+
 def oracle_sql() -> dict[str, str]:
     pivot_cols = ",\n  ".join(
         "COALESCE(ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2), 0.0)"
@@ -1788,7 +1834,7 @@ def oracle_sql() -> dict[str, str]:
 
     lloyd_rounds = ",".join(_lloyd_round(r) for r in range(3))
 
-    return {
+    d = {
         "scan-prune-elements": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
             FROM lineitem
@@ -2165,26 +2211,6 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "ext-cdc-compact": """
-            WITH log AS (
-              SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete'
-                             ELSE 'upsert' END AS op
-              FROM events),
-            win AS (
-              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-                     value, op,
-                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                        ORDER BY event_id DESC) AS rn,
-                     MAX(event_id) OVER (PARTITION BY user_id, event_type)
-                       AS last_seq,
-                     COUNT(*) OVER (PARTITION BY user_id, event_type)
-                       AS n_versions
-              FROM log)
-            SELECT user_id, event_type, ts, ROUND(value, 2) AS value,
-                   last_seq, CAST(n_versions AS BIGINT) AS n_versions
-            FROM win WHERE rn = 1 AND op <> 'delete'
-        """,
-        # Streaming compaction ends in the same final state as batch.
-        "stream-cdc-compact": """
             WITH log AS (
               SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete'
                              ELSE 'upsert' END AS op
@@ -3143,92 +3169,14 @@ def oracle_sql() -> dict[str, str]:
         # Cluster resolution over the SAME deterministic pair set:
         # recursive transitive closure, cluster id = min reachable doc
         # id; docs in no pair are their own singleton cluster.
-        "ext-dedup-cluster": """
-            WITH RECURSIVE w AS (
-              SELECT doc_id,
-                CASE WHEN text IS NULL OR length(trim(text)) = 0
-                     THEN CAST([] AS VARCHAR[])
-                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
-              FROM documents),
-            g AS (
-              SELECT DISTINCT doc_id,
-                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-              FROM (SELECT doc_id, ws,
-                           UNNEST(generate_series(1, len(ws) - 2)) AS i
-                    FROM w WHERE len(ws) >= 3)
-              WHERE ws[i] <> ''),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
-            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
-            posts AS (SELECT doc_id, s FROM g
-                      WHERE s NOT IN (SELECT s FROM hot)),
-            cand AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     COUNT(*) AS n_common
-              FROM posts a JOIN posts b
-                ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            sel AS (
-              SELECT id_a, id_b FROM cand
-              JOIN sizes sa ON sa.doc_id = cand.id_a
-              JOIN sizes sb ON sb.doc_id = cand.id_b
-              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
-                                          AS DOUBLE), 4) >= 0.3),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM sel
-              UNION
-              SELECT id_b, id_a FROM sel),
-            reach(node, r) AS (
-              SELECT src, src FROM edges
-              UNION
-              SELECT e.dst, reach.r FROM reach JOIN edges e
-                ON e.src = reach.node),
-            cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+        "ext-dedup-cluster": _CLUSTER_CTE_SQL + """
             SELECT d.doc_id,
                    CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
             FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         """,
         # Same cluster CTE as ext-dedup-cluster + the md5 hash gate on
         # the cluster id (cluster-level split => leakage-free).
-        "ext-split-leakage-free": """
-            WITH RECURSIVE w AS (
-              SELECT doc_id,
-                CASE WHEN text IS NULL OR length(trim(text)) = 0
-                     THEN CAST([] AS VARCHAR[])
-                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
-              FROM documents),
-            g AS (
-              SELECT DISTINCT doc_id,
-                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-              FROM (SELECT doc_id, ws,
-                           UNNEST(generate_series(1, len(ws) - 2)) AS i
-                    FROM w WHERE len(ws) >= 3)
-              WHERE ws[i] <> ''),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
-            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
-            posts AS (SELECT doc_id, s FROM g
-                      WHERE s NOT IN (SELECT s FROM hot)),
-            cand AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     COUNT(*) AS n_common
-              FROM posts a JOIN posts b
-                ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            sel AS (
-              SELECT id_a, id_b FROM cand
-              JOIN sizes sa ON sa.doc_id = cand.id_a
-              JOIN sizes sb ON sb.doc_id = cand.id_b
-              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
-                                          AS DOUBLE), 4) >= 0.3),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM sel
-              UNION
-              SELECT id_b, id_a FROM sel),
-            reach(node, r) AS (
-              SELECT src, src FROM edges
-              UNION
-              SELECT e.dst, reach.r FROM reach JOIN edges e
-                ON e.src = reach.node),
-            cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+        "ext-split-leakage-free": _CLUSTER_CTE_SQL + """,
             lab AS (
               SELECT d.doc_id,
                      CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT)
@@ -3300,3 +3248,8 @@ def oracle_sql() -> dict[str, str]:
             FROM rollup, wm WHERE we <= wm_us
         """,
     }
+    # The streaming compaction ends in the batch compaction's final
+    # state by construction — share ONE oracle string so a future
+    # edit cannot silently diverge the twins.
+    d["stream-cdc-compact"] = d["ext-cdc-compact"]
+    return d

@@ -443,6 +443,11 @@ def pq_codebooks_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
     the quantizer dependency-free and replayable)."""
     rows = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
     seeds = [[float(x) for x in r[0]] for r in rows]
+    if len(seeds) < ksub:
+        raise ValueError(
+            f"corpus has {len(seeds)} vectors, need >= ksub={ksub} "
+            "to seed the codebooks"
+        )
     dim = len(seeds[0])
     dsub = dim // m
     return [[s[j * dsub:(j + 1) * dsub] for s in seeds] for j in range(m)]
@@ -477,7 +482,9 @@ def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
     (driver-side floats — left-fold order matching the encode fold),
     and each vector's approximate distance is the sum of m LUT
     lookups on its codes — no float vector is touched at query time.
-    Returns (id, adc_dist, pq_code, rank), k rows.
+    Returns k rows: (id, adc_dist, pq_code, rank); with `rerank`
+    set, (id, l2_dist, adc_dist, pq_code, rank), ranked by the exact
+    re-ranked distance.
 
     Scale shape: encode is a one-off narrow write-side pass; the query
     side reads only the m-byte codes (32x less IO than raw vectors),

@@ -89,9 +89,12 @@ def cms_heavy_hitters(
 
     words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
                     r"\s+")
+    # persist: the tokenize+explode subtree feeds BOTH the sketch and
+    # the candidate counts — uncached it would re-scan the corpus.
     tok = (
         docs.select(F.explode(words).alias("term"))
         .where(F.col("term") != "")
+        .persist()
     )
     sketch = cms_build(
         tok, term_col="term", depth=depth, width=width, salt=salt,
@@ -118,6 +121,9 @@ def cms_heavy_hitters(
     )
     top = est.orderBy(F.col("cms_est").desc(), F.col("term")).limit(k)
     w = Window.orderBy(F.col("cms_est").desc(), F.col("term"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    out = top.withColumn("rank", F.row_number().over(w)).select(
         "term", "cms_est", "exact", "rank"
     )
+    from .caching import release_after
+
+    return release_after(out, tok)

@@ -103,11 +103,17 @@ def test_dedup_exact_is_single_aggregate(spark):
     assert "HashAggregate" in plan
 
 
-def test_decontaminate_no_unbounded_broadcast_of_corpus(spark):
-    # The corpus side must never be broadcast (only the bench/match
-    # table may be); guard against a hint regression.
+def test_decontaminate_broadcast_only_on_bench_side(spark):
+    # Two joins, two different size bounds: the bench-shingle join MAY
+    # carry a broadcast hint (eval suites are fixed-size), but the
+    # match-table re-attach join must NOT — its size is bounded only
+    # by the corpus, and the round-2 fix removed exactly that forced
+    # broadcast (AQE sizes it at runtime instead). Guard: exactly one
+    # hint, and it sits on the shingle equi-join, not the doc_id join.
     df = entry.queries()["ext-decontaminate"](spark, SF)
     opt = _optimized(df)
-    # documents scan appears, but not under a broadcast hint of the
-    # full corpus: no ResolvedHint(broadcast) wrapping the docs side.
+    hinted = [l for l in opt.splitlines()
+              if "strategy=broadcast" in l]
+    assert len(hinted) == 1, opt
+    assert "shingle" in hinted[0] and "doc_id" not in hinted[0], hinted
     assert "CartesianProduct" not in _plan(df)
