@@ -1463,11 +1463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys of the r2 dict, the 14 tail entries absent). So the dict is
     # ordered by verification priority, rotated per round:
     #   1. queries never yet externally gated (r2's tail 14),
-    #   2. queries whose implementation changed this round,
-    #   3. remaining veterans.
-    # The tail beyond 50 holds stable queries already hash-green in a
-    # prior round's CORRECTNESS_r*.json with code untouched since —
-    # see README "Correctness gate rotation".
+    #   2. queries NEW this round (round 3 added 21),
+    #   3. queries whose implementation changed this round,
+    #   4. remaining veterans.
+    # Every entry past position 50 must be hash-green in a prior
+    # round's CORRECTNESS_r*.json with code untouched since (checked:
+    # all 35 r3 tail entries are r2-green) — see README "Correctness
+    # gate rotation". tests/test_oracle_parity.py locally re-verifies
+    # ALL entries regardless of position.
     return {
         # -- never externally gated before round 3 (r2 positions 51-64)
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
