@@ -896,6 +896,20 @@ def _cdc_compact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _melt(spark: SparkSession, sf: str) -> DataFrame:
+    # Unpivot/melt — the inverse of pivot-tag-assembly: the wide
+    # per-user event-type sums back to long (user, event_type, value)
+    # rows. Narrow Expand node, no shuffle beyond the pivot's own.
+    ev = load_table(spark, "events", sf)
+    wide = pivot_event_counts(
+        ev, key="user_id", pivot_col="event_type",
+        values=EVENT_TYPES, value_expr="value",
+    )
+    return wide.unpivot(
+        ["user_id"], EVENT_TYPES, "event_type", "sum_value"
+    )
+
+
 def _grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     # CUBE over orders: all four grouping combinations in one pass
     # (Catalyst expands to a single Expand + hash agg — one shuffle,
@@ -1509,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-json-permissive": _json_permissive,
         "ext-split-leakage-free": _split_leakage_free,
         "ext-similarity-pq": _ann_pq,
+        "agg-unpivot-melt": _melt,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2232,6 +2247,15 @@ def oracle_sql() -> dict[str, str]:
                    last_seq, CAST(n_versions AS BIGINT) AS n_versions
             FROM win WHERE rn = 1 AND op <> 'delete'
         """,
+        "agg-unpivot-melt": f"""
+            WITH wide AS (SELECT user_id, {{pc}} FROM events GROUP BY user_id)
+            SELECT user_id, et AS event_type, sv AS sum_value
+            FROM wide, LATERAL (VALUES
+              {", ".join(f"('{t}', {t})" for t in EVENT_TYPES)}
+            ) AS v(et, sv)
+        """.replace("{pc}", ",\n  ".join(
+            "COALESCE(ROUND(SUM(CASE WHEN event_type = '{t}' THEN value "
+            "END), 2), 0.0) AS {t}".format(t=t) for t in EVENT_TYPES)),
         "agg-grouping-sets": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)

@@ -328,3 +328,86 @@ def test_dedup_exact_stream_across_microbatches(spark, tmp_path):
     assert q.awaitTermination(300)
     got = {r.doc_id: r.n_dups for r in spark.table("dedup_mb").collect()}
     assert got == {5: 3, 6: 1, 11: 1, 21: 1}
+
+
+def test_tumbling_agg_restart_resumes_window_state(spark, tmp_path):
+    """Rows 20/22 applied to STATEFUL aggregation: stop the windowed
+    rollup after its first micro-batch, restart from the checkpoint,
+    and assert the final emitted windows equal the batch-computed
+    closed-window set — window state (partial counts) must survive
+    the restart, and no window may emit twice.
+
+    The replay is split at the time median into two files (oldest
+    mtime first) so the watermark after batch 1 cannot prematurely
+    close windows whose rows live in batch 2."""
+    import time as _t
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        tumbling_agg_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "events", SF)
+    mid = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)")
+    ).head()[0]
+    early = ev.where(F.unix_timestamp("ts") <= mid)
+    late = ev.where(F.unix_timestamp("ts") > mid)
+    early.coalesce(1).write.parquet(src)
+    _t.sleep(1.1)  # file source orders batches by mtime
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        return (
+            tumbling_agg_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start()
+    assert q2.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # expected: the batch rollup restricted to watermark-closed windows
+    max_ms = ev.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("m")
+    ).head()[0]
+    wm_s = max_ms // 1000 - 3600  # 1 h delay, ms-truncated watermark
+    exp = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("ws")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where((F.col("ws") + 3600) <= wm_s)
+    )
+    got_set = {(r.w_start, r.n_events) for r in got.collect()}
+    exp_set = {
+        (__import__("datetime").datetime.utcfromtimestamp(r.ws), r.n_events)
+        for r in exp.collect()
+    }
+    # compare on (window start, count): every closed window appears
+    # exactly once with the FULL count (state survived the restart)
+    assert len(got_set) == got.count(), "a window emitted twice"
+    assert {(t.replace(tzinfo=None), n) for t, n in got_set} == exp_set
