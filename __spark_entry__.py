@@ -954,6 +954,46 @@ def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 THROTTLE_SPAN_S = 600  # shared by the stream query, its projection, and oracle
 
 
+def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-format breadth: events -> ORC -> read back. ORC carries
+    # full types (unlike CSV), so the whole row survives.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"orc_roundtrip_{tag}")
+    ev = load_table(spark, "events", sf)
+    ev.repartition(4).write.mode("overwrite").orc(out)
+    return spark.read.schema(ev.schema).orc(out)
+
+
+def _partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Hive-style partitioned sink + partition-pruned read-back: write
+    # events partitionBy(event_type), then a filtered read must touch
+    # ONLY the matching directories (PartitionFilters in the scan —
+    # asserted in tests/test_plans.py). The 100 TB pattern for
+    # time/category-partitioned lakes.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"part_prune_{tag}")
+    ev = load_table(spark, "events", sf)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    # partition column comes back as the LAST column and re-typed by
+    # inference — restore the source contract for the oracle compare.
+    return back.select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", F.col("event_type").cast("string").alias("event_type"),
+        "value", "props",
+    )
+
+
 def _stream_throttle(spark: SparkSession, sf: str) -> DataFrame:
     # SURVEY §2 row 14, streaming form: dropDuplicatesWithinWatermark
     # per (user, span bucket) over the replayed events feed. WHICH row
@@ -1524,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-split-leakage-free": _split_leakage_free,
         "ext-similarity-pq": _ann_pq,
         "agg-unpivot-melt": _melt,
+        "source-orc-roundtrip": _orc_roundtrip,
+        "sink-partitioned-prune": _partitioned_prune,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2267,6 +2309,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "source-orc-roundtrip": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value, props
+            FROM events
+        """,
+        "sink-partitioned-prune": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value, props
+            FROM events WHERE event_type IN ('purchase', 'signup')
         """,
         "ext-quality-gopher-rules": r"""
             WITH inj AS (

@@ -117,3 +117,13 @@ def test_decontaminate_broadcast_only_on_bench_side(spark):
     assert len(hinted) == 1, opt
     assert "shingle" in hinted[0] and "doc_id" not in hinted[0], hinted
     assert "CartesianProduct" not in _plan(df)
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    # The filtered read of the partitionBy(event_type) sink must carry
+    # the predicate as a PartitionFilter on the scan (directory-level
+    # pruning), not a post-scan Filter over all partitions.
+    df = entry.queries()["sink-partitioned-prune"](spark, SF)
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
+    assert "event_type" in pf, plan
