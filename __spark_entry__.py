@@ -1517,12 +1517,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys of the r2 dict, the 14 tail entries absent). So the dict is
     # ordered by verification priority, rotated per round:
     #   1. queries never yet externally gated (r2's tail 14),
-    #   2. queries NEW this round (round 3 added 21),
-    #   3. queries whose implementation changed this round,
+    #   2. queries NEW this round (round 3 added 24),
+    #   3. queries whose implementation changed this round (5),
     #   4. remaining veterans.
     # Every entry past position 50 must be hash-green in a prior
     # round's CORRECTNESS_r*.json with code untouched since (checked:
-    # all 35 r3 tail entries are r2-green) — see README "Correctness
+    # all 38 r3 tail entries are r2-green) — see README "Correctness
     # gate rotation". tests/test_oracle_parity.py locally re-verifies
     # ALL entries regardless of position.
     return {
@@ -1580,6 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error-route": _error_route,
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
+        # ---- gate horizon (position 50): entries below are past the
+        # external gate's 50-entry window this round; all were
+        # hash-green in CORRECTNESS_r02.json and unchanged since.
         "join-asof-backward": _asof_backward,
         "sample-throttle-time": _throttle,
         "enqueue-bounded-retention": _retention,
@@ -1600,9 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-prepare-corpus": _prepare_corpus,
         "ext-sample-stratified": _sample_stratified,
         "ext-vocabulary": _vocabulary,
-        # ---- gate horizon: entries below are past the external gate's
-        # 50-entry window this round; all were hash-green in
-        # CORRECTNESS_r02.json and their code is unchanged since.
         "ext-text-stats": _text_stats,
         "ext-quality-score": _quality,
         "ext-tfidf-terms": _tfidf_terms,
