@@ -954,6 +954,34 @@ def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 THROTTLE_SPAN_S = 600  # shared by the stream query, its projection, and oracle
 
 
+def _salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Explicit salted hot-key join (the AQE-independent skew tool):
+    # events facts x per-user profile dim on a sprayed key, then an
+    # aggregate proving row-identity with the plain join.
+    from awskinesisconsumer_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf)
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.sum("value"), 2).alias("user_value"),
+    )
+    joined = salted_join(ev, dim, key="user_id", salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_events").alias("sum_user_events"),
+        F.round(F.sum("user_value"), 2).alias("sum_user_value"),
+    )
+
+
+def _ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-style ordered novelty: fraction of a doc's distinct
+    # 3-grams first seen in that doc.
+    from awskinesisconsumer_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, "documents", sf)
+    return ngram_novelty(docs, id_col="doc_id", text_col="text", n=3)
+
+
 def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Source-format breadth: events -> ORC -> read back. ORC carries
     # full types (unlike CSV), so the whole row survives.
@@ -1566,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-unpivot-melt": _melt,
         "source-orc-roundtrip": _orc_roundtrip,
         "sink-partitioned-prune": _partitioned_prune,
+        "join-salted-skew": _salted_join,
+        "ext-ngram-novelty": _ngram_novelty,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -1578,11 +1608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment-fragments": _segment,
         "segment-sessions-gap": _sessions_gap,
         "error-route": _error_route,
+        # ---- gate horizon (position 50; shifts when entries are
+        # added above): entries below are past the external gate's
+        # 50-entry window this round. The contract that every such
+        # entry is hash-green in the latest CORRECTNESS_r*.json is
+        # ASSERTED by tests/test_oracle_parity.py::
+        # test_gate_rotation_invariant — it cannot silently go stale.
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
-        # ---- gate horizon (position 50): entries below are past the
-        # external gate's 50-entry window this round; all were
-        # hash-green in CORRECTNESS_r02.json and unchanged since.
         "join-asof-backward": _asof_backward,
         "sample-throttle-time": _throttle,
         "enqueue-bounded-retention": _retention,
@@ -2309,6 +2342,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "join-salted-skew": """
+            WITH dim AS (
+              SELECT user_id, COUNT(*) AS user_events,
+                     ROUND(SUM(value), 2) AS user_value
+              FROM events GROUP BY user_id)
+            SELECT e.event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events,
+                   ROUND(SUM(d.user_value), 2) AS sum_user_value
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY e.event_type
+        """,
+        "ext-ngram-novelty": """
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            first AS (SELECT s, MIN(doc_id) AS fd FROM g GROUP BY s),
+            scored AS (
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                     ROUND(SUM(CASE WHEN f.fd = g.doc_id THEN 1
+                                    ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+              FROM g JOIN first f USING (s)
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_grams, 0) AS n_grams,
+                   COALESCE(s.novelty, 1.0) AS novelty
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "source-orc-roundtrip": """
             SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,

@@ -59,3 +59,31 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed tables on the bucket key: Catalyst plans
     a SortMergeJoin with zero Exchange on both sides."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join: spray the fact side across `salt_buckets`
+    sub-keys and replicate the dim side once per bucket, joining on
+    (key, salt) — so a key carrying half the fact table lands on
+    `salt_buckets` reducers instead of one. Identical rows to a plain
+    join on `key`.
+
+    This is the explicit form of what AQE skew-join does at runtime;
+    use it when skew is KNOWN and stable (one tenant, one null-ish
+    default key) or when the join sits under an operator AQE can't
+    split. Cost: the dim side is written `salt_buckets` times into
+    the exchange — keep it for genuinely small dims."""
+    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(salt_buckets))
+    salted_facts = facts.withColumn("_salt", salt)
+    rep = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_facts.join(rep, [key, "_salt"], how).drop("_salt")

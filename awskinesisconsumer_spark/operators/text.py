@@ -641,3 +641,47 @@ def gopher_rules(df: DataFrame, *, text_col: str) -> DataFrame:
         (~(flag_len | flag_word_len | flag_symbol | flag_bullet
            | flag_ellipsis)).alias("keep"),
     )
+
+
+def ngram_novelty(df: DataFrame, *, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word n-grams whose FIRST corpus occurrence (minimum id over all
+    docs containing the gram) is this doc — the CCNet-style ordered
+    novelty signal: boilerplate-heavy late documents score near 0,
+    genuinely new content near 1. Docs too short to form a gram score
+    1.0 (nothing seen before, nothing copied).
+
+    Shape: distinct (doc, gram) rows -> one groupBy(gram) for the
+    first-occurrence id (map-side combine; shuffle carries one row per
+    distinct gram) -> re-join on gram -> doc-keyed ratio. Both
+    shuffles are gram/doc-keyed — no all-pairs anything.
+    """
+    from awskinesisconsumer_spark.operators.dedup import shingle_rows
+
+    grams = shingle_rows(
+        df.select(id_col, text_col), id_col=id_col, text_col=text_col,
+        n=n, distinct=True,
+    )
+    first = grams.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    scored = (
+        grams.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .alias("_novel"),
+        )
+        .select(
+            id_col, "n_grams",
+            F.round(F.col("_novel") / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("novelty", F.lit(1.0)).alias("novelty"),
+        )
+    )

@@ -101,3 +101,33 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns
+
+
+def test_gate_rotation_invariant():
+    """Every queries() entry past the external gate's 50-entry window
+    must already be hash-green in the most recent CORRECTNESS_r*.json
+    — the rotation contract documented in README. A new/changed query
+    accidentally ordered past position 50 fails here instead of
+    silently shipping ungated."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as m
+
+    snaps = sorted(
+        glob.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    assert snaps, "no correctness snapshot found"
+    latest = json.load(open(snaps[-1]))
+    past_horizon = list(m.queries())[50:]
+    ungated = [
+        q for q in past_horizon
+        if q not in latest or not latest[q].get("hash_match")
+    ]
+    assert not ungated, (
+        f"entries past the 50-query gate window lack a green external "
+        f"record in {snaps[-1]}: {ungated} — reorder queries() so they "
+        f"sit inside the window"
+    )
