@@ -982,6 +982,19 @@ def _ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_novelty(docs, id_col="doc_id", text_col="text", n=3)
 
 
+def _ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # Asymmetric containment dedup (Broder): |A∩B| / min(|A|,|B|) —
+    # catches sub-document duplication symmetric Jaccard misses.
+    from awskinesisconsumer_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return ngram_containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
 def _orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # Source-format breadth: events -> ORC -> read back. ORC carries
     # full types (unlike CSV), so the whole row survives.
@@ -1596,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink-partitioned-prune": _partitioned_prune,
         "join-salted-skew": _salted_join,
         "ext-ngram-novelty": _ngram_novelty,
+        "ext-dedup-ngram-containment": _ngram_containment,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -3042,6 +3056,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = pairs.id_b
             WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
                                         AS DOUBLE), 4) >= 0.3
+        """,
+        # Containment twin: same inverted-index machinery, min-size
+        # normalizer instead of union (asymmetric sub-document signal).
+        "ext-dedup-ngram-containment": """
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+            hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+            posts AS (SELECT doc_id, s FROM g
+                      WHERE s NOT IN (SELECT s FROM hot)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM posts a JOIN posts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n_common / CAST(LEAST(sa.n_sh, sb.n_sh)
+                                         AS DOUBLE), 4) AS containment
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.id_a
+            JOIN sizes sb ON sb.doc_id = pairs.id_b
+            WHERE ROUND(n_common / CAST(LEAST(sa.n_sh, sb.n_sh)
+                                        AS DOUBLE), 4) >= 0.5
         """,
         # Same 3-gram machinery as the jaccard oracle; benchmark =
         # doc_id % 97 == 0, contaminated = >= 5 shared distinct grams.

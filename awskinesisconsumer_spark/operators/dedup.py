@@ -481,3 +481,51 @@ def dedup_lines(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) —
+    the doc-inside-doc duplication signal symmetric Jaccard misses
+    (a short doc fully quoted inside a long one has high containment
+    but low Jaccard, because the union is dominated by the long doc).
+    Standard complement to Jaccard in crawl dedup (Broder's
+    resemblance vs containment).
+
+    Same inverted-index shape as `ngram_jaccard_pairs` (candidates
+    from a shingle bucket join, hot-shingle skew cap, true sizes from
+    unfiltered postings) — only the normalizer differs. Returns
+    (id_a, id_b, containment) with id_a < id_b.
+    """
+    all_posts = shingle_rows(
+        df.select(id_col, text_col), id_col=id_col, text_col=text_col,
+        n=n, distinct=True,
+    ).withColumnRenamed("shingle", "_s").persist()
+    hot = all_posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
+    posts = all_posts.join(F.broadcast(hot), "_s", "left_anti")
+    pairs = (
+        posts.alias("a")
+        .join(posts.alias("b"),
+              on=[F.col("a._s") == F.col("b._s"),
+                  F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = all_posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common")
+                    / F.least(F.col("n_a"), F.col("n_b")), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return _release_after(out, all_posts)

@@ -391,3 +391,58 @@ def test_pq_adc_recall_and_code_shape(spark):
         codebooks=cbs, k=10, rerank=100,
     ).collect()
     assert len(exact_ids & {r.vec_id for r in reranked}) >= 8
+
+
+def test_ngram_containment_catches_subdocument(spark):
+    from awskinesisconsumer_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        "doc_id int, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(
+                docs, id_col="doc_id", text_col="text", threshold=0.8
+            ).collect()}
+    # the short doc is fully contained -> containment 1.0
+    assert cont.get((1, 2)) == 1.0
+    # ...but Jaccard at the same bar misses it (union is huge)
+    jac = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.8
+    ).collect()
+    assert (1, 2) not in {(r.id_a, r.id_b) for r in jac}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from awskinesisconsumer_spark.operators.skew import salted_join
+
+    facts = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(7)], "k long, label string"
+    )
+    got = salted_join(facts, dim, key="k", salt_buckets=4)
+    want = facts.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert "_salt" not in got.columns
+
+
+def test_ngram_novelty_ordering(spark):
+    from awskinesisconsumer_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x"), (4, None)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(
+        docs, id_col="doc_id", text_col="text", n=3
+    ).collect()}
+    assert got[1].novelty == 1.0          # first occurrence
+    assert got[2].novelty == 0.0          # exact repeat of doc 1
+    assert got[3].n_grams == 0 and got[3].novelty == 1.0  # too short
+    assert got[4].n_grams == 0 and got[4].novelty == 1.0  # null text
