@@ -954,6 +954,28 @@ def _csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 THROTTLE_SPAN_S = 600  # shared by the stream query, its projection, and oracle
 
 
+def _robust_mad(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust stats surface: per-group median absolute deviation (the
+    # outlier-resistant spread measure data-quality monitors use).
+    # Two sort-based aggregations + one join — medians are exact
+    # interpolated percentiles (deterministic, unlike float sums).
+    ev = load_table(spark, "events", sf)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    return (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("_med"), 4).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - _med), 0.5)"), 4
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _salted_join(spark: SparkSession, sf: str) -> DataFrame:
     # Explicit salted hot-key join (the AQE-independent skew tool):
     # events facts x per-user profile dim on a sprayed key, then an
@@ -1610,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-salted-skew": _salted_join,
         "ext-ngram-novelty": _ngram_novelty,
         "ext-dedup-ngram-containment": _ngram_containment,
+        "agg-robust-mad": _robust_mad,
         # -- changed in round 3, must be re-gated
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
@@ -2356,6 +2379,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source-csv-roundtrip": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "agg-robust-mad": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   ROUND(ANY_VALUE(m), 4) AS median_value,
+                   ROUND(quantile_cont(abs(e.value - m), 0.5), 4) AS mad,
+                   COUNT(*) AS n
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type
         """,
         "join-salted-skew": """
             WITH dim AS (
