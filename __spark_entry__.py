@@ -962,9 +962,11 @@ def _robust_mad(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, "events", sf)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("_med")
-    )
+    ).withColumnRenamed("event_type", "_et")
+    # eqNullSafe: a NULL group is precisely the cohort a data-quality
+    # monitor must not silently drop (plain equi-join would).
     return (
-        ev.join(med, "event_type")
+        ev.join(med, ev["event_type"].eqNullSafe(med["_et"]))
         .groupBy("event_type")
         .agg(
             F.round(F.first("_med"), 4).alias("median_value"),
@@ -2382,13 +2384,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg-robust-mad": """
             WITH med AS (
-              SELECT event_type, quantile_cont(value, 0.5) AS m
-              FROM events GROUP BY event_type)
+              SELECT event_type AS et, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY 1)
             SELECT e.event_type,
                    ROUND(ANY_VALUE(m), 4) AS median_value,
                    ROUND(quantile_cont(abs(e.value - m), 0.5), 4) AS mad,
                    COUNT(*) AS n
-            FROM events e JOIN med USING (event_type)
+            FROM events e JOIN med
+              ON e.event_type IS NOT DISTINCT FROM med.et
             GROUP BY e.event_type
         """,
         "join-salted-skew": """
@@ -3107,10 +3110,13 @@ def oracle_sql() -> dict[str, str]:
                            UNNEST(generate_series(1, len(ws) - 2)) AS i
                     FROM w WHERE len(ws) >= 3)
               WHERE ws[i] <> ''),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
             hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
             posts AS (SELECT doc_id, s FROM g
                       WHERE s NOT IN (SELECT s FROM hot)),
+            -- sizes from the FILTERED postings, symmetric with
+            -- n_common (see ngram_containment_pairs docstring)
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh
+                      FROM posts GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      COUNT(*) AS n_common

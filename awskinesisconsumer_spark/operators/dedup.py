@@ -297,24 +297,26 @@ def simhash(df: DataFrame, *, text_col: str, id_col: str, bits: int = 64,
     return agg.select(id_col, fp.alias(out_col))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact n-gram Jaccard over LSH-prefiltered candidates: compute
-    true Jaccard on pairs sharing at least one shingle hash bucket
-    (inverted-index join on shingle -> candidate pair -> exact verify).
-    The inverted index bounds the join to documents that share content;
-    hot shingles (stopword runs) are the skew risk — cap postings per
-    shingle (drop buckets larger than a limit, standard practice).
-    """
+def _inverted_index_pair_counts(
+    df: DataFrame, *, id_col: str, text_col: str, n: int,
+    hot_cap: int, sizes_from_filtered: bool,
+):
+    """Shared machinery for the exact n-gram pair family: distinct
+    (doc, shingle) postings -> hot-shingle skew cap -> inverted-index
+    self-join -> per-pair common counts + per-doc sizes. Returns
+    (pairs, sizes, all_posts) with all_posts persisted — callers
+    finish with their own normalizer and MUST `_release_after` on
+    all_posts."""
     all_posts = shingle_rows(
         df.select(id_col, text_col), id_col=id_col, text_col=text_col,
         n=n, distinct=True,
     ).withColumnRenamed("shingle", "_s").persist()
     # Skew guard: drop shingles appearing in too many docs (they carry
     # no discriminative signal and create quadratic bucket joins).
-    hot = all_posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
+    hot = (
+        all_posts.groupBy("_s").count()
+        .where(F.col("count") > hot_cap).select("_s")
+    )
     posts = all_posts.join(F.broadcast(hot), "_s", "left_anti")
     pairs = (
         posts.alias("a")
@@ -325,14 +327,42 @@ def ngram_jaccard_pairs(
                  F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # True set sizes come from the UNFILTERED postings (hot shingles
-    # still count toward |A| and |B| even if they can't seed a pair).
-    sizes = all_posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    out = (
+    size_src = posts if sizes_from_filtered else all_posts
+    sizes = size_src.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return pairs, sizes, all_posts
+
+
+def _attach_sizes(pairs: DataFrame, sizes: DataFrame, id_col: str) -> DataFrame:
+    return (
         pairs.join(sizes.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b")
               .withColumnRenamed("n_sh", "n_b"), "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-prefiltered candidates: compute
+    true Jaccard on pairs sharing at least one shingle hash bucket
+    (inverted-index join on shingle -> candidate pair -> exact verify).
+    The inverted index bounds the join to documents that share content;
+    hot shingles (stopword runs) are the skew risk — cap postings per
+    shingle (drop buckets larger than a limit, standard practice).
+
+    True set sizes come from the UNFILTERED postings: hot shingles
+    still count toward |A| and |B| even if they can't seed a pair —
+    for the union normalizer that is the conservative choice (both
+    numerator and denominator shrink together under the cap).
+    """
+    pairs, sizes, all_posts = _inverted_index_pair_counts(
+        df, id_col=id_col, text_col=text_col, n=n, hot_cap=100,
+        sizes_from_filtered=False,
+    )
+    out = (
+        _attach_sizes(pairs, sizes, id_col)
         .withColumn(
             "jaccard",
             F.round(F.col("n_common")
@@ -485,7 +515,7 @@ def dedup_lines(
 
 def ngram_containment_pairs(
     df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.8,
+    threshold: float = 0.8, hot_cap: int = 100,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) —
     the doc-inside-doc duplication signal symmetric Jaccard misses
@@ -494,32 +524,24 @@ def ngram_containment_pairs(
     Standard complement to Jaccard in crawl dedup (Broder's
     resemblance vs containment).
 
-    Same inverted-index shape as `ngram_jaccard_pairs` (candidates
-    from a shingle bucket join, hot-shingle skew cap, true sizes from
-    unfiltered postings) — only the normalizer differs. Returns
+    Same inverted-index machinery as `ngram_jaccard_pairs`, with one
+    deliberate difference: sizes come from the FILTERED postings
+    (hot-capped shingle universe), SYMMETRIC with the intersection
+    counts. Under the min-size normalizer an asymmetric cap would
+    systematically suppress the target signal — a boilerplate doc
+    quoted in > hot_cap documents would keep its full |A| while every
+    shared shingle is excluded from |A ∩ B|, reporting containment ~0
+    for true containment 1. With the symmetric universe the score is
+    "containment over discriminative shingles"; raise `hot_cap` when
+    hunting boilerplate that IS that widespread. Returns
     (id_a, id_b, containment) with id_a < id_b.
     """
-    all_posts = shingle_rows(
-        df.select(id_col, text_col), id_col=id_col, text_col=text_col,
-        n=n, distinct=True,
-    ).withColumnRenamed("shingle", "_s").persist()
-    hot = all_posts.groupBy("_s").count().where(F.col("count") > 100).select("_s")
-    posts = all_posts.join(F.broadcast(hot), "_s", "left_anti")
-    pairs = (
-        posts.alias("a")
-        .join(posts.alias("b"),
-              on=[F.col("a._s") == F.col("b._s"),
-                  F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs, sizes, all_posts = _inverted_index_pair_counts(
+        df, id_col=id_col, text_col=text_col, n=n, hot_cap=hot_cap,
+        sizes_from_filtered=True,
     )
-    sizes = all_posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
-        pairs.join(sizes.withColumnRenamed(id_col, "id_a")
-                   .withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        _attach_sizes(pairs, sizes, id_col)
         .withColumn(
             "containment",
             F.round(F.col("n_common")

@@ -446,3 +446,31 @@ def test_ngram_novelty_ordering(spark):
     assert got[2].novelty == 0.0          # exact repeat of doc 1
     assert got[3].n_grams == 0 and got[3].novelty == 1.0  # too short
     assert got[4].n_grams == 0 and got[4].novelty == 1.0  # null text
+
+
+def test_containment_symmetric_under_hot_cap(spark):
+    # Boilerplate quoted in MANY docs: with a symmetric filtered
+    # universe the pair surfaces at full containment when the cap is
+    # raised, and is absent (not falsely low) at the default cap.
+    from awskinesisconsumer_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur"
+    docs = [(0, boiler)] + [
+        (i, boiler + f" unique tail {i} words {i * 7} here {i * 13}")
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    # cap low enough that the boilerplate shingles are hot (8+ docs)
+    low = ngram_containment_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.9, hot_cap=4
+    ).collect()
+    assert (0, 1) not in {(r.id_a, r.id_b) for r in low}
+    # raised cap: full-containment pairs for the boilerplate doc
+    high = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(
+                df, id_col="doc_id", text_col="text", threshold=0.9,
+                hot_cap=50,
+            ).collect()}
+    assert high.get((0, 1)) == 1.0
