@@ -59,6 +59,15 @@ from awskinesisconsumer_spark.plans.flagship import flagship_pipeline
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _arr_str(col: str, sep: str = ",") -> F.Column:
+    """Serialize an array column to a delimited string for the driver
+    gate (its pandas canonicalizer cannot hash list cells). NULL
+    arrays stay NULL to match DuckDB's array_to_string(NULL, sep);
+    empty arrays become '' on both engines."""
+    c = F.col(col)
+    return F.when(c.isNotNull(), F.concat_ws(sep, c.cast("array<string>")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_pipeline(spark, "/root/testdata/sf0.001")
@@ -607,7 +616,12 @@ def _embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf)
     out = quantize_embeddings_int8(emb, vec_col="embedding")
-    return out.select("vec_id", "scale", "qvec", "max_abs_err")
+    # The driver gate's pandas canonicalizer cannot sort array cells
+    # (unhashable list) — serialize codes to a delimited string,
+    # null-preserving to match DuckDB's array_to_string(NULL) = NULL.
+    return out.select(
+        "vec_id", "scale", _arr_str("qvec").alias("qvec"), "max_abs_err"
+    )
 
 
 def _sequence_build(spark: SparkSession, sf: str) -> DataFrame:
@@ -618,9 +632,14 @@ def _sequence_build(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = load_table(spark, "events", sf)
-    return build_user_sequences(
+    out = build_user_sequences(
         ev, user_col="user_id", ts_col="ts", item_col="event_type",
         tiebreak_col="event_id", max_len=20,
+    )
+    # seq serialized for the driver gate's list-phobic canonicalizer.
+    return out.select(
+        "user_id", "n_events", _arr_str("seq").alias("seq"),
+        "seq_start_ts", "seq_end_ts",
     )
 
 
@@ -699,9 +718,13 @@ def _ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     cbs = pq_codebooks_from_sample(
         corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16
     )
-    return knn_pq_adc(
+    out = knn_pq_adc(
         corpus, id_col="vec_id", vec_col="embedding",
         query=[float(x) for x in probe.embedding], codebooks=cbs, k=10,
+    )
+    # pq_code serialized for the driver gate (list cells unhashable).
+    return out.select(
+        "vec_id", "adc_dist", _arr_str("pq_code").alias("pq_code"), "rank"
     )
 
 
@@ -2219,7 +2242,7 @@ def oracle_sql() -> dict[str, str]:
                     CAST(ROUND(x / scale, 0) AS INT))) AS TINYINT))
                 ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS qvec
               FROM s)
-            SELECT vec_id, scale, qvec,
+            SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec,
               CASE WHEN len(v) > 0 THEN
                 ROUND(list_reduce(
                   list_prepend(CAST(0.0 AS DOUBLE),
@@ -2240,7 +2263,8 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY user_id) AS n
               FROM events)
             SELECT user_id, CAST(n AS BIGINT) AS n_events,
-                   list(event_type ORDER BY ts, event_id) AS seq,
+                   array_to_string(
+                     list(event_type ORDER BY ts, event_id), ',') AS seq,
                    MIN(ts) AS seq_start_ts,
                    MAX(ts) AS seq_end_ts
             FROM ranked WHERE rn <= 20
@@ -2970,7 +2994,8 @@ def oracle_sql() -> dict[str, str]:
                        (a, x) -> a + x), 6) AS adc_dist,
                      list(code ORDER BY j) AS pq_code
               FROM per GROUP BY vec_id)
-            SELECT vec_id, adc_dist, pq_code,
+            SELECT vec_id, adc_dist,
+                   array_to_string(pq_code, ',') AS pq_code,
                    CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id)
                         AS INT) AS rank
             FROM adc
