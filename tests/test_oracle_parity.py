@@ -105,29 +105,43 @@ def test_entry_smoke(spark):
 
 def test_gate_rotation_invariant():
     """Every queries() entry past the external gate's 50-entry window
-    must already be hash-green in the most recent CORRECTNESS_r*.json
-    — the rotation contract documented in README. A new/changed query
-    accidentally ordered past position 50 fails here instead of
-    silently shipping ungated."""
-    import glob
-    import json
-    import re
+    must (a) be hash-green in the UNION of all CORRECTNESS_r*.json
+    snapshots — the per-query latest record wins, since the rotation
+    deliberately parks green evidence for tail entries in earlier
+    rounds — and (b) be textually unchanged since that green record,
+    asserted via the source fingerprint GATE_LEDGER.json recorded at
+    gate time (scripts/gate_ledger.py). A new/changed query ordered
+    past position 50 fails here instead of silently shipping ungated."""
+    import os
+    import sys
 
     import __spark_entry__ as m
 
-    snaps = sorted(
-        glob.glob("CORRECTNESS_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
     )
-    assert snaps, "no correctness snapshot found"
-    latest = json.load(open(snaps[-1]))
+    import gate_ledger
+
+    greens = gate_ledger.green_rounds()
+    assert greens, "no correctness snapshot found"
     past_horizon = list(m.queries())[50:]
-    ungated = [
-        q for q in past_horizon
-        if q not in latest or not latest[q].get("hash_match")
-    ]
+
+    ungated = [q for q in past_horizon if q not in greens]
     assert not ungated, (
-        f"entries past the 50-query gate window lack a green external "
-        f"record in {snaps[-1]}: {ungated} — reorder queries() so they "
-        f"sit inside the window"
+        f"entries past the 50-query gate window have no green record "
+        f"in any CORRECTNESS_r*.json: {ungated} — reorder queries() "
+        f"so they sit inside the window"
+    )
+
+    ledger = gate_ledger.load_ledger()
+    fps = gate_ledger.current_fingerprints()
+    stale = [
+        q for q in past_horizon
+        if q not in ledger or ledger[q]["fingerprint"] != fps[q]
+    ]
+    assert not stale, (
+        f"entries past the gate window changed since their recorded "
+        f"green round (or lack a ledger fingerprint): {stale} — "
+        f"rotate them into the window, or run "
+        f"`python scripts/gate_ledger.py` if a new snapshot landed"
     )
