@@ -706,18 +706,21 @@ def _token_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_pq(spark: SparkSession, sf: str) -> DataFrame:
-    # Product-quantization ANN (ADC): 8 subspaces x 16 sampled
-    # centroids, codes-only query path. Deterministic codebooks ->
-    # the oracle replays encode + LUT + fold in SQL exactly.
+    # Product-quantization ANN (ADC): 8 subspaces x 16 centroids
+    # TRAINED by 2 per-subspace Lloyd rounds (vs the r3 sampled seed),
+    # codes-only query path. order_col + tol=0 keep every round a
+    # bit-deterministic ordered fold -> the oracle replays seed,
+    # m x 2 Lloyd rounds, encode, LUT and ADC fold in SQL exactly.
     from awskinesisconsumer_spark.operators.similarity import (
-        knn_pq_adc, pq_codebooks_from_sample,
+        knn_pq_adc, pq_codebooks_refined,
     )
 
     emb = load_table(spark, "embeddings", sf)
     probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
     corpus = emb.where(F.col("vec_id") != 0)
-    cbs = pq_codebooks_from_sample(
-        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16
+    cbs = pq_codebooks_refined(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=2, order_col="vec_id",
     )
     out = knn_pq_adc(
         corpus, id_col="vec_id", vec_col="embedding",
@@ -2071,6 +2074,36 @@ def oracle_sql() -> dict[str, str]:
 
     lloyd_rounds = ",".join(_lloyd_round(r) for r in range(3))
 
+    def _pq_lloyd_round(r: int) -> str:
+        # Per-subspace Lloyd round for the PQ codebooks: identical
+        # shape to _lloyd_round but keyed by (subspace j, centroid i)
+        # over the sliced sub-vectors. Mirrors
+        # operators/similarity.py:pq_codebooks_refined (ordered fold
+        # by vec_id, empty cells keep the previous centroid).
+        return f"""
+            passign{r} AS (
+              SELECT s.vec_id, s.j, s.vs, t.i,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_l2('s.vs', 't.cs')}, t.i) AS rn
+              FROM sub s JOIN pcent{r} t ON t.j = s.j),
+            pmean{r} AS (
+              SELECT j, i, pos,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+                  (acc, v) -> acc + v) / COUNT(*) AS m
+              FROM (SELECT vec_id, j, i, UNNEST(vs) AS val,
+                           UNNEST(generate_series(1, len(vs))) AS pos
+                    FROM passign{r} WHERE rn = 1)
+              GROUP BY j, i, pos),
+            pcent{r + 1} AS (
+              SELECT p.j, p.i, COALESCE(n.cs, p.cs) AS cs
+              FROM pcent{r} p
+              LEFT JOIN (SELECT j, i, list(m ORDER BY pos) AS cs
+                         FROM pmean{r} GROUP BY j, i) n
+                ON n.j = p.j AND n.i = p.i)"""
+
+    pq_lloyd_rounds = ",".join(_pq_lloyd_round(r) for r in range(2))
+
     d = {
         "scan-prune-elements": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -3033,9 +3066,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # Product-quantization ADC replayed in SQL: seed codebooks =
-        # 16 lowest-id corpus vectors sliced into 8 subspaces, argmin
-        # encode per (vector, subspace), query LUT, ordered-fold ADC
-        # sum. Mirrors operators/similarity.py:pq_encode/knn_pq_adc.
+        # 16 lowest-id corpus vectors sliced into 8 subspaces, then
+        # TWO per-subspace Lloyd rounds (ordered folds — exact replay
+        # of pq_codebooks_refined), argmin encode per (vector,
+        # subspace), query LUT, ordered-fold ADC sum. Mirrors
+        # operators/similarity.py:pq_codebooks_refined/pq_encode/
+        # knn_pq_adc.
         "ext-similarity-pq": f"""
             WITH corpus AS (
               SELECT vec_id,
@@ -3048,12 +3084,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS cv
               FROM corpus ORDER BY vec_id LIMIT 16),
             js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
-            cent AS (
+            pcent0 AS (
               SELECT j, i, list_slice(cv, j * 8 + 1, j * 8 + 8) AS cs
               FROM seeds CROSS JOIN js),
             sub AS (
               SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS vs
               FROM corpus CROSS JOIN js),
+            {pq_lloyd_rounds},
+            cent AS (SELECT j, i, cs FROM pcent2),
             assign AS (
               SELECT vec_id, j, i,
                      ROW_NUMBER() OVER (PARTITION BY vec_id, j

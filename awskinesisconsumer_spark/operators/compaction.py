@@ -21,6 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_audit_collisions(columns: list[str]) -> None:
+    clash = {"last_seq", "n_versions"} & set(columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the audit "
+            "columns compaction appends (last_seq, n_versions) — "
+            "rename them before compacting"
+        )
+
+
 def compact_latest(
     df: DataFrame,
     *,
@@ -36,8 +46,11 @@ def compact_latest(
     pass a unique sequence). If `op_col` is given, keys whose winning
     row carries `op_col == delete_op` are dropped (tombstone
     semantics). Adds `n_versions` (changelog depth per key) and
-    `last_seq` for audit.
+    `last_seq` for audit; raises if the payload already carries either
+    name (the winner-struct expansion would otherwise emit duplicate
+    column names that break any downstream select).
     """
+    _check_audit_collisions(df.columns)
     payload_cols = [
         c for c in df.columns if c not in set(key_cols) | {seq_col}
     ]

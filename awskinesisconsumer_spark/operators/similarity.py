@@ -449,8 +449,111 @@ def pq_codebooks_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
             "to seed the codebooks"
         )
     dim = len(seeds[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by m={m} subspaces — "
+            "the trailing dimensions would silently drop out of both "
+            "encode and the ADC LUT"
+        )
     dsub = dim // m
     return [[s[j * dsub:(j + 1) * dsub] for s in seeds] for j in range(m)]
+
+
+def pq_codebooks_refined(
+    df: DataFrame, *, id_col: str, vec_col: str, m: int, ksub: int,
+    n_iter: int = 2, order_col: str | None = None,
+) -> list[list[list[float]]]:
+    """PQ codebooks TRAINED per subspace: seed with the `ksub`
+    lowest-id vectors (pq_codebooks_from_sample), then run Lloyd's
+    k-means independently on each subspace's slices — exactly how a
+    production PQ index trains, reusing `kmeans_refine_centroids` on a
+    projected (id, sub-vector) frame per subspace.
+
+    With `order_col` set (a unique row key) each refinement round is a
+    bit-deterministic ordered fold, so a SQL oracle can replay all
+    m x n_iter rounds exactly. tol=0 (fixed round count) for the same
+    reason.
+
+    Scale shape: training touches m narrow projections of a SAMPLE
+    (the quantizer needs distribution shape, not every row); driver
+    state stays m x ksub x dsub floats. Encode of the full corpus
+    happens once afterwards via `pq_encode`.
+    """
+    cbs = pq_codebooks_from_sample(
+        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+    )
+    dsub = len(cbs[0][0])
+
+    # All m subspaces refine in ONE job per round: explode each vector
+    # into (subspace j, sub-vector) rows once, then assignment +
+    # ordered-fold mean run jointly keyed by (j, cell) — m separate
+    # Lloyd loops would cost m x n_iter Spark jobs for the same math.
+    long = df.select(
+        F.col(id_col).alias("_oid"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.transform(
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ).alias("vs"),
+            )
+            for j in range(m)
+        ])).alias("_s"),
+    ).select("_oid", F.col("_s.j").alias("_j"), F.col("_s.vs").alias("_vs"))
+    long = long.persist()
+    try:
+        for _ in range(n_iter):
+            # codebooks as one nested literal: CB[j][i] = centroid
+            cb_lit = F.array(*[
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in c]) for c in cb
+                ])
+                for cb in cbs
+            ])
+            row_cb = F.element_at(cb_lit, F.col("_j") + 1)
+            dists = [
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_vs"), F.element_at(row_cb, i + 1),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(ksub)
+            ]
+            assigned = long.withColumn(
+                "_cell", F.array_min(F.array(*dists))["i"]
+            )
+            exploded = assigned.select(
+                "_oid", "_j", "_cell",
+                F.posexplode("_vs").alias("_pos", "_x"),
+            )
+            if order_col is None:
+                agg = exploded.groupBy("_j", "_cell", "_pos").agg(
+                    F.avg("_x").alias("_m")
+                )
+            else:
+                folded = F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("_oid").alias("o"), F.col("_x").alias("x"),
+                    ))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                agg = exploded.groupBy("_j", "_cell", "_pos").agg(
+                    (folded / F.count(F.lit(1))).alias("_m")
+                )
+            new = [[c[:] for c in cb] for cb in cbs]
+            for r in agg.collect():  # <= m x ksub x dsub scalars
+                new[r["_j"]][r["_cell"]][r["_pos"]] = float(r["_m"])
+            cbs = new  # empty cells keep their previous centroid
+    finally:
+        long.unpersist()
+    return cbs
 
 
 def pq_encode(df: DataFrame, *, vec_col: str,

@@ -79,8 +79,26 @@ def salted_join(
     use it when skew is KNOWN and stable (one tenant, one null-ish
     default key) or when the join sits under an operator AQE can't
     split. Cost: the dim side is written `salt_buckets` times into
-    the exchange — keep it for genuinely small dims."""
-    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(salt_buckets))
+    the exchange — keep it for genuinely small dims.
+
+    Only `inner` and `left` joins are supported: with right/full
+    semantics an UNMATCHED dim row is emitted once per salt replica
+    (salt_buckets copies), silently multiplying rows — use a plain
+    join (or AQE) for those. The salt sprays from the partition id +
+    a per-partition counter rather than a whole-row hash, so MapType
+    or otherwise unhashable fact columns cannot break it and spray
+    stays uniform even for fully duplicated rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}"
+            " — right/full would emit unmatched dim rows once per salt"
+            " replica"
+        )
+    salt = F.pmod(
+        F.spark_partition_id()
+        + F.monotonically_increasing_id(),
+        F.lit(salt_buckets),
+    )
     salted_facts = facts.withColumn("_salt", salt)
     rep = dim.withColumn(
         "_salt",

@@ -316,6 +316,11 @@ def compact_latest_stream(log: DataFrame, *, key_cols: list[str],
     row of state per DISTINCT key, hash-partitioned; pair with the
     RocksDB state store at scale. Tombstones are filtered AFTER the
     aggregate so a later re-insert can resurrect the key."""
+    from awskinesisconsumer_spark.operators.compaction import (
+        _check_audit_collisions,
+    )
+
+    _check_audit_collisions(list(log.columns))
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)
     ).alias("_w")

@@ -392,6 +392,75 @@ def test_pq_adc_recall_and_code_shape(spark):
     ).collect()
     assert len(exact_ids & {r.vec_id for r in reranked}) >= 8
 
+    # Lloyd-trained codebooks (pq_codebooks_refined) must not degrade
+    # recall@10-in-shortlist vs the sampled seed, and must strictly
+    # reduce per-subspace quantization error (the k-means objective).
+    from awskinesisconsumer_spark.operators.similarity import (
+        pq_codebooks_refined, pq_encode,
+    )
+
+    rcbs = pq_codebooks_refined(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=2, order_col="vec_id",
+    )
+    assert len(rcbs) == 8 and len(rcbs[0]) == 16 and len(rcbs[0][0]) == 8
+
+    def sq_err(codebooks):
+        enc = pq_encode(
+            corpus, vec_col="embedding", codebooks=codebooks
+        ).collect()
+        tot = 0.0
+        for r in enc:
+            v = np.array(r.embedding, dtype=float)
+            rec = np.concatenate([
+                np.array(codebooks[j][c]) for j, c in enumerate(r.pq_code)
+            ])
+            tot += float(((v - rec) ** 2).sum())
+        return tot
+
+    assert sq_err(rcbs) < sq_err(cbs), (
+        "refinement did not reduce quantization error"
+    )
+
+    # Recall compared as the MEAN over 20 probe vectors (a single
+    # probe on a 499-vector fixture is coin-flip noise): the trained
+    # codebooks must not lose to the sampled seed on shortlist-100
+    # recall of the exact L2 top-10.
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=float)
+
+    def mean_recall(codebooks, K=100):
+        enc = pq_encode(
+            corpus, vec_col="embedding", codebooks=codebooks
+        ).select("vec_id", "pq_code").collect()
+        by_id = {r.vec_id: r.pq_code for r in enc}
+        code_mat = np.array([by_id[v] for v in ids])
+        recalls = []
+        for pi in range(20):
+            pq_q = V[pi]
+            luts = [
+                np.array([
+                    ((pq_q[j * 8:(j + 1) * 8] - np.array(c)) ** 2).sum()
+                    for c in cb
+                ])
+                for j, cb in enumerate(codebooks)
+            ]
+            adc = np.array([
+                sum(luts[j][code_mat[i, j]] for j in range(8))
+                for i in range(len(ids))
+            ])
+            adc[pi] = np.inf
+            d = ((V - pq_q) ** 2).sum(1)
+            d[pi] = np.inf
+            exact10 = set(ids[np.argsort(d)[:10]])
+            short = set(ids[np.argsort(adc)[:K]])
+            recalls.append(len(exact10 & short) / 10)
+        return float(np.mean(recalls))
+
+    assert mean_recall(rcbs) >= mean_recall(cbs), (
+        "trained codebooks lost shortlist recall vs the sampled seed"
+    )
+
 
 def test_ngram_containment_catches_subdocument(spark):
     from awskinesisconsumer_spark.operators.dedup import (
@@ -430,6 +499,41 @@ def test_salted_join_matches_plain_join(spark):
     want = facts.join(dim, "k")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert "_salt" not in got.columns
+
+    # left join: unmatched FACT rows survive exactly once
+    sparse_dim = dim.where(F.col("k") < 3)
+    got_l = salted_join(facts, sparse_dim, key="k", salt_buckets=4,
+                        how="left")
+    want_l = facts.join(sparse_dim, "k", "left")
+    assert sorted(map(tuple, got_l.collect())) == \
+        sorted(map(tuple, want_l.collect()))
+
+    # right/full would emit unmatched dim rows once per salt replica —
+    # rejected up front
+    import pytest as _pytest
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(facts, dim, key="k", salt_buckets=4, how=bad)
+
+    # MapType fact columns must not break the salt derivation (the old
+    # whole-row-hash salt raised AnalysisException on maps)
+    mfacts = facts.withColumn("m", F.create_map(F.lit("a"), F.col("v")))
+    got_m = salted_join(mfacts.select("k", "v", "m"), dim, key="k",
+                        salt_buckets=4)
+    assert got_m.count() == want.count()
+
+
+def test_compaction_rejects_audit_column_collision(spark):
+    from awskinesisconsumer_spark.operators.compaction import (
+        compact_latest,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 1, "a", 7)], "k int, seq int, payload string, last_seq int"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="last_seq"):
+        compact_latest(log, key_cols=["k"], seq_col="seq")
 
 
 def test_ngram_novelty_ordering(spark):
