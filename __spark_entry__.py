@@ -1686,6 +1686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-similarity-pq": _ann_pq,
         # -- new in round 4
         "stream-restart-resume": _stream_restart_resume,
+        # -- operator internals changed in round 4 (minhash band-hash
+        #    fusion; spark_partition_id salt) — results proven
+        #    identical locally, re-gate externally anyway
+        "ext-dedup-minhash": _dedup_minhash,
+        "join-salted-skew": _salted_join,
         # -- oldest green records (r2) — re-gate before they age out
         "segment-sessions-gap": _sessions_gap,
         "error-route": _error_route,
@@ -1768,14 +1773,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-unpivot-melt": _melt,
         "source-orc-roundtrip": _orc_roundtrip,
         "sink-partitioned-prune": _partitioned_prune,
-        "join-salted-skew": _salted_join,
         "ext-ngram-novelty": _ngram_novelty,
         "ext-dedup-ngram-containment": _ngram_containment,
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
         "ext-pack-sequences": _pack_sequences,
-        "ext-dedup-minhash": _dedup_minhash,
         "ext-dedup-cluster": _dedup_cluster,
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,

@@ -187,6 +187,11 @@ def dedup_minhash_lsh(
     # formulation spent 17 s ANALYZING vs 0.5 s executing at sf0.1),
     # and the band shuffle rows stay narrow. Docs with zero shingles
     # have no rows here, so every _m is non-null.
+    # Band hashes are FUSED into the same projection that packs the
+    # signature array: both read the flat _m aggregate columns inside
+    # one whole-stage-codegen span, so banding downstream is a pure
+    # explode of a precomputed array — no second pass recomputing 16
+    # concat+hash keys over the persisted signatures.
     sigs = (
         rows.groupBy(id_col)
         .agg(*_perm_min_aggs(num_hashes))
@@ -194,25 +199,24 @@ def dedup_minhash_lsh(
             F.col(id_col),
             F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
             .alias("_sig"),
-        )
-    )
-    sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
                     hash_fn(F.concat_ws(
-                        ",", *[F.element_at("_sig", b * rows_per_band + r + 1)
+                        ",", *[F.col(f"_m{b * rows_per_band + r}")
                                for r in range(rows_per_band)]
                     )).alias("band_hash"),
                 )
                 for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_hash")
+            ]).alias("_bands"),
+        )
+    )
+    sigs = sigs.persist()  # used 3x: banding + both sides of the verify join
+
+    banded = (
+        sigs.select(F.col(id_col), F.explode("_bands").alias("bk"))
+        .select(id_col, "bk.band", "bk.band_hash")
+    )
 
     # Skew guard: a pathological bucket of m docs yields m^2 candidate
     # pairs — cap bucket size (hot buckets carry no dedup signal worth
