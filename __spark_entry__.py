@@ -835,6 +835,32 @@ def _cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-document duplicated-span detection (strided fixed-length
+    # windows — the scalable stand-in for suffix-array substring
+    # dedup). Portable hash so the oracle replays the span hashing.
+    from awskinesisconsumer_spark.operators.dedup import (
+        duplicated_spans, portable_hash52,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return duplicated_spans(
+        docs, id_col="doc_id", text_col="text", span_len=8, stride=4,
+        min_docs=2, hash_fn=portable_hash52,
+    )
+
+
+def _distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
+    # Explicit HyperLogLog distinct-user sketch per event type —
+    # constant-memory COUNT(DISTINCT) for 100 TB, built on the
+    # portable hash so the oracle replays the registers bit-for-bit
+    # (approx_count_distinct's HLL++ state is not replayable).
+    from awskinesisconsumer_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, "events", sf)
+    return hll_distinct(ev, key_col="user_id", group_col="event_type", p=9)
+
+
 def _shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     # Deterministic output-shard routing + balance audit (the check a
     # writer runs before partitionBy(shard)). Portable hash so the
@@ -1686,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-similarity-pq": _ann_pq,
         # -- new in round 4
         "stream-restart-resume": _stream_restart_resume,
+        "ext-distinct-hll": _distinct_hll,
+        "ext-dup-spans": _dup_spans,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -2015,6 +2043,12 @@ def oracle_sql() -> dict[str, str]:
     # conv(substring(md5(x),1,13),16,10) — verified bit-identical.
     def p52(expr: str) -> str:
         return f"('0x' || substr(md5({expr}), 1, 13))::BIGINT"
+
+    # HLL bias constant * m^2 (p=9): the SAME Python float literal the
+    # Spark side bakes in via F.lit(hll_alpha(m) * m * m).
+    from awskinesisconsumer_spark.operators.sketches import hll_alpha
+
+    _HLL_ALPHA_M2 = hll_alpha(512) * 512 * 512
 
     mh_n, mh_bands, mersenne = 32, 8, (1 << 31) - 1
     mh_rpb = mh_n // mh_bands
@@ -2675,6 +2709,70 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS rank
             FROM est
             QUALIFY rank <= 20
+        """,
+        # Strided span hashing replayed with the portable hash; the
+        # float-free integer pipeline makes the whole table exact.
+        # Mirrors operators/dedup.py:duplicated_spans (L=8, stride=4).
+        "ext-dup-spans": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ws
+              FROM documents
+              WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 8),
+            s AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_slice(ws, i * 4 + 1, i * 4 + 8), ' ') AS span
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(0,
+                             CAST(floor((len(ws) - 8) / 4) AS INT))) AS i
+                    FROM w)),
+            h AS (SELECT doc_id, {p52("span")} AS span_hash FROM s)
+            SELECT span_hash,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occurrences,
+                   MIN(doc_id) AS min_doc,
+                   MAX(doc_id) AS max_doc
+            FROM h GROUP BY 1
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # Explicit HLL registers replayed bit-for-bit: portable-hash
+        # bucket/rho, per-bucket max, bucket-ordered 2^-M fold, raw /
+        # small-range estimator. Mirrors operators/sketches.py:
+        # hll_distinct (p=9, m=512).
+        "ext-distinct-hll": f"""
+            WITH keyed AS (
+              SELECT event_type AS g,
+                     {p52("CAST(user_id AS VARCHAR)")} AS h
+              FROM events),
+            b AS (SELECT g, h % 512 AS bucket, h // 512 AS w FROM keyed),
+            r AS (
+              SELECT g, bucket,
+                     CASE WHEN w = 0 THEN 44
+                          ELSE 43 - length(bin(w)) + 1 END AS rho
+              FROM b),
+            regs AS (
+              SELECT g, bucket, MAX(rho) AS mr FROM r GROUP BY g, bucket),
+            pg AS (
+              SELECT g, COUNT(*) AS n_used,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pow(2.0, -mr) ORDER BY bucket)),
+                  (a, x) -> a + x) AS s
+              FROM regs GROUP BY g),
+            raws AS (
+              SELECT g, n_used,
+                     {_HLL_ALPHA_M2!r} / (s + (512 - n_used)) AS raw
+              FROM pg),
+            ex AS (
+              SELECT event_type AS g,
+                     COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1)
+            SELECT raws.g AS event_type, ex.n_exact,
+                   ROUND(CASE WHEN raw <= 1280.0 AND n_used < 512
+                         THEN 512.0 * ln(512.0 / (512 - n_used))
+                         ELSE raw END, 4) AS hll_estimate,
+                   CAST(n_used AS INT) AS registers_used
+            FROM raws JOIN ex USING (g)
         """,
         "ext-shard-assign": r"""
             WITH t AS (

@@ -555,3 +555,67 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", "containment")
     )
     return _release_after(out, all_posts)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_len: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the span-level
+    signal behind exact-substring dedup of training corpora (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): boilerplate, licenses, and templated passages repeat as
+    long literal word runs across otherwise-distinct documents, which
+    document-level Jaccard/MinHash under-weights.
+
+    A full suffix array is the exact tool; at corpus scale the
+    standard approximation is strided fixed-length spans: hash every
+    `span_len`-word window starting at multiples of `stride` and group
+    by the span hash. A duplicated run of length >= span_len +
+    stride - 1 is guaranteed to contain at least one aligned shared
+    window on both sides, so recall degrades only for runs shorter
+    than that. Returns one row per span seen in >= `min_docs` distinct
+    documents: (span_hash, n_docs, n_occurrences, min_doc, max_doc).
+
+    Scale shape: tokenize -> strided slice (narrow, no shuffle) ->
+    ONE hash-keyed groupBy whose map-side combine collapses repeats
+    within a partition; output rows are bounded by the number of
+    DISTINCT duplicated spans (Zipf-bounded), never document pairs —
+    no self-join, nothing O(n^2). Downstream span removal is a
+    semi-join of (doc, span) against this table.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), words.alias("_ws")).where(
+        F.size(F.col("_ws")) >= span_len
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((F.size(F.col("_ws")) - span_len) / stride).cast("int"),
+    )
+    spans = base.select(
+        id_col,
+        F.explode(starts).alias("_i"),
+        F.col("_ws"),
+    ).select(
+        id_col,
+        F.concat_ws(
+            " ", F.slice(F.col("_ws"), F.col("_i") * stride + 1, span_len)
+        ).alias("_span"),
+    )
+    return (
+        spans.select(id_col, hash_fn(F.col("_span")).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

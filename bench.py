@@ -3,15 +3,21 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing = full query execution to a count-style action (foreach-noop
-would skip result materialization; collect would bottleneck the driver
-at larger SFs). Each query runs once after a shared session warmup.
+Timing = full query execution to a noop write (foreach-noop would skip
+result materialization; collect would bottleneck the driver at larger
+SFs). Each query runs $SPARK_GRAFT_REPS times (default 3) and reports
+the MEDIAN — r3 showed untouched queries drifting 1.3-1.7x round over
+round from single-shot timing in a shared JVM (JIT/GC load from the
+growing harness), so a single sample is noise, not signal. A GC hint
+runs before each query's first rep to decouple queries from each
+other's heap debris.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from awskinesisconsumer_spark.session import get_spark
@@ -19,6 +25,7 @@ from awskinesisconsumer_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
 # Headline subset: the reference-pipeline ops + heaviest extension ops.
 HEADLINE = [
@@ -64,6 +71,12 @@ HEADLINE = [
     "ext-shard-assign",
     "agg-moving-avg",
     "agg-grouping-sets",
+    # round 4 additions (38 -> 42): PQ trains 2 Lloyd rounds before
+    # encode+ADC; restart-resume runs two checkpointed stream phases.
+    "ext-similarity-pq",
+    "ext-embedding-quantize",
+    "ext-sequence-build",
+    "stream-restart-resume",
 ]
 
 
@@ -77,10 +90,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        spark._jvm.System.gc()  # noqa: SLF001 — isolate heap debris
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -89,6 +106,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "reps": REPS,
     }))
     spark.stop()
 

@@ -123,7 +123,40 @@ def update_ledger() -> tuple[dict, list[str]]:
     return ledger, stale
 
 
+def rotation_table() -> str:
+    """Markdown summary of gate-rotation health for README: how many
+    registry entries ride on which snapshot, and where the window sits."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as m
+
+    order = list(m.queries())
+    greens = green_rounds()
+    newest = max(r for r, _ in snapshots())
+    lines = [
+        "| position | entries | latest green record |",
+        "|---|---|---|",
+    ]
+    buckets: dict[tuple[bool, object], int] = {}
+    for pos, q in enumerate(order):
+        key = (pos < 50, greens.get(q))
+        buckets[key] = buckets.get(key, 0) + 1
+    for (in_win, rnd), n in sorted(
+        buckets.items(), key=lambda kv: (not kv[0][0], str(kv[0][1]))
+    ):
+        where = "1-50 (gated this round)" if in_win else ">50 (rides ledger)"
+        rec = f"r{rnd}" if rnd is not None else "none (must gate)"
+        lines.append(f"| {where} | {n} | {rec} |")
+    lines.append(
+        f"\n({len(order)} registered; newest snapshot r{newest}; "
+        "regenerate with `python scripts/gate_ledger.py --table`)"
+    )
+    return "\n".join(lines)
+
+
 def main(argv: list[str]) -> int:
+    if "--table" in argv:
+        print(rotation_table())
+        return 0
     ledger, stale = update_ledger()
     print(f"ledger: {len(ledger)} green-recorded queries "
           f"-> {os.path.relpath(LEDGER_PATH, REPO)}")
