@@ -328,6 +328,52 @@ def shard_assign(
     return assigned.groupBy("shard").agg(*aggs)
 
 
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding token-window chunking: split each document into
+    overlapping fixed-budget chunks (`chunk_tokens` wide, advancing by
+    `stride` — overlap = chunk_tokens - stride), the standard long-doc
+    -> training-example / embedding-input expansion.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens,
+    so every token is covered and the tail chunk may be short. Output
+    one row per (doc, chunk): chunk_id, chunk_start (token offset),
+    n_chunk_tokens, chunk_text. Empty/whitespace-only docs yield no
+    chunks.
+
+    Scale shape: narrow (tokenize -> posexplode over per-doc start
+    sequence -> slice), zero shuffles — expansion factor is
+    ~n_tokens/stride per doc, a constant the writer controls, so the
+    operator streams at scan speed at any corpus size. No Python UDFs;
+    the slice/join runs inside whole-stage codegen.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .where((F.size("_ws") > 0) & (F.element_at("_ws", 1) != ""))
+    )
+    starts = F.sequence(F.lit(0), F.size("_ws") - 1, F.lit(stride))
+    ex = base.select(
+        id_col, "_ws", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    piece = F.slice(F.col("_ws"), F.col("_start") + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        F.col("chunk_id"),
+        F.col("_start").alias("chunk_start"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def split_leakage_free(
     docs: DataFrame,
     *,

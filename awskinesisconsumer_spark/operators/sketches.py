@@ -129,6 +129,166 @@ def cms_heavy_hitters(
     return release_after(out, tok)
 
 
+def _bloom_positions(key: Column, *, m_bits: int, k: int, salt: str,
+                     hash_fn) -> list[Column]:
+    """The k salted hash positions of `key` in an m_bits Bloom filter."""
+    return [
+        F.pmod(
+            hash_fn(F.concat_ws("\x1f", key.cast("string"),
+                                F.lit(f"{salt}:{i}"))),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    *,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    salt: str = "bloom1",
+    hash_fn=xxhash64_col,
+) -> list[int]:
+    """Build a Bloom bitset over a (small) key set; returns the dense
+    word array (m_bits/32 32-bit words) for broadcasting into probes.
+
+    The classic decontamination / membership pre-filter shape at
+    100 TB: the key side (an eval suite, a blocklist, yesterday's key
+    set) is bounded and sketchable; the corpus side is not. The bitset
+    is built distributed (explode to positions, bit_or per word — one
+    narrow shuffle bounded by m_bits/32 rows) and only the finished
+    words are pulled to the driver — bounded state exactly like the
+    k x dim centroid pulls in `similarity.py`, m_bits/32 ints
+    regardless of key cardinality (2 KB per 2^16 bits).
+
+    32-bit words keep every mask an exact power of two below 2^31, so
+    the pack/probe bit math is plain integer arithmetic that any
+    engine reproduces (no 2^63 sign edge).
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits=m_bits,
+                                      k=k, salt=salt, hash_fn=hash_fn))
+        ).alias("p")
+    ).distinct()
+    words = (
+        pos.select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            F.pow(F.lit(2.0), F.pmod("p", F.lit(32)).cast("double"))
+            .cast("long").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    dense = [0] * ((m_bits + 31) // 32)
+    for r in words.collect():  # bounded: m_bits/32 rows
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_probe(
+    df: DataFrame,
+    *,
+    key_col: str,
+    words: list[int],
+    k: int = 4,
+    salt: str = "bloom1",
+    hash_fn=xxhash64_col,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe a Bloom bitset: adds `out_col` (true iff ALL k bits are
+    set — i.e. the key is a membership candidate; false positives
+    possible at the standard (1-e^{-kn/m})^k rate, false negatives
+    never).
+
+    Map-only: the words array rides along as an array literal in the
+    plan (broadcast to every task), each probe is k element_at + AND
+    chains inside whole-stage codegen — the corpus never shuffles."""
+    m_bits = len(words) * 32
+    arr = F.lit(words)
+    checks = []
+    for p in _bloom_positions(F.col(key_col), m_bits=m_bits, k=k,
+                              salt=salt, hash_fn=hash_fn):
+        word = F.element_at(arr, (p / 32).cast("int") + 1)
+        mask = (
+            F.pow(F.lit(2.0), F.pmod(p, F.lit(32)).cast("double"))
+            .cast("long")
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    return df.withColumn(out_col, hit)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    salt: str = "bloom1",
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Bloom-prefiltered n-gram decontamination, with a built-in
+    false-positive audit.
+
+    Pipeline: benchmark n-grams -> Bloom bitset (bounded);
+    corpus n-grams -> map-only Bloom probe; ONLY candidate grams (a
+    tiny fraction of the corpus at any realistic m/n) proceed to the
+    exact broadcast join. Per doc: total grams, Bloom candidates,
+    exact matches, and the false-positive remainder. This is the scale
+    path of `corpus_prep.decontaminate`: the exact join there streams
+    EVERY corpus gram past the broadcast set; here the non-candidate
+    grams (the overwhelming majority) short-circuit on 2 KB of bits
+    without even materializing the probe join.
+    """
+    from .dedup import shingle_rows
+
+    doc_grams = shingle_rows(docs, id_col=id_col, text_col=text_col,
+                             n=n, distinct=True)
+    bench_grams = (
+        shingle_rows(benchmark, id_col=bench_id_col,
+                     text_col=bench_text_col, n=n, distinct=True)
+        .select("shingle").distinct()
+    )
+    words = bloom_build(bench_grams, key_col="shingle", m_bits=m_bits,
+                        k=k, salt=salt, hash_fn=hash_fn)
+    probed = bloom_probe(doc_grams, key_col="shingle", words=words,
+                         k=k, salt=salt, hash_fn=hash_fn)
+    exact = (
+        probed.where("bloom_hit")
+        .join(F.broadcast(bench_grams.withColumn("_in_bench", F.lit(True))),
+              "shingle", "left")
+    )
+    per_doc_exact = exact.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("_in_bench").alias("n_exact_matches"),
+    )
+    per_doc = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        per_doc.join(per_doc_exact, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_exact_matches", F.lit(0)).alias("n_exact_matches"),
+            (F.coalesce("n_candidates", F.lit(0))
+             - F.coalesce("n_exact_matches", F.lit(0)))
+            .alias("n_false_positives"),
+        )
+    )
+
+
 def hll_alpha(m: int) -> float:
     """Bias-correction constant from the HyperLogLog paper (Flajolet
     et al. 2007) for m >= 128 registers."""

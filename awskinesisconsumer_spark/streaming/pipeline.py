@@ -304,6 +304,37 @@ def tumbling_agg_stream(events: DataFrame, *, window: str = "1 hour",
     )
 
 
+def sliding_agg_stream(events: DataFrame, *, window: str = "2 hours",
+                       slide: str = "1 hour",
+                       delay: str = "1 hour") -> DataFrame:
+    """Watermarked SLIDING-window aggregate (overlapping windows:
+    each event lands in window/slide of them — Spark expands the
+    assignment map-side, no self-join). Same closed-window append
+    contract as `tumbling_agg_stream`: the emitted set is exactly the
+    windows whose end <= final watermark, so an AvailableNow replay is
+    deterministic and the batch oracle re-derives it by exploding each
+    event into its slide-grid window starts.
+
+    Scale shape: state is one row per open (window) group — bounded by
+    (watermark horizon / slide) windows regardless of input rate; the
+    expansion multiplies shuffle rows by window/slide (here 2x), the
+    standard cost of sliding semantics."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events", "sum_value", "max_event_id",
+        )
+    )
+
+
 def compact_latest_stream(log: DataFrame, *, key_cols: list[str],
                           seq_col: str, payload_cols: list[str],
                           op_col: str | None = None,

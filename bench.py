@@ -77,6 +77,12 @@ HEADLINE = [
     "ext-embedding-quantize",
     "ext-sequence-build",
     "stream-restart-resume",
+    # round 4 additions, second batch (42 -> 47)
+    "ext-chunk-text",
+    "ext-bloom-prefilter",
+    "ext-zorder-layout",
+    "agg-topn-per-group",
+    "stream-sliding-agg",
 ]
 
 
