@@ -1786,6 +1786,39 @@ def _topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _equidepth_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # Equal-population token-length buckets (NTILE semantics) via the
+    # distributed two-pass global rank — no single-partition sort
+    # (operators/corpus_prep.py equidepth_buckets).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        equidepth_buckets,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = token_count(load_table(spark, "documents", sf), text_col="text")
+    return equidepth_buckets(docs, order_col="n_tokens", id_col="doc_id",
+                             n_buckets=8)
+
+
+def _stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    # Stream-static broadcast enrichment: the event stream decorated
+    # with the customer dim per micro-batch — the stream side never
+    # shuffles (streaming/pipeline.py enrich_stream_static).
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        enrich_stream_static,
+    )
+
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = enrich_stream_static(
+        events_stream(spark, sf).select("event_id", "user_id", "event_type"),
+        cust, on="user_id", how="left",
+    )
+    return _run_stream_to_table(out, spark, "enrich_stream")
+
+
 def _stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     # Streaming sliding-window rollup (2 h windows every 1 h):
     # overlapping-window twin of stream-tumbling-agg, same
@@ -1833,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-zorder-layout": _zorder_layout,
         "agg-topn-per-group": _topn_per_group,
         "stream-sliding-agg": _stream_sliding,
+        "ext-length-buckets": _equidepth_buckets,
+        "stream-enrich-static": _stream_enrich,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -1874,13 +1909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-salted-sum": _salted_sum,
         "topk-customers": _topk_customers,
         "join-semi-anti": _semi_anti,
-        "json-extract-props": _props_json,
-        "set-ops-users": _set_ops,
         # ---- gate horizon (position 50; shifts when entries are
         # added above): entries below are past the external gate's
         # 50-entry window this round; all are green in the union of
         # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json
-        # (the next five ride r2 records — rotate them forward in r5).
+        # (the next seven ride r2 records — rotate them forward in r5).
+        "json-extract-props": _props_json,
+        "set-ops-users": _set_ops,
         "query-point-lookup": _point,
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
@@ -2991,6 +3026,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn,
                    o_orderkey, o_totalprice
             FROM r WHERE rn <= 3
+        """,
+        "ext-length-buckets": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(COALESCE(text, ''),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS v
+              FROM documents),
+            r AS (
+              SELECT doc_id, v,
+                     ROW_NUMBER() OVER (ORDER BY v, doc_id) AS rnk,
+                     COUNT(*) OVER () AS n
+              FROM t),
+            b AS (
+              SELECT v,
+                CASE WHEN rnk <= ((n // 8) + 1) * (n % 8)
+                     THEN (rnk - 1) // ((n // 8) + 1) + 1
+                     ELSE (n % 8)
+                          + (rnk - ((n // 8) + 1) * (n % 8) - 1)
+                            // (n // 8) + 1
+                END AS bucket
+              FROM r)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   COUNT(*) AS n_rows,
+                   MIN(v) AS min_val, MAX(v) AS max_val,
+                   CAST(SUM(v) AS BIGINT) AS sum_val
+            FROM b GROUP BY 1
+        """,
+        "stream-enrich-static": """
+            SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "stream-sliding-agg": """
             WITH grid AS (

@@ -328,6 +328,94 @@ def shard_assign(
     return assigned.groupBy("shard").agg(*aggs)
 
 
+def equidepth_buckets(
+    df: DataFrame,
+    *,
+    order_col: str,
+    id_col: str,
+    n_buckets: int = 8,
+    group_width: int = 16,
+    cache_input: bool = True,
+) -> DataFrame:
+    """Exact equi-depth bucketize (NTILE semantics: bucket sizes
+    differ by at most one, larger buckets first) WITHOUT the global
+    single-partition sort `Window.orderBy()` would cost — the
+    length-bucketing step of curriculum/packing pipelines, where docs
+    are binned by token count into equal-population groups.
+
+    Global rank is computed with the same two-pass pattern as
+    `pack_sequences`, but grouped by VALUE range (`_g = floor(order /
+    group_width)` — monotone in the sort key, so per-group row_numbers
+    + a cumulative group-count offset compose into the exact global
+    rank; many small parallel windows instead of one task holding the
+    corpus). Value-range groups can skew if the distribution is
+    spiky — at production scale swap the grouper for
+    `repartitionByRange` partition ids (sampled boundaries), which
+    keeps the same offset composition. The NTILE arithmetic is then
+    pure column math off a broadcast (group, offset, total) table.
+
+    Returns per-bucket stats: bucket (1-based), n_rows, min/max/sum of
+    `order_col`. Ties are broken by `id_col` (must be unique) so the
+    assignment is deterministic and SQL-reproducible.
+    """
+    from pyspark.sql import Window
+
+    v = F.coalesce(F.col(order_col).cast("bigint"), F.lit(0))
+    base = df.select(
+        F.col(id_col), v.alias("_v"),
+        F.floor(v / group_width).alias("_g"),
+    )
+    if cache_input:
+        base = base.persist()
+        base.count()
+
+    in_group = Window.partitionBy("_g").orderBy("_v", id_col)
+    local = base.withColumn("_lr", F.row_number().over(in_group))
+
+    group_w = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, -1)
+    total_w = Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+    offsets = (
+        base.groupBy("_g").agg(F.count(F.lit(1)).alias("_gc"))
+        .withColumn("_goff", F.coalesce(F.sum("_gc").over(group_w),
+                                        F.lit(0)))
+        .withColumn("_n", F.sum("_gc").over(total_w))
+        .select("_g", "_goff", "_n")
+    )
+
+    rank = F.col("_goff") + F.col("_lr")
+    q = F.expr("_n div %d" % n_buckets)
+    r = F.pmod("_n", F.lit(n_buckets))
+    t = (q + 1) * r
+    # integer division in both branches (q may be 0 only when n <
+    # n_buckets, in which case every rank takes the first branch)
+    first = F.expr(f"(( _goff + _lr ) - 1) div ((_n div {n_buckets}) + 1)") + 1
+    rest = (
+        F.pmod("_n", F.lit(n_buckets))
+        + F.expr(
+            f"(( _goff + _lr ) - ((_n div {n_buckets}) + 1) * "
+            f"(_n % {n_buckets}) - 1) div (_n div {n_buckets})"
+        )
+        + 1
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_g")
+        .withColumn("bucket",
+                    F.when(rank <= t, first).otherwise(rest).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_v").alias("min_val"),
+            F.max("_v").alias("max_val"),
+            F.sum("_v").alias("sum_val"),
+        )
+    )
+    if cache_input:
+        out = _release_after(out, base)
+    return out
+
+
 def chunk_text(
     df: DataFrame,
     *,

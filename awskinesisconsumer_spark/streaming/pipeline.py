@@ -304,6 +304,29 @@ def tumbling_agg_stream(events: DataFrame, *, window: str = "1 hour",
     )
 
 
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, *,
+                         on, how: str = "left",
+                         broadcast: bool = True) -> DataFrame:
+    """Stream-static enrichment join: decorate a stream with a
+    (bounded) dimension table — the lookup-table pattern the reference
+    hand-rolls by pairing packets with their fragment tags
+    (/root/reference/parser.py:421-432), generalized to any dim.
+
+    No watermark needed (the static side is not stateful); Spark
+    re-resolves the static relation every micro-batch, so a
+    file-backed dim picks up slowly-changing updates for free.
+    `broadcast=True` hash-broadcasts the dim into every task — the
+    stream side never shuffles, which is THE property that keeps a
+    100 TB/day stream enrichment flat; set False only when the dim is
+    too big to broadcast (then pre-bucket both sides instead).
+    Stream-static supports inner and stream-side-outer joins only.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static join supports how='inner'|'left'")
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=on, how=how)
+
+
 def sliding_agg_stream(events: DataFrame, *, window: str = "2 hours",
                        slide: str = "1 hour",
                        delay: str = "1 hour") -> DataFrame:

@@ -83,6 +83,8 @@ HEADLINE = [
     "ext-zorder-layout",
     "agg-topn-per-group",
     "stream-sliding-agg",
+    "ext-length-buckets",
+    "stream-enrich-static",
 ]
 
 

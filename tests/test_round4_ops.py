@@ -190,3 +190,65 @@ def test_sliding_agg_stream_matches_batch_grid(spark, tmp_path):
     # overlap: hour 01:00-02:00's events appear in two emitted windows
     starts = sorted(ws for ws, _ in got)
     assert len(starts) >= 2
+
+
+# ---------------------------------------------------------------- buckets
+
+def test_equidepth_buckets_ntile_semantics(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        equidepth_buckets,
+    )
+
+    # 21 rows into 4 buckets: NTILE gives sizes 6,5,5,5 (larger first)
+    df = spark.range(21).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 50).alias("v")
+    )
+    out = {r.bucket: r for r in equidepth_buckets(
+        df, order_col="v", id_col="k", n_buckets=4, group_width=8
+    ).collect()}
+    assert [out[b].n_rows for b in sorted(out)] == [6, 5, 5, 5]
+    # buckets are value-ordered: max of bucket b <= min of bucket b+1
+    for b in range(1, 4):
+        assert out[b].max_val <= out[b + 1].min_val
+
+
+def test_equidepth_buckets_fewer_rows_than_buckets(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        equidepth_buckets,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 30)], "k int, v int")
+    out = sorted(equidepth_buckets(
+        df, order_col="v", id_col="k", n_buckets=8
+    ).collect(), key=lambda r: r.bucket)
+    assert [(r.bucket, r.n_rows) for r in out] == [(1, 1), (2, 1)]
+
+
+# ---------------------------------------------------------------- enrich
+
+def test_enrich_stream_static_broadcast_and_modes(spark, tmp_path):
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        enrich_stream_static,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "event_id long, k long"
+    )
+    src = str(tmp_path / "esrc")
+    ev.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "A"), (20, "B")], "k long, seg string"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = enrich_stream_static(stream, dim, on="k", how="left")
+    q = (
+        out.writeStream.format("memory").queryName("enrich_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.seg for r in
+           spark.sql("select * from enrich_t").collect()}
+    assert got == {1: "A", 2: "B", 3: None}
+
+    with pytest.raises(ValueError):
+        enrich_stream_static(stream, dim, on="k", how="full")
