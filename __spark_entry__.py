@@ -1819,6 +1819,39 @@ def _stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "enrich_stream")
 
 
+def _stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Watermarked stream-stream interval join: each purchase matched
+    # to the SAME user's clicks in the preceding hour (attribution).
+    # State on both sides is evicted past watermark + lookback —
+    # the fully-streaming generalization of the reference's as-of
+    # join eviction (streaming/pipeline.py interval_join_stream).
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+
+    ev = events_stream(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = events_stream(spark, sf).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    joined = interval_join_stream(
+        clicks, buys, key="user_id", left_ts="click_ts",
+        right_ts="buy_ts", lookback="1 hour", delay="1 hour",
+    ).select(
+        "user_id", "click_id", "buy_id",
+        (F.col("buy_ts").cast("long") - F.col("click_ts").cast("long"))
+        .alias("delay_s"),
+    )
+    return _run_stream_to_table(joined, spark, "interval_join_stream")
+
+
 def _stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     # Streaming sliding-window rollup (2 h windows every 1 h):
     # overlapping-window twin of stream-tumbling-agg, same
@@ -1868,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-sliding-agg": _stream_sliding,
         "ext-length-buckets": _equidepth_buckets,
         "stream-enrich-static": _stream_enrich,
+        "stream-join-interval": _stream_interval_join,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -1908,12 +1942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-distinct-users": _distinct_users,
         "agg-salted-sum": _salted_sum,
         "topk-customers": _topk_customers,
-        "join-semi-anti": _semi_anti,
         # ---- gate horizon (position 50; shifts when entries are
         # added above): entries below are past the external gate's
         # 50-entry window this round; all are green in the union of
         # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json
-        # (the next seven ride r2 records — rotate them forward in r5).
+        # (the next eight ride r2 records — rotate them forward in r5).
+        "join-semi-anti": _semi_anti,
         "json-extract-props": _props_json,
         "set-ops-users": _set_ops,
         "query-point-lookup": _point,
@@ -3057,6 +3091,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
             FROM events e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "stream-join-interval": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS buy_id,
+                   CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
+                     - CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS delay_s
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "stream-sliding-agg": """
             WITH grid AS (

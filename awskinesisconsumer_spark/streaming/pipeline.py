@@ -327,6 +327,35 @@ def enrich_stream_static(stream: DataFrame, dim: DataFrame, *,
     return stream.join(d, on=on, how=how)
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame, *,
+                         key: str, left_ts: str, right_ts: str,
+                         lookback: str = "1 hour",
+                         delay: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: match each right-side
+    row to the left-side rows of the same `key` whose timestamp falls
+    in [right_ts - lookback, right_ts] — the attribution-join shape
+    (purchase <- preceding clicks), and the fully-streaming
+    generalization of the reference's position-window as-of join
+    (/root/reference/parser.py:421-432).
+
+    Both sides carry a watermark and the join condition bounds
+    left_ts relative to right_ts, which is exactly what lets Spark
+    evict join state: each side retains only `delay + lookback` of
+    history per key instead of growing forever — the stream-stream
+    analogue of the reference's `del tags_line[:tags_i]` eviction.
+    `left_ts`/`right_ts` must be distinct names (rename before the
+    call); all non-key columns should be disambiguated the same way.
+    """
+    l = left.withWatermark(left_ts, delay)
+    r = right.withWatermark(right_ts, delay)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(left_ts) <= F.col(right_ts))
+        & (F.col(left_ts) >= F.col(right_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def sliding_agg_stream(events: DataFrame, *, window: str = "2 hours",
                        slide: str = "1 hour",
                        delay: str = "1 hour") -> DataFrame:

@@ -85,6 +85,7 @@ HEADLINE = [
     "stream-sliding-agg",
     "ext-length-buckets",
     "stream-enrich-static",
+    "stream-join-interval",
 ]
 
 

@@ -252,3 +252,63 @@ def test_enrich_stream_static_broadcast_and_modes(spark, tmp_path):
 
     with pytest.raises(ValueError):
         enrich_stream_static(stream, dim, on="k", how="full")
+
+
+# ------------------------------------------------------------ interval join
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+
+    # clicks at :00,:20,:40 each hour for 3 users; purchases at :50.
+    rows = []
+    for u in range(3):
+        for h in range(4):
+            for m in (0, 20, 40):
+                rows.append((u, len(rows), "c", f"2024-01-01 0{h}:{m:02d}:00"))
+            rows.append((u, len(rows), "p", f"2024-01-01 0{h}:50:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, kind string, ts_s string"
+    ).select("user_id", "event_id", "kind",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "ijsrc")
+    ev.coalesce(1).write.parquet(src)
+
+    def side(kind, idc, tsc):
+        return (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .where(F.col("kind") == kind)
+            .select("user_id", F.col("event_id").alias(idc),
+                    F.col("ts").alias(tsc))
+        )
+
+    out = interval_join_stream(
+        side("c", "click_id", "click_ts"), side("p", "buy_id", "buy_ts"),
+        key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        lookback="1 hour", delay="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ij_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.click_id, r.buy_id)
+        for r in spark.sql("select * from ij_t").collect()
+    )
+    want = sorted(
+        (c.user_id, c.event_id, p.event_id)
+        for c in ev.where("kind = 'c'").collect()
+        for p in ev.where("kind = 'p'").collect()
+        if c.user_id == p.user_id and c.ts <= p.ts
+        and (p.ts - c.ts).total_seconds() <= 3600
+    )
+    assert got == want
+    # every purchase attributes to exactly its 3 same-hour clicks
+    # (:00/:20/:40 are all within 60 min of :50; the previous hour's
+    # :40 click is 70 min back — outside the lookback)
+    per_buy = {}
+    for u, c, b in got:
+        per_buy[b] = per_buy.get(b, 0) + 1
+    assert sorted(per_buy.values()) == [3] * 12  # 4 hours x 3 users
