@@ -41,3 +41,38 @@ def throttle_first_per_window(
         F.min_by(F.struct(*df.columns), F.col(order)).alias("_row")
     )
     return winner.select("_row.*")
+
+
+def reservoir_sample_deterministic(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Fixed-size k-row sample per group, deterministic across runs,
+    engines, and partitionings: rank rows inside each group by
+    ``md5(group || '|' || id)`` and keep the k smallest digests. This
+    is the reproducible equivalent of per-group reservoir sampling —
+    the hash order is uniform (md5 avalanche) but replayable, unlike
+    a true reservoir's RNG-and-arrival-order state.
+
+    One shuffle keyed on the group. Hot groups bound their window
+    state to the partition's rows; for pathologically hot groups
+    compose with the salted two-level rank (see skew.py) — hash-rank
+    commutes with partial top-k because min-k of a union is the
+    min-k of per-part min-k's.
+    """
+    from pyspark.sql import Window
+
+    digest = F.md5(
+        F.concat_ws("|", F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(digest.asc(), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .withColumn("sample_rank", F.col("_rn").cast("long"))
+        .drop("_rn")
+    )

@@ -677,3 +677,56 @@ def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
     top = scored.orderBy("adc_dist", id_col).limit(k)
     w = Window.orderBy("adc_dist", id_col)
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def knn_join_topk(
+    df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int],
+    k: int = 5, salt_buckets: int = 16,
+) -> DataFrame:
+    """Batch k-NN JOIN: top-k cosine neighbors for EVERY probe in one
+    job. Same broadcast-probes / corpus-never-shuffles contract as
+    pairwise_topk_cosine, but the ranking is the salted two-level
+    top-k: a first window partitioned by (probe, salt) bounds each
+    salt bucket to k candidates, then the k*salt_buckets-row global
+    window per probe finishes the rank. With P probes the naive
+    single window funnels the whole scored corpus through P
+    partitions — a skew cliff at scale; here no reducer ever holds
+    more than its salt shard, and the final pass is k*salt_buckets
+    rows per probe regardless of corpus size.
+
+    Ranking key is the 6-dp-rounded cosine + neighbor id, identical
+    in both phases, so the two-level result equals the single-window
+    result exactly (min-k of a union == min-k of per-part min-k's).
+    """
+    probes = df.where(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        df.alias("c")
+        .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                _safe_div(
+                    _dot(F.col(vec_col), F.col("probe_vec")),
+                    _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    order = (F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    wp = Window.partitionBy(
+        "probe_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
+    ).orderBy(*order)
+    wg = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        scored.withColumn("_prn", F.row_number().over(wp))
+        .where(F.col("_prn") <= k)
+        .withColumn("knn_rank", F.row_number().over(wg).cast("long"))
+        .where(F.col("knn_rank") <= k)
+        .drop("_prn")
+    )

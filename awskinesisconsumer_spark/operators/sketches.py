@@ -383,3 +383,73 @@ def hll_distinct(
             F.col("_n_used").cast("int").alias("registers_used"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantile estimates: one
+    map-side-combined count per bin (the sketch — ``n_bins`` longs,
+    corpus-size-independent, trivially mergeable across partitions /
+    days / shards), then linear interpolation inside the bin that
+    crosses each requested rank. Out-of-range values clamp into the
+    edge bins, matching fixed-bound production histograms.
+
+    Exactly the shape a 100 TB percentile dashboard needs: the scan
+    is a single pass with a ``n_bins``-row shuffle; the interpolation
+    runs on the n_bins-row aggregate (single-partition window over a
+    constant-size set). Estimates round to 4 dp so the DuckDB twin
+    replaying the same arithmetic hashes identically.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("total", F.max(F.col("cum")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+    )
+    # All quantiles in ONE pass: broadcast the (tiny) quantile list
+    # against the n_bins-row cumulative table, keep each quantile's
+    # first crossing bin with min_by, interpolate. rank is the
+    # ceil(q*N)-th row (1-based); its offset inside the crossing bin
+    # is rank - cum_before.
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    rank = F.ceil(F.col("q") * F.col("total"))
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= rank)
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.round(
+                    F.lit(lo)
+                    + (F.col("bin")
+                       + (rank - (F.col("cum") - F.col("c"))) / F.col("c"))
+                    * F.lit(width),
+                    4,
+                ),
+                F.col("bin"),
+            ).alias("estimate"),
+            F.max("total").alias("n_rows"),
+        )
+    )

@@ -685,3 +685,86 @@ def ngram_novelty(df: DataFrame, *, id_col: str, text_col: str,
             F.coalesce("novelty", F.lit(1.0)).alias("novelty"),
         )
     )
+
+
+def collocations_pmi(df: DataFrame, *, text_col: str,
+                     min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(x, y) = ln( P(x y) / (P(x) P(y)) ) with bigram probability
+    over the corpus bigram total and unigram probabilities over the
+    corpus token total. Bigrams never cross document boundaries.
+
+    Shape: one tokenize pass feeds BOTH the unigram and the bigram
+    counts (the bigram list is a zip of the word array with itself
+    shifted — no second scan); each count is a hash aggregate with
+    map-side combine whose shuffle carries one row per distinct
+    (bi)gram — Zipf-bounded, corpus-size-independent. The unigram
+    table joins back to bigram counts twice on the word key; the
+    rare-gram floor (`min_count`) prunes the bigram side before the
+    joins, and the final top-k is the standard two-level rank. PMI
+    rounds to 4 dp so cross-engine double noise cannot flip the hash.
+    """
+    words = _words(F.col(text_col))
+    toks = df.select(words.alias("_ws")).where(F.size("_ws") > 0)
+
+    uni = (
+        toks.select(F.explode("_ws").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_ws"), 1, F.size("_ws") - 1),
+                    F.slice(F.col("_ws"), 2, F.size("_ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+
+    totals = (
+        toks.agg(
+            F.sum(F.size("_ws")).alias("n_tok"),
+            F.sum(F.size("_ws") - 1).alias("n_bi"),
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(totals))
+        .join(uni.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c_w", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("c_w", "c_y"), "w2")
+        .select(
+            "w1", "w2", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_bi"))
+                    / ((F.col("c_x") / F.col("n_tok"))
+                       * (F.col("c_y") / F.col("n_tok")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    # Two-level top-k: a salted partial rank bounds every partition's
+    # contribution to k rows before the k*64-row global rank — the
+    # scored set is Zipf-bounded but still corpus-wide, so the global
+    # window never sees more than k rows per salt bucket.
+    from pyspark.sql import Window
+
+    order = (F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    wp = Window.partitionBy(
+        F.pmod(F.xxhash64("w1", "w2"), F.lit(64))
+    ).orderBy(*order)
+    wg = Window.orderBy(*order)
+    return (
+        scored.withColumn("_prn", F.row_number().over(wp))
+        .where(F.col("_prn") <= k)
+        .withColumn("rnk", F.row_number().over(wg).cast("long"))
+        .where(F.col("rnk") <= k)
+        .drop("_prn")
+    )

@@ -86,6 +86,15 @@ HEADLINE = [
     "ext-length-buckets",
     "stream-enrich-static",
     "stream-join-interval",
+    # round 4 additions, third batch (47 -> 52)
+    "join-shipping-priority",
+    "join-large-orders",
+    "agg-skyline-2d",
+    "ext-collocations-pmi",
+    "ext-knn-join",
+    "ext-pagerank-dups",
+    "agg-conversion-funnel",
+    "ext-anomaly-zscore",
 ]
 
 

@@ -1,0 +1,214 @@
+"""Unit/property tests for the round-4 analytics additions: the
+distributed 2-D skyline, the salted batch k-NN join, deterministic
+reservoir sampling, histogram quantiles, and PMI collocations —
+each checked against an independent in-Python or single-window
+formulation (the DuckDB twins live in test_oracle_parity)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.operators.analytics import skyline_2d
+from awskinesisconsumer_spark.operators.sampling import (
+    reservoir_sample_deterministic,
+)
+from awskinesisconsumer_spark.operators.similarity import (
+    knn_join_topk,
+    pairwise_topk_cosine,
+)
+from awskinesisconsumer_spark.operators.sketches import histogram_quantiles
+
+
+def _brute_skyline(points):
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for j, (x2, y2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_skyline_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    # Duplicate-heavy grid so axis ties and full-point ties both occur.
+    pts = [
+        (float(rng.randint(0, 20)), float(rng.randint(0, 20)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x double, y double"
+    )
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(df, x_col="x", y_col="y", n_buckets=7).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_single_bucket_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 9.0), (3, None, 9.0), (4, 2.0, None)],
+        "id long, x double, y double",
+    )
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline_2d(df, x_col="x", y_col="y", n_buckets=1).collect()
+    )
+    assert got == [(1.0, 5.0), (2.0, 9.0)]
+
+
+def test_knn_join_equals_single_window(spark, sf_dir):
+    from awskinesisconsumer_spark.io import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = [0, 1, 2, 3]
+    two_level = {
+        (r.probe_id, r.knn_rank): r.neighbor_id
+        for r in knn_join_topk(
+            emb, id_col="vec_id", vec_col="embedding",
+            probe_ids=probes, k=5, salt_buckets=4,
+        ).collect()
+    }
+    single = pairwise_topk_cosine(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes, k=5
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    expect = {
+        (r.probe_id, r.rn): r.neighbor_id
+        for r in single.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert two_level == {(p, int(r)): n for (p, r), n in expect.items()}
+
+
+def test_reservoir_sample_deterministic_and_uniformish(spark):
+    rows = [(i, f"g{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    a = reservoir_sample_deterministic(
+        df, group_col="grp", id_col="id", k=10
+    )
+    got = sorted((r.grp, r.id) for r in a.collect())
+    # Replayable: same result on a repartitioned input.
+    b = reservoir_sample_deterministic(
+        df.repartition(13), group_col="grp", id_col="id", k=10
+    )
+    assert got == sorted((r.grp, r.id) for r in b.collect())
+    assert len(got) == 30
+    # Matches the md5-rank definition computed in plain Python.
+    for grp in ("g0", "g1", "g2"):
+        ids = [i for i, g in rows if g == grp]
+        ranked = sorted(
+            ids, key=lambda i: hashlib.md5(f"{grp}|{i}".encode()).hexdigest()
+        )[:10]
+        assert sorted(ranked) == [i for g, i in got if g == grp]
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    vals = [(float(i),) for i in range(1, 10001)]
+    df = spark.createDataFrame(vals, "v double")
+    out = {
+        r.q: r.estimate
+        for r in histogram_quantiles(
+            df, value_col="v", lo=0.0, hi=10000.0, n_bins=100,
+            quantiles=(0.5, 0.9),
+        ).collect()
+    }
+    width = 100.0
+    assert math.isclose(out[0.5], 5000.0, abs_tol=width)
+    assert math.isclose(out[0.9], 9000.0, abs_tol=width)
+
+
+def test_collocations_pmi_prefers_fixed_phrase(spark):
+    # "alpha beta" always co-occurs; filler words are shuffled noise —
+    # the fixed phrase must take rank 1.
+    rng = random.Random(7)
+    docs = []
+    filler = ["x", "y", "z", "w", "v"]
+    for i in range(60):
+        ws = [rng.choice(filler) for _ in range(20)]
+        ws.insert(rng.randint(0, 19), "alpha beta")
+        docs.append((i, " ".join(ws)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from awskinesisconsumer_spark.operators.text import collocations_pmi
+
+    top = collocations_pmi(df, text_col="text", min_count=5, k=5).collect()
+    best = [r for r in top if r.rnk == 1][0]
+    assert (best.w1, best.w2) == ("alpha", "beta")
+    assert best.c_xy == 60
+
+
+def test_pagerank_tiny_graph_matches_hand_calc(spark):
+    # Path graph 0-1-2 (symmetric): deg(0)=deg(2)=1, deg(1)=2.
+    from awskinesisconsumer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r.node: r.pagerank for r in pagerank(edges, iters=3).collect()}
+    # Replay the same arithmetic in plain Python.
+    pr = {0: 1 / 3, 1: 1 / 3, 2: 1 / 3}
+    deg = {0: 1, 1: 2, 2: 1}
+    base = (1.0 - 0.85) / 3
+    for _ in range(3):
+        nxt = {}
+        for v, ins in {0: [1], 1: [0, 2], 2: [1]}.items():
+            nxt[v] = base + 0.85 * sum(pr[u] / deg[u] for u in ins)
+        pr = nxt
+    assert got == {v: round(p, 6) for v, p in pr.items()}
+    # Rank mass is conserved up to rounding.
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_conversion_funnel_ordering_is_strict(spark):
+    from awskinesisconsumer_spark.operators.analytics import (
+        conversion_funnel,
+    )
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1 converts fully in order.
+        (1, t(1), "signup"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2 clicked BEFORE signup — click must not count.
+        (2, t(2), "click"), (2, t(5), "signup"),
+        # user 3 purchase before click-after-signup — not converted.
+        (3, t(1), "signup"), (3, t(2), "purchase"), (3, t(3), "click"),
+        # user 4 never signs up.
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = conversion_funnel(
+        df, user_col="user_id", ts_col="ts", type_col="event_type"
+    ).collect()[0]
+    assert (out.n_users, out.n_step0, out.n_step1, out.n_step2) == (4, 3, 2, 1)
+    assert out.conv_1 == round(2 / 3, 4)
+    assert out.conv_2 == 0.5
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from awskinesisconsumer_spark.operators.analytics import zscore_outliers
+
+    rows = [(i, "g", 10.0) for i in range(50)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = zscore_outliers(df, key_col="grp", value_col="v", threshold=3.0)
+    got = out.collect()
+    assert [r.id for r in got] == [99]
+    # Constant group (sd == 0) produces no rows instead of dividing by 0.
+    const = spark.createDataFrame(
+        [(1, "c", 5.0), (2, "c", 5.0)], "id long, grp string, v double"
+    )
+    assert zscore_outliers(
+        const, key_col="grp", value_col="v", threshold=1.0
+    ).count() == 0
