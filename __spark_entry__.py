@@ -2089,6 +2089,62 @@ def _zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scd2(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD type-2 dimension build from the event changelog
+    # (operators/compaction.py scd2_versions): collapse runs of equal
+    # state, stamp effective_from/to/is_current — ONE keyed shuffle,
+    # no self-join.
+    from awskinesisconsumer_spark.operators.compaction import scd2_versions
+
+    ev = load_table(spark, "events", sf).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_versions(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type",
+    )
+
+
+def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # Recall@10 audit of the SRP-bucketed ANN join against the exact
+    # k-NN join, per probe — the evaluation loop a production ANN
+    # deployment runs on a sampled probe set. Both sides are existing
+    # oracle-replayable operators; the audit is a semi-join + rollup.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, knn_join_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probes = list(range(8))
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes, k=10
+    )
+    ann = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        planes=deterministic_planes(64, 8), k=10,
+    )
+    hits = (
+        exact.select("probe_id", "neighbor_id")
+        .join(
+            ann.select("probe_id", "neighbor_id"),
+            ["probe_id", "neighbor_id"], "left_semi",
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("probe_id").distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2136,6 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-pagerank-dups": _pagerank_dups,
         "agg-conversion-funnel": _funnel,
         "ext-anomaly-zscore": _zscore,
+        "ext-scd2-versions": _scd2,
+        "ext-ann-recall": _ann_recall,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3777,6 +3835,83 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (event_type)
             WHERE sd > 0
               AND ABS(ROUND((e.value - mu) / sd, 4)) >= 2.5
+        """,
+        # SCD2 twin: same lag-collapse + lead-stamp windows, same
+        # (ts, event_id) total order.
+        "ext-scd2-versions": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            ch AS (
+              SELECT user_id, ts, event_id, event_type FROM c
+              WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, ts, event_id, event_type,
+              ts AS effective_from,
+              LEAD(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+                AS effective_to,
+              LEAD(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS is_current
+            FROM ch
+        """,
+        # Recall audit twin: the exact k-NN CTE (ext-knn-join form)
+        # and the SRP-bucketed ANN CTE (ext-similarity-ann bucket
+        # arithmetic, multi-probe) joined per probe.
+        "ext-ann-recall": f"""
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS probe_vec
+              FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+            pb AS (
+              SELECT probe_id, probe_vec,
+                     {_sql_srp_bucket("probe_vec", ann_planes)} AS qbkt
+              FROM probes),
+            cb AS (
+              SELECT vec_id, embedding,
+                     {_sql_srp_bucket("embedding", ann_planes)} AS bkt
+              FROM embeddings),
+            exact AS (
+              SELECT p.probe_id, e.vec_id AS neighbor_id,
+                ROUND(
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(p.probe_vec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(p.probe_vec AS DOUBLE[]),
+                                             CAST(p.probe_vec AS DOUBLE[])))),
+                  6) AS cs
+              FROM embeddings e CROSS JOIN probes p
+              WHERE e.vec_id <> p.probe_id
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                ORDER BY cs DESC, e.vec_id) <= 10),
+            ann AS (
+              SELECT p.probe_id, c.vec_id AS neighbor_id,
+                ROUND(
+                  list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(p.probe_vec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(p.probe_vec AS DOUBLE[]),
+                                             CAST(p.probe_vec AS DOUBLE[])))),
+                  6) AS cs
+              FROM cb c JOIN pb p
+                ON (c.bkt = p.qbkt
+                    OR bit_count(xor(c.bkt, p.qbkt)) = 1)
+              WHERE c.vec_id <> p.probe_id
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                ORDER BY cs DESC, c.vec_id) <= 10),
+            hits AS (
+              SELECT exact.probe_id,
+                     COUNT(ann.neighbor_id) AS n_hits
+              FROM exact LEFT JOIN ann
+                ON ann.probe_id = exact.probe_id
+               AND ann.neighbor_id = exact.neighbor_id
+              GROUP BY 1)
+            SELECT probe_id, CAST(n_hits AS BIGINT) AS n_hits,
+                   ROUND(n_hits / 10.0, 4) AS recall_at_10
+            FROM hits
         """,
         "ext-knn-join": """
             WITH probes AS (

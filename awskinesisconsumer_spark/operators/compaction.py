@@ -75,3 +75,40 @@ def compact_latest(
             (F.col(op_col) != delete_op) | F.col(op_col).isNull()
         ).drop(op_col)
     return out
+
+
+def scd2_versions(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a changelog: keep
+    one version row per RUN of equal `state_col` values per key (in
+    (ts, order) time), stamped with effective_from / effective_to /
+    is_current. Consecutive duplicate states collapse into the run's
+    first row; effective_to is the NEXT version's start (NULL while
+    current).
+
+    Shape: one key-partitioned window (change-flag via lag, version
+    start via lead after the collapse) — a single keyed shuffle, no
+    self-join, run-length state bounded by the partition sort. The
+    100 TB form of "replay the changelog into a dimension table".
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    changed = df.withColumn(
+        "_prev", F.lag(state_col).over(w)
+    ).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    return (
+        changed.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop("_prev")
+    )

@@ -730,3 +730,61 @@ def knn_join_topk(
         .where(F.col("knn_rank") <= k)
         .drop("_prn")
     )
+
+
+def ann_join_srp(
+    df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int],
+    planes: list[list[float]], k: int = 10, hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe SRP ANN join: top-k approximate neighbors for every
+    probe, restricted to corpus vectors whose SRP bucket is within
+    `hamming` bit flips of the probe's bucket. The probe side expands
+    each probe into its 1 + n_planes (for hamming=1) candidate bucket
+    ids, so the bucket restriction becomes a plain EQUI-join on the
+    bucket id — broadcastable probe side, hash-joinable, no
+    theta-join nested loop; the corpus buckets once and never
+    shuffles. The final per-probe rank sees only bucket-local
+    candidates (corpus/2^n_planes expected), so a plain probe-keyed
+    window suffices.
+    """
+    if hamming not in (0, 1):
+        raise ValueError("ann_join_srp supports hamming 0 or 1")
+    bucketed = srp_bucket(df, vec_col=vec_col, planes=planes)
+    probes = bucketed.where(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col("bucket").alias("_qbkt"),
+    )
+    flips = [F.col("_qbkt")]
+    if hamming == 1:
+        flips += [
+            F.col("_qbkt").bitwiseXOR(F.lit(1 << i))
+            for i in range(len(planes))
+        ]
+    expanded = probes.withColumn(
+        "bucket", F.explode(F.array(*flips))
+    ).drop("_qbkt")
+    scored = (
+        bucketed.join(F.broadcast(expanded), "bucket")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                _safe_div(
+                    _dot(F.col(vec_col), F.col("probe_vec")),
+                    _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("ann_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("ann_rank") <= k)
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "ext-pagerank-dups",
     "agg-conversion-funnel",
     "ext-anomaly-zscore",
+    "ext-scd2-versions",
+    "ext-ann-recall",
 ]
 
 

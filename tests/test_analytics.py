@@ -212,3 +212,58 @@ def test_zscore_outliers_flags_only_extremes(spark):
     assert zscore_outliers(
         const, key_col="grp", value_col="v", threshold=1.0
     ).count() == 0
+
+
+def test_scd2_collapses_runs_and_stamps_validity(spark):
+    from awskinesisconsumer_spark.operators.compaction import scd2_versions
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), 1, "a"), (1, t(2), 2, "a"), (1, t(3), 3, "b"),
+        (1, t(4), 4, "b"), (1, t(5), 5, "a"),
+        (2, t(1), 6, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, oid long, st string"
+    )
+    out = sorted(
+        (r.k, r.st, r.effective_from.second,
+         r.effective_to.second if r.effective_to else None, r.is_current)
+        for r in scd2_versions(
+            df, key_col="k", ts_col="ts", order_col="oid", state_col="st"
+        ).collect()
+    )
+    assert out == [
+        (1, "a", 1, 3, False),
+        (1, "a", 5, None, True),
+        (1, "b", 3, 5, False),
+        (2, "x", 1, None, True),
+    ]
+
+
+def test_ann_join_recall_is_reasonable_and_subset_of_buckets(spark, sf_dir):
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, deterministic_planes, srp_bucket,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = deterministic_planes(64, 8)
+    out = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding",
+        probe_ids=[0, 1], planes=planes, k=10,
+    ).collect()
+    assert {r.probe_id for r in out} == {0, 1}
+    # Every returned neighbor really is within Hamming<=1 of its
+    # probe's bucket.
+    buckets = {
+        r.vec_id: r.bucket
+        for r in srp_bucket(
+            emb, vec_col="embedding", planes=planes
+        ).select("vec_id", "bucket").collect()
+    }
+    for r in out:
+        h = bin(buckets[r.neighbor_id] ^ buckets[r.probe_id]).count("1")
+        assert h <= 1
+        assert r.neighbor_id != r.probe_id

@@ -127,3 +127,71 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     plan = _plan(df)
     pf = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
     assert "event_type" in pf, plan
+
+
+def test_shipping_priority_pushes_filters_and_broadcasts(spark):
+    # Q3 shape: date/segment filters reach the scans; the pruned
+    # customer dim broadcasts; no cartesian anywhere.
+    df = entry.queries()["join-shipping-priority"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_join_broadcasts_probes_and_never_shuffles_corpus(spark):
+    # The corpus side must reach the scoring join without an
+    # Exchange: probes broadcast, the only hash exchanges are the
+    # two-level top-k rank windows.
+    df = entry.queries()["ext-knn-join"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_join_is_equi_join_on_bucket(spark):
+    # The hamming<=1 restriction is expanded into probe bucket rows,
+    # so the plan is a broadcast EQUI join on the bucket id — never
+    # the theta-join nested loop over the whole corpus.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, deterministic_planes,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    df = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding",
+        probe_ids=[0, 1], planes=deterministic_planes(64, 8), k=5,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_has_no_join_over_data_and_no_global_sort(spark):
+    # Phase-2 pruning joins against the n_buckets-row aggregate
+    # (broadcast); the data-sized side never cartesians or global-
+    # sorts (the only Sort nodes are inside bucket-partitioned
+    # windows).
+    df = entry.queries()["agg-skyline-2d"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    # The chained step windows + per-user collapse share ONE
+    # user-keyed hash exchange (plus the final single-partition
+    # rollup, which is not a hashpartitioning exchange).
+    df = entry.queries()["agg-conversion-funnel"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_single_exchange(spark):
+    # Lag-collapse and lead-stamp share the (key, ts, order) window
+    # sort: one keyed exchange total.
+    df = entry.queries()["ext-scd2-versions"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
