@@ -2145,6 +2145,89 @@ def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _parquet_evolve(spark: SparkSession, sf: str) -> DataFrame:
+    # Parquet schema evolution: two generations of the events extract
+    # (the newer one adds a column) merged in ONE scan via
+    # mergeSchema — missing columns null-fill. The lake-maintenance
+    # reality a 100 TB table lives with: old partitions never get
+    # rewritten when the schema grows.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"pq_evolve_{tag}")
+    ev = load_table(spark, "events", sf)
+    ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id"
+    ).write.mode("overwrite").parquet(f"{base}/gen=1")
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/gen=1", f"{base}/gen=2")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def _bucketed_join_gate(spark: SparkSession, sf: str) -> DataFrame:
+    # Write-time bucketing as a gated artifact: both sides bucketed
+    # and sorted on the join key (operators/skew.py write_bucketed),
+    # so the repeated equi-join plans with ZERO exchange on either
+    # side (plan-asserted in tests/test_plans.py) — the layout
+    # contract that amortizes one shuffle across every downstream
+    # join at 100 TB.
+    import hashlib
+    import os
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.skew import (
+        bucketed_join, write_bucketed,
+    )
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    orders = load_table(spark, "orders", sf).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    t1, t2 = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(orders, table=t1, bucket_col="custkey", num_buckets=8,
+                   sort_col="custkey", path=os.path.join(base, "orders"))
+    write_bucketed(cust, table=t2, bucket_col="custkey", num_buckets=8,
+                   sort_col="custkey", path=os.path.join(base, "cust"))
+    return (
+        bucketed_join(spark, t1, t2, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    # Weekly cohort retention matrix: users bucketed by first-activity
+    # week, counted per activity-week offset. Two user-keyed hash aggs
+    # + one user-keyed join; the matrix agg is map-side combined.
+    ev = load_table(spark, "events", sf)
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = ev.select("user_id", wk.alias("act_week")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2194,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-anomaly-zscore": _zscore,
         "ext-scd2-versions": _scd2,
         "ext-ann-recall": _ann_recall,
+        "source-parquet-evolve": _parquet_evolve,
+        "sink-bucketed-join": _bucketed_join_gate,
+        "agg-retention-cohorts": _cohorts,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3856,6 +3942,38 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 AS is_current
             FROM ch
+        """,
+        # Schema-evolution twin: old-generation rows null-fill the
+        # added column, exactly what mergeSchema produces.
+        "source-parquet-evolve": """
+            SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, user_id, event_type
+            FROM events WHERE event_id % 2 = 1
+        """,
+        "sink-bucketed-join": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "agg-retention-cohorts": """
+            WITH f AS (
+              SELECT user_id,
+                     MIN(date_trunc('week', ts)) AS cohort_week
+              FROM events GROUP BY 1),
+            a AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('week', ts) AS act_week
+              FROM events)
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST(date_diff('day', cohort_week, act_week) // 7
+                        AS INT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # Recall audit twin: the exact k-NN CTE (ext-knn-join form)
         # and the SRP-bucketed ANN CTE (ext-similarity-ann bucket

@@ -44,6 +44,14 @@ def pagerank(
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     edges_deg = edges.join(deg, src).persist()
     n = edges_deg.select(src).distinct().count()
+    if n == 0:
+        # Empty graph: no nodes, no ranks — and no 1/0 base term
+        # (ANSI mode makes that an error, not a NULL).
+        edges_deg.unpersist()
+        return edges.select(
+            F.col(src).alias("node"),
+            F.lit(0.0).alias("pagerank"),
+        ).limit(0)
     base = F.lit(1.0 - damping) / F.lit(float(n))
     pr = (
         edges_deg.select(F.col(src).alias("node")).distinct()

@@ -97,6 +97,8 @@ HEADLINE = [
     "ext-anomaly-zscore",
     "ext-scd2-versions",
     "ext-ann-recall",
+    "sink-bucketed-join",
+    "agg-retention-cohorts",
 ]
 
 

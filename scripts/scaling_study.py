@@ -85,7 +85,8 @@ def doc_ops():
         simhash,
     )
     from awskinesisconsumer_spark.operators.text import (
-        quality_score, redact_pii, repetition_stats, tfidf_top_terms,
+        collocations_pmi, quality_score, redact_pii, repetition_stats,
+        tfidf_top_terms,
     )
     from awskinesisconsumer_spark.operators.corpus_prep import (
         decontaminate, pack_sequences,
@@ -132,13 +133,62 @@ def doc_ops():
         "tfidf-terms": lambda d: tfidf_top_terms(
             d, id_col="doc_id", text_col="text", k=5
         ),
+        # round-4 additions
+        "collocations-pmi": lambda d: collocations_pmi(
+            d, text_col="text", min_count=5, k=50
+        ),
+        "pagerank-dups": pagerank_dups,
+        "skyline-2d": skyline_tokens,
     }
+
+
+def pagerank_dups(d):
+    # PageRank on an explicit dup-cluster graph: each base doc's
+    # replicas form a clique (plus a chain link to the next base doc
+    # so the graph is connected) — measures the per-iteration
+    # join+agg itself on a dense edge set, independent of the pair-
+    # finding machinery (which has its own study rows; at 40x the
+    # replica-clique edge list is ~docs*39 edges, ~7.8M directed).
+    from awskinesisconsumer_spark.operators.graph import pagerank
+
+    base = d.select((F.col("doc_id") // 1000).alias("b"),
+                    F.col("doc_id").alias("src"))
+    peers = base.join(
+        base.select(F.col("b"), F.col("src").alias("dst")), "b"
+    ).where(F.col("src") != F.col("dst")).select("src", "dst")
+    chain = d.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1000).alias("dst"),
+    ).join(d.select(F.col("doc_id").alias("dst")), "dst")
+    edges = peers.union(chain).union(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(edges, iters=3)
+
+
+def skyline_tokens(d):
+    # 2-D Pareto frontier over (doc length, distinct-token count):
+    # the "densest short doc" frontier; exercises the bucketed local
+    # skylines + prefix-max pruning on a data-proportional input.
+    from awskinesisconsumer_spark.operators.analytics import skyline_2d
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    toks = token_count(d, text_col="text").withColumn(
+        "n_distinct",
+        F.size(F.array_distinct(F.split(F.trim(F.coalesce(
+            F.col("text"), F.lit(""))), r"\s+"))).cast("double"),
+    )
+    return skyline_2d(
+        toks.select("doc_id", F.col("n_tokens").cast("double").alias("x"),
+                    F.col("n_distinct").alias("y")),
+        x_col="x", y_col="y",
+    )
 
 
 def emb_ops():
     from awskinesisconsumer_spark.operators.similarity import (
-        deterministic_planes, ivf_centroids_from_sample, knn_ivf, knn_lsh,
-        pairwise_topk_cosine,
+        ann_join_srp, deterministic_planes, ivf_centroids_from_sample,
+        knn_ivf, knn_join_topk, knn_lsh, pairwise_topk_cosine,
     )
 
     def lsh(d):
@@ -162,6 +212,16 @@ def emb_ops():
         ),
         "ann-srp-lsh": lsh,
         "ann-ivf": ivf,
+        # round-4 additions: the multi-probe join forms
+        "knn-join-topk": lambda d: knn_join_topk(
+            d, id_col="vec_id", vec_col="embedding",
+            probe_ids=[0, 1000, 2000, 3000], k=10,
+        ),
+        "ann-join-srp": lambda d: ann_join_srp(
+            d, id_col="vec_id", vec_col="embedding",
+            probe_ids=[0, 1000, 2000, 3000],
+            planes=deterministic_planes(64, 8), k=10,
+        ),
     }
 
 
@@ -184,6 +244,10 @@ def timed(make_df, src, spark) -> tuple[float, float]:
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = sys.argv[i + 1]
     spark = get_spark("scaling-study")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -202,6 +266,8 @@ def main() -> None:
 
     results: list[tuple[str, int, int, float, float]] = []
     for name, op in doc_ops().items():
+        if only and only not in name:
+            continue
         for r in doc_sizes:
             # The inverted-index jaccard verify is quadratic in
             # near-dup group size; 200k docs in 40-replica groups is
@@ -214,6 +280,8 @@ def main() -> None:
             print(f"{name:22s} n={n:7d} cold={cold:7.2f}s warm={warm:7.2f}s",
                   flush=True)
     for name, op in emb_ops().items():
+        if only and only not in name:
+            continue
         for r in emb_sizes:
             n = 2000 * r
             cold, warm = timed(op, corpora[("embs", r)], spark)

@@ -267,3 +267,12 @@ def test_ann_join_recall_is_reasonable_and_subset_of_buckets(spark, sf_dir):
         h = bin(buckets[r.neighbor_id] ^ buckets[r.probe_id]).count("1")
         assert h <= 1
         assert r.neighbor_id != r.probe_id
+
+
+def test_pagerank_empty_graph_returns_empty_not_error(spark):
+    from awskinesisconsumer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iters=3)
+    assert out.count() == 0
+    assert out.columns == ["node", "pagerank"]

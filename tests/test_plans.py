@@ -195,3 +195,15 @@ def test_scd2_single_exchange(spark):
     df = entry.queries()["ext-scd2-versions"](spark, SF)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_join_gate_has_no_exchange_at_the_join(spark):
+    # Both sides bucketed+sorted on the key: the SortMergeJoin (or
+    # its AQE form) consumes the bucketed layout directly — zero
+    # hashpartitioning exchange below the join. The only exchange in
+    # the whole query is the downstream segment rollup's.
+    df = entry.queries()["sink-bucketed-join"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
