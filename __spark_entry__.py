@@ -2228,6 +2228,23 @@ def _cohorts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming SCD2 (streaming/pipeline.py scd2_stream): per-key
+    # state = the open version only; each state change emits the
+    # sealed previous version. Emitted set == the batch build's
+    # effective_to IS NOT NULL subset (the oracle).
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import scd2_stream
+
+    out = scd2_stream(events_stream(spark, sf))
+    res = _run_stream_to_table(out, spark, "scd2_stream")
+    return res.select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_micros("from_us").alias("effective_from"),
+        F.timestamp_micros("to_us").alias("effective_to"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2280,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
         "agg-retention-cohorts": _cohorts,
+        "stream-scd2": _stream_scd2,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3974,6 +3992,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Streaming SCD2 twin: the batch build's SEALED subset —
+        # append mode can only ever emit closed versions.
+        "stream-scd2": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            ch AS (
+              SELECT user_id, ts, event_id, event_type FROM c
+              WHERE prev IS NULL OR prev <> event_type),
+            v AS (
+              SELECT user_id, event_id, event_type,
+                ts AS effective_from,
+                LEAD(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS effective_to
+              FROM ch)
+            SELECT * FROM v WHERE effective_to IS NOT NULL
         """,
         # Recall audit twin: the exact k-NN CTE (ext-knn-join form)
         # and the SRP-bucketed ANN CTE (ext-similarity-ann bucket

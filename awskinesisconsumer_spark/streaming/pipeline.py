@@ -422,3 +422,75 @@ def compact_latest_stream(log: DataFrame, *, key_cols: list[str],
             (F.col(op_col) != delete_op) | F.col(op_col).isNull()
         ).drop(op_col)
     return out
+
+
+_SCD2_STATE_SCHEMA = "st string, ts_us long, eid long"
+_SCD2_OUT_SCHEMA = (
+    "user_id long, event_id long, event_type string, "
+    "from_us long, to_us long"
+)
+
+
+def _scd2_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # State = the OPEN version (first row of the current equal-state
+    # run). A state change seals the previous version and emits it;
+    # the open version never leaves state — exactly the batch
+    # scd2_versions contract restricted to rows with effective_to.
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur = tuple(state.get) if state.exists else None
+    out: list[tuple] = []
+    chunks = list(pdfs)
+    if chunks:
+        merged = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts_us", "event_id"])
+        for eid, ts_us, st in zip(
+            merged["event_id"], merged["ts_us"], merged["event_type"]
+        ):
+            if cur is None:
+                cur = (st, int(ts_us), int(eid))
+            elif st != cur[0]:
+                out.append((key[0], cur[2], cur[0], cur[1], int(ts_us)))
+                cur = (st, int(ts_us), int(eid))
+    if cur is not None:
+        state.update(cur)
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "event_type",
+                     "from_us", "to_us"],
+        )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD type-2 build (the continuous form of
+    operators/compaction.py scd2_versions): per-key state holds only
+    the OPEN version; each state change emits the sealed previous
+    version in append mode. Emitted rows therefore equal the batch
+    build's `effective_to IS NOT NULL` subset, which is the oracle.
+
+    Correctness requires per-key event-time order within the feed
+    (true for the replay source; a production feed with reordering
+    needs a watermark + sort buffer upstream, e.g. the interval-join
+    machinery's delay).
+    """
+    return (
+        events.select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -99,6 +99,7 @@ HEADLINE = [
     "ext-ann-recall",
     "sink-bucketed-join",
     "agg-retention-cohorts",
+    "stream-scd2",
 ]
 
 

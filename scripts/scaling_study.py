@@ -151,7 +151,7 @@ def pagerank_dups(d):
     # replica-clique edge list is ~docs*39 edges, ~7.8M directed).
     from awskinesisconsumer_spark.operators.graph import pagerank
 
-    base = d.select((F.col("doc_id") // 1000).alias("b"),
+    base = d.select(F.floor(F.col("doc_id") / 1000).alias("b"),
                     F.col("doc_id").alias("src"))
     peers = base.join(
         base.select(F.col("b"), F.col("src").alias("dst")), "b"

@@ -407,3 +407,30 @@ def test_tumbling_agg_restart_resumes_window_state(spark, tmp_path):
     assert n_after_first < len(exp_set)
     assert len(got_set) == got.count(), "a window emitted twice"
     assert got_set == exp_set
+
+
+def test_scd2_stream_equals_batch_sealed_subset(spark, sf_dir):
+    # Streaming SCD2's append output must equal the batch build minus
+    # the still-open versions (the is_current rows live in state).
+    import __spark_entry__ as entry
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.compaction import scd2_versions
+
+    got = sorted(
+        (r.user_id, r.event_id, r.event_type,
+         r.effective_from, r.effective_to)
+        for r in entry.queries()["stream-scd2"](spark, sf_dir).collect()
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    batch = scd2_versions(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type",
+    ).where("effective_to IS NOT NULL")
+    want = sorted(
+        (r.user_id, r.event_id, r.event_type,
+         r.effective_from, r.effective_to)
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
