@@ -2245,6 +2245,23 @@ def _stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Daily HLL sketches merged by per-bucket register MAX into one
+    # global distinct-user estimate (operators/sketches.py
+    # hll_merge_estimate). The merge is associative, so the result
+    # must equal the sketch built over the raw union — the oracle
+    # replays the GLOBAL build, making the mergeability claim itself
+    # the thing the gate checks.
+    from awskinesisconsumer_spark.operators.sketches import (
+        hll_merge_estimate,
+    )
+
+    ev = load_table(spark, "events", sf).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return hll_merge_estimate(ev, key_col="user_id", shard_col="day", p=9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2298,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink-bucketed-join": _bucketed_join_gate,
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
+        "ext-hll-merge": _hll_merge,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3374,6 +3392,40 @@ def oracle_sql() -> dict[str, str]:
                          ELSE raw END, 4) AS hll_estimate,
                    CAST(n_used AS INT) AS registers_used
             FROM raws JOIN ex USING (g)
+        """,
+        # Merged-sketch twin: the GLOBAL HLL build — which the
+        # register-level merge across daily sketches must equal
+        # exactly (associative MAX), plus the shard count.
+        "ext-hll-merge": f"""
+            WITH keyed AS (
+              SELECT {p52("CAST(user_id AS VARCHAR)")} AS h
+              FROM events),
+            b AS (SELECT h % 512 AS bucket, h // 512 AS w FROM keyed),
+            r AS (
+              SELECT bucket,
+                     CASE WHEN w = 0 THEN 44
+                          ELSE 43 - length(bin(w)) + 1 END AS rho
+              FROM b),
+            regs AS (SELECT bucket, MAX(rho) AS mr FROM r GROUP BY bucket),
+            one AS (
+              SELECT COUNT(*) AS n_used,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pow(2.0, -mr) ORDER BY bucket)),
+                  (a, x) -> a + x) AS s
+              FROM regs),
+            raws AS (
+              SELECT n_used,
+                     {_HLL_ALPHA_M2!r} / (s + (512 - n_used)) AS raw
+              FROM one)
+            SELECT
+              (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+              ROUND(CASE WHEN raw <= 1280.0 AND n_used < 512
+                    THEN 512.0 * ln(512.0 / (512 - n_used))
+                    ELSE raw END, 4) AS hll_estimate,
+              CAST(n_used AS INT) AS registers_used,
+              (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events)
+                AS n_shards
+            FROM raws
         """,
         "ext-chunk-text": r"""
             WITH w AS (

@@ -453,3 +453,80 @@ def histogram_quantiles(
             F.max("total").alias("n_rows"),
         )
     )
+
+
+def hll_merge_estimate(
+    df: DataFrame,
+    *,
+    key_col: str,
+    shard_col: str,
+    p: int = 9,
+    hash_fn=None,
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """Register-level HLL MERGE: build one sketch per shard (the m
+    small-int register table each ingestion shard / day / partition
+    would persist), then fold shards together with a per-bucket MAX
+    and estimate once. MAX is associative and commutative, so the
+    merged estimate is IDENTICAL to a sketch built over the raw
+    union — the property that lets 100 TB distinct-count dashboards
+    aggregate daily sketches instead of re-scanning history. The
+    oracle replays the GLOBAL build, which the merge must equal
+    bit-for-bit (same registers, same ordered fold).
+
+    Same register arithmetic as `hll_distinct` (portable hash, exact
+    bit math); one narrow projection + two bounded shuffles
+    (shard×m rows, then m rows).
+    """
+    from .dedup import portable_hash52
+
+    hash_fn = hash_fn or portable_hash52
+    m = 1 << p
+    wbits = 52 - p
+
+    keyed = df.select(
+        F.col(shard_col).alias("_s"),
+        hash_fn(F.col(key_col).cast("string")).alias("_h"),
+    ).select(
+        "_s",
+        F.pmod("_h", F.lit(m)).alias("_bucket"),
+        F.expr(f"_h div {m}").alias("_w"),
+    ).select(
+        "_s", "_bucket",
+        F.when(F.col("_w") == 0, F.lit(wbits + 1))
+        .otherwise(
+            F.lit(wbits)
+            - F.length(F.conv(F.col("_w").cast("string"), 10, 2)) + 1
+        ).alias("_rho"),
+    )
+    # Per-shard sketch state (what each shard persists) ...
+    shard_regs = keyed.groupBy("_s", "_bucket").agg(
+        F.max("_rho").alias("_m")
+    )
+    # ... and THE merge: associative per-bucket max across shards.
+    merged = shard_regs.groupBy("_bucket").agg(F.max("_m").alias("_m"))
+    one = merged.agg(
+        F.count(F.lit(1)).alias("_n_used"),
+        F.array_sort(F.collect_list(F.struct("_bucket", "_m"))).alias("_rs"),
+    )
+    inv_sum = F.aggregate(
+        F.col("_rs"), F.lit(0.0),
+        lambda a, s: a + F.pow(F.lit(2.0), -s["_m"].cast("double")),
+    ) + (F.lit(m) - F.col("_n_used")).cast("double")
+    raw = F.lit(hll_alpha(m) * m * m) / inv_sum
+    zeros = (F.lit(m) - F.col("_n_used")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    exact = df.agg(F.countDistinct(key_col).alias("n_exact"))
+    shards = shard_regs.agg(F.countDistinct("_s").alias("n_shards"))
+    return (
+        one.crossJoin(exact).crossJoin(shards)
+        .select(
+            "n_exact",
+            F.round(est, 4).alias(out_col),
+            F.col("_n_used").cast("int").alias("registers_used"),
+            "n_shards",
+        )
+    )

@@ -100,6 +100,7 @@ HEADLINE = [
     "sink-bucketed-join",
     "agg-retention-cohorts",
     "stream-scd2",
+    "ext-hll-merge",
 ]
 
 
