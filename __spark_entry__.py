@@ -2262,6 +2262,72 @@ def _hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     return hll_merge_estimate(ev, key_col="user_id", shard_col="day", p=9)
 
 
+def _top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H-Q15-shaped top supplier: revenue per supplier (one hash
+    # agg with map-side combine), the scalar max broadcast back as a
+    # one-row join — no window over the full aggregate, no second
+    # scan of lineitem. Ties on the rounded max all surface.
+    li = load_table(spark, "lineitem", sf)
+    supp = load_table(spark, "supplier", sf)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def _above_nation_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # Correlated-subquery shape (customers above their nation's
+    # average balance), decorrelated the Spark-first way: one grouped
+    # aggregate + an AQE-broadcast join-back. The per-nation mean
+    # rounds to 6 dp BEFORE the comparison so engine summation order
+    # cannot flip membership at the threshold.
+    cust = load_table(spark, "customer", sf)
+    avgs = cust.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("nation_avg")
+    )
+    return (
+        cust.join(avgs, "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "nation_avg")
+    )
+
+
+def _stream_hll(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming distinct-user HLL: the register table is the ENTIRE
+    # streaming state (2^p rows, cardinality-independent) maintained
+    # as a complete-mode aggregation; the estimate is finished on the
+    # final sink table and must equal the batch sketch bit-for-bit
+    # (streaming/pipeline.py hll_register_stream).
+    from awskinesisconsumer_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from awskinesisconsumer_spark.streaming import events_stream
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        hll_register_stream,
+    )
+
+    regs = _run_stream_to_table(
+        hll_register_stream(events_stream(spark, sf)),
+        spark, "hll_stream", mode="complete",
+    )
+    est = hll_estimate_from_registers(regs, p=9)
+    exact = load_table(spark, "events", sf).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.crossJoin(exact)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2316,6 +2382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
+        "join-top-supplier": _top_supplier,
+        "join-above-nation-avg": _above_nation_avg,
+        "stream-hll-distinct": _stream_hll,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3425,6 +3494,56 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_used AS INT) AS registers_used,
               (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events)
                 AS n_shards
+            FROM raws
+        """,
+        "join-top-supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+              FROM lineitem GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "join-above-nation-avg": """
+            WITH a AS (
+              SELECT c_nationkey,
+                     ROUND(AVG(c_acctbal), 6) AS nation_avg
+              FROM customer GROUP BY 1)
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, nation_avg
+            FROM customer JOIN a USING (c_nationkey)
+            WHERE c_acctbal > nation_avg
+        """,
+        # Streaming HLL twin: the global batch sketch (identical
+        # registers) + exact distinct for audit.
+        "stream-hll-distinct": f"""
+            WITH keyed AS (
+              SELECT {p52("CAST(user_id AS VARCHAR)")} AS h
+              FROM events),
+            b AS (SELECT h % 512 AS bucket, h // 512 AS w FROM keyed),
+            r AS (
+              SELECT bucket,
+                     CASE WHEN w = 0 THEN 44
+                          ELSE 43 - length(bin(w)) + 1 END AS rho
+              FROM b),
+            regs AS (SELECT bucket, MAX(rho) AS mr FROM r GROUP BY bucket),
+            one AS (
+              SELECT COUNT(*) AS n_used,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pow(2.0, -mr) ORDER BY bucket)),
+                  (a, x) -> a + x) AS s
+              FROM regs),
+            raws AS (
+              SELECT n_used,
+                     {_HLL_ALPHA_M2!r} / (s + (512 - n_used)) AS raw
+              FROM one)
+            SELECT
+              ROUND(CASE WHEN raw <= 1280.0 AND n_used < 512
+                    THEN 512.0 * ln(512.0 / (512 - n_used))
+                    ELSE raw END, 4) AS hll_estimate,
+              CAST(n_used AS INT) AS registers_used,
+              (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
             FROM raws
         """,
         "ext-chunk-text": r"""

@@ -530,3 +530,41 @@ def hll_merge_estimate(
             "n_shards",
         )
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    *,
+    bucket_col: str = "bucket",
+    rho_col: str = "mr",
+    p: int = 9,
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """Finish an HLL estimate from a (bucket, max-rho) register table
+    — the read-side half of the sketch, shared by the streaming
+    register aggregation (whose state IS this table) and any stored
+    daily sketch. Same ordered fold + small-range correction as
+    hll_distinct/hll_merge_estimate, so every path lands on identical
+    doubles."""
+    m = 1 << p
+    one = regs.agg(
+        F.count(F.lit(1)).alias("_n_used"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(bucket_col).alias("_bucket"),
+                                    F.col(rho_col).alias("_m")))
+        ).alias("_rs"),
+    )
+    inv_sum = F.aggregate(
+        F.col("_rs"), F.lit(0.0),
+        lambda a, s: a + F.pow(F.lit(2.0), -s["_m"].cast("double")),
+    ) + (F.lit(m) - F.col("_n_used")).cast("double")
+    raw = F.lit(hll_alpha(m) * m * m) / inv_sum
+    zeros = (F.lit(m) - F.col("_n_used")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return one.select(
+        F.round(est, 4).alias(out_col),
+        F.col("_n_used").cast("int").alias("registers_used"),
+    )

@@ -494,3 +494,38 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def hll_register_stream(events: DataFrame, *, p: int = 9) -> DataFrame:
+    """Streaming HLL register aggregation: the running distinct-user
+    sketch as a CONTINUOUS aggregation whose entire state is 2^p
+    (bucket, max-rho) rows — the bounded-state alternative to
+    streaming COUNT(DISTINCT), whose state grows with cardinality.
+    Run with outputMode("complete"); finish with
+    sketches.hll_estimate_from_registers on the sink table. Same
+    portable-hash register arithmetic as the batch sketch, so the
+    final registers equal the batch build's exactly.
+    """
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    m = 1 << p
+    wbits = 52 - p
+    return (
+        events.select(
+            portable_hash52(F.col("user_id").cast("string")).alias("_h")
+        )
+        .select(
+            F.pmod("_h", F.lit(m)).alias("bucket"),
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1))
+            .otherwise(
+                F.lit(wbits)
+                - F.length(F.conv(F.col("_w").cast("string"), 10, 2)) + 1
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mr"))
+    )

@@ -101,6 +101,8 @@ HEADLINE = [
     "agg-retention-cohorts",
     "stream-scd2",
     "ext-hll-merge",
+    "join-top-supplier",
+    "stream-hll-distinct",
 ]
 
 
