@@ -2328,6 +2328,33 @@ def _stream_hll(spark: SparkSession, sf: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic weighted sampling (Efraimidis–Spirakis A-ES on the
+    # portable hash): length-proportional document sample — the
+    # mixture-weighted cousin of the stratified hash gate and the
+    # uniform reservoir (operators/corpus_prep.py sample_weighted).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sample_weighted,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "n_chars")
+    return sample_weighted(
+        docs, id_col="doc_id", weight_col="n_chars", k=100
+    )
+
+
+def _embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-dimension mean/std — whitening prep / drift monitor
+    # (operators/similarity.py embedding_dim_stats); shuffle carries
+    # `dim` rows per partition regardless of corpus size.
+    from awskinesisconsumer_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    return embedding_dim_stats(emb, vec_col="embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2385,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-top-supplier": _top_supplier,
         "join-above-nation-avg": _above_nation_avg,
         "stream-hll-distinct": _stream_hll,
+        "ext-sample-weighted": _sample_weighted,
+        "ext-embedding-dim-stats": _embedding_dim_stats,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3545,6 +3574,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_used AS INT) AS registers_used,
               (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
             FROM raws
+        """,
+        # A-ES weighted sample twin: identical u -> key arithmetic
+        # (u from the shared 52-bit hash, +1 so u > 0), rank on the
+        # raw key with id tie-break, key rounded only in the output.
+        "ext-sample-weighted": f"""
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                ({p52("CAST(doc_id AS VARCHAR)")} + 1)
+                  / 4503599627370496.0 AS u
+              FROM documents WHERE n_chars > 0),
+            kyd AS (
+              SELECT doc_id, n_chars,
+                pow(u, 1.0 / CAST(n_chars AS DOUBLE)) AS k
+              FROM s)
+            SELECT doc_id, n_chars, ROUND(k, 6) AS es_key,
+              CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id)
+                   AS BIGINT) AS sample_rank
+            FROM kyd
+            QUALIFY sample_rank <= 100
+        """,
+        "ext-embedding-dim-stats": """
+            WITH ex AS (
+              SELECT i - 1 AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                   (SELECT UNNEST(generate_series(1, 64)) AS i))
+            SELECT dim, ROUND(AVG(v), 6) AS dim_mean,
+                   ROUND(STDDEV_SAMP(v), 6) AS dim_std,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM ex GROUP BY 1
         """,
         "ext-chunk-text": r"""
             WITH w AS (

@@ -501,3 +501,52 @@ def split_leakage_free(
         F.when(gate < int(val_fraction * 1_000_000), F.lit("val"))
         .otherwise(F.lit("train")).alias("split"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from the portable
+    52-bit hash of its id (uniform, replayable) and ranks by
+    u^(1/weight) descending — the top-k is then a weight-proportional
+    sample, reproducible on any engine. The mixture-weighted cousin
+    of `sample_stratified` (hash gate) and the reservoir sample
+    (uniform rank).
+
+    Scale shape: one narrow projection (hash, pow) + the salted
+    two-level top-k; nothing global but the k*64-row final rank.
+    Zero-weight rows are excluded (their key is pow(u, inf) -> 0
+    anyway; the filter keeps ANSI semantics obvious).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash52
+
+    u = (portable_hash52(F.col(id_col).cast("string")) + F.lit(1)) / F.lit(
+        float(1 << 52)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    scored = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+    )
+    order = (F.col("_key").desc(), F.col(id_col))
+    wp = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+    ).orderBy(*order)
+    wg = Window.orderBy(*order)
+    return (
+        scored.withColumn("_prn", F.row_number().over(wp))
+        .where(F.col("_prn") <= k)
+        .withColumn("sample_rank", F.row_number().over(wg).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .select(
+            id_col, weight_col,
+            F.round("_key", 6).alias("es_key"), "sample_rank",
+        )
+    )

@@ -788,3 +788,23 @@ def ann_join_srp(
         scored.withColumn("ann_rank", F.row_number().over(w).cast("long"))
         .where(F.col("ann_rank") <= k)
     )
+
+
+def embedding_dim_stats(df: DataFrame, *, vec_col: str) -> DataFrame:
+    """Per-dimension mean/std/count over an embedding column — the
+    whitening/normalization prep pass (and the drift monitor) every
+    embedding pipeline runs. One posexplode projection + a hash agg
+    with `dim` cardinality groups (map-side combine: the shuffle
+    carries dim rows per partition regardless of corpus size). Stats
+    round to 6 dp so cross-engine summation order cannot flip the
+    hash."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("_v").cast("double")), 6).alias("dim_mean"),
+            F.round(F.stddev_samp(F.col("_v").cast("double")), 6)
+            .alias("dim_std"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -103,6 +103,8 @@ HEADLINE = [
     "ext-hll-merge",
     "join-top-supplier",
     "stream-hll-distinct",
+    "ext-sample-weighted",
+    "ext-embedding-dim-stats",
 ]
 
 

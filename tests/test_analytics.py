@@ -276,3 +276,24 @@ def test_pagerank_empty_graph_returns_empty_not_error(spark):
     out = pagerank(edges, iters=3)
     assert out.count() == 0
     assert out.columns == ["node", "pagerank"]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 500 rows, weight 100 for ids < 50, weight 1 otherwise: the
+    # heavy 10% should take well over half of a k=50 sample under
+    # A-ES; determinism across partitionings must hold exactly.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sample_weighted,
+    )
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sample_weighted(df, id_col="id", weight_col="w", k=50).collect()
+    heavy = sum(1 for r in got if r.id < 50)
+    assert heavy >= 30, heavy
+    again = sample_weighted(
+        df.repartition(17), id_col="id", weight_col="w", k=50
+    ).collect()
+    assert sorted((r.id, r.sample_rank) for r in got) == sorted(
+        (r.id, r.sample_rank) for r in again
+    )
