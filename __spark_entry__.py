@@ -2458,10 +2458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added above): entries below are past the external gate's
         # 50-entry window this round; all are green in the union of
         # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json.
-        # The third r4 batch (9 new entries above) pushed the last 9
-        # r2-green veterans of the window below the horizon — they
-        # plus the next eight ride r2 records; rotate them forward
-        # in r5 first.
+        # Final r4 head: 38 new/changed entries (every one locally
+        # driver-replicated on a vanilla ANSI session at sf0.01
+        # before landing) + 12 oldest-record veterans; the 32
+        # r2-record entries below ride the ledger and are r5's first
+        # rotation priority (see README "Correctness gate rotation").
         "join-semi-anti": _semi_anti,
         "json-extract-props": _props_json,
         "set-ops-users": _set_ops,
