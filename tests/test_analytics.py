@@ -297,3 +297,100 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert sorted((r.id, r.sample_rank) for r in got) == sorted(
         (r.id, r.sample_rank) for r in again
     )
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_scd2_matches_bruteforce_on_random_changelogs(spark, seed):
+    from awskinesisconsumer_spark.operators.compaction import scd2_versions
+    import datetime as dt
+
+    rng = random.Random(seed)
+    rows = []
+    oid = 0
+    for k in range(8):
+        for _ in range(rng.randint(1, 25)):
+            oid += 1
+            # Duplicate timestamps on purpose: the (ts, oid) tie-break
+            # must decide run boundaries identically everywhere.
+            rows.append((k, dt.datetime(2024, 1, 1, 0, 0,
+                                        rng.randint(0, 30)),
+                         oid, rng.choice("abc")))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, oid long, st string")
+    got = sorted(
+        (r.k, r.oid, r.st,
+         r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_versions(
+            df, key_col="k", ts_col="ts", order_col="oid", state_col="st"
+        ).collect()
+    )
+    # Brute force in python: same (ts, oid) order, same run collapse.
+    want = []
+    for k in {r[0] for r in rows}:
+        seq = sorted([r for r in rows if r[0] == k],
+                     key=lambda r: (r[1], r[2]))
+        runs = []
+        for _, ts, o, st in seq:
+            if not runs or runs[-1][2] != st:
+                runs.append((ts, o, st))
+        for i, (ts, o, st) in enumerate(runs):
+            to = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.append((k, o, st, ts, to, to is None))
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_funnel_matches_bruteforce_on_random_events(spark, seed):
+    from awskinesisconsumer_spark.operators.analytics import (
+        conversion_funnel,
+    )
+    import datetime as dt
+
+    rng = random.Random(seed)
+    types = ["signup", "click", "purchase", "view"]
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 0, 0, rng.randint(0, 59)),
+         rng.choice(types))
+        for u in range(30) for _ in range(rng.randint(0, 8))
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    out = conversion_funnel(
+        df, user_col="u", ts_col="ts", type_col="et",
+    ).collect()[0]
+
+    def first_after(seq, typ, after):
+        cands = [ts for ts, et in seq if et == typ
+                 and (after is None or ts > after)]
+        return min(cands) if cands else None
+
+    r = [0, 0, 0]
+    users = {u for u, _, _ in rows}
+    for u in users:
+        seq = [(ts, et) for uu, ts, et in rows if uu == u]
+        t0 = first_after(seq, "signup", None)
+        t1 = first_after(seq, "click", t0) if t0 else None
+        t2 = first_after(seq, "purchase", t1) if t1 else None
+        r[0] += t0 is not None
+        r[1] += t1 is not None
+        r[2] += t2 is not None
+    assert (out.n_users, out.n_step0, out.n_step1, out.n_step2) == (
+        len(users), r[0], r[1], r[2]
+    )
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_histogram_quantiles_random_within_width(spark, seed):
+    rng = random.Random(seed)
+    vals = sorted(rng.uniform(0, 1000) for _ in range(5000))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {
+        r.q: r.estimate
+        for r in histogram_quantiles(
+            df, value_col="v", lo=0.0, hi=1000.0, n_bins=100,
+            quantiles=(0.5, 0.99),
+        ).collect()
+    }
+    for q in (0.5, 0.99):
+        exact = vals[int(q * len(vals)) - 1]
+        assert abs(out[q] - exact) <= 10.0 + 1e-6, (q, out[q], exact)
