@@ -2355,6 +2355,19 @@ def _embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_dim_stats(emb, vec_col="embedding")
 
 
+def _mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    # Temperature-scaled source weights w_i = p_i^alpha / Z (the
+    # low-resource up-sampling formula; operators/corpus_prep.py
+    # mixture_temperature_weights) — computes the ratios that
+    # mixture_allocate consumes.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        mixture_temperature_weights,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return mixture_temperature_weights(docs, source_col="source", alpha=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2414,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-hll-distinct": _stream_hll,
         "ext-sample-weighted": _sample_weighted,
         "ext-embedding-dim-stats": _embedding_dim_stats,
+        "ext-mixture-temperature": _mixture_temperature,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3594,6 +3608,22 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS sample_rank
             FROM kyd
             QUALIFY sample_rank <= 100
+        """,
+        "ext-mixture-temperature": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n_docs
+              FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n_docs) AS tot FROM c),
+            s AS (
+              SELECT source, n_docs,
+                n_docs / CAST(tot AS DOUBLE) AS p,
+                pow(n_docs / CAST(tot AS DOUBLE), 0.3) AS num
+              FROM c CROSS JOIN t),
+            z AS (SELECT SUM(num) AS znum FROM s)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   ROUND(p, 6) AS p_source,
+                   ROUND(num / znum, 6) AS w_alpha
+            FROM s CROSS JOIN z
         """,
         "ext-embedding-dim-stats": """
             WITH ex AS (

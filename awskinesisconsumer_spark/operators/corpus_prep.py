@@ -550,3 +550,38 @@ def sample_weighted(
             F.round("_key", 6).alias("es_key"), "sample_rank",
         )
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    *,
+    source_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over corpus sources:
+    w_i = p_i^alpha / sum_j p_j^alpha — the standard up-sampling of
+    low-resource sources (alpha < 1 flattens the source distribution,
+    alpha = 1 keeps it, alpha = 0 is uniform). The sampling-ratio
+    companion to `mixture_allocate` (which takes target ratios as
+    input; this computes them from the corpus itself).
+
+    One source-keyed hash agg (map-side combine) produces the
+    n_sources-row table; everything downstream is arithmetic on that
+    constant-size aggregate (two one-row cross joins). Weights round
+    to 6 dp so cross-engine pow/summation noise cannot flip the hash.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_tot"))
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        source_col, "n_docs",
+        (F.col("n_docs") / F.col("_tot").cast("double")).alias("_p"),
+        F.pow(
+            F.col("n_docs") / F.col("_tot").cast("double"), F.lit(alpha)
+        ).alias("_num"),
+    )
+    z = scored.agg(F.sum("_num").alias("_z"))
+    return scored.crossJoin(F.broadcast(z)).select(
+        source_col, "n_docs",
+        F.round("_p", 6).alias("p_source"),
+        F.round(F.col("_num") / F.col("_z"), 6).alias("w_alpha"),
+    )

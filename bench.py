@@ -105,6 +105,7 @@ HEADLINE = [
     "stream-hll-distinct",
     "ext-sample-weighted",
     "ext-embedding-dim-stats",
+    "ext-mixture-temperature",
 ]
 
 

@@ -222,3 +222,27 @@ def test_mean_pool_embeddings(spark):
         ).collect()
     }
     assert got == {("x", 0): 2.0, ("x", 1): 4.0, ("y", 0): 5.0, ("y", 1): 5.0}
+
+
+def test_mixture_temperature_flattens_skewed_sources(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        mixture_temperature_weights,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {
+        r.source: (r.p_source, r.w_alpha)
+        for r in mixture_temperature_weights(
+            df, source_col="source", alpha=0.3
+        ).collect()
+    }
+    # alpha < 1 moves weight from the big source to the small one...
+    assert w["big"][1] < w["big"][0]
+    assert w["small"][1] > w["small"][0]
+    # ...weights still sum to 1, and the exact formula holds.
+    assert abs(w["big"][1] + w["small"][1] - 1.0) < 1e-4
+    num_big, num_small = 0.9 ** 0.3, 0.1 ** 0.3
+    assert w["big"][1] == round(num_big / (num_big + num_small), 6)
