@@ -2368,6 +2368,38 @@ def _mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     return mixture_temperature_weights(docs, source_col="source", alpha=0.3)
 
 
+def _stream_backpressure(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 21 (backpressure-pipe) as a GATED artifact: the
+    # events extract split into 4 files, streamed with
+    # maxFilesPerTrigger=1 — four admission-controlled micro-batches
+    # whose complete-mode aggregation state must accumulate to
+    # exactly the one-shot batch answer (the oracle). The reference's
+    # pipe backpressure (parser.py:334,368-375 FIFO) becomes source
+    # admission control + state-store increments.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"bp_src_{tag}")
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("_s"))
+    )
+    out = _run_stream_to_table(agg, spark, "bp_stream", mode="complete")
+    return out.select(
+        "event_type", "n_events", F.round("_s", 2).alias("sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2428,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-sample-weighted": _sample_weighted,
         "ext-embedding-dim-stats": _embedding_dim_stats,
         "ext-mixture-temperature": _mixture_temperature,
+        "stream-backpressure-multibatch": _stream_backpressure,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3608,6 +3641,12 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS sample_rank
             FROM kyd
             QUALIFY sample_rank <= 100
+        """,
+        "stream-backpressure-multibatch": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1
         """,
         "ext-mixture-temperature": """
             WITH c AS (

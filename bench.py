@@ -106,6 +106,7 @@ HEADLINE = [
     "ext-sample-weighted",
     "ext-embedding-dim-stats",
     "ext-mixture-temperature",
+    "stream-backpressure-multibatch",
 ]
 
 

@@ -434,3 +434,40 @@ def test_scd2_stream_equals_batch_sealed_subset(spark, sf_dir):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_backpressure_admits_one_file_per_microbatch(spark, sf_dir, tmp_path):
+    # maxFilesPerTrigger=1 over a 4-file source must take (at least)
+    # 4 data micro-batches — the admission-control contract behind
+    # the stream-backpressure-multibatch gate entry.
+    from awskinesisconsumer_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "bp")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bp_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) >= 4, [p["numInputRows"] for p in q.recentProgress]
+    total = spark.table("bp_test").agg(F.sum("n")).first()[0]
+    assert total == ev.count()
