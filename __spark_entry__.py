@@ -2400,6 +2400,30 @@ def _stream_backpressure(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL OUTER join surface: per-user event activity vs per-customer
+    # order activity — rows survive from BOTH unmatched sides
+    # (customers who never event, event users with no customer
+    # record). Both inputs aggregate BEFORE the join (map-side
+    # combine), so the outer join moves one row per key.
+    ev = load_table(spark, "events", sf)
+    orders = load_table(spark, "orders", sf)
+    ea = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    oa = orders.groupBy(F.col("o_custkey").alias("ckey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        ea.join(oa, ea.uid == oa.ckey, "full_outer")
+        .select(
+            F.coalesce("uid", "ckey").alias("party_id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2461,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-embedding-dim-stats": _embedding_dim_stats,
         "ext-mixture-temperature": _mixture_temperature,
         "stream-backpressure-multibatch": _stream_backpressure,
+        "join-full-outer-activity": _full_outer_activity,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3641,6 +3666,18 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS sample_rank
             FROM kyd
             QUALIFY sample_rank <= 100
+        """,
+        "join-full-outer-activity": """
+            WITH ea AS (
+              SELECT user_id AS uid, COUNT(*) AS n_events
+              FROM events GROUP BY 1),
+            oa AS (
+              SELECT o_custkey AS ckey, COUNT(*) AS n_orders
+              FROM orders GROUP BY 1)
+            SELECT COALESCE(uid, ckey) AS party_id,
+                   CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+            FROM ea FULL OUTER JOIN oa ON uid = ckey
         """,
         "stream-backpressure-multibatch": """
             SELECT event_type,
