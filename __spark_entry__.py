@@ -2424,6 +2424,40 @@ def _full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _manifest_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # DSv2 WRITER with two-phase commit (sources/manifest_sink.py):
+    # task shards stay invisible until the driver's commit renames
+    # them and writes _MANIFEST.json LAST. The read-back consults the
+    # manifest and reads EXACTLY its shard list — stale shards from
+    # earlier writes in the same directory are ignored, which is the
+    # atomicity property the gate verifies (oracle = the source
+    # table).
+    import hashlib
+    import os
+    import tempfile
+
+    from awskinesisconsumer_spark.sources.manifest_sink import (
+        read_manifest, register,
+    )
+
+    register(spark)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"manifest_sink_{tag}")
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.write.format("manifest-jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    man = read_manifest(out)
+    paths = [os.path.join(out, s["file"]) for s in man["shards"]]
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).json(paths)
+    assert back.count() == man["total_rows"]
+    return back
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2486,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-mixture-temperature": _mixture_temperature,
         "stream-backpressure-multibatch": _stream_backpressure,
         "join-full-outer-activity": _full_outer_activity,
+        "sink-manifest-commit": _manifest_sink_roundtrip,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3666,6 +3701,9 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS sample_rank
             FROM kyd
             QUALIFY sample_rank <= 100
+        """,
+        "sink-manifest-commit": """
+            SELECT event_id, user_id, event_type FROM events
         """,
         "join-full-outer-activity": """
             WITH ea AS (

@@ -107,6 +107,7 @@ HEADLINE = [
     "ext-embedding-dim-stats",
     "ext-mixture-temperature",
     "stream-backpressure-multibatch",
+    "sink-manifest-commit",
 ]
 
 
