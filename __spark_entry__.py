@@ -2458,6 +2458,51 @@ def _manifest_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return back
 
 
+def _forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H-Q6-shaped forecast: pure scan-filter-aggregate — every
+    # predicate pushes to the parquet scan, the agg is one partial+
+    # final sum, zero joins. The "how fast can you move bytes"
+    # floor query.
+    li = load_table(spark, "lineitem", sf)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _late_orders_exists(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H-Q4-shaped EXISTS: orders per priority having at least one
+    # lineitem shipped > 60 days after the order date. The EXISTS
+    # becomes a LEFT SEMI join (no row multiplication, no distinct),
+    # then a 5-group hash agg.
+    li = load_table(spark, "lineitem", sf)
+    orders = load_table(spark, "orders", sf)
+    late = li.select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2521,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-backpressure-multibatch": _stream_backpressure,
         "join-full-outer-activity": _full_outer_activity,
         "sink-manifest-commit": _manifest_sink_roundtrip,
+        "agg-forecast-revenue": _forecast_revenue,
+        "join-late-orders-exists": _late_orders_exists,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3704,6 +3751,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink-manifest-commit": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "agg-forecast-revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "join-late-orders-exists": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
         """,
         "join-full-outer-activity": """
             WITH ea AS (

@@ -108,6 +108,8 @@ HEADLINE = [
     "ext-mixture-temperature",
     "stream-backpressure-multibatch",
     "sink-manifest-commit",
+    "agg-forecast-revenue",
+    "join-late-orders-exists",
 ]
 
 
