@@ -2503,6 +2503,62 @@ def _late_orders_exists(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_manifest_sink(spark: SparkSession, sf: str) -> DataFrame:
+    # DSv2 STREAMING writer: the events extract split into 4 files,
+    # streamed one file per micro-batch into the manifest sink — one
+    # idempotent commit per epoch, `epochs[batchId]` a REPLACE slot
+    # (sources/manifest_sink.py ManifestJsonlStreamWriter). Read-back
+    # consults the manifest's epoch-ordered shard list; oracle = the
+    # source extract.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from awskinesisconsumer_spark.sources.manifest_sink import (
+        read_manifest, register,
+    )
+
+    register(spark)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"msrc_{tag}")
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    # Fresh sink dir per run: the streaming manifest accumulates
+    # epochs, and the oracle is the single-run extract.
+    out = os.path.join(
+        tempfile.gettempdir(), f"msink_{tag}_{uuid.uuid4().hex[:8]}"
+    )
+    ckpt = tempfile.mkdtemp(prefix="msink_ckpt_")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("manifest-jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-manifest-sink did not finish in 300 s")
+    man = read_manifest(out)
+    assert len(man["epochs"]) >= 4, man["epochs"].keys()
+    paths = [os.path.join(out, s["file"]) for s in man["shards"]]
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).json(paths)
+    n = back.count()
+    assert n == man["total_rows"], (n, man["total_rows"])
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return back
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2568,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink-manifest-commit": _manifest_sink_roundtrip,
         "agg-forecast-revenue": _forecast_revenue,
         "join-late-orders-exists": _late_orders_exists,
+        "stream-manifest-sink": _stream_manifest_sink,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3750,6 +3807,9 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY sample_rank <= 100
         """,
         "sink-manifest-commit": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
+        "stream-manifest-sink": """
             SELECT event_id, user_id, event_type FROM events
         """,
         "agg-forecast-revenue": """

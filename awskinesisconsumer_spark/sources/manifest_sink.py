@@ -34,6 +34,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -95,6 +96,53 @@ class ManifestJsonlWriter(DataSourceWriter):
                 pass
 
 
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming form: one commit per EPOCH, keyed by batchId in the
+    manifest — `epochs[batchId] = shards` is a REPLACE, so a replayed
+    epoch (restart mid-batch) commits idempotently: the retry's
+    shards take the slot, the orphaned first-attempt shards are never
+    in any manifest and stay invisible. This is the
+    idempotent-sink-by-batchId pattern Structured Streaming's
+    exactly-once story is built on."""
+
+    def __init__(self, options, schema: StructType):
+        self._w = ManifestJsonlWriter(options, schema)
+        self.path = self._w.path
+
+    def write(self, iterator: Iterator) -> _ShardCommit:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        shards = []
+        for m in messages:
+            os.rename(m.tmp_name, m.final_name)
+            shards.append(
+                {"file": os.path.basename(m.final_name), "rows": m.n_rows}
+            )
+        mpath = os.path.join(self.path, MANIFEST)
+        manifest = {"epochs": {}}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            manifest.setdefault("epochs", {})
+        manifest["epochs"][str(batchId)] = sorted(
+            shards, key=lambda s: s["file"]
+        )
+        manifest["shards"] = [
+            s for _, ss in sorted(manifest["epochs"].items(),
+                                  key=lambda kv: int(kv[0]))
+            for s in ss
+        ]
+        manifest["total_rows"] = sum(s["rows"] for s in manifest["shards"])
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mpath)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
+
+
 class ManifestJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -102,6 +150,9 @@ class ManifestJsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return ManifestJsonlWriter(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ManifestJsonlStreamWriter(self.options, schema)
 
 
 def read_manifest(path: str) -> dict:

@@ -110,6 +110,7 @@ HEADLINE = [
     "sink-manifest-commit",
     "agg-forecast-revenue",
     "join-late-orders-exists",
+    "stream-manifest-sink",
 ]
 
 

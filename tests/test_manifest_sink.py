@@ -81,3 +81,38 @@ def test_manifest_written_last(spark, tmp_path):
         with open(os.path.join(out, s["file"])) as f:
             n += sum(1 for _ in f)
     assert n == man["total_rows"] == 10
+
+
+def test_stream_epoch_commit_is_idempotent(tmp_path):
+    # A replayed epoch REPLACES its manifest slot: the retry's shard
+    # set wins, first-attempt shards fall out of visibility, totals
+    # never double-count.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from awskinesisconsumer_spark.sources.manifest_sink import (
+        ManifestJsonlStreamWriter, read_manifest,
+    )
+
+    out = str(tmp_path / "stream_sink")
+    os.makedirs(out)
+    schema = StructType([StructField("id", LongType())])
+    w = ManifestJsonlStreamWriter({"path": out}, schema)
+
+    def fake_shard(name, rows):
+        tmp = os.path.join(out, name + ".tmp")
+        with open(tmp, "w") as f:
+            for i in range(rows):
+                f.write(json.dumps({"id": i}) + "\n")
+        return _ShardCommit(tmp, os.path.join(out, name), rows)
+
+    w.commit([fake_shard("part-e0.jsonl", 5)], batchId=0)
+    w.commit([fake_shard("part-e1a.jsonl", 3)], batchId=1)
+    # Epoch 1 replays with a different shard (task retry after crash).
+    w.commit([fake_shard("part-e1b.jsonl", 3)], batchId=1)
+    man = read_manifest(out)
+    assert man["total_rows"] == 8
+    files = [s["file"] for s in man["shards"]]
+    assert files == ["part-e0.jsonl", "part-e1b.jsonl"]
+    # The superseded attempt's shard may exist on disk but is not
+    # visible through the manifest.
+    assert os.path.exists(os.path.join(out, "part-e1a.jsonl"))
