@@ -394,3 +394,54 @@ def test_histogram_quantiles_random_within_width(spark, seed):
     for q in (0.5, 0.99):
         exact = vals[int(q * len(vals)) - 1]
         assert abs(out[q] - exact) <= 10.0 + 1e-6, (q, out[q], exact)
+
+
+def test_round4_operators_tolerate_empty_input(spark):
+    # Empty-input edge: none of the round-4 operators may raise on a
+    # zero-row frame under ANSI mode (the pagerank 1/0 bug class).
+    import datetime as dt  # noqa: F401
+    from awskinesisconsumer_spark.operators.analytics import (
+        conversion_funnel, zscore_outliers,
+    )
+    from awskinesisconsumer_spark.operators.compaction import scd2_versions
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        mixture_temperature_weights, sample_weighted,
+    )
+    from awskinesisconsumer_spark.operators.sampling import (
+        reservoir_sample_deterministic,
+    )
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from awskinesisconsumer_spark.operators.text import collocations_pmi
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string, "
+            "event_id long, value double"
+    )
+    docs = spark.createDataFrame([], "doc_id long, text string, n_chars long")
+
+    assert conversion_funnel(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type"
+    ).collect()[0].n_users == 0
+    assert zscore_outliers(
+        ev, key_col="event_type", value_col="value"
+    ).count() == 0
+    assert scd2_versions(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type",
+    ).count() == 0
+    assert reservoir_sample_deterministic(
+        ev, group_col="event_type", id_col="event_id", k=5
+    ).count() == 0
+    assert histogram_quantiles(
+        ev, value_col="value", lo=0.0, hi=1.0, n_bins=10,
+        quantiles=(0.5,),
+    ).count() == 0
+    assert collocations_pmi(docs, text_col="text").count() == 0
+    assert sample_weighted(
+        docs, id_col="doc_id", weight_col="n_chars", k=5
+    ).count() == 0
+    assert mixture_temperature_weights(
+        docs.withColumn("source", docs.text), source_col="source"
+    ).count() == 0

@@ -207,3 +207,30 @@ def test_bucketed_join_gate_has_no_exchange_at_the_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    # Q6 is the scan floor: every predicate must reach the parquet
+    # scan and the read schema must exclude unused columns.
+    df = entry.queries()["agg-forecast-revenue"](spark, SF)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_returnflag" not in read_schema
+
+
+def test_late_orders_exists_is_semi_join(spark):
+    df = entry.queries()["join-late-orders-exists"](spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_aggregates_before_join(spark):
+    # Both sides collapse to one row per key before the outer join:
+    # two HashAggregates must appear BELOW the join in the plan tree.
+    df = entry.queries()["join-full-outer-activity"](spark, SF)
+    plan = _plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
