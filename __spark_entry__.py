@@ -2559,6 +2559,35 @@ def _stream_manifest_sink(spark: SparkSession, sf: str) -> DataFrame:
     return back
 
 
+def _asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    # Nearest as-of: each non-signup event matched to the CLOSEST
+    # signup by |delta t| per user (ties -> the earlier one) —
+    # completes the forward/backward/nearest direction family
+    # (operators/asof_join.py asof_join_nearest, one exchange).
+    from awskinesisconsumer_spark.operators.asof_join import (
+        asof_join_nearest,
+    )
+
+    ev = load_table(spark, "events", sf)
+    packets = ev.where(F.col("event_type") != "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    tags = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("tag_ts"),
+        F.col("event_id").alias("tag_event_id"),
+    )
+    out = asof_join_nearest(
+        packets, tags, key="user_id", left_on="ts", right_on="tag_ts",
+    )
+    return out.select(
+        "user_id", "event_id", "tag_event_id",
+        (F.unix_micros(F.col("tag_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp")))
+        .alias("delta_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is
@@ -2625,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-forecast-revenue": _forecast_revenue,
         "join-late-orders-exists": _late_orders_exists,
         "stream-manifest-sink": _stream_manifest_sink,
+        "join-asof-nearest": _asof_nearest,
         # -- operator internals changed in round 4 (minhash band-hash
         #    fusion; spark_partition_id salt) — results proven
         #    identical locally, re-gate externally anyway
@@ -3811,6 +3841,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream-manifest-sink": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        # Nearest-asof twin: the same union + dual-frame carry (the
+        # IGNORE NULLS window pair), identical (t, side) tie order,
+        # identical pick rule in epoch seconds.
+        "join-asof-nearest": """
+            WITH l AS (
+              SELECT user_id, event_id, ts, 1 AS side,
+                     CAST(NULL AS BIGINT) AS tag_event_id,
+                     CAST(NULL AS TIMESTAMP) AS tag_ts
+              FROM events WHERE event_type <> 'signup'),
+            r AS (
+              SELECT user_id, CAST(NULL AS BIGINT) AS event_id,
+                     ts, 0 AS side,
+                     event_id AS tag_event_id, ts AS tag_ts
+              FROM events WHERE event_type = 'signup'),
+            m AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            c AS (
+              SELECT *,
+                LAST_VALUE(tag_event_id IGNORE NULLS) OVER wb AS prev_id,
+                LAST_VALUE(tag_ts IGNORE NULLS) OVER wb AS prev_ts,
+                FIRST_VALUE(tag_event_id IGNORE NULLS) OVER wf AS next_id,
+                FIRST_VALUE(tag_ts IGNORE NULLS) OVER wf AS next_ts
+              FROM m WINDOW
+                wb AS (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY user_id ORDER BY ts, side
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, event_id,
+              CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                   THEN prev_id ELSE next_id END AS tag_event_id,
+              CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                   THEN epoch_us(prev_ts) - epoch_us(ts)
+                   ELSE epoch_us(next_ts) - epoch_us(ts)
+              END AS delta_us
+            FROM c WHERE side = 1
         """,
         "agg-forecast-revenue": """
             SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

@@ -110,3 +110,70 @@ def asof_join_backward(
     for c in [right_on, *right_cols]:
         out = out.withColumn(c, F.col(f"_last_right.{c}"))
     return out.drop("_side", "_t", "_last_right")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row minimizing
+    ``|right_on - left_on|`` within the key (ties -> the earlier/
+    backward side). Completes the direction family (forward:
+    asof_join_next_boundary, backward: asof_join_backward).
+
+    Same merge-asof shape: union + ONE key-partitioned sort carrying
+    BOTH the last-before and first-after right rows as two frames over
+    the same window spec — still a single exchange, no range join. At
+    equal timestamps the right row sorts before the left row, so an
+    exact match is captured by (and only by) the backward carry.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_on)
+    ]
+    clash = set(left.columns) & ({right_on, *right_cols})
+    if clash:
+        raise ValueError(
+            f"asof_join_nearest: right columns {sorted(clash)} collide "
+            "with left columns — rename one side first"
+        )
+    l = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_on))
+    r = right.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_on))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    payload = F.when(
+        F.col("_side") == 0, F.struct(right_on, *right_cols)
+    )
+    base = Window.partitionBy(key).orderBy(
+        F.col("_t").asc(), F.col("_side").asc()
+    )
+    prev = F.last(payload, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.first(payload, ignorenulls=True).over(
+        base.rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        merged.withColumn("_prev", prev).withColumn("_next", nxt)
+        .where(F.col("_side") == 1)
+    )
+    # Distance in exact integer MICROSECONDS: fractional-second
+    # truncation would make the pick rule engine-dependent. The
+    # intermediate timestamp cast handles ntz inputs (session tz is
+    # UTC, so it is value-preserving).
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    d_prev = _us(F.col("_t")) - _us(F.col(f"_prev.{right_on}"))
+    d_next = _us(F.col(f"_next.{right_on}")) - _us(F.col("_t"))
+    pick_prev = F.col("_next").isNull() | (
+        F.col("_prev").isNotNull() & (d_prev <= d_next)
+    )
+    chosen = F.when(pick_prev, F.col("_prev")).otherwise(F.col("_next"))
+    out = carried.withColumn("_chosen", chosen)
+    for c in [right_on, *right_cols]:
+        out = out.withColumn(c, F.col(f"_chosen.{c}"))
+    return out.drop("_side", "_t", "_prev", "_next", "_chosen")

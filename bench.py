@@ -111,6 +111,7 @@ HEADLINE = [
     "agg-forecast-revenue",
     "join-late-orders-exists",
     "stream-manifest-sink",
+    "join-asof-nearest",
 ]
 
 
