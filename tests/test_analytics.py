@@ -445,3 +445,53 @@ def test_round4_operators_tolerate_empty_input(spark):
     assert mixture_temperature_weights(
         docs.withColumn("source", docs.text), source_col="source"
     ).count() == 0
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_asof_nearest_matches_bruteforce(spark, seed):
+    from awskinesisconsumer_spark.operators.asof_join import (
+        asof_join_nearest,
+    )
+    import datetime as dt
+
+    rng = random.Random(seed)
+    lefts, rights = [], []
+    for k in range(6):
+        for i in range(rng.randint(0, 10)):
+            lefts.append((k, 1000 + len(lefts),
+                          dt.datetime(2024, 1, 1, 0, 0, rng.randint(0, 59))))
+        for i in range(rng.randint(0, 5)):
+            rights.append((k, 2000 + len(rights),
+                           dt.datetime(2024, 1, 1, 0, 0, rng.randint(0, 59))))
+    ldf = spark.createDataFrame(lefts, "k long, lid long, ts timestamp")
+    rdf = spark.createDataFrame(
+        rights, "k long, rid long, rts timestamp"
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join_nearest(
+            ldf, rdf, key="k", left_on="ts", right_on="rts"
+        ).collect()
+    }
+    for k, lid, ts in lefts:
+        cands = [(rts, rid) for kk, rid, rts in rights if kk == k]
+        if not cands:
+            assert got[lid] is None
+            continue
+        # nearest by |dt|; ties -> the backward (<=) side, i.e. prefer
+        # rts <= ts; ties within a side -> the window's (rts, side)
+        # order carries the LAST prior / FIRST next row.
+        best = min(
+            cands,
+            key=lambda c: (abs((c[0] - ts).total_seconds()),
+                           0 if c[0] <= ts else 1),
+        )
+        d_best = abs((best[0] - ts).total_seconds())
+        chosen_ts = next(rts for kk, rid, rts in rights
+                         if kk == k and rid == got[lid])
+        # The operator must pick A nearest-timestamp row on the
+        # correct side (equal-timestamp right rows are interchangeable
+        # up to the window's internal order).
+        assert abs((chosen_ts - ts).total_seconds()) == d_best
+        if d_best > 0:
+            assert (chosen_ts <= ts) == (best[0] <= ts)
