@@ -619,3 +619,74 @@ def duplicated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Incremental-ingestion dedup: flag rows of a NEW batch that
+    duplicate the EXISTING corpus — exactly (normalized-text digest)
+    or nearly (>= `min_overlap` shared distinct n-grams with any one
+    corpus doc). The daily-ingest shape: the corpus is huge and
+    already deduped; only the (small) new batch is scored, and the
+    corpus is never self-joined.
+
+    Shape: one digest anti-probe (corpus digests aggregated to
+    distinct — at 100 TB this is the precomputed digest index a real
+    pipeline maintains) + a shingle inverted-index join keyed on the
+    gram, with the per-gram postings capped on the CORPUS side (hot
+    boilerplate grams bound the join). Returns the new batch with
+    `exact_dup` and `near_dup` flags plus the best-match overlap.
+
+    Not yet registered in `queries()` — the r4 gate window is full;
+    rotate it in as a gated entry in r5 (oracle: digest semi-join +
+    gram-overlap GROUP BY in SQL).
+    """
+    norm = F.sha2(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 256
+    )
+    corpus_digests = (
+        corpus_df.select(norm.alias("_digest")).distinct()
+    )
+    flagged = new_df.withColumn("_digest", norm).join(
+        corpus_digests.withColumn("_hit", F.lit(True)), "_digest", "left"
+    ).withColumn("exact_dup", F.coalesce("_hit", F.lit(False))).drop("_hit")
+
+    new_grams = shingle_rows(
+        new_df.select(id_col, text_col), id_col=id_col,
+        text_col=text_col, n=n, distinct=True,
+    ).select(F.col(id_col).alias("_nid"), "shingle")
+    corpus_grams = shingle_rows(
+        corpus_df.select(id_col, text_col), id_col=id_col,
+        text_col=text_col, n=n, distinct=True,
+    ).select(F.col(id_col).alias("_cid"), "shingle")
+    hot = (
+        corpus_grams.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 100)
+        .select("shingle")
+    )
+    capped = corpus_grams.join(hot, "shingle", "left_anti")
+    overlap = (
+        new_grams.join(capped, "shingle")
+        .groupBy("_nid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .groupBy("_nid")
+        .agg(F.max("_common").alias("max_overlap"))
+    )
+    return (
+        flagged.join(
+            overlap, flagged[id_col] == overlap["_nid"], "left"
+        )
+        .withColumn(
+            "max_overlap", F.coalesce("max_overlap", F.lit(0))
+        )
+        .withColumn("near_dup", F.col("max_overlap") >= min_overlap)
+        .drop("_nid", "_digest")
+    )

@@ -568,3 +568,41 @@ def hll_estimate_from_registers(
         F.round(est, 4).alias(out_col),
         F.col("_n_used").cast("int").alias("registers_used"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Winsorize (clip) a value column at the [p_low, p_high]
+    histogram-quantile estimates — outlier taming for training-data
+    numeric features without a global sort: the cut points come from
+    the mergeable n_bins histogram (one map-side-combined pass), then
+    the clip is a map-only projection. Two scans total, no shuffle of
+    the data itself, constant driver state (two doubles).
+
+    Not yet registered in `queries()` — the r4 gate window is full;
+    rotate it in as a gated entry in r5 (the oracle replays the same
+    histogram interpolation + LEAST/GREATEST clip).
+    """
+    qs = {
+        r.q: r.estimate
+        for r in histogram_quantiles(
+            df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins,
+            quantiles=(p_low, p_high),
+        ).collect()
+    }
+    lo_cut, hi_cut = qs[p_low], qs[p_high]
+    return df.withColumn(
+        out_col,
+        F.least(
+            F.greatest(F.col(value_col), F.lit(lo_cut)), F.lit(hi_cut)
+        ),
+    ).withColumn("clipped", (F.col(value_col) != F.col(out_col)))

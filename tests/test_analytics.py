@@ -495,3 +495,51 @@ def test_asof_nearest_matches_bruteforce(spark, seed):
         assert abs((chosen_ts - ts).total_seconds()) == d_best
         if d_best > 0:
             assert (chosen_ts <= ts) == (best[0] <= ts)
+
+
+def test_dedup_incremental_flags_exact_and_near(spark):
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact duplicate (case/space-normalized)
+            (10, "  ALPHA beta gamma delta epsilon zeta eta theta "),
+            # near duplicate: long shared prefix with doc 2
+            (11, "one two three four five six seven eight nine extra"),
+            # fresh
+            (12, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.max_overlap)
+        for r in dedup_incremental(
+            new, corpus, id_col="doc_id", text_col="text", min_overlap=5
+        ).collect()
+    }
+    assert out[10][0] is True
+    assert out[11] == (False, True, 7)
+    assert out[12] == (False, False, 0)
+
+
+def test_winsorize_clips_at_histogram_quantiles(spark):
+    from awskinesisconsumer_spark.operators.sketches import winsorize
+
+    vals = [(float(i),) for i in range(1, 1001)]
+    df = spark.createDataFrame(vals, "v double")
+    out = winsorize(
+        df, value_col="v", lo=0.0, hi=1000.0, n_bins=100,
+        p_low=0.05, p_high=0.95,
+    )
+    rows = out.collect()
+    mn = min(r.winsorized for r in rows)
+    mx = max(r.winsorized for r in rows)
+    # Cut points land within a bin width (10.0) of the exact p5/p95.
+    assert abs(mn - 50.0) <= 10.0 and abs(mx - 950.0) <= 10.0
+    n_clipped = sum(1 for r in rows if r.clipped)
+    assert 80 <= n_clipped <= 120
