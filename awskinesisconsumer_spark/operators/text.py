@@ -768,3 +768,101 @@ def collocations_pmi(df: DataFrame, *, text_col: str,
         .where(F.col("rnk") <= k)
         .drop("_prn")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    *,
+    text_col: str,
+    n_merges: int = 10,
+) -> "DataFrame":
+    """Greedy byte-pair-encoding merge training with a FIXED merge
+    count — the tokenizer-training step of an LLM data pipeline,
+    in the standard vocab-weighted formulation: ONE corpus scan
+    builds the (word, freq) vocabulary, and every merge iteration
+    runs on that Zipf-bounded table, never the corpus. Each
+    iteration: adjacent-pair counts weighted by word frequency (hash
+    agg, map-side combine), argmax with a deterministic
+    (count DESC, left, right) tie-break (single collected row), then
+    the merge applied to the token arrays via an Arrow-batched
+    pandas UDF (short per-word python loop; the vocab table is the
+    small side by construction). The working vocab is persisted and
+    swapped per round — iteration hygiene as in graph.pagerank.
+
+    Returns the merge table (rank, left, right, pair_count) — the
+    artifact a tokenizer ships. End-of-word is marked with '</w>' so
+    merges never cross word boundaries (classic Sennrich-style BPE).
+
+    Not yet registered in `queries()` — the r4 gate window is full;
+    rotate it in r5 (candidate oracle: fixed-fixture closed form, or
+    unrolled per-merge SQL on the vocab CTE).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(_words(F.col(text_col)).alias("_ws"))
+        .select(F.explode("_ws").alias("_w"))
+        .where(F.col("_w") != "")
+        .groupBy("_w").agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split(F.col("_w"), ""),
+                F.array(F.lit("</w>")),
+            ).alias("toks"),
+        )
+        .persist()
+    )
+    vocab.count()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.col("c").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not top or top[0]["c"] < 2:
+            break
+        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, left, right, count))
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _apply(toks: pd.Series) -> pd.Series:
+            def one(ts):
+                out, i = [], 0
+                while i < len(ts):
+                    if (i + 1 < len(ts) and ts[i] == left
+                            and ts[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(ts[i])
+                        i += 1
+                return out
+            return toks.map(one)
+
+        nxt = vocab.select("freq", _apply("toks").alias("toks")).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )

@@ -101,3 +101,37 @@ def test_top_terms_ranking(spark):
     rows = top_terms(docs, text_col="text", k=2).collect()
     # 'a' appears 3x (case-folded), 'b' 2x; ties would break term-ASC
     assert [(r.term, r.n, r.rank) for r in rows] == [("a", 3, 1), ("b", 2, 2)]
+
+
+def test_bpe_train_merges_learns_the_dominant_pair(spark):
+    from awskinesisconsumer_spark.operators.text import bpe_train_merges
+
+    # 'aaab' x 30, 'ab' x 10: the dominant adjacent pair is (a, a).
+    docs = spark.createDataFrame(
+        [(i, " ".join(["aaab"] * 3)) for i in range(10)]
+        + [(100 + i, "ab") for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(docs, text_col="text", n_merges=3).collect()
+    assert [m.rank for m in merges] == list(range(len(merges)))
+    first = merges[0]
+    assert (first.left, first.right) == ("a", "a")
+    # 'aaab' has two (a,a) occurrences per word... overlapping pairs
+    # both counted at count time; weight = word freq.
+    assert first.pair_count >= 30
+    # Later merges build on merged symbols (e.g. 'aa' + 'b' or
+    # 'aa' + 'a...') — no merge may repeat an identical pair.
+    assert len({(m.left, m.right) for m in merges}) == len(merges)
+
+
+def test_bpe_merges_respect_word_boundary(spark):
+    from awskinesisconsumer_spark.operators.text import bpe_train_merges
+
+    # 'x y' repeated: the only within-word pairs involve the </w>
+    # marker; ('y', 'x') must NEVER merge across the space.
+    docs = spark.createDataFrame(
+        [(i, "x y x y x y") for i in range(5)], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, text_col="text", n_merges=2).collect()
+    assert all(not (m.left == "y" and m.right == "x") for m in merges)
+    assert all("</w>" in (m.left + m.right) for m in merges)
