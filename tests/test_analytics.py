@@ -543,3 +543,41 @@ def test_winsorize_clips_at_histogram_quantiles(spark):
     assert abs(mn - 50.0) <= 10.0 and abs(mx - 950.0) <= 10.0
     n_clipped = sum(1 for r in rows if r.clipped)
     assert 80 <= n_clipped <= 120
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_asof_backward_matches_bruteforce(spark, seed):
+    from awskinesisconsumer_spark.operators.asof_join import (
+        asof_join_backward,
+    )
+    import datetime as dt
+
+    rng = random.Random(seed)
+    lefts, rights = [], []
+    for k in range(6):
+        for _ in range(rng.randint(0, 10)):
+            lefts.append((k, 1000 + len(lefts),
+                          dt.datetime(2024, 1, 1, 0, 0, rng.randint(0, 59))))
+        for _ in range(rng.randint(0, 5)):
+            rights.append((k, 2000 + len(rights),
+                           dt.datetime(2024, 1, 1, 0, 0, rng.randint(0, 59))))
+    ldf = spark.createDataFrame(lefts, "k long, lid long, ts timestamp")
+    rdf = spark.createDataFrame(rights, "k long, rid long, rts timestamp")
+    got = {
+        r.lid: (r.rid, r.rts)
+        for r in asof_join_backward(
+            ldf, rdf, key="k", left_on="ts", right_on="rts"
+        ).collect()
+    }
+    for k, lid, ts in lefts:
+        cands = [(rts, rid) for kk, rid, rts in rights
+                 if kk == k and rts <= ts]
+        if not cands:
+            assert got[lid] == (None, None)
+        else:
+            best_ts = max(c[0] for c in cands)
+            # Greatest rts at-or-before; equal-rts rows are
+            # interchangeable up to the window's internal order.
+            assert got[lid][1] == best_ts
+            assert got[lid][0] in {rid for rts, rid in cands
+                                   if rts == best_ts}
