@@ -112,3 +112,27 @@ def scd2_versions(
         .withColumn("is_current", F.col("effective_to").isNull())
         .drop("_prev")
     )
+
+
+def scd2_as_of(
+    versions: DataFrame,
+    *,
+    at,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time view of an SCD2 dimension: the version rows
+    valid AT the given instant (effective_from <= at < effective_to,
+    open versions matching to the end of time). Map-only filter —
+    with the dimension partitioned/z-ordered on effective_from the
+    scan prunes to the files overlapping `at`.
+
+    Not yet registered in `queries()` — r4's gate head is full;
+    rotate in r5 (oracle: the same BETWEEN predicate in SQL over the
+    ext-scd2-versions CTE).
+    """
+    t = F.lit(at).cast("timestamp")
+    return versions.where(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )

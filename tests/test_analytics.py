@@ -581,3 +581,28 @@ def test_asof_backward_matches_bruteforce(spark, seed):
             assert got[lid][1] == best_ts
             assert got[lid][0] in {rid for rts, rid in cands
                                    if rts == best_ts}
+
+
+def test_scd2_as_of_returns_one_version_per_active_key(spark):
+    from awskinesisconsumer_spark.operators.compaction import (
+        scd2_as_of, scd2_versions,
+    )
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), 1, "a"), (1, t(3), 2, "b"), (1, t(5), 3, "a"),
+        (2, t(4), 4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, oid long, st string")
+    dim = scd2_versions(
+        df, key_col="k", ts_col="ts", order_col="oid", state_col="st"
+    )
+    at = {r.k: r.st for r in scd2_as_of(dim, at=t(4)).collect()}
+    assert at == {1: "b", 2: "x"}
+    # Before any version of key 2 exists.
+    at2 = {r.k: r.st for r in scd2_as_of(dim, at=t(2)).collect()}
+    assert at2 == {1: "a"}
+    # Open (current) versions match arbitrarily late instants.
+    at3 = {r.k: r.st for r in scd2_as_of(dim, at=t(59)).collect()}
+    assert at3 == {1: "a", 2: "x"}
