@@ -918,12 +918,17 @@ def _bm25(spark: SparkSession, sf: str) -> DataFrame:
 
 def _word_entropy(spark: SparkSession, sf: str) -> DataFrame:
     # Per-doc unigram Shannon entropy (information-density quality
-    # signal). Narrow sorted-fold — oracle replays the identical
-    # fold order in DuckDB, so values are bit-identical.
+    # signal). fallback_tokens=50 routes docs through BOTH physical
+    # plans at the gate fixture — short docs take the narrow
+    # sorted-fold, longer ones the explode+groupBy fallback — and the
+    # two agree bit-for-bit (same word-sorted float fold order), so
+    # ONE DuckDB sorted-fold oracle replays the whole output.
     from awskinesisconsumer_spark.operators.text import word_entropy
 
     docs = load_table(spark, "documents", sf)
-    return word_entropy(docs, text_col="text").select("doc_id", "entropy")
+    return word_entropy(
+        docs, text_col="text", id_col="doc_id", fallback_tokens=50,
+    ).select("doc_id", "entropy")
 
 
 def _cdc_compact(spark: SparkSession, sf: str) -> DataFrame:
@@ -2428,9 +2433,11 @@ def _manifest_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # DSv2 WRITER with two-phase commit (sources/manifest_sink.py):
     # task shards stay invisible until the driver's commit renames
     # them and writes _MANIFEST.json LAST. The read-back consults the
-    # manifest and reads EXACTLY its shard list — stale shards from
-    # earlier writes in the same directory are ignored, which is the
-    # atomicity property the gate verifies (oracle = the source
+    # manifest and reads EXACTLY its shard list. mode("overwrite")
+    # replaces the prior manifest and sweeps its shards AFTER the new
+    # manifest lands (append would MERGE the prior shard list), so
+    # re-running the gate against the same directory is idempotent —
+    # the atomicity property the gate verifies (oracle = the source
     # table).
     import hashlib
     import os
@@ -2447,7 +2454,7 @@ def _manifest_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     ev.write.format("manifest-jsonl").option("path", out).mode(
-        "append"
+        "overwrite"
     ).save()
     man = read_manifest(out)
     paths = [os.path.join(out, s["file"]) for s in man["shards"]]
@@ -2564,6 +2571,8 @@ def _asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     # signup by |delta t| per user (ties -> the earlier one) —
     # completes the forward/backward/nearest direction family
     # (operators/asof_join.py asof_join_nearest, one exchange).
+    # right_order=tag_event_id totalizes the carry when several
+    # signups share one (user, ts) — the oracle orders identically.
     from awskinesisconsumer_spark.operators.asof_join import (
         asof_join_nearest,
     )
@@ -2579,6 +2588,7 @@ def _asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = asof_join_nearest(
         packets, tags, key="user_id", left_on="ts", right_on="tag_ts",
+        right_order="tag_event_id",
     )
     return out.select(
         "user_id", "event_id", "tag_event_id",
@@ -3864,9 +3874,11 @@ def oracle_sql() -> dict[str, str]:
                 FIRST_VALUE(tag_event_id IGNORE NULLS) OVER wf AS next_id,
                 FIRST_VALUE(tag_ts IGNORE NULLS) OVER wf AS next_ts
               FROM m WINDOW
-                wb AS (PARTITION BY user_id ORDER BY ts, side
+                wb AS (PARTITION BY user_id
+                       ORDER BY ts, side, tag_event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                wf AS (PARTITION BY user_id ORDER BY ts, side
+                wf AS (PARTITION BY user_id
+                       ORDER BY ts, side, tag_event_id
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
             SELECT user_id, event_id,
               CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL

@@ -120,6 +120,7 @@ def asof_join_nearest(
     left_on: str,
     right_on: str,
     right_cols: list[str] | None = None,
+    right_order: str | None = None,
 ) -> DataFrame:
     """Nearest as-of join: for each left row, the right row minimizing
     ``|right_on - left_on|`` within the key (ties -> the earlier/
@@ -131,6 +132,14 @@ def asof_join_nearest(
     the same window spec — still a single exchange, no range join. At
     equal timestamps the right row sorts before the left row, so an
     exact match is captured by (and only by) the backward carry.
+
+    ``right_order``: a right-side column appended to the window
+    ordering so the carry is a TOTAL order even when several right
+    rows share one (key, timestamp) — without it the carried payload
+    among such ties follows physical row order (non-deterministic
+    under retries / partition changes). Among equal-timestamp right
+    rows the backward carry takes the highest ``right_order`` value,
+    the forward carry the lowest.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_on)
@@ -147,9 +156,13 @@ def asof_join_nearest(
     payload = F.when(
         F.col("_side") == 0, F.struct(right_on, *right_cols)
     )
-    base = Window.partitionBy(key).orderBy(
-        F.col("_t").asc(), F.col("_side").asc()
-    )
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if right_order is not None:
+        # Right-only column: NULL on the left rows after the union,
+        # which is harmless — ordering inside a (_t, _side=left) tie
+        # group never selects a carry.
+        order.append(F.col(right_order).asc())
+    base = Window.partitionBy(key).orderBy(*order)
     prev = F.last(payload, ignorenulls=True).over(
         base.rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -30,12 +30,25 @@ def pagerank(
     round_dp: int = 6,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count (deterministic, oracle-
-    replayable by unrolling the same arithmetic). Assumes every node
-    has at least one out-edge — true for symmetric (undirected) edge
-    sets like near-dup pairs; dangling-node redistribution is out of
-    scope. The per-destination contribution sum rounds only at the
-    END (round_dp), so cross-engine float noise stays at ~1e-15 and
-    never compounds through rounding.
+    replayable by unrolling the same arithmetic), correct for
+    DIRECTED edge lists: the node set is the union of both endpoints
+    (sink-only nodes keep receiving the base term every iteration
+    instead of dropping out), and the rank mass of DANGLING nodes (no
+    out-edges) is redistributed uniformly each iteration — the
+    standard random-surfer teleport on a dead end. On a symmetric
+    (undirected) edge set — e.g. near-dup pairs, the gated use — the
+    dangling mass is exactly 0.0 and both endpoint sets coincide, so
+    results are bit-identical to the plain formulation the DuckDB
+    oracle unrolls (x + 0.0 == x in IEEE754). The per-destination
+    contribution sum rounds only at the END (round_dp), so
+    cross-engine float noise stays at ~1e-15 and never compounds
+    through rounding.
+
+    Each iteration is one src-keyed join + one dst-keyed hash agg;
+    the new rank vector is localCheckpoint-ed per round so lineage
+    stays O(1) at any iteration count (without it, iters > ~5 would
+    re-plan an exponentially deepening tree). The dangling mass is a
+    one-row broadcast, not a driver round-trip.
 
     Returns (node, pagerank) for every node in the edge set.
     """
@@ -43,29 +56,51 @@ def pagerank(
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     edges_deg = edges.join(deg, src).persist()
-    n = edges_deg.select(src).distinct().count()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
     if n == 0:
         # Empty graph: no nodes, no ranks — and no 1/0 base term
         # (ANSI mode makes that an error, not a NULL).
         edges_deg.unpersist()
+        nodes.unpersist()
         return edges.select(
             F.col(src).alias("node"),
             F.lit(0.0).alias("pagerank"),
         ).limit(0)
     base = F.lit(1.0 - damping) / F.lit(float(n))
-    pr = (
-        edges_deg.select(F.col(src).alias("node")).distinct()
-        .withColumn("pr", F.lit(1.0) / F.lit(float(n)))
-    )
+    pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
+    out_deg = deg.select(F.col(src).alias("node"))
     for _ in range(iters):
-        pr = (
+        contrib = (
             edges_deg.join(pr, edges_deg[src] == pr["node"])
             .select(
                 F.col(dst).alias("node"),
                 (F.col("pr") / F.col("_deg")).alias("_c"),
             )
             .groupBy("node")
-            .agg((base + F.lit(damping) * F.sum("_c")).alias("pr"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        dangling = (
+            pr.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (base + F.lit(damping) * (
+                    F.coalesce(F.col("_s"), F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n))
+                )).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
         )
     out = pr.select("node", F.round("pr", round_dp).alias("pagerank"))
+    nodes.unpersist()
     return release_after(out, edges_deg)

@@ -588,9 +588,10 @@ def winsorize(
     the clip is a map-only projection. Two scans total, no shuffle of
     the data itself, constant driver state (two doubles).
 
-    Not yet registered in `queries()` — the r4 gate window is full;
-    rotate it in as a gated entry in r5 (the oracle replays the same
-    histogram interpolation + LEAST/GREATEST clip).
+    Empty / all-null value columns yield no quantile estimates; in
+    that case there is nothing to clip — the input passes through
+    with ``out_col = value`` (and ``clipped`` NULL for NULL values,
+    false otherwise, same expression as the clipping path).
     """
     qs = {
         r.q: r.estimate
@@ -599,6 +600,10 @@ def winsorize(
             quantiles=(p_low, p_high),
         ).collect()
     }
+    if p_low not in qs or p_high not in qs:
+        return df.withColumn(out_col, F.col(value_col)).withColumn(
+            "clipped", (F.col(value_col) != F.col(out_col))
+        )
     lo_cut, hi_cut = qs[p_low], qs[p_high]
     return df.withColumn(
         out_col,

@@ -466,20 +466,33 @@ def bm25_rank(df: DataFrame, *, id_col: str, text_col: str,
 
 
 def word_entropy(df: DataFrame, *, text_col: str,
-                 out_col: str = "entropy") -> DataFrame:
+                 out_col: str = "entropy", id_col: str | None = None,
+                 fallback_tokens: int = 4096) -> DataFrame:
     """Per-document unigram (word) Shannon entropy in nats — a cheap
     information-density quality signal: near-zero entropy flags
     boilerplate/repeated-token documents that slip past length filters.
 
-    H = ln(n) - (1/n) * sum_w c_w ln c_w, computed entirely with array
-    expressions (distinct -> sort -> fold): narrow, no shuffle, no
-    Python. The fold runs over the SORTED distinct-word list so the
-    float summation order is engine-independent — a DuckDB list_reduce
-    over the same sorted list reproduces the value bit-for-bit (same
-    trick as the ANN oracles). For pathological single-doc sizes where
-    the O(distinct x n) array scan dominates, the explode+groupBy form
-    is the fallback; at corpus scale this narrow form wins by avoiding
-    a doc x term shuffle entirely.
+    H = ln(n) - (1/n) * sum_w c_w ln c_w. Two physically different
+    plans, same bit-exact values:
+
+    * docs with <= `fallback_tokens` words: array expressions
+      (distinct -> sort -> fold) — narrow, no shuffle, no Python. The
+      fold runs over the SORTED distinct-word list so the float
+      summation order is engine-independent — a DuckDB list_reduce
+      over the same sorted list reproduces the value bit-for-bit
+      (same trick as the ANN oracles).
+    * docs ABOVE the threshold (requires `id_col`, which must be
+      unique): explode -> (id, word) count -> per-doc sorted fold
+      over collect_list(struct(word, count)). The narrow form's count
+      step is O(distinct x n) per document in interpreted HOF lambdas
+      — fine at normal doc sizes, pathological on single multi-MB
+      docs; the explode form is linear with one doc-keyed shuffle.
+      Counts are exact ints and the fold order is the same
+      word-sorted order, so both paths agree bit-for-bit (asserted in
+      tests/test_text.py).
+
+    With id_col=None every row takes the narrow path regardless of
+    size.
     """
     words = _words(F.lower(F.col(text_col)))
     n = F.size(words)
@@ -497,7 +510,38 @@ def word_entropy(df: DataFrame, *, text_col: str,
     ent = F.when(n <= 0, F.lit(0.0)).otherwise(
         F.round(F.log(n.cast("double")) - acc / n.cast("double"), 4)
     )
-    return df.withColumn(out_col, ent)
+    if id_col is None:
+        return df.withColumn(out_col, ent)
+    small = df.where(n <= fallback_tokens).withColumn(out_col, ent)
+    big = df.where(n > fallback_tokens)
+    per_doc = (
+        big.select(id_col, F.explode(words).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_w", "_c"))),
+                F.lit(0.0),
+                lambda a, s: a + s["_c"].cast("double")
+                * F.log(s["_c"].cast("double")),
+            ).alias("_acc"),
+            F.sum("_c").alias("_n"),
+        )
+    )
+    big_out = (
+        big.join(per_doc, id_col)  # n > threshold > 0: always matches
+        .withColumn(
+            out_col,
+            F.round(
+                F.log(F.col("_n").cast("double"))
+                - F.col("_acc") / F.col("_n").cast("double"),
+                4,
+            ),
+        )
+        .drop("_acc", "_n")
+    )
+    return small.unionByName(big_out)
 
 
 def unigram_logprob(df: DataFrame, *, id_col: str, text_col: str,

@@ -51,11 +51,12 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class ManifestJsonlWriter(DataSourceWriter):
-    def __init__(self, options, schema: StructType):
+    def __init__(self, options, schema: StructType, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest-jsonl requires option('path', ...)")
         self.fields = schema.fieldNames()
+        self.overwrite = overwrite
 
     def write(self, rows: Iterator) -> _ShardCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -73,20 +74,39 @@ class ManifestJsonlWriter(DataSourceWriter):
         return _ShardCommit(tmp, os.path.join(self.path, shard), n)
 
     def commit(self, messages) -> None:
+        # mode semantics: append MERGES the prior manifest's shard
+        # list (old data stays visible alongside the new shards);
+        # overwrite REPLACES it and sweeps the replaced shard files
+        # AFTER the new manifest is in place, so manifest readers see
+        # old-complete -> new-complete with no intermediate state.
         shards = []
         for m in messages:
             os.rename(m.tmp_name, m.final_name)
             shards.append(
                 {"file": os.path.basename(m.final_name), "rows": m.n_rows}
             )
+        mpath = os.path.join(self.path, MANIFEST)
+        prior: list[dict] = []
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prior = json.load(f).get("shards", [])
+        merged = shards if self.overwrite else prior + shards
         manifest = {
-            "shards": sorted(shards, key=lambda s: s["file"]),
-            "total_rows": sum(s["rows"] for s in shards),
+            "shards": sorted(merged, key=lambda s: s["file"]),
+            "total_rows": sum(s["rows"] for s in merged),
         }
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.path, MANIFEST))
+        os.rename(tmp, mpath)
+        if self.overwrite:
+            keep = {s["file"] for s in merged}
+            for s in prior:
+                if s["file"] not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, s["file"]))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -149,7 +169,7 @@ class ManifestJsonlDataSource(DataSource):
         return "manifest-jsonl"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return ManifestJsonlWriter(self.options, schema)
+        return ManifestJsonlWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return ManifestJsonlStreamWriter(self.options, schema)

@@ -171,6 +171,31 @@ def test_pagerank_tiny_graph_matches_hand_calc(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-4
 
 
+def test_pagerank_directed_dangling_and_sink_nodes(spark):
+    # DIRECTED graph 0->1, 0->2, 1->2: node 2 appears only as a
+    # destination (sink-only) AND has no out-edges (dangling). It must
+    # stay in the output every iteration, and its mass must teleport
+    # uniformly — total rank stays 1.
+    from awskinesisconsumer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    got = {r.node: r.pagerank for r in pagerank(edges, iters=4).collect()}
+    assert set(got) == {0, 1, 2}
+    pr = {0: 1 / 3, 1: 1 / 3, 2: 1 / 3}
+    base = (1.0 - 0.85) / 3
+    for _ in range(4):
+        dm = pr[2]  # node 2 is the only dangling node
+        pr = {
+            0: base + 0.85 * (0.0 + dm / 3.0),
+            1: base + 0.85 * (pr[0] / 2 + dm / 3.0),
+            2: base + 0.85 * ((pr[0] / 2 + pr[1] / 1) + dm / 3.0),
+        }
+    assert got == {v: round(p, 6) for v, p in pr.items()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
 def test_conversion_funnel_ordering_is_strict(spark):
     from awskinesisconsumer_spark.operators.analytics import (
         conversion_funnel,

@@ -16,7 +16,7 @@ from awskinesisconsumer_spark.sources.manifest_sink import (
 )
 
 
-def test_manifest_is_source_of_truth_across_writes(spark, tmp_path):
+def test_append_merges_manifest_overwrite_replaces(spark, tmp_path):
     register(spark)
     out = str(tmp_path / "sink")
     df1 = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS s")
@@ -33,17 +33,30 @@ def test_manifest_is_source_of_truth_across_writes(spark, tmp_path):
     df2.write.format("manifest-jsonl").option("path", out).mode(
         "append"
     ).save()
+    # append MERGES the prior manifest: both writes are visible.
     man = read_manifest(out)
-    assert man["total_rows"] == 50
+    assert man["total_rows"] == 150
     paths = [os.path.join(out, s["file"]) for s in man["shards"]]
     assert all("orphan" not in p for p in paths)
     back = spark.read.schema("id long, s string").json(paths)
-    assert sorted(r.id for r in back.collect()) == list(range(100, 150))
-    # Write-1 shards still exist on disk (not clobbered) — only the
-    # manifest decides visibility.
+    assert sorted(r.id for r in back.collect()) == list(range(150))
+    # The orphan still exists on disk but only the manifest decides
+    # visibility.
     assert sum(
         1 for f in os.listdir(out) if f.endswith(".jsonl")
     ) > len(man["shards"])
+    # overwrite REPLACES the manifest and sweeps the replaced shards.
+    df3 = spark.range(500, 520).selectExpr("id", "CAST(id AS STRING) AS s")
+    df3.write.format("manifest-jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    man = read_manifest(out)
+    assert man["total_rows"] == 20
+    for s in first["shards"]:
+        assert not os.path.exists(os.path.join(out, s["file"]))
+    paths = [os.path.join(out, s["file"]) for s in man["shards"]]
+    back = spark.read.schema("id long, s string").json(paths)
+    assert sorted(r.id for r in back.collect()) == list(range(500, 520))
 
 
 def test_abort_removes_temp_shards_only(tmp_path):

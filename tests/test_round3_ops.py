@@ -204,6 +204,39 @@ def test_word_entropy_values(spark):
     assert got[5] == round(math.log(4), 4)
 
 
+def test_word_entropy_fallback_path_is_bit_identical(spark):
+    # The explode+groupBy long-doc path must agree bit-for-bit with
+    # the narrow sorted-fold path: same exact integer counts, same
+    # word-sorted float summation order. fallback_tokens=0 forces
+    # EVERY non-empty doc through the fallback; compare against the
+    # all-narrow plan on mixed skewed/uniform/empty docs.
+    import random
+
+    from awskinesisconsumer_spark.operators.text import word_entropy
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 300))))
+        for i in range(30)
+    ] + [(97, "zz " * 500), (98, ""), (99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    narrow = {r.doc_id: r.entropy for r in word_entropy(
+        docs, text_col="text"
+    ).collect()}
+    mixed = {r.doc_id: r.entropy for r in word_entropy(
+        docs, text_col="text", id_col="doc_id", fallback_tokens=0
+    ).collect()}
+    assert mixed == narrow
+    # Threshold routing keeps every row exactly once.
+    split = word_entropy(
+        docs, text_col="text", id_col="doc_id", fallback_tokens=150
+    )
+    assert sorted(r.doc_id for r in split.collect()) == sorted(
+        r[0] for r in rows
+    )
+
+
 # ---- changelog compaction ------------------------------------------------
 
 def test_compact_latest_upserts_and_tombstones(spark):
