@@ -445,8 +445,9 @@ def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # Oracle-checked: deterministic sampled centroids (8 lowest ids),
-    # 2-cell probe, exact cosine re-rank — all replayed in DuckDB SQL.
+    # Oracle-checked: deterministic hash-SPREAD sampled centroids (8
+    # lowest md5-of-id, decorrelated from ingestion order), 2-cell
+    # probe, exact cosine re-rank — all replayed in DuckDB SQL.
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_centroids_from_sample, knn_ivf,
     )
@@ -1692,6 +1693,88 @@ def _stream_restart_resume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_pause_resume(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 rows 20/23/24 (pause/resume, dispose, observability)
+    # as ONE driver-gated artifact, driven through the actual
+    # lifecycle API (streaming/lifecycle.py PipelineHandle): start ->
+    # phase 1 drains the pre-median half (ref parser.py:514-523
+    # StopCatchFrames == handle.pause(): clean stop, state + offsets
+    # persist) -> the post-median half lands while "paused" ->
+    # handle.resume() restarts the SAME checkpoint (StartCatchFrames)
+    # -> handle.dispose() unregisters the listener (ref
+    # parser.py:62-121). Unlike the reference's boolean gate, which
+    # silently DROPS frames while paused, nothing is lost: the
+    # appended union of both phases equals the single-phase batch
+    # rollup. Row 24: the ProgressListener's observed metric
+    # (`observe("pause_gate", count)`) must total EXACTLY the event
+    # count — every row crossed the pipeline exactly once across the
+    # pause — and is returned as a column so the oracle checks it.
+    import tempfile
+    import time as _time
+
+    from awskinesisconsumer_spark.streaming.lifecycle import (
+        PipelineHandle,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        tumbling_agg_stream,
+    )
+
+    ev = (
+        load_table(spark, "events", sf)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    n_events = ev.count()
+    mid = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).head()[0]
+    base = tempfile.mkdtemp(prefix="pause_gate_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    ev.where(F.unix_timestamp("ts") <= mid).coalesce(1).write.parquet(src)
+    schema = ev.schema
+
+    def factory():
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+            .observe("pause_gate", F.count(F.lit(1)).alias("n_rows"))
+        )
+        return (
+            tumbling_agg_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    handle = PipelineHandle(spark, factory)
+    try:
+        if not handle.start().awaitTermination(300):
+            raise RuntimeError("pause-gate phase 1 timed out")
+        handle.pause()  # state + offsets persist across the gap
+        ev.where(F.unix_timestamp("ts") > mid).coalesce(1) \
+            .write.mode("append").parquet(src)
+        if not handle.resume().awaitTermination(300):
+            raise RuntimeError("pause-gate phase 2 timed out")
+        # Progress events reach the listener on its own bus thread —
+        # bounded wait for the final batch's metric to land.
+        deadline = _time.monotonic() + 60.0
+        while _time.monotonic() < deadline:
+            n_obs = handle.listener.observed_totals("pause_gate") \
+                .get("n_rows", 0)
+            if n_obs >= n_events:
+                break
+            _time.sleep(0.25)
+    finally:
+        handle.dispose()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(sink).select(
+        "w_start", "w_end", "n_events", "sum_value", "max_event_id",
+    ).withColumn("observed_rows", F.lit(int(n_obs)).cast("long"))
+
+
 def _chunk_text(spark: SparkSession, sf: str) -> DataFrame:
     # Sliding token-window chunking (long doc -> overlapping training
     # chunks), 16-token windows advancing by 12: narrow posexplode +
@@ -2108,6 +2191,76 @@ def _scd2(spark: SparkSession, sf: str) -> DataFrame:
         ev, key_col="user_id", ts_col="ts", order_col="event_id",
         state_col="event_type",
     )
+
+
+def _scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # Point-in-time SCD2 lookup (operators/compaction.py scd2_as_of):
+    # the version rows valid AT the corpus-max timestamp — a map-only
+    # validity filter over the ext-scd2-versions dimension; with the
+    # dimension partitioned on effective_from the scan prunes to the
+    # files overlapping `at`. Oracle = the versions CTE + the same
+    # BETWEEN predicate.
+    from awskinesisconsumer_spark.operators.compaction import (
+        scd2_as_of, scd2_versions,
+    )
+
+    ev = load_table(spark, "events", sf).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    dim = scd2_versions(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type",
+    )
+    at = ev.agg(F.max("ts")).first()[0]
+    return scd2_as_of(dim, at=at)
+
+
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental-ingest dedup (operators/dedup.py dedup_incremental):
+    # the daily-ingestion shape — flag a NEW batch against the
+    # EXISTING corpus, exactly (digest anti-probe) and nearly
+    # (gram-keyed inverted index, postings capped on the corpus
+    # side); the corpus is never self-joined. doc_id % 3 splits the
+    # fixture into new/corpus deterministically.
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup_incremental(
+        new, corpus, id_col="doc_id", text_col="text", min_overlap=5
+    )
+
+
+def _winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    # Histogram-quantile winsorization (operators/sketches.py
+    # winsorize): clip o_totalprice at the [p1, p99] estimates from
+    # the mergeable 200-bin histogram — two scans, constant driver
+    # state, map-only clip. Oracle replays the same interpolation +
+    # LEAST/GREATEST.
+    from awskinesisconsumer_spark.operators.sketches import winsorize
+
+    orders = load_table(spark, "orders", sf).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return winsorize(
+        orders, value_col="o_totalprice", lo=0.0, hi=600000.0,
+        n_bins=200, p_low=0.01, p_high=0.99,
+    )
+
+
+def _bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    # Vocab-weighted greedy BPE merge training (operators/text.py
+    # bpe_train_merges): ONE corpus scan builds the (word, freq)
+    # vocab; 10 merge rounds run on that Zipf-bounded table only.
+    # The oracle replays each round in DuckDB — pair counts, the
+    # (count DESC, left, right) argmax, and the greedy left-to-right
+    # merge application as a per-word recursive CTE (a REPLACE-based
+    # oracle is unsound: token-tail and shared-boundary matches).
+    from awskinesisconsumer_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, "documents", sf)
+    return bpe_train_merges(docs, text_col="text", n_merges=10)
 
 
 def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -2616,63 +2769,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- changed in round 4 (ERROR in r3: array outputs now
-        #    serialized for the driver canonicalizer)
-        "ext-embedding-quantize": _embedding_quantize,
-        "ext-sequence-build": _sequence_build,
-        "ext-similarity-pq": _ann_pq,
-        # -- new in round 4
-        "stream-restart-resume": _stream_restart_resume,
-        "ext-distinct-hll": _distinct_hll,
-        "ext-dup-spans": _dup_spans,
-        "ext-chunk-text": _chunk_text,
-        "ext-bloom-prefilter": _bloom_prefilter,
-        "ext-zorder-layout": _zorder_layout,
-        "agg-topn-per-group": _topn_per_group,
-        "stream-sliding-agg": _stream_sliding,
-        "ext-length-buckets": _equidepth_buckets,
-        "stream-enrich-static": _stream_enrich,
-        "stream-join-interval": _stream_interval_join,
-        "join-shipping-priority": _shipping_priority,
-        "join-large-orders": _large_orders,
-        "agg-shipmode-priority": _shipmode_priority,
-        "agg-window-ranks": _window_ranks,
-        "agg-skyline-2d": _skyline,
-        "ext-collocations-pmi": _collocations,
-        "ext-reservoir-sample": _reservoir,
-        "ext-histogram-quantile": _hist_quantiles,
-        "ext-knn-join": _knn_join,
-        "ext-pagerank-dups": _pagerank_dups,
-        "agg-conversion-funnel": _funnel,
-        "ext-anomaly-zscore": _zscore,
-        "ext-scd2-versions": _scd2,
-        "ext-ann-recall": _ann_recall,
-        "source-parquet-evolve": _parquet_evolve,
-        "sink-bucketed-join": _bucketed_join_gate,
-        "agg-retention-cohorts": _cohorts,
-        "stream-scd2": _stream_scd2,
-        "ext-hll-merge": _hll_merge,
-        "join-top-supplier": _top_supplier,
-        "join-above-nation-avg": _above_nation_avg,
-        "stream-hll-distinct": _stream_hll,
-        "ext-sample-weighted": _sample_weighted,
-        "ext-embedding-dim-stats": _embedding_dim_stats,
-        "ext-mixture-temperature": _mixture_temperature,
-        "stream-backpressure-multibatch": _stream_backpressure,
-        "join-full-outer-activity": _full_outer_activity,
-        "sink-manifest-commit": _manifest_sink_roundtrip,
-        "agg-forecast-revenue": _forecast_revenue,
-        "join-late-orders-exists": _late_orders_exists,
-        "stream-manifest-sink": _stream_manifest_sink,
+        # -- NEW in round 5: the four r4-banked operators (oracles
+        #    pre-proven in tests/test_banked_parity.py; BPE's
+        #    recursive-CTE oracle proven at sf0.001 AND sf0.01) plus
+        #    the row-20/23/24 lifecycle artifact.
+        "ext-dedup-incremental": _dedup_incremental,
+        "ext-winsorize": _winsorize,
+        "ext-scd2-asof": _scd2_asof,
+        "ext-bpe-train": _bpe_train,
+        "stream-pause-resume": _stream_pause_resume,
+        # -- CHANGED in round 5 (must re-gate): nearest as-of carry
+        #    totalized with right_order; word-entropy explode
+        #    fallback exercised at threshold 50; pagerank dangling
+        #    redistribution + localCheckpoint; manifest writer now
+        #    honors append-merge/overwrite-sweep.
         "join-asof-nearest": _asof_nearest,
-        # -- operator internals changed in round 4 (minhash band-hash
-        #    fusion; spark_partition_id salt) — results proven
-        #    identical locally, re-gate externally anyway
-        "ext-dedup-minhash": _dedup_minhash,
-        "join-salted-skew": _salted_join,
-        # -- oldest green records (r2) — re-gate before they age out
-        "segment-sessions-gap": _sessions_gap,
-        "error-route": _error_route,
+        "ext-word-entropy": _word_entropy,
+        "ext-pagerank-dups": _pagerank_dups,
+        "sink-manifest-commit": _manifest_sink_roundtrip,
+        "stream-manifest-sink": _stream_manifest_sink,
+        # -- the 40 r2-record veterans (README "Round-5 rotation
+        #    plan" step 1): their latest external hash is two rounds
+        #    old — re-gate before the records age out. IVF entries
+        #    additionally changed this round (hash-spread centroid
+        #    seed replaces the lowest-id seed).
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
         "join-asof-backward": _asof_backward,
@@ -2705,15 +2825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-distinct-users": _distinct_users,
         "agg-salted-sum": _salted_sum,
         "topk-customers": _topk_customers,
-        # ---- gate horizon (position 50; shifts when entries are
-        # added above): entries below are past the external gate's
-        # 50-entry window this round; all are green in the union of
-        # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json.
-        # Final r4 head: 38 new/changed entries (every one locally
-        # driver-replicated on a vanilla ANSI session at sf0.01
-        # before landing) + 12 oldest-record veterans; the 32
-        # r2-record entries below ride the ledger and are r5's first
-        # rotation priority (see README "Correctness gate rotation").
         "join-semi-anti": _semi_anti,
         "json-extract-props": _props_json,
         "set-ops-users": _set_ops,
@@ -2722,6 +2833,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
         "ext-lang-id": _lang_id,
+        # ---- gate horizon (position 50; shifts when entries are
+        # added above): entries below are past the external gate's
+        # 50-entry window this round; all are green in the union of
+        # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json.
+        # Final r5 head: 5 new + 5 changed (every one locally
+        # driver-replicated on a vanilla ANSI session at sf0.01
+        # before landing) + the 40 r2-record veterans. The 46
+        # r4-record entries directly below plus the 44 r3-record
+        # entries after them ride the ledger; the r3 block is r6's
+        # first rotation priority (see README "Correctness gate
+        # rotation").
+        # -- r4 records --
+        "ext-embedding-quantize": _embedding_quantize,
+        "ext-sequence-build": _sequence_build,
+        "ext-similarity-pq": _ann_pq,
+        "stream-restart-resume": _stream_restart_resume,
+        "ext-distinct-hll": _distinct_hll,
+        "ext-dup-spans": _dup_spans,
+        "ext-chunk-text": _chunk_text,
+        "ext-bloom-prefilter": _bloom_prefilter,
+        "ext-zorder-layout": _zorder_layout,
+        "agg-topn-per-group": _topn_per_group,
+        "stream-sliding-agg": _stream_sliding,
+        "ext-length-buckets": _equidepth_buckets,
+        "stream-enrich-static": _stream_enrich,
+        "stream-join-interval": _stream_interval_join,
+        "join-shipping-priority": _shipping_priority,
+        "join-large-orders": _large_orders,
+        "agg-shipmode-priority": _shipmode_priority,
+        "agg-window-ranks": _window_ranks,
+        "agg-skyline-2d": _skyline,
+        "ext-collocations-pmi": _collocations,
+        "ext-reservoir-sample": _reservoir,
+        "ext-histogram-quantile": _hist_quantiles,
+        "ext-knn-join": _knn_join,
+        "agg-conversion-funnel": _funnel,
+        "ext-anomaly-zscore": _zscore,
+        "ext-scd2-versions": _scd2,
+        "ext-ann-recall": _ann_recall,
+        "source-parquet-evolve": _parquet_evolve,
+        "sink-bucketed-join": _bucketed_join_gate,
+        "agg-retention-cohorts": _cohorts,
+        "stream-scd2": _stream_scd2,
+        "ext-hll-merge": _hll_merge,
+        "join-top-supplier": _top_supplier,
+        "join-above-nation-avg": _above_nation_avg,
+        "stream-hll-distinct": _stream_hll,
+        "ext-sample-weighted": _sample_weighted,
+        "ext-embedding-dim-stats": _embedding_dim_stats,
+        "ext-mixture-temperature": _mixture_temperature,
+        "stream-backpressure-multibatch": _stream_backpressure,
+        "join-full-outer-activity": _full_outer_activity,
+        "agg-forecast-revenue": _forecast_revenue,
+        "join-late-orders-exists": _late_orders_exists,
+        "ext-dedup-minhash": _dedup_minhash,
+        "join-salted-skew": _salted_join,
+        "segment-sessions-gap": _sessions_gap,
+        "error-route": _error_route,
+        # -- r3 records --
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
@@ -2739,7 +2909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-join-range": _range_join,
         "ext-url-curation": _url_curation,
         "ext-bm25-rank": _bm25,
-        "ext-word-entropy": _word_entropy,
         "ext-cdc-compact": _cdc_compact,
         "agg-grouping-sets": _grouping_sets,
         "source-csv-roundtrip": _csv_roundtrip,
@@ -2874,6 +3043,107 @@ def _bm25_oracle_sql(words_lower: str, k1: float = 1.5, b: float = 0.75,
     """
 
 
+def _bpe_oracle_sql(n_merges: int = 10, encode: bool = False) -> str:
+    """DuckDB twin of operators/text.py:bpe_train_merges (and, with
+    `encode=True`, of bpe_encode_corpus run with the merges trained
+    on the SAME corpus at the same n_merges: the final vocab state
+    v{n} IS the per-word tokenization after all n merges, so the
+    encode twin joins per-(doc, word) counts against len(v{n}.toks);
+    sound whenever training's early stop does not trigger, which the
+    train twin's guard verifies).
+
+    Replays every merge round exactly: weighted adjacent-pair counts
+    over the (word, freq) vocab, the (count DESC, left, right)
+    argmax, and the GREEDY LEFT-TO-RIGHT merge application as a
+    per-word recursive CTE (state machine: one or two tokens consumed
+    per step). A separator-string REPLACE oracle is NOT sound here —
+    a pattern `l||sep||r` can match a token TAIL (["ba","a"] vs merge
+    (a,a)), and sep-wrapped patterns consume the shared boundary
+    (4x`a` merges to [aa,a,a], not [aa,aa]) — hence the recursion.
+
+    Every multiply-referenced CTE is MATERIALIZED: the scalar
+    argmax subqueries inside the recursive step would otherwise
+    re-inline the whole upstream plan per reference (exponential in
+    n_merges; exhausts file descriptors before it exhausts time).
+
+    The cumulative-min guard replays the trainer's early stop: Spark
+    breaks BEFORE emitting a merge whose count < 2, so ranks at and
+    after the first sub-2 count are excluded.
+    """
+    parts = [r"""
+        WITH RECURSIVE w AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS ws
+          FROM documents),
+        vocab AS MATERIALIZED (
+          SELECT wd, COUNT(*) AS freq
+          FROM (SELECT UNNEST(ws) AS wd FROM w)
+          WHERE wd <> '' GROUP BY wd),
+        v0 AS MATERIALIZED (
+          SELECT wd, freq,
+                 list_append(string_split(wd, ''), '</w>') AS toks
+          FROM vocab)"""]
+    for k in range(n_merges):
+        parts.append(f""",
+        p{k} AS MATERIALIZED (
+          SELECT lt, rt, SUM(freq) AS c FROM (
+            SELECT freq, toks[i] AS lt, toks[i + 1] AS rt
+            FROM (SELECT freq, toks,
+                         UNNEST(generate_series(1, len(toks) - 1)) AS i
+                  FROM v{k})
+          ) GROUP BY lt, rt),
+        m{k} AS MATERIALIZED (SELECT lt, rt, c FROM p{k}
+                 ORDER BY c DESC, lt, rt LIMIT 1),
+        a{k}(wd, freq, rest, outts) AS (
+          SELECT wd, freq, toks, CAST([] AS VARCHAR[]) FROM v{k}
+          UNION ALL
+          SELECT wd, freq,
+            CASE WHEN len(rest) >= 2
+                  AND rest[1] = (SELECT lt FROM m{k})
+                  AND rest[2] = (SELECT rt FROM m{k})
+                 THEN rest[3:] ELSE rest[2:] END,
+            list_append(outts,
+              CASE WHEN len(rest) >= 2
+                    AND rest[1] = (SELECT lt FROM m{k})
+                    AND rest[2] = (SELECT rt FROM m{k})
+                   THEN rest[1] || rest[2] ELSE rest[1] END)
+          FROM a{k} WHERE len(rest) > 0),
+        v{k + 1} AS MATERIALIZED (
+          SELECT wd, freq, outts AS toks FROM a{k} WHERE len(rest) = 0)""")
+    if encode:
+        parts.append(f""",
+        tokc AS (
+          SELECT doc_id, wd, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(ws) AS wd FROM w)
+          WHERE wd <> '' GROUP BY doc_id, wd),
+        wlen AS (SELECT wd, len(toks) AS nt FROM v{n_merges}),
+        agg AS (
+          SELECT doc_id, SUM(c) AS n_words, SUM(c * nt) AS n_bpe_tokens
+          FROM tokc JOIN wlen USING (wd) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")
+        return "".join(parts)
+    sel = "\n            UNION ALL ".join(
+        f"SELECT {k} AS rank, lt, rt, c FROM m{k}" for k in range(n_merges)
+    )
+    parts.append(f""",
+        sel AS (
+            {sel}),
+        guarded AS (
+          SELECT rank, lt, rt, c,
+                 MIN(c) OVER (ORDER BY rank
+                              ROWS UNBOUNDED PRECEDING) AS minc
+          FROM sel)
+        SELECT CAST(rank AS BIGINT) AS rank, lt AS "left", rt AS "right",
+               CAST(c AS BIGINT) AS pair_count
+        FROM guarded WHERE minc >= 2""")
+    return "".join(parts)
+
+
 # Shared by ext-dedup-cluster, ext-split-leakage-free, and
 # ext-pagerank-dups: the n-gram-Jaccard candidate-pair edge set
 # (mirrors operators/dedup.py ngram_jaccard_pairs; symmetric UNION,
@@ -2944,6 +3214,28 @@ _TUMBLING_CLOSED_SQL = """
            make_timestamp((ws + 3600) * 1000000) AS w_end,
            n_events, sum_value, max_event_id
     FROM rollup, wm
+    WHERE (ws + 3600) * 1000000 <= wm_us
+"""
+
+
+# stream-pause-resume twin: the same closed-window set, plus the
+# listener-observed input-row counter — every event crosses the
+# pipeline exactly once across the pause, so the observed total
+# equals COUNT(*) of the batch table.
+_TUMBLING_CLOSED_OBS_SQL = """
+    WITH rollup AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) * 3600 AS ws,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value,
+             MAX(event_id) AS max_event_id
+      FROM events GROUP BY 1),
+    wm AS (SELECT ((MAX(epoch_us(ts)) // 1000) - 3600000) * 1000
+             AS wm_us FROM events),
+    obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS observed_rows FROM events)
+    SELECT make_timestamp(ws * 1000000) AS w_start,
+           make_timestamp((ws + 3600) * 1000000) AS w_end,
+           n_events, sum_value, max_event_id, observed_rows
+    FROM rollup, wm, obs
     WHERE (ws + 3600) * 1000000 <= wm_us
 """
 
@@ -4543,6 +4835,111 @@ def oracle_sql() -> dict[str, str]:
                 AS is_current
             FROM ch
         """,
+        # Point-in-time SCD2 twin: the ext-scd2-versions CTE + the
+        # same validity BETWEEN at the corpus-max timestamp.
+        "ext-scd2-asof": """
+            WITH c AS (
+              SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            ch AS (SELECT user_id, ts, event_id, event_type FROM c
+                   WHERE prev IS NULL OR prev <> event_type),
+            v AS (
+              SELECT user_id, ts, event_id, event_type,
+                ts AS effective_from,
+                LEAD(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS effective_to
+              FROM ch),
+            t AS (SELECT MAX(ts) AS at FROM events)
+            SELECT user_id, ts, event_id, event_type,
+                   effective_from, effective_to,
+                   effective_to IS NULL AS is_current
+            FROM v CROSS JOIN t
+            WHERE effective_from <= at
+              AND (effective_to IS NULL OR effective_to > at)
+        """,
+        # Incremental-dedup twin: digest semi-join + per-gram
+        # inverted-index overlap with the same hot-gram cap (>100).
+        # Gram positions are generated per row from len(ws) — a fixed
+        # series cap would silently drop grams of long documents.
+        "ext-dedup-incremental": r"""
+            WITH newb AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 3 = 0),
+            corp AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 3 <> 0),
+            dg AS (SELECT DISTINCT sha256(trim(lower(coalesce(text, ''))))
+                     AS d FROM corp),
+            nw AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+                   FROM newb WHERE length(trim(coalesce(text, ''))) > 0),
+            cw AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+                   FROM corp WHERE length(trim(coalesce(text, ''))) > 0),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM nw WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            cg AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM cw WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            hot AS (SELECT s FROM cg GROUP BY s HAVING COUNT(*) > 100),
+            capped AS (SELECT doc_id, s FROM cg
+                       WHERE s NOT IN (SELECT s FROM hot)),
+            ov AS (
+              SELECT doc_id, MAX(cnt) AS max_overlap
+              FROM (SELECT ng.doc_id AS doc_id, capped.doc_id AS cid,
+                           COUNT(*) AS cnt
+                    FROM ng JOIN capped ON ng.s = capped.s
+                    GROUP BY 1, 2) sub
+              GROUP BY 1)
+            SELECT n.doc_id, n.text,
+              (sha256(trim(lower(coalesce(n.text, '')))) IN
+                 (SELECT d FROM dg)) AS exact_dup,
+              CAST(COALESCE(ov.max_overlap, 0) AS BIGINT) AS max_overlap,
+              COALESCE(ov.max_overlap, 0) >= 5 AS near_dup
+            FROM newb n LEFT JOIN ov ON ov.doc_id = n.doc_id
+        """,
+        # Winsorize twin: the ext-histogram-quantile interpolation at
+        # [0.01, 0.99] + the same LEAST/GREATEST clip.
+        "ext-winsorize": """
+            WITH b AS (
+              SELECT LEAST(GREATEST(
+                       CAST(FLOOR(o_totalprice / 3000.0) AS INT), 0), 199)
+                     AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            c AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+            cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum,
+                           SUM(c) OVER () AS total FROM c),
+            q AS (SELECT UNNEST(CAST([0.01, 0.99] AS DOUBLE[])) AS q),
+            cuts AS (
+              SELECT q.q,
+                MIN_BY(ROUND(0.0 + (bin
+                  + (CEIL(q.q * total) - (cum - c)) / CAST(c AS DOUBLE))
+                  * 3000.0, 4), bin) AS est
+              FROM cum CROSS JOIN q
+              WHERE cum >= CEIL(q.q * total)
+              GROUP BY q.q),
+            lohi AS (
+              SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS lo_cut,
+                     MIN(CASE WHEN q = 0.99 THEN est END) AS hi_cut
+              FROM cuts)
+            SELECT o_orderkey, o_totalprice,
+                   LEAST(GREATEST(o_totalprice, lo_cut), hi_cut)
+                     AS winsorized,
+                   o_totalprice <> LEAST(GREATEST(o_totalprice, lo_cut),
+                                         hi_cut) AS clipped
+            FROM orders CROSS JOIN lohi
+        """,
+        "ext-bpe-train": _bpe_oracle_sql(10),
         # Schema-evolution twin: old-generation rows null-fill the
         # added column, exactly what mergeSchema produces.
         "source-parquet-evolve": """
@@ -4819,9 +5216,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC NULLS LAST, vec_id
             LIMIT 10
         """,
-        # IVF ANN replicated in SQL: centroids = the 8 lowest-vec_id
-        # corpus vectors (same deterministic seed as
-        # ivf_centroids_from_sample), argmin cell assignment with
+        # IVF ANN replicated in SQL: centroids = the 8 corpus vectors
+        # with the lowest md5-derived id hash (the hash-SPREAD seed
+        # of ivf_centroids_from_sample — decorrelated from ingestion
+        # order, id tie-break), argmin cell assignment with
         # (distance, index) tie-break, 2-cell probe nearest the query,
         # exact cosine re-rank. Mirrors operators/similarity.py:knn_ivf.
         "ext-similarity-ivf": f"""
@@ -4830,9 +5228,12 @@ def oracle_sql() -> dict[str, str]:
             q AS (
               SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             cent AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
-                     embedding AS cv
-              FROM corpus ORDER BY vec_id LIMIT 8),
+              SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+              FROM (SELECT vec_id, embedding AS cv,
+                           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                               1, 13) AS BIGINT) AS h
+                    FROM corpus)
+              ORDER BY h, vec_id LIMIT 8),
             assign AS (
               SELECT vec_id, embedding, i,
                      ROW_NUMBER() OVER (
@@ -4849,19 +5250,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # IVF ANN after 3 deterministic Lloyd rounds, replayed in SQL:
-        # seed centroids = 8 lowest-id corpus vectors, then per round
-        # argmin assign -> ordered-fold per-dim means -> rebuild, then
-        # the same 2-cell probe + cosine re-rank as ext-similarity-ivf.
+        # seed centroids = the hash-spread 8 (as ext-similarity-ivf),
+        # then per round argmin assign -> ordered-fold per-dim means
+        # -> rebuild, then the same 2-cell probe + cosine re-rank as
+        # ext-similarity-ivf.
         "ext-similarity-ivf-kmeans": f"""
             WITH corpus AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
             q AS (
               SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             cent0 AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i,
-                     list_transform(embedding,
-                                    x -> CAST(x AS DOUBLE)) AS cv
-              FROM corpus ORDER BY vec_id LIMIT 8),
+              SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i,
+                     list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+              FROM (SELECT vec_id, embedding AS cv,
+                           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                               1, 13) AS BIGINT) AS h
+                    FROM corpus)
+              ORDER BY h, vec_id LIMIT 8),
             {lloyd_rounds},
             final_assign AS (
               SELECT c.vec_id, c.embedding, t.i,
@@ -5402,6 +5807,7 @@ def oracle_sql() -> dict[str, str]:
         # checkpoint must emit exactly the single-phase closed-window
         # set — same oracle string by construction.
         "stream-restart-resume": _TUMBLING_CLOSED_SQL,
+        "stream-pause-resume": _TUMBLING_CLOSED_OBS_SQL,
         "stream-segment-rollup": """
             WITH e AS (
               SELECT user_id, event_id, value, epoch_us(ts) AS tus

@@ -136,3 +136,65 @@ def scd2_as_of(
         (F.col(from_col) <= t)
         & (F.col(to_col).isNull() | (F.col(to_col) > t))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: per key, `added` (new
+    only), `removed` (old only), `changed` (both, any compared column
+    differs), `unchanged`. The lake-maintenance primitive behind
+    incremental publishing, CDC backfill audits, and "what moved
+    between yesterday's and today's corpus" reports.
+
+    Each side is reduced to (key, 256-bit sha2 row digest) BEFORE the
+    join, so the full-outer join shuffles 32-byte digests instead of
+    whole rows — at 100 TB the compare never moves the payload, only
+    the keys. NULL-safe: every column serializes with a length prefix
+    (length|value, NULL length -1), so ('a', NULL) never collides
+    with ('a', '') and adjacent columns cannot bleed into each other.
+
+    Returns key_cols + (old_digest, new_digest, status). Keys must be
+    unique per snapshot (the standard snapshot contract; duplicate
+    keys make "the row for key K" ill-defined and surface naturally
+    as multiplied join rows).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in set(key_cols)]
+    missing = [c for c in compare_cols if c not in old.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot_diff: compare columns {missing} absent from the "
+            "old snapshot — pass compare_cols explicitly under schema "
+            "evolution"
+        )
+
+    def digest(df: DataFrame):
+        parts = []
+        for c in compare_cols:
+            s = df[c].cast("string")
+            parts.append(
+                F.concat(
+                    F.coalesce(F.length(s), F.lit(-1)).cast("string"),
+                    F.lit("|"),
+                    F.coalesce(s, F.lit("")),
+                )
+            )
+        return F.sha2(F.concat_ws("", *parts).cast("binary"), 256)
+
+    o = old.select(*key_cols, digest(old).alias("old_digest"))
+    n = new.select(*key_cols, digest(new).alias("new_digest"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.withColumn(status_col, status)

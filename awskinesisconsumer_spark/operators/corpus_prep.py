@@ -585,3 +585,56 @@ def mixture_temperature_weights(
         F.round("_p", 6).alias("p_source"),
         F.round(F.col("_num") / F.col("_z"), 6).alias("w_alpha"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cap: int,
+    order_by: list | None = None,
+    id_col: str | None = None,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Per-source quota sampling: keep at most `cap` rows per group
+    (URL domain, data source, license bucket), chosen by a
+    DETERMINISTIC priority — the per-source balancing step every
+    web-scale corpus runs so a handful of mega-domains cannot
+    dominate the training mixture.
+
+    `order_by` is the keep-priority (e.g. quality score descending);
+    `id_col` is appended as the total-order tie-break. With neither
+    given, rows are prioritized by the engine-portable md5 hash of
+    `id_col` — a deterministic uniform subsample within each group.
+
+    Returns the input plus (rank_in_group, kept). Filtering is left
+    to the caller so the rejected rows remain auditable (the usual
+    pipeline writes both partitions).
+
+    Scale shape: ONE group-keyed window sort — the same single
+    exchange as any per-group top-k. Mega-domains make the window
+    partition wide but the sort is (group)-local and spills; for the
+    pathological single-domain-dominates case, pre-aggregate with a
+    bounded per-partition top-cap first (the two-level top-k in
+    similarity.knn_join_topk is the template).
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    if order_by is None:
+        if id_col is None:
+            raise ValueError(
+                "domain_cap: pass order_by and/or id_col — without "
+                "both, the kept subset would be nondeterministic"
+            )
+        order = [portable_hash52(F.col(id_col).cast("string")).asc()]
+    else:
+        order = list(order_by)
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .withColumn(keep_col, F.col("rank_in_group") <= cap)
+    )

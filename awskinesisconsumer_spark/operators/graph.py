@@ -45,36 +45,70 @@ def pagerank(
     through rounding.
 
     Each iteration is one src-keyed join + one dst-keyed hash agg;
-    the new rank vector is localCheckpoint-ed per round so lineage
-    stays O(1) at any iteration count (without it, iters > ~5 would
-    re-plan an exponentially deepening tree). The dangling mass is a
-    one-row broadcast, not a driver round-trip.
+    past the default iteration count (iters > 3) the rank vector is
+    localCheckpoint-ed per round so lineage stays O(1) at any depth
+    (without it, deep runs re-plan an ever-deepening tree). The
+    dangling mass is a one-row broadcast, not a driver round-trip,
+    and on graphs that need neither correction (checked upfront) the
+    loop keeps the minimal join+agg plan.
 
     Returns (node, pagerank) for every node in the edge set.
     """
-    from .caching import release_after
-
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     edges_deg = edges.join(deg, src).persist()
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # EVERYTHING below derives from the cached edges_deg — deriving
+    # from raw `edges` would re-run the (possibly expensive) upstream
+    # candidate-pair machinery once per derived table. One pass over
+    # the cached edges builds the node table WITH per-node
+    # out/in-edge flags, and a single scalar aggregate over it yields
+    # the three numbers that shape the loop (n, dangling count,
+    # in-degree-less count) — one job, not three.
+    node_flags = (
+        edges_deg.select(
+            F.col(src).alias("node"),
+            F.lit(1).alias("_has_out"), F.lit(0).alias("_has_in"),
+        )
+        .union(edges_deg.select(
+            F.col(dst).alias("node"),
+            F.lit(0).alias("_has_out"), F.lit(1).alias("_has_in"),
+        ))
+        .groupBy("node")
+        .agg(F.max("_has_out").alias("_has_out"),
+             F.max("_has_in").alias("_has_in"))
         .persist()
     )
-    n = nodes.count()
+    stats = node_flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(1 - F.col("_has_out")).alias("n_no_out"),
+        F.sum(1 - F.col("_has_in")).alias("n_no_in"),
+    ).first()
+    n = int(stats["n"])
     if n == 0:
         # Empty graph: no nodes, no ranks — and no 1/0 base term
         # (ANSI mode makes that an error, not a NULL).
         edges_deg.unpersist()
-        nodes.unpersist()
+        node_flags.unpersist()
         return edges.select(
             F.col(src).alias("node"),
             F.lit(0.0).alias("pagerank"),
         ).limit(0)
     base = F.lit(1.0 - damping) / F.lit(float(n))
+    nodes = node_flags.select("node")
     pr = nodes.withColumn("pr", F.lit(1.0) / F.lit(float(n)))
-    out_deg = deg.select(F.col(src).alias("node"))
+    out_deg = node_flags.where(F.col("_has_out") == 1).select("node")
+    # The scalars decide the loop shape: a graph where every node has
+    # BOTH an out-edge (no dangling mass to redistribute) and an
+    # in-edge (the contribution agg alone already yields every node)
+    # — true for every symmetric/undirected edge set, e.g. near-dup
+    # pairs, the gated use — needs neither the dangling term nor the
+    # rank-preserving left join, so the per-iteration plan stays the
+    # minimal join+agg.
+    n_no_out = int(stats["n_no_out"])
+    n_no_in = int(stats["n_no_in"])
+    # Lineage is O(iters) without checkpointing — fine at the default
+    # 3; localCheckpoint per round only when the tree would deepen
+    # past that (each round otherwise re-plans the whole prefix).
+    ckpt = iters > 3
     for _ in range(iters):
         contrib = (
             edges_deg.join(pr, edges_deg[src] == pr["node"])
@@ -85,22 +119,33 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        dangling = (
-            pr.join(out_deg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
-        )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (base + F.lit(damping) * (
-                    F.coalesce(F.col("_s"), F.lit(0.0))
-                    + F.col("_dm") / F.lit(float(n))
-                )).alias("pr"),
+        if n_no_out == 0 and n_no_in == 0:
+            pr = contrib.select(
+                "node", (base + F.lit(damping) * F.col("_s")).alias("pr")
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            dangling = (
+                pr.join(out_deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+            )
+            pr = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (base + F.lit(damping) * (
+                        F.coalesce(F.col("_s"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )).alias("pr"),
+                )
+            )
+        if ckpt:
+            pr = pr.localCheckpoint(eager=True)
     out = pr.select("node", F.round("pr", round_dp).alias("pagerank"))
-    nodes.unpersist()
-    return release_after(out, edges_deg)
+    # release_after semantics, two cached inputs: materialize the
+    # (small) result, then free both internal caches.
+    out = out.persist()
+    out.count()
+    node_flags.unpersist()
+    edges_deg.unpersist()
+    return out

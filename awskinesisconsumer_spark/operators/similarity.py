@@ -132,15 +132,27 @@ def _norm2_diff(v, centroid: list[float]):
 
 
 def ivf_centroids_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
-                              n_centroids: int) -> list[list[float]]:
-    """Deterministic centroid pick: the n lowest-id vectors. A k-means
-    refinement would improve cell balance; for a deterministic,
-    dependency-free quantizer the sampled seed is the standard
-    bootstrap (and at scale you'd train centroids offline anyway)."""
-    rows = (
-        df.orderBy(id_col).limit(n_centroids)
-        .select(vec_col).collect()
-    )
+                              n_centroids: int,
+                              spread: bool = True) -> list[list[float]]:
+    """Deterministic centroid pick from the corpus itself. With
+    `spread` (default), the n vectors with the lowest engine-portable
+    md5-derived hash of their id — a deterministic uniform sample
+    that decorrelates the seed from ingestion order (the lowest-id
+    vectors are typically written together and can share a
+    neighborhood, degenerating cell balance). `spread=False` keeps
+    the legacy lowest-id pick. Both orders are totalized by the id
+    tie-break and replayable in DuckDB (same md5 slice), so the
+    downstream IVF results stay oracle-checkable. A k-means
+    refinement (`kmeans_refine_centroids`) further improves balance;
+    at scale you'd train centroids offline anyway."""
+    from .dedup import portable_hash52
+
+    if spread:
+        key = portable_hash52(F.col(id_col).cast("string"))
+        ordered = df.orderBy(key.asc(), F.col(id_col).asc())
+    else:
+        ordered = df.orderBy(id_col)
+    rows = ordered.limit(n_centroids).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
 
 
@@ -440,9 +452,11 @@ def pq_codebooks_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
                              m: int, ksub: int) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: the `ksub`
     lowest-id vectors, sliced into `m` subspaces — [m][ksub][dim/m].
-    Same bootstrap contract as `ivf_centroids_from_sample` (offline
-    k-means training is the production path; the sampled seed keeps
-    the quantizer dependency-free and replayable)."""
+    Same bootstrap contract as `ivf_centroids_from_sample(...,
+    spread=False)` (offline k-means training is the production path;
+    the sampled seed keeps the quantizer dependency-free and
+    replayable) — and the gated PQ path always Lloyd-refines these
+    seeds per subspace, which washes out seed correlation."""
     rows = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
     seeds = [[float(x) for x in r[0]] for r in rows]
     if len(seeds) < ksub:

@@ -465,6 +465,84 @@ def bm25_rank(df: DataFrame, *, id_col: str, text_col: str,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def bpe_encode_corpus(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a trained BPE merge table to a corpus — the tokenizer
+    APPLY step that pairs with `bpe_train_merges` (train -> encode ->
+    token budgets feed `pack_sequences` / `chunk_text`). Returns one
+    row per input document: (id, n_words, n_bpe_tokens).
+
+    Scale shape: documents explode to (doc, word) counts ONCE; the
+    merge loop then runs over the DISTINCT-word table only (Zipf-
+    bounded — millions of rows at 100 TB, not corpus-sized), via one
+    Arrow-batched pandas UDF carrying the merge list in its closure
+    (n_merges pairs — broadcast-small by construction). Per-word
+    token counts join back on the word key (AQE broadcasts the vocab
+    side when it fits) and aggregate per document. The corpus text
+    itself is never shuffled and Python touches only distinct words.
+
+    Merge application is the trainer's exact semantics: merges in
+    rank order, each applied greedily left-to-right over the
+    char+'</w>' token list (same tie behavior as bpe_train_merges'
+    per-round _apply).
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    seq = [(str(left), str(right)) for left, right in merges]
+    words = _words(F.col(text_col))
+    tok = (
+        df.select(id_col, F.explode(words).alias("_w"))
+        .where(F.col("_w") != "")
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vocab = tok.select("_w").distinct()
+
+    @F.pandas_udf(IntegerType())
+    def _n_tokens(ws: pd.Series) -> pd.Series:
+        def encode(word: str) -> int:
+            ts = list(word) + ["</w>"]
+            for left, right in seq:
+                out, i = [], 0
+                while i < len(ts):
+                    if (i + 1 < len(ts) and ts[i] == left
+                            and ts[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(ts[i])
+                        i += 1
+                ts = out
+            return len(ts)
+
+        return ws.map(encode)
+
+    vt = vocab.withColumn("_nt", _n_tokens("_w"))
+    per_doc = (
+        tok.join(vt, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_nt")).alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+
+
 def word_entropy(df: DataFrame, *, text_col: str,
                  out_col: str = "entropy", id_col: str | None = None,
                  fallback_tokens: int = 4096) -> DataFrame:
@@ -819,6 +897,7 @@ def bpe_train_merges(
     *,
     text_col: str,
     n_merges: int = 10,
+    driver_vocab_limit: int = 100_000,
 ) -> "DataFrame":
     """Greedy byte-pair-encoding merge training with a FIXED merge
     count — the tokenizer-training step of an LLM data pipeline,
@@ -827,19 +906,39 @@ def bpe_train_merges(
     runs on that Zipf-bounded table, never the corpus. Each
     iteration: adjacent-pair counts weighted by word frequency (hash
     agg, map-side combine), argmax with a deterministic
-    (count DESC, left, right) tie-break (single collected row), then
-    the merge applied to the token arrays via an Arrow-batched
-    pandas UDF (short per-word python loop; the vocab table is the
-    small side by construction). The working vocab is persisted and
-    swapped per round — iteration hygiene as in graph.pagerank.
+    (count DESC, left, right) tie-break (TakeOrdered — per-partition
+    top-1s merged on the driver, no sort shuffle), then the merge
+    applied to the token arrays via an Arrow-batched pandas UDF
+    (short per-word python loop; the vocab table is the small side
+    by construction).
+
+    Strategy is ADAPTIVE on the measured vocab size, the same
+    small-side decision as a broadcast join:
+
+    * vocab <= `driver_vocab_limit` rows (one corpus-scan count
+      decides): the merge loop runs DRIVER-SIDE on the collected
+      (freq, toks) table — identical arithmetic and tie-breaks, zero
+      per-round Spark jobs. A 100k-word vocab is a few MB; per-round
+      cluster scheduling (~2 jobs x round, Python-worker spin-up for
+      the Arrow UDF) costs ~1-2 s/round regardless of data size, so
+      below the threshold the driver loop wins by >10x and the ONLY
+      data-sized cost is the single corpus scan.
+    * larger vocabs: distributed rounds. The working vocab is
+      persisted LAZILY and swapped per round — round k's argmax
+      materializes vocab_k into the cache as a side effect, and
+      vocab_{k-1} is released only after that, so nothing is
+      recomputed from the corpus and no eager count() jobs run.
+      Shuffle partitions are clamped to 16 for the duration (saved /
+      restored): every post-scan stage runs on the Zipf-bounded
+      vocab (even a billion-doc corpus has ~millions of distinct
+      words), so a 200-partition default would pay ~12x
+      task-scheduling overhead per round for nothing.
 
     Returns the merge table (rank, left, right, pair_count) — the
     artifact a tokenizer ships. End-of-word is marked with '</w>' so
     merges never cross word boundaries (classic Sennrich-style BPE).
-
-    Not yet registered in `queries()` — the r4 gate window is full;
-    rotate it in r5 (candidate oracle: fixed-fixture closed form, or
-    unrolled per-merge SQL on the vocab CTE).
+    Gated as `ext-bpe-train` with a recursive-CTE DuckDB twin; the
+    apply step pairs with `bpe_encode_corpus`.
     """
     import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
@@ -859,37 +958,30 @@ def bpe_train_merges(
         )
         .persist()
     )
-    vocab.count()
 
     merges = []
-    for rank in range(n_merges):
-        pairs = (
-            vocab.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("toks"), 1, F.size("toks") - 1),
-                        F.slice(F.col("toks"), 2, F.size("toks") - 1),
-                        lambda a, b: F.struct(
-                            a.alias("l"), b.alias("r")
-                        ),
-                    )
-                ).alias("p"),
+    if vocab.count() <= driver_vocab_limit:
+        items = [
+            (int(r["freq"]), list(r["toks"])) for r in vocab.collect()
+        ]
+        vocab.unpersist()
+        for rank in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for freq, ts in items:
+                for a, b in zip(ts, ts[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freq
+            if not counts:
+                break
+            # (count DESC, left, right) — same total order as the
+            # distributed argmax and the DuckDB twin.
+            (left, right), c = min(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
             )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("c"))
-        )
-        top = pairs.orderBy(
-            F.col("c").desc(), F.col("l"), F.col("r")
-        ).limit(1).collect()
-        if not top or top[0]["c"] < 2:
-            break
-        left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((rank, left, right, count))
-
-        @F.pandas_udf(ArrayType(StringType()))
-        def _apply(toks: pd.Series) -> pd.Series:
-            def one(ts):
+            if c < 2:
+                break
+            merges.append((rank, left, right, int(c)))
+            for idx, (freq, ts) in enumerate(items):
                 out, i = [], 0
                 while i < len(ts):
                     if (i + 1 < len(ts) and ts[i] == left
@@ -899,14 +991,75 @@ def bpe_train_merges(
                     else:
                         out.append(ts[i])
                         i += 1
-                return out
-            return toks.map(one)
+                items[idx] = (freq, out)
+        return spark.createDataFrame(
+            merges, "rank long, left string, right string, pair_count long"
+        )
 
-        nxt = vocab.select("freq", _apply("toks").alias("toks")).persist()
-        nxt.count()
+    prev = None  # previous round's vocab, released once the current
+    # round's argmax has materialized `vocab` into the cache
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("c"))
+            )
+            top = pairs.orderBy(
+                F.col("c").desc(), F.col("l"), F.col("r")
+            ).limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top or top[0]["c"] < 2:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((rank, left, right, int(top[0]["c"])))
+
+            # Factory scope: the UDF executes LAZILY (next round's
+            # argmax, or a cache-eviction recompute), so the merge
+            # pair must be bound in its own closure cell — capturing
+            # the loop variables directly would resolve to a LATER
+            # round's pair at execution time.
+            def _make_apply(left: str, right: str):
+                @F.pandas_udf(ArrayType(StringType()))
+                def _apply(toks: pd.Series) -> pd.Series:
+                    def one(ts):
+                        out, i = [], 0
+                        while i < len(ts):
+                            if (i + 1 < len(ts) and ts[i] == left
+                                    and ts[i + 1] == right):
+                                out.append(left + right)
+                                i += 2
+                            else:
+                                out.append(ts[i])
+                                i += 1
+                        return out
+                    return toks.map(one)
+                return _apply
+
+            nxt = vocab.select(
+                "freq", _make_apply(left, right)("toks").alias("toks")
+            ).persist()
+            prev, vocab = vocab, nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

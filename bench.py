@@ -1,7 +1,16 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line LAST on stdout: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}.
+
+Driver parseability (the r4 lesson): the external driver records only
+a bounded TAIL of stdout and parses the JSON from it — r4's single
+fat line (75 queries, ~2.5 KB) overflowed the capture window and
+recorded `"parsed": null`. So the machine-first line now carries the
+total plus a fixed CORE subset of per-query timings (stable
+round-over-round comparison anchor, sized well under the window), and
+the FULL per-query map is written to BENCH_FULL_LOCAL.json (committed
+per round) and echoed on stderr for humans.
 
 Timing = full query execution to a noop write (foreach-noop would skip
 result materialization; collect would bottleneck the driver at larger
@@ -18,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import time
 
 from awskinesisconsumer_spark.session import get_spark
@@ -26,6 +36,8 @@ import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+FULL_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL_LOCAL.json")
 
 # Headline subset: the reference-pipeline ops + heaviest extension ops.
 HEADLINE = [
@@ -112,6 +124,45 @@ HEADLINE = [
     "join-late-orders-exists",
     "stream-manifest-sink",
     "join-asof-nearest",
+    # round 5 additions: the registered banked four + pause/resume
+    # lifecycle artifact (two checkpointed phases by construction).
+    "ext-dedup-incremental",
+    "ext-winsorize",
+    "ext-scd2-asof",
+    "ext-bpe-train",
+    "stream-pause-resume",
+]
+
+# Fixed cross-round comparison anchor — the compact stdout line
+# carries ONLY these (the full map goes to BENCH_FULL_LOCAL.json).
+# Reference-pipeline ops + the heaviest representative of each
+# extension family + this round's additions.
+CORE = [
+    "agg-pricing-summary",
+    "join-revenue-by-nation",
+    "join-asof-tags",
+    "segment-fragments",
+    "pivot-tag-assembly",
+    "sample-throttle-time",
+    "demux-decode-explode",
+    "ext-dedup-exact",
+    "ext-dedup-minhash",
+    "ext-dedup-cluster",
+    "ext-similarity-knn",
+    "ext-similarity-pq",
+    "ext-knn-join",
+    "ext-bm25-rank",
+    "ext-word-entropy",
+    "ext-collocations-pmi",
+    "ext-bloom-prefilter",
+    "ext-pagerank-dups",
+    "ext-prepare-corpus",
+    "ext-pack-sequences",
+    "stream-asof-tags",
+    "stream-restart-resume",
+    "stream-manifest-sink",
+    "ext-bpe-train",
+    "ext-dedup-incremental",
 ]
 
 
@@ -135,14 +186,28 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "reps": REPS,
-    }))
+    }
+    with open(FULL_OUT, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full), file=sys.stderr)
+
+    core = [n for n in CORE if n in timings]
+    compact = dict(full, queries={n: timings[n] for n in core},
+                   n_timed=len(timings), full_map="BENCH_FULL_LOCAL.json")
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 950 and core:  # stay inside the tail window
+        core.pop()
+        compact["queries"] = {n: timings[n] for n in core}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

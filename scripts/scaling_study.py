@@ -139,7 +139,76 @@ def doc_ops():
         ),
         "pagerank-dups": pagerank_dups,
         "skyline-2d": skyline_tokens,
+        # round-5 additions
+        "dedup-incremental": dedup_incremental_fixed_batch,
+        "bpe-train": bpe_train_study,
+        "bpe-encode": bpe_encode_study,
+        "domain-cap": domain_cap_study,
+        "snapshot-diff": snapshot_diff_study,
     }
+
+
+def dedup_incremental_fixed_batch(d):
+    # Daily-ingest shape: the NEW batch is FIXED (500 docs) while the
+    # existing corpus grows with the amplification — measures that
+    # probe cost is bounded by the (capped) inverted index, not by
+    # corpus self-pairing.
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+
+    new = d.where(F.col("doc_id") % 1000 == 0).limit(500) \
+        .select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 1000 != 0).select("doc_id", "text")
+    return dedup_incremental(
+        new, corpus, id_col="doc_id", text_col="text", min_overlap=5
+    )
+
+
+def bpe_train_study(d):
+    # One corpus scan builds the vocab; the 10 merge rounds then run
+    # on the Zipf-bounded vocab table — amplified replicas repeat
+    # words, so vocab growth is sublinear and rounds should be ~flat.
+    from awskinesisconsumer_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(d, text_col="text", n_merges=10)
+
+
+def bpe_encode_study(d):
+    # Encode with a FIXED merge table (trained once on the 5k base
+    # docs): the per-word UDF runs over DISTINCT words only, so the
+    # data-sized terms are the explode+count and the join back.
+    from awskinesisconsumer_spark.operators.text import bpe_encode_corpus
+
+    merges = [("e", "</w>"), ("e", "r"), ("er", "</w>"), ("i", "n"),
+              ("o", "w"), ("t", "</w>"), ("a", "n"), ("o", "r"),
+              ("s", "t"), ("l", "o")]
+    return bpe_encode_corpus(
+        d, id_col="doc_id", text_col="text", merges=merges
+    )
+
+
+def domain_cap_study(d):
+    # Per-source quota: one group-keyed window over ~97 synthetic
+    # domains — the wide-partition stress grows with rows per domain.
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    dom = d.withColumn("domain", (F.col("doc_id") % 97).cast("string"))
+    return domain_cap(
+        dom, group_col="domain", cap=100, id_col="doc_id"
+    ).where("kept")
+
+
+def snapshot_diff_study(d):
+    # Digest-reduced full-outer join: both sides data-sized, shuffle
+    # payload is 32-byte digests — the linear floor is the two scans.
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    old = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("mutated"))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, key_cols=["doc_id"])
 
 
 def pagerank_dups(d):

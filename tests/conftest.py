@@ -22,3 +22,26 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_store(spark, request):
+    """Run a stateful-streaming test under both state-store providers.
+
+    At 100 TB of state the heap-bound HDFS-backed store is the first
+    thing swapped for RocksDB (spill-to-SSD, changelog checkpointing)
+    — streaming/lifecycle.py use_rocksdb_state_store. Each test
+    creates fresh checkpoints, so switching the session-level
+    provider between runs never mixes providers within one
+    checkpoint lineage.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    if request.param == "rocksdb":
+        from awskinesisconsumer_spark.streaming.lifecycle import (
+            use_rocksdb_state_store,
+        )
+
+        use_rocksdb_state_store(spark)
+    yield request.param
+    spark.conf.set(key, old)

@@ -1,6 +1,15 @@
-"""Oracle parity for the operators BANKED for r5 (not yet in
-`queries()` — the r4 gate head is full). Proving their DuckDB twins
-here means r5's registration is a copy-paste of already-verified SQL.
+"""Oracle parity for operators banked ahead of registration.
+
+Part 1: the r4-banked trio registered as gated entries in r5
+(ext-dedup-incremental, ext-winsorize, ext-scd2-asof) — kept as fast
+unit-level parity at sf0.001; the registered twins are additionally
+re-verified at sf0.01 by tests/test_oracle_parity.py.
+
+Part 2: the r5-banked trio intended for r6 registration
+(bpe_encode_corpus, snapshot_diff, domain_cap) — proving their
+DuckDB twins here makes r6's registration a copy-paste of verified
+SQL, exactly the pattern that worked r4 -> r5.
+
 Same canonicalization as tests/test_oracle_parity.py."""
 
 from __future__ import annotations
@@ -63,22 +72,29 @@ def test_dedup_incremental_oracle(spark, duck):
         corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
         dg AS (SELECT DISTINCT sha256(trim(lower(coalesce(text, ''))))
                  AS d FROM corp),
+        -- positions generated per row from len(ws): a fixed series
+        -- cap would silently drop grams of documents longer than the
+        -- cap (the registered sf0.01 twin uses this same form).
+        nw AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM newb WHERE length(trim(coalesce(text, ''))) > 0),
+        cw AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM corp WHERE length(trim(coalesce(text, ''))) > 0),
         ng AS (
           SELECT DISTINCT doc_id,
                  ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-          FROM (SELECT doc_id,
-                  string_split_regex(trim(lower(text)), '\s+') AS ws
-                FROM newb WHERE length(trim(coalesce(text, ''))) > 0),
-               (SELECT UNNEST(generate_series(1, 200)) AS i)
-          WHERE i <= len(ws) - 2 AND ws[i] <> ''),
+          FROM (SELECT doc_id, ws,
+                       UNNEST(generate_series(1, len(ws) - 2)) AS i
+                FROM nw WHERE len(ws) >= 3)
+          WHERE ws[i] <> ''),
         cg AS (
           SELECT DISTINCT doc_id,
                  ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-          FROM (SELECT doc_id,
-                  string_split_regex(trim(lower(text)), '\s+') AS ws
-                FROM corp WHERE length(trim(coalesce(text, ''))) > 0),
-               (SELECT UNNEST(generate_series(1, 200)) AS i)
-          WHERE i <= len(ws) - 2 AND ws[i] <> ''),
+          FROM (SELECT doc_id, ws,
+                       UNNEST(generate_series(1, len(ws) - 2)) AS i
+                FROM cw WHERE len(ws) >= 3)
+          WHERE ws[i] <> ''),
         hot AS (SELECT s FROM cg GROUP BY s HAVING COUNT(*) > 100),
         capped AS (SELECT doc_id, s FROM cg
                    WHERE s NOT IN (SELECT s FROM hot)),
@@ -138,6 +154,97 @@ def test_winsorize_oracle(spark, duck):
                                      hi_cut) AS clipped
         FROM orders CROSS JOIN lohi
     """)
+
+
+def test_domain_cap_oracle(spark, duck):
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    orders = load_table(spark, "orders", SF).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = domain_cap(
+        orders, group_col="o_orderpriority", cap=20,
+        order_by=[F.col("o_totalprice").desc()], id_col="o_orderkey",
+    )
+    _compare(out, duck, """
+        WITH r AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                   AS rank_in_group
+          FROM orders)
+        SELECT *, rank_in_group <= 20 AS kept FROM r
+    """)
+
+
+def test_snapshot_diff_oracle(spark, duck):
+    # Two deterministic event-table snapshots: % 5 drops on the old
+    # side, % 7 drops on the new side, % 11 mutates event_type —
+    # exercising removed/added/changed/unchanged in one diff. Compare
+    # columns are long/string only, so the digest serialization is
+    # engine-portable (double-to-string formatting is not).
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    ev = load_table(spark, "events", SF).select(
+        "event_id", "user_id", "event_type"
+    )
+    old = ev.where(F.col("event_id") % 5 != 0)
+    new = ev.where(F.col("event_id") % 7 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit("mutated"))
+        .otherwise(F.col("event_type")),
+    )
+    out = snapshot_diff(
+        old, new, key_cols=["event_id"],
+        compare_cols=["user_id", "event_type"],
+    )
+    # sha256(VARCHAR) hashes the UTF-8 bytes — identical to Spark's
+    # string -> binary cast feeding sha2.
+    dig = ("sha256(concat(CAST(length(CAST(user_id AS VARCHAR)) "
+           "AS VARCHAR), '|', CAST(user_id AS VARCHAR), "
+           "CAST(length(event_type) AS VARCHAR), '|', event_type))")
+    _compare(out, duck, f"""
+        WITH o AS (
+          SELECT event_id, {dig} AS old_digest
+          FROM events WHERE event_id % 5 <> 0),
+        n AS (
+          SELECT event_id, {dig} AS new_digest
+          FROM (SELECT event_id, user_id,
+                  CASE WHEN event_id % 11 = 0 THEN 'mutated'
+                       ELSE event_type END AS event_type
+                FROM events WHERE event_id % 7 <> 0))
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               old_digest, new_digest,
+               CASE WHEN old_digest IS NULL THEN 'added'
+                    WHEN new_digest IS NULL THEN 'removed'
+                    WHEN old_digest = new_digest THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+    """)
+
+
+def test_bpe_encode_oracle(spark, duck):
+    # Encode with the merges trained on the SAME corpus: the train
+    # twin's final vocab state v10 IS the per-word tokenization, so
+    # the encode twin is the same recursive chain + a doc-level join
+    # (__spark_entry__._bpe_oracle_sql(encode=True)).
+    from __spark_entry__ import _bpe_oracle_sql
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_encode_corpus, bpe_train_merges,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, text_col="text", n_merges=10)
+        .orderBy("rank").collect()
+    ]
+    assert len(merges) == 10
+    out = bpe_encode_corpus(
+        docs, id_col="doc_id", text_col="text", merges=merges
+    )
+    _compare(out, duck, _bpe_oracle_sql(10, encode=True))
 
 
 def test_scd2_as_of_oracle(spark, duck):

@@ -256,7 +256,10 @@ def test_enrich_stream_static_broadcast_and_modes(spark, tmp_path):
 
 # ------------------------------------------------------------ interval join
 
-def test_interval_join_stream_matches_batch(spark, tmp_path):
+def test_interval_join_stream_matches_batch(spark, tmp_path, state_store):
+    # Parametrized over HDFS- and RocksDB-backed state stores (the
+    # stream-stream join keeps both sides' buffers in the store; at
+    # 100 TB RocksDB is mandatory) — identical join output on both.
     from awskinesisconsumer_spark.streaming.pipeline import (
         interval_join_stream,
     )

@@ -1,0 +1,171 @@
+"""Unit tests for the round-5 additions: the r6-banked trio
+(snapshot_diff, domain_cap, bpe_encode_corpus) plus edge semantics
+the sf-fixture parity tests (test_banked_parity.py) cannot reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ snapshot diff
+
+def test_snapshot_diff_statuses(spark):
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(
+        old, new, key_cols=["k"]
+    ).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_and_column_bleed(spark):
+    # The length-prefixed serialization must distinguish NULL from ''
+    # and ('ab','c') from ('a','bc') — naive concat collides on both.
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, ""), (2, "ab", "c")], "k long, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "", None), (2, "a", "bc")], "k long, a string, b string"
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(
+        old, new, key_cols=["k"]
+    ).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_missing_compare_col_raises(spark):
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, a string")
+    new = spark.createDataFrame([(1, "a", "x")], "k long, a string, b string")
+    with pytest.raises(ValueError, match="absent from the old snapshot"):
+        snapshot_diff(old, new, key_cols=["k"])
+    # Explicit compare_cols on the shared subset works.
+    out = snapshot_diff(old, new, key_cols=["k"], compare_cols=["a"])
+    assert out.collect()[0].diff_status == "unchanged"
+
+
+# ------------------------------------------------------------ domain cap
+
+def test_domain_cap_priority_and_tiebreak(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    rows = [("d1", 1, 0.9), ("d1", 2, 0.9), ("d1", 3, 0.5),
+            ("d2", 4, 0.1)]
+    df = spark.createDataFrame(rows, "dom string, id long, q double")
+    out = {r.id: (r.rank_in_group, r.kept) for r in domain_cap(
+        df, group_col="dom", cap=2,
+        order_by=[F.col("q").desc()], id_col="id",
+    ).collect()}
+    # Equal quality ties break on id ascending; rank 3 is cut.
+    assert out[1] == (1, True) and out[2] == (2, True)
+    assert out[3] == (3, False)
+    assert out[4] == (1, True)
+
+
+def test_domain_cap_hash_path_is_deterministic(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    df = spark.createDataFrame(
+        [("d", i) for i in range(50)], "dom string, id long"
+    ).repartition(8)
+    kept1 = sorted(
+        r.id for r in domain_cap(
+            df, group_col="dom", cap=10, id_col="id"
+        ).where("kept").collect()
+    )
+    kept2 = sorted(
+        r.id for r in domain_cap(
+            df.repartition(3), group_col="dom", cap=10, id_col="id"
+        ).where("kept").collect()
+    )
+    assert kept1 == kept2 and len(kept1) == 10
+    # Hash order is not id order (it is a spread sample).
+    assert kept1 != list(range(10))
+
+
+def test_domain_cap_rejects_ambiguous_call(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    df = spark.createDataFrame([("d", 1)], "dom string, id long")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        domain_cap(df, group_col="dom", cap=1)
+    with pytest.raises(ValueError, match="cap must be"):
+        domain_cap(df, group_col="dom", cap=0, id_col="id")
+
+
+# ------------------------------------------------------------ bpe encode
+
+def test_bpe_encode_matches_hand_tokenization(spark):
+    from awskinesisconsumer_spark.operators.text import bpe_encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "b b b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    # merges in rank order: (a,a) then (aa,b)
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_encode_corpus(
+        docs, id_col="doc_id", text_col="text",
+        merges=[("a", "a"), ("aa", "b")],
+    ).collect()}
+    # 'aaab' -> a a a b </w> -> aa a b </w> (greedy left-to-right, no
+    # re-scan of the merged symbol within the same pass) -> aa a b
+    # stays (the second merge needs adjacent (aa, b)): a-a merge
+    # yields [aa, a, b, </w>]; (aa,b) not adjacent -> 4 tokens.
+    # 'ab' -> a b </w> -> 3 tokens. 'b' -> b </w> -> 2 tokens.
+    assert out[1] == (3, 4 + 4 + 3)
+    assert out[2] == (3, 6)
+    assert out[3] == (0, 0) and out[4] == (0, 0)
+
+
+def test_bpe_encode_agrees_with_trainer_vocab_state(spark):
+    # Encoding with the trainer's merges must reproduce the trainer's
+    # own final vocab tokenization: total bpe tokens == sum over the
+    # vocab of freq * len(final toks). Random-ish corpus via fixed
+    # seed words.
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_encode_corpus, bpe_train_merges,
+    )
+
+    texts = ["lower lowest low", "newer newest new wider", "low low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, text_col="text", n_merges=5)
+        .orderBy("rank").collect()
+    ]
+    out = bpe_encode_corpus(
+        docs, id_col="doc_id", text_col="text", merges=merges
+    )
+    total = out.agg(F.sum("n_bpe_tokens")).first()[0]
+
+    # Hand replay: tokenize each word, apply merges greedily.
+    def enc(word):
+        ts = list(word) + ["</w>"]
+        for left, right in merges:
+            o, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == left and ts[i + 1] == right:
+                    o.append(left + right)
+                    i += 2
+                else:
+                    o.append(ts[i])
+                    i += 1
+            ts = o
+        return len(ts)
+
+    want = sum(enc(w) for t in texts for w in t.split())
+    assert total == want

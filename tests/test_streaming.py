@@ -409,9 +409,12 @@ def test_tumbling_agg_restart_resumes_window_state(spark, tmp_path):
     assert got_set == exp_set
 
 
-def test_scd2_stream_equals_batch_sealed_subset(spark, sf_dir):
+def test_scd2_stream_equals_batch_sealed_subset(spark, sf_dir, state_store):
     # Streaming SCD2's append output must equal the batch build minus
     # the still-open versions (the is_current rows live in state).
+    # Parametrized over the HDFS- and RocksDB-backed state stores:
+    # identical results, and the arbitrary-stateful operator is
+    # proven to run on the provider a 100 TB deployment needs.
     import __spark_entry__ as entry
     from awskinesisconsumer_spark.io import load_table
     from awskinesisconsumer_spark.operators.compaction import scd2_versions

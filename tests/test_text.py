@@ -124,6 +124,26 @@ def test_bpe_train_merges_learns_the_dominant_pair(spark):
     assert len({(m.left, m.right) for m in merges}) == len(merges)
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    # The adaptive small-vocab driver loop must reproduce the
+    # distributed rounds exactly (same pair counts, same
+    # (c DESC, l, r) argmax, same greedy apply).
+    from awskinesisconsumer_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(i, "lower lowest low newer newest wide wider")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    drv = [tuple(r) for r in bpe_train_merges(
+        docs, text_col="text", n_merges=6
+    ).orderBy("rank").collect()]
+    dist = [tuple(r) for r in bpe_train_merges(
+        docs, text_col="text", n_merges=6, driver_vocab_limit=0
+    ).orderBy("rank").collect()]
+    assert drv == dist and len(drv) == 6
+
+
 def test_bpe_merges_respect_word_boundary(spark):
     from awskinesisconsumer_spark.operators.text import bpe_train_merges
 
