@@ -335,7 +335,7 @@ def main() -> None:
 
     results: list[tuple[str, int, int, float, float]] = []
     for name, op in doc_ops().items():
-        if only and only not in name:
+        if only and not any(o in name for o in only.split(",")):
             continue
         for r in doc_sizes:
             # The inverted-index jaccard verify is quadratic in
@@ -349,7 +349,7 @@ def main() -> None:
             print(f"{name:22s} n={n:7d} cold={cold:7.2f}s warm={warm:7.2f}s",
                   flush=True)
     for name, op in emb_ops().items():
-        if only and only not in name:
+        if only and not any(o in name for o in only.split(",")):
             continue
         for r in emb_sizes:
             n = 2000 * r

@@ -234,3 +234,44 @@ def test_full_outer_aggregates_before_join(spark):
     plan = _plan(df)
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_never_self_joins_corpus(spark):
+    # The daily-ingest dedup joins NEW grams against CORPUS grams —
+    # never corpus against itself, and nothing quadratic anywhere.
+    df = entry.queries()["ext-dedup-incremental"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_cap_single_exchange(spark):
+    # Per-group quota = ONE group-keyed window sort; a second
+    # hash-exchange would mean the rank and the keep flag planned as
+    # separate window families.
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = domain_cap(
+        docs.withColumn("domain", (F.col("doc_id") % 7).cast("string")),
+        group_col="domain", cap=5, id_col="doc_id",
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_scan_reads_only_key_and_compare_cols(spark):
+    # The digest projection must prune the scan to key + compared
+    # columns — at 100 TB the diff never reads the payload.
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = snapshot_diff(
+        ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1"),
+        key_cols=["event_id"], compare_cols=["event_type"],
+    )
+    plan = _plan(out)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "event_type" in read_schema
+    assert "value" not in read_schema and "props" not in read_schema
+    assert "CartesianProduct" not in plan
