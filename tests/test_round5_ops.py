@@ -169,3 +169,47 @@ def test_bpe_encode_agrees_with_trainer_vocab_state(spark):
 
     want = sum(enc(w) for t in texts for w in t.split())
     assert total == want
+
+
+# ------------------------------------------------- streaming incremental dedup
+
+def test_incremental_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    # Multi-batch streaming ingest (maxFilesPerTrigger=1 over a
+    # 3-file source) must produce EXACTLY the single-batch result:
+    # every flag depends only on (new doc, corpus), so chunking the
+    # arrivals cannot change anything.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+
+    src = str(tmp_path / "new_src")
+    new.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "flags")
+    q = incremental_dedup_stream(
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        corpus, id_col="doc_id", text_col="text",
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+        min_overlap=5,
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3  # genuinely multi-batch
+
+    got = sorted(
+        (r.doc_id, r.exact_dup, r.max_overlap, r.near_dup)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.exact_dup, r.max_overlap, r.near_dup)
+        for r in dedup_incremental(
+            new, corpus, id_col="doc_id", text_col="text", min_overlap=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
