@@ -822,3 +822,72 @@ def embedding_dim_stats(df: DataFrame, *, vec_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str,
+    bench_vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-based (semantic) decontamination: flag corpus
+    documents whose embedding is cosine-similar (>= threshold) to ANY
+    benchmark embedding — the paraphrase-robust complement to the
+    n-gram `corpus_prep.decontaminate` (which only catches verbatim
+    overlap). Standard eval-hygiene step in modern training-data
+    pipelines.
+
+    Scale shape: the benchmark side is small by definition (eval
+    suites are thousands of rows, not billions) and is BROADCAST; the
+    corpus is never shuffled — each corpus partition scores its rows
+    against the broadcast benchmark locally and the per-(corpus row)
+    max collapses in the same stage via a partial aggregate keyed on
+    the corpus id. Cost is linear in corpus x n_bench, embarrassingly
+    parallel; for very large benchmarks, pre-bucket both sides with
+    `srp_bucket` and equi-join on bucket instead (the
+    `embedding_near_dup_pairs(planes=...)` path).
+
+    Returns (id, max_bench_cosine, matched_bench_id, contaminated).
+    Zero-norm vectors on either side score NULL (never contaminated);
+    ties on the max cosine resolve to the lowest benchmark id.
+    Cosines round to 6 dp before the threshold compare so the flag is
+    engine-portable.
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bv")
+    )
+    sim = F.round(
+        _safe_div(_dot(F.col("_cv"), F.col("_bv")),
+                  _norm(F.col("_cv")) * _norm(F.col("_bv"))),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(b))
+        .select(id_col, F.col("_bid"), sim.alias("_sim"))
+        .where(F.col("_sim").isNotNull())
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("_sim").alias("max_bench_cosine"),
+            F.min_by("_bid", F.struct(
+                (-F.col("_sim")).alias("s"), F.col("_bid").alias("i")
+            )).alias("matched_bench_id"),
+        )
+    )
+    return (
+        corpus.select(id_col).join(best, id_col, "left")
+        .select(
+            id_col,
+            "max_bench_cosine",
+            "matched_bench_id",
+            F.coalesce(
+                F.col("max_bench_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

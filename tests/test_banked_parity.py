@@ -39,7 +39,7 @@ def _canon(v):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "events", "orders"):
+    for t in ("documents", "events", "orders", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     yield con
     con.close()
@@ -245,6 +245,48 @@ def test_bpe_encode_oracle(spark, duck):
         docs, id_col="doc_id", text_col="text", merges=merges
     )
     _compare(out, duck, _bpe_oracle_sql(10, encode=True))
+
+
+def test_semantic_decontaminate_oracle(spark, duck):
+    # Embedding-based decontamination: corpus = vec_id % 13 != 0,
+    # benchmark = the rest. The oracle replays the broadcast
+    # cross-score + (sim DESC, bench_id) argmax in SQL with the same
+    # left-fold cosine the ANN oracles use.
+    from __spark_entry__ import _sql_cosine
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    corpus = emb.where(F.col("vec_id") % 13 != 0)
+    bench = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    out = semantic_decontaminate(
+        corpus, bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec", threshold=0.8,
+    )
+    cos = _sql_cosine("c.embedding", "b.embedding")
+    _compare(out, duck, f"""
+        WITH c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 13 <> 0),
+        b AS (SELECT vec_id AS bid, embedding FROM embeddings
+              WHERE vec_id % 13 = 0),
+        scored AS (
+          SELECT c.vec_id, b.bid, {cos} AS sim
+          FROM c CROSS JOIN b),
+        ranked AS (
+          SELECT vec_id, bid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, bid) AS rn
+          FROM scored WHERE sim IS NOT NULL),
+        best AS (SELECT vec_id, sim AS max_bench_cosine,
+                        bid AS matched_bench_id
+                 FROM ranked WHERE rn = 1)
+        SELECT c.vec_id, max_bench_cosine, matched_bench_id,
+               COALESCE(max_bench_cosine >= 0.8, FALSE) AS contaminated
+        FROM c LEFT JOIN best ON best.vec_id = c.vec_id
+    """)
 
 
 def test_scd2_as_of_oracle(spark, duck):
