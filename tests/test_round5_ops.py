@@ -213,3 +213,77 @@ def test_incremental_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------- randomized checks
+
+def test_snapshot_diff_random_tables_match_python_replay(spark):
+    # Randomized keyed snapshots (fixed seed): statuses must equal a
+    # plain-Python diff of the same rows.
+    import random
+
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    rng = random.Random(11)
+    keys = list(range(60))
+    old_rows = {
+        k: (f"u{rng.randint(0, 5)}", f"t{rng.randint(0, 3)}")
+        for k in keys if rng.random() < 0.8
+    }
+    new_rows = {
+        k: (f"u{rng.randint(0, 5)}", f"t{rng.randint(0, 3)}")
+        for k in keys if rng.random() < 0.8
+    }
+    old = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in old_rows.items()],
+        "k long, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in new_rows.items()],
+        "k long, a string, b string",
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(
+        old, new, key_cols=["k"]
+    ).collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "added"
+        elif k not in new_rows:
+            want[k] = "removed"
+        elif old_rows[k] == new_rows[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
+
+
+def test_domain_cap_random_matches_python_hash_replay(spark):
+    # The hash-spread kept set must equal a Python replay of the
+    # md5-slice priority (portable_hash52 semantics), per group.
+    import hashlib
+    import random
+
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    rng = random.Random(23)
+    rows = [(f"d{rng.randint(0, 4)}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "dom string, id long").repartition(7)
+    cap = 12
+    got = sorted(
+        (r.dom, r.id) for r in domain_cap(
+            df, group_col="dom", cap=cap, id_col="id"
+        ).where("kept").collect()
+    )
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+
+    want = []
+    by_dom: dict[str, list[int]] = {}
+    for dom, i in rows:
+        by_dom.setdefault(dom, []).append(i)
+    for dom, ids in by_dom.items():
+        for i in sorted(ids, key=lambda x: (h(x), x))[:cap]:
+            want.append((dom, i))
+    assert got == sorted(want)
