@@ -833,6 +833,7 @@ def semantic_decontaminate(
     bench_id_col: str,
     bench_vec_col: str,
     threshold: float = 0.95,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Embedding-based (semantic) decontamination: flag corpus
     documents whose embedding is cosine-similar (>= threshold) to ANY
@@ -851,12 +852,28 @@ def semantic_decontaminate(
     `srp_bucket` and equi-join on bucket instead (the
     `embedding_near_dup_pairs(planes=...)` path).
 
+    `vectorized=True` swaps the interpreted HOF cosine for an
+    Arrow-batched numpy kernel (mapInPandas) that accumulates the dot
+    products dimension-by-dimension over the whole (batch x bench)
+    matrix — SEQUENTIAL over dims, vectorized over rows, so the float
+    fold order is IDENTICAL to the HOF/oracle left fold (np.dot's
+    pairwise summation would not be), and HALF_UP rounding is
+    replayed sign-aware. ~10x faster per row (measured 40x-corpus
+    study); results bit-equal on the fixtures
+    (tests/test_round5_ops.py). The HOF form stays the gate default.
+
     Returns (id, max_bench_cosine, matched_bench_id, contaminated).
     Zero-norm vectors on either side score NULL (never contaminated);
     ties on the max cosine resolve to the lowest benchmark id.
     Cosines round to 6 dp before the threshold compare so the flag is
     engine-portable.
     """
+    if vectorized:
+        return _semantic_decontaminate_np(
+            corpus, benchmark, id_col=id_col, vec_col=vec_col,
+            bench_id_col=bench_id_col, bench_vec_col=bench_vec_col,
+            threshold=threshold,
+        )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
     b = benchmark.select(
         F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bv")
@@ -891,3 +908,90 @@ def semantic_decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def _semantic_decontaminate_np(
+    corpus: DataFrame, benchmark: DataFrame, *, id_col: str,
+    vec_col: str, bench_id_col: str, bench_vec_col: str, threshold: float,
+) -> DataFrame:
+    """Vectorized kernel for `semantic_decontaminate(vectorized=True)`
+    — see its docstring for the fold-order and rounding contract."""
+    import numpy as np
+
+    bench_rows = sorted(
+        benchmark.select(bench_id_col, bench_vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    bids = np.array([int(r[0]) for r in bench_rows], dtype=np.int64)
+    bm = np.array(
+        [[float(x) for x in r[1]] for r in bench_rows], dtype=np.float64
+    )
+    # Left-fold benchmark norms (sequential over dims) — same order
+    # as the HOF _norm.
+    bnorm2 = np.zeros(len(bids))
+    for j in range(bm.shape[1] if len(bids) else 0):
+        bnorm2 += bm[:, j] * bm[:, j]
+    bnorm = np.sqrt(bnorm2)
+
+    def round6_half_up(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    out_schema = (
+        f"{id_col} long, max_bench_cosine double, "
+        "matched_bench_id long, contaminated boolean"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            if len(bids) == 0:
+                # No benchmark rows: nothing can be contaminated.
+                yield pd.DataFrame({
+                    id_col: ids,
+                    "max_bench_cosine": [None] * len(ids),
+                    "matched_bench_id": [None] * len(ids),
+                    "contaminated": [False] * len(ids),
+                })
+                continue
+            cv = np.array(
+                [[float(x) for x in v] for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            dots = np.zeros((len(ids), len(bids)))
+            cnorm2 = np.zeros(len(ids))
+            for j in range(cv.shape[1]):  # sequential dims = left fold
+                dots += np.outer(cv[:, j], bm[:, j])
+                cnorm2 += cv[:, j] * cv[:, j]
+            cnorm = np.sqrt(cnorm2)
+            denom = np.outer(cnorm, bnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, dots / denom, np.nan)
+            sims = round6_half_up(sims)
+            valid = ~np.isnan(sims)
+            any_valid = valid.any(axis=1)
+            neg = np.where(valid, sims, -np.inf)
+            best = np.max(neg, axis=1)
+            # argmax with lowest-bid tie-break: bids are sorted asc,
+            # argmax returns the FIRST max.
+            arg = neg.argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: ids,
+                "max_bench_cosine": [
+                    best[i] if any_valid[i] else None
+                    for i in range(len(ids))
+                ],
+                "matched_bench_id": [
+                    int(bids[arg[i]]) if any_valid[i] else None
+                    for i in range(len(ids))
+                ],
+                "contaminated": [
+                    bool(any_valid[i] and best[i] >= threshold)
+                    for i in range(len(ids))
+                ],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)

@@ -291,7 +291,26 @@ def emb_ops():
             probe_ids=[0, 1000, 2000, 3000],
             planes=deterministic_planes(64, 8), k=10,
         ),
+        # round-5 addition: fixed 50-vector benchmark broadcast, the
+        # corpus side grows — cost must stay linear, zero shuffles of
+        # the corpus.
+        "semantic-decontaminate": semantic_decontam_study,
     }
+
+
+def semantic_decontam_study(d):
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = d.where(F.col("vec_id") % 40000 == 0).limit(50).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    return semantic_decontaminate(
+        d, bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec", threshold=0.9,
+        vectorized=True,
+    )
 
 
 def timed(make_df, src, spark) -> tuple[float, float]:

@@ -287,3 +287,28 @@ def test_domain_cap_random_matches_python_hash_replay(spark):
         for i in sorted(ids, key=lambda x: (h(x), x))[:cap]:
             want.append((dom, i))
     assert got == sorted(want)
+
+
+def test_semantic_decontaminate_vectorized_bit_equal(spark, sf_dir):
+    # The numpy kernel folds dims sequentially (same float order as
+    # the HOF left fold) and replays HALF_UP rounding — results must
+    # be IDENTICAL, not approximately equal.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.where(F.col("vec_id") % 13 != 0)
+    bench = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              bench_id_col="bid", bench_vec_col="bvec", threshold=0.8)
+    hof = sorted(tuple(r) for r in semantic_decontaminate(
+        corpus, bench, **kw
+    ).collect())
+    vec = sorted(tuple(r) for r in semantic_decontaminate(
+        corpus, bench, vectorized=True, **kw
+    ).collect())
+    assert hof == vec and len(hof) > 0
