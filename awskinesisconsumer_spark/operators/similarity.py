@@ -695,7 +695,7 @@ def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
 
 def knn_join_topk(
     df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int],
-    k: int = 5, salt_buckets: int = 16,
+    k: int = 5, salt_buckets: int = 16, vectorized: bool = False,
 ) -> DataFrame:
     """Batch k-NN JOIN: top-k cosine neighbors for EVERY probe in one
     job. Same broadcast-probes / corpus-never-shuffles contract as
@@ -711,25 +711,71 @@ def knn_join_topk(
     Ranking key is the 6-dp-rounded cosine + neighbor id, identical
     in both phases, so the two-level result equals the single-window
     result exactly (min-k of a union == min-k of per-part min-k's).
+
+    `vectorized=True` scores with the Arrow-batched dim-sequential
+    numpy kernel (`_np_fold_cosines` — same float fold order as the
+    HOF/oracle left fold, HALF_UP rounding replayed) instead of the
+    interpreted HOF cosine; bit-equal results, ~10-20x cheaper per
+    (row, probe) at scale. The HOF form stays the gate default.
     """
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    scored = (
-        df.alias("c")
-        .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                _safe_div(
-                    _dot(F.col(vec_col), F.col("probe_vec")),
-                    _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
-                ),
-                6,
-            ).alias("cosine_sim"),
+    if vectorized:
+        import numpy as np
+
+        probe_rows = sorted(
+            probes.collect(), key=lambda r: int(r["probe_id"])
         )
-    )
+        pids = np.array(
+            [int(r["probe_id"]) for r in probe_rows], dtype=np.int64
+        )
+        pm = np.array(
+            [[float(x) for x in r["probe_vec"]] for r in probe_rows],
+            dtype=np.float64,
+        )
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy()
+                if len(ids) == 0 or len(pids) == 0:
+                    continue
+                cv = np.array(
+                    [[float(x) for x in v] for v in pdf[vec_col]],
+                    dtype=np.float64,
+                )
+                sims = _np_fold_cosines(cv, pm)
+                rid, pidx = np.nonzero(
+                    ~np.isnan(sims) & (ids[:, None] != pids[None, :])
+                )
+                yield pd.DataFrame({
+                    "probe_id": pids[pidx],
+                    "neighbor_id": ids[rid],
+                    "cosine_sim": sims[rid, pidx],
+                })
+
+        scored = df.select(id_col, vec_col).mapInPandas(
+            score,
+            "probe_id long, neighbor_id long, cosine_sim double",
+        )
+    else:
+        scored = (
+            df.alias("c")
+            .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
+            .select(
+                "probe_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.round(
+                    _safe_div(
+                        _dot(F.col(vec_col), F.col("probe_vec")),
+                        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
     from pyspark.sql import Window
 
     order = (F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -910,6 +956,36 @@ def semantic_decontaminate(
     )
 
 
+def _np_round6_half_up(x):
+    """Sign-aware HALF_UP at 6 dp — replays Spark's F.round(_, 6) on
+    doubles (numpy's np.round is banker's/half-even, which would flip
+    exact .5e-7 boundaries the other way)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _np_fold_cosines(cv, bm):
+    """Cosine matrix (rows x bench) with the dot/norm accumulations
+    SEQUENTIAL over dimensions — vectorized over rows, but the float
+    fold order per element is IDENTICAL to the HOF/oracle left fold
+    (np.dot's pairwise summation is not). NaN where either norm is 0
+    (the _safe_div NULL contract). Returns 6-dp HALF_UP rounded."""
+    import numpy as np
+
+    dots = np.zeros((cv.shape[0], bm.shape[0]))
+    cnorm2 = np.zeros(cv.shape[0])
+    bnorm2 = np.zeros(bm.shape[0])
+    for j in range(cv.shape[1]):
+        dots += np.outer(cv[:, j], bm[:, j])
+        cnorm2 += cv[:, j] * cv[:, j]
+        bnorm2 += bm[:, j] * bm[:, j]
+    denom = np.outer(np.sqrt(cnorm2), np.sqrt(bnorm2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, dots / denom, np.nan)
+    return _np_round6_half_up(sims)
+
+
 def _semantic_decontaminate_np(
     corpus: DataFrame, benchmark: DataFrame, *, id_col: str,
     vec_col: str, bench_id_col: str, bench_vec_col: str, threshold: float,
@@ -926,16 +1002,6 @@ def _semantic_decontaminate_np(
     bm = np.array(
         [[float(x) for x in r[1]] for r in bench_rows], dtype=np.float64
     )
-    # Left-fold benchmark norms (sequential over dims) — same order
-    # as the HOF _norm.
-    bnorm2 = np.zeros(len(bids))
-    for j in range(bm.shape[1] if len(bids) else 0):
-        bnorm2 += bm[:, j] * bm[:, j]
-    bnorm = np.sqrt(bnorm2)
-
-    def round6_half_up(x: np.ndarray) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
-
     out_schema = (
         f"{id_col} long, max_bench_cosine double, "
         "matched_bench_id long, contaminated boolean"
@@ -961,16 +1027,7 @@ def _semantic_decontaminate_np(
                 [[float(x) for x in v] for v in pdf[vec_col]],
                 dtype=np.float64,
             )
-            dots = np.zeros((len(ids), len(bids)))
-            cnorm2 = np.zeros(len(ids))
-            for j in range(cv.shape[1]):  # sequential dims = left fold
-                dots += np.outer(cv[:, j], bm[:, j])
-                cnorm2 += cv[:, j] * cv[:, j]
-            cnorm = np.sqrt(cnorm2)
-            denom = np.outer(cnorm, bnorm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, dots / denom, np.nan)
-            sims = round6_half_up(sims)
+            sims = _np_fold_cosines(cv, bm)
             valid = ~np.isnan(sims)
             any_valid = valid.any(axis=1)
             neg = np.where(valid, sims, -np.inf)

@@ -286,6 +286,10 @@ def emb_ops():
             d, id_col="vec_id", vec_col="embedding",
             probe_ids=[0, 1000, 2000, 3000], k=10,
         ),
+        "knn-join-topk-vec": lambda d: knn_join_topk(
+            d, id_col="vec_id", vec_col="embedding",
+            probe_ids=[0, 1000, 2000, 3000], k=10, vectorized=True,
+        ),
         "ann-join-srp": lambda d: ann_join_srp(
             d, id_col="vec_id", vec_col="embedding",
             probe_ids=[0, 1000, 2000, 3000],

@@ -312,3 +312,17 @@ def test_semantic_decontaminate_vectorized_bit_equal(spark, sf_dir):
         corpus, bench, vectorized=True, **kw
     ).collect())
     assert hof == vec and len(hof) > 0
+
+
+def test_knn_join_vectorized_bit_equal(spark, sf_dir):
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import knn_join_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              probe_ids=[0, 3, 7, 11], k=10)
+    hof = sorted(tuple(r) for r in knn_join_topk(emb, **kw).collect())
+    vec = sorted(tuple(r) for r in knn_join_topk(
+        emb, vectorized=True, **kw
+    ).collect())
+    assert hof == vec and len(hof) == 40
