@@ -1759,8 +1759,9 @@ def _stream_pause_resume(spark: SparkSession, sf: str) -> DataFrame:
         if not handle.resume().awaitTermination(300):
             raise RuntimeError("pause-gate phase 2 timed out")
         # Progress events reach the listener on its own bus thread —
-        # bounded wait for the final batch's metric to land.
-        deadline = _time.monotonic() + 60.0
+        # bounded wait for the final batch's metric to land (normally
+        # instant; generous bound for a loaded gate host).
+        deadline = _time.monotonic() + 90.0
         while _time.monotonic() < deadline:
             n_obs = handle.listener.observed_totals("pause_gate") \
                 .get("n_rows", 0)
