@@ -1776,6 +1776,59 @@ def _stream_pause_resume(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("observed_rows", F.lit(int(n_obs)).cast("long"))
 
 
+def _sink_memory_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row 17 (queryable bounded in-memory sink — the
+    # reference's Frames queue, parser.py:470-512) as a driver-gated
+    # artifact: the events extract replayed one file per micro-batch
+    # through the REAL fan-out (streaming/sinks.py start_fanout:
+    # per-batch persist, parquet sink, dead-letter slot, and the
+    # BoundedMemorySink trimmed to newest-K by the monotone
+    # event_id). Only K rows per batch cross to the driver, and the
+    # final queue contents equal the global newest-K REGARDLESS of
+    # how arrivals were chunked (global top-K of per-batch top-Ks) —
+    # that chunking-invariance is what the oracle checks
+    # (ORDER BY event_id DESC LIMIT K).
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.sinks import (
+        BoundedMemorySink, start_fanout,
+    )
+
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="memsink_gate_")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = BoundedMemorySink(k=100)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, _ = start_fanout(
+            stream, None,
+            out_dir=os.path.join(base, "out"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            memory_sink=sink,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("sink-memory-bounded timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    rows = [sink.get(i) for i in range(len(sink))]
+    return spark.createDataFrame(
+        rows,
+        schema="event_id long, user_id long, event_type string, "
+               "value double",
+    )
+
+
 def _chunk_text(spark: SparkSession, sf: str) -> DataFrame:
     # Sliding token-window chunking (long doc -> overlapping training
     # chunks), 16-token windows advancing by 12: narrow posexplode +
@@ -2773,12 +2826,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 5: the four r4-banked operators (oracles
         #    pre-proven in tests/test_banked_parity.py; BPE's
         #    recursive-CTE oracle proven at sf0.001 AND sf0.01) plus
-        #    the row-20/23/24 lifecycle artifact.
+        #    the row-20/23/24 lifecycle artifact and the row-17
+        #    bounded-memory-sink artifact — with these, every §2
+        #    reference row has a driver-gated entry.
         "ext-dedup-incremental": _dedup_incremental,
         "ext-winsorize": _winsorize,
         "ext-scd2-asof": _scd2_asof,
         "ext-bpe-train": _bpe_train,
         "stream-pause-resume": _stream_pause_resume,
+        "sink-memory-bounded": _sink_memory_bounded,
         # -- CHANGED in round 5 (must re-gate): nearest as-of carry
         #    totalized with right_order; word-entropy explode
         #    fallback exercised at threshold 50; pagerank dangling
@@ -2833,18 +2889,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        "ext-lang-id": _lang_id,
         # ---- gate horizon (position 50; shifts when entries are
         # added above): entries below are past the external gate's
         # 50-entry window this round; all are green in the union of
         # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json.
-        # Final r5 head: 5 new + 5 changed (every one locally
+        # Final r5 head: 6 new + 5 changed (every one locally
         # driver-replicated on a vanilla ANSI session at sf0.01
-        # before landing) + the 40 r2-record veterans. The 46
-        # r4-record entries directly below plus the 44 r3-record
-        # entries after them ride the ledger; the r3 block is r6's
-        # first rotation priority (see README "Correctness gate
+        # before landing) + 39 of the 40 r2-record veterans
+        # (ext-lang-id, unchanged since its r2 record, slid just past
+        # the horizon to make room for the row-17 artifact — it
+        # re-gates in r6 with the r3 block). The 46 r4-record entries
+        # below the r2/r3 stragglers ride the ledger; the r3 block is
+        # r6's first rotation priority (see README "Correctness gate
         # rotation").
+        "ext-lang-id": _lang_id,
         # -- r4 records --
         "ext-embedding-quantize": _embedding_quantize,
         "ext-sequence-build": _sequence_build,
@@ -5809,6 +5867,12 @@ def oracle_sql() -> dict[str, str]:
         # set — same oracle string by construction.
         "stream-restart-resume": _TUMBLING_CLOSED_SQL,
         "stream-pause-resume": _TUMBLING_CLOSED_OBS_SQL,
+        # Row-17 twin: the bounded memory queue's final contents are
+        # the global newest-K by the monotone id, chunking-invariant.
+        "sink-memory-bounded": """
+            SELECT event_id, user_id, event_type, value
+            FROM events ORDER BY event_id DESC LIMIT 100
+        """,
         "stream-segment-rollup": """
             WITH e AS (
               SELECT user_id, event_id, value, epoch_us(ts) AS tus

@@ -131,6 +131,7 @@ HEADLINE = [
     "ext-scd2-asof",
     "ext-bpe-train",
     "stream-pause-resume",
+    "sink-memory-bounded",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
