@@ -727,6 +727,12 @@ def knn_join_topk(
         probe_rows = sorted(
             probes.collect(), key=lambda r: int(r["probe_id"])
         )
+        if len(probe_rows) > 50_000:
+            raise ValueError(
+                f"knn_join_topk(vectorized=True): {len(probe_rows)} "
+                "probes; beyond 50k the per-batch score matrix is GBs "
+                "per task — use ann_join_srp (bucketed) instead"
+            )
         pids = np.array(
             [int(r["probe_id"]) for r in probe_rows], dtype=np.int64
         )
@@ -998,6 +1004,16 @@ def _semantic_decontaminate_np(
         benchmark.select(bench_id_col, bench_vec_col).collect(),
         key=lambda r: r[0],
     )
+    if len(bench_rows) > 50_000:
+        # The kernel materializes a (arrow_batch x bench) double
+        # matrix per batch (~10k x bench x 8 B) — beyond ~50k bench
+        # rows that is GBs per task; bucket both sides with
+        # srp_bucket / embedding_near_dup_pairs(planes=...) instead.
+        raise ValueError(
+            f"semantic_decontaminate(vectorized=True): benchmark has "
+            f"{len(bench_rows)} rows; beyond 50k use the SRP-bucketed "
+            "path (embedding_near_dup_pairs with planes)"
+        )
     bids = np.array([int(r[0]) for r in bench_rows], dtype=np.int64)
     bm = np.array(
         [[float(x) for x in r[1]] for r in bench_rows], dtype=np.float64
