@@ -1810,11 +1810,15 @@ def _sink_memory_bounded(spark: SparkSession, sf: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # partition_col=None: user_id is high-cardinality in this
+        # fixture — partitioning the tee by it would write thousands
+        # of tiny files per batch (see start_fanout docstring).
         q, _ = start_fanout(
             stream, None,
             out_dir=os.path.join(base, "out"),
             checkpoint_dir=os.path.join(base, "ckpt"),
             memory_sink=sink,
+            partition_col=None,
         )
         if not q.awaitTermination(300):
             q.stop()

@@ -108,6 +108,9 @@ def pagerank(
     # Lineage is O(iters) without checkpointing — fine at the default
     # 3; localCheckpoint per round only when the tree would deepen
     # past that (each round otherwise re-plans the whole prefix).
+    # Checkpointed rank vectors (tiny: one row per node) stay in
+    # block storage until Spark's ContextCleaner collects the
+    # dropped references — bounded by iters, reclaimed automatically.
     ckpt = iters > 3
     for _ in range(iters):
         contrib = (

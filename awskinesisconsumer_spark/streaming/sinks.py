@@ -65,18 +65,26 @@ def start_fanout(
     checkpoint_dir: str,
     memory_sink: BoundedMemorySink,
     trigger_available_now: bool = True,
+    partition_col: str | None = "user_id",
 ):
-    """Start the fan-out query: one persist, three sinks per batch."""
+    """Start the fan-out query: one persist, three sinks per batch.
+
+    `partition_col` partitions the parquet frame sink (the
+    reference's one-directory-per-stream layout — sensible for a
+    BOUNDED key like a camera/stream id). Pass None for
+    high-cardinality keys: partitionBy on thousands of distinct
+    values writes thousands of tiny files PER BATCH (measured 75 s
+    vs 3 s on the 100k-event fixture with ~1.5k users).
+    """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            # (2) file sink — append-only parquet, partitioned by user
-            (
-                batch.write.mode("append")
-                .partitionBy("user_id")
-                .parquet(f"{out_dir}/frames")
-            )
+            # (2) file sink — append-only parquet
+            w = batch.write.mode("append")
+            if partition_col is not None:
+                w = w.partitionBy(partition_col)
+            w.parquet(f"{out_dir}/frames")
             # (1) bounded memory sink — ship only the newest K rows of
             # the batch (never more than K cross the JVM boundary)
             top = (
