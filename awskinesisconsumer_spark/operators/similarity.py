@@ -716,7 +716,11 @@ def knn_join_topk(
     numpy kernel (`_np_fold_cosines` — same float fold order as the
     HOF/oracle left fold, HALF_UP rounding replayed) instead of the
     interpreted HOF cosine; bit-equal results, ~10-20x cheaper per
-    (row, probe) at scale. The HOF form stays the gate default.
+    (row, probe) at scale. The HOF form stays the gate default. One
+    degenerate-input divergence: zero-norm (NULL-cosine) candidates
+    are dropped by the kernel but ranked last by the HOF windows, so
+    a probe with fewer than k scorable neighbors pads its top-k with
+    NULL rows only on the HOF path.
     """
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")

@@ -558,8 +558,13 @@ def incremental_dedup_stream(
     persists between batches; pass them pre-built as `corpus` stays
     static within a run.
 
-    Parquet-append sink + checkpoint => exactly-once per batchId on
-    restart. Returns the started StreamingQuery.
+    Delivery under CRASH-retry is at-least-once (foreachBatch may
+    re-run an uncommitted batch and re-append its rows — same
+    contract as streaming/sinks.py start_fanout); a clean
+    stop/restart replays nothing. Upgrade to exactly-once with a
+    transactional sink keyed on batch_id (Delta/Iceberg, or the
+    manifest-jsonl stream writer's epoch-REPLACE slots) or dedup
+    downstream on `id_col`. Returns the started StreamingQuery.
     """
     from awskinesisconsumer_spark.operators.dedup import dedup_incremental
 
