@@ -1760,13 +1760,20 @@ def _stream_pause_resume(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("pause-gate phase 2 timed out")
         # Progress events reach the listener on its own bus thread —
         # bounded wait for the final batch's metric to land (normally
-        # instant; generous bound for a loaded gate host).
+        # instant; generous bound for a loaded gate host). A timeout
+        # RAISES like the phase timeouts do: a silently stale counter
+        # would surface as an opaque value mismatch at the gate.
         deadline = _time.monotonic() + 90.0
-        while _time.monotonic() < deadline:
+        while True:
             n_obs = handle.listener.observed_totals("pause_gate") \
                 .get("n_rows", 0)
             if n_obs >= n_events:
                 break
+            if _time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"pause-gate listener saw {n_obs}/{n_events} rows "
+                    "after 90 s — progress events lost or delayed"
+                )
             _time.sleep(0.25)
     finally:
         handle.dispose()

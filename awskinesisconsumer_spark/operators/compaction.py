@@ -127,9 +127,8 @@ def scd2_as_of(
     with the dimension partitioned/z-ordered on effective_from the
     scan prunes to the files overlapping `at`.
 
-    Not yet registered in `queries()` — r4's gate head is full;
-    rotate in r5 (oracle: the same BETWEEN predicate in SQL over the
-    ext-scd2-versions CTE).
+    Gated as `ext-scd2-asof` (r5): the ext-scd2-versions CTE plus
+    the same BETWEEN predicate.
     """
     t = F.lit(at).cast("timestamp")
     return versions.where(

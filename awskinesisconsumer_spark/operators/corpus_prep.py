@@ -603,9 +603,11 @@ def domain_cap(
     dominate the training mixture.
 
     `order_by` is the keep-priority (e.g. quality score descending);
-    `id_col` is appended as the total-order tie-break. With neither
-    given, rows are prioritized by the engine-portable md5 hash of
-    `id_col` — a deterministic uniform subsample within each group.
+    `id_col` (REQUIRED — it totalizes the order, since any
+    caller-supplied priority can tie) is appended as the final
+    tie-break. Without `order_by`, rows are prioritized by the
+    engine-portable md5 hash of `id_col` — a deterministic uniform
+    subsample within each group.
 
     Returns the input plus (rank_in_group, kept). Filtering is left
     to the caller so the rejected rows remain auditable (the usual
@@ -622,17 +624,18 @@ def domain_cap(
 
     if cap < 1:
         raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    if id_col is None:
+        # Even with order_by given, ties in the caller's priority
+        # would make the kept subset depend on physical row order.
+        raise ValueError(
+            "domain_cap: id_col is required — without a unique "
+            "tie-break the kept subset would be nondeterministic"
+        )
     if order_by is None:
-        if id_col is None:
-            raise ValueError(
-                "domain_cap: pass order_by and/or id_col — without "
-                "both, the kept subset would be nondeterministic"
-            )
         order = [portable_hash52(F.col(id_col).cast("string")).asc()]
     else:
         order = list(order_by)
-    if id_col is not None:
-        order.append(F.col(id_col).asc())
+    order.append(F.col(id_col).asc())
     w = Window.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("rank_in_group", F.row_number().over(w))

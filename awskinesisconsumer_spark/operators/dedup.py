@@ -644,9 +644,8 @@ def dedup_incremental(
     boilerplate grams bound the join). Returns the new batch with
     `exact_dup` and `near_dup` flags plus the best-match overlap.
 
-    Not yet registered in `queries()` — the r4 gate window is full;
-    rotate it in as a gated entry in r5 (oracle: digest semi-join +
-    gram-overlap GROUP BY in SQL).
+    Gated as `ext-dedup-incremental` (r5); the streaming per-batch
+    form is `streaming.pipeline.incremental_dedup_stream`.
     """
     norm = F.sha2(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 256

@@ -717,10 +717,12 @@ def knn_join_topk(
     HOF/oracle left fold, HALF_UP rounding replayed) instead of the
     interpreted HOF cosine; bit-equal results, ~10-20x cheaper per
     (row, probe) at scale. The HOF form stays the gate default. One
-    degenerate-input divergence: zero-norm (NULL-cosine) candidates
+    degenerate-input divergence: zero-norm or NULL-vector candidates
     are dropped by the kernel but ranked last by the HOF windows, so
     a probe with fewer than k scorable neighbors pads its top-k with
-    NULL rows only on the HOF path.
+    NULL rows only on the HOF path. The kernel also requires an
+    integer id column (its output schema is typed long); use the HOF
+    path for string ids.
     """
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
@@ -749,6 +751,10 @@ def knn_join_topk(
             import pandas as pd
 
             for pdf in batches:
+                # NULL embeddings can produce no finite cosine —
+                # dropped here like zero-norm rows (see the
+                # degenerate-input note in the docstring).
+                pdf = pdf[pdf[vec_col].notna()]
                 ids = pdf[id_col].to_numpy()
                 if len(ids) == 0 or len(pids) == 0:
                     continue
@@ -915,8 +921,10 @@ def semantic_decontaminate(
     fold order is IDENTICAL to the HOF/oracle left fold (np.dot's
     pairwise summation would not be), and HALF_UP rounding is
     replayed sign-aware. ~10x faster per row (measured 40x-corpus
-    study); results bit-equal on the fixtures
-    (tests/test_round5_ops.py). The HOF form stays the gate default.
+    study); results bit-equal (tests/test_round5_ops.py). Requires
+    integer corpus/bench id columns (the kernel output schema is
+    typed long); NULL embeddings score NULL / not-contaminated, as
+    on the HOF path. The HOF form stays the gate default.
 
     Returns (id, max_bench_cosine, matched_bench_id, contaminated).
     Zero-norm vectors on either side score NULL (never contaminated);
@@ -967,12 +975,39 @@ def semantic_decontaminate(
 
 
 def _np_round6_half_up(x):
-    """Sign-aware HALF_UP at 6 dp — replays Spark's F.round(_, 6) on
-    doubles (numpy's np.round is banker's/half-even, which would flip
-    exact .5e-7 boundaries the other way)."""
+    """Sign-aware HALF_UP at 6 dp, replaying Spark's F.round(_, 6) on
+    doubles EXACTLY. Spark rounds via BigDecimal.valueOf(d) — the
+    SHORTEST decimal representation of the double — then HALF_UP;
+    the vectorized `floor(|x|*1e6 + 0.5)` agrees everywhere except
+    doubles whose shortest representation sits exactly on the .5e-7
+    boundary (e.g. repr '0.0588235': binary *1e6 computes
+    58823.49999.., flooring DOWN where BigDecimal rounds UP). Those
+    boundary elements are rare, so they are detected by proximity
+    and re-rounded through Python's decimal module on repr(x) — the
+    same shortest-representation HALF_UP Spark applies — keeping the
+    hot path fully vectorized and the result bit-equal in general,
+    not just on fixtures (numpy's np.round is banker's/half-even and
+    would be wrong on every boundary)."""
+    import decimal
+
     import numpy as np
 
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    fast = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    scaled = np.abs(x) * 1e6
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-8
+    near &= ~np.isnan(x)
+    if near.any():
+        q = decimal.Decimal("1e-6")
+        it = np.nditer(near, flags=["multi_index"])
+        for flag in it:
+            if flag:
+                idx = it.multi_index
+                fast[idx] = float(
+                    decimal.Decimal(repr(float(x[idx]))).quantize(
+                        q, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+    return fast
 
 
 def _np_fold_cosines(cv, bm):
@@ -1034,8 +1069,10 @@ def _semantic_decontaminate_np(
             ids = pdf[id_col].to_numpy()
             if len(ids) == 0:
                 continue
-            if len(bids) == 0:
-                # No benchmark rows: nothing can be contaminated.
+            # NULL embeddings score like zero-norm ones on the HOF
+            # path: no cosine, never contaminated.
+            null_vec = pdf[vec_col].isna().to_numpy()
+            if len(bids) == 0 or null_vec.all():
                 yield pd.DataFrame({
                     id_col: ids,
                     "max_bench_cosine": [None] * len(ids),
@@ -1044,10 +1081,13 @@ def _semantic_decontaminate_np(
                 })
                 continue
             cv = np.array(
-                [[float(x) for x in v] for v in pdf[vec_col]],
+                [[float(x) for x in v]
+                 for v in pdf[vec_col][~null_vec]],
                 dtype=np.float64,
             )
-            sims = _np_fold_cosines(cv, bm)
+            sims_valid = _np_fold_cosines(cv, bm)
+            sims = np.full((len(ids), len(bids)), np.nan)
+            sims[~null_vec] = sims_valid
             valid = ~np.isnan(sims)
             any_valid = valid.any(axis=1)
             neg = np.where(valid, sims, -np.inf)

@@ -465,6 +465,25 @@ def bm25_rank(df: DataFrame, *, id_col: str, text_col: str,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _apply_merge(ts: list, left: str, right: str) -> list:
+    """One greedy left-to-right pass of a BPE merge over a token
+    list: each (left, right) adjacency collapses and the scan resumes
+    AFTER the merged symbol (no re-scan within the pass). The single
+    definition shared by the trainer's driver loop, the trainer's
+    distributed UDF, and the encoder — the train/encode parity
+    contract (and the recursive-CTE oracle) depends on all call
+    sites applying byte-identical semantics."""
+    out, i = [], 0
+    while i < len(ts):
+        if i + 1 < len(ts) and ts[i] == left and ts[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(ts[i])
+            i += 1
+    return out
+
+
 def bpe_encode_corpus(
     df: DataFrame,
     *,
@@ -509,16 +528,7 @@ def bpe_encode_corpus(
         def encode(word: str) -> int:
             ts = list(word) + ["</w>"]
             for left, right in seq:
-                out, i = [], 0
-                while i < len(ts):
-                    if (i + 1 < len(ts) and ts[i] == left
-                            and ts[i + 1] == right):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(ts[i])
-                        i += 1
-                ts = out
+                ts = _apply_merge(ts, left, right)
             return len(ts)
 
         return ws.map(encode)
@@ -981,17 +991,9 @@ def bpe_train_merges(
             if c < 2:
                 break
             merges.append((rank, left, right, int(c)))
-            for idx, (freq, ts) in enumerate(items):
-                out, i = [], 0
-                while i < len(ts):
-                    if (i + 1 < len(ts) and ts[i] == left
-                            and ts[i + 1] == right):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(ts[i])
-                        i += 1
-                items[idx] = (freq, out)
+            items = [
+                (freq, _apply_merge(ts, left, right)) for freq, ts in items
+            ]
         return spark.createDataFrame(
             merges, "rank long, left string, right string, pair_count long"
         )
@@ -1037,18 +1039,9 @@ def bpe_train_merges(
             def _make_apply(left: str, right: str):
                 @F.pandas_udf(ArrayType(StringType()))
                 def _apply(toks: pd.Series) -> pd.Series:
-                    def one(ts):
-                        out, i = [], 0
-                        while i < len(ts):
-                            if (i + 1 < len(ts) and ts[i] == left
-                                    and ts[i + 1] == right):
-                                out.append(left + right)
-                                i += 2
-                            else:
-                                out.append(ts[i])
-                                i += 1
-                        return out
-                    return toks.map(one)
+                    return toks.map(
+                        lambda ts: _apply_merge(list(ts), left, right)
+                    )
                 return _apply
 
             nxt = vocab.select(

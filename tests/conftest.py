@@ -35,8 +35,12 @@ def state_store(spark, request):
     provider between runs never mixes providers within one
     checkpoint lineage.
     """
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key)
+    keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
     if request.param == "rocksdb":
         from awskinesisconsumer_spark.streaming.lifecycle import (
             use_rocksdb_state_store,
@@ -44,4 +48,8 @@ def state_store(spark, request):
 
         use_rocksdb_state_store(spark)
     yield request.param
-    spark.conf.set(key, old)
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)

@@ -98,9 +98,13 @@ def test_domain_cap_hash_path_is_deterministic(spark):
 def test_domain_cap_rejects_ambiguous_call(spark):
     from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
 
-    df = spark.createDataFrame([("d", 1)], "dom string, id long")
+    df = spark.createDataFrame([("d", 1, 0.5)], "dom string, id long, q double")
     with pytest.raises(ValueError, match="nondeterministic"):
         domain_cap(df, group_col="dom", cap=1)
+    # order_by alone is not enough: its ties need the id tie-break.
+    with pytest.raises(ValueError, match="nondeterministic"):
+        domain_cap(df, group_col="dom", cap=1,
+                   order_by=[F.col("q").desc()])
     with pytest.raises(ValueError, match="cap must be"):
         domain_cap(df, group_col="dom", cap=0, id_col="id")
 
@@ -326,3 +330,25 @@ def test_knn_join_vectorized_bit_equal(spark, sf_dir):
         emb, vectorized=True, **kw
     ).collect())
     assert hof == vec and len(hof) == 40
+
+
+def test_np_round6_matches_spark_round_on_boundaries(spark):
+    # Doubles whose SHORTEST decimal representation ends exactly at
+    # the .5e-7 boundary (e.g. 0.0588235) round UP through Spark's
+    # BigDecimal HALF_UP but DOWN through a binary-value*1e6 floor —
+    # the decimal-replay patch in _np_round6_half_up must agree with
+    # Spark on them, and everywhere else.
+    import numpy as np
+
+    from awskinesisconsumer_spark.operators.similarity import (
+        _np_round6_half_up,
+    )
+
+    vals = [0.0588235, -0.0588235, 0.1234565, 1.9999995, 5e-7,
+            -5e-7, 123.4567895, 0.1, 0.25, 1.0 / 3.0, 0.9999995]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r[0] for r in df.select(
+        F.round("x", 6).alias("r")
+    ).collect()]
+    got_np = [float(v) for v in _np_round6_half_up(np.array(vals))]
+    assert got_spark == got_np
