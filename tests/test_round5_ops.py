@@ -352,3 +352,145 @@ def test_np_round6_matches_spark_round_on_boundaries(spark):
     ).collect()]
     got_np = [float(v) for v in _np_round6_half_up(np.array(vals))]
     assert got_spark == got_np
+
+
+# ----------------------------------------- randomized replays, gated r5 trio
+
+def test_winsorize_random_matches_python_replay(spark):
+    # Independent python replay of the histogram-quantile
+    # interpolation + clip (same expression order as the operator and
+    # its DuckDB twin).
+    import math
+    import random
+
+    from awskinesisconsumer_spark.operators.sketches import winsorize
+
+    rng = random.Random(41)
+    vals = [round(rng.uniform(0.37, 99.13), 3) for _ in range(500)]
+    lo, hi, n_bins, p_lo, p_hi = 0.0, 100.0, 25, 0.05, 0.95
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {(round(r.v, 6)): (r.winsorized, r.clipped) for r in winsorize(
+        df, value_col="v", lo=lo, hi=hi, n_bins=n_bins,
+        p_low=p_lo, p_high=p_hi,
+    ).collect()}
+
+    width = (hi - lo) / n_bins
+    bins: dict[int, int] = {}
+    for v in vals:
+        b = min(max(math.floor((v - lo) / width), 0), n_bins - 1)
+        bins[b] = bins.get(b, 0) + 1
+    total = sum(bins.values())
+
+    def est(q):
+        rank = math.ceil(q * total)
+        cum = 0
+        for b in sorted(bins):
+            c = bins[b]
+            cum += c
+            if cum >= rank:
+                return round(lo + (b + (rank - (cum - c)) / c) * width, 4)
+
+    lo_cut, hi_cut = est(p_lo), est(p_hi)
+    for v in vals:
+        w = min(max(v, lo_cut), hi_cut)
+        assert got[round(v, 6)] == (w, v != w)
+
+
+def test_scd2_as_of_random_matches_python_replay(spark):
+    import random
+
+    from awskinesisconsumer_spark.operators.compaction import (
+        scd2_as_of, scd2_versions,
+    )
+
+    rng = random.Random(43)
+    rows = []
+    oid = 0
+    for k in range(10):
+        t = 0
+        for _ in range(rng.randint(1, 15)):
+            t += rng.randint(1, 5)
+            oid += 1
+            rows.append((k, t, oid, rng.choice("abc")))
+    df = spark.createDataFrame(
+        rows, "k long, t long, o long, s string"
+    ).selectExpr("k", "timestamp_seconds(t) AS t", "o", "s")
+    dim = scd2_versions(df, key_col="k", ts_col="t", order_col="o",
+                        state_col="s")
+    import datetime as dt
+    at = dt.datetime(1970, 1, 1, 0, 0, 20)
+    got = sorted((r.k, r.o, r.s) for r in scd2_as_of(dim, at=at).collect())
+
+    want = []
+    by_key: dict[int, list] = {}
+    for k, t, o, s in rows:
+        by_key.setdefault(k, []).append((t, o, s))
+    for k, evs in by_key.items():
+        evs.sort()
+        versions = []
+        prev = None
+        for t, o, s in evs:
+            if prev is None or s != prev:
+                versions.append([t, None, o, s])
+            prev = s
+        for i in range(len(versions) - 1):
+            versions[i][1] = versions[i + 1][0]
+        for t0, t1, o, s in versions:
+            if t0 <= 20 and (t1 is None or t1 > 20):
+                want.append((k, o, s))
+    assert got == sorted(want) and len(got) == 10
+
+
+def test_dedup_incremental_random_matches_python_replay(spark):
+    # Includes a HOT 3-gram shared by >100 corpus docs, which the
+    # postings cap must exclude from overlap counting.
+    import hashlib
+    import random
+
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(12)]
+    hot = "h1 h2 h3"  # one shared gram across all corpus docs
+
+    def doc(i, corpus):
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        return (i, (hot + " " + base) if corpus else base)
+
+    corpus_rows = [doc(i, True) for i in range(200)]
+    new_rows = [doc(1000 + i, False) for i in range(40)]
+    # one exact duplicate and one near duplicate of a corpus doc
+    new_rows.append((2000, corpus_rows[0][1]))
+    new_rows.append((2001, corpus_rows[1][1] + " tail"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = {r.doc_id: (r.exact_dup, r.max_overlap, r.near_dup)
+           for r in dedup_incremental(
+               new, corpus, id_col="doc_id", text_col="text",
+               min_overlap=3,
+           ).collect()}
+
+    def norm(t):
+        return t.strip().lower()
+
+    def grams(t):
+        ws = [w for w in norm(t).split() if w]
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    digests = {hashlib.sha256(norm(t).encode()).hexdigest()
+               for _, t in corpus_rows}
+    postings: dict[str, int] = {}
+    cg = {i: grams(t) for i, t in corpus_rows}
+    for gs in cg.values():
+        for g in gs:
+            postings[g] = postings.get(g, 0) + 1
+    capped = {g for g, c in postings.items() if c > 100}
+    assert "h1 h2 h3" in capped  # the hot gram really is capped
+    for i, t in new_rows:
+        exact = hashlib.sha256(norm(t).encode()).hexdigest() in digests
+        best = 0
+        ng = grams(t)
+        for gs in cg.values():
+            best = max(best, len((ng & gs) - capped))
+        assert got[i] == (exact, best, best >= 3), i
+    assert got[2000][0] is True and got[2001][2] is True
