@@ -167,6 +167,24 @@ CORE = [
 ]
 
 
+def compact_line(full: dict) -> str:
+    """The machine-first stdout line: the full payload with `queries`
+    reduced to the CORE subset, hard-capped under the driver's ~1.1 KB
+    tail-capture window (drops trailing CORE entries if a pathological
+    timing widens the JSON past 950 bytes). Unit-tested in
+    tests/test_round5_ops.py."""
+    timings = full["queries"]
+    core = [n for n in CORE if n in timings]
+    compact = dict(full, queries={n: timings[n] for n in core},
+                   n_timed=len(timings), full_map="BENCH_FULL_LOCAL.json")
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 950 and core:
+        core.pop()
+        compact["queries"] = {n: timings[n] for n in core}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     spark = get_spark("awskinesisconsumer-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -200,15 +218,7 @@ def main() -> None:
         f.write("\n")
     print(json.dumps(full), file=sys.stderr)
 
-    core = [n for n in CORE if n in timings]
-    compact = dict(full, queries={n: timings[n] for n in core},
-                   n_timed=len(timings), full_map="BENCH_FULL_LOCAL.json")
-    line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 950 and core:  # stay inside the tail window
-        core.pop()
-        compact["queries"] = {n: timings[n] for n in core}
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(full))
     spark.stop()
 
 

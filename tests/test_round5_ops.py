@@ -494,3 +494,32 @@ def test_dedup_incremental_random_matches_python_replay(spark):
             best = max(best, len((ng & gs) - capped))
         assert got[i] == (exact, best, best >= 3), i
     assert got[2000][0] is True and got[2001][2] is True
+
+
+# ------------------------------------------------------ bench line contract
+
+def test_bench_compact_line_fits_driver_tail_window():
+    # The external driver stores ~1.1 KB of stdout tail and parses
+    # JSON from it (BENCH_r04 recorded parsed=null when the line
+    # overflowed). The compact line must parse, carry the required
+    # keys, and stay under 950 bytes even with pathological timings.
+    import json
+
+    import bench
+
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    full = {"metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3), "unit": "sec",
+            "queries": timings, "sf": 0.1, "reps": 3}
+    line = bench.compact_line(full)
+    assert len(line) <= 950
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    assert 0 < len(parsed["queries"]) <= len(bench.CORE)
+    assert set(parsed["queries"]) <= set(bench.HEADLINE)
+    assert parsed["n_timed"] == len(bench.HEADLINE)
+    # Every HEADLINE name must be a registered query.
+    import __spark_entry__ as entry
+
+    assert set(bench.HEADLINE) <= set(entry.queries())
