@@ -236,6 +236,24 @@ def test_full_outer_aggregates_before_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_winsorize_scan_prunes_columns(spark):
+    # Both passes (histogram build + map-only clip) must prune the
+    # orders scan to the two used columns.
+    df = entry.queries()["ext-winsorize"](spark, SF)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_scd2_asof_is_map_only_over_one_exchange(spark):
+    # The point-in-time filter adds NO exchange over the scd2_versions
+    # build (lag-collapse + lead-stamp share one user-keyed sort).
+    df = entry.queries()["ext-scd2-asof"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_dedup_incremental_never_self_joins_corpus(spark):
     # The daily-ingest dedup joins NEW grams against CORPUS grams —
     # never corpus against itself, and nothing quadratic anywhere.
