@@ -523,3 +523,18 @@ def test_bench_compact_line_fits_driver_tail_window():
     import __spark_entry__ as entry
 
     assert set(bench.HEADLINE) <= set(entry.queries())
+
+
+def test_conf_mutating_entries_restore_session_conf(spark, sf_dir):
+    # Entries that clamp spark.sql.shuffle.partitions for their
+    # streaming phases / vocab loops run inside the DRIVER'S session
+    # at the gate — leaking the clamp would poison every later entry
+    # in the same run.
+    import __spark_entry__ as entry
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    for name in ["stream-pause-resume", "sink-memory-bounded",
+                 "ext-bpe-train"]:
+        assert entry.queries()[name](spark, sf_dir).count() > 0, name
+        assert spark.conf.get(key) == before, name
