@@ -2328,6 +2328,145 @@ def _bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train_merges(docs, text_col="text", n_merges=10)
 
 
+def _bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # Tokenizer APPLY (operators/text.py bpe_encode_corpus): encode
+    # the corpus with the merges trained on it by ext-bpe-train —
+    # closing the train -> encode pair. The merge UDF runs over
+    # DISTINCT words only (Zipf-bounded); per-word token lengths join
+    # back and aggregate per document. Merge semantics are identical
+    # to the trainer's by construction: both sides call the one
+    # shared _apply_merge (text.py:468).
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_encode_corpus, bpe_train_merges,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    trained = bpe_train_merges(docs, text_col="text", n_merges=10)
+    rows = trained.orderBy("rank").collect()
+    # The encode oracle (v10 of the train CTE chain) is sound only
+    # when training's early stop did NOT trigger: the CTE applies all
+    # 10 merges unconditionally, so a truncated merge table would
+    # silently diverge. Guard loudly instead (ADVICE r5 item 5).
+    if len(rows) != 10 or min(r["pair_count"] for r in rows) < 2:
+        raise RuntimeError(
+            "ext-bpe-encode: trainer early-stopped "
+            f"({len(rows)} merges, min count "
+            f"{min((r['pair_count'] for r in rows), default=0)}) — "
+            "the encode oracle assumes all 10 merges applied"
+        )
+    merges = [(r["left"], r["right"]) for r in rows]
+    return bpe_encode_corpus(
+        docs, id_col="doc_id", text_col="text", merges=merges
+    )
+
+
+def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # Keyed snapshot diff (operators/compaction.py snapshot_diff):
+    # added/removed/changed/unchanged between two deterministic event
+    # snapshots (%5 drops old-side, %7 drops new-side, %11 mutates).
+    # Each side reduces to (key, sha2 digest) BEFORE the full-outer
+    # join, so only 32-byte digests shuffle — the lake-audit shape
+    # that never moves the payload at 100 TB.
+    from awskinesisconsumer_spark.operators.compaction import snapshot_diff
+
+    ev = load_table(spark, "events", sf).select(
+        "event_id", "user_id", "event_type"
+    )
+    old = ev.where(F.col("event_id") % 5 != 0)
+    new = ev.where(F.col("event_id") % 7 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit("mutated"))
+        .otherwise(F.col("event_type")),
+    )
+    return snapshot_diff(
+        old, new, key_cols=["event_id"],
+        compare_cols=["user_id", "event_type"],
+    )
+
+
+def _domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source quota sampling (operators/corpus_prep.py domain_cap):
+    # keep at most 20 orders per priority bucket by (price DESC, key)
+    # — the mixture-control step every corpus build runs so mega
+    # domains cannot dominate. ONE group-keyed window sort, the same
+    # single exchange as any per-group top-k.
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+
+    orders = load_table(spark, "orders", sf).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return domain_cap(
+        orders, group_col="o_orderpriority", cap=20,
+        order_by=[F.col("o_totalprice").desc()], id_col="o_orderkey",
+    )
+
+
+def _semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-based eval decontamination (operators/similarity.py
+    # semantic_decontaminate): flag corpus vectors cosine-similar
+    # (>= 0.8) to ANY benchmark vector. Benchmark side broadcast, the
+    # corpus never shuffles; per-row max collapses via a partial agg
+    # keyed on the corpus id. vec_id % 13 == 0 is the benchmark.
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    corpus = emb.where(F.col("vec_id") % 13 != 0)
+    bench = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    return semantic_decontaminate(
+        corpus, bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec", threshold=0.8,
+    )
+
+
+def _stream_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # SURVEY §2 row-1-shaped daily-ingest capstone: the streaming form
+    # of ext-dedup-incremental (streaming/pipeline.py
+    # incremental_dedup_stream). New docs arrive as a genuinely
+    # multi-batch file stream (3 files, maxFilesPerTrigger=1); each
+    # micro-batch is flagged against the STATIC corpus via
+    # foreachBatch. Every flag depends only on (new doc, corpus), so
+    # the appended union EQUALS the single-batch result — the batch
+    # oracle applies verbatim, chunking-invariant by construction.
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+
+    src = tempfile.mkdtemp(prefix="inc_dedup_src_")
+    out_path = tempfile.mkdtemp(prefix="inc_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="inc_dedup_ckpt_")
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    q = incremental_dedup_stream(
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        corpus, id_col="doc_id", text_col="text",
+        out_path=out_path, checkpoint=ckpt, min_overlap=5,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-dedup-incremental: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-dedup-incremental: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    return spark.read.parquet(out_path).select(
+        "doc_id", "text", "exact_dup", "max_overlap", "near_dup"
+    )
+
+
 def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # Recall@10 audit of the SRP-bucketed ANN join against the exact
     # k-NN join, per probe — the evaluation loop a production ANN
@@ -2834,33 +2973,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- NEW in round 5: the four r4-banked operators (oracles
-        #    pre-proven in tests/test_banked_parity.py; BPE's
-        #    recursive-CTE oracle proven at sf0.001 AND sf0.01) plus
-        #    the row-20/23/24 lifecycle artifact and the row-17
-        #    bounded-memory-sink artifact — with these, every §2
-        #    reference row has a driver-gated entry.
+        # -- NEW in round 6: the five r5-banked operators (oracles
+        #    pre-proven in tests/test_banked_parity.py; the
+        #    streaming form reuses ext-dedup-incremental's oracle
+        #    verbatim — chunking-invariance IS its correctness
+        #    property). With these, every SURVEY §2 inventory row
+        #    is registered: 146/146.
+        "ext-bpe-encode": _bpe_encode,
+        "ext-snapshot-diff": _snapshot_diff,
+        "ext-domain-cap": _domain_cap,
+        "ext-semantic-decontaminate": _semantic_decontaminate,
+        "stream-dedup-incremental": _stream_dedup_incremental,
+        # -- the 45 oldest-record veterans (README "Round-6
+        #    rotation plan" step 1: 1 r2 + 44 r3) — re-gated
+        #    before their records age out. 45 + 5 new = exactly
+        #    the 50-entry gate head.
+        "ext-lang-id": _lang_id,
+        "sink-jsonl-roundtrip": _jsonl_roundtrip,
+        "ext-multimodal-decode": _multimodal,
+        "ext-multimodal-pipeline": _multimodal_pipeline,
+        "ext-multimodal-audio": _multimodal_audio,
+        "scan-ebml-tokenize": _ebml_tokenize,
+        "scan-ebml-heads": _ebml_heads,
+        "decode-scalars-roundtrip": _decode_roundtrip,
+        "kvs-frames-with-tags": _kvs_pipeline,
+        "source-kvs-replay": _kvs_replay_source,
+        "sink-fanout-roundtrip": _fanout_roundtrip,
+        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
+        "stream-asof-tags": _stream_asof,
+        "stream-segment-rollup": _stream_segment,
+        "stream-dedup-exact": _stream_dedup,
+        "ext-join-range": _range_join,
+        "ext-url-curation": _url_curation,
+        "ext-bm25-rank": _bm25,
+        "ext-cdc-compact": _cdc_compact,
+        "agg-grouping-sets": _grouping_sets,
+        "source-csv-roundtrip": _csv_roundtrip,
+        "stream-throttle": _stream_throttle,
+        "ext-unigram-logprob": _unigram_logprob,
+        "ext-token-histogram": _token_histogram,
+        "ext-shard-assign": _shard_assign,
+        "agg-moving-avg": _moving_avg,
+        "ext-heavy-hitters-cms": _cms_heavy_hitters,
+        "stream-tumbling-agg": _stream_tumbling,
+        "stream-cdc-compact": _stream_cdc,
+        "ext-quality-gopher-rules": _gopher_rules,
+        "source-json-permissive": _json_permissive,
+        "ext-split-leakage-free": _split_leakage_free,
+        "agg-unpivot-melt": _melt,
+        "source-orc-roundtrip": _orc_roundtrip,
+        "sink-partitioned-prune": _partitioned_prune,
+        "ext-ngram-novelty": _ngram_novelty,
+        "ext-dedup-ngram-containment": _ngram_containment,
+        "agg-robust-mad": _robust_mad,
+        "ext-pii-redact": _pii_redact,
+        "ext-embedding-pool": _embedding_pool,
+        "ext-pack-sequences": _pack_sequences,
+        "ext-dedup-cluster": _dedup_cluster,
+        "scan-prune-elements": _scan_prune,
+        "pivot-tag-assembly": _pivot_tags,
+        "segment-fragments": _segment,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with
+        # fingerprints in GATE_LEDGER.json (r5 head first, then
+        # the r5-regated and r4-record blocks). After this round
+        # no entry's latest external record is older than r4.
+        # -- r5 records --
         "ext-dedup-incremental": _dedup_incremental,
         "ext-winsorize": _winsorize,
         "ext-scd2-asof": _scd2_asof,
         "ext-bpe-train": _bpe_train,
         "stream-pause-resume": _stream_pause_resume,
         "sink-memory-bounded": _sink_memory_bounded,
-        # -- CHANGED in round 5 (must re-gate): nearest as-of carry
-        #    totalized with right_order; word-entropy explode
-        #    fallback exercised at threshold 50; pagerank dangling
-        #    redistribution + localCheckpoint; manifest writer now
-        #    honors append-merge/overwrite-sweep.
         "join-asof-nearest": _asof_nearest,
         "ext-word-entropy": _word_entropy,
         "ext-pagerank-dups": _pagerank_dups,
         "sink-manifest-commit": _manifest_sink_roundtrip,
         "stream-manifest-sink": _stream_manifest_sink,
-        # -- the 40 r2-record veterans (README "Round-5 rotation
-        #    plan" step 1): their latest external hash is two rounds
-        #    old — re-gate before the records age out. IVF entries
-        #    additionally changed this round (hash-spread centroid
-        #    seed replaces the lowest-id seed).
         "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
         "join-asof-backward": _asof_backward,
@@ -2900,21 +3090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        # ---- gate horizon (position 50; shifts when entries are
-        # added above): entries below are past the external gate's
-        # 50-entry window this round; all are green in the union of
-        # CORRECTNESS_r*.json with fingerprints in GATE_LEDGER.json.
-        # Final r5 head: 6 new + 5 changed (every one locally
-        # driver-replicated on a vanilla ANSI session at sf0.01
-        # before landing) + 39 of the 40 r2-record veterans
-        # (ext-lang-id, unchanged since its r2 record, slid just past
-        # the horizon to make room for the row-17 artifact — it
-        # re-gates in r6 with the r3 block). The 46 r4-record entries
-        # below the r2/r3 stragglers ride the ledger; the r3 block is
-        # r6's first rotation priority (see README "Correctness gate
-        # rotation").
-        "ext-lang-id": _lang_id,
-        # -- r4 records --
         "ext-embedding-quantize": _embedding_quantize,
         "ext-sequence-build": _sequence_build,
         "ext-similarity-pq": _ann_pq,
@@ -2961,51 +3136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-salted-skew": _salted_join,
         "segment-sessions-gap": _sessions_gap,
         "error-route": _error_route,
-        # -- r3 records --
-        "sink-jsonl-roundtrip": _jsonl_roundtrip,
-        "ext-multimodal-decode": _multimodal,
-        "ext-multimodal-pipeline": _multimodal_pipeline,
-        "ext-multimodal-audio": _multimodal_audio,
-        "scan-ebml-tokenize": _ebml_tokenize,
-        "scan-ebml-heads": _ebml_heads,
-        "decode-scalars-roundtrip": _decode_roundtrip,
-        "kvs-frames-with-tags": _kvs_pipeline,
-        "source-kvs-replay": _kvs_replay_source,
-        "sink-fanout-roundtrip": _fanout_roundtrip,
-        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
-        "stream-asof-tags": _stream_asof,
-        "stream-segment-rollup": _stream_segment,
-        "stream-dedup-exact": _stream_dedup,
-        "ext-join-range": _range_join,
-        "ext-url-curation": _url_curation,
-        "ext-bm25-rank": _bm25,
-        "ext-cdc-compact": _cdc_compact,
-        "agg-grouping-sets": _grouping_sets,
-        "source-csv-roundtrip": _csv_roundtrip,
-        "stream-throttle": _stream_throttle,
-        "ext-unigram-logprob": _unigram_logprob,
-        "ext-token-histogram": _token_histogram,
-        "ext-shard-assign": _shard_assign,
-        "agg-moving-avg": _moving_avg,
-        "ext-heavy-hitters-cms": _cms_heavy_hitters,
-        "stream-tumbling-agg": _stream_tumbling,
-        "stream-cdc-compact": _stream_cdc,
-        "ext-quality-gopher-rules": _gopher_rules,
-        "source-json-permissive": _json_permissive,
-        "ext-split-leakage-free": _split_leakage_free,
-        "agg-unpivot-melt": _melt,
-        "source-orc-roundtrip": _orc_roundtrip,
-        "sink-partitioned-prune": _partitioned_prune,
-        "ext-ngram-novelty": _ngram_novelty,
-        "ext-dedup-ngram-containment": _ngram_containment,
-        "agg-robust-mad": _robust_mad,
-        "ext-pii-redact": _pii_redact,
-        "ext-embedding-pool": _embedding_pool,
-        "ext-pack-sequences": _pack_sequences,
-        "ext-dedup-cluster": _dedup_cluster,
-        "scan-prune-elements": _scan_prune,
-        "pivot-tag-assembly": _pivot_tags,
-        "segment-fragments": _segment,
     }
 
 
@@ -3308,6 +3438,68 @@ _TUMBLING_CLOSED_OBS_SQL = """
     FROM rollup, wm, obs
     WHERE (ws + 3600) * 1000000 <= wm_us
 """
+
+
+# Incremental-ingest dedup twin, shared VERBATIM by the batch entry
+# (ext-dedup-incremental, gated green r5) and its streaming form
+# (stream-dedup-incremental): every flag depends only on
+# (new doc, corpus), so the streamed per-batch union equals the
+# single-batch result — one string, so the two can never diverge.
+_INC_DEDUP_ORACLE_SQL = r"""
+            WITH newb AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 3 = 0),
+            corp AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 3 <> 0),
+            dg AS (SELECT DISTINCT sha256(trim(lower(coalesce(text, ''))))
+                     AS d FROM corp),
+            nw AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+                   FROM newb WHERE length(trim(coalesce(text, ''))) > 0),
+            cw AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS ws
+                   FROM corp WHERE length(trim(coalesce(text, ''))) > 0),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM nw WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            cg AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM cw WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            hot AS (SELECT s FROM cg GROUP BY s HAVING COUNT(*) > 100),
+            capped AS (SELECT doc_id, s FROM cg
+                       WHERE s NOT IN (SELECT s FROM hot)),
+            ov AS (
+              SELECT doc_id, MAX(cnt) AS max_overlap
+              FROM (SELECT ng.doc_id AS doc_id, capped.doc_id AS cid,
+                           COUNT(*) AS cnt
+                    FROM ng JOIN capped ON ng.s = capped.s
+                    GROUP BY 1, 2) sub
+              GROUP BY 1)
+            SELECT n.doc_id, n.text,
+              (sha256(trim(lower(coalesce(n.text, '')))) IN
+                 (SELECT d FROM dg)) AS exact_dup,
+              CAST(COALESCE(ov.max_overlap, 0) AS BIGINT) AS max_overlap,
+              COALESCE(ov.max_overlap, 0) >= 5 AS near_dup
+            FROM newb n LEFT JOIN ov ON ov.doc_id = n.doc_id
+        """
+
+
+# snapshot_diff digest twin (operators/compaction.py): length-prefixed
+# length|value serialization per compared column — sha256(VARCHAR) in
+# DuckDB hashes the UTF-8 bytes, identical to Spark's string -> binary
+# cast feeding sha2.
+_SNAPDIFF_DIGEST_SQL = (
+    "sha256(concat(CAST(length(CAST(user_id AS VARCHAR)) "
+    "AS VARCHAR), '|', CAST(user_id AS VARCHAR), "
+    "CAST(length(event_type) AS VARCHAR), '|', event_type))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4931,53 +5123,14 @@ def oracle_sql() -> dict[str, str]:
               AND (effective_to IS NULL OR effective_to > at)
         """,
         # Incremental-dedup twin: digest semi-join + per-gram
-        # inverted-index overlap with the same hot-gram cap (>100).
-        # Gram positions are generated per row from len(ws) — a fixed
-        # series cap would silently drop grams of long documents.
-        "ext-dedup-incremental": r"""
-            WITH newb AS (SELECT doc_id, text FROM documents
-                          WHERE doc_id % 3 = 0),
-            corp AS (SELECT doc_id, text FROM documents
-                     WHERE doc_id % 3 <> 0),
-            dg AS (SELECT DISTINCT sha256(trim(lower(coalesce(text, ''))))
-                     AS d FROM corp),
-            nw AS (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\s+') AS ws
-                   FROM newb WHERE length(trim(coalesce(text, ''))) > 0),
-            cw AS (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\s+') AS ws
-                   FROM corp WHERE length(trim(coalesce(text, ''))) > 0),
-            ng AS (
-              SELECT DISTINCT doc_id,
-                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-              FROM (SELECT doc_id, ws,
-                           UNNEST(generate_series(1, len(ws) - 2)) AS i
-                    FROM nw WHERE len(ws) >= 3)
-              WHERE ws[i] <> ''),
-            cg AS (
-              SELECT DISTINCT doc_id,
-                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
-              FROM (SELECT doc_id, ws,
-                           UNNEST(generate_series(1, len(ws) - 2)) AS i
-                    FROM cw WHERE len(ws) >= 3)
-              WHERE ws[i] <> ''),
-            hot AS (SELECT s FROM cg GROUP BY s HAVING COUNT(*) > 100),
-            capped AS (SELECT doc_id, s FROM cg
-                       WHERE s NOT IN (SELECT s FROM hot)),
-            ov AS (
-              SELECT doc_id, MAX(cnt) AS max_overlap
-              FROM (SELECT ng.doc_id AS doc_id, capped.doc_id AS cid,
-                           COUNT(*) AS cnt
-                    FROM ng JOIN capped ON ng.s = capped.s
-                    GROUP BY 1, 2) sub
-              GROUP BY 1)
-            SELECT n.doc_id, n.text,
-              (sha256(trim(lower(coalesce(n.text, '')))) IN
-                 (SELECT d FROM dg)) AS exact_dup,
-              CAST(COALESCE(ov.max_overlap, 0) AS BIGINT) AS max_overlap,
-              COALESCE(ov.max_overlap, 0) >= 5 AS near_dup
-            FROM newb n LEFT JOIN ov ON ov.doc_id = n.doc_id
-        """,
+        # inverted-index overlap with the same hot-gram exclusion
+        # (>100 postings). Gram positions are generated per row from
+        # len(ws) — a fixed series cap would silently drop grams of
+        # long documents. Shared VERBATIM with stream-dedup-
+        # incremental: per-batch union == single-batch result is that
+        # entry's correctness property.
+        "ext-dedup-incremental": _INC_DEDUP_ORACLE_SQL,
+        "stream-dedup-incremental": _INC_DEDUP_ORACLE_SQL,
         # Winsorize twin: the ext-histogram-quantile interpolation at
         # [0.01, 0.99] + the same LEAST/GREATEST clip.
         "ext-winsorize": """
@@ -5010,6 +5163,71 @@ def oracle_sql() -> dict[str, str]:
             FROM orders CROSS JOIN lohi
         """,
         "ext-bpe-train": _bpe_oracle_sql(10),
+        # Tokenizer-apply twin: the train chain's final vocab state
+        # v10 IS the per-word tokenization after all 10 merges; the
+        # encode twin joins per-(doc, word) counts against
+        # len(v10.toks). Sound only when training's early stop does
+        # not trigger — which the _bpe_encode entry asserts loudly
+        # (min pair_count >= 2 across all 10 merges).
+        "ext-bpe-encode": _bpe_oracle_sql(10, encode=True),
+        # Snapshot-diff twin: same length-prefixed digest serialization
+        # (sha256(VARCHAR) hashes UTF-8 bytes == Spark's string ->
+        # binary cast into sha2), same full-outer status derivation.
+        "ext-snapshot-diff": f"""
+            WITH o AS (
+              SELECT event_id, {_SNAPDIFF_DIGEST_SQL} AS old_digest
+              FROM events WHERE event_id % 5 <> 0),
+            n AS (
+              SELECT event_id, {_SNAPDIFF_DIGEST_SQL} AS new_digest
+              FROM (SELECT event_id, user_id,
+                      CASE WHEN event_id % 11 = 0 THEN 'mutated'
+                           ELSE event_type END AS event_type
+                    FROM events WHERE event_id % 7 <> 0))
+            SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                   old_digest, new_digest,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS diff_status
+            FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+        """,
+        # Domain-cap twin: one window rank per group by the same
+        # totalized (price DESC, key) priority.
+        "ext-domain-cap": """
+            WITH r AS (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                       AS rank_in_group
+              FROM orders)
+            SELECT *, rank_in_group <= 20 AS kept FROM r
+        """,
+        # Semantic-decontamination twin: broadcast cross-score with
+        # the same left-fold cosine as the ANN oracles, argmax by
+        # (sim DESC, bench id), 6-dp rounding before the threshold.
+        "ext-semantic-decontaminate": f"""
+            WITH c AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 13 <> 0),
+            b AS (SELECT vec_id AS bid, embedding FROM embeddings
+                  WHERE vec_id % 13 = 0),
+            scored AS (
+              SELECT c.vec_id, b.bid,
+                     {_sql_cosine("c.embedding", "b.embedding")} AS sim
+              FROM c CROSS JOIN b),
+            ranked AS (
+              SELECT vec_id, bid, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, bid) AS rn
+              FROM scored WHERE sim IS NOT NULL),
+            best AS (SELECT vec_id, sim AS max_bench_cosine,
+                            bid AS matched_bench_id
+                     FROM ranked WHERE rn = 1)
+            SELECT c.vec_id, max_bench_cosine, matched_bench_id,
+                   COALESCE(max_bench_cosine >= 0.8, FALSE)
+                     AS contaminated
+            FROM c LEFT JOIN best ON best.vec_id = c.vec_id
+        """,
         # Schema-evolution twin: old-generation rows null-fill the
         # added column, exactly what mergeSchema produces.
         "source-parquet-evolve": """
