@@ -411,54 +411,58 @@ def connected_components(
     `where(id == cluster_id)`.
     """
     e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
-    # repartition on the per-round join key BEFORE persisting: the
-    # cached relation keeps its hash partitioning, so every round's
-    # edges-side exchange is elided — only the (smaller) labels side
-    # shuffles per round.
+    # repartition on the per-round join key BEFORE materializing: the
+    # checkpointed relation keeps its hash partitioning (LogicalRDD
+    # records outputPartitioning), so every round's edges-side
+    # exchange is elided — only the (smaller) labels side shuffles per
+    # round. localCheckpoint, not persist: persist keeps the full
+    # logical plan, so each round would re-analyze/re-optimize the
+    # whole upstream candidate-pair machinery (measured 2-3x total
+    # wall on pagerank's identical loop shape); checkpointing
+    # truncates the plan to the materialized blocks.
     edges = (
         e.unionByName(
             e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
         .repartition("_src")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     verts = edges.select(F.col("_src").alias(id_col)).distinct()
     if vertices is not None:
         verts = vertices.select(id_col).unionByName(verts).distinct()
     labels = verts.select(id_col, F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    try:
-        for _ in range(max_iter):
-            msgs = (
-                edges.join(labels, edges["_src"] == labels[id_col])
-                .groupBy(F.col("_dst").alias(id_col))
-                .agg(F.min("cluster_id").alias("_msg"))
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["_src"] == labels[id_col])
+            .groupBy(F.col("_dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("_msg"))
+        )
+        # Lazy checkpoint: the convergence count below is the
+        # action that materializes it, so each round costs ONE
+        # job, not two (eager checkpoint + count). Deterministic
+        # input, so lazy materialization is safe.
+        labels = (
+            labels.join(msgs, id_col, "left")
+            .select(
+                id_col,
+                F.least("cluster_id", "_msg").alias("cluster_id"),
+                F.coalesce(F.col("_msg") < F.col("cluster_id"),
+                           F.lit(False)).alias("_changed"),
             )
-            # Lazy checkpoint: the convergence count below is the
-            # action that materializes it, so each round costs ONE
-            # job, not two (eager checkpoint + count). Deterministic
-            # input, so lazy materialization is safe.
-            labels = (
-                labels.join(msgs, id_col, "left")
-                .select(
-                    id_col,
-                    F.least("cluster_id", "_msg").alias("cluster_id"),
-                    F.coalesce(F.col("_msg") < F.col("cluster_id"),
-                               F.lit(False)).alias("_changed"),
-                )
-            ).localCheckpoint(eager=False)
-            n_changed = labels.agg(
-                F.count_if(F.col("_changed"))).collect()[0][0]
-            labels = labels.drop("_changed")
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-    finally:
-        edges.unpersist()
+        ).localCheckpoint(eager=False)
+        n_changed = labels.agg(
+            F.count_if(F.col("_changed"))).collect()[0][0]
+        labels = labels.drop("_changed")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # edges' checkpoint blocks are reclaimed by the ContextCleaner
+    # once the reference drops; labels carries its own checkpoints.
     return labels
 
 

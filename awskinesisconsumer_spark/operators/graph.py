@@ -9,9 +9,10 @@ are, the standard "canonical copy" picker.
 Scale shape: the edge list is the only big dataset; each iteration is
 one join keyed on the source + one hash aggregate keyed on the
 destination (map-side combine on the contribution sums). Degrees are
-pre-joined once and the combined (edge, degree) relation is persisted
-so iterations never recompute the upstream candidate machinery. Node
-count is the lone driver scalar.
+pre-joined once and the combined (edge, degree) relation is
+localCheckpoint-ed — materialized AND plan-truncated — so iterations
+neither recompute nor re-analyze the upstream candidate machinery.
+Node count is the lone driver scalar.
 """
 
 from __future__ import annotations
@@ -54,8 +55,24 @@ def pagerank(
 
     Returns (node, pagerank) for every node in the edge set.
     """
+    # Persist the RAW edge list before deriving from it twice (the
+    # degree agg and the join probe side): without this the upstream
+    # edge machinery — often an expensive candidate-pair pipeline —
+    # executes twice inside the first job, since exchange reuse does
+    # not cover an aggregated-vs-raw scan pair. The (edge, degree)
+    # relation is then localCheckpoint-ed, NOT persisted: persist
+    # caches the data but keeps the full logical plan, so every
+    # iteration (and the final action) re-ANALYZES and re-OPTIMIZES
+    # the whole upstream lineage — measured 2-3x the total wall time
+    # on a candidate-pair graph. Checkpointing truncates the plan to
+    # the materialized blocks; the trade (recompute-on-executor-loss
+    # is gone for this run) is the same one the deep-iteration rank
+    # vectors below already make. The raw-edge cache is released
+    # immediately — everything downstream derives from edges_deg.
+    edges = edges.persist()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    edges_deg = edges.join(deg, src).persist()
+    edges_deg = edges.join(deg, src).localCheckpoint(eager=True)
+    edges.unpersist()
     # EVERYTHING below derives from the cached edges_deg — deriving
     # from raw `edges` would re-run the (possibly expensive) upstream
     # candidate-pair machinery once per derived table. One pass over
@@ -86,7 +103,6 @@ def pagerank(
     if n == 0:
         # Empty graph: no nodes, no ranks — and no 1/0 base term
         # (ANSI mode makes that an error, not a NULL).
-        edges_deg.unpersist()
         node_flags.unpersist()
         return edges.select(
             F.col(src).alias("node"),
@@ -145,10 +161,10 @@ def pagerank(
         if ckpt:
             pr = pr.localCheckpoint(eager=True)
     out = pr.select("node", F.round("pr", round_dp).alias("pagerank"))
-    # release_after semantics, two cached inputs: materialize the
-    # (small) result, then free both internal caches.
+    # release_after semantics: materialize the (small) result, then
+    # free the node cache (edges_deg's checkpoint blocks are
+    # reclaimed by the ContextCleaner once the reference drops).
     out = out.persist()
     out.count()
     node_flags.unpersist()
-    edges_deg.unpersist()
     return out
