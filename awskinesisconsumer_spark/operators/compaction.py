@@ -161,7 +161,10 @@ def snapshot_diff(
     Returns key_cols + (old_digest, new_digest, status). Keys must be
     unique per snapshot (the standard snapshot contract; duplicate
     keys make "the row for key K" ill-defined and surface naturally
-    as multiplied join rows).
+    as multiplied join rows) and NON-NULL: the full-outer join uses
+    plain (non-null-safe) equality — the same semantics as the SQL
+    oracle twin — so a NULL key present in both snapshots reports as
+    one 'removed' plus one 'added' row rather than being compared.
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in set(key_cols)]

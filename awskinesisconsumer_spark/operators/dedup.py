@@ -644,9 +644,13 @@ def dedup_incremental(
     Shape: one digest anti-probe (corpus digests aggregated to
     distinct — at 100 TB this is the precomputed digest index a real
     pipeline maintains) + a shingle inverted-index join keyed on the
-    gram, with the per-gram postings capped on the CORPUS side (hot
-    boilerplate grams bound the join). Returns the new batch with
-    `exact_dup` and `near_dup` flags plus the best-match overlap.
+    gram. Grams with more than 100 corpus postings are DROPPED from
+    the index entirely (left_anti), not truncated to their first 100
+    postings: an idf-style choice that bounds the probe join, with
+    the documented recall trade-off that a new doc whose overlap is
+    mostly such boilerplate grams can score below `min_overlap` and
+    escape the near-dup flag. Returns the new batch with `exact_dup`
+    and `near_dup` flags plus the best-match overlap.
 
     Gated as `ext-dedup-incremental` (r5); the streaming per-batch
     form is `streaming.pipeline.incremental_dedup_stream`.

@@ -720,7 +720,9 @@ def knn_join_topk(
     degenerate-input divergence: zero-norm or NULL-vector candidates
     are dropped by the kernel but ranked last by the HOF windows, so
     a probe with fewer than k scorable neighbors pads its top-k with
-    NULL rows only on the HOF path. The kernel also requires an
+    NULL rows only on the HOF path; likewise a NULL-vector PROBE
+    yields no kernel rows (dropped before the matrix build) but k
+    NULL-cosine rows on the HOF path. The kernel also requires an
     integer id column (its output schema is typed long); use the HOF
     path for string ids.
     """
@@ -730,8 +732,12 @@ def knn_join_topk(
     if vectorized:
         import numpy as np
 
+        # NULL probe vectors produce no cosine on the HOF path (the
+        # fold yields NULL, dropped by the isNotNull filter) — drop
+        # them here too instead of crashing the matrix build.
         probe_rows = sorted(
-            probes.collect(), key=lambda r: int(r["probe_id"])
+            (r for r in probes.collect() if r["probe_vec"] is not None),
+            key=lambda r: int(r["probe_id"]),
         )
         if len(probe_rows) > 50_000:
             raise ValueError(
@@ -987,14 +993,20 @@ def _np_round6_half_up(x):
     same shortest-representation HALF_UP Spark applies — keeping the
     hot path fully vectorized and the result bit-equal in general,
     not just on fixtures (numpy's np.round is banker's/half-even and
-    would be wrong on every boundary)."""
+    would be wrong on every boundary). The proximity threshold scales
+    with the magnitude (a few ulps of |x|*1e6, floored at 1e-8) so
+    detection stays sound at any |x|, not just the cosine callers'
+    [-1, 1] domain — a fixed 1e-8 would miss true boundaries once the
+    ulp of the scaled value exceeds it (|x| beyond ~1e2)."""
     import decimal
 
     import numpy as np
 
     fast = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
     scaled = np.abs(x) * 1e6
-    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-8
+    with np.errstate(invalid="ignore"):
+        tol = np.maximum(1e-8, 4.0 * np.spacing(scaled))
+        near = np.abs(scaled - np.floor(scaled) - 0.5) < tol
     near &= ~np.isnan(x)
     if near.any():
         q = decimal.Decimal("1e-6")
@@ -1039,8 +1051,12 @@ def _semantic_decontaminate_np(
     — see its docstring for the fold-order and rounding contract."""
     import numpy as np
 
+    # NULL benchmark vectors produce no cosine on the HOF path (the
+    # fold yields NULL, dropped before the argmax) — drop them here
+    # too instead of crashing the matrix build.
     bench_rows = sorted(
-        benchmark.select(bench_id_col, bench_vec_col).collect(),
+        (r for r in benchmark.select(bench_id_col, bench_vec_col).collect()
+         if r[1] is not None),
         key=lambda r: r[0],
     )
     if len(bench_rows) > 50_000:

@@ -570,7 +570,11 @@ def word_entropy(df: DataFrame, *, text_col: str,
       over the same sorted list reproduces the value bit-for-bit
       (same trick as the ANN oracles).
     * docs ABOVE the threshold (requires `id_col`, which must be
-      unique): explode -> (id, word) count -> per-doc sorted fold
+      unique AND non-null: the inner join back on id_col never
+      matches a NULL id, so an over-threshold row with a NULL id
+      would silently vanish from the output — small-path rows keep
+      NULL ids, making the loss asymmetric): explode -> (id, word)
+      count -> per-doc sorted fold
       over collect_list(struct(word, count)). The narrow form's count
       step is O(distinct x n) per document in interpreted HOF lambdas
       — fine at normal doc sizes, pathological on single multi-MB

@@ -1,0 +1,117 @@
+"""Round-6 hardening: NULL-vector handling in the vectorized
+similarity kernels, magnitude-scaled HALF_UP boundary detection, and
+the r6 gate-head composition contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb_with_null(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_decontaminate_vectorized_null_bench_vec(spark):
+    # A NULL benchmark vector must be dropped (the HOF path's NULL
+    # cosine is filtered before the argmax), not crash the numpy
+    # matrix build — and results must stay bit-equal to the HOF path.
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = _emb_with_null(spark, [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None),
+    ])
+    bench = _emb_with_null(spark, [
+        (10, [1.0, 0.0]), (11, None),
+    ]).select(F.col("vec_id").alias("bid"),
+              F.col("embedding").alias("bvec"))
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              bench_id_col="bid", bench_vec_col="bvec", threshold=0.9)
+    hof = sorted(tuple(r) for r in
+                 semantic_decontaminate(corpus, bench, **kw).collect())
+    vec = sorted(tuple(r) for r in semantic_decontaminate(
+        corpus, bench, vectorized=True, **kw).collect())
+    assert hof == vec
+    by_id = {t[0]: t for t in vec}
+    assert by_id[1][3] is True          # matches bench 10 exactly
+    assert by_id[3][1] is None and by_id[3][3] is False  # NULL corpus vec
+
+
+def test_semantic_decontaminate_vectorized_all_bench_null(spark):
+    # Every bench vector NULL -> empty matrix -> nothing contaminated.
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = _emb_with_null(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    bench = _emb_with_null(spark, [(10, None)]).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec"))
+    out = semantic_decontaminate(
+        corpus, bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec", threshold=0.9,
+        vectorized=True,
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert all(r["contaminated"] is False and r["max_bench_cosine"] is None
+               for r in out)
+
+
+def test_knn_join_vectorized_null_probe_vec(spark):
+    # A NULL probe vector must not crash the kernel's matrix build.
+    # Documented divergence: the kernel DROPS the unscorable probe
+    # (no finite cosine exists), while the HOF path pads it with
+    # NULL-cosine rows; on the scorable probes the two paths are
+    # bit-equal.
+    from awskinesisconsumer_spark.operators.similarity import knn_join_topk
+
+    emb = _emb_with_null(spark, [
+        (0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+    ])
+    kw = dict(id_col="vec_id", vec_col="embedding", probe_ids=[0, 1], k=2)
+    hof = sorted(tuple(r) for r in knn_join_topk(emb, **kw).collect())
+    vec = sorted(tuple(r) for r in
+                 knn_join_topk(emb, vectorized=True, **kw).collect())
+    assert {t[0] for t in vec} == {0}  # probe 1 yields no kernel rows
+    assert [t for t in hof if t[0] == 0 and t[2] is not None] == vec
+    assert all(t[2] is None for t in hof if t[0] == 1)  # HOF pads NULLs
+
+
+def test_np_round6_boundary_detection_scales_with_magnitude(spark):
+    # At |x| ~ 1e3-1e6 the ulp of |x|*1e6 exceeds the old fixed 1e-8
+    # proximity threshold; the magnitude-scaled tolerance must still
+    # re-round true shortest-representation boundaries through
+    # decimal HALF_UP exactly as Spark does.
+    import numpy as np
+
+    from awskinesisconsumer_spark.operators.similarity import (
+        _np_round6_half_up,
+    )
+
+    vals = [123.4567895, 1234.5678905, 12345.6789015, 987654.3210015,
+            -1234.5678905, 54321.1234565, 999999.9999995, 0.0588235]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r[0] for r in
+                 df.select(F.round("x", 6).alias("r")).collect()]
+    got_np = [float(v) for v in _np_round6_half_up(np.array(vals))]
+    assert got_spark == got_np
+
+
+def test_r6_gate_head_composition():
+    # The external driver gates the first 50 queries() entries: this
+    # round that must be the 5 newly registered operators + the 45
+    # oldest-record veterans (README "Round-6 rotation plan").
+    import __spark_entry__ as m
+
+    keys = list(m.queries())
+    assert keys[:5] == [
+        "ext-bpe-encode", "ext-snapshot-diff", "ext-domain-cap",
+        "ext-semantic-decontaminate", "stream-dedup-incremental",
+    ]
+    assert len(keys) == 146 and len(set(keys)) == 146
+    # every entry has an oracle twin (full hash-gate coverage)
+    assert set(m.oracle_sql()) == set(keys)
+    # the streaming form shares the batch oracle verbatim
+    osql = m.oracle_sql()
+    assert osql["stream-dedup-incremental"] == osql["ext-dedup-incremental"]
