@@ -582,3 +582,57 @@ def incremental_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def semantic_decontaminate_stream(
+    corpus_docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str,
+    bench_vec_col: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.95,
+    trigger_available_now: bool = True,
+):
+    """Streaming semantic decontamination: each micro-batch of corpus
+    embeddings is scored against the STATIC benchmark set — the
+    continuous form of `operators.similarity.semantic_decontaminate`,
+    i.e. eval-hygiene applied at ingest time instead of as a batch
+    sweep. Makes the decontamination story batch+streaming symmetric,
+    like dedup / cdc / scd2 / hll already are.
+
+    foreachBatch applies the batch operator per micro-batch; the
+    benchmark side is broadcast inside each batch and the stream side
+    never aggregates across batches (no watermark, no state store).
+    Every flag depends only on (corpus row, benchmark) — never on
+    other corpus rows — so the union of per-batch outputs EQUALS the
+    single-batch result regardless of arrival chunking; that
+    determinism is exactly what the chunking-invariance test asserts,
+    and it is why the batch operator's oracle applies verbatim.
+
+    Delivery under CRASH-retry is at-least-once (same contract as
+    `incremental_dedup_stream`); a clean stop/restart replays
+    nothing. Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = semantic_decontaminate(
+            batch_df, benchmark, id_col=id_col, vec_col=vec_col,
+            bench_id_col=bench_id_col, bench_vec_col=bench_vec_col,
+            threshold=threshold,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        corpus_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -5,10 +5,14 @@ Part 1: the r4-banked trio registered as gated entries in r5
 unit-level parity at sf0.001; the registered twins are additionally
 re-verified at sf0.01 by tests/test_oracle_parity.py.
 
-Part 2: the r5-banked trio intended for r6 registration
-(bpe_encode_corpus, snapshot_diff, domain_cap) — proving their
-DuckDB twins here makes r6's registration a copy-paste of verified
-SQL, exactly the pattern that worked r4 -> r5.
+Part 2: the r5-banked trio, registered as gated entries in r6
+(ext-bpe-encode, ext-snapshot-diff, ext-domain-cap) — kept as fast
+unit-level parity at sf0.001; proving the DuckDB twins here first
+made each round's registration a copy-paste of verified SQL (the
+pattern that has worked r4 -> r5 -> r6). The r6-banked streaming
+form semantic_decontaminate_stream is covered in
+tests/test_round6_ops.py (chunking-invariance vs the batch operator,
+whose oracle applies verbatim to the union).
 
 Same canonicalization as tests/test_oracle_parity.py."""
 
@@ -235,12 +239,15 @@ def test_bpe_encode_oracle(spark, duck):
     )
 
     docs = load_table(spark, "documents", SF)
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_train_merges(docs, text_col="text", n_merges=10)
-        .orderBy("rank").collect()
-    ]
-    assert len(merges) == 10
+    rows = (bpe_train_merges(docs, text_col="text", n_merges=10)
+            .orderBy("rank").collect())
+    # The encode twin applies ALL 10 merges unconditionally, so it is
+    # sound only when the trainer's early stop (pair_count < 2) never
+    # triggered — assert that precondition, not just the count (the
+    # registered ext-bpe-encode entry raises on it at gate time too).
+    assert len(rows) == 10
+    assert min(r["pair_count"] for r in rows) >= 2
+    merges = [(r["left"], r["right"]) for r in rows]
     out = bpe_encode_corpus(
         docs, id_col="doc_id", text_col="text", merges=merges
     )

@@ -115,3 +115,51 @@ def test_r6_gate_head_composition():
     # the streaming form shares the batch oracle verbatim
     osql = m.oracle_sql()
     assert osql["stream-dedup-incremental"] == osql["ext-dedup-incremental"]
+
+
+def test_semantic_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
+    # Multi-batch streaming ingest (maxFilesPerTrigger=1 over a
+    # 3-file source) must produce EXACTLY the single-batch result:
+    # every flag depends only on (corpus row, benchmark), so chunking
+    # the arrivals cannot change anything. Banked for r7 registration
+    # (oracle = ext-semantic-decontaminate's, applied to the union).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        semantic_decontaminate_stream,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.where(F.col("vec_id") % 13 != 0)
+    bench = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    src = str(tmp_path / "corpus_src")
+    corpus.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "flags")
+    q = semantic_decontaminate_stream(
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec",
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.8,
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3  # genuinely multi-batch
+
+    got = sorted(
+        (r.vec_id, r.max_bench_cosine, r.matched_bench_id, r.contaminated)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.max_bench_cosine, r.matched_bench_id, r.contaminated)
+        for r in semantic_decontaminate(
+            corpus, bench, id_col="vec_id", vec_col="embedding",
+            bench_id_col="bid", bench_vec_col="bvec", threshold=0.8,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
