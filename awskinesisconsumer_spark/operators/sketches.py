@@ -263,29 +263,30 @@ def bloom_decontaminate(
                         k=k, salt=salt, hash_fn=hash_fn)
     probed = bloom_probe(doc_grams, key_col="shingle", words=words,
                          k=k, salt=salt, hash_fn=hash_fn)
-    exact = (
-        probed.where("bloom_hit")
-        .join(F.broadcast(bench_grams.withColumn("_in_bench", F.lit(True))),
-              "shingle", "left")
+    # ONE corpus-gram pass, ONE doc-keyed shuffle: the exact check
+    # rides the same scan as the probe (left broadcast join gated on
+    # bloom_hit — no false negatives, so every bench gram is a
+    # candidate and the gate never hides a true match), and all three
+    # counters collapse in a single conditional aggregation. The
+    # previous two-groupBy + join form scanned the corpus grams twice
+    # and shuffled twice. When the bench-gram set outgrows a
+    # broadcast, switch back to `probed.where("bloom_hit")` feeding a
+    # shuffled join — then the Bloom's candidate cut IS what bounds
+    # the join input.
+    bench_marked = bench_grams.select(
+        F.col("shingle").alias("_bs"), F.lit(True).alias("_in_bench")
     )
-    per_doc_exact = exact.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_candidates"),
+    exact = probed.join(
+        F.broadcast(bench_marked),
+        (F.col("shingle") == F.col("_bs")) & F.col("bloom_hit"),
+        "left",
+    )
+    return exact.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("bloom_hit")).alias("n_candidates"),
         F.count("_in_bench").alias("n_exact_matches"),
-    )
-    per_doc = doc_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    return (
-        per_doc.join(per_doc_exact, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-            F.coalesce("n_exact_matches", F.lit(0)).alias("n_exact_matches"),
-            (F.coalesce("n_candidates", F.lit(0))
-             - F.coalesce("n_exact_matches", F.lit(0)))
-            .alias("n_false_positives"),
-        )
+        (F.count_if(F.col("bloom_hit")) - F.count("_in_bench"))
+        .alias("n_false_positives"),
     )
 
 
