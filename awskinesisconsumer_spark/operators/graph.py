@@ -55,24 +55,45 @@ def pagerank(
 
     Returns (node, pagerank) for every node in the edge set.
     """
-    # Persist the RAW edge list before deriving from it twice (the
-    # degree agg and the join probe side): without this the upstream
-    # edge machinery — often an expensive candidate-pair pipeline —
-    # executes twice inside the first job, since exchange reuse does
-    # not cover an aggregated-vs-raw scan pair. The (edge, degree)
-    # relation is then localCheckpoint-ed, NOT persisted: persist
-    # caches the data but keeps the full logical plan, so every
-    # iteration (and the final action) re-ANALYZES and re-OPTIMIZES
-    # the whole upstream lineage — measured 2-3x the total wall time
-    # on a candidate-pair graph. Checkpointing truncates the plan to
-    # the materialized blocks; the trade (recompute-on-executor-loss
-    # is gone for this run) is the same one the deep-iteration rank
-    # vectors below already make. The raw-edge cache is released
-    # immediately — everything downstream derives from edges_deg.
-    edges = edges.persist()
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    edges_deg = edges.join(deg, src).localCheckpoint(eager=True)
-    edges.unpersist()
+    # Two materialization strategies, picked by upstream plan depth —
+    # each measured strictly better in its regime:
+    #
+    # DEEP upstream plans (the gated use: a multi-stage candidate-pair
+    # pipeline feeding a small graph) pay Catalyst re-analysis of the
+    # whole lineage on EVERY iteration and on the final action if the
+    # (edge, degree) relation is merely persisted — measured 2-3x the
+    # total wall at sf0.1. There: persist the raw edge list (so the
+    # degree agg and the join probe share ONE upstream execution —
+    # exchange reuse does not always bridge an expensive multi-stage
+    # subtree), localCheckpoint the joined relation (truncates the
+    # plan to the materialized blocks), and drop the raw cache
+    # immediately. The recompute-on-executor-loss trade is the same
+    # one the deep-iteration rank vectors below make.
+    #
+    # SHALLOW plans over big edge lists (millions of rows a few ops
+    # from a scan): re-analysis is cheap, and the serialized
+    # checkpoint write costs more than it saves (5.7s -> 9.5s at 8M
+    # edges), as does double-caching the raw edges (the join's
+    # self-referenced shuffle is covered by ReusedExchange). There:
+    # plain columnar persist of the joined relation only.
+    try:
+        deep_plan = (
+            edges._jdf.queryExecution().analyzed().toString().count("\n")
+            > 40
+        )
+    except Exception:  # no JVM plan handle (e.g. Connect) — the
+        deep_plan = True  # truncation-safe choice
+
+    if deep_plan:
+        edges = edges.persist()
+        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+        edges_deg = edges.join(deg, src).localCheckpoint(eager=True)
+        edges.unpersist()
+        edges_deg_cached = None
+    else:
+        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+        edges_deg = edges.join(deg, src).persist()
+        edges_deg_cached = edges_deg
     # EVERYTHING below derives from the cached edges_deg — deriving
     # from raw `edges` would re-run the (possibly expensive) upstream
     # candidate-pair machinery once per derived table. One pass over
@@ -104,6 +125,8 @@ def pagerank(
         # Empty graph: no nodes, no ranks — and no 1/0 base term
         # (ANSI mode makes that an error, not a NULL).
         node_flags.unpersist()
+        if edges_deg_cached is not None:
+            edges_deg_cached.unpersist()
         return edges.select(
             F.col(src).alias("node"),
             F.lit(0.0).alias("pagerank"),
@@ -162,9 +185,12 @@ def pagerank(
             pr = pr.localCheckpoint(eager=True)
     out = pr.select("node", F.round("pr", round_dp).alias("pagerank"))
     # release_after semantics: materialize the (small) result, then
-    # free the node cache (edges_deg's checkpoint blocks are
-    # reclaimed by the ContextCleaner once the reference drops).
+    # free the internal caches (on the deep-plan path edges_deg's
+    # checkpoint blocks are reclaimed by the ContextCleaner once the
+    # reference drops).
     out = out.persist()
     out.count()
     node_flags.unpersist()
+    if edges_deg_cached is not None:
+        edges_deg_cached.unpersist()
     return out
