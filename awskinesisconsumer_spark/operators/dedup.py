@@ -412,22 +412,36 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
     # repartition on the per-round join key BEFORE materializing: the
-    # checkpointed relation keeps its hash partitioning (LogicalRDD
-    # records outputPartitioning), so every round's edges-side
-    # exchange is elided — only the (smaller) labels side shuffles per
-    # round. localCheckpoint, not persist: persist keeps the full
-    # logical plan, so each round would re-analyze/re-optimize the
-    # whole upstream candidate-pair machinery (measured 2-3x total
-    # wall on pagerank's identical loop shape); checkpointing
-    # truncates the plan to the materialized blocks.
+    # materialized relation keeps its hash partitioning (persist
+    # directly; checkpoint via LogicalRDD's recorded
+    # outputPartitioning), so every round's edges-side exchange is
+    # elided — only the (smaller) labels side shuffles per round.
+    # Materialization strategy follows pagerank's measured rule: DEEP
+    # upstream plans (the gated use — candidate-pair machinery) get
+    # localCheckpoint, because persist keeps the full logical plan
+    # and each round re-analyzes/re-optimizes the whole lineage
+    # (2-3x total wall); SHALLOW plans over big edge lists keep the
+    # columnar persist, whose write is much cheaper than a
+    # serialized checkpoint.
     edges = (
         e.unionByName(
             e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
         .repartition("_src")
-        .localCheckpoint(eager=True)
     )
+    try:
+        deep_plan = (
+            edges._jdf.queryExecution().analyzed().toString().count("\n")
+            > 40
+        )
+    except Exception:  # no JVM plan handle (e.g. Connect)
+        deep_plan = True
+    edges_cached = None
+    if deep_plan:
+        edges = edges.localCheckpoint(eager=True)
+    else:
+        edges = edges_cached = edges.persist()
     verts = edges.select(F.col("_src").alias(id_col)).distinct()
     if vertices is not None:
         verts = vertices.select(id_col).unionByName(verts).distinct()
@@ -461,8 +475,12 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    # edges' checkpoint blocks are reclaimed by the ContextCleaner
-    # once the reference drops; labels carries its own checkpoints.
+    # deep path: edges' checkpoint blocks are reclaimed by the
+    # ContextCleaner once the reference drops; labels carries its own
+    # checkpoints. The converged labels have been materialized by the
+    # last convergence count, so the shallow-path cache can release.
+    if edges_cached is not None:
+        edges_cached.unpersist()
     return labels
 
 
