@@ -2405,8 +2405,11 @@ def _semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-based eval decontamination (operators/similarity.py
     # semantic_decontaminate): flag corpus vectors cosine-similar
     # (>= 0.8) to ANY benchmark vector. Benchmark side broadcast, the
-    # corpus never shuffles; per-row max collapses via a partial agg
-    # keyed on the corpus id. vec_id % 13 == 0 is the benchmark.
+    # corpus never shuffles; per-row max collapses in one pass.
+    # vec_id % 13 == 0 is the benchmark. Gates the VECTORIZED kernel
+    # (the production path — ~25x the interpreted HOF fold at sf0.1):
+    # bit-equality with the HOF form is separately asserted by
+    # tests/test_round5_ops.py, so the one oracle covers both.
     from awskinesisconsumer_spark.operators.similarity import (
         semantic_decontaminate,
     )
@@ -2419,6 +2422,7 @@ def _semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_decontaminate(
         corpus, bench, id_col="vec_id", vec_col="embedding",
         bench_id_col="bid", bench_vec_col="bvec", threshold=0.8,
+        vectorized=True,
     )
 
 

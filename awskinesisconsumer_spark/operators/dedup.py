@@ -643,14 +643,48 @@ def duplicated_spans(
     )
 
 
-def dedup_incremental(
-    new_df: DataFrame,
+def build_incremental_index(
     corpus_df: DataFrame,
     *,
     id_col: str,
     text_col: str,
     n: int = 3,
+    hot_postings: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the corpus-side structures `dedup_incremental`
+    probes: (distinct normalized-text digests, gram postings with
+    hot grams dropped). This IS the index a real incremental-ingest
+    pipeline maintains between batches — build it once, persist it,
+    and pass it to `dedup_incremental(index=...)` so repeated batches
+    (or every micro-batch of `incremental_dedup_stream`) skip the
+    corpus scans entirely. Definitions are shared with the inline
+    path by construction, so index-fed results are identical."""
+    norm = F.sha2(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 256
+    )
+    digests = corpus_df.select(norm.alias("_digest")).distinct()
+    grams = shingle_rows(
+        corpus_df.select(id_col, text_col), id_col=id_col,
+        text_col=text_col, n=n, distinct=True,
+    ).select(F.col(id_col).alias("_cid"), "shingle")
+    hot = (
+        grams.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > hot_postings)
+        .select("shingle")
+    )
+    return digests, grams.join(hot, "shingle", "left_anti")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
     min_overlap: int = 5,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: flag rows of a NEW batch that
     duplicate the EXISTING corpus — exactly (normalized-text digest)
@@ -670,14 +704,25 @@ def dedup_incremental(
     escape the near-dup flag. Returns the new batch with `exact_dup`
     and `near_dup` flags plus the best-match overlap.
 
+    Pass `index=` (from `build_incremental_index`, typically
+    persisted) to reuse a prebuilt corpus index instead of
+    `corpus_df` — the multi-batch / streaming shape, where rebuilding
+    the index per batch would rescan the static corpus every time.
+
     Gated as `ext-dedup-incremental` (r5); the streaming per-batch
     form is `streaming.pipeline.incremental_dedup_stream`.
     """
+    if (corpus_df is None) == (index is None):
+        raise ValueError(
+            "dedup_incremental: pass exactly one of corpus_df or index"
+        )
+    if index is None:
+        index = build_incremental_index(
+            corpus_df, id_col=id_col, text_col=text_col, n=n,
+        )
+    corpus_digests, capped = index
     norm = F.sha2(
         F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), 256
-    )
-    corpus_digests = (
-        corpus_df.select(norm.alias("_digest")).distinct()
     )
     flagged = new_df.withColumn("_digest", norm).join(
         corpus_digests.withColumn("_hit", F.lit(True)), "_digest", "left"
@@ -687,17 +732,6 @@ def dedup_incremental(
         new_df.select(id_col, text_col), id_col=id_col,
         text_col=text_col, n=n, distinct=True,
     ).select(F.col(id_col).alias("_nid"), "shingle")
-    corpus_grams = shingle_rows(
-        corpus_df.select(id_col, text_col), id_col=id_col,
-        text_col=text_col, n=n, distinct=True,
-    ).select(F.col(id_col).alias("_cid"), "shingle")
-    hot = (
-        corpus_grams.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") > 100)
-        .select("shingle")
-    )
-    capped = corpus_grams.join(hot, "shingle", "left_anti")
     overlap = (
         new_grams.join(capped, "shingle")
         .groupBy("_nid", "_cid")

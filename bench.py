@@ -132,6 +132,13 @@ HEADLINE = [
     "ext-bpe-train",
     "stream-pause-resume",
     "sink-memory-bounded",
+    # round 6 additions: the registered banked five (the streaming
+    # dedup runs a real 3-batch file stream by construction).
+    "ext-bpe-encode",
+    "ext-snapshot-diff",
+    "ext-domain-cap",
+    "ext-semantic-decontaminate",
+    "stream-dedup-incremental",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
@@ -164,6 +171,7 @@ CORE = [
     "stream-manifest-sink",
     "ext-bpe-train",
     "ext-dedup-incremental",
+    "stream-dedup-incremental",
 ]
 
 
