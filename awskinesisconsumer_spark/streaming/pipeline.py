@@ -580,7 +580,14 @@ def incremental_dedup_stream(
     digests, postings = build_incremental_index(
         corpus, id_col=id_col, text_col=text_col,
     )
-    index = (digests.persist(), postings.persist())
+    # postings cache is hash-partitioned on the probe key, so each
+    # micro-batch's gram join shuffles only the (small) batch side;
+    # the digest set is broadcast-sized by construction (distinct
+    # 32-byte digests) and needs no layout.
+    index = (
+        digests.persist(),
+        postings.repartition("shingle").persist(),
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = dedup_incremental(
