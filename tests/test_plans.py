@@ -293,3 +293,16 @@ def test_snapshot_diff_scan_reads_only_key_and_compare_cols(spark):
     assert "event_type" in read_schema
     assert "value" not in read_schema and "props" not in read_schema
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_map_only_zero_exchanges(spark):
+    # The vectorized decontamination kernel is ONE MapInPandas
+    # directly over the pruned corpus scan: the benchmark rides the
+    # closure, per-row maxima collapse inside the kernel, and the
+    # corpus NEVER shuffles — the plan a 100 TB sweep needs.
+    df = entry.queries()["ext-semantic-decontaminate"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "vec_id" in read_schema and "embedding" in read_schema
