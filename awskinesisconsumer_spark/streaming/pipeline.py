@@ -657,3 +657,79 @@ def semantic_decontaminate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def domain_cap_stream(
+    rows: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Stateful streaming per-source quota: the continuous form of
+    `corpus_prep.domain_cap` — every arriving row gets its running
+    rank within its group (domain / source / license bucket) and a
+    `kept` flag (rank <= cap), with the per-group admission count
+    held in the state store ACROSS micro-batches via
+    applyInPandasWithState. The ingest-time mixture guard: a
+    mega-domain stops contributing the moment its quota fills, without
+    waiting for a batch sweep.
+
+    Ordering contract: ranks follow ARRIVAL order across batches
+    (state is a running count), with ties inside one micro-batch
+    totalized by `id_col`. When the source delivers groups in
+    ascending `id_col` order, the emitted union equals the batch
+    `domain_cap(order_by=[id asc])` exactly — the equivalence the
+    chunking test (tests/test_round6_ops.py) asserts. Out-of-order
+    arrival changes which rows hold the quota (inherent to any online
+    quota), never the per-group kept COUNT.
+
+    State per group is one long — constant regardless of group size,
+    so the state store holds |domains| longs at any corpus scale.
+    Returns the transformed streaming DataFrame (group, id,
+    rank_in_group, kept); output mode append.
+    """
+    from pyspark.sql.types import BooleanType, IntegerType
+
+    if cap < 1:
+        raise ValueError(f"domain_cap_stream: cap must be >= 1, got {cap}")
+    in_schema = rows.select(group_col, id_col).schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("rank_in_group", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (n_seen,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ranks = pd.RangeIndex(n_seen + 1, n_seen + len(pdf) + 1)
+        out = pdf[[group_col, id_col]].copy()
+        out["rank_in_group"] = ranks.astype("int32")
+        out["kept"] = out["rank_in_group"] <= cap
+        state.update((n_seen + len(pdf),))
+        yield out
+
+    return (
+        rows.select(group_col, id_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

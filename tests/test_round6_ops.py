@@ -163,3 +163,64 @@ def test_semantic_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_domain_cap_stream_equals_batch(spark, sf_dir, tmp_path):
+    # Stateful streaming quota (applyInPandasWithState, running
+    # per-group count across batches): with groups arriving in
+    # ascending id order (3 range files, mtimes forcing FileStream
+    # order), the emitted union must equal the batch
+    # domain_cap(order_by=[id asc]) exactly. Banked for r7.
+    import os
+    import time as _time
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+    from awskinesisconsumer_spark.streaming.pipeline import domain_cap_stream
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", (F.col("doc_id") % 7).cast("string").alias("domain")
+    )
+    src = tmp_path / "cap_src"
+    src.mkdir()
+    rows = sorted((r["doc_id"], r["domain"]) for r in docs.collect())
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(
+            chunk, "doc_id long, domain string"
+        ).coalesce(1).write.parquet(str(src / f"part{i}"))
+        for root, _, files in os.walk(src / f"part{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, domain string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part*"))
+    )
+    out = domain_cap_stream(stream, group_col="domain", id_col="doc_id", cap=30)
+    q = (
+        out.writeStream.format("memory").queryName("cap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3  # genuinely multi-batch, state crosses batches
+
+    got = sorted(
+        (r.domain, r.doc_id, r.rank_in_group, r.kept)
+        for r in spark.table("cap_stream").collect()
+    )
+    want = sorted(
+        (r.domain, r.doc_id, r.rank_in_group, r.kept)
+        for r in domain_cap(
+            docs, group_col="domain", cap=30,
+            order_by=[F.col("doc_id").asc()], id_col="doc_id",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # the quota genuinely binds: some group over cap
+    assert any(not k for (_, _, _, k) in got)
