@@ -641,3 +641,77 @@ def domain_cap(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .withColumn(keep_col, F.col("rank_in_group") <= cap)
     )
+
+
+def quality_blend(
+    df: DataFrame,
+    *,
+    signals: dict[str, tuple[float, float, float]],
+    n_bins: int = 200,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    out_col: str = "quality_blend",
+) -> DataFrame:
+    """Blend several per-document quality signals into ONE comparable
+    score — the signal-combination step every curation pipeline runs
+    before thresholding/bucketing, where raw signals live on wildly
+    different scales (chars vs ratios vs entropies).
+
+    `signals` maps column -> (lo, hi, weight): each signal is
+    winsorize-normalized to [0, 1] using its [p_low, p_high]
+    histogram-quantile cut points over fixed [lo, hi] bins (NO global
+    sort or percent_rank — the sketch is one map-side-combined pass
+    per signal, constant driver state, then the normalization is a
+    map-only projection; the scale story is `sketches.winsorize`'s).
+    The blend is the weighted mean over the document's NON-NULL
+    signals (weights renormalize, so a missing signal neither sinks
+    nor inflates the score); documents with every signal NULL get
+    NULL. A degenerate signal (hi_cut == lo_cut — constant within the
+    clip range) carries no information and contributes 0.5.
+
+    Normalized signals and the blend round to 6 dp, cut points to
+    4 dp (inside histogram_quantiles), so a SQL twin replaying the
+    same arithmetic hashes identically. Returns the input plus one
+    `norm_<signal>` column per signal and `out_col`.
+    """
+    from .sketches import histogram_quantiles
+
+    if not signals:
+        raise ValueError("quality_blend: signals must be non-empty")
+    cuts: dict[str, tuple[float, float]] = {}
+    for col, (lo, hi, _w) in signals.items():
+        qs = {
+            r.q: r.estimate
+            for r in histogram_quantiles(
+                df, value_col=col, lo=lo, hi=hi, n_bins=n_bins,
+                quantiles=(p_low, p_high),
+            ).collect()
+        }
+        if p_low in qs and p_high in qs:
+            cuts[col] = (qs[p_low], qs[p_high])
+    out = df
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for col, (lo, hi, w) in signals.items():
+        v = F.col(col).cast("double")
+        if col not in cuts:  # empty/all-null signal column
+            norm = F.lit(None).cast("double")
+        else:
+            lo_cut, hi_cut = cuts[col]
+            if hi_cut == lo_cut:
+                norm = F.when(v.isNotNull(), F.lit(0.5))
+            else:
+                clipped = F.least(
+                    F.greatest(v, F.lit(lo_cut)), F.lit(hi_cut)
+                )
+                norm = F.round(
+                    (clipped - F.lit(lo_cut))
+                    / F.lit(float(hi_cut - lo_cut)),
+                    6,
+                )
+        out = out.withColumn(f"norm_{col}", norm)
+        nn = F.col(f"norm_{col}")
+        num = num + F.when(nn.isNotNull(), nn * F.lit(w)).otherwise(F.lit(0.0))
+        den = den + F.when(nn.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+    blend = F.when(den > 0, F.round(num / den, 6))
+    return out.withColumn(out_col, blend)

@@ -1060,3 +1060,65 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str,
+    out_col: str = "text_norm",
+    changed_col: str = "norm_changed",
+) -> DataFrame:
+    """Unicode + whitespace hygiene — the normalization pass every
+    web-scale corpus runs before dedup/tokenization, so that visually
+    identical documents (NFC vs NFD accents, zero-width joiners,
+    stray control bytes, ragged spacing) hash identically downstream:
+
+      1. Unicode NFC (canonical composition),
+      2. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM),
+      3. strip C0/DEL control characters except tab + newline,
+      4. collapse runs of spaces/tabs to one space, trim line ends,
+      5. trim the document.
+
+    NULL stays NULL; `changed_col` flags rows the pass altered (the
+    audit a curation pipeline logs). Implemented as ONE Arrow-batched
+    pandas UDF (unicodedata lives Python-side — the portable stand-in
+    for an ICU JVM UDF at 100 TB): linear, map-only, no shuffle; the
+    whole transform is a projection over the scan.
+    """
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    zw = _re.compile("[​‌‍﻿]")
+    ctl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    ws = _re.compile("[ \t]+")
+    eol = _re.compile(" \n")
+
+    def norm_one(s):
+        if s is None:
+            return None
+        s = unicodedata.normalize("NFC", s)
+        s = zw.sub("", s)
+        s = ctl.sub("", s)
+        s = ws.sub(" ", s)
+        s = eol.sub("\n", s)
+        # explicit charset: after steps 2-4 the only whitespace left
+        # is space/newline, and an engine-portable trim must not
+        # depend on Python's unicode-aware str.strip()
+        return s.strip(" \n")
+
+    @F.pandas_udf(StringType())
+    def _norm(col: pd.Series) -> pd.Series:
+        return col.map(norm_one, na_action="ignore")
+
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    return out.withColumn(
+        changed_col,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.col(out_col) != F.col(text_col),
+        ),
+    )

@@ -224,3 +224,195 @@ def test_domain_cap_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     # the quota genuinely binds: some group over cap
     assert any(not k for (_, _, _, k) in got)
+
+
+def test_quality_blend_oracle(spark):
+    # Banked for r7 (pattern: prove the DuckDB twin before
+    # registration). Two text-derived signals on documents at
+    # sf0.001, winsorize-normalized and weight-blended; the twin
+    # replays the histogram cut interpolation per signal + the same
+    # renormalized weighted mean.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import quality_blend
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    sig = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.when(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"),
+        ).alias("n_words"),
+    )
+    out = quality_blend(
+        sig,
+        signals={"n_chars": (0.0, 2000.0, 0.6), "n_words": (0.0, 400.0, 0.4)},
+        n_bins=200,
+    ).select("doc_id", "norm_n_chars", "norm_n_words", "quality_blend")
+
+    def cut_cte(tag, expr, lo, hi, n_bins):
+        width = (hi - lo) / n_bins
+        return f"""
+        b_{tag} AS (
+          SELECT LEAST(GREATEST(
+                   CAST(FLOOR((({expr}) - {lo}) / {width}) AS INT), 0),
+                   {n_bins - 1}) AS bin
+          FROM sig WHERE ({expr}) IS NOT NULL),
+        c_{tag} AS (SELECT bin, COUNT(*) AS c FROM b_{tag} GROUP BY 1),
+        cum_{tag} AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum,
+                             SUM(c) OVER () AS total FROM c_{tag}),
+        cuts_{tag} AS (
+          SELECT q.q,
+            MIN_BY(ROUND({lo} + (bin
+              + (CEIL(q.q * total) - (cum - c)) / CAST(c AS DOUBLE))
+              * {width}, 4), bin) AS est
+          FROM cum_{tag} CROSS JOIN q
+          WHERE cum >= CEIL(q.q * total)
+          GROUP BY q.q),
+        lohi_{tag} AS (
+          SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS lo_cut,
+                 MIN(CASE WHEN q = 0.99 THEN est END) AS hi_cut
+          FROM cuts_{tag})"""
+
+    def norm_expr(tag, expr):
+        return (f"ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
+                f"lohi_{tag}.lo_cut), lohi_{tag}.hi_cut) - lohi_{tag}.lo_cut)"
+                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6)")
+
+    chars = "CAST(length(text) AS DOUBLE)"
+    words = ("CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN "
+             "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END")
+    nc, nw = norm_expr("c", chars), norm_expr("w", words)
+    sql = f"""
+        WITH sig AS (SELECT doc_id, text FROM documents),
+        q AS (SELECT UNNEST(CAST([0.01, 0.99] AS DOUBLE[])) AS q),
+        {cut_cte('c', chars, 0.0, 2000.0, 200).lstrip()},
+        {cut_cte('w', words, 0.0, 400.0, 200).lstrip()}
+        SELECT doc_id,
+               {nc} AS norm_n_chars,
+               {nw} AS norm_n_words,
+               CASE WHEN (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                        + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END) > 0
+                 THEN ROUND(
+                   (COALESCE({nc} * 0.6, 0) + COALESCE({nw} * 0.4, 0))
+                   / (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                    + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END), 6)
+               END AS quality_blend
+        FROM sig CROSS JOIN lohi_c CROSS JOIN lohi_w
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(
+        tuple(canon(r[c]) for c in sorted(tbl.column_names))
+        for r in tbl.to_pylist()
+    )
+    assert srows == drows and len(srows) == 500
+    # the blend actually varies (not all 0.5 / degenerate)
+    assert len({t for t in srows}) > 10
+
+
+def test_normalize_text_oracle(spark):
+    # Banked for r7. Every transform is exercised by a deterministic
+    # unicode-dirty suffix (NFD accent, zero-width space, tab runs, a
+    # control byte, ragged line end); the DuckDB twin replays the
+    # pipeline with nfc_normalize + the same regex chain.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import normalize_text
+
+    SF = "/root/testdata/sf0.001"
+    dirty_sfx = " Café​  x\ty\x07 \n z "
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(dirty_sfx))
+        .alias("text"),
+    )
+    out = normalize_text(docs, text_col="text").select(
+        "doc_id", "text_norm", "norm_changed"
+    )
+    # sanity: the suffix normalizes as designed on every row
+    one = out.where(F.col("doc_id") == 0).first()
+    assert one["text_norm"].endswith("Café x y\n z")
+    assert one["norm_changed"] is True
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' Cafe' || chr(769) || chr(8203)
+                   || '  x' || chr(9) || 'y' || chr(7) || ' ' || chr(10)
+                   || ' z ' AS text
+          FROM documents),
+        n AS (
+          SELECT doc_id, text,
+            trim(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                      '[​‌‍﻿]', '', 'g'),
+                    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  '[ \t]+', ' ', 'g'),
+                ' \n', chr(10), 'g'),
+              ' ' || chr(10)) AS text_norm
+          FROM dirty)
+        SELECT doc_id, text_norm, text_norm <> text AS norm_changed
+        FROM n
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(
+        tuple(canon(r[c]) for c in sorted(tbl.column_names))
+        for r in tbl.to_pylist()
+    )
+    assert srows == drows and len(srows) == 500
+
+
+def test_normalize_text_null_and_identity(spark):
+    from awskinesisconsumer_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "already clean"), (3, "a  b"), (4, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: (r["text_norm"], r["norm_changed"])
+           for r in normalize_text(df, text_col="text").collect()}
+    assert got[1] == (None, None)
+    assert got[2] == ("already clean", False)
+    assert got[3] == ("a b", True)
+    assert got[4] == ("", False)
