@@ -306,3 +306,32 @@ def test_semantic_decontaminate_map_only_zero_exchanges(spark):
     assert "Exchange" not in plan, plan
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "vec_id" in read_schema and "embedding" in read_schema
+
+
+def test_quality_blend_final_pass_is_map_only(spark):
+    # After the per-signal histogram sketches collapse to driver cut
+    # points, the normalization + blend must be pure whole-stage
+    # projections over ONE scan — zero exchanges in the output plan.
+    from awskinesisconsumer_spark.operators.corpus_prep import quality_blend
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = docs.select(
+        "doc_id", F.length("text").cast("double").alias("n_chars")
+    )
+    out = quality_blend(sig, signals={"n_chars": (0.0, 2000.0, 1.0)})
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "*(1) Project" in plan  # codegen'd projection stage
+
+
+def test_normalize_text_single_arrow_pass_no_exchange(spark):
+    # One ArrowEvalPython over the scan, no shuffle anywhere — the
+    # hygiene pass is a projection.
+    from awskinesisconsumer_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = normalize_text(docs, text_col="text")
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
