@@ -145,6 +145,9 @@ def doc_ops():
         "bpe-encode": bpe_encode_study,
         "domain-cap": domain_cap_study,
         "snapshot-diff": snapshot_diff_study,
+        # round-6 additions
+        "quality-blend": quality_blend_study,
+        "normalize-text": normalize_text_study,
     }
 
 
@@ -209,6 +212,38 @@ def snapshot_diff_study(d):
         .otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, key_cols=["doc_id"])
+
+
+def quality_blend_study(d):
+    # Two text-derived signals: the sketch passes are one scan each
+    # with an n_bins-row shuffle; the blend is map-only — total cost
+    # should track the 3 corpus scans linearly.
+    from awskinesisconsumer_spark.operators.corpus_prep import quality_blend
+
+    sig = d.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.when(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"),
+        ).alias("n_words"),
+    )
+    return quality_blend(
+        sig,
+        signals={"n_chars": (0.0, 2000.0, 0.6), "n_words": (0.0, 400.0, 0.4)},
+    )
+
+
+def normalize_text_study(d):
+    # One Arrow pass, map-only — wall should be linear in corpus
+    # bytes with zero shuffle.
+    from awskinesisconsumer_spark.operators.text import normalize_text
+
+    dirty = d.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         F.lit(" Café​  x\ty \n z "))
+    )
+    return normalize_text(dirty, text_col="text")
 
 
 def pagerank_dups(d):
