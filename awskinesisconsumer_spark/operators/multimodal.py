@@ -20,8 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 FRAME_META_SCHEMA = StructType([
@@ -135,3 +135,248 @@ def extract_audio_features(df: DataFrame, *, window_bytes: int = 256) -> DataFra
             yield pd.DataFrame(out, columns=["doc_id", "n_windows", "mean_byte"])
 
     return df.mapInPandas(feats, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs. The container has no libav/PIL/cv2, but two media
+# formats are fully decodable with the standard library alone — so these
+# paths are NOT stubs: PCM WAV (RIFF parsing + sample math via `wave` +
+# `struct`) and a PNG subset (zlib inflate + filter-0 scanlines, CRC32
+# verified). They upgrade the decode story from "plumbing-only" to
+# "real codec where the environment allows", keeping the identical
+# Arrow-batched mapInPandas shape the stubbed codecs use.
+# ---------------------------------------------------------------------------
+
+WAV_INFO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("sample_width", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("sum_samples", LongType()),
+    StructField("sum_abs_samples", LongType()),
+])
+
+
+def synth_wav_pcm16(df: DataFrame, *, id_col: str, n_frames: int = 441,
+                    sample_rate: int = 8000) -> DataFrame:
+    """Synthesize REAL mono PCM-16 WAV payloads, one per row, with a
+    deterministic engine-replayable sample formula:
+
+        sample[k] = ((id * 31 + k * 17) % 65536) - 32768
+
+    Encoded with the stdlib `wave` writer inside an Arrow batch —
+    genuine RIFF/WAVE bytes (44-byte header + little-endian PCM), the
+    fixture generator for the real `decode_wav` path."""
+    import io
+    import struct
+    import wave
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                samples = [
+                    ((did * 31 + k * 17) % 65536) - 32768
+                    for k in range(n_frames)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(synth, out_schema)
+
+
+def decode_wav(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """REAL PCM WAV decode — no stub, no external libs: the stdlib
+    `wave` reader parses the RIFF header (rate / channels / width /
+    frame count) and the raw frames decode with `struct` into exact
+    integer sample statistics (sum, sum of |s|) that any engine
+    replaying the synthesis formula reproduces bit-for-bit.
+
+    Arrow-batched mapInPandas, identical batch shape to the stubbed
+    video path; NULL or non-RIFF payloads yield NULL fields rather
+    than failing the batch (the error-routing convention)."""
+    import io
+    import struct
+    import wave
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        nch, width, rate = (
+                            w.getnchannels(), w.getsampwidth(),
+                            w.getframerate(),
+                        )
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    if width != 2:
+                        raise ValueError("non-16-bit PCM")
+                    samples = struct.unpack(f"<{nf * nch}h", raw)
+                    rows.append((
+                        int(did), rate, nch, width, nf,
+                        nf * 1000 // rate,
+                        sum(samples), sum(abs(s) for s in samples),
+                    ))
+                except Exception:
+                    rows.append((int(did), None, None, None, None,
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_INFO_SCHEMA])
+
+    return df.mapInPandas(decode, WAV_INFO_SCHEMA)
+
+
+PNG_INFO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("color_type", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("crc_ok", BooleanType()),
+    StructField("sum_pixels", LongType()),
+])
+
+
+def encode_png_rgb(df: DataFrame, *, id_col: str, height: int = 8,
+                   width: int = 8) -> DataFrame:
+    """Encode REAL PNG bytes (the reference writes frame PNGs,
+    parser.py:483-485) — pure stdlib: signature, IHDR, one zlib IDAT
+    of filter-0 scanlines, IEND, all CRC32'd. Pixels follow the
+    deterministic formula
+
+        channel[y, x, c] = (id * 7 + y * 131 + x * 17 + c * 43) % 256
+
+    so a SQL twin can replay the pixel sum without decoding."""
+    import struct
+    import zlib
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                raw = bytearray()
+                for y in range(height):
+                    raw.append(0)  # filter type 0 per scanline
+                    for x in range(width):
+                        for c in range(3):
+                            raw.append(
+                                (did * 7 + y * 131 + x * 17 + c * 43) % 256
+                            )
+                ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+                png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                       + chunk(b"IEND", b""))
+                rows.append((did, png))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col)).mapInPandas(encode, out_schema)
+
+
+def decode_png(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """REAL PNG decode for the 8-bit RGB filter-0 subset this engine
+    writes (and a strict validator for anything else): parses chunks,
+    VERIFIES every CRC32, inflates IDAT, un-filters scanlines
+    (filters 0-4 per the PNG spec), and returns typed metadata plus
+    the exact pixel-byte sum. Invalid/NULL payloads yield NULL fields
+    with crc_ok false."""
+    import struct
+    import zlib
+
+    def unfilter(raw: bytes, h: int, w: int) -> bytearray:
+        stride = w * 3
+        out = bytearray()
+        pos = 0
+        prev = bytearray(stride)
+        for _y in range(h):
+            ftype = raw[pos]
+            pos += 1
+            line = bytearray(raw[pos:pos + stride])
+            pos += stride
+            if ftype == 1:    # Sub
+                for i in range(3, stride):
+                    line[i] = (line[i] + line[i - 3]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - 3] if i >= 3 else 0
+                    b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter {ftype}")
+            out.extend(line)
+            prev = line
+        return out
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    b = bytes(payload)
+                    if b[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise ValueError("bad signature")
+                    pos, ihdr, idat, crc_ok = 8, None, b"", True
+                    while pos < len(b):
+                        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+                        tag = b[pos + 4:pos + 8]
+                        body = b[pos + 8:pos + 8 + ln]
+                        (crc,) = struct.unpack(
+                            ">I", b[pos + 8 + ln:pos + 12 + ln])
+                        crc_ok &= (zlib.crc32(tag + body) & 0xFFFFFFFF) == crc
+                        if tag == b"IHDR":
+                            ihdr = struct.unpack(">IIBBBBB", body)
+                        elif tag == b"IDAT":
+                            idat += body
+                        pos += 12 + ln
+                        if tag == b"IEND":
+                            break
+                    w, h, depth, ctype = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+                    if depth != 8 or ctype != 2:
+                        raise ValueError("unsupported PNG subset")
+                    pixels = unfilter(zlib.decompress(idat), h, w)
+                    if len(pixels) != h * w * 3:
+                        raise ValueError("pixel size mismatch")
+                    rows.append((int(did), h, w, depth, ctype, len(b),
+                                 bool(crc_ok), sum(pixels)))
+                except Exception:
+                    rows.append((int(did), None, None, None, None,
+                                 None, False, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_INFO_SCHEMA])
+
+    return df.mapInPandas(decode, PNG_INFO_SCHEMA)
