@@ -1062,6 +1062,30 @@ def bpe_train_merges(
     )
 
 
+import re as _re_norm
+import unicodedata as _ud_norm
+
+_NORM_ZW = _re_norm.compile("[​‌‍﻿]")
+_NORM_CTL = _re_norm.compile("[\x00-\x08\x0b-\x1f\x7f]")
+_NORM_WS = _re_norm.compile("[ \t]+")
+_NORM_EOL = _re_norm.compile(" \n")
+
+
+def _normalize_string(s: str) -> str:
+    """normalize_text's per-string kernel, module-level so the
+    property tests exercise the exact production code (NFC ->
+    zero-width strip -> control strip -> space/tab collapse -> trim).
+    Trim uses an explicit charset: after the strips the only
+    whitespace left is space/newline, and an engine-portable trim
+    must not depend on Python's unicode-aware str.strip()."""
+    s = _ud_norm.normalize("NFC", s)
+    s = _NORM_ZW.sub("", s)
+    s = _NORM_CTL.sub("", s)
+    s = _NORM_WS.sub(" ", s)
+    s = _NORM_EOL.sub("\n", s)
+    return s.strip(" \n")
+
+
 def normalize_text(
     df: DataFrame,
     *,
@@ -1086,33 +1110,12 @@ def normalize_text(
     for an ICU JVM UDF at 100 TB): linear, map-only, no shuffle; the
     whole transform is a projection over the scan.
     """
-    import re as _re
-    import unicodedata
-
     import pandas as pd
     from pyspark.sql.types import StringType
 
-    zw = _re.compile("[​‌‍﻿]")
-    ctl = _re.compile("[\x00-\x08\x0b-\x1f\x7f]")
-    ws = _re.compile("[ \t]+")
-    eol = _re.compile(" \n")
-
-    def norm_one(s):
-        if s is None:
-            return None
-        s = unicodedata.normalize("NFC", s)
-        s = zw.sub("", s)
-        s = ctl.sub("", s)
-        s = ws.sub(" ", s)
-        s = eol.sub("\n", s)
-        # explicit charset: after steps 2-4 the only whitespace left
-        # is space/newline, and an engine-portable trim must not
-        # depend on Python's unicode-aware str.strip()
-        return s.strip(" \n")
-
     @F.pandas_udf(StringType())
     def _norm(col: pd.Series) -> pd.Series:
-        return col.map(norm_one, na_action="ignore")
+        return col.map(_normalize_string, na_action="ignore")
 
     out = df.withColumn(out_col, _norm(F.col(text_col)))
     return out.withColumn(
