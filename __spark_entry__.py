@@ -3247,14 +3247,17 @@ def _bm25_oracle_sql(words_lower: str, k1: float = 1.5, b: float = 0.75,
     """
 
 
-def _bpe_oracle_sql(n_merges: int = 10, encode: bool = False) -> str:
+def _bpe_oracle_sql(n_merges: int = 10, encode: bool = False,
+                    pack_capacity: int | None = None) -> str:
     """DuckDB twin of operators/text.py:bpe_train_merges (and, with
     `encode=True`, of bpe_encode_corpus run with the merges trained
     on the SAME corpus at the same n_merges: the final vocab state
     v{n} IS the per-word tokenization after all n merges, so the
     encode twin joins per-(doc, word) counts against len(v{n}.toks);
     sound whenever training's early stop does not trigger, which the
-    train twin's guard verifies).
+    train twin's guard verifies). `pack_capacity` (implies encode)
+    appends the pack_sequences prefix-sum tail over the REAL
+    n_bpe_tokens — the tokenize->pack composition twin.
 
     Replays every merge round exactly: weighted adjacent-pair counts
     over the (word, freq) vocab, the (count DESC, left, right)
@@ -3316,7 +3319,7 @@ def _bpe_oracle_sql(n_merges: int = 10, encode: bool = False) -> str:
           FROM a{k} WHERE len(rest) > 0),
         v{k + 1} AS MATERIALIZED (
           SELECT wd, freq, outts AS toks FROM a{k} WHERE len(rest) = 0)""")
-    if encode:
+    if encode or pack_capacity is not None:
         parts.append(f""",
         tokc AS (
           SELECT doc_id, wd, COUNT(*) AS c
@@ -3325,11 +3328,34 @@ def _bpe_oracle_sql(n_merges: int = 10, encode: bool = False) -> str:
         wlen AS (SELECT wd, len(toks) AS nt FROM v{n_merges}),
         agg AS (
           SELECT doc_id, SUM(c) AS n_words, SUM(c * nt) AS n_bpe_tokens
-          FROM tokc JOIN wlen USING (wd) GROUP BY doc_id)
+          FROM tokc JOIN wlen USING (wd) GROUP BY doc_id)""")
+        if pack_capacity is None:
+            parts.append("""
         SELECT d.doc_id,
                CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
                CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""")
+            return "".join(parts)
+        cap = int(pack_capacity)
+        parts.append(f""",
+        enc AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+        cumt AS (
+          SELECT doc_id, n_tokens,
+            CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+          FROM enc)
+        SELECT doc_id, n_tokens,
+               tok_end - n_tokens AS tok_start, tok_end,
+               (tok_end - n_tokens) // {cap} AS seq_first,
+               CASE WHEN n_tokens > 0 THEN (tok_end - 1) // {cap}
+                    ELSE (tok_end - n_tokens) // {cap} END AS seq_last,
+               (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // {cap}
+                     ELSE (tok_end - n_tokens) // {cap} END)
+                 - ((tok_end - n_tokens) // {cap}) + 1 AS n_seqs
+        FROM cumt""")
         return "".join(parts)
     sel = "\n            UNION ALL ".join(
         f"SELECT {k} AS rank, lt, rt, c FROM m{k}" for k in range(n_merges)

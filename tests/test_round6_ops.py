@@ -545,3 +545,57 @@ def test_png_decode_handles_all_filters_and_corruption(spark):
     for f in range(5):
         assert got[f] == (expected_sum, True), (f, got[f])
     assert got[99][1] is False
+
+
+def test_tokenize_pack_oracle(spark):
+    # Banked composition: pack sequences by REAL BPE token counts
+    # (train -> encode -> pack_sequences) — the tokenizer-aware
+    # packing layout an actual training-data build runs, vs
+    # ext-pack-sequences' regex-proxy counts. Oracle = the encode CTE
+    # chain + the pack prefix-sum tail in one statement.
+    import math
+
+    import duckdb
+
+    from __spark_entry__ import _bpe_oracle_sql
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import pack_sequences
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_encode_corpus, bpe_train_merges,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    rows = (bpe_train_merges(docs, text_col="text", n_merges=10)
+            .orderBy("rank").collect())
+    assert len(rows) == 10 and min(r["pair_count"] for r in rows) >= 2
+    toks = bpe_encode_corpus(
+        docs, id_col="doc_id", text_col="text",
+        merges=[(r["left"], r["right"]) for r in rows],
+    ).select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    out = pack_sequences(toks, id_col="doc_id", token_col="n_tokens",
+                         capacity=512, group_size=64)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(
+        _bpe_oracle_sql(10, pack_capacity=512)
+    ).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names), (cols, tbl.column_names)
+    drows = sorted(
+        tuple(canon(r[c]) for c in sorted(tbl.column_names))
+        for r in tbl.to_pylist()
+    )
+    assert srows == drows and len(srows) == 500
