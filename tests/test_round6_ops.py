@@ -599,3 +599,106 @@ def test_tokenize_pack_oracle(spark):
         for r in tbl.to_pylist()
     )
     assert srows == drows and len(srows) == 500
+
+
+def test_validate_expectations_oracle(spark):
+    # Banked validation family: all rules in ONE scan; DuckDB twin is
+    # plain conditional aggregates. A NULL rule outcome counts as a
+    # violation (conservative convention), exercised via props lookup.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.validation import (
+        check_referential, validate_expectations,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, "orders", SF)
+    out = validate_expectations(orders, {
+        "price_in_range": F.col("o_totalprice").between(0.0, 500000.0),
+        "priority_known": F.col("o_orderpriority").isin(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+        "key_positive": F.col("o_orderkey") > 0,
+    })
+    ev = load_table(spark, "events", SF)
+    cust = load_table(spark, "customer", SF)
+    fk = check_referential(
+        ev, cust, fact_key="user_id", dim_key="c_custkey"
+    )
+    report = out.unionByName(fk)
+
+    con = duckdb.connect()
+    for t in ("orders", "events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sql = """
+        SELECT 'price_in_range' AS rule, COUNT(*) AS n_rows,
+          COUNT(*) FILTER (NOT COALESCE(
+            o_totalprice BETWEEN 0.0 AND 500000.0, FALSE)) AS n_violations,
+          ROUND(COUNT(*) FILTER (NOT COALESCE(
+            o_totalprice BETWEEN 0.0 AND 500000.0, FALSE))
+            / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+          COUNT(*) FILTER (NOT COALESCE(
+            o_totalprice BETWEEN 0.0 AND 500000.0, FALSE)) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'priority_known', COUNT(*),
+          COUNT(*) FILTER (NOT COALESCE(o_orderpriority IN ('1-URGENT',
+            '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE)),
+          ROUND(COUNT(*) FILTER (NOT COALESCE(o_orderpriority IN
+            ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+             '5-LOW'), FALSE)) / CAST(COUNT(*) AS DOUBLE), 6),
+          COUNT(*) FILTER (NOT COALESCE(o_orderpriority IN ('1-URGENT',
+            '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE)) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'key_positive', COUNT(*),
+          COUNT(*) FILTER (NOT COALESCE(o_orderkey > 0, FALSE)),
+          ROUND(COUNT(*) FILTER (NOT COALESCE(o_orderkey > 0, FALSE))
+            / CAST(COUNT(*) AS DOUBLE), 6),
+          COUNT(*) FILTER (NOT COALESCE(o_orderkey > 0, FALSE)) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'fk_user_id_in_c_custkey',
+          (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+          COUNT(*), ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM events
+            WHERE user_id IS NOT NULL) AS DOUBLE), 6), COUNT(*) = 0
+        FROM (SELECT user_id FROM events WHERE user_id IS NOT NULL
+              AND user_id NOT IN (SELECT c_custkey FROM customer))
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(report.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols)
+                   for r in report.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 4
+
+
+def test_validate_expectations_single_aggregate_plan(spark):
+    # All rules must ride ONE scan/aggregate pair — adding rules adds
+    # columns, never passes (exchanges stay at the lone agg's).
+    from awskinesisconsumer_spark.operators.validation import (
+        validate_expectations,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = validate_expectations(orders, {
+        "a": F.col("o_orderkey") > 0,
+        "b": F.col("o_totalprice") >= 0,
+        "c": F.col("o_orderpriority").isNotNull(),
+    })
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("HashAggregate") <= 2, plan  # partial + final
