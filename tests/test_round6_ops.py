@@ -702,3 +702,64 @@ def test_validate_expectations_single_aggregate_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1, plan
     assert plan.count("HashAggregate") <= 2, plan  # partial + final
+
+
+def test_incremental_dedup_stream_clean_restart_no_replay(spark, sf_dir,
+                                                          tmp_path):
+    # Docstring contract: a clean stop/restart replays NOTHING — the
+    # checkpoint offset log resumes exactly after the consumed files.
+    # Phase 1 consumes 2 source files; phase 2 adds a third and
+    # restarts on the SAME checkpoint; the union must equal the
+    # single-batch batch-operator result with zero duplicate ids.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import dedup_incremental
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    rows = sorted((r["doc_id"], r["text"]) for r in new.collect())
+    third = len(rows) // 3
+    src = tmp_path / "src"
+    src.mkdir()
+    out_path = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(i, chunk):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(src / f"p{i}"))
+
+    write_chunk(0, rows[:third])
+    write_chunk(1, rows[third:2 * third])
+    stream = lambda: spark.readStream.schema(new.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(str(src / "p*"))
+    q1 = incremental_dedup_stream(
+        stream(), corpus, id_col="doc_id", text_col="text",
+        out_path=out_path, checkpoint=ckpt, min_overlap=5,
+    )
+    assert q1.awaitTermination(180)
+    n_phase1 = spark.read.parquet(out_path).count()
+    assert n_phase1 == 2 * third
+
+    write_chunk(2, rows[2 * third:])
+    q2 = incremental_dedup_stream(
+        stream(), corpus, id_col="doc_id", text_col="text",
+        out_path=out_path, checkpoint=ckpt, min_overlap=5,
+    )
+    assert q2.awaitTermination(180)
+
+    got = spark.read.parquet(out_path)
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == len(rows)  # no replays, no loss
+    want = sorted(
+        (r.doc_id, r.exact_dup, r.max_overlap, r.near_dup)
+        for r in dedup_incremental(
+            new, corpus, id_col="doc_id", text_col="text", min_overlap=5
+        ).collect()
+    )
+    assert sorted(
+        (r.doc_id, r.exact_dup, r.max_overlap, r.near_dup)
+        for r in got.collect()
+    ) == want
