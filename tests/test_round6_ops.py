@@ -763,3 +763,69 @@ def test_incremental_dedup_stream_clean_restart_no_replay(spark, sf_dir,
         (r.doc_id, r.exact_dup, r.max_overlap, r.near_dup)
         for r in got.collect()
     ) == want
+
+
+def test_domain_cap_stream_state_survives_restart(spark, sf_dir, tmp_path):
+    # The per-group admission counts live in the state store: stop
+    # after 2 of 3 range files, restart on the SAME checkpoint with
+    # the third — ranks must CONTINUE (not reset), so the union still
+    # equals the batch domain_cap(order_by=[id asc]).
+    import os
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import domain_cap
+    from awskinesisconsumer_spark.streaming.pipeline import domain_cap_stream
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", (F.col("doc_id") % 7).cast("string").alias("domain")
+    )
+    rows = sorted((r["doc_id"], r["domain"]) for r in docs.collect())
+    third = len(rows) // 3
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(i, chunk):
+        spark.createDataFrame(
+            chunk, "doc_id long, domain string"
+        ).coalesce(1).write.parquet(str(src / f"p{i}"))
+        for root, _, files in os.walk(src / f"p{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_000_000 + i, 1_000_000 + i))
+
+    out_path = str(tmp_path / "out")
+
+    def run_phase():
+        # memory sink cannot recover a checkpoint; the parquet sink
+        # exercises the real recovery path
+        stream = (spark.readStream.schema("doc_id long, domain string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "p*")))
+        out = domain_cap_stream(stream, group_col="domain",
+                                id_col="doc_id", cap=30)
+        q = (out.writeStream.format("parquet").option("path", out_path)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        return spark.read.parquet(out_path).collect()
+
+    write_chunk(0, rows[:third])
+    write_chunk(1, rows[third:2 * third])
+    phase1 = run_phase()
+    assert len(phase1) == 2 * third
+
+    write_chunk(2, rows[2 * third:])
+    both = run_phase()
+    assert len(both) == len(rows)  # phase 2 appended only the new file
+
+    got = sorted((r.domain, r.doc_id, r.rank_in_group, r.kept)
+                 for r in both)
+    want = sorted(
+        (r.domain, r.doc_id, r.rank_in_group, r.kept)
+        for r in domain_cap(
+            docs, group_col="domain", cap=30,
+            order_by=[F.col("doc_id").asc()], id_col="doc_id",
+        ).collect()
+    )
+    assert got == want  # ranks continued across the restart
