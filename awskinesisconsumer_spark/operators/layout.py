@@ -85,3 +85,72 @@ def zorder_file_stats(
             F.max(y_col).alias("max_y"),
         )
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction — the lake-maintenance OPTIMIZE pass:
+    streaming sinks and fine-grained partitioned writes leave
+    directories full of KB-scale parquet files whose per-file open/
+    footer cost dominates scans at 100 TB. Rewrites the dataset into
+    ceil(total_bytes / target_bytes) files when the directory holds at
+    least `min_files` data files; otherwise a no-op.
+
+    The rewrite is atomic-by-rename at directory granularity: the
+    compacted copy lands in a sibling temp dir, the original moves
+    aside, the new one renames into place, the old tree deletes last
+    — a reader mid-swap sees the old or the new complete directory on
+    any rename-atomic filesystem (the same guarantee class the
+    manifest sink provides at file level; on object stores, pair with
+    the manifest writer instead of relying on renames). Row content
+    is preserved exactly (one read -> repartition(n) -> write: no
+    shuffle beyond the single repartition exchange, no column
+    rewrite).
+
+    Returns {"n_files_before", "n_files_after", "bytes_total",
+    "compacted": bool} for the maintenance-job log.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+
+    def data_files(p):
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                out.extend(data_files(st.getPath()))
+            elif not name.startswith(("_", ".")):
+                out.append(st)
+        return out
+
+    files = data_files(hpath)
+    total = sum(st.getLen() for st in files)
+    n_before = len(files)
+    n_target = max(1, -(-total // target_bytes))
+    if n_before < min_files or n_target >= n_before:
+        return {"n_files_before": n_before, "n_files_after": n_before,
+                "bytes_total": total, "compacted": False}
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    (spark.read.parquet(path)
+     .repartition(int(n_target))
+     .write.mode("overwrite").parquet(str(tmp.toString())))
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_small_files: cannot move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compact_small_files: cannot install compacted {path}")
+    fs.delete(old, True)
+    n_after = len(data_files(hpath))
+    return {"n_files_before": n_before, "n_files_after": n_after,
+            "bytes_total": total, "compacted": True}

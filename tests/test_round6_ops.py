@@ -829,3 +829,33 @@ def test_domain_cap_stream_state_survives_restart(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want  # ranks continued across the restart
+
+
+def test_compact_small_files_preserves_rows_and_shrinks_count(
+        spark, sf_dir, tmp_path):
+    # Fragment events into ~40 tiny files, compact to a small target:
+    # file count collapses, row content is EXACTLY preserved, and an
+    # under-threshold directory is a no-op.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "frag")
+    ev.repartition(40).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    report = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert report["compacted"] is True
+    assert report["n_files_before"] >= 40
+    assert report["n_files_after"] == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # already compact -> no-op (and the report says so)
+    report2 = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert report2["compacted"] is False
+    assert report2["n_files_after"] == report["n_files_after"]
