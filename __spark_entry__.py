@@ -2369,13 +2369,22 @@ def _snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     # that never moves the payload at 100 TB.
     from awskinesisconsumer_spark.operators.compaction import snapshot_diff
 
+    # %13 NULLs user_id on BOTH sides (same key, NULL == NULL value ->
+    # 'unchanged'); %17 NULLs event_type on the new side only ('' vs
+    # NULL -> 'changed') — so the digest's length-prefixed NULL
+    # encoding ('-1|') is actually exercised at gate time, not just
+    # documented.
     ev = load_table(spark, "events", sf).select(
-        "event_id", "user_id", "event_type"
+        "event_id",
+        F.when(F.col("event_id") % 13 != 0, F.col("user_id"))
+        .alias("user_id"),
+        "event_type",
     )
     old = ev.where(F.col("event_id") % 5 != 0)
     new = ev.where(F.col("event_id") % 7 != 0).withColumn(
         "event_type",
-        F.when(F.col("event_id") % 11 == 0, F.lit("mutated"))
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .when(F.col("event_id") % 11 == 0, F.lit("mutated"))
         .otherwise(F.col("event_type")),
     )
     return snapshot_diff(
@@ -3524,11 +3533,16 @@ _INC_DEDUP_ORACLE_SQL = r"""
 # snapshot_diff digest twin (operators/compaction.py): length-prefixed
 # length|value serialization per compared column — sha256(VARCHAR) in
 # DuckDB hashes the UTF-8 bytes, identical to Spark's string -> binary
-# cast feeding sha2.
+# cast feeding sha2. COALESCE mirrors the Spark encoding's NULL arm
+# exactly ('-1|' length prefix, empty value): DuckDB concat() SKIPS
+# NULL arguments, so without it a NULL compare value would serialize
+# as just '|' and the digests would diverge.
 _SNAPDIFF_DIGEST_SQL = (
-    "sha256(concat(CAST(length(CAST(user_id AS VARCHAR)) "
-    "AS VARCHAR), '|', CAST(user_id AS VARCHAR), "
-    "CAST(length(event_type) AS VARCHAR), '|', event_type))"
+    "sha256(concat("
+    "coalesce(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), '-1'), "
+    "'|', coalesce(CAST(user_id AS VARCHAR), ''), "
+    "coalesce(CAST(length(event_type) AS VARCHAR), '-1'), "
+    "'|', coalesce(event_type, '')))"
 )
 
 
@@ -5204,15 +5218,22 @@ def oracle_sql() -> dict[str, str]:
         # (sha256(VARCHAR) hashes UTF-8 bytes == Spark's string ->
         # binary cast into sha2), same full-outer status derivation.
         "ext-snapshot-diff": f"""
-            WITH o AS (
+            WITH ev AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 13 <> 0 THEN user_id END
+                       AS user_id,
+                     event_type
+              FROM events),
+            o AS (
               SELECT event_id, {_SNAPDIFF_DIGEST_SQL} AS old_digest
-              FROM events WHERE event_id % 5 <> 0),
+              FROM ev WHERE event_id % 5 <> 0),
             n AS (
               SELECT event_id, {_SNAPDIFF_DIGEST_SQL} AS new_digest
               FROM (SELECT event_id, user_id,
-                      CASE WHEN event_id % 11 = 0 THEN 'mutated'
+                      CASE WHEN event_id % 17 = 0 THEN NULL
+                           WHEN event_id % 11 = 0 THEN 'mutated'
                            ELSE event_type END AS event_type
-                    FROM events WHERE event_id % 7 <> 0))
+                    FROM ev WHERE event_id % 7 <> 0))
             SELECT COALESCE(o.event_id, n.event_id) AS event_id,
                    old_digest, new_digest,
                    CASE WHEN old_digest IS NULL THEN 'added'

@@ -660,9 +660,10 @@ def quality_blend(
     `signals` maps column -> (lo, hi, weight): each signal is
     winsorize-normalized to [0, 1] using its [p_low, p_high]
     histogram-quantile cut points over fixed [lo, hi] bins (NO global
-    sort or percent_rank — the sketch is one map-side-combined pass
-    per signal, constant driver state, then the normalization is a
-    map-only projection; the scale story is `sketches.winsorize`'s).
+    sort or percent_rank — ALL signals' cut points come from ONE
+    map-side-combined input scan via `histogram_quantiles_multi`,
+    constant driver state, then the normalization is a map-only
+    projection; the scale story is `sketches.winsorize`'s).
     The blend is the weighted mean over the document's NON-NULL
     signals (weights renormalize, so a missing signal neither sinks
     nor inflates the score); documents with every signal NULL get
@@ -674,21 +675,23 @@ def quality_blend(
     same arithmetic hashes identically. Returns the input plus one
     `norm_<signal>` column per signal and `out_col`.
     """
-    from .sketches import histogram_quantiles
+    from .sketches import histogram_quantiles_multi
 
     if not signals:
         raise ValueError("quality_blend: signals must be non-empty")
+    est = {
+        (r.sig, r.q): r.estimate
+        for r in histogram_quantiles_multi(
+            df,
+            signals={c: (lo, hi) for c, (lo, hi, _w) in signals.items()},
+            n_bins=n_bins,
+            quantiles=(p_low, p_high),
+        ).collect()
+    }
     cuts: dict[str, tuple[float, float]] = {}
-    for col, (lo, hi, _w) in signals.items():
-        qs = {
-            r.q: r.estimate
-            for r in histogram_quantiles(
-                df, value_col=col, lo=lo, hi=hi, n_bins=n_bins,
-                quantiles=(p_low, p_high),
-            ).collect()
-        }
-        if p_low in qs and p_high in qs:
-            cuts[col] = (qs[p_low], qs[p_high])
+    for col in signals:
+        if (col, p_low) in est and (col, p_high) in est:
+            cuts[col] = (est[(col, p_low)], est[(col, p_high)])
     out = df
     num = F.lit(0.0)
     den = F.lit(0.0)

@@ -447,40 +447,47 @@ def connected_components(
         verts = vertices.select(id_col).unionByName(verts).distinct()
     labels = verts.select(id_col, F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges["_src"] == labels[id_col])
-            .groupBy(F.col("_dst").alias(id_col))
-            .agg(F.min("cluster_id").alias("_msg"))
-        )
-        # Lazy checkpoint: the convergence count below is the
-        # action that materializes it, so each round costs ONE
-        # job, not two (eager checkpoint + count). Deterministic
-        # input, so lazy materialization is safe.
-        labels = (
-            labels.join(msgs, id_col, "left")
-            .select(
-                id_col,
-                F.least("cluster_id", "_msg").alias("cluster_id"),
-                F.coalesce(F.col("_msg") < F.col("cluster_id"),
-                           F.lit(False)).alias("_changed"),
+    # try/finally so a mid-loop failure (including the
+    # non-convergence RuntimeError) cannot leak the shallow-path
+    # persist for the session lifetime.
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges["_src"] == labels[id_col])
+                .groupBy(F.col("_dst").alias(id_col))
+                .agg(F.min("cluster_id").alias("_msg"))
             )
-        ).localCheckpoint(eager=False)
-        n_changed = labels.agg(
-            F.count_if(F.col("_changed"))).collect()[0][0]
-        labels = labels.drop("_changed")
-        if n_changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    # deep path: edges' checkpoint blocks are reclaimed by the
-    # ContextCleaner once the reference drops; labels carries its own
-    # checkpoints. The converged labels have been materialized by the
-    # last convergence count, so the shallow-path cache can release.
-    if edges_cached is not None:
-        edges_cached.unpersist()
+            # Lazy checkpoint: the convergence count below is the
+            # action that materializes it, so each round costs ONE
+            # job, not two (eager checkpoint + count). Deterministic
+            # input, so lazy materialization is safe.
+            labels = (
+                labels.join(msgs, id_col, "left")
+                .select(
+                    id_col,
+                    F.least("cluster_id", "_msg").alias("cluster_id"),
+                    F.coalesce(F.col("_msg") < F.col("cluster_id"),
+                               F.lit(False)).alias("_changed"),
+                )
+            ).localCheckpoint(eager=False)
+            n_changed = labels.agg(
+                F.count_if(F.col("_changed"))).collect()[0][0]
+            labels = labels.drop("_changed")
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds"
+            )
+    finally:
+        # deep path: edges' checkpoint blocks are reclaimed by the
+        # ContextCleaner once the reference drops; labels carries its
+        # own checkpoints. On success the converged labels were
+        # materialized by the last convergence count, so the
+        # shallow-path cache can release either way.
+        if edges_cached is not None:
+            edges_cached.unpersist()
     return labels
 
 

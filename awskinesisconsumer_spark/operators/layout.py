@@ -101,14 +101,28 @@ def compact_small_files(
     ceil(total_bytes / target_bytes) files when the directory holds at
     least `min_files` data files; otherwise a no-op.
 
-    The rewrite is atomic-by-rename at directory granularity: the
-    compacted copy lands in a sibling temp dir, the original moves
-    aside, the new one renames into place, the old tree deletes last
-    — a reader mid-swap sees the old or the new complete directory on
-    any rename-atomic filesystem (the same guarantee class the
-    manifest sink provides at file level; on object stores, pair with
-    the manifest writer instead of relying on renames). Row content
-    is preserved exactly (one read -> repartition(n) -> write: no
+    Hive-partitioned layouts (every data file under `key=value`
+    subdirectories) are compacted per-partition: the rewrite
+    repartitions ON the discovered partition columns and writes with
+    `partitionBy`, so directory structure, partition pruning, and
+    directory-inferred partition-column types are all preserved (one
+    compacted file per partition in the common case). A layout that
+    mixes root-level files with subdirectories, or whose
+    subdirectories are not `key=value`, is NOT a valid single dataset
+    — the call is a safe no-op (`"compacted": False`).
+
+    The swap is two renames (original aside to `._compact_old`, then
+    temp into place), each atomic on a rename-atomic filesystem —
+    but BETWEEN them there is a brief window where `path` does not
+    exist: a concurrent reader can see file-not-found (never a
+    partial or mixed directory), and a crash inside the window
+    leaves the data only in `._compact_old`. Both are handled: rerun
+    this function (or any caller) and the leading recovery step
+    restores `._compact_old` to `path` before doing anything else.
+    For truly concurrent readers, pair with the manifest writer —
+    on object stores renames are copies anyway, so the manifest
+    sink is the right commit protocol there. Row content is
+    preserved exactly (one read -> repartition(n) -> write: no
     shuffle beyond the single repartition exchange, no column
     rewrite).
 
@@ -119,32 +133,74 @@ def compact_small_files(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(hconf)
+    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
 
-    def data_files(p):
+    # Crash recovery: a previous run that died between the two swap
+    # renames left the live data only in ._compact_old — restore it
+    # before doing anything else.
+    if fs.exists(old) and not fs.exists(hpath):
+        if not fs.rename(old, hpath):
+            raise IOError(
+                f"compact_small_files: cannot recover {path} from "
+                f"{old.toString()}"
+            )
+
+    def data_files(p, rel=()):
         out = []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory():
-                out.extend(data_files(st.getPath()))
+                out.extend(data_files(st.getPath(), rel + (name,)))
             elif not name.startswith(("_", ".")):
-                out.append(st)
+                out.append((st, rel))
         return out
 
     files = data_files(hpath)
-    total = sum(st.getLen() for st in files)
+    total = sum(st.getLen() for st, _rel in files)
     n_before = len(files)
     n_target = max(1, -(-total // target_bytes))
     if n_before < min_files or n_target >= n_before:
         return {"n_files_before": n_before, "n_files_after": n_before,
                 "bytes_total": total, "compacted": False}
 
+    # Hive-partition detection: either EVERY data file sits under a
+    # chain of key=value directories (same key sequence at every
+    # depth), or every file sits at the root. Anything else is not
+    # one dataset — refuse rather than flatten it.
+    depths = {len(rel) for _st, rel in files}
+    part_cols: list[str] = []
+    if depths != {0}:
+        key_seqs = set()
+        valid = len(depths) == 1
+        if valid:
+            for _st, rel in files:
+                keys = tuple(
+                    seg.split("=", 1)[0] if "=" in seg else None
+                    for seg in rel
+                )
+                key_seqs.add(keys)
+            valid = (
+                len(key_seqs) == 1 and None not in next(iter(key_seqs))
+            )
+        if not valid:
+            return {"n_files_before": n_before, "n_files_after": n_before,
+                    "bytes_total": total, "compacted": False}
+        part_cols = list(next(iter(key_seqs)))
+
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
     fs.delete(tmp, True)
     fs.delete(old, True)
-    (spark.read.parquet(path)
-     .repartition(int(n_target))
-     .write.mode("overwrite").parquet(str(tmp.toString())))
+    src = spark.read.parquet(path)
+    if part_cols:
+        # Repartition ON the partition columns so each hive partition
+        # lands in one task -> one compacted file per partition, and
+        # write with partitionBy to keep layout + pruning intact.
+        writer = (src.repartition(int(n_target), *part_cols)
+                  .write.mode("overwrite").partitionBy(*part_cols))
+    else:
+        writer = (src.repartition(int(n_target))
+                  .write.mode("overwrite"))
+    writer.parquet(str(tmp.toString()))
     if not fs.rename(hpath, old):
         raise IOError(f"compact_small_files: cannot move {path} aside")
     if not fs.rename(tmp, hpath):

@@ -456,6 +456,99 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_multi(
+    df: DataFrame,
+    *,
+    signals: dict,
+    n_bins: int = 200,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """N signals' histogram quantiles in ONE input scan.
+
+    ``signals`` maps column -> (lo, hi). Per-signal arithmetic is
+    bit-identical to :func:`histogram_quantiles` (same bin clamp, same
+    interpolation, same 4 dp rounding) — an oracle proven against the
+    single-signal form stays valid. The scan explodes each row into
+    one (signal, bin) pair per non-null signal, so the shuffle carries
+    at most ``len(signals) * n_bins`` counter rows after map-side
+    combine; the window + interpolation run per-signal over that
+    constant-size aggregate. At 100 TB, 5 signals cost 1 scan, not 5.
+
+    Returns (sig, q, estimate, n_rows) — ``n_rows`` is the signal's
+    non-null count.
+    """
+    from pyspark.sql import Window
+
+    if not signals:
+        raise ValueError("histogram_quantiles_multi: signals empty")
+    structs = []
+    lo_expr = None
+    width_expr = None
+    for col, (lo, hi) in signals.items():
+        width = (hi - lo) / n_bins
+        v = F.col(col).cast("double")
+        bin_ = F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        structs.append(
+            F.struct(F.lit(col).alias("sig"), bin_.alias("bin"))
+        )
+        # Per-signal (lo, width) as a literal CASE mapping rather than
+        # a joined lookup table: a broadcast of even a 2-row local
+        # relation costs its own job — the mapping keeps the whole
+        # cut-point build at exactly ONE job.
+        s_lo, s_w = F.lit(float(lo)), F.lit(float(width))
+        m = F.col("sig") == col
+        lo_expr = (F.when(m, s_lo) if lo_expr is None
+                   else lo_expr.when(m, s_lo))
+        width_expr = (F.when(m, s_w) if width_expr is None
+                      else width_expr.when(m, s_w))
+    pairs = (
+        df.select(F.explode(F.array(*structs)).alias("sb"))
+        .select("sb.sig", "sb.bin")
+        .where(F.col("bin").isNotNull())
+    )
+    counts = pairs.groupBy("sig", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("sig").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("sig").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("total", F.max("cum").over(wall))
+    )
+    rank = F.ceil(F.col("q") * F.col("total"))
+    return (
+        cum.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in quantiles])
+            ).alias("q"),
+        )
+        .withColumn("lo", lo_expr)
+        .withColumn("width", width_expr)
+        .where(F.col("cum") >= rank)
+        .groupBy("sig", "q")
+        .agg(
+            F.min_by(
+                F.round(
+                    F.col("lo")
+                    + (F.col("bin")
+                       + (rank - (F.col("cum") - F.col("c"))) / F.col("c"))
+                    * F.col("width"),
+                    4,
+                ),
+                F.col("bin"),
+            ).alias("estimate"),
+            F.max("total").alias("n_rows"),
+        )
+    )
+
+
 def hll_merge_estimate(
     df: DataFrame,
     *,

@@ -79,25 +79,31 @@ def check_referential(
     rule: str | None = None,
 ) -> DataFrame:
     """Referential-integrity check: count fact rows whose non-null key
-    has no match in the dimension. One left-anti join (broadcast when
-    the dimension fits) + one aggregate; NULL keys are skipped (they
-    belong to a null-rate rule, not an FK rule). Output matches
+    has no match in the dimension. ONE left join of the fact keys to
+    the distinct dimension keys (broadcast when the dimension fits)
+    with a match flag, then one aggregate computing total and orphan
+    counts together — the fact side is scanned once and NOTHING runs
+    until the returned DataFrame is executed (fully lazy, matching
+    `validate_expectations`). NULL keys are skipped (they belong to a
+    null-rate rule, not an FK rule). Output matches
     `validate_expectations`' row shape, so the two union into one
     validation report.
     """
     name = rule or f"fk_{fact_key}_in_{dim_key}"
     keys = fact.where(F.col(fact_key).isNotNull()).select(fact_key)
-    orphans = keys.join(
-        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
-        fact_key, "left_anti",
+    dim_keys = (
+        dim.select(F.col(dim_key).alias(fact_key)).distinct()
+        .withColumn("_matched", F.lit(True))
     )
-    n = keys.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    return orphans.agg(
+    joined = keys.join(dim_keys, fact_key, "left")
+    n = F.count(F.lit(1))
+    v = F.count_if(F.col("_matched").isNull())
+    return joined.agg(
         F.lit(name).alias("rule"),
-        F.lit(n).cast("long").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_violations"),
+        n.alias("n_rows"),
+        v.alias("n_violations"),
         F.round(
-            F.count(F.lit(1)) / F.lit(float(n)) if n else F.lit(0.0), 6
+            F.when(n > 0, v / n).otherwise(F.lit(0.0)), 6
         ).alias("violation_rate"),
-        (F.count(F.lit(1)) == 0).alias("passed"),
+        (v == F.lit(0)).alias("passed"),
     )

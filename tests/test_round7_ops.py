@@ -1,0 +1,239 @@
+"""Round-7 additions: compact_small_files partition-awareness +
+crash recovery (r6 ADVICE items), quality_blend single-scan cut-point
+build, check_referential laziness, and the fused multi-signal
+histogram sketch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _data_files(tmpdir):
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(tmpdir):
+        for f in files:
+            if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def test_compact_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    # ADVICE r6: a hive-partitioned dir must NOT be flattened — the
+    # compaction re-writes with partitionBy on the discovered
+    # partition columns, so pruning and partition-column types
+    # survive and each partition collapses to one file.
+    import os
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "part")
+    (ev.repartition(8)
+     .write.partitionBy("event_type").parquet(path))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("event_id", "user_id", "event_type").collect()
+    )
+    parts_before = sorted(
+        d for d in os.listdir(path) if d.startswith("event_type=")
+    )
+    assert parts_before, "fixture must actually be partitioned"
+
+    report = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert report["compacted"] is True
+
+    parts_after = sorted(
+        d for d in os.listdir(path) if d.startswith("event_type=")
+    )
+    assert parts_after == parts_before
+    # one data file per partition after compaction
+    for d in parts_after:
+        files = [
+            f for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1, (d, files)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("event_id", "user_id", "event_type").collect()
+    )
+    assert after == before
+    # pruning still works: the partition filter lands in the scan's
+    # PartitionFilters (not a post-scan data filter)
+    one = parts_after[0].split("=", 1)[1]
+    pruned = spark.read.parquet(path).where(F.col("event_type") == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_compact_mixed_and_nonhive_layouts_are_noops(spark, tmp_path):
+    # A dir mixing root files with subdirs, or with non-key=value
+    # subdirs, is not one dataset: refuse (compacted=False), never
+    # flatten.
+    from awskinesisconsumer_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+
+    mixed = str(tmp_path / "mixed")
+    df.repartition(3).write.parquet(mixed)
+    df.repartition(3).write.parquet(mixed + "/sub")
+    r = compact_small_files(spark, mixed, target_bytes=1 << 30)
+    assert r["compacted"] is False
+
+    nonhive = str(tmp_path / "nonhive")
+    df.repartition(3).write.parquet(nonhive + "/a")
+    df.repartition(3).write.parquet(nonhive + "/b")
+    r2 = compact_small_files(spark, nonhive, target_bytes=1 << 30)
+    assert r2["compacted"] is False
+
+
+def test_compact_crash_recovery_restores_old_dir(spark, tmp_path):
+    # ADVICE r6: a crash between the two swap renames leaves the data
+    # only in ._compact_old. The next call must restore it before
+    # compacting.
+    import os
+
+    from awskinesisconsumer_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    df = spark.range(500).withColumn("v", F.col("id") % 7)
+    path = str(tmp_path / "crashy")
+    df.repartition(6).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    # simulate the mid-swap crash state
+    os.rename(path, path + "._compact_old")
+    assert not os.path.exists(path)
+
+    report = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert report["compacted"] is True
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not os.path.exists(path + "._compact_old")
+
+
+def test_quality_blend_cut_points_one_job_any_signal_count(spark, sf_dir):
+    # VERDICT r6 What's-wrong #1: the cut-point build must cost ONE
+    # Spark job regardless of how many signals are blended. AQE off
+    # for the measurement (it legitimately splits one query into
+    # per-stage jobs).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        quality_blend,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sig = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("s1"),
+        (F.length("text") % 97).cast("double").alias("s2"),
+        (F.length("text") % 89).cast("double").alias("s3"),
+        (F.length("text") % 83).cast("double").alias("s4"),
+    )
+    sc = spark.sparkContext
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def n_jobs(signals):
+            group = f"qb-jobcount-{len(signals)}"
+            sc.setJobGroup(group, "quality_blend cut-point build")
+            try:
+                quality_blend(sig, signals=signals)
+            finally:
+                sc.setJobGroup("", "")
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        two = n_jobs({"s1": (0.0, 2000.0, 0.5), "s2": (0.0, 100.0, 0.5)})
+        four = n_jobs({
+            "s1": (0.0, 2000.0, 0.25), "s2": (0.0, 100.0, 0.25),
+            "s3": (0.0, 100.0, 0.25), "s4": (0.0, 100.0, 0.25),
+        })
+        assert two == four == 1, (two, four)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_histogram_quantiles_multi_matches_single(spark, sf_dir):
+    # The fused sketch must be bit-identical per signal to the proven
+    # single-signal operator (same bins, interpolation, rounding).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_multi,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    qs = (0.01, 0.5, 0.99)
+    multi = {
+        (r.sig, r.q): (r.estimate, r.n_rows)
+        for r in histogram_quantiles_multi(
+            li, signals={"qty": (0.0, 60.0), "price": (0.0, 120000.0)},
+            n_bins=64, quantiles=qs,
+        ).collect()
+    }
+    for col, lo, hi in (("qty", 0.0, 60.0), ("price", 0.0, 120000.0)):
+        single = {
+            r.q: (r.estimate, r.n_rows)
+            for r in histogram_quantiles(
+                li, value_col=col, lo=lo, hi=hi, n_bins=64, quantiles=qs,
+            ).collect()
+        }
+        for q in qs:
+            assert multi[(col, q)] == single[q], (col, q)
+
+
+def test_check_referential_is_lazy_and_single_scan(spark, sf_dir):
+    # VERDICT r6 What's-wrong #2: construction must launch NO job;
+    # execution scans the fact keys once (left join + conditional
+    # aggregate), with unchanged output shape.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.validation import (
+        check_referential,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sc = spark.sparkContext
+    group = "fk-lazy-check"
+    sc.setJobGroup(group, "check_referential construction")
+    try:
+        report = check_referential(
+            orders, cust, fact_key="o_custkey", dim_key="c_custkey"
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) == 0
+    # one FileScan of the fact side in the physical plan
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("orders.parquet") <= 1
+    row = report.collect()[0]
+    assert row.rule == "fk_o_custkey_in_c_custkey"
+    assert row.n_rows == orders.where(F.col("o_custkey").isNotNull()).count()
+    assert row.n_violations == 0 and row.passed is True
+
+    # and it actually counts orphans
+    bad = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(-1))
+        .otherwise(F.col("o_custkey")),
+    )
+    row2 = check_referential(
+        bad, cust, fact_key="o_custkey", dim_key="c_custkey"
+    ).collect()[0]
+    assert row2.n_violations > 0 and row2.passed is False
