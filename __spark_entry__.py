@@ -2480,6 +2480,185 @@ def _stream_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form of ext-semantic-decontaminate (streaming/
+    # pipeline.py semantic_decontaminate_stream): corpus embeddings
+    # arrive as a genuinely multi-batch file stream (3 files,
+    # maxFilesPerTrigger=1); each micro-batch is scored against the
+    # STATIC broadcast benchmark via foreachBatch — ingest-time eval
+    # hygiene. Every flag depends only on (corpus row, benchmark), so
+    # the appended union EQUALS the single-batch result and the batch
+    # oracle applies verbatim (chunking invariance proven in
+    # tests/test_round6_ops.py). Gates the vectorized kernel, like the
+    # batch entry (bit-equality with the HOF fold separately tested).
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        semantic_decontaminate_stream,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    corpus = emb.where(F.col("vec_id") % 13 != 0)
+    bench = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    src = tempfile.mkdtemp(prefix="sem_dec_src_")
+    out_path = tempfile.mkdtemp(prefix="sem_dec_out_")
+    ckpt = tempfile.mkdtemp(prefix="sem_dec_ckpt_")
+    corpus.repartition(3).write.mode("overwrite").parquet(src)
+    q = semantic_decontaminate_stream(
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        bench, id_col="vec_id", vec_col="embedding",
+        bench_id_col="bid", bench_vec_col="bvec",
+        out_path=out_path, checkpoint=ckpt, threshold=0.8,
+        vectorized=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-semantic-decontaminate: timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-semantic-decontaminate: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    return spark.read.parquet(out_path).select(
+        "vec_id", "max_bench_cosine", "matched_bench_id", "contaminated"
+    )
+
+
+def _stream_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    # Stateful streaming per-source quota (streaming/pipeline.py
+    # domain_cap_stream): applyInPandasWithState keeps ONE long per
+    # domain in the state store across micro-batches — the ingest-time
+    # mixture guard. Arrival is arranged ascending by doc_id (three
+    # chunk files, mtimes forcing FileStreamSource order), so the
+    # emitted union equals batch domain_cap(order_by=[id asc]) exactly
+    # (equivalence + checkpoint-restart state survival proven in
+    # tests/test_round6_ops.py) and the twin is ONE window rank.
+    import os
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        domain_cap_stream,
+    )
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", (F.col("doc_id") % 7).cast("string").alias("domain")
+    )
+    # Three arrival chunks in ascending doc_id order, built Spark-side
+    # (ntile over the id ordering — every id in chunk i is below every
+    # id in chunk i+1), mtimes forcing FileStreamSource order. No
+    # driver-side collect: the artifact construction stays distributed.
+    src = tempfile.mkdtemp(prefix="cap_src_")
+    chunked = docs.withColumn(
+        "_chunk", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    for i in range(3):
+        part = os.path.join(src, f"part{i}")
+        (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(
+                    os.path.join(root, fname),
+                    (1_000_000 + i, 1_000_000 + i),
+                )
+    stream = (
+        spark.readStream.schema("doc_id long, domain string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = domain_cap_stream(
+        stream, group_col="domain", id_col="doc_id", cap=30
+    )
+    name = "stream_domain_cap_gate"
+    # The stateful operator runs one task per STATE partition per
+    # micro-batch; with 7 domains, default partition counts are pure
+    # scheduling overhead (same artifact-scale rationale as the other
+    # stream entries above). At 100 TB the count is sized to the
+    # cluster instead — state stays one long per domain either way.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="cap_ckpt_"))
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream-domain-cap: stream timed out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-domain-cap: expected >=3 non-empty micro-batches, "
+            f"saw {n_batches}"
+        )
+    return spark.table(name)
+
+
+def _quality_blend(spark: SparkSession, sf: str) -> DataFrame:
+    # Multi-signal quality blending (operators/corpus_prep.py
+    # quality_blend): two text-derived signals winsorize-normalized
+    # via histogram-sketch cut points — ALL signals' cut points from
+    # ONE input scan (histogram_quantiles_multi, exactly one Spark
+    # job) — then weight-blended with NULL renormalization. The twin
+    # replays the cut interpolation + the same renormalized weighted
+    # mean (proven in tests/test_round6_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        quality_blend,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    sig = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars"),
+        F.when(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double"),
+        ).alias("n_words"),
+    )
+    return quality_blend(
+        sig,
+        signals={"n_chars": (0.0, 2000.0, 0.6), "n_words": (0.0, 400.0, 0.4)},
+        n_bins=200,
+    ).select("doc_id", "norm_n_chars", "norm_n_words", "quality_blend")
+
+
+def _normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    # Unicode + whitespace hygiene (operators/text.py normalize_text):
+    # NFC, zero-width strip, control strip, space collapse, line-edge
+    # trim, changed-flag audit — ONE Arrow pass, no shuffle. The gated
+    # input appends a deterministic unicode-dirty suffix (NFD accent,
+    # zero-width space, tab run, control byte, ragged line end) to
+    # EVERY document so each transform is actually exercised at gate
+    # time; the DuckDB twin replays with nfc_normalize + the same
+    # regex chain (proven in tests/test_round6_ops.py).
+    from awskinesisconsumer_spark.operators.text import normalize_text
+
+    dirty_sfx = " Café​  x\ty\x07 \n z "
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(dirty_sfx))
+        .alias("text"),
+    )
+    return normalize_text(docs, text_col="text").select(
+        "doc_id", "text_norm", "norm_changed"
+    )
+
+
 def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     # Recall@10 audit of the SRP-bucketed ANN join against the exact
     # k-NN join, per probe — the evaluation loop a production ANN
@@ -2986,21 +3165,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- NEW in round 6: the five r5-banked operators (oracles
-        #    pre-proven in tests/test_banked_parity.py; the
-        #    streaming form reuses ext-dedup-incremental's oracle
-        #    verbatim — chunking-invariance IS its correctness
-        #    property). With these, every SURVEY §2 inventory row
-        #    is registered: 146/146.
-        "ext-bpe-encode": _bpe_encode,
+        # -- CHANGED in round 7: the snapshot-diff digest twin became
+        #    NULL-safe (DuckDB concat skips NULL args) and the gated
+        #    query now injects NULL compare values — fingerprint
+        #    re-recorded, so it re-gates first.
         "ext-snapshot-diff": _snapshot_diff,
+        # -- NEW in round 7: the four r6-banked operators (oracles
+        #    pre-proven in tests/test_round6_ops.py; the streaming
+        #    decontamination reuses ext-semantic-decontaminate's
+        #    oracle verbatim — chunking invariance IS its correctness
+        #    property; stream-domain-cap's ordered-arrival fixture
+        #    makes the stateful quota one window rank).
+        "stream-semantic-decontaminate": _stream_semantic_decontaminate,
+        "stream-domain-cap": _stream_domain_cap,
+        "ext-quality-blend": _quality_blend,
+        "ext-normalize-text": _normalize_text,
+        # -- the 45 oldest-record veterans (r4 records; README
+        #    "Round-7 rotation plan" step 1 minus error-route, which
+        #    the snapshot-diff fix displaces to the r8 head). 1
+        #    changed + 4 new + 45 = exactly the 50-entry gate head.
+        "ext-embedding-quantize": _embedding_quantize,
+        "ext-sequence-build": _sequence_build,
+        "ext-similarity-pq": _ann_pq,
+        "stream-restart-resume": _stream_restart_resume,
+        "ext-distinct-hll": _distinct_hll,
+        "ext-dup-spans": _dup_spans,
+        "ext-chunk-text": _chunk_text,
+        "ext-bloom-prefilter": _bloom_prefilter,
+        "ext-zorder-layout": _zorder_layout,
+        "agg-topn-per-group": _topn_per_group,
+        "stream-sliding-agg": _stream_sliding,
+        "ext-length-buckets": _equidepth_buckets,
+        "stream-enrich-static": _stream_enrich,
+        "stream-join-interval": _stream_interval_join,
+        "join-shipping-priority": _shipping_priority,
+        "join-large-orders": _large_orders,
+        "agg-shipmode-priority": _shipmode_priority,
+        "agg-window-ranks": _window_ranks,
+        "agg-skyline-2d": _skyline,
+        "ext-collocations-pmi": _collocations,
+        "ext-reservoir-sample": _reservoir,
+        "ext-histogram-quantile": _hist_quantiles,
+        "ext-knn-join": _knn_join,
+        "agg-conversion-funnel": _funnel,
+        "ext-anomaly-zscore": _zscore,
+        "ext-scd2-versions": _scd2,
+        "ext-ann-recall": _ann_recall,
+        "source-parquet-evolve": _parquet_evolve,
+        "sink-bucketed-join": _bucketed_join_gate,
+        "agg-retention-cohorts": _cohorts,
+        "stream-scd2": _stream_scd2,
+        "ext-hll-merge": _hll_merge,
+        "join-top-supplier": _top_supplier,
+        "join-above-nation-avg": _above_nation_avg,
+        "stream-hll-distinct": _stream_hll,
+        "ext-sample-weighted": _sample_weighted,
+        "ext-embedding-dim-stats": _embedding_dim_stats,
+        "ext-mixture-temperature": _mixture_temperature,
+        "stream-backpressure-multibatch": _stream_backpressure,
+        "join-full-outer-activity": _full_outer_activity,
+        "agg-forecast-revenue": _forecast_revenue,
+        "join-late-orders-exists": _late_orders_exists,
+        "ext-dedup-minhash": _dedup_minhash,
+        "join-salted-skew": _salted_join,
+        "segment-sessions-gap": _sessions_gap,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json (r6 records first, then r5, then the
+        # one displaced r4 veteran). After this round no entry's
+        # latest external record is older than r5 except error-route
+        # (r4, first in the r8 head).
+        # -- r6 records --
+        "ext-bpe-encode": _bpe_encode,
         "ext-domain-cap": _domain_cap,
         "ext-semantic-decontaminate": _semantic_decontaminate,
         "stream-dedup-incremental": _stream_dedup_incremental,
-        # -- the 45 oldest-record veterans (README "Round-6
-        #    rotation plan" step 1: 1 r2 + 44 r3) — re-gated
-        #    before their records age out. 45 + 5 new = exactly
-        #    the 50-entry gate head.
         "ext-lang-id": _lang_id,
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
@@ -3046,12 +3286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with
-        # fingerprints in GATE_LEDGER.json (r5 head first, then
-        # the r5-regated and r4-record blocks). After this round
-        # no entry's latest external record is older than r4.
         # -- r5 records --
         "ext-dedup-incremental": _dedup_incremental,
         "ext-winsorize": _winsorize,
@@ -3103,51 +3337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        "ext-embedding-quantize": _embedding_quantize,
-        "ext-sequence-build": _sequence_build,
-        "ext-similarity-pq": _ann_pq,
-        "stream-restart-resume": _stream_restart_resume,
-        "ext-distinct-hll": _distinct_hll,
-        "ext-dup-spans": _dup_spans,
-        "ext-chunk-text": _chunk_text,
-        "ext-bloom-prefilter": _bloom_prefilter,
-        "ext-zorder-layout": _zorder_layout,
-        "agg-topn-per-group": _topn_per_group,
-        "stream-sliding-agg": _stream_sliding,
-        "ext-length-buckets": _equidepth_buckets,
-        "stream-enrich-static": _stream_enrich,
-        "stream-join-interval": _stream_interval_join,
-        "join-shipping-priority": _shipping_priority,
-        "join-large-orders": _large_orders,
-        "agg-shipmode-priority": _shipmode_priority,
-        "agg-window-ranks": _window_ranks,
-        "agg-skyline-2d": _skyline,
-        "ext-collocations-pmi": _collocations,
-        "ext-reservoir-sample": _reservoir,
-        "ext-histogram-quantile": _hist_quantiles,
-        "ext-knn-join": _knn_join,
-        "agg-conversion-funnel": _funnel,
-        "ext-anomaly-zscore": _zscore,
-        "ext-scd2-versions": _scd2,
-        "ext-ann-recall": _ann_recall,
-        "source-parquet-evolve": _parquet_evolve,
-        "sink-bucketed-join": _bucketed_join_gate,
-        "agg-retention-cohorts": _cohorts,
-        "stream-scd2": _stream_scd2,
-        "ext-hll-merge": _hll_merge,
-        "join-top-supplier": _top_supplier,
-        "join-above-nation-avg": _above_nation_avg,
-        "stream-hll-distinct": _stream_hll,
-        "ext-sample-weighted": _sample_weighted,
-        "ext-embedding-dim-stats": _embedding_dim_stats,
-        "ext-mixture-temperature": _mixture_temperature,
-        "stream-backpressure-multibatch": _stream_backpressure,
-        "join-full-outer-activity": _full_outer_activity,
-        "agg-forecast-revenue": _forecast_revenue,
-        "join-late-orders-exists": _late_orders_exists,
-        "ext-dedup-minhash": _dedup_minhash,
-        "join-salted-skew": _salted_join,
-        "segment-sessions-gap": _sessions_gap,
+        # -- displaced to the r8 head by this round's
+        #    snapshot-diff change (README "Round-8 rotation plan") --
         "error-route": _error_route,
     }
 
@@ -3544,6 +3735,69 @@ _SNAPDIFF_DIGEST_SQL = (
     "coalesce(CAST(length(event_type) AS VARCHAR), '-1'), "
     "'|', coalesce(event_type, '')))"
 )
+
+
+def _quality_blend_cut_cte(tag: str, expr: str, lo: float, hi: float,
+                           n_bins: int) -> str:
+    """Histogram-quantile cut-point CTE chain for one quality-blend
+    signal — replays sketches.histogram_quantiles_multi's arithmetic
+    (same bin clamp, first-crossing interpolation, 4 dp rounding)."""
+    width = (hi - lo) / n_bins
+    return f"""
+        b_{tag} AS (
+          SELECT LEAST(GREATEST(
+                   CAST(FLOOR((({expr}) - {lo}) / {width}) AS INT), 0),
+                   {n_bins - 1}) AS bin
+          FROM sig WHERE ({expr}) IS NOT NULL),
+        c_{tag} AS (SELECT bin, COUNT(*) AS c FROM b_{tag} GROUP BY 1),
+        cum_{tag} AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum,
+                             SUM(c) OVER () AS total FROM c_{tag}),
+        cuts_{tag} AS (
+          SELECT q.q,
+            MIN_BY(ROUND({lo} + (bin
+              + (CEIL(q.q * total) - (cum - c)) / CAST(c AS DOUBLE))
+              * {width}, 4), bin) AS est
+          FROM cum_{tag} CROSS JOIN q
+          WHERE cum >= CEIL(q.q * total)
+          GROUP BY q.q),
+        lohi_{tag} AS (
+          SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS lo_cut,
+                 MIN(CASE WHEN q = 0.99 THEN est END) AS hi_cut
+          FROM cuts_{tag})"""
+
+
+def _quality_blend_oracle_sql() -> str:
+    """DuckDB twin of the ext-quality-blend gated query: per-signal
+    winsorize-normalization from histogram cut points + the
+    NULL-renormalized weighted mean, 6 dp rounding — value-identical
+    to the Spark operator (proven in tests/test_round6_ops.py)."""
+
+    def norm_expr(tag: str, expr: str) -> str:
+        return (f"ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
+                f"lohi_{tag}.lo_cut), lohi_{tag}.hi_cut) - lohi_{tag}.lo_cut)"
+                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6)")
+
+    chars = "CAST(length(text) AS DOUBLE)"
+    words = ("CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN "
+             "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END")
+    nc, nw = norm_expr("c", chars), norm_expr("w", words)
+    return f"""
+        WITH sig AS (SELECT doc_id, text FROM documents),
+        q AS (SELECT UNNEST(CAST([0.01, 0.99] AS DOUBLE[])) AS q),
+        {_quality_blend_cut_cte('c', chars, 0.0, 2000.0, 200).lstrip()},
+        {_quality_blend_cut_cte('w', words, 0.0, 400.0, 200).lstrip()}
+        SELECT doc_id,
+               {nc} AS norm_n_chars,
+               {nw} AS norm_n_words,
+               CASE WHEN (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                        + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END) > 0
+                 THEN ROUND(
+                   (COALESCE({nc} * 0.6, 0) + COALESCE({nw} * 0.4, 0))
+                   / (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                    + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END), 6)
+               END AS quality_blend
+        FROM sig CROSS JOIN lohi_c CROSS JOIN lohi_w
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5254,6 +5508,52 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
             SELECT *, rank_in_group <= 20 AS kept FROM r
         """,
+        # Streaming domain-cap twin: under the gated entry's
+        # ordered-arrival arrangement (groups ascend by doc_id across
+        # batches), the running stateful rank IS one window rank.
+        "stream-domain-cap": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS domain
+              FROM documents),
+            r AS (
+              SELECT domain, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY domain ORDER BY doc_id) AS INT)
+                       AS rank_in_group
+              FROM d)
+            SELECT domain, doc_id, rank_in_group,
+                   rank_in_group <= 30 AS kept
+            FROM r
+        """,
+        # Quality-blend twin: histogram cut points + NULL-renormalized
+        # weighted mean, replayed per signal (builder above).
+        "ext-quality-blend": _quality_blend_oracle_sql(),
+        # Normalize-text twin: the same dirty suffix injected in SQL
+        # (NFD accent via chr(769), ZWSP chr(8203), tab/control/ragged
+        # line end), then nfc_normalize + the identical regex chain.
+        "ext-normalize-text": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' Cafe' || chr(769) || chr(8203)
+                       || '  x' || chr(9) || 'y' || chr(7) || ' ' || chr(10)
+                       || ' z ' AS text
+              FROM documents),
+            n AS (
+              SELECT doc_id, text,
+                trim(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(nfc_normalize(text),
+                          '[​‌‍﻿]', '', 'g'),
+                        '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                      '[ \t]+', ' ', 'g'),
+                    ' \n', chr(10), 'g'),
+                  ' ' || chr(10)) AS text_norm
+              FROM dirty)
+            SELECT doc_id, text_norm, text_norm <> text AS norm_changed
+            FROM n
+        """,
         # Semantic-decontamination twin: broadcast cross-score with
         # the same left-fold cosine as the ANN oracles, argmax by
         # (sim DESC, bench id), 6-dp rounding before the threshold.
@@ -6189,4 +6489,8 @@ def oracle_sql() -> dict[str, str]:
     # state by construction — share ONE oracle string so a future
     # edit cannot silently diverge the twins.
     d["stream-cdc-compact"] = d["ext-cdc-compact"]
+    # Streaming decontamination's appended union EQUALS the batch
+    # result (every flag depends only on (corpus row, benchmark)) —
+    # same sharing rule.
+    d["stream-semantic-decontaminate"] = d["ext-semantic-decontaminate"]
     return d

@@ -616,6 +616,7 @@ def semantic_decontaminate_stream(
     out_path: str,
     checkpoint: str,
     threshold: float = 0.95,
+    vectorized: bool = False,
     trigger_available_now: bool = True,
 ):
     """Streaming semantic decontamination: each micro-batch of corpus
@@ -646,7 +647,7 @@ def semantic_decontaminate_stream(
         out = semantic_decontaminate(
             batch_df, benchmark, id_col=id_col, vec_col=vec_col,
             bench_id_col=bench_id_col, bench_vec_col=bench_vec_col,
-            threshold=threshold,
+            threshold=threshold, vectorized=vectorized,
         )
         out.write.mode("append").parquet(out_path)
 

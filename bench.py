@@ -139,6 +139,12 @@ HEADLINE = [
     "ext-domain-cap",
     "ext-semantic-decontaminate",
     "stream-dedup-incremental",
+    # round 7 additions: the registered banked four (both streaming
+    # entries run real 3-batch file streams by construction).
+    "stream-semantic-decontaminate",
+    "stream-domain-cap",
+    "ext-quality-blend",
+    "ext-normalize-text",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

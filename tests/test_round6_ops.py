@@ -98,23 +98,28 @@ def test_np_round6_boundary_detection_scales_with_magnitude(spark):
     assert got_spark == got_np
 
 
-def test_r6_gate_head_composition():
+def test_gate_head_composition():
     # The external driver gates the first 50 queries() entries: this
-    # round that must be the 5 newly registered operators + the 45
-    # oldest-record veterans (README "Round-6 rotation plan").
+    # round that must be the changed snapshot-diff entry + the 4 newly
+    # registered r6-banked operators + the 45 oldest-record veterans
+    # (README "Round-7 rotation plan"; error-route displaced to r8).
     import __spark_entry__ as m
 
     keys = list(m.queries())
     assert keys[:5] == [
-        "ext-bpe-encode", "ext-snapshot-diff", "ext-domain-cap",
-        "ext-semantic-decontaminate", "stream-dedup-incremental",
+        "ext-snapshot-diff", "stream-semantic-decontaminate",
+        "stream-domain-cap", "ext-quality-blend", "ext-normalize-text",
     ]
-    assert len(keys) == 146 and len(set(keys)) == 146
+    assert keys[5] == "ext-embedding-quantize"
+    assert keys[-1] == "error-route"
+    assert len(keys) == 150 and len(set(keys)) == 150
     # every entry has an oracle twin (full hash-gate coverage)
-    assert set(m.oracle_sql()) == set(keys)
-    # the streaming form shares the batch oracle verbatim
     osql = m.oracle_sql()
+    assert set(osql) == set(keys)
+    # the streaming forms share their batch oracles verbatim
     assert osql["stream-dedup-incremental"] == osql["ext-dedup-incremental"]
+    assert (osql["stream-semantic-decontaminate"]
+            == osql["ext-semantic-decontaminate"])
 
 
 def test_semantic_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):
