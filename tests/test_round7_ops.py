@@ -237,3 +237,69 @@ def test_check_referential_is_lazy_and_single_scan(spark, sf_dir):
         bad, cust, fact_key="o_custkey", dim_key="c_custkey"
     ).collect()[0]
     assert row2.n_violations > 0 and row2.passed is False
+
+
+def test_compact_files_gate_digest_oracle(spark, tmp_path):
+    # Banked for r8 registration as `ext-compact-files` (the pattern:
+    # prove the twin one round before). Gate shape: fragment a copy of
+    # events, compact it, and return a per-event_type DIGEST aggregate
+    # of the compacted directory (count + portable-hash sums) — equal
+    # to the same aggregate over the ORIGINAL table iff compaction
+    # preserved row content exactly, so the op is hash-gated, not
+    # rows-only.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    path = str(tmp_path / "events_frag")
+    (load_table(spark, "events", SF)
+     .select("event_id", "user_id", "event_type")
+     .repartition(24).write.parquet(path))
+    report = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert report["compacted"] is True
+    assert report["n_files_after"] < report["n_files_before"]
+    out = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(portable_hash52(F.col("event_id").cast("string")))
+            .alias("id_hash_sum"),
+            F.sum(portable_hash52(F.col("user_id").cast("string")))
+            .alias("user_hash_sum"),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    sql = """
+        SELECT event_type, COUNT(*) AS n_rows,
+          SUM(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+              ::BIGINT) AS id_hash_sum,
+          SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              ::BIGINT) AS user_hash_sum
+        FROM events GROUP BY event_type
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 0
