@@ -1125,3 +1125,147 @@ def normalize_text(
             F.col(out_col) != F.col(text_col),
         ),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: per document, the count
+    and fraction of word tokens NOT covered by a vocabulary — the
+    check a tokenizer build runs to size its vocab (coverage vs table
+    size) and an ingest monitor runs to spot out-of-domain batches
+    (OOV spikes mean the incoming data does not look like the corpus
+    the vocab was built from).
+
+    `vocab` defaults to the corpus' own top-`vocab_size` terms
+    (`top_terms` — count DESC, term ASC deterministic ranking); pass a
+    frozen vocab DataFrame (one `term` column) to audit new data
+    against a trained tokenizer's word list instead.
+
+    Shape: one tokenize pass; per-(doc, term) counts shuffle one row
+    per distinct term per doc; membership is a LEFT join against the
+    vocab, which is vocab_size rows — broadcast, so the probe adds no
+    exchange. Per-doc rollup is one keyed aggregate. Zero-token docs
+    report (0, 0, NULL): no tokens is "no evidence", not "all OOV".
+
+    Returns (id_col, n_tokens, n_oov, oov_rate) with oov_rate rounded
+    to 6 dp for cross-engine hash agreement.
+    """
+    if vocab is None:
+        vocab = top_terms(df, text_col=text_col, k=vocab_size)
+    vocab_terms = vocab.select("term").distinct().withColumn(
+        "_in_vocab", F.lit(True)
+    )
+    words = _words(F.lower(F.col(text_col)))
+    tok = (
+        df.select(id_col, F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+    )
+    doc_tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    flagged = doc_tf.join(F.broadcast(vocab_terms), "term", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), F.col("_c"))
+              .otherwise(F.lit(0))).cast("bigint").alias("n_oov"),
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.coalesce("n_oov", F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def corpus_drift(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    text_col: str,
+) -> DataFrame:
+    """Term-distribution drift between two corpus snapshots (last
+    week's crawl vs this week's, corpus vs incoming batch): add-one
+    smoothed unigram distributions on the UNION vocabulary, with each
+    term's KL(P||Q) and Jensen-Shannon contribution — the ingest-time
+    distribution monitor that catches a scraper gone wrong or a
+    domain-mix shift before it trains into a model. Total divergence
+    is SUM(kl_micro)/1e6 (resp. js) over the returned table; the top
+    |contribution| terms name WHAT drifted.
+
+    Shape: one tokenize+count pass per side (term tables are
+    Zipf-bounded — millions of rows at 100 TB, never corpus-sized), a
+    term-keyed FULL OUTER join, and one broadcast one-row totals join
+    for the smoothing scalars. No per-row Python, no global sort.
+
+    Determinism: probabilities derive from exact integer counts;
+    contributions are scaled to MICRO-nats and rounded to 4 dp
+    (resolution ~1e-10 nats) so a SQL twin replaying ln() on the same
+    exact-count-derived doubles hashes identically — the same
+    margin-of-rounding contract as `unigram_logprob`.
+
+    Returns (term, c_left, c_right, p_left_micro, p_right_micro,
+    kl_micro, js_micro).
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        words = _words(F.lower(F.col(text_col)))
+        return (
+            df.select(F.explode(words).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("term").agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    cl = counts(left, "_cl")
+    cr = counts(right, "_cr")
+    terms = cl.join(cr, "term", "full_outer").select(
+        "term",
+        F.coalesce("_cl", F.lit(0)).alias("c_left"),
+        F.coalesce("_cr", F.lit(0)).alias("c_right"),
+    )
+    totals = terms.agg(
+        F.sum("c_left").alias("_nl"),
+        F.sum("c_right").alias("_nr"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p = (F.col("c_left") + 1).cast("double") / (
+        F.col("_nl") + F.col("_v")
+    ).cast("double")
+    q = (F.col("c_right") + 1).cast("double") / (
+        F.col("_nr") + F.col("_v")
+    ).cast("double")
+    withpq = (
+        terms.crossJoin(F.broadcast(totals))
+        .withColumn("_p", p)
+        .withColumn("_q", q)
+        .withColumn("_m", (F.col("_p") + F.col("_q")) / F.lit(2.0))
+    )
+    micro = F.lit(1_000_000.0)
+    return withpq.select(
+        "term", "c_left", "c_right",
+        F.round(F.col("_p") * micro, 4).alias("p_left_micro"),
+        F.round(F.col("_q") * micro, 4).alias("p_right_micro"),
+        F.round(
+            F.col("_p") * (F.log("_p") - F.log("_q")) * micro, 4
+        ).alias("kl_micro"),
+        F.round(
+            (F.col("_p") * (F.log("_p") - F.log("_m"))
+             + F.col("_q") * (F.log("_q") - F.log("_m"))) / F.lit(2.0)
+            * micro,
+            4,
+        ).alias("js_micro"),
+    )

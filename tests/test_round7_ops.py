@@ -303,3 +303,153 @@ def test_compact_files_gate_digest_oracle(spark, tmp_path):
     drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
                    for r in tbl.to_pylist())
     assert srows == drows and len(srows) > 0
+
+
+_WORDS_LOWER_SQL = (
+    "CASE WHEN length(trim(COALESCE(text, ''))) = 0 "
+    "THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') END"
+)
+
+
+def _oracle_compare(out, con, sql, min_rows=1):
+    import math
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names), (cols, tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) >= min_rows
+
+
+def test_vocab_coverage_oracle(spark):
+    # NEW op banked for r8 registration as `ext-vocab-coverage`:
+    # per-doc OOV count/rate vs the corpus top-k vocabulary; twin =
+    # the same top-k (count DESC, term ASC) + NOT IN membership.
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import vocab_coverage
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    # the synthetic corpus has ~31 distinct terms, so a 10-term
+    # vocab makes the OOV tail real
+    out = vocab_coverage(
+        docs, id_col="doc_id", text_col="text", vocab_size=10
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_LOWER_SQL} AS words
+                   FROM documents),
+        tok AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+        tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        cf AS (SELECT term, COUNT(*) AS c FROM tok2 GROUP BY 1),
+        vocab AS (SELECT term FROM cf ORDER BY c DESC, term LIMIT 10),
+        dtf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok2
+                GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id, SUM(c) AS n_tokens,
+                 SUM(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                     THEN c ELSE 0 END) AS n_oov
+          FROM dtf GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+               ROUND(CASE WHEN COALESCE(n_tokens, 0) > 0
+                 THEN COALESCE(n_oov, 0) / CAST(n_tokens AS DOUBLE) END,
+                 6) AS oov_rate
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+    _oracle_compare(out, con, sql, min_rows=500)
+    # the audit is non-degenerate: some tokens fall outside the vocab
+    assert out.agg(F.sum("n_oov")).first()[0] > 0
+
+
+def test_vocab_coverage_frozen_vocab_and_empty_docs(spark):
+    from awskinesisconsumer_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, None), (4, "x y")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("x",)], "term string")
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in vocab_coverage(
+               df, id_col="doc_id", text_col="text", vocab=vocab
+           ).collect()}
+    assert got[1] == (4, 2, 0.5)       # b, c OOV
+    assert got[2] == (0, 0, None)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (2, 1, 0.5)       # y OOV
+
+
+def test_corpus_drift_oracle(spark):
+    # NEW op banked for r8 registration as `ext-corpus-drift`:
+    # add-one-smoothed unigram KL/JS drift between two snapshot
+    # halves; micro-nat scaling + 4 dp rounding gives the same
+    # ln-margin contract as the gated unigram-logprob twin.
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import corpus_drift
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    out = corpus_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        text_col="text",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = f"""
+        WITH lw AS (SELECT {_WORDS_LOWER_SQL} AS words FROM documents
+                    WHERE doc_id % 2 = 0),
+        rw AS (SELECT {_WORDS_LOWER_SQL} AS words FROM documents
+               WHERE doc_id % 2 = 1),
+        cl AS (SELECT term, COUNT(*) AS c
+               FROM (SELECT UNNEST(words) AS term FROM lw)
+               WHERE term <> '' GROUP BY 1),
+        cr AS (SELECT term, COUNT(*) AS c
+               FROM (SELECT UNNEST(words) AS term FROM rw)
+               WHERE term <> '' GROUP BY 1),
+        t AS (SELECT COALESCE(cl.term, cr.term) AS term,
+                     COALESCE(cl.c, 0) AS c_left,
+                     COALESCE(cr.c, 0) AS c_right
+              FROM cl FULL OUTER JOIN cr ON cl.term = cr.term),
+        tot AS (SELECT SUM(c_left) AS nl, SUM(c_right) AS nr,
+                       COUNT(*) AS v FROM t),
+        pq AS (SELECT term, c_left, c_right,
+                      CAST(c_left + 1 AS DOUBLE)
+                        / CAST(nl + v AS DOUBLE) AS p,
+                      CAST(c_right + 1 AS DOUBLE)
+                        / CAST(nr + v AS DOUBLE) AS q
+               FROM t CROSS JOIN tot),
+        pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq)
+        SELECT term, CAST(c_left AS BIGINT) AS c_left,
+               CAST(c_right AS BIGINT) AS c_right,
+               ROUND(p * 1000000.0, 4) AS p_left_micro,
+               ROUND(q * 1000000.0, 4) AS p_right_micro,
+               ROUND(p * (ln(p) - ln(q)) * 1000000.0, 4) AS kl_micro,
+               ROUND((p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2.0
+                 * 1000000.0, 4) AS js_micro
+        FROM pqm
+    """
+    _oracle_compare(out, con, sql, min_rows=20)
+    # drift is non-degenerate: some term actually moved
+    assert out.where(F.col("js_micro") > 0).count() > 0
