@@ -453,3 +453,69 @@ def test_corpus_drift_oracle(spark):
     _oracle_compare(out, con, sql, min_rows=20)
     # drift is non-degenerate: some term actually moved
     assert out.where(F.col("js_micro") > 0).count() > 0
+
+
+def test_png_unfilter_vectorized_matches_reference_on_random_images(spark):
+    # The numpy un-filter rewrite must be bit-identical to the PNG
+    # spec recurrence on arbitrary content: random pixels, random
+    # per-row filter types, non-trivial sizes (exercises the cumsum
+    # prefix-scan path and the Average/Paeth per-pixel recurrences
+    # well past the 4x4 fixture).
+    import random
+    import struct
+    import zlib
+
+    from awskinesisconsumer_spark.operators.multimodal import decode_png
+
+    rng = random.Random(0x5EED)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def encode_with_filters(pix, h, w, ftypes):
+        # reference ENCODER implementing the spec's filter equations
+        # directly (per-byte, the slow-but-obviously-right form)
+        raw = bytearray()
+        prev = [0] * (w * 3)
+        for y in range(h):
+            line = pix[y]
+            ftype = ftypes[y]
+            raw.append(ftype)
+            for i in range(w * 3):
+                a = line[i - 3] if i >= 3 else 0
+                b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+                if ftype == 0:
+                    enc = line[i]
+                elif ftype == 1:
+                    enc = (line[i] - a) & 0xFF
+                elif ftype == 2:
+                    enc = (line[i] - b) & 0xFF
+                elif ftype == 3:
+                    enc = (line[i] - (a + b) // 2) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    enc = (line[i] - pred) & 0xFF
+                raw.append(enc)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rows, sums = [], {}
+    for case in range(6):
+        h, w = rng.randint(5, 48), rng.randint(5, 64)
+        pix = [[rng.randrange(256) for _ in range(w * 3)]
+               for _ in range(h)]
+        ftypes = [rng.randrange(5) for _ in range(h)]
+        rows.append((case, bytearray(encode_with_filters(pix, h, w, ftypes))))
+        sums[case] = sum(sum(line) for line in pix)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.height, r.width, r.crc_ok, r.sum_pixels)
+           for r in decode_png(df).collect()}
+    for case, (h, w, crc_ok, s) in got.items():
+        assert crc_ok is True and s == sums[case], (case, got[case])
