@@ -616,9 +616,10 @@ def domain_cap(
     Scale shape: ONE group-keyed window sort — the same single
     exchange as any per-group top-k. Mega-domains make the window
     partition wide but the sort is (group)-local and spills; for the
-    pathological single-domain-dominates case, pre-aggregate with a
-    bounded per-partition top-cap first (the two-level top-k in
-    similarity.knn_join_topk is the template).
+    pathological single-domain-dominates case use `domain_cap_topk`,
+    which bounds every reducer with a salted two-level rank and
+    emits the kept rows + per-group totals instead of ranking every
+    dropped row.
     """
     from pyspark.sql import Window
 
@@ -641,6 +642,80 @@ def domain_cap(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .withColumn(keep_col, F.col("rank_in_group") <= cap)
     )
+
+
+def domain_cap_topk(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cap: int,
+    order_by: list | None = None,
+    id_col: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe per-source quota: the KEPT rows (at most `cap` per
+    group) with their exact `rank_in_group`, plus the group's total
+    row count — the mega-domain-proof form of `domain_cap` for the
+    case where one domain holds a material fraction of the corpus
+    and a single group-keyed window sort would funnel it through one
+    reducer.
+
+    Two-level rank (the `similarity.knn_join_topk` template): a
+    first window partitioned by (group, salt-of-id) bounds each of
+    the `salt_buckets` shards to its local top-`cap`, then the exact
+    per-group rank runs on <= cap * salt_buckets candidate rows per
+    group — no reducer ever sorts more than its salt shard, and the
+    final window's partitions are quota-sized regardless of domain
+    size. Exact by the min-k composition property (top-k of a union
+    == top-k of the per-shard top-k's), so the kept set and ranks
+    EQUAL `domain_cap`'s kept rows for the same priority; the salt
+    never influences the result. Dropped rows are not emitted (at
+    mega-domain scale ranking every rejected row is the cost being
+    avoided); their volume stays auditable via `n_in_group` from one
+    separate count aggregate.
+
+    Priority contract matches `domain_cap`: `order_by` + ascending
+    `id_col` totalizer, or the portable md5-hash order when
+    `order_by` is None. Returns the kept input rows plus
+    (rank_in_group, n_in_group).
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"domain_cap_topk: cap must be >= 1, got {cap}")
+    if id_col is None:
+        raise ValueError(
+            "domain_cap_topk: id_col is required — without a unique "
+            "tie-break the kept subset would be nondeterministic"
+        )
+    if salt_buckets < 1:
+        raise ValueError("domain_cap_topk: salt_buckets must be >= 1")
+    if order_by is None:
+        order = [portable_hash52(F.col(id_col).cast("string")).asc()]
+    else:
+        order = list(order_by)
+    order.append(F.col(id_col).asc())
+    salt = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    kept = (
+        local.withColumn(
+            "rank_in_group", F.row_number().over(w2).cast("int")
+        )
+        .where(F.col("rank_in_group") <= cap)
+    )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_in_group")
+    )
+    return kept.join(counts, group_col)
 
 
 def quality_blend(

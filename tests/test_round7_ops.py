@@ -519,3 +519,75 @@ def test_png_unfilter_vectorized_matches_reference_on_random_images(spark):
            for r in decode_png(df).collect()}
     for case, (h, w, crc_ok, s) in got.items():
         assert crc_ok is True and s == sums[case], (case, got[case])
+
+
+def test_domain_cap_topk_oracle_and_equivalence(spark):
+    # Skew-safe quota (banked for r8 as `ext-domain-cap-topk`): kept
+    # rows + exact ranks + per-group totals, DuckDB-twinned; and the
+    # kept set must EQUAL domain_cap's kept rows (salt never leaks
+    # into the result).
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        domain_cap, domain_cap_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, "orders", SF).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = domain_cap_topk(
+        orders, group_col="o_orderpriority", cap=20,
+        order_by=[F.col("o_totalprice").desc()], id_col="o_orderkey",
+        salt_buckets=7,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'"
+    )
+    sql = """
+        WITH r AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                   AS rank_in_group,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority)
+                   AS n_in_group
+          FROM orders)
+        SELECT * FROM r WHERE rank_in_group <= 20
+    """
+    _oracle_compare(out, con, sql, min_rows=20)
+
+    # equivalence with the single-window form's kept partition
+    ref = domain_cap(
+        orders, group_col="o_orderpriority", cap=20,
+        order_by=[F.col("o_totalprice").desc()], id_col="o_orderkey",
+    ).where(F.col("kept")).select(
+        "o_orderkey", "o_orderpriority", "rank_in_group"
+    )
+    got = sorted(
+        (r.o_orderkey, r.o_orderpriority, r.rank_in_group)
+        for r in out.select(
+            "o_orderkey", "o_orderpriority", "rank_in_group"
+        ).collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r.o_orderpriority, r.rank_in_group)
+        for r in ref.collect()
+    )
+    assert got == want and len(got) > 0
+
+    # salt choice cannot change the result
+    alt = sorted(
+        (r.o_orderkey, r.o_orderpriority, r.rank_in_group)
+        for r in domain_cap_topk(
+            orders, group_col="o_orderpriority", cap=20,
+            order_by=[F.col("o_totalprice").desc()],
+            id_col="o_orderkey", salt_buckets=3,
+        ).select(
+            "o_orderkey", "o_orderpriority", "rank_in_group"
+        ).collect()
+    )
+    assert alt == want
