@@ -1222,16 +1222,31 @@ def corpus_drift(
     Returns (term, c_left, c_right, p_left_micro, p_right_micro,
     kl_micro, js_micro).
     """
-    def counts(df: DataFrame, alias: str) -> DataFrame:
-        words = _words(F.lower(F.col(text_col)))
-        return (
-            df.select(F.explode(words).alias("term"))
-            .where(F.col("term") != "")
-            .groupBy("term").agg(F.count(F.lit(1)).alias(alias))
-        )
+    cl = term_counts(left, text_col=text_col, out_col="_cl")
+    cr = term_counts(right, text_col=text_col, out_col="_cr")
+    return drift_from_term_counts(cl, cr)
 
-    cl = counts(left, "_cl")
-    cr = counts(right, "_cr")
+
+def term_counts(
+    df: DataFrame, *, text_col: str, out_col: str = "c"
+) -> DataFrame:
+    """Corpus term-frequency table (term, out_col) with the engine's
+    standard lowercased-whitespace tokenization — the Zipf-bounded
+    sketch `corpus_drift` and its streaming form score from."""
+    words = _words(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term").agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
+def drift_from_term_counts(cl: DataFrame, cr: DataFrame) -> DataFrame:
+    """`corpus_drift`'s scoring core over two pre-built term-count
+    tables (columns (term, _cl) and (term, _cr)) — shared by the
+    batch operator and the streaming monitor, which holds the right
+    side's counts as its running state. Same output contract as
+    `corpus_drift`."""
     terms = cl.join(cr, "term", "full_outer").select(
         "term",
         F.coalesce("_cl", F.lit(0)).alias("c_left"),

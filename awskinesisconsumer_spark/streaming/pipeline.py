@@ -734,3 +734,59 @@ def domain_cap_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def corpus_drift_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift monitor: the arriving corpus'
+    RUNNING term counts — a complete-mode streaming aggregate whose
+    state is the Zipf-bounded term table, never rows — are scored
+    against a STATIC reference distribution on every trigger, and the
+    current drift table overwrites `out_path`. The ingest-time "is
+    this crawl still shaped like the reference corpus" alarm: a
+    scraper gone wrong or a domain-mix shift shows up as a KL/JS
+    spike while the batch job that would catch it is still hours
+    away.
+
+    Because the state is the full running count table, the emission
+    after the FINAL batch equals batch `corpus_drift(reference,
+    all_arrived_docs)` exactly, regardless of arrival chunking — the
+    same final-state-equals-batch contract as `compact_latest_stream`
+    and `hll_register_stream`, so the batch oracle applies verbatim.
+    The reference side's counts build once and persist across
+    triggers (the static side of every per-trigger score); like
+    `incremental_dedup_stream`'s corpus index, that cache is
+    intentionally query-lifetime — unpersist it after the query
+    terminates if the session lives on (`spark.catalog.clearCache()`
+    or re-derive and unpersist the same plan).
+
+    Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.text import (
+        drift_from_term_counts, term_counts,
+    )
+
+    ref_counts = term_counts(
+        reference, text_col=text_col, out_col="_cl"
+    ).persist()
+    running = term_counts(docs, text_col=text_col, out_col="_cr")
+
+    def write_batch(counts_df: DataFrame, batch_id: int) -> None:
+        drift = drift_from_term_counts(ref_counts, counts_df)
+        drift.write.mode("overwrite").parquet(out_path)
+
+    writer = (
+        running.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -591,3 +591,42 @@ def test_domain_cap_topk_oracle_and_equivalence(spark):
         ).collect()
     )
     assert alt == want
+
+
+def test_corpus_drift_stream_final_state_equals_batch(spark, tmp_path):
+    # Streaming drift monitor (banked for r8/r9 as
+    # `stream-corpus-drift`): running complete-mode term counts
+    # scored vs the static reference each trigger — after the last
+    # of 3 genuinely separate micro-batches, the emitted table must
+    # EQUAL batch corpus_drift(reference, all_arrived).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import corpus_drift
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        corpus_drift_stream,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "drift_src")
+    arriving.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "drift_out")
+    q = corpus_drift_stream(
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        reference, text_col="text",
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+    want = sorted(
+        tuple(r)
+        for r in corpus_drift(reference, arriving, text_col="text")
+        .select(*spark.read.parquet(out_path).columns).collect()
+    )
+    assert got == want and len(got) > 0
