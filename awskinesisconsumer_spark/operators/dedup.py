@@ -595,6 +595,7 @@ def duplicated_spans(
     stride: int = 4,
     min_docs: int = 2,
     hash_fn=xxhash64_col,
+    anchored: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the span-level
     signal behind exact-substring dedup of training corpora (Lee et
@@ -604,12 +605,25 @@ def duplicated_spans(
     document-level Jaccard/MinHash under-weights.
 
     A full suffix array is the exact tool; at corpus scale the
-    standard approximation is strided fixed-length spans: hash every
-    `span_len`-word window starting at multiples of `stride` and group
-    by the span hash. A duplicated run of length >= span_len +
-    stride - 1 is guaranteed to contain at least one aligned shared
-    window on both sides, so recall degrades only for runs shorter
-    than that. Returns one row per span seen in >= `min_docs` distinct
+    approximation is fixed-length spans sampled one of two ways:
+
+    - `anchored=False` (default): windows start at multiples of
+      `stride` FROM EACH DOC'S START. Cheap and deterministic, but
+      phase-sensitive: two docs sharing a literal run at offsets that
+      differ mod `stride` sample DIFFERENT sub-windows of the run and
+      never hash-equal — this mode only catches duplicates whose
+      in-doc offsets are stride-aligned (templated documents, fixed
+      layouts).
+    - `anchored=True`: content-defined starts (winnowing-style) —
+      a window begins wherever hash(start word) % stride == 0, so
+      start positions travel WITH the content. A run shared at any
+      offsets anchors at the same run-relative positions in every
+      doc (expected one anchor per `stride` words; a run of length
+      >= span_len + stride contains one in expectation), which is
+      what cross-doc boilerplate detection actually needs. Same
+      expected window count as strided mode.
+
+    Returns one row per span seen in >= `min_docs` distinct
     documents: (span_hash, n_docs, n_occurrences, min_doc, max_doc).
 
     Scale shape: tokenize -> strided slice (narrow, no shuffle) ->
@@ -623,23 +637,12 @@ def duplicated_spans(
     base = df.select(F.col(id_col), words.alias("_ws")).where(
         F.size(F.col("_ws")) >= span_len
     )
-    starts = F.sequence(
-        F.lit(0),
-        F.floor((F.size(F.col("_ws")) - span_len) / stride).cast("int"),
-    )
-    spans = base.select(
-        id_col,
-        F.explode(starts).alias("_i"),
-        F.col("_ws"),
-    ).select(
-        id_col,
-        F.concat_ws(
-            " ", F.slice(F.col("_ws"), F.col("_i") * stride + 1, span_len)
-        ).alias("_span"),
+    occ = _span_occurrences(
+        base, id_col=id_col, span_len=span_len, stride=stride,
+        hash_fn=hash_fn, anchored=anchored,
     )
     return (
-        spans.select(id_col, hash_fn(F.col("_span")).alias("span_hash"))
-        .groupBy("span_hash")
+        occ.groupBy(F.col("_h").alias("span_hash"))
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -647,6 +650,165 @@ def duplicated_spans(
             F.max(id_col).alias("max_doc"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _span_occurrences(
+    base: DataFrame, *, id_col: str, span_len: int, stride: int,
+    hash_fn, anchored: bool,
+) -> DataFrame:
+    """(id, _start, _h) for every sampled span window over `base`
+    (id_col + `_ws` word arrays, already length-filtered). Shared by
+    `duplicated_spans` (detection) and `remove_duplicate_spans`
+    (edit) so the two always sample identically."""
+    if anchored:
+        # Content-defined starts: 0-based position p anchors iff
+        # hash(word[p]) % stride == 0 — offsets travel with the
+        # content, so shared runs anchor identically in every doc.
+        starts = F.filter(
+            F.sequence(
+                F.lit(0), (F.size(F.col("_ws")) - span_len).cast("int")
+            ),
+            lambda p: F.pmod(
+                hash_fn(F.element_at(F.col("_ws"), p + 1)), F.lit(stride)
+            ) == 0,
+        )
+    else:
+        starts = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.size(F.col("_ws")) - span_len) / stride
+                ).cast("int"),
+            ),
+            lambda i: i * stride,
+        )
+    return base.select(
+        id_col,
+        F.explode(starts).alias("_start"),
+        "_ws",
+    ).select(
+        id_col,
+        "_start",
+        hash_fn(
+            F.concat_ws(
+                " ", F.slice(F.col("_ws"), F.col("_start") + 1, span_len)
+            )
+        ).alias("_h"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_len: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    hash_fn=xxhash64_col,
+    anchored: bool = True,
+) -> DataFrame:
+    """SURGICAL span dedup — the removal half of `duplicated_spans`
+    (Lee et al. 2022 edit semantics): word windows whose sampled span
+    hash repeats across >= `min_docs` documents are CUT from every
+    occurrence, keeping (with `keep_first`) only the globally first
+    copy — (min doc, min start) per span, a total order so the
+    canonical occurrence is engine-replayable. Boilerplate, licenses,
+    and templated passages disappear from the corpus instead of
+    dragging whole documents out with them. Defaults to
+    `anchored=True` (content-defined window starts): cross-doc
+    boilerplate sits at arbitrary offsets, exactly the case the
+    doc-aligned strided sampling cannot see (see `duplicated_spans`).
+    Removal is window-granular: a run anchors every ~`stride` words,
+    so up to the stride-tail of a duplicated run can survive the cut
+    — surgical-but-approximate, the standard trade for
+    suffix-array-free span dedup.
+
+    Output text is the NORMALIZED word stream (lowercased,
+    single-space joined — the same tokenization the span hashes are
+    computed on) minus the removed windows; span removal runs after
+    normalization in a real pipeline, so the contract matches
+    deployment. NULL text stays NULL; docs shorter than `span_len`
+    words pass through (normalized) untouched.
+
+    Scale shape: the span table is `duplicated_spans`' — one strided
+    hash pass, one hash-keyed groupBy, output bounded by DISTINCT
+    duplicated spans. Removal is (doc, position)-keyed: dup windows
+    explode to at most span_len * occurrences positions, the corpus
+    word stream posexplodes once, and a left-anti join + ordered
+    per-doc fold reassemble the text — two doc-keyed shuffles, the
+    same reassembly shape as `dedup_lines`, nothing pairwise.
+
+    Returns (id_col, text_clean, n_words, n_removed, changed).
+    """
+    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_was_null"),
+        F.when(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(words).alias("_ws"),
+    )
+    eligible = base.where(F.size("_ws") >= span_len)
+    occ = _span_occurrences(
+        eligible, id_col=id_col, span_len=span_len, stride=stride,
+        hash_fn=hash_fn, anchored=anchored,
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("_start").alias("s"))
+            ).alias("_first"),
+        )
+        .where(F.col("_nd") >= min_docs)
+    )
+    removed = occ.join(dup, "_h")
+    if keep_first:
+        removed = removed.where(
+            ~((F.col(id_col) == F.col("_first.d"))
+              & (F.col("_start") == F.col("_first.s")))
+        )
+    drop_pos = removed.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("_start"), F.col("_start") + F.lit(span_len - 1)
+            )
+        ).alias("_pos"),
+    ).distinct()
+    toks = base.select(
+        id_col, F.posexplode("_ws").alias("_pos", "_w")
+    ).withColumn("_pos", F.col("_pos").cast("bigint"))
+    kept = toks.join(drop_pos, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        base.select(id_col, "_was_null", F.size("_ws").alias("n_words"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.when(~F.col("_was_null"),
+                   F.coalesce("_clean", F.lit(""))).alias("text_clean"),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            (F.col("n_words") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            (F.col("n_words") - F.coalesce("_n_kept", F.lit(0)) > 0)
+            .alias("changed"),
+        )
     )
 
 

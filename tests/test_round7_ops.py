@@ -630,3 +630,130 @@ def test_corpus_drift_stream_final_state_equals_batch(spark, tmp_path):
         .select(*spark.read.parquet(out_path).columns).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_remove_duplicate_spans_oracle(spark):
+    # NEW op banked for r8 registration as `ext-dedup-span-removal`:
+    # surgical all-but-first span removal with content-defined
+    # (anchored) window starts — the alignment-free sampling that
+    # actually catches cross-doc boilerplate at arbitrary offsets.
+    # Twin replays anchoring, hashing, first-occurrence election
+    # (packed (doc, start) min == Spark's struct min for these
+    # bounds), position cut, and ordered reassembly.
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, remove_duplicate_spans,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    boiler = ("all rights reserved redistribution permitted only under "
+              "the terms of the license agreement above")
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" " + boiler)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text",
+        span_len=8, stride=4, min_docs=2,
+        hash_fn=portable_hash52, anchored=True,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    h52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+    sql = f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                   THEN coalesce(text, '') || ' {boiler}'
+                   ELSE text END AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id, text IS NULL AS was_null,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(
+                     trim(lower(coalesce(text, ''))), '\\s+') END AS ws
+          FROM injected),
+        elig AS (SELECT doc_id, ws, len(ws) AS n FROM base
+                 WHERE len(ws) >= 8),
+        anchors AS (
+          SELECT doc_id, ws, p
+          FROM elig, UNNEST(range(0, n - 8 + 1)) AS t(p)
+          WHERE {h52.format(x="ws[CAST(p AS INT) + 1]")} % 4 = 0),
+        occ AS (
+          SELECT doc_id, p AS start,
+                 {h52.format(
+                     x="array_to_string(ws[CAST(p AS INT) + 1:"
+                       "CAST(p AS INT) + 8], ' ')")} AS h
+          FROM anchors),
+        dup AS (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd,
+                 MIN(doc_id * 4294967296 + start) AS fk
+          FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        removed AS (
+          SELECT o.doc_id, o.start
+          FROM occ o JOIN dup d USING (h)
+          WHERE NOT (o.doc_id = d.fk // 4294967296
+                     AND o.start = d.fk % 4294967296)),
+        drop_pos AS (
+          SELECT DISTINCT doc_id, CAST(pp AS BIGINT) AS pos
+          FROM removed, UNNEST(range(start, start + 8)) AS t(pp)),
+        toks AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 ws[CAST(i AS INT)] AS w
+          FROM base, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        kept AS (
+          SELECT t.* FROM toks t ANTI JOIN drop_pos d
+          USING (doc_id, pos)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id,
+               CASE WHEN NOT was_null
+                 THEN coalesce(clean, '') END AS text_clean,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+               len(ws) - coalesce(n_kept, 0) > 0 AS changed
+        FROM base b LEFT JOIN rebuilt USING (doc_id)
+    """
+    _oracle_compare(out, con, sql, min_rows=500)
+    # the cut is real: boilerplate-carrying docs actually changed
+    assert out.where(F.col("changed")).count() > 0
+
+
+def test_anchored_sampling_catches_misaligned_runs(spark):
+    # The doc-aligned strided sampling is phase-sensitive: a run
+    # shared at offsets differing mod stride produces disjoint
+    # windows and is INVISIBLE to it. Content-defined anchoring sees
+    # the same run at any offset. This pins both behaviors so the
+    # duplicated_spans docstring stays honest.
+    from awskinesisconsumer_spark.operators.dedup import (
+        duplicated_spans, portable_hash52,
+    )
+
+    run = ("one two three four five six seven eight nine ten "
+           "eleven twelve")  # 12 shared words
+    df = spark.createDataFrame(
+        [(1, f"pad {run} tail tail"),        # run starts at offset 1
+         (2, f"{run} other words here")],    # run starts at offset 0
+        "doc_id long, text string",
+    )
+    strided = duplicated_spans(
+        df, id_col="doc_id", text_col="text", span_len=8, stride=4,
+        min_docs=2, hash_fn=portable_hash52, anchored=False,
+    ).count()
+    anchored = duplicated_spans(
+        df, id_col="doc_id", text_col="text", span_len=8, stride=4,
+        min_docs=2, hash_fn=portable_hash52, anchored=True,
+    ).count()
+    assert strided == 0      # phase mismatch: invisible
+    assert anchored >= 1     # alignment-free: found
