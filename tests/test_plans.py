@@ -335,3 +335,77 @@ def test_normalize_text_single_arrow_pass_no_exchange(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+
+def test_vocab_coverage_probe_is_broadcast(spark):
+    # The vocab membership probe must be a BroadcastHashJoin — a
+    # vocab_size-row table must never hash-exchange the corpus-sized
+    # (doc, term) side for it.
+    from awskinesisconsumer_spark.operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = vocab_coverage(
+        docs, id_col="doc_id", text_col="text", vocab_size=10
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_drift_totals_ride_one_broadcast_row(spark):
+    # The smoothing scalars join as ONE broadcast row (nested-loop on
+    # a 1-row build side is fine); the term-keyed full-outer is the
+    # only hash exchange family, and nothing is a cartesian of two
+    # big sides.
+    from awskinesisconsumer_spark.operators.text import corpus_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = corpus_drift(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
+        text_col="text",
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan  # the term full-outer join
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_topk_reducers_are_salt_bounded(spark):
+    # Two window families: the (group, salt) local top-cap then the
+    # group-level finish — the first must partition on BOTH keys so
+    # no reducer ever holds more than a salt shard of a mega domain.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        domain_cap_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "domain", (F.col("doc_id") % 7).cast("string")
+    )
+    out = domain_cap_topk(
+        docs, group_col="domain", cap=5, id_col="doc_id",
+        salt_buckets=8,
+    )
+    plan = _plan(out)
+    assert "hashpartitioning(domain" in plan
+    assert "_salt" in plan  # the salted first-level exchange exists
+    assert "CartesianProduct" not in plan
+
+
+def test_remove_duplicate_spans_no_pairwise_join(spark):
+    # Surgical span removal must stay (doc, position)-keyed: hash
+    # groupBy for the span table, anti-join for the cut, NEVER a
+    # doc-pair product.
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text",
+        hash_fn=portable_hash52, anchored=True,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # pure column expressions
