@@ -790,3 +790,47 @@ def corpus_drift_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vocab_coverage_stream(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming OOV monitor: every arriving document is scored
+    against a FROZEN vocabulary (the trained tokenizer's word list —
+    exactly what production watches: an OOV-rate spike on incoming
+    batches means the data no longer looks like what the tokenizer
+    was built on, hours before any batch audit would say so).
+
+    foreachBatch applies `operators.text.vocab_coverage` with the
+    static vocab per micro-batch; every flag depends only on (doc,
+    vocab) — never on other documents — so the appended union EQUALS
+    the single-batch result regardless of arrival chunking and the
+    batch operator's oracle applies verbatim (the same
+    per-row-determinism contract as `semantic_decontaminate_stream`).
+    No state store, no watermark; the vocab broadcast re-resolves per
+    batch.
+
+    Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.text import vocab_coverage
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = vocab_coverage(
+            batch_df, id_col=id_col, text_col=text_col, vocab=vocab
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

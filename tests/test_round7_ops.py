@@ -757,3 +757,47 @@ def test_anchored_sampling_catches_misaligned_runs(spark):
     ).count()
     assert strided == 0      # phase mismatch: invisible
     assert anchored >= 1     # alignment-free: found
+
+
+def test_vocab_coverage_stream_equals_batch(spark, tmp_path):
+    # Streaming OOV monitor (banked for r8 as
+    # `stream-vocab-coverage`): per-doc flags vs a FROZEN vocab are
+    # chunking-invariant, so the 3-batch union must equal the
+    # single-batch result exactly.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import (
+        top_terms, vocab_coverage,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        vocab_coverage_stream,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    vocab = top_terms(reference, text_col="text", k=10).select("term")
+
+    src = str(tmp_path / "oov_src")
+    arriving.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "oov_out")
+    q = vocab_coverage_stream(
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        vocab, id_col="doc_id", text_col="text",
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+    want = sorted(
+        tuple(r)
+        for r in vocab_coverage(
+            arriving, id_col="doc_id", text_col="text", vocab=vocab
+        ).select(*spark.read.parquet(out_path).columns).collect()
+    )
+    assert got == want and len(got) > 0
+    # non-degenerate: some OOV seen
+    assert any(r[2] > 0 for r in got)  # n_oov column position
