@@ -404,3 +404,55 @@ def decode_png(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PNG_INFO_SCHEMA])
 
     return df.mapInPandas(decode, PNG_INFO_SCHEMA)
+
+
+def png_file_sink(
+    df: DataFrame,
+    *,
+    id_col: str,
+    payload_col: str,
+    out_dir: str,
+) -> DataFrame:
+    """One PNG FILE per frame — the reference's per-frame file sink
+    (parser.py:483-485 writes each decoded frame as `<id>.png`)
+    re-expressed as a DISTRIBUTED write: every task writes its own
+    partition's payloads, the driver never sees a byte. Each file
+    lands as a hidden temp name then renames into
+    `out_dir/frame_<id>.png` (os.replace — atomic on POSIX), so a
+    concurrent reader never observes a partial frame under a final
+    name. Returns the written manifest (id, path, n_bytes) — pair it
+    with the manifest JSONL sink for all-or-nothing visibility of the
+    whole batch on object stores, where renames are copies.
+
+    Task retries simply overwrite the same final names with identical
+    bytes (the payload is a function of the row), so at-least-once
+    execution converges to exactly the intended file set.
+    """
+    import os
+
+    from pyspark.sql.types import StringType
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("path", StringType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf[id_col], pdf[payload_col]):
+                fid = int(fid)
+                final = os.path.join(out_dir, f"frame_{fid}.png")
+                tmp = os.path.join(out_dir, f"._tmp_frame_{fid}.png")
+                b = bytes(payload)
+                with open(tmp, "wb") as f:
+                    f.write(b)
+                os.replace(tmp, final)
+                rows.append((fid, final, len(b)))
+            yield pd.DataFrame(rows, columns=["id", "path", "n_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        write_files, out_schema
+    )
