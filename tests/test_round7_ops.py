@@ -862,3 +862,53 @@ def test_kvs_to_png_file_sink_end_to_end(spark, tmp_path):
         for i in range(1, n_frames + 1)
     }
     assert {r.doc_id: r.sum_pixels for r in rows} == want
+
+
+def test_remove_duplicate_spans_invariants_random_corpus(spark):
+    # Randomized invariant check (seeded): on corpora with planted
+    # shared runs at random offsets, the cleaned text must be an
+    # order-preserving subsequence of the normalized original, the
+    # accounting must balance, and at least one planted run must be
+    # cut from a non-canonical copy.
+    import random
+
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, remove_duplicate_spans,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(200)]
+    boiler = [f"b{i}" for i in range(14)]  # 14-word shared run
+    rows = []
+    for did in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if did % 3 == 0:  # plant the run at a random offset
+            at = rng.randint(0, len(words))
+            words = words[:at] + boiler + words[at:]
+        rows.append((did, " ".join(words) if words else None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, id_col="doc_id", text_col="text",
+            span_len=8, stride=4, min_docs=2,
+            hash_fn=portable_hash52, anchored=True,
+        ).collect()
+    }
+    assert len(out) == 40
+    changed = 0
+    for did, text in rows:
+        r = out[did]
+        orig = (text or "").lower().split()
+        if text is None:
+            assert r.text_clean is None and r.n_words == 0
+            continue
+        clean = r.text_clean.split() if r.text_clean else []
+        assert r.n_words == len(orig)
+        assert r.n_removed == len(orig) - len(clean)
+        assert r.changed == (r.n_removed > 0)
+        # subsequence property: removal never reorders or invents
+        it = iter(orig)
+        assert all(w in it for w in clean), did
+        changed += int(r.changed)
+    assert changed > 0  # the planted duplicates were actually cut
