@@ -793,3 +793,92 @@ def quality_blend(
         den = den + F.when(nn.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
     blend = F.when(den > 0, F.round(num / den, 6))
     return out.withColumn(out_col, blend)
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    cap: int,
+    span_len: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    signals: dict | None = None,
+    n_bins: int = 200,
+    hash_fn=None,
+) -> DataFrame:
+    """The COMPOSED curation pipeline a training-data build actually
+    runs, end to end in one call: unicode/whitespace normalization ->
+    surgical cross-doc span dedup (anchored windows) -> exact dedup
+    (first copy survives) -> multi-signal quality blend -> per-source
+    quota. Each stage is the individually-proven operator
+    (`text.normalize_text`, `dedup.remove_duplicate_spans`,
+    digest-keyed first-copy election, `quality_blend`, `domain_cap`);
+    this function proves the COMPOSITION — how span cuts reshape the
+    dedup classes, how cleaning reshapes the quality distribution the
+    blend's cut points are sketched from, and how the blend orders
+    the quota.
+
+    Documents whose cleaned text is empty (or was NULL) drop out
+    after the span stage — empty-after-hygiene means "remove", the
+    standard convention. `signals` defaults to the char/word pair the
+    quality-blend gate uses; ordering inside each quota group is
+    (quality_blend DESC, id ASC) — totalized, so the kept set is
+    engine-replayable.
+
+    Scale shape is the union of the stages': one Arrow pass
+    (normalize), the span table + position anti-join (span dedup),
+    ONE digest-keyed window (exact dedup), one fused histogram scan +
+    map-only blend, one group-keyed window (quota). Nothing pairwise,
+    nothing driver-side beyond the blend's constant cut points.
+
+    Returns (id_col, group_col, text_clean, n_removed, quality_blend,
+    rank_in_group, kept).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash52, remove_duplicate_spans
+    from .text import normalize_text
+
+    if hash_fn is None:
+        hash_fn = portable_hash52
+    if signals is None:
+        signals = {"n_chars": (0.0, 2000.0, 0.6),
+                   "n_words_sig": (0.0, 400.0, 0.4)}
+
+    norm = normalize_text(df, text_col=text_col)
+    cleaned = remove_duplicate_spans(
+        norm.select(id_col, F.col("text_norm").alias("_t")),
+        id_col=id_col, text_col="_t",
+        span_len=span_len, stride=stride, min_docs=min_docs,
+        hash_fn=hash_fn, anchored=True,
+    ).select(id_col, "text_clean", "n_removed")
+    withg = cleaned.join(df.select(id_col, group_col), id_col).where(
+        F.coalesce(F.length("text_clean"), F.lit(0)) > 0
+    )
+    # exact dedup, first copy (min id) survives; 32-byte digest keys
+    # the shuffle, never the text
+    digest = F.sha2(F.col("text_clean").cast("binary"), 256)
+    wdup = Window.partitionBy(digest)
+    survivors = (
+        withg.withColumn("_min_id", F.min(id_col).over(wdup))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    sig = survivors.select(
+        "*",
+        F.length("text_clean").cast("double").alias("n_chars"),
+        F.size(F.split(F.col("text_clean"), r"\s+")).cast("double")
+        .alias("n_words_sig"),
+    )
+    blended = quality_blend(sig, signals=signals, n_bins=n_bins)
+    capped = domain_cap(
+        blended, group_col=group_col, cap=cap,
+        order_by=[F.col("quality_blend").desc()], id_col=id_col,
+    )
+    return capped.select(
+        id_col, group_col, "text_clean", "n_removed",
+        "quality_blend", "rank_in_group", "kept",
+    )

@@ -912,3 +912,182 @@ def test_remove_duplicate_spans_invariants_random_corpus(spark):
         assert all(w in it for w in clean), did
         changed += int(r.changed)
     assert changed > 0  # the planted duplicates were actually cut
+
+
+def test_curate_corpus_composed_oracle(spark):
+    # Composed curation pipeline (banked for r8 as
+    # `ext-curate-corpus`): normalize -> anchored span dedup -> exact
+    # dedup -> quality blend -> domain cap, in ONE call, proven
+    # against ONE chained DuckDB oracle built from the five
+    # individually-proven stage twins. The fixture exercises every
+    # stage: a unicode-dirty suffix on every doc (normalize), a
+    # shared boilerplate run at varying offsets (span cut), identical
+    # short texts (exact dedup — too short for the span stage), and
+    # 7 domains with cap 30 (quota binds).
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        curate_corpus,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    boiler = ("all rights reserved redistribution permitted only under "
+              "the terms of the license agreement above")
+    dirty = " Café​  x\ty\x07 \n z "
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("string").alias("domain"),
+        F.concat(
+            F.when(F.col("doc_id") % 13 == 0, F.lit("Short  Dup Doc"))
+            .when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         F.lit(" " + boiler)),
+            )
+            .otherwise(F.col("text")),
+            F.lit(dirty),
+        ).alias("text"),
+    )
+    out = curate_corpus(
+        docs, id_col="doc_id", text_col="text", group_col="domain",
+        cap=30,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    h52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+    norm_regex = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(nfc_normalize(text), '[​‌‍﻿]', '', 'g'), "
+        r"'[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), "
+        r"'[ \t]+', ' ', 'g'), ' \n', chr(10), 'g'), ' ' || chr(10))"
+    )
+
+    def cut_cte(tag, expr, lo, hi, n_bins):
+        width = (hi - lo) / n_bins
+        return f"""
+        b_{tag} AS (
+          SELECT LEAST(GREATEST(
+                   CAST(FLOOR((({expr}) - {lo}) / {width}) AS INT), 0),
+                   {n_bins - 1}) AS bin
+          FROM sig WHERE ({expr}) IS NOT NULL),
+        c_{tag} AS (SELECT bin, COUNT(*) AS c FROM b_{tag} GROUP BY 1),
+        cum_{tag} AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum,
+                             SUM(c) OVER () AS total FROM c_{tag}),
+        cuts_{tag} AS (
+          SELECT q.q,
+            MIN_BY(ROUND({lo} + (bin
+              + (CEIL(q.q * total) - (cum - c)) / CAST(c AS DOUBLE))
+              * {width}, 4), bin) AS est
+          FROM cum_{tag} CROSS JOIN q
+          WHERE cum >= CEIL(q.q * total)
+          GROUP BY q.q),
+        lohi_{tag} AS (
+          SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS lo_cut,
+                 MIN(CASE WHEN q = 0.99 THEN est END) AS hi_cut
+          FROM cuts_{tag})"""
+
+    def norm_expr(tag, expr):
+        return (f"ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
+                f"lohi_{tag}.lo_cut), lohi_{tag}.hi_cut) - lohi_{tag}.lo_cut)"
+                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6)")
+
+    chars = "CAST(length(text_clean) AS DOUBLE)"
+    words = ("CAST(len(string_split_regex(text_clean, '\\s+')) AS DOUBLE)")
+    nc, nw = norm_expr("c", chars), norm_expr("w", words)
+    blend = f"""CASE WHEN (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+             + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END) > 0
+        THEN ROUND((COALESCE({nc} * 0.6, 0) + COALESCE({nw} * 0.4, 0))
+          / (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+           + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END), 6) END"""
+    sql = f"""
+        WITH injected AS (
+          SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS domain,
+                 (CASE WHEN doc_id % 13 = 0 THEN 'Short  Dup Doc'
+                       WHEN doc_id % 5 = 0
+                         THEN coalesce(text, '') || ' {boiler}'
+                       ELSE text END)
+                 || ' Cafe' || chr(769) || chr(8203) || '  x' || chr(9)
+                 || 'y' || chr(7) || ' ' || chr(10) || ' z ' AS text
+          FROM documents),
+        n AS (SELECT doc_id, domain, {norm_regex} AS text_norm
+              FROM injected),
+        base AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(coalesce(text_norm, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(
+                     trim(lower(coalesce(text_norm, ''))), '\\s+') END AS ws
+          FROM n),
+        elig AS (SELECT doc_id, ws, len(ws) AS nw FROM base
+                 WHERE len(ws) >= 8),
+        anchors AS (
+          SELECT doc_id, ws, p
+          FROM elig, UNNEST(range(0, nw - 8 + 1)) AS t(p)
+          WHERE {h52.format(x="ws[CAST(p AS INT) + 1]")} % 4 = 0),
+        occ AS (
+          SELECT doc_id, p AS start,
+                 {h52.format(
+                     x="array_to_string(ws[CAST(p AS INT) + 1:"
+                       "CAST(p AS INT) + 8], ' ')")} AS h
+          FROM anchors),
+        dup AS (
+          SELECT h, MIN(doc_id * 4294967296 + start) AS fk
+          FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        removed AS (
+          SELECT o.doc_id, o.start
+          FROM occ o JOIN dup d USING (h)
+          WHERE NOT (o.doc_id = d.fk // 4294967296
+                     AND o.start = d.fk % 4294967296)),
+        drop_pos AS (
+          SELECT DISTINCT doc_id, CAST(pp AS BIGINT) AS pos
+          FROM removed, UNNEST(range(start, start + 8)) AS t(pp)),
+        toks AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 ws[CAST(i AS INT)] AS w
+          FROM base, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        kept_toks AS (
+          SELECT t.* FROM toks t ANTI JOIN drop_pos d
+          USING (doc_id, pos)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean,
+                 COUNT(*) AS n_kept
+          FROM kept_toks GROUP BY doc_id),
+        cleaned AS (
+          SELECT b.doc_id, coalesce(clean, '') AS text_clean,
+                 CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT)
+                   AS n_removed
+          FROM base b LEFT JOIN rebuilt USING (doc_id)),
+        nonempty AS (
+          SELECT c.doc_id, i.domain, c.text_clean, c.n_removed
+          FROM cleaned c JOIN injected i USING (doc_id)
+          WHERE length(c.text_clean) > 0),
+        sig AS (
+          SELECT * FROM nonempty
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text_clean)),
+        q AS (SELECT UNNEST(CAST([0.01, 0.99] AS DOUBLE[])) AS q),
+        {cut_cte('c', chars, 0.0, 2000.0, 200).lstrip()},
+        {cut_cte('w', words, 0.0, 400.0, 200).lstrip()},
+        blended AS (
+          SELECT doc_id, domain, text_clean, n_removed,
+                 {blend} AS quality_blend
+          FROM sig CROSS JOIN lohi_c CROSS JOIN lohi_w)
+        SELECT doc_id, domain, text_clean, n_removed, quality_blend,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY quality_blend DESC, doc_id) AS INT)
+                 AS rank_in_group,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY quality_blend DESC, doc_id) <= 30 AS kept
+        FROM blended
+    """
+    _oracle_compare(out, con, sql, min_rows=100)
+    collected = out.collect()
+    # every stage did real work on this fixture:
+    assert any(r.n_removed > 0 for r in collected)          # span cuts
+    assert len(collected) < 500                             # dedup dropped rows
+    assert any(not r.kept for r in collected)               # quota binds
