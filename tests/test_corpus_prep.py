@@ -132,17 +132,28 @@ def test_pack_sequences_releases_internal_cache(spark):
     # localCheckpoint blocks (e.g. pagerank at iters > 3), which
     # catalog.clearCache() does not touch — the operator's contract
     # is "exactly one NEW persistent entry, released on unpersist".
+    # Assert on the DELTA OF RDD IDS, not counts: the async
+    # ContextCleaner can reclaim earlier tests' localCheckpoint blocks
+    # between reads, shifting a count-based baseline (order-flaky).
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def persistent_ids():
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
     df = spark.range(1000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
     )
     out = pack_sequences(df, id_col="doc_id", token_col="n_tokens",
                          capacity=64, group_size=128)
-    assert jsc.getPersistentRDDs().size() == before + 1
+    new_ids = persistent_ids() - before
+    assert len(new_ids) == 1
     out.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (persistent_ids() & new_ids)
 
 
 def test_sample_stratified_deterministic_and_nested(spark):
