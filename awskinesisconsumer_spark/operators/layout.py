@@ -190,17 +190,30 @@ def compact_small_files(
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
     fs.delete(tmp, True)
     fs.delete(old, True)
-    src = spark.read.parquet(path)
-    if part_cols:
-        # Repartition ON the partition columns so each hive partition
-        # lands in one task -> one compacted file per partition, and
-        # write with partitionBy to keep layout + pruning intact.
-        writer = (src.repartition(int(n_target), *part_cols)
-                  .write.mode("overwrite").partitionBy(*part_cols))
-    else:
-        writer = (src.repartition(int(n_target))
-                  .write.mode("overwrite"))
-    writer.parquet(str(tmp.toString()))
+    # Disable partition-column TYPE INFERENCE for the rewrite: the
+    # round-trip (read inferred -> partitionBy write) would otherwise
+    # re-render directory spellings (key=00123 -> key=123, date
+    # strings re-formatted) and silently change the layout for
+    # downstream readers. As plain strings the values rename
+    # byte-identically.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    try:
+        spark.conf.set(infer_key, "false")
+        src = spark.read.parquet(path)
+        if part_cols:
+            # Repartition ON the partition columns so each hive
+            # partition lands in one task -> one compacted file per
+            # partition, and write with partitionBy to keep layout +
+            # pruning intact.
+            writer = (src.repartition(int(n_target), *part_cols)
+                      .write.mode("overwrite").partitionBy(*part_cols))
+        else:
+            writer = (src.repartition(int(n_target))
+                      .write.mode("overwrite"))
+        writer.parquet(str(tmp.toString()))
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     if not fs.rename(hpath, old):
         raise IOError(f"compact_small_files: cannot move {path} aside")
     if not fs.rename(tmp, hpath):

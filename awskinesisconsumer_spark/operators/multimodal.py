@@ -426,10 +426,17 @@ def png_file_sink(
 
     Task retries simply overwrite the same final names with identical
     bytes (the payload is a function of the row), so at-least-once
-    execution converges to exactly the intended file set.
+    execution converges to exactly the intended file set. The temp
+    name embeds the task attempt id (uuid fallback off-cluster): with
+    speculative execution two live attempts of one task each write
+    their OWN temp file and rename only their own fully-written
+    bytes — concurrent attempts can never interleave into one temp
+    file and install a torn frame.
     """
     import os
+    import uuid
 
+    from pyspark import TaskContext
     from pyspark.sql.types import StringType
 
     out_schema = StructType([
@@ -440,12 +447,17 @@ def png_file_sink(
 
     def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         os.makedirs(out_dir, exist_ok=True)
+        ctx = TaskContext.get()
+        attempt = (
+            str(ctx.taskAttemptId()) if ctx is not None else uuid.uuid4().hex
+        )
         for pdf in batches:
             rows = []
             for fid, payload in zip(pdf[id_col], pdf[payload_col]):
                 fid = int(fid)
                 final = os.path.join(out_dir, f"frame_{fid}.png")
-                tmp = os.path.join(out_dir, f"._tmp_frame_{fid}.png")
+                tmp = os.path.join(
+                    out_dir, f"._tmp_frame_{fid}.{attempt}.png")
                 b = bytes(payload)
                 with open(tmp, "wb") as f:
                     f.write(b)
