@@ -3773,9 +3773,18 @@ def _quality_blend_oracle_sql() -> str:
     to the Spark operator (proven in tests/test_round6_ops.py)."""
 
     def norm_expr(tag: str, expr: str) -> str:
-        return (f"ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
+        # Degenerate-cut guard mirrors the operator (corpus_prep.
+        # quality_blend): a constant-valued signal (hi_cut = lo_cut)
+        # contributes 0.5 for non-NULL values instead of NULL/inf
+        # from the zero-width division.
+        # NULL guard on BOTH branches (DuckDB least/greatest skip
+        # NULLs like Spark's, so an unguarded clip maps NULL to
+        # lo_cut): a NULL signal stays NULL, mirroring the operator.
+        return (f"CASE WHEN ({expr}) IS NULL THEN NULL"
+                f" WHEN lohi_{tag}.hi_cut = lohi_{tag}.lo_cut THEN 0.5"
+                f" ELSE ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
                 f"lohi_{tag}.lo_cut), lohi_{tag}.hi_cut) - lohi_{tag}.lo_cut)"
-                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6)")
+                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6) END")
 
     chars = "CAST(length(text) AS DOUBLE)"
     words = ("CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN "

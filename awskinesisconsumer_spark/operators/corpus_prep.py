@@ -652,6 +652,7 @@ def domain_cap_topk(
     order_by: list | None = None,
     id_col: str | None = None,
     salt_buckets: int = 16,
+    with_totals: bool = True,
 ) -> DataFrame:
     """Skew-safe per-source quota: the KEPT rows (at most `cap` per
     group) with their exact `rank_in_group`, plus the group's total
@@ -671,13 +672,23 @@ def domain_cap_topk(
     EQUAL `domain_cap`'s kept rows for the same priority; the salt
     never influences the result. Dropped rows are not emitted (at
     mega-domain scale ranking every rejected row is the cost being
-    avoided); their volume stays auditable via `n_in_group` from one
-    separate count aggregate.
+    avoided); their volume stays auditable via `n_in_group`.
+
+    `n_in_group` is FUSED into the salted pass (when
+    `with_totals=True`): the per-(group, salt) shard count rides the
+    SAME window sort that ranks the shard (an unbounded count over
+    the partition already being sorted), survives on the shard's
+    kept rows, and the group total is one narrow sum over the
+    quota-bounded candidate set — the input is scanned EXACTLY once,
+    not re-read for audit metadata (the r7 double-scan fix;
+    plan-asserted in tests/test_plans.py). Pass `with_totals=False`
+    to skip the totals join entirely when the caller doesn't need
+    the audit column.
 
     Priority contract matches `domain_cap`: `order_by` + ascending
     `id_col` totalizer, or the portable md5-hash order when
     `order_by` is None. Returns the kept input rows plus
-    (rank_in_group, n_in_group).
+    rank_in_group (and n_in_group when `with_totals`).
     """
     from pyspark.sql import Window
 
@@ -699,23 +710,35 @@ def domain_cap_topk(
         F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)
     )
     w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    w1_all = Window.partitionBy(group_col, "_salt")
     local = (
         df.withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
+        # shard count rides the same window sort — no second scan
+        .withColumn("_n1", F.count(F.lit(1)).over(w1_all))
         .where(F.col("_r1") <= cap)
-        .drop("_r1", "_salt")
     )
     w2 = Window.partitionBy(group_col).orderBy(*order)
-    kept = (
-        local.withColumn(
-            "rank_in_group", F.row_number().over(w2).cast("int")
+    kept = local.withColumn(
+        "rank_in_group", F.row_number().over(w2).cast("int")
+    )
+    if with_totals:
+        # Every non-empty shard's rank-1 row survives the local
+        # filter carrying the shard's count, so the group total is
+        # the sum of _n1 over rank-1 rows — an unbounded window over
+        # the SAME group partitioning the exact-rank window just
+        # shuffled, computed on the quota-bounded candidate set. One
+        # linear plan, input scanned exactly once.
+        kept = kept.withColumn(
+            "n_in_group",
+            F.sum(F.when(F.col("_r1") == 1, F.col("_n1"))).over(
+                Window.partitionBy(group_col)
+            ),
         )
-        .where(F.col("rank_in_group") <= cap)
+    return (
+        kept.where(F.col("rank_in_group") <= cap)
+        .drop("_salt", "_r1", "_n1")
     )
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_in_group")
-    )
-    return kept.join(counts, group_col)
 
 
 def quality_blend(
@@ -782,10 +805,16 @@ def quality_blend(
                 clipped = F.least(
                     F.greatest(v, F.lit(lo_cut)), F.lit(hi_cut)
                 )
-                norm = F.round(
-                    (clipped - F.lit(lo_cut))
-                    / F.lit(float(hi_cut - lo_cut)),
-                    6,
+                # guard BEFORE the clamp: least/greatest skip NULLs,
+                # so an unguarded clip would map a NULL signal to
+                # lo_cut (norm 0.0) instead of staying NULL
+                norm = F.when(
+                    v.isNotNull(),
+                    F.round(
+                        (clipped - F.lit(lo_cut))
+                        / F.lit(float(hi_cut - lo_cut)),
+                        6,
+                    ),
                 )
         out = out.withColumn(f"norm_{col}", norm)
         nn = F.col(f"norm_{col}")

@@ -410,6 +410,12 @@ def histogram_quantiles(
     """
     from pyspark.sql import Window
 
+    if not hi > lo:
+        raise ValueError(
+            f"histogram_quantiles: need hi > lo for {value_col!r}, "
+            f"got [{lo}, {hi}] (zero-width bins would silently drop "
+            "every row)"
+        )
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     bin_ = F.least(
@@ -485,14 +491,26 @@ def histogram_quantiles_multi(
     lo_expr = None
     width_expr = None
     for col, (lo, hi) in signals.items():
+        if not hi > lo:
+            raise ValueError(
+                f"histogram_quantiles_multi: need hi > lo for "
+                f"{col!r}, got [{lo}, {hi}] (a zero-width signal "
+                "would be silently dropped from the output)"
+            )
         width = (hi - lo) / n_bins
         v = F.col(col).cast("double")
         bin_ = F.least(
             F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
             F.lit(n_bins - 1),
         ).cast("int")
+        # NULL guard OUTSIDE the clamp: greatest(NULL, 0) is 0 in
+        # Spark (NULL-skipping), so an unguarded clamp would count
+        # NULL values into bin 0 instead of dropping them.
         structs.append(
-            F.struct(F.lit(col).alias("sig"), bin_.alias("bin"))
+            F.struct(
+                F.lit(col).alias("sig"),
+                F.when(v.isNotNull(), bin_).alias("bin"),
+            )
         )
         # Per-signal (lo, width) as a literal CASE mapping rather than
         # a joined lookup table: a broadcast of even a 2-row local

@@ -761,13 +761,20 @@ def corpus_drift_stream(
     same final-state-equals-batch contract as `compact_latest_stream`
     and `hll_register_stream`, so the batch oracle applies verbatim.
     The reference side's counts build once and persist across
-    triggers (the static side of every per-trigger score); like
-    `incremental_dedup_stream`'s corpus index, that cache is
-    intentionally query-lifetime — unpersist it after the query
-    terminates if the session lives on (`spark.catalog.clearCache()`
-    or re-derive and unpersist the same plan).
+    triggers (the static side of every per-trigger score); the
+    returned handle owns that cache — call `handle.release()` after
+    the query terminates to unpersist exactly it, without nuking the
+    rest of the session cache.
 
-    Returns the started StreamingQuery.
+    Each trigger publishes ATOMICALLY: the drift table is written to
+    a sibling temp directory and swapped in via FileSystem renames
+    (the same aside/rename dance as `layout.compact_small_files`), so
+    a concurrent reader of `out_path` sees the previous complete
+    table or the new complete table — never an empty or partially
+    written directory mid-overwrite.
+
+    Returns a `DriftStreamHandle` with `.query` (the started
+    StreamingQuery) and `.release()`.
     """
     from awskinesisconsumer_spark.operators.text import (
         drift_from_term_counts, term_counts,
@@ -780,7 +787,25 @@ def corpus_drift_stream(
 
     def write_batch(counts_df: DataFrame, batch_id: int) -> None:
         drift = drift_from_term_counts(ref_counts, counts_df)
-        drift.write.mode("overwrite").parquet(out_path)
+        spark = counts_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        dest = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = dest.getFileSystem(hconf)
+        tmp = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_tmp")
+        old = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_old")
+        fs.delete(tmp, True)
+        drift.write.mode("overwrite").parquet(str(tmp.toString()))
+        fs.delete(old, True)
+        if fs.exists(dest) and not fs.rename(dest, old):
+            raise IOError(
+                f"corpus_drift_stream: cannot move {out_path} aside"
+            )
+        if not fs.rename(tmp, dest):
+            raise IOError(
+                f"corpus_drift_stream: cannot publish {out_path}"
+            )
+        fs.delete(old, True)
 
     writer = (
         running.writeStream.outputMode("complete")
@@ -789,7 +814,31 @@ def corpus_drift_stream(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return DriftStreamHandle(writer.start(), ref_counts)
+
+
+class DriftStreamHandle:
+    """Started streaming query + ownership of the caches it pins.
+
+    `corpus_drift_stream` persists the static reference counts for
+    the query's lifetime (re-scored against every trigger). The
+    handle gives the caller a precise release: `release()` unpersists
+    exactly those DataFrames — no `spark.catalog.clearCache()`
+    collateral — and is idempotent. `awaitTermination` proxies to the
+    query for drive-loop convenience.
+    """
+
+    def __init__(self, query, *cached):
+        self.query = query
+        self._cached = list(cached)
+
+    def awaitTermination(self, timeout=None):
+        return self.query.awaitTermination(timeout)
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
 
 
 def vocab_coverage_stream(

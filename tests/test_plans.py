@@ -409,3 +409,34 @@ def test_remove_duplicate_spans_no_pairwise_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # pure column expressions
+
+
+def test_domain_cap_topk_totals_scan_input_once(spark):
+    # r7 ADVICE/VERDICT: n_in_group used to come from a SECOND full
+    # aggregate over the input. The fused form rides the salted
+    # window (shard count over the same sort) + a group-window sum on
+    # the quota-bounded candidates — the physical plan must contain
+    # exactly ONE scan of the input and no join at all.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        domain_cap_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "domain", (F.col("doc_id") % 7).cast("string")
+    )
+    out = domain_cap_topk(
+        docs, group_col="domain", cap=5, id_col="doc_id",
+        salt_buckets=8,
+    )
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "n_in_group" in plan
+    # and the audit column can be skipped entirely
+    plan_nt = _plan(
+        domain_cap_topk(
+            docs, group_col="domain", cap=5, id_col="doc_id",
+            salt_buckets=8, with_totals=False,
+        )
+    )
+    assert "n_in_group" not in plan_nt

@@ -6,6 +6,8 @@ histogram sketch.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -613,15 +615,31 @@ def test_corpus_drift_stream_final_state_equals_batch(spark, tmp_path):
     src = str(tmp_path / "drift_src")
     arriving.repartition(3).write.parquet(src)
     out_path = str(tmp_path / "drift_out")
-    q = corpus_drift_stream(
+    ids_before = {
+        r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    handle = corpus_drift_stream(
         spark.readStream.schema(arriving.schema)
         .option("maxFilesPerTrigger", "1").parquet(src),
         reference, text_col="text",
         out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
     )
-    assert q.awaitTermination(180)
+    q = handle.query
+    assert handle.awaitTermination(180)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 3
+    # the handle owns the reference-counts cache: release() must leave
+    # zero RDDs persisted by this query (r7 ADVICE/VERDICT item)
+    handle.release()
+    ids_after = {
+        r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    assert ids_after - ids_before == set()
+    # no swap debris next to the published table
+    assert not [
+        p for p in os.listdir(str(tmp_path))
+        if p.startswith("drift_out._drift")
+    ]
 
     got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
     want = sorted(

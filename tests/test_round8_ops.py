@@ -78,3 +78,64 @@ def test_png_sink_temp_names_are_attempt_unique(spark, tmp_path):
     names = sorted(os.listdir(out_dir))
     assert names == [f"frame_{i}.png" for i in range(6)]
     assert not [n for n in names if n.startswith("._tmp")]
+
+
+def test_histogram_quantiles_degenerate_signal_raises(spark):
+    # ADVICE r7: a lo == hi signal used to be silently dropped (the
+    # zero-width bin expression goes NULL and the rows filter away);
+    # now it fails fast in both the single and multi forms.
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_quantiles, histogram_quantiles_multi,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_quantiles(df, value_col="v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_quantiles_multi(
+            df, signals={"v": (0.0, 10.0), "w": (3.0, 3.0)}
+        )
+
+
+def test_quality_blend_degenerate_cut_oracle_parity(spark, tmp_path):
+    # ADVICE r7: the ext-quality-blend DuckDB twin divided by
+    # (hi_cut - lo_cut) unguarded; on a constant-valued signal the
+    # operator emits 0.5 while the twin went NULL/inf. The twin now
+    # carries the same degenerate branch — prove parity on a corpus
+    # with ONE non-null document: rank(0.01) == rank(0.99) == 1, so
+    # both cut points land on the same in-bin interpolation and
+    # hi_cut == lo_cut exactly (constant values alone do NOT collapse
+    # the cuts — the rank offset interpolates WITHIN the bin).
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(0, "five words of fixed text"), (99, None)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sfdeg")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (
+            r["norm_n_chars"], r["norm_n_words"], r["quality_blend"]
+        )
+        for r in entry.queries()["ext-quality-blend"](spark, sf).collect()
+    }
+    assert got[0] == (0.5, 0.5, 0.5)
+    assert got[99] == (None, None, None)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            "SELECT doc_id, norm_n_chars, norm_n_words, quality_blend "
+            f"FROM ({entry.oracle_sql()['ext-quality-blend']})"
+        ).fetchall()
+    }
+    assert want == got
