@@ -462,6 +462,91 @@ def chunk_text(
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the CDC idea behind FastCDC /
+    rsync-style dedup storage, char-level): a chunk boundary falls
+    after character position p wherever
+    hash(text[p-window+1 .. p]) % divisor == 0, so boundaries travel
+    WITH the content — insert one byte at the front of a document and
+    every chunk after the edit re-aligns, where fixed-width chunking
+    (`chunk_text`) shifts every subsequent chunk and defeats
+    chunk-hash dedup. Expected chunk length ~= `divisor` chars.
+
+    This is the STATELESS form: no min/max chunk clamps (real FastCDC
+    adds them, which makes boundary choice sequential per document —
+    the clamped variant would need a per-doc fold; the stateless form
+    keeps the shift-resistance property AND stays a pure column
+    expression, so the DuckDB twin replays it exactly). Same
+    content-defined principle as `_span_occurrences(anchored=True)`,
+    at character level with variable-length segments.
+
+    Output: one row per (doc, chunk): chunk_idx (0-based in document
+    order), chunk_start (0-based char offset), chunk_len, chunk_hash
+    (of the chunk text, `hash_fn`). Empty/NULL docs yield no rows.
+    Downstream exact dedup of storage segments = groupBy chunk_hash —
+    bounded by distinct content, never doc pairs.
+
+    Scale shape: narrow per-row higher-order expressions (sequence ->
+    filter -> zip -> posexplode), ZERO shuffles — at 100 TB the cost
+    is one pass over the text bytes; the per-doc position sequence is
+    len(text) longs, transient inside codegen."""
+    from .dedup import portable_hash52
+
+    if window < 1:
+        raise ValueError(f"content_defined_chunks: window >= 1, got {window}")
+    if divisor < 1:
+        raise ValueError(
+            f"content_defined_chunks: divisor >= 1, got {divisor}"
+        )
+    hash_fn = hash_fn or portable_hash52
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(t)
+    # boundary AFTER position p (1-based), candidates p in [window, L];
+    # guard: sequence(a, b) runs DESCENDING when b < a, so short docs
+    # must produce an empty array, not a backwards range.
+    bnd = F.when(
+        L >= window,
+        F.filter(
+            F.sequence(F.lit(window), L),
+            lambda p: F.pmod(
+                hash_fn(t.substr(p - F.lit(window - 1), F.lit(window))),
+                F.lit(divisor),
+            ) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), bnd)
+    ends = F.concat(bnd, F.array(L))
+    base = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.arrays_zip(starts.alias("s"), ends.alias("e")).alias("_se"),
+    ).select(
+        id_col,
+        "_t",
+        F.posexplode("_se").alias("chunk_idx", "_p"),
+    )
+    clen = (F.col("_p.e") - F.col("_p.s")).cast("int")
+    chunk = F.col("_t").substr(F.col("_p.s") + 1, clen)
+    return (
+        base.where(clen > 0)
+        .select(
+            id_col,
+            F.col("chunk_idx"),
+            F.col("_p.s").cast("long").alias("chunk_start"),
+            clen.cast("long").alias("chunk_len"),
+            hash_fn(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 def split_leakage_free(
     docs: DataFrame,
     *,
@@ -773,6 +858,29 @@ def quality_blend(
     same arithmetic hashes identically. Returns the input plus one
     `norm_<signal>` column per signal and `out_col`.
     """
+    cuts = quality_cut_points(
+        df, signals=signals, n_bins=n_bins, p_low=p_low, p_high=p_high
+    )
+    return quality_blend_with_cuts(
+        df, signals=signals, cuts=cuts, out_col=out_col
+    )
+
+
+def quality_cut_points(
+    df: DataFrame,
+    *,
+    signals: dict[str, tuple[float, float, float]],
+    n_bins: int = 200,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+) -> dict[str, tuple[float, float]]:
+    """The cut-point half of `quality_blend`: ALL signals'
+    [p_low, p_high] histogram-quantile cuts from ONE
+    map-side-combined scan (`histogram_quantiles_multi`), returned
+    as constant driver state — the frozen calibration a streaming
+    monitor or a later incremental batch reuses. Signals whose
+    column is empty/all-NULL get no entry (the blend then emits
+    NULL for them, matching the batch contract)."""
     from .sketches import histogram_quantiles_multi
 
     if not signals:
@@ -790,6 +898,24 @@ def quality_blend(
     for col in signals:
         if (col, p_low) in est and (col, p_high) in est:
             cuts[col] = (est[(col, p_low)], est[(col, p_high)])
+    return cuts
+
+
+def quality_blend_with_cuts(
+    df: DataFrame,
+    *,
+    signals: dict[str, tuple[float, float, float]],
+    cuts: dict[str, tuple[float, float]],
+    out_col: str = "quality_blend",
+) -> DataFrame:
+    """The map-only half of `quality_blend`: normalize + weight-blend
+    against ALREADY-KNOWN cut points (from `quality_cut_points`, a
+    frozen calibration file, or a reference corpus). Pure column
+    expressions — no scan beyond the projection, no shuffle — so it
+    applies identically to a batch DataFrame or each streaming
+    micro-batch, and per-row results depend only on (row, cuts):
+    the chunking-invariance that lets the batch oracle gate the
+    streaming form verbatim."""
     out = df
     num = F.lit(0.0)
     den = F.lit(0.0)
@@ -877,7 +1003,17 @@ def curate_corpus(
         signals = {"n_chars": (0.0, 2000.0, 0.6),
                    "n_words_sig": (0.0, 400.0, 0.4)}
 
-    norm = normalize_text(df, text_col=text_col)
+    # Lazy localCheckpoints at the two fan-out points: the span stage
+    # consumes its input in ~4 branches and the blend/quota stages
+    # re-scan theirs 3 more times — without materialization the
+    # normalize Arrow pass (and then the whole span machinery) would
+    # re-run per branch (~3.5x measured at sf0.1). Lazy, so nothing
+    # materializes until the blend's cut-point collect — the
+    # pipeline stays one job chain; blocks free when the caller
+    # drops the result (ContextCleaner), no unpersist lifecycle.
+    norm = normalize_text(df, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     cleaned = remove_duplicate_spans(
         norm.select(id_col, F.col("text_norm").alias("_t")),
         id_col=id_col, text_col="_t",
@@ -886,7 +1022,7 @@ def curate_corpus(
     ).select(id_col, "text_clean", "n_removed")
     withg = cleaned.join(df.select(id_col, group_col), id_col).where(
         F.coalesce(F.length("text_clean"), F.lit(0)) > 0
-    )
+    ).localCheckpoint(eager=False)
     # exact dedup, first copy (min id) survives; 32-byte digest keys
     # the shuffle, never the text
     digest = F.sha2(F.col("text_clean").cast("binary"), 256)

@@ -241,6 +241,81 @@ def decode_wav(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode, WAV_INFO_SCHEMA)
 
 
+WAV_DECIMATE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("sum_samples", LongType()),
+    StructField("sum_abs_samples", LongType()),
+])
+
+
+def decimate_wav(
+    df: DataFrame,
+    *,
+    factor: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-factor audio downsampling on REAL WAV payloads — the
+    preprocessing step a speech-corpus build runs to unify sample
+    rates before feature extraction (the reference consumes media
+    frames, parser.py:483-485; an audio lane needs the resample).
+    Plain decimation (every `factor`-th sample, no anti-alias filter
+    — the deterministic engine-replayable form; a windowed-sinc
+    variant would slot into the same batch shape): decode with the
+    stdlib `wave` reader, stride the PCM, RE-ENCODE a genuine WAV at
+    rate/factor, and return it with exact int16 stats of the
+    decimated signal.
+
+    Arrow-batched mapInPandas, map-only (no shuffle): at 100 TB the
+    cost is one pass over the audio bytes, embarrassingly parallel
+    across rows. NULL/garbage payloads yield NULL fields (the
+    error-routing convention). Kept samples are indices 0, factor,
+    2*factor, ... so a synthesis-formula corpus is replayable:
+    sum over j of formula(factor*j), j in range(ceil(n/factor))."""
+    import io
+    import struct
+    import wave
+
+    if factor < 1:
+        raise ValueError(f"decimate_wav: factor must be >= 1, got {factor}")
+
+    def decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        nch, width, rate = (
+                            w.getnchannels(), w.getsampwidth(),
+                            w.getframerate(),
+                        )
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    if width != 2 or nch != 1:
+                        raise ValueError("decimate: need mono 16-bit PCM")
+                    samples = struct.unpack(f"<{nf}h", raw)
+                    dec = samples[::factor]
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(max(1, rate // factor))
+                        w.writeframes(struct.pack(f"<{len(dec)}h", *dec))
+                    rows.append((
+                        int(did), buf.getvalue(), max(1, rate // factor),
+                        len(dec), sum(dec), sum(abs(s) for s in dec),
+                    ))
+                except Exception:
+                    rows.append((int(did), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_DECIMATE_SCHEMA]
+            )
+
+    return df.mapInPandas(decimate, WAV_DECIMATE_SCHEMA)
+
+
 PNG_INFO_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("height", IntegerType()),

@@ -73,6 +73,7 @@ def tokenize_bytes(
     interesting_names: set[str] | None = None,
     max_errors: int = 0,
     heads_only: bool = False,
+    head_callback=None,
 ) -> Iterator[dict]:
     """Single-pass tokenizer over one chunk. Yields one dict per
     element (ELEMENT_SCHEMA fields). Permissive: unknown ids yield
@@ -82,7 +83,16 @@ def tokenize_bytes(
 
     heads_only=True is the head-callback analogue (ref ebml.py:157,
     300-301): every element head is yielded with values left null and
-    NO payload byte decoded — pure skip-by-size traversal."""
+    NO payload byte decoded — pure skip-by-size traversal.
+
+    head_callback — the reference's `elementHeadCalback` extension
+    point made explicit (ref ebml.py:157, 300-301 invokes it for
+    EVERY element head read, BEFORE the interesting-name filter):
+    a callable `(size, element_id, name, ebml_type) -> str | None`
+    invoked per head in stream order; its result is attached to the
+    yielded rows as `cb_value`. Like the reference hook it observes
+    heads the allowlist later drops (size is None for
+    unknown-size/streamed elements, matching the `size` column)."""
     pos = 0
     n = len(payload)
     errors = 0
@@ -104,6 +114,13 @@ def tokenize_bytes(
             ebml_type=etype.value if etype else None,
             size=None if size == EBML_UNKNOWN_SIZE else size,
         )
+        if head_callback is not None:
+            # fires for EVERY head, like the reference hook — even
+            # when the allowlist drops the row below
+            row["cb_value"] = head_callback(
+                row["size"], element_id, name,
+                etype.value if etype else None,
+            )
         if heads_only:
             if interesting_names is None or name in interesting_names:
                 yield row
@@ -154,6 +171,7 @@ def parse_ebml_chunks(
     chunk_id_col: str = "chunk_id",
     interesting_names: list[str] | None = None,
     heads_only: bool = False,
+    element_head_callback=None,
 ) -> DataFrame:
     """Scan stage: (chunk_id, payload binary) -> element rows.
 
@@ -163,9 +181,27 @@ def parse_ebml_chunks(
 
     heads_only=True returns the narrow HEAD_SCHEMA (no value columns,
     no payload decode) — the structural-index scan used for fragment
-    inventory/stats, analogous to the reference's head callback."""
+    inventory/stats, analogous to the reference's head callback.
+
+    element_head_callback — the reference's user-supplied
+    `elementHeadCalback` (ref ebml.py:157, 300-301), Spark-first: a
+    plain Python callable `(size, element_id, name, ebml_type) ->
+    str | None` shipped to the executors inside the parse UDF and
+    invoked for EVERY element head in stream order (before the
+    allowlist filter, matching the reference's firing point); its
+    per-element result comes back as an extra `cb_value` string
+    column. Must be a deterministic pure function — it runs
+    per-partition with no cross-task state, so stateful reference
+    callbacks (accumulating telemetry) map to aggregating `cb_value`
+    downstream instead."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     allow = set(interesting_names) if interesting_names else None
     schema = HEAD_SCHEMA if heads_only else ELEMENT_SCHEMA
+    if element_head_callback is not None:
+        schema = StructType(
+            list(schema.fields) + [StructField("cb_value", StringType())]
+        )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
@@ -176,7 +212,8 @@ def parse_ebml_chunks(
                     continue
                 rows.extend(
                     tokenize_bytes(bytes(payload), int(cid), allow,
-                                   heads_only=heads_only)
+                                   heads_only=heads_only,
+                                   head_callback=element_head_callback)
                 )
             yield pd.DataFrame(rows, columns=cols)
 

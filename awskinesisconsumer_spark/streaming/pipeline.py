@@ -883,3 +883,56 @@ def vocab_coverage_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quality_blend_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    signals: dict,
+    out_path: str,
+    checkpoint: str,
+    n_bins: int = 200,
+    trigger_available_now: bool = True,
+):
+    """Streaming quality scoring against a FROZEN calibration: cut
+    points come from the REFERENCE corpus once
+    (`corpus_prep.quality_cut_points`, one map-side-combined scan,
+    constant driver state), then every arriving micro-batch is
+    normalized + weight-blended map-only
+    (`corpus_prep.quality_blend_with_cuts`) — the ingest-time quality
+    gate a curation deployment actually runs: score incoming batches
+    on the SAME scale the corpus was scored on, instead of letting
+    each batch re-derive its own percentiles and silently shift the
+    threshold.
+
+    Per-row results depend only on (row, cuts) — never on other rows
+    of the batch — so the appended union EQUALS the single-batch
+    `quality_blend_with_cuts(all_arrived, cuts)` regardless of
+    arrival chunking (the `vocab_coverage_stream` /
+    `semantic_decontaminate_stream` contract), and a batch oracle
+    with the reference/arriving halves split gates it verbatim.
+    No state store, no watermark; the cuts are plain Python floats
+    baked into the per-batch plan.
+
+    Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        quality_blend_with_cuts, quality_cut_points,
+    )
+
+    cuts = quality_cut_points(reference, signals=signals, n_bins=n_bins)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = quality_blend_with_cuts(
+            batch_df, signals=signals, cuts=cuts
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

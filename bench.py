@@ -145,6 +145,24 @@ HEADLINE = [
     "stream-domain-cap",
     "ext-quality-blend",
     "ext-normalize-text",
+    # round 8 additions: the registered banked thirteen (the codec
+    # entries synthesize fixed-size payload sets; compact-files and
+    # sink-png-files do real file-system work by construction; both
+    # streaming entries run real 3-batch file streams).
+    "ext-multimodal-wav",
+    "ext-multimodal-png",
+    "ext-tokenize-pack",
+    "ext-validate-expectations",
+    "ext-compact-files",
+    "ext-vocab-coverage",
+    "ext-corpus-drift",
+    "ext-domain-cap-topk",
+    "ext-dedup-span-removal",
+    "ext-curate-corpus",
+    "sink-png-files",
+    "stream-corpus-drift",
+    "stream-vocab-coverage",
+    "scan-element-callback",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
@@ -178,6 +196,10 @@ CORE = [
     "ext-bpe-train",
     "ext-dedup-incremental",
     "stream-dedup-incremental",
+    # round 8: the curation composition flagship + the span cut
+    # (the two heaviest of the 13 new registrations).
+    "ext-curate-corpus",
+    "ext-dedup-span-removal",
 ]
 
 

@@ -100,19 +100,26 @@ def test_np_round6_boundary_detection_scales_with_magnitude(spark):
 
 def test_gate_head_composition():
     # The external driver gates the first 50 queries() entries: this
-    # round that must be the changed snapshot-diff entry + the 4 newly
-    # registered r6-banked operators + the 45 oldest-record veterans
-    # (README "Round-7 rotation plan"; error-route displaced to r8).
+    # round that must be the 2 changed entries (quality-blend twin
+    # NULL/degenerate guards; dup-spans anchored migration) + the 13
+    # newly registered r6/r7-banked operators + error-route (r4) +
+    # the 34 oldest r5-record veterans (README "Round-8 rotation
+    # plan").
     import __spark_entry__ as m
 
     keys = list(m.queries())
-    assert keys[:5] == [
-        "ext-snapshot-diff", "stream-semantic-decontaminate",
-        "stream-domain-cap", "ext-quality-blend", "ext-normalize-text",
+    assert keys[:16] == [
+        "ext-quality-blend", "ext-dup-spans",
+        "ext-multimodal-wav", "ext-multimodal-png", "ext-tokenize-pack",
+        "ext-validate-expectations", "ext-compact-files",
+        "ext-vocab-coverage", "ext-corpus-drift", "ext-domain-cap-topk",
+        "ext-dedup-span-removal", "ext-curate-corpus", "sink-png-files",
+        "stream-corpus-drift", "stream-vocab-coverage",
+        "scan-element-callback",
     ]
-    assert keys[5] == "ext-embedding-quantize"
-    assert keys[-1] == "error-route"
-    assert len(keys) == 150 and len(set(keys)) == 150
+    assert keys[16] == "error-route"
+    assert keys[17] == "ext-dedup-incremental"
+    assert len(keys) == 164 and len(set(keys)) == 164
     # every entry has an oracle twin (full hash-gate coverage)
     osql = m.oracle_sql()
     assert set(osql) == set(keys)
@@ -120,6 +127,7 @@ def test_gate_head_composition():
     assert osql["stream-dedup-incremental"] == osql["ext-dedup-incremental"]
     assert (osql["stream-semantic-decontaminate"]
             == osql["ext-semantic-decontaminate"])
+    assert osql["stream-corpus-drift"] == osql["ext-corpus-drift"]
 
 
 def test_semantic_decontaminate_stream_equals_batch(spark, sf_dir, tmp_path):

@@ -272,10 +272,12 @@ def test_compact_files_gate_digest_oracle(spark, tmp_path):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(portable_hash52(F.col("event_id").cast("string")))
-            .alias("id_hash_sum"),
-            F.sum(portable_hash52(F.col("user_id").cast("string")))
-            .alias("user_hash_sum"),
+            # bit_xor, not sum: hash sums overflow int64 under ANSI
+            # once a group holds ~2^12 of these 2^52-scale hashes
+            F.bit_xor(portable_hash52(F.col("event_id").cast("string")))
+            .alias("id_hash_xor"),
+            F.bit_xor(portable_hash52(F.col("user_id").cast("string")))
+            .alias("user_hash_xor"),
         )
     )
     con = duckdb.connect()
@@ -284,10 +286,10 @@ def test_compact_files_gate_digest_oracle(spark, tmp_path):
     )
     sql = """
         SELECT event_type, COUNT(*) AS n_rows,
-          SUM(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
-              ::BIGINT) AS id_hash_sum,
-          SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
-              ::BIGINT) AS user_hash_sum
+          BIT_XOR(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+              ::BIGINT) AS id_hash_xor,
+          BIT_XOR(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              ::BIGINT) AS user_hash_xor
         FROM events GROUP BY event_type
     """
 

@@ -139,3 +139,356 @@ def test_quality_blend_degenerate_cut_oracle_parity(spark, tmp_path):
         ).fetchall()
     }
     assert want == got
+
+
+def test_element_head_callback_fires_for_every_head():
+    # The reference's elementHeadCalback fires for EVERY element head
+    # read, BEFORE the interesting-name filter (ref ebml.py:157,
+    # 300-301). The tokenizer-level hook must match: with an
+    # allowlist that drops most elements, the callback still observes
+    # all heads, and yielded rows carry its per-head result.
+    from awskinesisconsumer_spark.sources.ebml import (
+        encode_element, tokenize_bytes,
+    )
+
+    payload = (
+        encode_element(0x4285, (2).to_bytes(1, "big"))      # DocTypeReadVersion
+        + encode_element(0x45A3, b"tagname")                # TagName
+        + encode_element(0x4487, b"42")                     # TagString
+        + encode_element(0xA3, b"framebytes")               # SimpleBlock
+    )
+    seen = []
+
+    def cb(size, element_id, name, ebml_type):
+        seen.append((name, size))
+        return f"{ebml_type}:{(size or 0) % 5}"
+
+    rows = list(tokenize_bytes(
+        payload, 7, interesting_names={"SimpleBlock"}, head_callback=cb
+    ))
+    # all four heads observed despite the one-name allowlist
+    assert [n for n, _ in seen] == [
+        "DocTypeReadVersion", "TagName", "TagString", "SimpleBlock"
+    ]
+    assert [s for _, s in seen] == [1, 7, 2, 10]
+    # only the allowlisted row is yielded, carrying the callback value
+    assert len(rows) == 1
+    assert rows[0]["name"] == "SimpleBlock"
+    assert rows[0]["cb_value"] == "BINARY:0"
+
+
+def test_scan_element_callback_gate_parity(spark):
+    # The gated scan-element-callback entry vs its DuckDB twin at
+    # sf0.001 (the driver's canonicalization).
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["scan-element-callback"](spark, SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(
+        entry.oracle_sql()["scan-element-callback"]
+    ).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 4
+
+
+# --- r9-banked operators: proofs one round ahead (the established
+# --- bank-then-register pattern) -----------------------------------------
+
+
+def test_decimate_wav_roundtrip_and_oracle(spark):
+    # Banked for r9 as `ext-audio-resample`: integer-factor
+    # decimation on REAL WAV payloads — decode, stride, RE-ENCODE a
+    # genuine WAV at rate/factor. Stats must equal the DuckDB replay
+    # of the synthesis formula over strided indices, and the emitted
+    # payload must decode again through the real codec.
+    import duckdb
+
+    from awskinesisconsumer_spark.operators.multimodal import (
+        decimate_wav, decode_wav, synth_wav_pcm16,
+    )
+
+    ids = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    wavs = synth_wav_pcm16(ids, id_col="doc_id", n_frames=441,
+                           sample_rate=8000)
+    dec = decimate_wav(wavs, factor=3)
+    got = [
+        (r.doc_id, r.sample_rate, r.n_frames, r.sum_samples,
+         r.sum_abs_samples)
+        for r in dec.orderBy("doc_id").collect()
+    ]
+    want = duckdb.sql("""
+        SELECT i, 8000 // 3, 147,
+               SUM(((i * 31 + (3 * j) * 17) % 65536) - 32768),
+               SUM(ABS(((i * 31 + (3 * j) * 17) % 65536) - 32768))
+        FROM range(0, 30) t(i), range(0, 147) s(j)
+        GROUP BY i ORDER BY i
+    """).fetchall()
+    assert got == [tuple(int(x) for x in w) for w in want]
+
+    # the re-encoded payload is a real WAV: full decode roundtrip
+    back = decode_wav(dec.select("doc_id", "payload")).orderBy("doc_id")
+    rows = back.collect()
+    assert all(r.sample_rate == 2666 and r.n_frames == 147 for r in rows)
+    assert [(r.doc_id, r.sum_samples) for r in rows] == [
+        (g[0], g[3]) for g in got
+    ]
+    # garbage/NULL payloads follow the error-routing convention
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a riff")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    flags = {r.doc_id: r.n_frames for r in decimate_wav(bad, factor=2).collect()}
+    assert flags == {1: None, 2: None}
+
+
+def test_quality_blend_stream_equals_batch_and_oracle(spark, tmp_path):
+    # Banked for r9 as `stream-quality-blend`: arriving docs scored
+    # map-only against FROZEN cut points from the reference half.
+    # The 3-batch union must equal the single-batch
+    # quality_blend_with_cuts(all_arrived, cuts), and the chained
+    # DuckDB twin (cut CTEs over the reference half, normalization
+    # over the arriving half) must hash-match — the r9 gate SQL.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        quality_blend_with_cuts, quality_cut_points,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        quality_blend_stream,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    signals = {"n_chars": (0.0, 2000.0, 0.6), "n_words": (0.0, 400.0, 0.4)}
+
+    def sig_of(docs):
+        return docs.select(
+            "doc_id",
+            F.length("text").cast("double").alias("n_chars"),
+            F.when(
+                F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                .cast("double"),
+            ).alias("n_words"),
+        )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    reference = sig_of(docs.where(F.col("doc_id") % 2 == 0))
+    arriving = sig_of(docs.where(F.col("doc_id") % 2 == 1))
+
+    src = str(tmp_path / "qb_src")
+    arriving.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "qb_out")
+    q = quality_blend_stream(
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        reference, signals=signals,
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    cuts = quality_cut_points(reference, signals=signals)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_path).collect())
+    want = sorted(
+        tuple(r)
+        for r in quality_blend_with_cuts(
+            arriving, signals=signals, cuts=cuts
+        ).select(*spark.read.parquet(out_path).columns).collect()
+    )
+    assert got == want and len(got) == 250
+
+    # the r9 gate twin: reference-half cuts, arriving-half blend
+    from __spark_entry__ import _quality_blend_cut_cte
+
+    def norm_expr(tag, expr):
+        return (f"CASE WHEN ({expr}) IS NULL THEN NULL"
+                f" WHEN lohi_{tag}.hi_cut = lohi_{tag}.lo_cut THEN 0.5"
+                f" ELSE ROUND((LEAST(GREATEST(CAST({expr} AS DOUBLE), "
+                f"lohi_{tag}.lo_cut), lohi_{tag}.hi_cut)"
+                f" - lohi_{tag}.lo_cut)"
+                f" / (lohi_{tag}.hi_cut - lohi_{tag}.lo_cut), 6) END")
+
+    chars = "CAST(length(text) AS DOUBLE)"
+    words = ("CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN "
+             "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+             " END")
+    nc, nw = norm_expr("c", chars), norm_expr("w", words)
+    sql = f"""
+        WITH sig AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 2 = 0),
+        q AS (SELECT UNNEST(CAST([0.01, 0.99] AS DOUBLE[])) AS q),
+        {_quality_blend_cut_cte('c', chars, 0.0, 2000.0, 200).lstrip()},
+        {_quality_blend_cut_cte('w', words, 0.0, 400.0, 200).lstrip()}
+        SELECT doc_id,
+               {nc} AS norm_n_chars,
+               {nw} AS norm_n_words,
+               CASE WHEN (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                        + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END) > 0
+                 THEN ROUND(
+                   (COALESCE({nc} * 0.6, 0) + COALESCE({nw} * 0.4, 0))
+                   / (CASE WHEN {nc} IS NOT NULL THEN 0.6 ELSE 0 END
+                    + CASE WHEN {nw} IS NOT NULL THEN 0.4 ELSE 0 END), 6)
+               END AS quality_blend
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+        CROSS JOIN lohi_c CROSS JOIN lohi_w
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    out = spark.read.parquet(out_path).select(
+        "doc_id", "norm_n_chars", "norm_n_words", "quality_blend"
+    )
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows
+
+
+def test_content_defined_chunks_oracle(spark):
+    # Banked for r9 as `ext-cdc-chunk-text`: char-level
+    # content-defined chunking (stateless FastCDC form); the twin
+    # replays window hashing, boundary election, segment
+    # reconstruction, and chunk hashing.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    out = content_defined_chunks(
+        docs, id_col="doc_id", text_col="text", window=8, divisor=64,
+        hash_fn=portable_hash52,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    h52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+    sql = f"""
+        WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        cand AS (SELECT doc_id, t, CAST(p AS INT) AS p
+                 FROM d, UNNEST(range(8, length(t) + 1)) AS u(p)
+                 WHERE length(t) >= 8),
+        bnd AS (SELECT doc_id, p FROM cand
+                WHERE {h52.format(x="substr(t, p - 7, 8)")} % 64 = 0),
+        seg AS (
+          SELECT doc_id,
+                 COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p),
+                          0) AS s,
+                 p AS e
+          FROM bnd
+          UNION ALL
+          SELECT d.doc_id,
+                 COALESCE((SELECT MAX(p) FROM bnd b
+                           WHERE b.doc_id = d.doc_id), 0),
+                 length(t)
+          FROM d),
+        idx AS (
+          SELECT doc_id, s, e,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+                   AS chunk_idx
+          FROM seg)
+        SELECT i.doc_id, chunk_idx,
+               CAST(s AS BIGINT) AS chunk_start,
+               CAST(e - s AS BIGINT) AS chunk_len,
+               {h52.format(x="substr(t, CAST(s AS INT) + 1, "
+                             "CAST(e - s AS INT))")} AS chunk_hash
+        FROM idx i JOIN d USING (doc_id) WHERE e - s > 0
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names), (cols, tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 500
+
+
+def test_content_defined_chunks_shift_resistance(spark):
+    # THE property fixed-width chunking lacks: prepending one char
+    # re-aligns — every chunk after the first boundary keeps its
+    # hash, so chunk-level dedup still matches the unshifted copy.
+    import hashlib
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    # non-repeating text (distinct numbered words) so any chunk-hash
+    # agreement is genuine re-alignment, not periodicity
+    text = " ".join(f"word{i:04d}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, text), (2, "X" + text)], "doc_id long, text string"
+    )
+    out = content_defined_chunks(
+        df, id_col="doc_id", text_col="text", window=8, divisor=32,
+        hash_fn=portable_hash52,
+    ).collect()
+    h1 = [r.chunk_hash for r in sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    h2 = [r.chunk_hash for r in sorted(
+        (r for r in out if r.doc_id == 2), key=lambda r: r.chunk_idx)]
+    assert len(h1) > 3
+    # all chunks of doc 1 except its first are recovered verbatim in
+    # the shifted doc — the re-alignment fixed-offset chunking lacks
+    assert set(h1[1:]) <= set(h2)
+    # the contrast: fixed 64-char windows over the same pair share
+    # NOTHING after a one-char shift (computed host-side — the
+    # property is about the chunking scheme, not the engine)
+    fixed1 = {hashlib.md5(text[i:i + 64].encode()).hexdigest()
+              for i in range(0, len(text), 64)}
+    fixed2 = {hashlib.md5(("X" + text)[i:i + 64].encode()).hexdigest()
+              for i in range(0, len("X" + text), 64)}
+    assert not (fixed1 & fixed2)
