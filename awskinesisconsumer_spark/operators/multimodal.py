@@ -316,6 +316,43 @@ def decimate_wav(
     return df.mapInPandas(decimate, WAV_DECIMATE_SCHEMA)
 
 
+def sample_frames(
+    df: DataFrame,
+    *,
+    stream_col: str,
+    order_col: str,
+    every: int,
+) -> DataFrame:
+    """Deterministic every-k-th frame sampling per stream — the
+    frame-rate reduction a video-training pipeline runs before decode
+    (decoding every frame of 30 fps video to train on ~1 fps is the
+    classic 30x waste; the reference's consumer admits frames by
+    wall-clock throttle, parser.py:460-463 — this is the
+    reproducible, order-based form of the same downsampling).
+
+    Frames are numbered 1..n per `stream_col` in `order_col` order;
+    kept iff (frame_idx - 1) % every == 0, so the FIRST frame of
+    every stream always survives (a sampled stream is never empty)
+    and exactly ceil(n/every) frames remain. Returns the input plus
+    `frame_idx` — run BEFORE the decode stage so skipped frames'
+    payload bytes are never touched.
+
+    Scale shape: ONE group-keyed window sort; per-stream frame counts
+    are fragment-bounded (a KVS fragment holds a few seconds of
+    frames), so no stream approaches a reducer's sort budget — the
+    mega-partition concern of `domain_cap_topk` does not arise at
+    this operator's natural key."""
+    from pyspark.sql import Window
+
+    if every < 1:
+        raise ValueError(f"sample_frames: every must be >= 1, got {every}")
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    return (
+        df.withColumn("frame_idx", F.row_number().over(w))
+        .where(F.pmod(F.col("frame_idx") - 1, F.lit(every)) == 0)
+    )
+
+
 PNG_INFO_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("height", IntegerType()),

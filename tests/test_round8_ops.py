@@ -1,8 +1,11 @@
 """Round-8 additions: ADVICE fixes (partition-spelling-preserving
 compaction, per-attempt PNG sink temp names, atomic corpus-drift
 stream publish + release handle, histogram degenerate-signal
-validation, quality-blend degenerate-cut oracle guard) and the fused
-one-scan domain_cap_topk totals.
+validation, quality-blend degenerate-cut oracle guard), the fused
+one-scan domain_cap_topk totals, the elementHeadCalback scan hook,
+and the r9-banked operator proofs (decimate_wav,
+quality_blend_stream, content_defined_chunks, sample_frames) —
+the bank-then-register pattern, one round ahead.
 """
 
 from __future__ import annotations
@@ -492,3 +495,74 @@ def test_content_defined_chunks_shift_resistance(spark):
     fixed2 = {hashlib.md5(("X" + text)[i:i + 64].encode()).hexdigest()
               for i in range(0, len("X" + text), 64)}
     assert not (fixed1 & fixed2)
+
+
+def test_sample_frames_oracle_and_first_frame_guarantee(spark):
+    # Banked for r9 as `ext-frame-sample`: deterministic every-k-th
+    # frame sampling per stream over the composed KVS pipeline — the
+    # reproducible form of the reference's wall-clock frame throttle
+    # (parser.py:460-463), run BEFORE decode so skipped payloads are
+    # never touched. Twin = the kvs-frames arithmetic with the
+    # 1-based index filter i % 2 = 1.
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from awskinesisconsumer_spark.operators.multimodal import sample_frames
+
+    SF = "/root/testdata/sf0.001"
+    frames = entry.queries()["kvs-frames-with-tags"](spark, SF)
+    out = sample_frames(
+        frames, stream_col="chunk_id", order_col="frame_position",
+        every=2,
+    ).select("chunk_id", "frame_idx", "frame_position",
+             "AWS_KINESISVIDEO_FRAGMENT_NUMBER")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 length(CAST(doc_id AS VARCHAR)) AS idlen,
+                 octet_length(encode(CASE WHEN text IS NULL OR text = ''
+                                          THEN 'x' ELSE text END)) AS tb,
+                 CAST(doc_id % 3 + 1 AS BIGINT) AS nf
+          FROM documents),
+        f AS (
+          SELECT doc_id AS chunk_id,
+                 CAST(UNNEST(generate_series(1, nf)) AS INT) AS frame_idx,
+                 CAST(100 + idlen
+                      + (UNNEST(generate_series(1, nf)) - 1)
+                        * (6 + LEAST(16, tb)) AS BIGINT) AS frame_position,
+                 CAST(91340000000 + doc_id AS VARCHAR)
+                   AS "AWS_KINESISVIDEO_FRAGMENT_NUMBER"
+          FROM d)
+        SELECT * FROM f WHERE frame_idx % 2 = 1
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names), (cols, tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 500
+
+    # first-frame guarantee: every stream survives sampling at any k
+    n_streams = frames.select("chunk_id").distinct().count()
+    for k in (2, 3, 10):
+        kept = sample_frames(
+            frames, stream_col="chunk_id", order_col="frame_position",
+            every=k,
+        )
+        assert kept.select("chunk_id").distinct().count() == n_streams
