@@ -547,6 +547,83 @@ def content_defined_chunks(
     )
 
 
+def dataset_card(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    words_hi: float = 400.0,
+    n_bins: int = 200,
+) -> DataFrame:
+    """The DATASET CARD numbers — the summary block a corpus release
+    ships (docs, tokens, emptiness, exact-dup rate, length
+    distribution) as ONE queryable (metric, value) table, so the
+    audit that usually lives in a hand-run notebook is a pinned,
+    oracle-checkable operator.
+
+    Metrics: n_docs, n_empty (whitespace-only/NULL), n_chars_total,
+    n_words_total, n_distinct_texts (sha256 digest — 32-byte keys
+    shuffle, never text), n_exact_dup_docs (docs minus distinct),
+    mean_words (6 dp), words_p50/p90/p99 (mergeable equi-width
+    histogram estimates over [0, words_hi], 4 dp — the
+    `sketches.histogram_quantiles` arithmetic, so the twin replays
+    them exactly).
+
+    Scale shape: one narrow per-doc projection (chars/words/digest —
+    column-pruned scan), lazily localCheckpoint'ed because two
+    aggregates consume it: a single global agg (count/sum/
+    countDistinct partial-aggregated map-side) and the n_bins-row
+    histogram. Output is ~10 rows regardless of corpus size."""
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_words = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0,
+        F.size(words),
+    ).otherwise(F.lit(0))
+    per_doc = df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("_nc"),
+        n_words.cast("long").alias("_nw"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256)
+        .alias("_dig"),
+    ).localCheckpoint(eager=False)
+
+    from .sketches import histogram_quantiles
+
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum((F.col("_nw") == 0).cast("long")).cast("double")
+        .alias("n_empty"),
+        F.sum("_nc").cast("double").alias("n_chars_total"),
+        F.sum("_nw").cast("double").alias("n_words_total"),
+        F.countDistinct("_dig").cast("double").alias("n_distinct_texts"),
+        F.round(F.avg("_nw"), 6).alias("mean_words"),
+    ).withColumn(
+        "n_exact_dup_docs", F.col("n_docs") - F.col("n_distinct_texts")
+    )
+    flat = agg.selectExpr(
+        "stack(7, "
+        "'n_docs', n_docs, "
+        "'n_empty', n_empty, "
+        "'n_chars_total', n_chars_total, "
+        "'n_words_total', n_words_total, "
+        "'n_distinct_texts', n_distinct_texts, "
+        "'n_exact_dup_docs', n_exact_dup_docs, "
+        "'mean_words', mean_words) AS (metric, value)"
+    )
+    hq = histogram_quantiles(
+        per_doc, value_col="_nw", lo=0.0, hi=float(words_hi),
+        n_bins=n_bins, quantiles=(0.5, 0.9, 0.99),
+    ).select(
+        F.concat(
+            F.lit("words_p"),
+            F.round(F.col("q") * 100, 0).cast("int").cast("string"),
+        ).alias("metric"),
+        F.col("estimate").alias("value"),
+    )
+    return flat.unionByName(hq)
+
+
 def split_leakage_free(
     docs: DataFrame,
     *,

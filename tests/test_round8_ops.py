@@ -566,3 +566,103 @@ def test_sample_frames_oracle_and_first_frame_guarantee(spark):
             every=k,
         )
         assert kept.select("chunk_id").distinct().count() == n_streams
+
+
+def test_dataset_card_oracle(spark):
+    # Banked for r9 as `ext-dataset-card`: the corpus-release summary
+    # block (docs/tokens/emptiness/exact-dup rate/length quantiles)
+    # as ONE (metric, value) table. Fixture injects duplicates and
+    # whitespace-only docs so every metric is non-degenerate; twin
+    # replays the aggregates + the histogram-quantile interpolation.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import dataset_card
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("duplicated short text"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("   "))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    out = dataset_card(docs, id_col="doc_id", text_col="text")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN 'duplicated short text'
+                      WHEN doc_id % 17 = 0 THEN '   '
+                      ELSE text END AS text
+          FROM documents),
+        pd AS (
+          SELECT doc_id,
+                 length(COALESCE(text, '')) AS nc,
+                 CASE WHEN length(trim(COALESCE(text, ''))) > 0
+                      THEN len(string_split_regex(
+                             trim(COALESCE(text, '')), '\s+'))
+                      ELSE 0 END AS nw,
+                 COALESCE(text, '') AS t
+          FROM injected),
+        base AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_empty,
+                 CAST(SUM(nc) AS DOUBLE) AS n_chars_total,
+                 CAST(SUM(nw) AS DOUBLE) AS n_words_total,
+                 CAST(COUNT(DISTINCT t) AS DOUBLE) AS n_distinct_texts,
+                 ROUND(AVG(nw), 6) AS mean_words
+          FROM pd),
+        b AS (SELECT LEAST(GREATEST(
+                CAST(FLOOR(CAST(nw AS DOUBLE) / 2.0) AS INT), 0), 199)
+                AS bin FROM pd),
+        c AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+        cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum,
+                       SUM(c) OVER () AS total FROM c),
+        q AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+        cuts AS (
+          SELECT q.q,
+                 MIN_BY(ROUND((bin
+                   + (CEIL(q.q * total) - (cum - c)) / CAST(c AS DOUBLE))
+                   * 2.0, 4), bin) AS est
+          FROM cum CROSS JOIN q
+          WHERE cum >= CEIL(q.q * total) GROUP BY q.q)
+        SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        UNION ALL SELECT 'n_empty', n_empty FROM base
+        UNION ALL SELECT 'n_chars_total', n_chars_total FROM base
+        UNION ALL SELECT 'n_words_total', n_words_total FROM base
+        UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM base
+        UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_texts
+          FROM base
+        UNION ALL SELECT 'mean_words', mean_words FROM base
+        UNION ALL
+        SELECT 'words_p' || CAST(CAST(q * 100 AS INT) AS VARCHAR), est
+        FROM cuts
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 10
+    # non-degenerate fixture: dups and empties were actually counted
+    vals = {m: float(v) for m, v in
+            ((r["metric"], r["value"]) for r in out.collect())}
+    assert vals["n_exact_dup_docs"] > 0
+    assert vals["n_empty"] > 0
+    assert vals["words_p50"] <= vals["words_p90"] <= vals["words_p99"]
