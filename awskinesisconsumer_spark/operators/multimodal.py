@@ -316,7 +316,7 @@ def decimate_wav(
     return df.mapInPandas(decimate, WAV_DECIMATE_SCHEMA)
 
 
-def sample_frames(
+def sample_frames_ordered(
     df: DataFrame,
     *,
     stream_col: str,
@@ -345,7 +345,9 @@ def sample_frames(
     from pyspark.sql import Window
 
     if every < 1:
-        raise ValueError(f"sample_frames: every must be >= 1, got {every}")
+        raise ValueError(
+            f"sample_frames_ordered: every must be >= 1, got {every}"
+        )
     w = Window.partitionBy(stream_col).orderBy(order_col)
     return (
         df.withColumn("frame_idx", F.row_number().over(w))

@@ -1284,3 +1284,159 @@ def drift_from_term_counts(cl: DataFrame, cr: DataFrame) -> DataFrame:
             4,
         ).alias("js_micro"),
     )
+
+
+# HTML tag-strip regexes, shared verbatim with the DuckDB oracle twin
+# (inline (?i)/(?s) flags + explicit whitespace class keep Java regex
+# and RE2 behavior identical; Java \s includes \x0B, RE2's does not,
+# so the collapse class is spelled out).
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_TAG_RE = r"(?s)<[^>]*>"
+_HTML_WS_RE = r"[ \t\r\n\f]+"
+# Entity decode pairs, applied IN ORDER (&amp; strictly last so
+# "&amp;lt;" decodes to the literal text "&lt;", not to "<").
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(
+    df: DataFrame,
+    *,
+    text_col: str,
+    out_col: str = "text_clean",
+    flag_col: str = "had_html",
+) -> DataFrame:
+    """HTML boilerplate removal — the first transform a web-crawl
+    corpus runs before any quality/dedup stage (the reference consumes
+    already-demuxed media, but a text-training pipeline's raw input is
+    markup): drop <script>/<style> payloads wholesale (their content
+    is code, not prose), drop comments, strip remaining tags, decode
+    the six dominant entities (&amp; last, so double-escaped text
+    stays text), collapse whitespace, trim.
+
+    NULL stays NULL; `flag_col` audits which rows carried markup
+    (tag-shaped match on the RAW text). Entirely built-in
+    regexp_replace/replace over one projection: map-only, no shuffle,
+    no Python — the whole pass stays inside whole-stage codegen, and
+    at 100 TB it fuses with the scan (a projection over parquet, zero
+    exchange). The same regexes run verbatim in the DuckDB twin
+    (RE2/Java-portable subset: inline flags, lazy quantifiers,
+    explicit whitespace class).
+    """
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(c, _HTML_SCRIPT_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_STYLE_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_COMMENT_RE, " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(rep))
+    cleaned = F.trim(F.regexp_replace(cleaned, _HTML_WS_RE, " "))
+    return df.withColumn(out_col, cleaned).withColumn(
+        flag_col,
+        F.when(c.isNotNull(), c.rlike(_HTML_TAG_RE)),
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus'
+    own add-one-smoothed bigram LM — the CCNet-style fluency score one
+    tier above `unigram_logprob`: keyword-stuffed or shuffled-word
+    documents score near the unigram baseline, while natural word
+    ORDER (which unigrams cannot see) raises p(w2|w1).
+
+      ln p(w2|w1) = ln(c(w1,w2) + 1) - ln(c(w1) + V)
+
+    Shapes, scan to result: bigram formation is a pure ARRAY
+    expression (arrays_zip of the word list against its own tail) —
+    map-only, no window, no per-doc shuffle, unlike the lag() form
+    which would shuffle the full token stream by doc. The corpus
+    bigram/unigram tables are groupBy counts with map-side combine,
+    Zipf-bounded (term-table-sized, not corpus-sized); the per-(doc,
+    bigram) table joins them on the bigram/first-word keys (AQE
+    broadcasts when they fit). Determinism: the per-doc mean folds
+    addends over the SORTED bigram list (collect_list + array_sort +
+    aggregate), the same engine-independent-summation trick as
+    `unigram_logprob`/`word_entropy`; emitted scores round to 4 dp.
+
+    Docs with fewer than two words have no bigrams -> NULL score,
+    n_bigrams = 0 ("no evidence", not "improbable").
+    """
+    words = _words(F.lower(F.col(text_col)))
+    pairs = df.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            )
+        ).alias("_bg"),
+    ).select(
+        id_col,
+        F.col("_bg")["0"].alias("w1"),
+        F.col("_bg")["1"].alias("w2"),
+    ).where((F.col("w1") != "") & (F.col("w2") != ""))
+
+    doc_bg = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    corpus_bg = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    corpus_uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = pairs.select(
+        F.explode(F.array("w1", "w2")).alias("_w")
+    ).agg(F.count_distinct("_w").alias("_v"))
+
+    joined = (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(corpus_uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("_c"),
+            F.struct("w1", "w2", "_c", "_c12", "_c1").alias("_e"),
+            F.col("_v").cast("double").alias("_v"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.array_sort(F.collect_list("_e")).alias("_es"),
+        F.first("_v").alias("_v"),
+    )
+    acc = F.aggregate(
+        F.col("_es"),
+        F.lit(0.0),
+        lambda a, e: a
+        + e["_c"].cast("double")
+        * (
+            F.log(e["_c12"].cast("double") + 1.0)
+            - F.log(e["_c1"].cast("double") + F.col("_v"))
+        ),
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_bigrams"),
+        F.round(acc / F.col("_n").cast("double"), 4).alias(out_col),
+    )
+    return (
+        df.select(id_col).join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            out_col,
+        )
+    )

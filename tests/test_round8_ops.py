@@ -4,7 +4,7 @@ stream publish + release handle, histogram degenerate-signal
 validation, quality-blend degenerate-cut oracle guard), the fused
 one-scan domain_cap_topk totals, the elementHeadCalback scan hook,
 and the r9-banked operator proofs (decimate_wav,
-quality_blend_stream, content_defined_chunks, sample_frames) —
+quality_blend_stream, content_defined_chunks, sample_frames_ordered) —
 the bank-then-register pattern, one round ahead.
 """
 
@@ -509,11 +509,13 @@ def test_sample_frames_oracle_and_first_frame_guarantee(spark):
     import duckdb
 
     import __spark_entry__ as entry
-    from awskinesisconsumer_spark.operators.multimodal import sample_frames
+    from awskinesisconsumer_spark.operators.multimodal import (
+        sample_frames_ordered,
+    )
 
     SF = "/root/testdata/sf0.001"
     frames = entry.queries()["kvs-frames-with-tags"](spark, SF)
-    out = sample_frames(
+    out = sample_frames_ordered(
         frames, stream_col="chunk_id", order_col="frame_position",
         every=2,
     ).select("chunk_id", "frame_idx", "frame_position",
@@ -561,7 +563,7 @@ def test_sample_frames_oracle_and_first_frame_guarantee(spark):
     # first-frame guarantee: every stream survives sampling at any k
     n_streams = frames.select("chunk_id").distinct().count()
     for k in (2, 3, 10):
-        kept = sample_frames(
+        kept = sample_frames_ordered(
             frames, stream_col="chunk_id", order_col="frame_position",
             every=k,
         )
@@ -666,3 +668,215 @@ def test_dataset_card_oracle(spark):
     assert vals["n_exact_dup_docs"] > 0
     assert vals["n_empty"] > 0
     assert vals["words_p50"] <= vals["words_p90"] <= vals["words_p99"]
+
+
+def test_strip_html_oracle(spark):
+    # Banked for r9 as `ext-html-strip`: HTML boilerplate removal —
+    # script/style/comment blocks dropped wholesale, tags stripped,
+    # the six dominant entities decoded (&amp; strictly last so
+    # double-escaped text stays text), whitespace collapsed. The
+    # corpus is plain text, so the fixture wraps EVERY document in
+    # deterministic markup (with %7 plain-text and %19 NULL branches
+    # so the had_html flag is exercised in all three states); the
+    # DuckDB twin replays the SAME regex chain (RE2/Java-portable
+    # subset) + ordered entity replaces.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import strip_html
+
+    SF = "/root/testdata/sf0.001"
+    sfx = (
+        '</p><script type="text/javascript">var x = "<b>1</b>";'
+        "</script><style>.a { color: red; }</style><!-- tracked -->"
+        "<div>A &amp;lt; B &nbsp;&quot;q&quot; &#39;s&#39; "
+        "&lt;tag&gt; C</div>"
+    )
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.coalesce("text", F.lit("")))
+        .otherwise(
+            F.concat(
+                F.lit('<p class="lead">'),
+                F.coalesce("text", F.lit("")),
+                F.lit(sfx),
+            )
+        )
+        .alias("text"),
+    )
+    out = strip_html(docs, text_col="text").select(
+        "doc_id", "text_clean", "had_html"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sfx_sql = sfx.replace("'", "''")
+    sql = rf"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 19 = 0 THEN NULL
+                      WHEN doc_id % 7 = 0 THEN COALESCE(text, '')
+                      ELSE '<p class="lead">' || COALESCE(text, '')
+                           || '{sfx_sql}' END AS text
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, text,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g') AS t
+          FROM inj),
+        s2 AS (
+          SELECT doc_id, text,
+            replace(replace(replace(replace(replace(replace(t,
+              '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+              '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+          FROM s1)
+        SELECT doc_id,
+               trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'))
+                 AS text_clean,
+               CASE WHEN text IS NOT NULL
+                    THEN regexp_matches(text, '(?s)<[^>]*>') END
+                 AS had_html
+        FROM s2
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # semantic spot-checks on one wrapped row: tags gone, entities
+    # decoded, double-escape preserved as text, script payload dropped
+    row = {r["doc_id"]: r for r in out.collect()}
+    wrapped = next(
+        i for i in range(1, 500) if i % 19 != 0 and i % 7 != 0
+    )
+    t = row[wrapped]["text_clean"]
+    assert "<b>" not in t and "var x" not in t and "color: red" not in t
+    assert '"q"' in t and "'s'" in t and "<tag>" in t and "&lt;" in t
+    assert row[wrapped]["had_html"] is True
+    plain = next(i for i in range(1, 500) if i % 7 == 0 and i % 19 != 0)
+    assert row[plain]["had_html"] is False
+    assert row[0]["had_html"] is None and row[0]["text_clean"] is None
+
+
+def test_bigram_perplexity_oracle(spark):
+    # Banked for r9 as `ext-perplexity-bigram`: per-doc average
+    # bigram log-probability under the corpus' own add-one-smoothed
+    # bigram LM (the CCNet-style fluency score one tier above
+    # ext-unigram-logprob — word ORDER matters here). Fixture injects
+    # a single-word doc (%23) and a NULL doc (%29) so the no-bigram
+    # branch gates. Twin replays tokenization, pair formation,
+    # count tables, and the sorted-fold mean verbatim.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import bigram_perplexity
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, F.lit("solo"))
+        .when(F.col("doc_id") % 29 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = bigram_perplexity(docs, id_col="doc_id", text_col="text")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 23 = 0 THEN 'solo'
+                      WHEN doc_id % 29 = 0 THEN NULL
+                      ELSE text END AS text
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(
+                        lower(trim(COALESCE(text, ''))), '\s+')
+            END AS words
+          FROM inj),
+        idx AS (
+          SELECT doc_id, words,
+                 UNNEST(generate_series(1, len(words) - 1)) AS i
+          FROM w WHERE len(words) >= 2),
+        pairs AS (
+          SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM idx
+          WHERE words[i] <> '' AND words[i + 1] <> ''),
+        dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c
+                FROM pairs GROUP BY 1, 2, 3),
+        cbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+        cuni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+        voc AS (
+          SELECT CAST(COUNT(DISTINCT wd) AS DOUBLE) AS v
+          FROM (SELECT UNNEST([w1, w2]) AS wd FROM pairs)),
+        per AS (
+          SELECT doc_id, SUM(c) AS n,
+                 list(struct_pack(c := c, c12 := c12, c1 := c1)
+                      ORDER BY w1, w2) AS es,
+                 ANY_VALUE(v) AS v
+          FROM dbg JOIN cbg USING (w1, w2) JOIN cuni USING (w1)
+               CROSS JOIN voc
+          GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(es, e -> CAST(e.c AS DOUBLE)
+                * (ln(CAST(e.c12 AS DOUBLE) + 1.0)
+                   - ln(CAST(e.c1 AS DOUBLE) + v)))),
+              (a, x) -> a + x) / CAST(n AS DOUBLE), 4) AS avg_logprob
+          FROM per)
+        SELECT i.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+               sc.avg_logprob
+        FROM inj i LEFT JOIN sc USING (doc_id)
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[23]["n_bigrams"] == 0 and rows[23]["avg_logprob"] is None
+    assert rows[29]["n_bigrams"] == 0 and rows[29]["avg_logprob"] is None
+    scored = [r for r in rows.values() if r["avg_logprob"] is not None]
+    assert len(scored) > 400
+    assert all(r["avg_logprob"] < 0.0 for r in scored)
