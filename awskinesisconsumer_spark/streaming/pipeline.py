@@ -936,3 +936,80 @@ def quality_blend_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def frame_sample_stream(
+    frames: DataFrame,
+    *,
+    stream_col: str,
+    order_col: str,
+    every: int,
+) -> DataFrame:
+    """Stateful streaming every-k-th frame sampler: the continuous
+    form of `multimodal.sample_frames_ordered` — arriving frames get
+    their running 1-based index within their stream (the per-stream
+    frame COUNT held in the state store across micro-batches via
+    applyInPandasWithState), and only indices with
+    (frame_idx - 1) % every == 0 are emitted. The live ingest form of
+    frame-rate reduction: skipped frames never reach the decode stage
+    of the downstream pipeline, so at a 30 fps -> 1 fps target ~97%
+    of payload bytes are dropped at admission, not after decode (the
+    reference admits frames by wall-clock throttle, parser.py:460-463
+    — this is its reproducible order-based analogue, applied online).
+
+    Ordering contract (same as domain_cap_stream): indices follow
+    ARRIVAL order across batches, ties inside one micro-batch ordered
+    by `order_col`. KVS fragments replay in byte order, so per-stream
+    arrival IS `order_col`-ascending and the emitted union equals
+    batch `sample_frames_ordered(all_arrived, every)` exactly — the
+    first frame of every stream always survives, ceil(n/every) frames
+    per stream total. Out-of-order arrival shifts WHICH frames hold
+    the sampled slots, never the per-stream kept count.
+
+    State per stream is ONE long — constant regardless of stream
+    length, so the state store holds |streams| longs at any scale,
+    and each micro-batch shuffles only its own arrivals (grouped by
+    stream). Returns the transformed streaming DataFrame
+    (stream, order, frame_idx); output mode append.
+    """
+    from pyspark.sql.types import IntegerType
+
+    if every < 1:
+        raise ValueError(
+            f"frame_sample_stream: every must be >= 1, got {every}"
+        )
+    in_schema = frames.select(stream_col, order_col).schema
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField("frame_idx", IntegerType())]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (n_seen,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(order_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        idx = pd.RangeIndex(n_seen + 1, n_seen + len(pdf) + 1)
+        out = pdf[[stream_col, order_col]].copy()
+        out["frame_idx"] = idx.astype("int32")
+        state.update((n_seen + len(pdf),))
+        yield out[(out["frame_idx"] - 1) % every == 0]
+
+    return (
+        frames.select(stream_col, order_col)
+        .groupBy(stream_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -880,3 +880,121 @@ def test_bigram_perplexity_oracle(spark):
     scored = [r for r in rows.values() if r["avg_logprob"] is not None]
     assert len(scored) > 400
     assert all(r["avg_logprob"] < 0.0 for r in scored)
+
+
+def test_frame_sample_stream_equals_batch_and_oracle(spark, tmp_path):
+    # Banked for r9 as `stream-frame-sample`: stateful streaming
+    # every-k-th frame sampler — per-stream running frame count in
+    # the state store, survives micro-batch boundaries. With arrival
+    # arranged frame_position-ascending (3 chunk files, mtimes forcing
+    # FileStreamSource order), the emitted union must equal batch
+    # sample_frames_ordered(all_arrived, every) and hash-match the
+    # kvs-frames arithmetic twin filtered to sampled indices.
+    import math
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from awskinesisconsumer_spark.operators.multimodal import (
+        sample_frames_ordered,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        frame_sample_stream,
+    )
+    from pyspark.sql import Window
+
+    SF = "/root/testdata/sf0.001"
+    frames = entry.queries()["kvs-frames-with-tags"](spark, SF).select(
+        "chunk_id", "frame_position"
+    )
+
+    # three arrival chunks, globally frame_position-ascending (ntile
+    # over the full ordering => every stream's frames arrive in
+    # position order across batches), built Spark-side
+    src = str(tmp_path / "fs_src")
+    chunked = frames.withColumn(
+        "_chunk",
+        F.ntile(3).over(Window.orderBy("frame_position", "chunk_id")),
+    )
+    for i in range(3):
+        part = os.path.join(src, f"part{i}")
+        (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname),
+                         (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("chunk_id long, frame_position bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = frame_sample_stream(
+        stream, stream_col="chunk_id", order_col="frame_position",
+        every=2,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("fs_stream_bank")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    got = sorted(
+        tuple(r) for r in spark.table("fs_stream_bank")
+        .select("chunk_id", "frame_position", "frame_idx").collect()
+    )
+    want = sorted(
+        tuple(r) for r in sample_frames_ordered(
+            frames, stream_col="chunk_id", order_col="frame_position",
+            every=2,
+        ).select("chunk_id", "frame_position", "frame_idx").collect()
+    )
+    assert got == want and len(got) > 500
+
+    # the r9 gate twin: kvs arithmetic + sampled-index filter
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 length(CAST(doc_id AS VARCHAR)) AS idlen,
+                 octet_length(encode(CASE WHEN text IS NULL OR text = ''
+                                          THEN 'x' ELSE text END)) AS tb,
+                 CAST(doc_id % 3 + 1 AS BIGINT) AS nf
+          FROM documents),
+        f AS (
+          SELECT doc_id AS chunk_id,
+                 CAST(UNNEST(generate_series(1, nf)) AS INT) AS frame_idx,
+                 CAST(100 + idlen
+                      + (UNNEST(generate_series(1, nf)) - 1)
+                        * (6 + LEAST(16, tb)) AS BIGINT) AS frame_position
+          FROM d)
+        SELECT chunk_id, frame_position, frame_idx
+        FROM f WHERE frame_idx % 2 = 1
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    sout = spark.table("fs_stream_bank").select(
+        "chunk_id", "frame_position", "frame_idx"
+    )
+    cols = sorted(sout.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in sout.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows
