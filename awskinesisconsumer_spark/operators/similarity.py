@@ -1128,3 +1128,72 @@ def _semantic_decontaminate_np(
             })
 
     return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def rank_fusion(
+    ranked: list,
+    *,
+    probe_col: str = "probe_id",
+    id_col: str = "neighbor_id",
+    rrf_k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al.) of N per-probe
+    retrieval lists — the standard hybrid-search combiner: each
+    system's contribution is 1/(rrf_k + rank), summed per (probe,
+    candidate), so a candidate that ranks high ANYWHERE beats one
+    that ranks mid everywhere, without ever comparing the systems'
+    incomparable raw scores (BM25 vs cosine vs PQ distance).
+
+    `ranked` is a list of (DataFrame, rank_col) pairs; each frame
+    must carry `probe_col`, `id_col`, and its 1-based rank column.
+    Rows with NULL rank are ignored (a system that has no opinion on
+    a candidate contributes nothing — RRF's defining property).
+
+    Emitted per probe: the fused top_n with `rrf_score` (6-dp),
+    `n_systems` (how many lists proposed the candidate) and
+    `fused_rank`, ties broken by candidate id — deterministic and
+    engine-replayable.
+
+    Scale shape: the inputs are already per-probe top-k lists
+    (k * P rows each, never corpus-sized), so fusion is arithmetic
+    on the SMALL side of the retrieval stack: one union + one
+    groupBy on (probe, candidate) + one per-probe window over
+    <= N*k candidates. The expensive part (scoring the corpus) stays
+    in the upstream operators, which keep their own
+    corpus-never-shuffles contracts. Summation determinism: with two
+    systems IEEE addition is commutative-exact; beyond two, the 6-dp
+    round absorbs association noise (same contract as the proven
+    cosine oracles).
+    """
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rank_fusion: need at least one ranked list")
+    parts = []
+    for df, rank_col in ranked:
+        parts.append(
+            df.where(F.col(rank_col).isNotNull()).select(
+                F.col(probe_col).alias("probe_id"),
+                F.col(id_col).alias("neighbor_id"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(rrf_k).cast("double")
+                       + F.col(rank_col).cast("double"))
+                ).alias("_contrib"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("probe_id", "neighbor_id").agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= top_n)
+    )

@@ -998,3 +998,119 @@ def test_frame_sample_stream_equals_batch_and_oracle(spark, tmp_path):
     drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
                    for r in tbl.to_pylist())
     assert srows == drows
+
+
+def test_rank_fusion_oracle(spark):
+    # Banked for r9 as `ext-rank-fusion`: reciprocal-rank fusion of
+    # two retrieval lists — exact cosine top-10 and SRP-bucketed ANN
+    # top-10 over the same probes — the standard hybrid-search
+    # combiner (1/(60+rank) summed per candidate; high-anywhere beats
+    # mid-everywhere; incomparable raw scores never compared). Twin =
+    # the proven exact/ann CTEs from ext-ann-recall + the RRF
+    # arithmetic replayed.
+    import math
+
+    import duckdb
+
+    from __spark_entry__ import _sql_cosine, _sql_srp_bucket
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, deterministic_planes, knn_join_topk, rank_fusion,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SF)
+    probes = list(range(8))
+    planes = deterministic_planes(64, 8)
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes, k=10
+    )
+    ann = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        planes=planes, k=10,
+    )
+    out = rank_fusion(
+        [(exact, "knn_rank"), (ann, "ann_rank")], rrf_k=60, top_n=10
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    cos = _sql_cosine("e.embedding", "p.probe_vec")
+    cos_c = _sql_cosine("c.embedding", "p.probe_vec")
+    sql = f"""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, embedding AS probe_vec
+          FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+        pb AS (
+          SELECT probe_id, probe_vec,
+                 {_sql_srp_bucket("probe_vec", planes)} AS qbkt
+          FROM probes),
+        cb AS (
+          SELECT vec_id, embedding,
+                 {_sql_srp_bucket("embedding", planes)} AS bkt
+          FROM embeddings),
+        exact AS (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 {cos} AS cs,
+                 ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                   ORDER BY {cos} DESC, e.vec_id) AS r
+          FROM embeddings e CROSS JOIN probes p
+          WHERE e.vec_id <> p.probe_id
+          QUALIFY r <= 10),
+        ann AS (
+          SELECT p.probe_id, c.vec_id AS neighbor_id,
+                 {cos_c} AS cs,
+                 ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                   ORDER BY {cos_c} DESC, c.vec_id) AS r
+          FROM cb c JOIN pb p
+            ON (c.bkt = p.qbkt OR bit_count(xor(c.bkt, p.qbkt)) = 1)
+          WHERE c.vec_id <> p.probe_id
+          QUALIFY r <= 10),
+        u AS (
+          SELECT probe_id, neighbor_id, 1.0 / (60 + r) AS contrib
+          FROM exact
+          UNION ALL
+          SELECT probe_id, neighbor_id, 1.0 / (60 + r) FROM ann),
+        f AS (
+          SELECT probe_id, neighbor_id,
+                 ROUND(SUM(contrib), 6) AS rrf_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_systems
+          FROM u GROUP BY 1, 2)
+        SELECT probe_id, neighbor_id, rrf_score, n_systems,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY rrf_score DESC, neighbor_id) AS BIGINT)
+                 AS fused_rank
+        FROM f
+        QUALIFY fused_rank <= 10
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 80
+
+    # RRF semantics: every probe got a full fused top-10; two-system
+    # consensus candidates exist and, where present, lead (a leader
+    # can be single-system only when the ANN bucket probe missed the
+    # exact list entirely for that probe)
+    rows = out.collect()
+    leaders = [r for r in rows if r["fused_rank"] == 1]
+    assert len(leaders) == 8
+    assert any(r["n_systems"] == 2 for r in leaders)
+    two_sys = [r for r in rows if r["n_systems"] == 2]
+    assert two_sys
+    # a consensus candidate's score always exceeds the best possible
+    # single-system score at the same ranks
+    assert all(r["rrf_score"] > 1.0 / 61.0 - 1e-9 for r in two_sys)
