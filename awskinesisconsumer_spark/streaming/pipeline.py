@@ -1013,3 +1013,100 @@ def frame_sample_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def pack_sequences_stream(
+    docs: DataFrame,
+    *,
+    shard_col: str,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Stateful streaming sequence packing: the continuous form of
+    `corpus_prep.pack_sequences`, sharded — each shard is an
+    independent token stream packed into fixed-`capacity` training
+    sequences as documents ARRIVE, with the shard's running token
+    offset (ONE long) carried in the state store across
+    micro-batches. The ingest-time layout planner: a training-data
+    service can admit documents continuously and know, the moment a
+    document lands, exactly which sequences it occupies — no
+    end-of-corpus batch repack.
+
+    Per arriving document (ties inside a micro-batch ordered by
+    `id_col`): `tok_start`/`tok_end` (shard-global token offsets,
+    end exclusive), `seq_first`/`seq_last`/`n_seqs` — the same
+    contract as the batch operator, per shard. Zero/NULL-token docs
+    occupy no space and map to the sequence at their offset. With
+    per-shard id-ordered arrival the emitted union equals the batch
+    packing of each shard's corpus exactly (the equivalence the
+    banked test proves); out-of-order arrival changes which offsets
+    documents hold, never the total token count or sequence count.
+
+    Scale shape: shards pack in PARALLEL (the batch operator's
+    group_size prefix-sum trick exists to avoid a one-task global
+    window; here the shard key provides the same parallelism), state
+    is one long per shard at any corpus size, and each micro-batch
+    shuffles only its own arrivals.
+    """
+    from pyspark.sql.types import LongType as _Long
+
+    if capacity < 1:
+        raise ValueError(
+            f"pack_sequences_stream: capacity must be >= 1, got {capacity}"
+        )
+    in_schema = docs.select(shard_col, id_col).schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("n_tokens", _Long()),
+            StructField("tok_start", _Long()),
+            StructField("tok_end", _Long()),
+            StructField("seq_first", _Long()),
+            StructField("seq_last", _Long()),
+            StructField("n_seqs", _Long()),
+        ]
+    )
+    state_schema = StructType([StructField("tok_off", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (off,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        toks = (
+            pd.to_numeric(pdf[token_col], errors="coerce")
+            .fillna(0).astype("int64").clip(lower=0)
+        )
+        ends = off + toks.cumsum()
+        starts = ends - toks
+        out = pdf[[shard_col, id_col]].copy()
+        out["n_tokens"] = toks
+        out["tok_start"] = starts
+        out["tok_end"] = ends
+        out["seq_first"] = starts // capacity
+        out["seq_last"] = ((ends - 1) // capacity).where(
+            toks > 0, starts // capacity
+        )
+        out["n_seqs"] = out["seq_last"] - out["seq_first"] + 1
+        state.update((int(ends.iloc[-1]) if len(ends) else off,))
+        yield out
+
+    return (
+        docs.select(shard_col, id_col, token_col)
+        .groupBy(shard_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1114,3 +1114,134 @@ def test_rank_fusion_oracle(spark):
     # a consensus candidate's score always exceeds the best possible
     # single-system score at the same ranks
     assert all(r["rrf_score"] > 1.0 / 61.0 - 1e-9 for r in two_sys)
+
+
+def test_pack_sequences_stream_equals_batch_and_oracle(spark, tmp_path):
+    # Banked for r9 as `stream-pack-sequences`: stateful streaming
+    # per-shard sequence packing — the shard's running token offset
+    # (one long) in the state store, documents assigned their
+    # training-sequence spans at ARRIVAL. With per-shard id-ordered
+    # arrival (3 chunk files, mtimes forcing order) the union must
+    # equal batch pack_sequences run per shard, and hash-match the
+    # per-shard cumsum twin.
+    import math
+    import os
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        pack_sequences,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        pack_sequences_stream,
+    )
+    from pyspark.sql import Window
+
+    SF = "/root/testdata/sf0.001"
+    docs = token_count(
+        load_table(spark, "documents", SF), text_col="text"
+    ).select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+    src = str(tmp_path / "ps_src")
+    chunked = docs.withColumn(
+        "_chunk", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    for i in range(3):
+        part = os.path.join(src, f"part{i}")
+        (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname),
+                         (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream
+        .schema("shard long, doc_id long, n_tokens bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = pack_sequences_stream(
+        stream, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", capacity=128,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ps_stream_bank")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    cols = ["shard", "doc_id", "n_tokens", "tok_start", "tok_end",
+            "seq_first", "seq_last", "n_seqs"]
+    got = sorted(
+        tuple(r) for r in spark.table("ps_stream_bank")
+        .select(*cols).collect()
+    )
+    # batch comparator: pack each shard's corpus independently
+    want = []
+    for s in range(4):
+        part = pack_sequences(
+            docs.where(F.col("shard") == s),
+            id_col="doc_id", token_col="n_tokens", capacity=128,
+        ).select(
+            F.lit(s).cast("long").alias("shard"), "doc_id", "n_tokens",
+            "tok_start", "tok_end", "seq_first", "seq_last", "n_seqs",
+        )
+        want.extend(tuple(r) for r in part.collect())
+    assert got == sorted(want) and len(got) == 500
+
+    # the r9 gate twin: per-shard cumulative sum + span arithmetic
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH t AS (
+          SELECT doc_id % 4 AS shard, doc_id,
+                 CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                      THEN 0
+                      ELSE len(string_split_regex(
+                             trim(COALESCE(text, '')), '\s+'))
+                 END AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id) AS tok_end
+          FROM t)
+        SELECT shard, doc_id, n_tokens,
+               tok_end - n_tokens AS tok_start, tok_end,
+               (tok_end - n_tokens) // 128 AS seq_first,
+               CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                    ELSE (tok_end - n_tokens) // 128 END AS seq_last,
+               (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                     ELSE (tok_end - n_tokens) // 128 END)
+                 - ((tok_end - n_tokens) // 128) + 1 AS n_seqs
+        FROM c
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    sout = spark.table("ps_stream_bank").select(*cols)
+    scols = sorted(sout.columns)
+    srows = sorted(tuple(canon(r[c]) for c in scols)
+                   for r in sout.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert scols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows
