@@ -163,6 +163,17 @@ HEADLINE = [
     "stream-corpus-drift",
     "stream-vocab-coverage",
     "scan-element-callback",
+    # round 8 second wave
+    "ext-audio-resample",
+    "ext-cdc-chunk-text",
+    "ext-frame-sample",
+    "ext-dataset-card",
+    "ext-html-strip",
+    "ext-perplexity-bigram",
+    "ext-rank-fusion",
+    "stream-quality-blend",
+    "stream-frame-sample",
+    "stream-pack-sequences",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

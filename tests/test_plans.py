@@ -440,3 +440,53 @@ def test_domain_cap_topk_totals_scan_input_once(spark):
         )
     )
     assert "n_in_group" not in plan_nt
+
+
+def test_strip_html_is_single_map_only_projection(spark):
+    # ext-html-strip: the whole pass (regexp chain + entity replaces
+    # + collapse) must be ONE projection over the scan — no exchange,
+    # no Python, so at 100 TB it fuses with the parquet read.
+    from awskinesisconsumer_spark.operators.text import strip_html
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(strip_html(docs, text_col="text"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bigram_perplexity_no_token_stream_window(spark):
+    # ext-perplexity-bigram: pair formation must be the ARRAY
+    # expression (no per-doc Window over the exploded token stream —
+    # the lag() formulation would shuffle and sort every token), and
+    # the vocab scalar must ride a broadcast, not a shuffle join.
+    from awskinesisconsumer_spark.operators.text import (
+        bigram_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_perplexity(docs, id_col="doc_id", text_col="text")
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_fusion_fuses_lists_without_corpus_scan(spark):
+    # ext-rank-fusion: fusion itself must add NO scan of the corpus
+    # beyond what the input lists carry — it is a union + groupBy +
+    # window over top-k-sized data.
+    from awskinesisconsumer_spark.operators.similarity import (
+        rank_fusion,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "probe_id long, neighbor_id long, r long"
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "probe_id long, neighbor_id long, r long"
+    )
+    out = rank_fusion([(a, "r"), (b, "r")], rrf_k=60, top_n=10)
+    plan = _plan(out)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
