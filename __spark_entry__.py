@@ -3617,6 +3617,22 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic global corpus shuffle (operators/corpus_prep.py
+    # shuffle_order): pseudorandom-but-reproducible training order —
+    # hash-mod shard + within-shard hash rank. One narrow projection
+    # + per-shard PARALLEL window sorts (n_shards controls sort
+    # granularity; a global ORDER BY hash would be the one-task
+    # cliff). Portable 52-bit hash => the layout is replayed
+    # bit-identically by the twin.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        shuffle_order,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return shuffle_order(docs, id_col="doc_id", n_shards=8)
+
+
 def _audio_resample(spark: SparkSession, sf: str) -> DataFrame:
     # Integer-factor audio decimation on REAL WAV payloads
     # (operators/multimodal.py decimate_wav): decode -> stride ->
@@ -4034,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    more entries head the gate, displacing ten of the planned
         #    r5-record veterans to the r9 rotation (their r5 records
         #    ride the ledger unchanged).
+        "ext-shuffle-order": _shuffle_order,
         "ext-audio-resample": _audio_resample,
         "ext-cdc-chunk-text": _cdc_chunk_text,
         "ext-frame-sample": _frame_sample,
@@ -5226,6 +5243,22 @@ def oracle_sql() -> dict[str, str]:
         #     tests/test_round8_ops.py) ---
         # Audio decimation twin: the synthesis formula over strided
         # indices; all stats are exact int16 integers.
+        # Shuffle-order twin: the portable hash + per-shard window
+        # rank replayed bit-identically.
+        "ext-shuffle-order": """
+            WITH k AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                         || 'v1'), 1, 13))::BIGINT
+                       AS shuffle_key
+              FROM documents)
+            SELECT doc_id, shuffle_key,
+                   CAST(shuffle_key % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                     ORDER BY shuffle_key, doc_id) AS BIGINT)
+                     AS pos_in_shard
+            FROM k
+        """,
         "ext-audio-resample": """
             WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30)
             SELECT doc_id,

@@ -1124,3 +1124,59 @@ def curate_corpus(
         id_col, group_col, "text_clean", "n_removed",
         "quality_blend", "rank_in_group", "kept",
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: every row gets a
+    pseudorandom but fully reproducible training position —
+    `shard = hash(id, salt) mod n_shards`, `pos_in_shard` = rank of
+    the hash within the shard. The layout step between curation and
+    `pack_sequences`: a training run must read documents in an order
+    that is uncorrelated with ingest order (adjacent crawl pages are
+    near-duplicates — reading them consecutively wrecks gradient
+    quality) yet IDENTICAL across re-runs, resumes, and engines
+    (`ORDER BY rand()` is neither).
+
+    Changing `salt` is a fresh epoch-level reshuffle; changing
+    nothing reproduces the exact layout — the property a resumable
+    multi-epoch training job needs.
+
+    Scale shape: one narrow projection (the hash) + per-shard window
+    sorts that run in PARALLEL — n_shards controls sort granularity,
+    so at 100 TB each reducer sorts corpus/n_shards rows (size
+    n_shards to the cluster; each sort spills via
+    UnsafeExternalSorter if needed). A single global `ORDER BY
+    hash` would funnel the corpus through one task — the same
+    one-task cliff `pack_sequences`' grouped prefix sum avoids.
+    Default hash is the engine-portable 52-bit md5 prefix
+    (`dedup.portable_hash52`) so the layout is oracle-checkable;
+    swap `hash_fn=xxhash64_col` for the cheaper production hash.
+    """
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if n_shards < 1:
+        raise ValueError(
+            f"shuffle_order: n_shards must be >= 1, got {n_shards}"
+        )
+    h = hash_fn or portable_hash52
+    key = h(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                        F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(id_col)
+        .withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("pos_in_shard",
+                    F.row_number().over(w).cast("long"))
+    )

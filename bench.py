@@ -174,6 +174,7 @@ HEADLINE = [
     "stream-quality-blend",
     "stream-frame-sample",
     "stream-pack-sequences",
+    "ext-shuffle-order",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -1245,3 +1245,81 @@ def test_pack_sequences_stream_equals_batch_and_oracle(spark, tmp_path):
     drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
                    for r in tbl.to_pylist())
     assert srows == drows
+
+
+def test_shuffle_order_oracle_and_determinism(spark):
+    # Banked + registered in r8 as `ext-shuffle-order`: deterministic
+    # global corpus shuffle — pseudorandom-but-reproducible training
+    # order (hash-mod shard + within-shard hash rank), the layout
+    # step between curation and pack_sequences. Twin replays the
+    # portable hash + the per-shard window rank.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        shuffle_order,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    out = shuffle_order(docs, id_col="doc_id", n_shards=8)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = """
+        WITH k AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || 'v1'), 1, 13))::BIGINT
+                   AS shuffle_key
+          FROM documents)
+        SELECT doc_id, shuffle_key,
+               CAST(shuffle_key % 8 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                 ORDER BY shuffle_key, doc_id) AS BIGINT)
+                 AS pos_in_shard
+        FROM k
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # shuffle semantics: positions are contiguous 1..n per shard,
+    # every doc appears once, and the order decorrelates from ingest
+    # order (ids adjacent in the corpus land in different shards)
+    rows = out.collect()
+    assert len({r["doc_id"] for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    same_shard_adjacent = sum(
+        1 for r in rows for s in rows
+        if s["doc_id"] == r["doc_id"] + 1 and s["shard"] == r["shard"]
+    )
+    assert same_shard_adjacent < 250  # ~1/8 expected, far below half
+
+    # salt change is a fresh epoch: a different permutation
+    out2 = shuffle_order(docs, id_col="doc_id", n_shards=8, salt="v2")
+    m1 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in rows}
+    m2 = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+          for r in out2.collect()}
+    assert m1 != m2 and set(m1) == set(m2)
