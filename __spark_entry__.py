@@ -3617,6 +3617,24 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _interleave_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    # Weighted stride scheduling as a corpus layout (operators/
+    # corpus_prep.py interleave_mixture): per-(source, shard) hash
+    # positions -> stride keys (p - 0.5)/weight -> per-shard merge
+    # rank. Both window families parallel; no global sort. Unlisted
+    # sources excluded by the mixture contract.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        interleave_mixture,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return interleave_mixture(
+        docs, id_col="doc_id", source_col="source",
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        n_shards=4,
+    )
+
+
 def _shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
     # Deterministic global corpus shuffle (operators/corpus_prep.py
     # shuffle_order): pseudorandom-but-reproducible training order —
@@ -4051,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r5-record veterans to the r9 rotation (their r5 records
         #    ride the ledger unchanged).
         "ext-shuffle-order": _shuffle_order,
+        "ext-interleave-mixture": _interleave_mixture,
         "ext-audio-resample": _audio_resample,
         "ext-cdc-chunk-text": _cdc_chunk_text,
         "ext-frame-sample": _frame_sample,
@@ -5243,6 +5262,37 @@ def oracle_sql() -> dict[str, str]:
         #     tests/test_round8_ops.py) ---
         # Audio decimation twin: the synthesis formula over strided
         # indices; all stats are exact int16 integers.
+        # Interleave twin: hash positions, stride keys, merge rank —
+        # exact IEEE arithmetic on (integer position, literal weight)
+        # makes the per-shard order engine-identical.
+        "ext-interleave-mixture": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 0.4
+                                 WHEN 'src1' THEN 0.3
+                                 WHEN 'src2' THEN 0.2
+                                 WHEN 'src3' THEN 0.1
+                     END AS wt,
+                     ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                         || 'v1'), 1, 13))::BIGINT AS sk
+              FROM documents),
+            f AS (SELECT * FROM w WHERE wt IS NOT NULL),
+            p AS (
+              SELECT doc_id, source, wt, sk,
+                     CAST(sk % 4 AS INT) AS shard,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source,
+                       sk % 4 ORDER BY sk, doc_id) AS DOUBLE) AS p
+              FROM f),
+            k AS (SELECT doc_id, source, shard,
+                         (p - 0.5) / wt AS stride_key
+                  FROM p)
+            SELECT doc_id, source, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                     ORDER BY stride_key, source, doc_id) AS BIGINT)
+                     AS pos_in_shard,
+                   ROUND(stride_key, 6) AS stride_key
+            FROM k
+        """,
         # Shuffle-order twin: the portable hash + per-shard window
         # rank replayed bit-identically.
         "ext-shuffle-order": """

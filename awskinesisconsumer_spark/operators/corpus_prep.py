@@ -1180,3 +1180,85 @@ def shuffle_order(
         .withColumn("pos_in_shard",
                     F.row_number().over(w).cast("long"))
     )
+
+
+def interleave_mixture(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    weights: dict,
+    n_shards: int,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic weighted source interleaving — STRIDE scheduling
+    (weighted fair queueing) as a corpus layout: given per-source
+    mixture weights, emit the actual training order in which a
+    source with weight 0.7 contributes ~7 of every 10 consecutive
+    documents, evenly spread rather than in runs. The step between
+    `mixture_allocation` (which decides HOW MUCH of each source) and
+    `pack_sequences` (which packs the ordered stream): this decides
+    WHERE each document sits.
+
+    Each document gets a pseudorandom per-(source, shard) position p
+    (portable-hash rank — the `shuffle_order` permutation), then the
+    stride key (p - 0.5) / weight; within a shard, sources merge by
+    ascending key (ties: source, id), which provably interleaves
+    them in weight proportion (classic stride-scheduling argument).
+    The whole layout is reproducible across re-runs and engines:
+    positions come from the hash, keys from exact IEEE arithmetic on
+    (exact integer p, literal weight).
+
+    Scale shape: two window families, both parallel — per
+    (source, shard) for positions, per shard for the merge rank;
+    n_shards is the sort-granularity dial exactly as in
+    `shuffle_order` (each reducer sorts corpus/n_shards rows). No
+    global sort anywhere. Weights must be positive; sources absent
+    from `weights` are EXCLUDED (the mixture contract: an unlisted
+    source has weight zero).
+    """
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if n_shards < 1:
+        raise ValueError(
+            f"interleave_mixture: n_shards must be >= 1, got {n_shards}"
+        )
+    if not weights:
+        raise ValueError("interleave_mixture: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "interleave_mixture: weights must be positive, got "
+            f"{weights}"
+        )
+    h = hash_fn or portable_hash52
+    wexpr = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        wexpr = (F.when(cond, F.lit(float(wt))) if wexpr is None
+                 else wexpr.when(cond, F.lit(float(wt))))
+    key = h(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                        F.lit(salt)))
+    pos_w = Window.partitionBy(source_col, "shard").orderBy(
+        "shuffle_key", id_col
+    )
+    merge_w = Window.partitionBy("shard").orderBy(
+        "stride_key", source_col, id_col
+    )
+    return (
+        df.select(id_col, source_col)
+        .withColumn("_w", wexpr)
+        .where(F.col("_w").isNotNull())
+        .withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("_p", F.row_number().over(pos_w).cast("double"))
+        .withColumn("stride_key", (F.col("_p") - 0.5) / F.col("_w"))
+        .withColumn("pos_in_shard",
+                    F.row_number().over(merge_w).cast("long"))
+        .select(id_col, source_col, "shard", "pos_in_shard",
+                F.round("stride_key", 6).alias("stride_key"))
+    )

@@ -175,6 +175,7 @@ HEADLINE = [
     "stream-frame-sample",
     "stream-pack-sequences",
     "ext-shuffle-order",
+    "ext-interleave-mixture",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -1323,3 +1323,98 @@ def test_shuffle_order_oracle_and_determinism(spark):
     m2 = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
           for r in out2.collect()}
     assert m1 != m2 and set(m1) == set(m2)
+
+
+def test_interleave_mixture_oracle_and_proportions(spark):
+    # Banked + registered in r8 as `ext-interleave-mixture`: stride
+    # scheduling (weighted fair queueing) as a corpus layout — the
+    # step between mixture_allocation (how much of each source) and
+    # pack_sequences (packing the ordered stream): WHERE each doc
+    # sits. Twin replays hash positions, stride keys, and the merge
+    # rank; unlisted sources are excluded by contract.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        interleave_mixture,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = interleave_mixture(
+        docs, id_col="doc_id", source_col="source", weights=weights,
+        n_shards=4,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = """
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                             WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                 END AS wt,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || 'v1'), 1, 13))::BIGINT AS sk
+          FROM documents),
+        f AS (SELECT * FROM w WHERE wt IS NOT NULL),
+        p AS (
+          SELECT doc_id, source, wt, sk, CAST(sk % 4 AS INT) AS shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source, sk % 4
+                   ORDER BY sk, doc_id) AS DOUBLE) AS p
+          FROM f),
+        k AS (SELECT doc_id, source, shard,
+                     (p - 0.5) / wt AS stride_key
+              FROM p)
+        SELECT doc_id, source, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                 ORDER BY stride_key, source, doc_id) AS BIGINT)
+                 AS pos_in_shard,
+               ROUND(stride_key, 6) AS stride_key
+        FROM k
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 100  # 4 sources x 25
+
+    rows = out.collect()
+    # unlisted sources excluded
+    assert {r["source"] for r in rows} == set(weights)
+    # interleaving: within each shard the heaviest source leads the
+    # prefix and sources appear spread, not in runs — check that
+    # among the first half of every shard, src0 (w=0.4) appears at
+    # least as often as src3 (w=0.1)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["pos_in_shard"])
+        half = shard_rows[: max(4, len(shard_rows) // 2)]
+        n0 = sum(1 for r in half if r["source"] == "src0")
+        n3 = sum(1 for r in half if r["source"] == "src3")
+        assert n0 >= n3
+    # weights must be validated
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        interleave_mixture(
+            docs, id_col="doc_id", source_col="source",
+            weights={"src0": 0.0}, n_shards=2,
+        )
