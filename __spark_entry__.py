@@ -3617,6 +3617,26 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _layout_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed LAYOUT pipeline (operators/corpus_prep.py
+    # layout_corpus): token-count -> weighted stride interleave ->
+    # per-shard packing in that order — the layout-side sibling of
+    # ext-curate-corpus. ONE corpus scan, TWO exchanges (the pack
+    # cumsum reuses the merge window's shard partitioning), zero
+    # joins (n_tokens rides carry_cols) — plan-asserted in
+    # tests/test_round8_ops.py.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        layout_corpus,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return layout_corpus(
+        docs, id_col="doc_id", source_col="source", text_col="text",
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        n_shards=4, capacity=128,
+    )
+
+
 def _interleave_mixture(spark: SparkSession, sf: str) -> DataFrame:
     # Weighted stride scheduling as a corpus layout (operators/
     # corpus_prep.py interleave_mixture): per-(source, shard) hash
@@ -3900,6 +3920,10 @@ def _stream_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # ONE materialization of the composed EBML pipeline: the chunk
+    # loop below consumes `chunked` three times, and without the
+    # (lazy, ContextCleaner-released) checkpoint each write would
+    # re-run the whole parse + ntile — measured 3x the entry cost.
     frames = _kvs_pipeline(spark, sf).select(
         "chunk_id", "frame_position"
     )
@@ -3907,7 +3931,7 @@ def _stream_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     chunked = frames.withColumn(
         "_chunk",
         F.ntile(3).over(Window.orderBy("frame_position", "chunk_id")),
-    )
+    ).localCheckpoint(eager=False)
     for i in range(3):
         part = os.path.join(src, f"part{i}")
         (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
@@ -4070,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ride the ledger unchanged).
         "ext-shuffle-order": _shuffle_order,
         "ext-interleave-mixture": _interleave_mixture,
+        "ext-layout-corpus": _layout_corpus,
         "ext-audio-resample": _audio_resample,
         "ext-cdc-chunk-text": _cdc_chunk_text,
         "ext-frame-sample": _frame_sample,
@@ -5262,6 +5287,56 @@ def oracle_sql() -> dict[str, str]:
         #     tests/test_round8_ops.py) ---
         # Audio decimation twin: the synthesis formula over strided
         # indices; all stats are exact int16 integers.
+        # Layout twin: the interleave chain + per-shard cumsum in
+        # pos order + pack span arithmetic, chained in one statement.
+        "ext-layout-corpus": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 0.4
+                                 WHEN 'src1' THEN 0.3
+                                 WHEN 'src2' THEN 0.2
+                                 WHEN 'src3' THEN 0.1
+                     END AS wt,
+                     ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                         || 'v1'), 1, 13))::BIGINT AS sk,
+                     CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                          THEN 0
+                          ELSE len(string_split_regex(
+                                 trim(COALESCE(text, '')), '\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM documents),
+            f AS (SELECT * FROM w WHERE wt IS NOT NULL),
+            p AS (
+              SELECT doc_id, source, wt, sk, n_tokens,
+                     CAST(sk % 4 AS INT) AS shard,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source,
+                       sk % 4 ORDER BY sk, doc_id) AS DOUBLE) AS p
+              FROM f),
+            k AS (SELECT doc_id, source, shard, n_tokens,
+                         (p - 0.5) / wt AS stride_key
+                  FROM p),
+            o AS (
+              SELECT doc_id, source, shard, n_tokens,
+                     ROUND(stride_key, 6) AS stride_key,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY stride_key, source, doc_id) AS BIGINT)
+                       AS pos_in_shard
+              FROM k),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+                          ORDER BY pos_in_shard) AS tok_end
+              FROM o)
+            SELECT doc_id, source, shard, pos_in_shard, stride_key,
+                   n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+                   (tok_end - n_tokens) // 128 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                        ELSE (tok_end - n_tokens) // 128 END
+                     AS seq_last,
+                   (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                         ELSE (tok_end - n_tokens) // 128 END)
+                     - ((tok_end - n_tokens) // 128) + 1 AS n_seqs
+            FROM c
+        """,
         # Interleave twin: hash positions, stride keys, merge rank —
         # exact IEEE arithmetic on (integer position, literal weight)
         # makes the per-shard order engine-identical.

@@ -1191,6 +1191,7 @@ def interleave_mixture(
     n_shards: int,
     salt: str = "v1",
     hash_fn=None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Deterministic weighted source interleaving — STRIDE scheduling
     (weighted fair queueing) as a corpus layout: given per-source
@@ -1216,7 +1217,10 @@ def interleave_mixture(
     `shuffle_order` (each reducer sorts corpus/n_shards rows). No
     global sort anywhere. Weights must be positive; sources absent
     from `weights` are EXCLUDED (the mixture contract: an unlisted
-    source has weight zero).
+    source has weight zero). `carry_cols` rides extra columns
+    through the layout so a composed caller (`layout_corpus`) never
+    has to join them back by id — a composition-breaking extra
+    corpus shuffle.
     """
     from pyspark.sql import Window
 
@@ -1248,7 +1252,7 @@ def interleave_mixture(
         "stride_key", source_col, id_col
     )
     return (
-        df.select(id_col, source_col)
+        df.select(id_col, source_col, *carry_cols)
         .withColumn("_w", wexpr)
         .where(F.col("_w").isNotNull())
         .withColumn("shuffle_key", key)
@@ -1260,5 +1264,77 @@ def interleave_mixture(
         .withColumn("pos_in_shard",
                     F.row_number().over(merge_w).cast("long"))
         .select(id_col, source_col, "shard", "pos_in_shard",
-                F.round("stride_key", 6).alias("stride_key"))
+                F.round("stride_key", 6).alias("stride_key"),
+                *carry_cols)
+    )
+
+
+def layout_corpus(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    weights: dict,
+    n_shards: int,
+    capacity: int,
+) -> DataFrame:
+    """The composed LAYOUT pipeline — token-count ->
+    `interleave_mixture` (weighted stride order) -> per-shard
+    sequence packing in that order: one call turns a curated corpus
+    into the physical training layout (which shard, which position,
+    which fixed-capacity sequences) a loader consumes. The
+    layout-side sibling of `curate_corpus` (which owns the
+    filter/dedup side).
+
+    Per document: shard, pos_in_shard, stride_key (the mixture
+    order), n_tokens, tok_start/tok_end (shard-local token offsets
+    in interleaved order), seq_first/seq_last/n_seqs (the
+    fixed-`capacity` sequences it occupies — `pack_sequences`
+    semantics, per shard).
+
+    Scale shape: every stage is already proven individually — the
+    interleave's two parallel window families plus ONE more
+    per-shard cumulative-sum window over the same shard partitioning
+    (Catalyst reuses the exchange: packing adds no new shuffle of
+    the corpus). Zero-token docs occupy no space; unlisted sources
+    are excluded by the mixture contract.
+    """
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    if capacity < 1:
+        raise ValueError(
+            f"layout_corpus: capacity must be >= 1, got {capacity}"
+        )
+    toks = token_count(
+        df.select(id_col, source_col, text_col), text_col=text_col
+    ).select(
+        id_col, source_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    # n_tokens rides THROUGH the interleave (carry_cols) — joining it
+    # back by id afterwards would re-shuffle the corpus once more.
+    joined = interleave_mixture(
+        toks, id_col=id_col, source_col=source_col, weights=weights,
+        n_shards=n_shards, carry_cols=("n_tokens",),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_in_shard")
+    tok_end = F.sum("n_tokens").over(w)
+    tok_start = tok_end - F.col("n_tokens")
+    return (
+        joined.withColumn("tok_end", tok_end)
+        .withColumn("tok_start", tok_start)
+        .select(
+            id_col, source_col, "shard", "pos_in_shard", "stride_key",
+            "n_tokens", "tok_start", "tok_end",
+            F.floor(F.col("tok_start") / capacity).alias("seq_first"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor((F.col("tok_end") - 1) / capacity),
+            ).otherwise(F.floor(F.col("tok_start") / capacity))
+            .alias("seq_last"),
+        )
+        .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
     )

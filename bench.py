@@ -176,6 +176,7 @@ HEADLINE = [
     "stream-pack-sequences",
     "ext-shuffle-order",
     "ext-interleave-mixture",
+    "ext-layout-corpus",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -1418,3 +1418,119 @@ def test_interleave_mixture_oracle_and_proportions(spark):
             docs, id_col="doc_id", source_col="source",
             weights={"src0": 0.0}, n_shards=2,
         )
+
+
+def test_layout_corpus_oracle_and_exchange_reuse(spark):
+    # Banked + registered in r8 as `ext-layout-corpus`: the composed
+    # layout pipeline (token-count -> weighted stride interleave ->
+    # per-shard packing in that order). Twin = the interleave chain
+    # + one per-shard cumsum in pos order + pack span arithmetic;
+    # the pack stage must REUSE the interleave's shard exchange
+    # (no new shuffle of the corpus).
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        layout_corpus,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = layout_corpus(
+        docs, id_col="doc_id", source_col="source", text_col="text",
+        weights=weights, n_shards=4, capacity=128,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                             WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                 END AS wt,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || 'v1'), 1, 13))::BIGINT AS sk,
+                 CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                      THEN 0
+                      ELSE len(string_split_regex(
+                             trim(COALESCE(text, '')), '\s+'))
+                 END AS BIGINT) AS n_tokens
+          FROM documents),
+        f AS (SELECT * FROM w WHERE wt IS NOT NULL),
+        p AS (
+          SELECT doc_id, source, wt, sk, n_tokens,
+                 CAST(sk % 4 AS INT) AS shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source, sk % 4
+                   ORDER BY sk, doc_id) AS DOUBLE) AS p
+          FROM f),
+        k AS (SELECT doc_id, source, shard, n_tokens,
+                     (p - 0.5) / wt AS stride_key
+              FROM p),
+        o AS (
+          SELECT doc_id, source, shard, n_tokens,
+                 ROUND(stride_key, 6) AS stride_key,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY stride_key, source, doc_id) AS BIGINT)
+                   AS pos_in_shard
+          FROM k),
+        c AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY pos_in_shard) AS tok_end
+          FROM o)
+        SELECT doc_id, source, shard, pos_in_shard, stride_key,
+               n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+               (tok_end - n_tokens) // 128 AS seq_first,
+               CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                    ELSE (tok_end - n_tokens) // 128 END AS seq_last,
+               (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 128
+                     ELSE (tok_end - n_tokens) // 128 END)
+                 - ((tok_end - n_tokens) // 128) + 1 AS n_seqs
+        FROM c
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names), (cols, tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 100
+
+    # packing invariant: per shard, token spans tile [0, total] in
+    # pos order with no gaps
+    rows = sorted(out.collect(), key=lambda r: (r["shard"],
+                                                r["pos_in_shard"]))
+    from itertools import groupby
+    for shard, grp in groupby(rows, key=lambda r: r["shard"]):
+        off = 0
+        for r in grp:
+            assert r["tok_start"] == off
+            off = r["tok_end"]
+
+    # exchange reuse: ONE corpus scan, TWO exchanges (positions +
+    # merge windows — the pack cumsum rides the merge's shard
+    # partitioning), and NO join anywhere (n_tokens is carried
+    # through the interleave, not joined back). Fresh plan — an
+    # executed AQE plan prints Final + Initial sections and
+    # double-counts every node.
+    fresh = layout_corpus(
+        docs, id_col="doc_id", source_col="source", text_col="text",
+        weights=weights, n_shards=4, capacity=128,
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
