@@ -1534,3 +1534,88 @@ def test_layout_corpus_oracle_and_exchange_reuse(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+
+
+def test_strip_html_adversarial_vs_python_reference(spark):
+    # Third-engine check for the strip_html regex chain: Spark (Java
+    # regex) vs an independent Python `re` replay of the SAME
+    # patterns, over adversarial markup — nested/unterminated tags,
+    # script-with-markup payloads, double-escaped entities, entity
+    # fragments, mixed whitespace. The DuckDB twin already pins
+    # Spark==RE2; this pins intent on the edge inputs.
+    import re
+
+    from awskinesisconsumer_spark.operators.text import (
+        _HTML_COMMENT_RE, _HTML_ENTITIES, _HTML_SCRIPT_RE,
+        _HTML_STYLE_RE, _HTML_TAG_RE, _HTML_WS_RE, strip_html,
+    )
+
+    cases = [
+        "",
+        "plain text no markup",
+        "<p>simple</p>",
+        "<P CLASS='x'>upper</P>",
+        "a < b and c > d",                      # bare angle brackets
+        "<unterminated tag with no close",
+        "text <b>bold <i>nested</i></b> tail",
+        '<script>if (a<b) { document.write("<p>x</p>"); }</script>ok',
+        "<style>p > span { color: red }</style>styled",
+        "<!-- <b>commented out</b> -->visible",
+        "&amp;lt; stays &lt; becomes",
+        "&amp;amp; double amp",
+        "&nbsp;&nbsp;spaced&nbsp;",
+        "&unknown; &#39;q&#39; &#x27;",          # unknown entities survive
+        "tabs\tand\nnewlines\r\nand\fforms",
+        "<br><br/><br />breaks",
+        "<div\nclass='multi\nline'>attr newlines</div>",
+        "<<double open>>",
+        "<>empty tag<>",
+        "<script>no close tag",                  # unterminated script
+        "< spaced > not a tag? <real>",
+        "&lt;script&gt;escaped script&lt;/script&gt;",
+    ]
+
+    def py_ref(s):
+        if s is None:
+            return None
+        t = re.sub(_HTML_SCRIPT_RE, " ", s)
+        t = re.sub(_HTML_STYLE_RE, " ", t)
+        t = re.sub(_HTML_COMMENT_RE, " ", t)
+        t = re.sub(_HTML_TAG_RE, " ", t)
+        for ent, rep in _HTML_ENTITIES:
+            t = t.replace(ent, rep)
+        t = re.sub(_HTML_WS_RE, " ", t)
+        return t.strip()
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_html(df, text_col="text").collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == py_ref(c), (c, got[i], py_ref(c))
+
+
+def test_rank_fusion_self_fusion_preserves_order(spark):
+    # RRF invariant: fusing a list with ITSELF reproduces its order
+    # (scores are a strictly decreasing function of rank), and a
+    # candidate's n_systems doubles. Catches accidental
+    # score-vs-rank inversions in the fusion arithmetic.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        knn_join_topk, rank_fusion,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=[0, 1], k=8
+    )
+    fused = rank_fusion([(exact, "knn_rank"), (exact, "knn_rank")],
+                        rrf_k=60, top_n=8)
+    orig = {(r["probe_id"], r["neighbor_id"]): r["knn_rank"]
+            for r in exact.collect()}
+    for r in fused.collect():
+        assert r["n_systems"] == 2
+        assert r["fused_rank"] == orig[(r["probe_id"], r["neighbor_id"])]
