@@ -3617,6 +3617,52 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # Dedup-quality audit (operators/dedup.py dedup_recall_audit):
+    # per true-Jaccard bucket, the fraction of exact n-gram near-dup
+    # pairs the banded MinHash LSH candidate generator surfaces —
+    # the dedup analogue of ext-ann-recall. Both sides are the
+    # proven operators (portable hash => the full audit is
+    # value-level oracle-checkable); the audit itself is a
+    # pair-keyed semi-join + a ~10-row rollup.
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_recall_audit, portable_hash52,
+    )
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf)
+    # The raw corpus has only trivial (>0.8) near-dups, so every
+    # bucket reads 1.0 and the audit is vacuous. Inject a Jaccard
+    # SPECTRUM: every doc_id % 5 == 1 becomes [first 30 words of the
+    # previous doc] + [3*(doc_id % 7) words of its own] — overlap
+    # fraction steps with doc_id % 7, populating buckets from the
+    # S-curve's foot to 1.0. Global lag window: artifact-scale only
+    # (the gate corpus is 500 rows; production audits sample a slab).
+    win = Window.orderBy("doc_id")
+    prev = F.lag("text").over(win)
+    own_w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    prev_w = F.split(F.coalesce(prev, F.lit("")), " ")
+    k = (F.col("doc_id") % 7) * 3
+    appended = F.when(k > 0, F.slice(own_w, F.lit(1), k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    mutated = F.array_join(
+        F.concat(F.slice(prev_w, 1, 30), appended), " "
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5 == 1) & prev.isNotNull(), mutated
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_recall_audit(
+        fixture, id_col="doc_id", text_col="text", n=3,
+        truth_threshold=0.3, num_hashes=32, bands=8,
+        hash_fn=portable_hash52,
+    )
+
+
 def _layout_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # The composed LAYOUT pipeline (operators/corpus_prep.py
     # layout_corpus): token-count -> weighted stride interleave ->
@@ -4095,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-shuffle-order": _shuffle_order,
         "ext-interleave-mixture": _interleave_mixture,
         "ext-layout-corpus": _layout_corpus,
+        "ext-dedup-recall": _dedup_recall,
         "ext-audio-resample": _audio_resample,
         "ext-cdc-chunk-text": _cdc_chunk_text,
         "ext-frame-sample": _frame_sample,
@@ -7425,6 +7472,106 @@ def oracle_sql() -> dict[str, str]:
         # shingle hash -> 32 permutation minima -> 8 band hashes ->
         # hot-bucket (>200) bar -> candidate pairs -> signature-estimated
         # Jaccard >= 0.5. Mirrors operators/dedup.py:dedup_minhash_lsh.
+        # Dedup-recall twin: the proven jaccard chain (t*-prefixed)
+        # + the proven minhash band chain (original CTE names — the
+        # shared mh_* fragments reference `sig`) + the bucket rollup.
+        "ext-dedup-recall": f"""
+            WITH lagd AS (
+              SELECT doc_id, text,
+                     LAG(text) OVER (ORDER BY doc_id) AS prev
+              FROM documents),
+            fix AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 1 AND prev IS NOT NULL THEN
+                  array_to_string(list_concat(
+                    string_split(COALESCE(prev, ''), ' ')[1:30],
+                    CASE WHEN (doc_id % 7) > 0
+                         THEN string_split(COALESCE(text, ''),
+                                           ' ')[1:3 * (doc_id % 7)]
+                         ELSE CAST([] AS VARCHAR[]) END), ' ')
+                ELSE text END AS text
+              FROM lagd),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM fix),
+            tg AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            tsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tg
+                       GROUP BY doc_id),
+            thot AS (SELECT s FROM tg GROUP BY s HAVING COUNT(*) > 100),
+            tposts AS (SELECT doc_id, s FROM tg
+                       WHERE s NOT IN (SELECT s FROM thot)),
+            tpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM tposts a JOIN tposts b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT id_a, id_b,
+                     ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                           AS DOUBLE), 4) AS jaccard
+              FROM tpairs
+              JOIN tsizes sa ON sa.doc_id = tpairs.id_a
+              JOIN tsizes sb ON sb.doc_id = tpairs.id_b
+              WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                          AS DOUBLE), 4) >= 0.3),
+            g AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+              FROM (SELECT doc_id, ws,
+                           UNNEST(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)
+              WHERE ws[i] <> ''),
+            hashed AS (
+              SELECT doc_id, {p52('s')} % {mersenne} AS h FROM g),
+            sig AS (
+              SELECT doc_id,
+                     {mh_mins}
+              FROM hashed GROUP BY doc_id),
+            banded AS (
+              {mh_bands_sql}),
+            hot AS (
+              SELECT band, band_hash FROM banded
+              GROUP BY 1, 2 HAVING COUNT(*) > 200),
+            kept AS (
+              SELECT bd.* FROM banded bd
+              LEFT JOIN hot ON bd.band = hot.band
+                           AND bd.band_hash = hot.band_hash
+              WHERE hot.band IS NULL),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM kept l JOIN kept r
+                ON l.band = r.band AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id),
+            t2 AS (
+              SELECT id_a, id_b, FLOOR(jaccard * 10) / 10.0 AS bucket_lo
+              FROM truth),
+            per_true AS (
+              SELECT bucket_lo, COUNT(*) AS n_true_pairs
+              FROM t2 GROUP BY 1),
+            per_caught AS (
+              SELECT bucket_lo, COUNT(*) AS n_caught
+              FROM t2
+              WHERE EXISTS (SELECT 1 FROM cand
+                            WHERE cand.id_a = t2.id_a
+                              AND cand.id_b = t2.id_b)
+              GROUP BY 1)
+            SELECT pt.bucket_lo, pt.n_true_pairs,
+                   COALESCE(pc.n_caught, 0) AS n_caught,
+                   ROUND(COALESCE(pc.n_caught, 0)
+                         / CAST(pt.n_true_pairs AS DOUBLE), 4) AS recall
+            FROM per_true pt LEFT JOIN per_caught pc
+              ON pt.bucket_lo = pc.bucket_lo
+        """,
         "ext-dedup-minhash": f"""
             WITH w AS (
               SELECT doc_id,

@@ -177,6 +177,7 @@ HEADLINE = [
     "ext-shuffle-order",
     "ext-interleave-mixture",
     "ext-layout-corpus",
+    "ext-dedup-recall",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

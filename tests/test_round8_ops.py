@@ -1619,3 +1619,52 @@ def test_rank_fusion_self_fusion_preserves_order(spark):
     for r in fused.collect():
         assert r["n_systems"] == 2
         assert r["fused_rank"] == orig[(r["probe_id"], r["neighbor_id"])]
+
+
+def test_dedup_recall_audit_gate_parity_and_s_curve(spark):
+    # Registered in r8 as `ext-dedup-recall`: the dedup-quality
+    # audit — per true-Jaccard bucket, the fraction of exact n-gram
+    # near-dup pairs the banded MinHash candidate generator
+    # surfaces. The gate fixture injects a Jaccard SPECTRUM (mutated
+    # prefix-overlap near-dups) so the recall curve is non-vacuous;
+    # parity vs the composed twin + the S-curve shape are asserted.
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    out = entry.queries()["ext-dedup-recall"](spark, SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(
+        entry.oracle_sql()["ext-dedup-recall"]
+    ).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows
+
+    rows = {r["bucket_lo"]: r for r in out.collect()}
+    # the fixture populates the curve from the S-curve's foot up
+    assert len(rows) >= 5
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows.values())
+    # high-similarity pairs are (near-)fully caught; the foot is not
+    assert rows[max(rows)]["recall"] == 1.0
+    assert rows[min(rows)]["recall"] < 0.8
+    # recall weakly increases from foot to shoulder (allow plateau)
+    ordered = [rows[b]["recall"] for b in sorted(rows)]
+    assert ordered[0] <= ordered[-1]
