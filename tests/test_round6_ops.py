@@ -100,16 +100,23 @@ def test_np_round6_boundary_detection_scales_with_magnitude(spark):
 
 def test_gate_head_composition():
     # The external driver gates the first 50 queries() entries: this
-    # round that must be the 2 changed entries (quality-blend twin
-    # NULL/degenerate guards; dup-spans anchored migration) + the 13
-    # newly registered r6/r7-banked operators + error-route (r4) +
-    # the 34 oldest r5-record veterans (README "Round-8 rotation
-    # plan").
+    # round that is the 2 changed entries (quality-blend twin
+    # NULL/degenerate guards; dup-spans anchored migration) + the
+    # SECOND r8 wave of 14 (registered mid-round) + the 13 newly
+    # registered r6/r7-banked operators + scan-element-callback +
+    # error-route (r4) + the oldest r5-record veterans (README
+    # "Round-8 rotation plan", second-wave update).
     import __spark_entry__ as m
 
     keys = list(m.queries())
-    assert keys[:16] == [
+    assert keys[:30] == [
         "ext-quality-blend", "ext-dup-spans",
+        "ext-shuffle-order", "ext-interleave-mixture",
+        "ext-layout-corpus", "ext-dedup-recall",
+        "ext-audio-resample", "ext-cdc-chunk-text", "ext-frame-sample",
+        "ext-dataset-card", "ext-html-strip", "ext-perplexity-bigram",
+        "ext-rank-fusion", "stream-quality-blend",
+        "stream-frame-sample", "stream-pack-sequences",
         "ext-multimodal-wav", "ext-multimodal-png", "ext-tokenize-pack",
         "ext-validate-expectations", "ext-compact-files",
         "ext-vocab-coverage", "ext-corpus-drift", "ext-domain-cap-topk",
@@ -117,9 +124,9 @@ def test_gate_head_composition():
         "stream-corpus-drift", "stream-vocab-coverage",
         "scan-element-callback",
     ]
-    assert keys[16] == "error-route"
-    assert keys[17] == "ext-dedup-incremental"
-    assert len(keys) == 164 and len(set(keys)) == 164
+    assert keys[30] == "error-route"
+    assert keys[31] == "ext-dedup-incremental"
+    assert len(keys) == 178 and len(set(keys)) == 178
     # every entry has an oracle twin (full hash-gate coverage)
     osql = m.oracle_sql()
     assert set(osql) == set(keys)
