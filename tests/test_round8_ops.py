@@ -1668,3 +1668,35 @@ def test_dedup_recall_audit_gate_parity_and_s_curve(spark):
     # recall weakly increases from foot to shoulder (allow plateau)
     ordered = [rows[b]["recall"] for b in sorted(rows)]
     assert ordered[0] <= ordered[-1]
+
+
+def test_interleave_mixture_stride_fairness_bound(spark):
+    # The WFQ fairness invariant: in ANY prefix of a shard's order,
+    # each source's count stays within a small constant of
+    # prefix_len * weight (stride scheduling's defining property) —
+    # while sources still have items to contribute. Synthetic corpus
+    # with ample items per source, one shard so the whole order is a
+    # single stream.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        interleave_mixture,
+    )
+
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_mixture(
+        df, id_col="doc_id", source_col="source", weights=weights,
+        n_shards=1,
+    )
+    ordered = [r["source"] for r in sorted(
+        out.collect(), key=lambda r: r["pos_in_shard"]
+    )]
+    # all sources have 100 items; check prefixes while none depleted:
+    # the heaviest source (0.5) depletes first around position 200
+    counts = {s: 0 for s in weights}
+    for pos, src in enumerate(ordered[:190], start=1):
+        counts[src] += 1
+        for s, w in weights.items():
+            assert abs(counts[s] - pos * w) <= 2.0, (
+                pos, s, counts[s], pos * w
+            )
