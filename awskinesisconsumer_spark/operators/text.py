@@ -1440,3 +1440,55 @@ def bigram_perplexity(
             out_col,
         )
     )
+
+
+# Sentence-boundary marker: terminal punctuation followed by
+# whitespace. RE2 has no lookbehind, so both engines mark boundaries
+# with a capture-group replace (keeping the punctuation attached to
+# its sentence) and split on the marker — the portable formulation.
+_SENT_BOUNDARY_RE = r"([.!?])[ \t\r\n\f]+"
+_SENT_MARKER = "\x1e"
+
+
+def split_sentences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Sentence segmentation: one row per sentence with its 0-based
+    index — the granularity sentence-level dedup, decontamination,
+    and sequence-boundary-aware packing operate at (a benchmark
+    answer leaks as a SENTENCE, not as a whole document; CCNet-style
+    filtering drops repeated sentences, not repeated docs).
+
+    Regex-rule segmentation (terminal [.!?] + whitespace), the
+    deterministic 95% answer; an ML segmenter slots into the same
+    explode shape. Terminal punctuation stays attached to its
+    sentence; empty fragments are dropped; a document with no
+    boundary yields itself as sentence 0; NULL/empty text yields no
+    rows.
+
+    Map-only: one regexp_replace (boundary -> marker, no lookbehind
+    so the same rule runs on RE2/DuckDB) + split + posexplode — no
+    shuffle, fuses with the scan. At 100 TB sentence explosion
+    multiplies row count ~20-40x but each row is a short string; the
+    downstream grouping key (sentence hash) is where the first
+    exchange happens, exactly as in `dedup_lines`.
+    """
+    marked = F.regexp_replace(
+        F.col(text_col), _SENT_BOUNDARY_RE, "$1" + _SENT_MARKER
+    )
+    parts = F.split(marked, _SENT_MARKER)
+    out = df.select(
+        id_col, F.posexplode(parts).alias("sent_idx", "sentence")
+    )
+    return (
+        out.withColumn("sentence", F.trim("sentence"))
+        .where(F.length("sentence") > 0)
+        .select(
+            id_col,
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            "sentence",
+        )
+    )

@@ -1700,3 +1700,116 @@ def test_interleave_mixture_stride_fairness_bound(spark):
             assert abs(counts[s] - pos * w) <= 2.0, (
                 pos, s, counts[s], pos * w
             )
+
+
+def test_split_sentences_oracle(spark):
+    # Banked for r9 as `ext-sentence-split`: regex-rule sentence
+    # segmentation (terminal [.!?] + whitespace; RE2-portable
+    # mark-then-split, no lookbehind). The corpus has no punctuation,
+    # so the fixture joins each doc's words into chunks of
+    # (doc_id % 5 + 3) words terminated by a cycling [. ! ?] — real
+    # multi-sentence docs, engine-replayable. %19 docs go NULL.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import split_sentences
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    csz = (F.col("doc_id") % 5 + 3).cast("int")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / csz).cast("int"), F.lit(1)
+    )
+    sentenced = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat(
+                F.concat_ws(
+                    " ", F.slice(words, (i - 1) * csz + 1, csz)
+                ),
+                F.element_at(
+                    F.array(F.lit("."), F.lit("!"), F.lit("?")),
+                    (i % 3) + 1,
+                ),
+            ),
+        ),
+        " ",
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(sentenced).alias("text"),
+    )
+    out = split_sentences(fixture, id_col="doc_id", text_col="text")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(COALESCE(text, ''), ' ') AS ws,
+                 CAST(doc_id % 5 + 3 AS INT) AS csz
+          FROM documents),
+        nch AS (
+          SELECT doc_id, ws, csz,
+                 GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
+                               AS INT), 1) AS n_chunks
+          FROM base),
+        fix AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+                   array_to_string(
+                     list_transform(range(1, n_chunks + 1), i ->
+                       array_to_string(
+                         ws[(i - 1) * csz + 1 : i * csz], ' ')
+                       || ['.', '!', '?'][(i % 3) + 1]),
+                     ' ')
+                 END AS text
+          FROM nch),
+        marked AS (
+          SELECT doc_id,
+                 regexp_replace(text, '([.!?])[ \t\r\n\f]+',
+                                '\1' || chr(30), 'g') AS m
+          FROM fix),
+        parts AS (
+          SELECT doc_id, string_split(m, chr(30)) AS ps
+          FROM marked WHERE m IS NOT NULL),
+        ex AS (
+          SELECT doc_id,
+                 CAST(i - 1 AS INT) AS sent_idx,
+                 trim(ps[i]) AS sentence
+          FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i))
+        SELECT doc_id, sent_idx, sentence
+        FROM ex WHERE length(sentence) > 0
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 2000
+
+    # semantics: punctuation stays attached; indices contiguous per
+    # doc; NULL docs yield nothing
+    rows = out.collect()
+    assert all(r["sentence"][-1] in ".!?" for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["sent_idx"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    assert 0 not in by_doc and 19 not in by_doc
