@@ -1813,3 +1813,113 @@ def test_split_sentences_oracle(spark):
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))
     assert 0 not in by_doc and 19 not in by_doc
+
+
+def test_pack_nofragment_oracle_and_invariants(spark):
+    # Banked for r9 as `ext-pack-nofragment`: document-preserving
+    # next-fit packing per shard (doc never straddles; zero-token
+    # docs never open a sequence; oversized docs get a dedicated
+    # sequence). Twin replays the sequential fold as a per-shard
+    # recursive CTE advancing one doc per step.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        pack_nofragment,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    SF = "/root/testdata/sf0.001"
+    docs = token_count(
+        load_table(spark, "documents", SF), text_col="text"
+    ).select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id",
+        # inject a zero-token (%17) and an oversized (%23) doc so
+        # both special rules gate
+        F.when(F.col("doc_id") % 17 == 0, F.lit(0))
+        .when(F.col("doc_id") % 23 == 0, F.lit(500))
+        .otherwise(F.col("n_tokens")).cast("bigint").alias("n_tokens"),
+    )
+    out = pack_nofragment(
+        docs, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", capacity=128,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = r"""
+        WITH RECURSIVE toks AS MATERIALIZED (
+          SELECT doc_id % 4 AS shard, doc_id,
+                 CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                           WHEN doc_id % 23 = 0 THEN 500
+                           ELSE CASE WHEN length(trim(COALESCE(text,
+                                       ''))) = 0 THEN 0
+                                ELSE len(string_split_regex(
+                                       trim(COALESCE(text, '')),
+                                       '\s+')) END
+                      END AS BIGINT) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        st AS (
+          SELECT shard, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS seq_idx,
+                 CAST(0 AS BIGINT) AS offset_in_seq,
+                 n_tokens AS fill
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                           AND st.fill + t.n_tokens > 128
+                      THEN st.seq_idx + 1 ELSE st.seq_idx END,
+                 CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                           AND st.fill + t.n_tokens > 128
+                      THEN 0 ELSE st.fill END,
+                 CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                           AND st.fill + t.n_tokens > 128
+                      THEN t.n_tokens
+                      ELSE st.fill + t.n_tokens END
+          FROM st JOIN toks t
+            ON t.shard = st.shard AND t.rn = st.rn + 1)
+        SELECT shard, doc_id, n_tokens, seq_idx, offset_in_seq
+        FROM st
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # invariants: no doc straddles (offset + tokens <= capacity
+    # unless the doc alone exceeds it); sequences are contiguous
+    # per shard; zero-token docs never sit at offset 0 of a fresh
+    # non-first sequence they opened
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    from itertools import groupby
+    for shard, grp in groupby(rows, key=lambda r: r["shard"]):
+        grp = list(grp)
+        seqs = [r["seq_idx"] for r in grp]
+        assert seqs[0] == 0 and all(
+            b - a in (0, 1) for a, b in zip(seqs, seqs[1:])
+        )
+        for r in grp:
+            if 0 < r["n_tokens"] <= 128:
+                assert r["offset_in_seq"] + r["n_tokens"] <= 128
+            elif r["n_tokens"] > 128:
+                assert r["offset_in_seq"] == 0  # dedicated sequence
+            # zero-token docs attach at the current fill (no space,
+            # no constraint — may trail an oversized doc)
