@@ -1492,3 +1492,46 @@ def split_sentences(
             "sentence",
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    merges: list,
+) -> DataFrame:
+    """Tokenizer fertility audit: BPE tokens per word, aggregated by
+    `group_col` (language, source, domain) — the number a tokenizer
+    choice is judged by: a fertility of 1.3 for English but 2.8 for
+    an under-represented script means that script pays ~2x the
+    sequence length (and compute) per word, the classic
+    multilingual-tokenizer failure mode. Completes the tokenizer
+    family: train (`bpe_train_merges`) -> encode
+    (`bpe_encode_corpus`) -> coverage (`vocab_coverage`) ->
+    fertility (this).
+
+    Per group: n_docs, n_words, n_bpe_tokens, fertility (4 dp;
+    NULL for an all-empty group — "no evidence"). Scale shape: the
+    encode pass dominates and keeps its corpus-never-shuffled /
+    Python-touches-distinct-words-only contract; this adds one
+    map-side-combined agg over per-doc counts — group-table-sized
+    output.
+    """
+    enc = bpe_encode_corpus(
+        df, id_col=id_col, text_col=text_col, merges=merges
+    )
+    joined = df.select(id_col, group_col).join(enc, id_col)
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.when(
+                F.sum("n_words") > 0,
+                F.sum("n_bpe_tokens") / F.sum("n_words"),
+            ),
+            4,
+        ).alias("fertility"),
+    )

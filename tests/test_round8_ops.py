@@ -1923,3 +1923,70 @@ def test_pack_nofragment_oracle_and_invariants(spark):
                 assert r["offset_in_seq"] == 0  # dedicated sequence
             # zero-token docs attach at the current fill (no space,
             # no constraint — may trail an oversized doc)
+
+
+def test_tokenizer_fertility_oracle(spark):
+    # Banked for r9 as `ext-tokenizer-fertility`: BPE tokens-per-word
+    # by language — the multilingual tokenizer-choice audit,
+    # completing train -> encode -> coverage -> fertility. Twin wraps
+    # the proven encode oracle (v10 vocab state) in the per-group
+    # rollup.
+    import math
+
+    import duckdb
+
+    from __spark_entry__ import _bpe_oracle_sql
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_train_merges, tokenizer_fertility,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    trained = bpe_train_merges(docs, text_col="text", n_merges=10)
+    rows = trained.orderBy("rank").collect()
+    assert len(rows) == 10 and min(r["pair_count"] for r in rows) >= 2
+    merges = [(r["left"], r["right"]) for r in rows]
+
+    out = tokenizer_fertility(
+        docs, id_col="doc_id", text_col="text", group_col="lang",
+        merges=merges,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = f"""
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+               CASE WHEN SUM(e.n_words) > 0
+                    THEN ROUND(SUM(e.n_bpe_tokens)
+                               / CAST(SUM(e.n_words) AS DOUBLE), 4)
+               END AS fertility
+        FROM ({_bpe_oracle_sql(10, encode=True)}) e
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) >= 3
+
+    # fertility is a tokens-per-word ratio: > 1 always (</w> alone
+    # guarantees one token per word), finite, and every lang present
+    vals = {r["lang"]: r["fertility"] for r in out.collect()}
+    assert all(v is not None and v > 1.0 for v in vals.values())
