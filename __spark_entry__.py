@@ -3617,6 +3617,96 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def _sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Sentence segmentation (operators/text.py split_sentences):
+    # RE2-portable mark-then-split, punctuation attached, map-only.
+    # The corpus has no punctuation, so the gated input joins each
+    # doc's words into chunks of (doc_id % 5 + 3) words terminated
+    # by a cycling [. ! ?]; %19 docs go NULL (no rows). The twin
+    # replays fixture + segmentation (tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.text import split_sentences
+
+    docs = load_table(spark, "documents", sf)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    csz = (F.col("doc_id") % 5 + 3).cast("int")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / csz).cast("int"), F.lit(1)
+    )
+    sentenced = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat(
+                F.concat_ws(
+                    " ", F.slice(words, (i - 1) * csz + 1, csz)
+                ),
+                F.element_at(
+                    F.array(F.lit("."), F.lit("!"), F.lit("?")),
+                    (i % 3) + 1,
+                ),
+            ),
+        ),
+        " ",
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(sentenced).alias("text"),
+    )
+    return split_sentences(fixture, id_col="doc_id", text_col="text")
+
+
+def _pack_nofragment(spark: SparkSession, sf: str) -> DataFrame:
+    # Document-preserving next-fit packing (operators/corpus_prep.py
+    # pack_nofragment): docs never straddle sequences; zero-token
+    # docs (%17 injected) never open one; oversized docs (%23
+    # injected at 500 tokens vs capacity 128) get a dedicated
+    # sequence. Sequential fold parallelized by shard; twin = the
+    # per-shard recursive-CTE replay (tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        pack_nofragment,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = token_count(
+        load_table(spark, "documents", sf), text_col="text"
+    ).select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(0))
+        .when(F.col("doc_id") % 23 == 0, F.lit(500))
+        .otherwise(F.col("n_tokens")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_nofragment(
+        docs, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", capacity=128,
+    )
+
+
+def _tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    # Tokenizer fertility by language (operators/text.py
+    # tokenizer_fertility) under the corpus-trained 10-merge table —
+    # completes train -> encode -> coverage -> fertility. Same
+    # early-stop guard as ext-bpe-encode: the encode twin assumes
+    # all 10 merges applied.
+    from awskinesisconsumer_spark.operators.text import (
+        bpe_train_merges, tokenizer_fertility,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    trained = bpe_train_merges(docs, text_col="text", n_merges=10)
+    rows = trained.orderBy("rank").collect()
+    if len(rows) != 10 or min(r["pair_count"] for r in rows) < 2:
+        raise RuntimeError(
+            "ext-tokenizer-fertility: trainer early-stopped "
+            f"({len(rows)} merges) — the encode oracle assumes all "
+            "10 merges applied"
+        )
+    merges = [(r["left"], r["right"]) for r in rows]
+    return tokenizer_fertility(
+        docs, id_col="doc_id", text_col="text", group_col="lang",
+        merges=merges,
+    )
+
+
 def _dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     # Dedup-quality audit (operators/dedup.py dedup_recall_audit):
     # per true-Jaccard bucket, the fraction of exact n-gram near-dup
@@ -4142,6 +4232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-interleave-mixture": _interleave_mixture,
         "ext-layout-corpus": _layout_corpus,
         "ext-dedup-recall": _dedup_recall,
+        "ext-sentence-split": _sentence_split,
+        "ext-pack-nofragment": _pack_nofragment,
+        "ext-tokenizer-fertility": _tokenizer_fertility,
         "ext-audio-resample": _audio_resample,
         "ext-cdc-chunk-text": _cdc_chunk_text,
         "ext-frame-sample": _frame_sample,
@@ -6944,6 +7037,21 @@ def oracle_sql() -> dict[str, str]:
         # not trigger — which the _bpe_encode entry asserts loudly
         # (min pair_count >= 2 across all 10 merges).
         "ext-bpe-encode": _bpe_oracle_sql(10, encode=True),
+        # Fertility twin: the proven encode oracle wrapped in the
+        # per-language rollup.
+        "ext-tokenizer-fertility": f"""
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN SUM(e.n_words) > 0
+                        THEN ROUND(SUM(e.n_bpe_tokens)
+                                   / CAST(SUM(e.n_words) AS DOUBLE), 4)
+                   END AS fertility
+            FROM ({_bpe_oracle_sql(10, encode=True)}) e
+            JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """,
         # Snapshot-diff twin: same length-prefixed digest serialization
         # (sha256(VARCHAR) hashes UTF-8 bytes == Spark's string ->
         # binary cast into sha2), same full-outer status derivation.
@@ -7472,6 +7580,86 @@ def oracle_sql() -> dict[str, str]:
         # shingle hash -> 32 permutation minima -> 8 band hashes ->
         # hot-bucket (>200) bar -> candidate pairs -> signature-estimated
         # Jaccard >= 0.5. Mirrors operators/dedup.py:dedup_minhash_lsh.
+        # Sentence-split twin: fixture injection + mark-then-split
+        # replay (RE2 backreference syntax \1 vs Java's $1 — same
+        # semantics).
+        "ext-sentence-split": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(COALESCE(text, ''), ' ') AS ws,
+                     CAST(doc_id % 5 + 3 AS INT) AS csz
+              FROM documents),
+            nch AS (
+              SELECT doc_id, ws, csz,
+                     GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
+                                   AS INT), 1) AS n_chunks
+              FROM base),
+            fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+                       array_to_string(
+                         list_transform(range(1, n_chunks + 1), i ->
+                           array_to_string(
+                             ws[(i - 1) * csz + 1 : i * csz], ' ')
+                           || ['.', '!', '?'][(i % 3) + 1]),
+                         ' ')
+                     END AS text
+              FROM nch),
+            marked AS (
+              SELECT doc_id,
+                     regexp_replace(text, '([.!?])[ \t\r\n\f]+',
+                                    '\1' || chr(30), 'g') AS m
+              FROM fix),
+            parts AS (
+              SELECT doc_id, string_split(m, chr(30)) AS ps
+              FROM marked WHERE m IS NOT NULL),
+            ex AS (
+              SELECT doc_id,
+                     CAST(i - 1 AS INT) AS sent_idx,
+                     trim(ps[i]) AS sentence
+              FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i))
+            SELECT doc_id, sent_idx, sentence
+            FROM ex WHERE length(sentence) > 0
+        """,
+        # No-fragment packer twin: the sequential next-fit fold as a
+        # per-shard recursive CTE advancing one doc per step.
+        "ext-pack-nofragment": r"""
+            WITH RECURSIVE toks AS MATERIALIZED (
+              SELECT doc_id % 4 AS shard, doc_id,
+                     CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                               WHEN doc_id % 23 = 0 THEN 500
+                               ELSE CASE WHEN length(trim(COALESCE(
+                                           text, ''))) = 0 THEN 0
+                                    ELSE len(string_split_regex(
+                                           trim(COALESCE(text, '')),
+                                           '\s+')) END
+                          END AS BIGINT) AS n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            st AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_idx,
+                     CAST(0 AS BIGINT) AS offset_in_seq,
+                     n_tokens AS fill
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                               AND st.fill + t.n_tokens > 128
+                          THEN st.seq_idx + 1 ELSE st.seq_idx END,
+                     CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                               AND st.fill + t.n_tokens > 128
+                          THEN 0 ELSE st.fill END,
+                     CASE WHEN st.fill > 0 AND t.n_tokens > 0
+                               AND st.fill + t.n_tokens > 128
+                          THEN t.n_tokens
+                          ELSE st.fill + t.n_tokens END
+              FROM st JOIN toks t
+                ON t.shard = st.shard AND t.rn = st.rn + 1)
+            SELECT shard, doc_id, n_tokens, seq_idx, offset_in_seq
+            FROM st
+        """,
         # Dedup-recall twin: the proven jaccard chain (t*-prefixed)
         # + the proven minhash band chain (original CTE names — the
         # shared mh_* fragments reference `sig`) + the bucket rollup.

@@ -178,6 +178,9 @@ HEADLINE = [
     "ext-interleave-mixture",
     "ext-layout-corpus",
     "ext-dedup-recall",
+    "ext-sentence-split",
+    "ext-pack-nofragment",
+    "ext-tokenizer-fertility",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -102,17 +102,19 @@ def test_gate_head_composition():
     # The external driver gates the first 50 queries() entries: this
     # round that is the 2 changed entries (quality-blend twin
     # NULL/degenerate guards; dup-spans anchored migration) + the
-    # SECOND r8 wave of 14 (registered mid-round) + the 13 newly
+    # SECOND r8 wave of 17 (registered mid-round) + the 13 newly
     # registered r6/r7-banked operators + scan-element-callback +
     # error-route (r4) + the oldest r5-record veterans (README
     # "Round-8 rotation plan", second-wave update).
     import __spark_entry__ as m
 
     keys = list(m.queries())
-    assert keys[:30] == [
+    assert keys[:33] == [
         "ext-quality-blend", "ext-dup-spans",
         "ext-shuffle-order", "ext-interleave-mixture",
         "ext-layout-corpus", "ext-dedup-recall",
+        "ext-sentence-split", "ext-pack-nofragment",
+        "ext-tokenizer-fertility",
         "ext-audio-resample", "ext-cdc-chunk-text", "ext-frame-sample",
         "ext-dataset-card", "ext-html-strip", "ext-perplexity-bigram",
         "ext-rank-fusion", "stream-quality-blend",
@@ -124,9 +126,9 @@ def test_gate_head_composition():
         "stream-corpus-drift", "stream-vocab-coverage",
         "scan-element-callback",
     ]
-    assert keys[30] == "error-route"
-    assert keys[31] == "ext-dedup-incremental"
-    assert len(keys) == 178 and len(set(keys)) == 178
+    assert keys[33] == "error-route"
+    assert keys[34] == "ext-dedup-incremental"
+    assert len(keys) == 181 and len(set(keys)) == 181
     # every entry has an oracle twin (full hash-gate coverage)
     osql = m.oracle_sql()
     assert set(osql) == set(keys)
