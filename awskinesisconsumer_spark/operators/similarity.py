@@ -1197,3 +1197,53 @@ def rank_fusion(
         fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .where(F.col("fused_rank") <= top_n)
     )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-dimension whitening (z-scoring) of an embedding column —
+    the normalization pass run before cosine ANN when dimensions
+    carry wildly different variances (a handful of high-variance
+    dims otherwise dominate every dot product): each component
+    becomes (x - mean_d) / std_d, degenerate dims (std 0) map to
+    0.0. Uses `embedding_dim_stats`' 6-dp stats so the transform is
+    engine-replayable; output is LONG format (id, dim, white_val) —
+    the join-free shape downstream per-dim consumers (quantizers,
+    per-dim drift) read directly.
+
+    Scale shape: phase 1 is the dim-stats aggregate (shuffle carries
+    `dim` rows per partition); its result is DIM-sized — 64 doubles
+    here — and collects to the driver like a centroid table, baked
+    into the phase-2 projection as array literals. Phase 2 is
+    map-only (transform + posexplode): the corpus is NEVER shuffled
+    and the whitening fuses with the scan.
+    """
+    stats = sorted(
+        embedding_dim_stats(df, vec_col=vec_col).collect(),
+        key=lambda r: r["dim"],
+    )
+    if not stats:
+        raise ValueError("whiten_embeddings: empty input")
+    means = F.array(*[F.lit(float(r["dim_mean"])) for r in stats])
+    stds = F.array(
+        *[F.lit(float(r["dim_std"]) if r["dim_std"] is not None else 0.0)
+          for r in stats]
+    )
+    white = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.round(
+            F.when(
+                F.element_at(stds, i + 1) > 0,
+                (x.cast("double") - F.element_at(means, i + 1))
+                / F.element_at(stds, i + 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    return df.select(
+        id_col, F.posexplode(white).alias("dim", "white_val")
+    )

@@ -1990,3 +1990,67 @@ def test_tokenizer_fertility_oracle(spark):
     # guarantees one token per word), finite, and every lang present
     vals = {r["lang"]: r["fertility"] for r in out.collect()}
     assert all(v is not None and v > 1.0 for v in vals.values())
+
+
+def test_whiten_embeddings_oracle(spark):
+    # Banked for r9 as `ext-embedding-whiten`: per-dimension
+    # z-scoring before cosine ANN — 6-dp stats collected (dim-sized,
+    # the centroid-table pattern) and baked into a map-only
+    # transform; long-format output. Twin replays stats + normalize.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        whiten_embeddings,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SF)
+    out = whiten_embeddings(emb, id_col="vec_id", vec_col="embedding")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    sql = """
+        WITH ex AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings,
+               (SELECT UNNEST(generate_series(1, 64)) AS i)),
+        stats AS (
+          SELECT dim, ROUND(AVG(v), 6) AS m,
+                 ROUND(STDDEV_SAMP(v), 6) AS s
+          FROM ex GROUP BY 1)
+        SELECT vec_id, dim,
+               ROUND(CASE WHEN s > 0 THEN (v - m) / s
+                          ELSE 0.0 END, 6) AS white_val
+        FROM ex JOIN stats USING (dim)
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500 * 64
+
+    # whitening property: each dim is ~zero-mean unit-variance after
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for r in out.collect():
+        vals[r["dim"]].append(r["white_val"])
+    import statistics
+    for d in (0, 31, 63):
+        assert abs(statistics.mean(vals[d])) < 1e-3
+        assert abs(statistics.stdev(vals[d]) - 1.0) < 1e-2
