@@ -1413,3 +1413,68 @@ def pack_nofragment(
         return pdf
 
     return base.groupBy(shard_col).applyInPandas(pack, out_schema)
+
+
+def expand_mixture_epochs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    epochs: dict,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """Materialize a mixture's up-sampling decision: repeat each
+    document `epochs[source]` times — the expansion step between
+    `mixture_allocation` (which computes per-source epochs > 1 for
+    under-represented sources) and `shuffle_order`/`pack_sequences`
+    (which lay the expanded stream out). A doc in a source with
+    epochs 2.3 appears 2 times always, 3 times for a deterministic
+    30% of docs (portable-hash gate, the `sample_stratified` rule) —
+    so the expanded token mass converges to available * epochs
+    without any RNG, and re-runs/appends expand identically.
+
+    Output: input rows repeated with `repeat_idx` (0-based) —
+    (id, repeat_idx) is the new unique key downstream ops order by.
+    Sources absent from `epochs` default to 1 (kept once); epochs
+    must be >= 0 (0 drops the source — the cap-to-zero case).
+
+    Scale shape: map-only — one when-chain for the epoch, one hash
+    gate, one explode(sequence(...)); no shuffle, no join, output
+    size = input * mean(epochs). The explode multiplies rows BEFORE
+    the heavy layout stages, which is the right order: repetition is
+    a layout-time decision, so nothing upstream (dedup, quality)
+    ever sees a repeated doc.
+    """
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if not epochs:
+        raise ValueError("expand_mixture_epochs: epochs must be non-empty")
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError(
+            f"expand_mixture_epochs: epochs must be >= 0, got {epochs}"
+        )
+    h = hash_fn or portable_hash52
+    eexpr: Column = F.lit(1.0)
+    for src, e in sorted(epochs.items()):
+        eexpr = F.when(F.col(source_col) == src,
+                       F.lit(float(e))).otherwise(eexpr)
+    base = F.floor(eexpr).cast("long")
+    frac = eexpr - base.cast("double")
+    gate = F.pmod(
+        h(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                      F.lit(salt))),
+        F.lit(1_000_000),
+    )
+    n_rep = base + F.when(
+        gate < (frac * 1_000_000).cast("long"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_rep", n_rep)
+        .where(F.col("_n_rep") > 0)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(0), (F.col("_n_rep") - 1).cast("int"))),
+        )
+        .drop("_n_rep")
+    )

@@ -2054,3 +2054,82 @@ def test_whiten_embeddings_oracle(spark):
     for d in (0, 31, 63):
         assert abs(statistics.mean(vals[d])) < 1e-3
         assert abs(statistics.stdev(vals[d]) - 1.0) < 1e-2
+
+
+def test_expand_mixture_epochs_oracle(spark):
+    # Banked for r9 as `ext-mixture-expand`: materialize per-source
+    # epoch repetition — floor(epochs) always, +1 for a
+    # deterministic hash-gated fraction; sources absent default 1,
+    # epochs 0 drops. Twin replays the when-chain, gate, and
+    # generate_series explode.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "source")
+    epochs = {"src0": 2.3, "src1": 0.0, "src2": 1.0, "src3": 0.4}
+    out = expand_mixture_epochs(
+        docs, id_col="doc_id", source_col="source", epochs=epochs,
+        hash_fn=portable_hash52,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = """
+        WITH e AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
+                             WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
+                             ELSE 1.0 END AS ep,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || 'v1'), 1, 13))::BIGINT
+                   % 1000000 AS gate
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+                 CAST(FLOOR(ep) AS BIGINT)
+                   + CASE WHEN gate < CAST((ep - FLOOR(ep)) * 1000000
+                                           AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_rep
+          FROM e)
+        SELECT doc_id, source,
+               CAST(UNNEST(generate_series(0, n_rep - 1)) AS INT)
+                 AS repeat_idx
+        FROM n WHERE n_rep > 0
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows
+
+    # semantics: src1 fully dropped; src2 exactly once; src0 repeated
+    # 2-3x converging to 2.3x; unlisted sources once; determinism
+    from collections import Counter
+    per_src = Counter(r["source"] for r in out.collect())
+    assert "src1" not in per_src
+    assert per_src["src2"] == 25
+    assert 2 * 25 <= per_src["src0"] <= 3 * 25
+    assert per_src["src4"] == 25  # unlisted default 1
+    reps = Counter(r["doc_id"] for r in out.collect()
+                   if r["source"] == "src0")
+    assert set(reps.values()) <= {2, 3}
