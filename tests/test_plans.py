@@ -490,3 +490,36 @@ def test_rank_fusion_fuses_lists_without_corpus_scan(spark):
     plan = _plan(out)
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_order_no_global_sort(spark):
+    # ext-shuffle-order: per-shard window sorts — the plan must hash-
+    # partition by shard, never range-partition (a global ORDER BY
+    # hash would funnel the corpus through one task).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        shuffle_order,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(shuffle_order(docs, id_col="doc_id", n_shards=8))
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_interleave_mixture_two_parallel_window_families(spark):
+    # ext-interleave-mixture: positions window + merge window, both
+    # hash-partitioned (parallel); no range partitioning, no join.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        interleave_mixture,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = interleave_mixture(
+        docs, id_col="doc_id", source_col="source",
+        weights={"src0": 0.5, "src1": 0.5}, n_shards=8,
+    )
+    plan = _plan(out)
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
