@@ -1340,6 +1340,26 @@ def layout_corpus(
     )
 
 
+def _next_fit(tokens, capacity: int):
+    """pack_nofragment's sequential fold, module-level so property
+    tests exercise the exact production kernel: next-fit over token
+    counts in order — a new sequence opens iff the current one is
+    non-empty AND the doc has tokens AND it would overflow;
+    zero-token docs attach at the current fill; oversized docs get a
+    dedicated sequence. Returns (seq_idx list, offset list)."""
+    seqs, offs = [], []
+    seq, fill = 0, 0
+    for t in tokens:
+        t = int(t)
+        if fill > 0 and t > 0 and fill + t > capacity:
+            seq += 1
+            fill = 0
+        seqs.append(seq)
+        offs.append(fill)
+        fill += t
+    return seqs, offs
+
+
 def pack_nofragment(
     df: DataFrame,
     *,
@@ -1398,16 +1418,7 @@ def pack_nofragment(
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
             drop=True
         )
-        seqs, offs = [], []
-        seq, fill = 0, 0
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            if fill > 0 and t > 0 and fill + t > capacity:
-                seq += 1
-                fill = 0
-            seqs.append(seq)
-            offs.append(fill)
-            fill += t
+        seqs, offs = _next_fit(pdf["n_tokens"], capacity)
         pdf["seq_idx"] = seqs
         pdf["offset_in_seq"] = offs
         return pdf

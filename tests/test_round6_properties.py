@@ -112,3 +112,32 @@ def _decode_png_batches(mm, pdf):
 
     mm.decode_png(_FakeDF())
     return captured["fn"](iter([pdf]))
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=200), max_size=60),
+       st.integers(min_value=1, max_value=128))
+def test_next_fit_invariants(tokens, capacity):
+    # pack_nofragment's kernel: no positive-token doc straddles its
+    # sequence (unless it alone exceeds capacity -> dedicated seq at
+    # offset 0); sequence indices are non-decreasing, step <= 1;
+    # offsets equal the running fill within each sequence.
+    from awskinesisconsumer_spark.operators.corpus_prep import _next_fit
+
+    seqs, offs = _next_fit(tokens, capacity)
+    assert len(seqs) == len(offs) == len(tokens)
+    fill = {}
+    for t, sq, off in zip(tokens, seqs, offs):
+        assert off == fill.get(sq, 0)
+        fill[sq] = fill.get(sq, 0) + t
+        if 0 < t <= capacity:
+            assert off + t <= capacity
+        elif t > capacity:
+            assert off == 0
+    if seqs:
+        assert seqs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+        # a sequence break only happens on a genuine overflow
+        for i in range(1, len(seqs)):
+            if seqs[i] == seqs[i - 1] + 1:
+                assert tokens[i] > 0 and offs[i] == 0
