@@ -2133,3 +2133,48 @@ def test_expand_mixture_epochs_oracle(spark):
     reps = Counter(r["doc_id"] for r in out.collect()
                    if r["source"] == "src0")
     assert set(reps.values()) <= {2, 3}
+
+
+def test_expand_mixture_epochs_streaming_native(spark, tmp_path):
+    # expand_mixture_epochs is map-only + explode — legal in a
+    # streaming SELECT as-is, no wrapper operator needed. Prove the
+    # 3-batch streaming union equals the batch expansion (per-row
+    # determinism => chunking-invariant).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF).select("doc_id", "source")
+    epochs = {"src0": 2.3, "src1": 0.0, "src2": 1.0, "src3": 0.4}
+
+    src = str(tmp_path / "me_src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = expand_mixture_epochs(
+        stream, id_col="doc_id", source_col="source", epochs=epochs,
+        hash_fn=portable_hash52,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("me_stream_bank")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    got = sorted(tuple(r) for r in spark.table("me_stream_bank").collect())
+    want = sorted(
+        tuple(r) for r in expand_mixture_epochs(
+            docs, id_col="doc_id", source_col="source", epochs=epochs,
+            hash_fn=portable_hash52,
+        ).collect()
+    )
+    assert got == want and len(got) > 400
