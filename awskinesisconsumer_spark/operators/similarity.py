@@ -1222,17 +1222,45 @@ def whiten_embeddings(
     map-only (transform + posexplode): the corpus is NEVER shuffled
     and the whitening fuses with the scan.
     """
+    return whiten_embeddings_with_stats(
+        df, id_col=id_col, vec_col=vec_col,
+        stats=whitening_stats(df, vec_col=vec_col),
+    )
+
+
+def whitening_stats(df: DataFrame, *, vec_col: str) -> list:
+    """Collect the DIM-sized whitening calibration (sorted
+    (mean, std) pairs, 6-dp) — the freeze point: compute once on the
+    reference corpus, then apply to any batch or stream with
+    `whiten_embeddings_with_stats` (the `quality_cut_points` /
+    `quality_blend_with_cuts` split)."""
     stats = sorted(
         embedding_dim_stats(df, vec_col=vec_col).collect(),
         key=lambda r: r["dim"],
     )
     if not stats:
-        raise ValueError("whiten_embeddings: empty input")
-    means = F.array(*[F.lit(float(r["dim_mean"])) for r in stats])
-    stds = F.array(
-        *[F.lit(float(r["dim_std"]) if r["dim_std"] is not None else 0.0)
-          for r in stats]
-    )
+        raise ValueError("whitening_stats: empty input")
+    return [
+        (float(r["dim_mean"]),
+         float(r["dim_std"]) if r["dim_std"] is not None else 0.0)
+        for r in stats
+    ]
+
+
+def whiten_embeddings_with_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    stats: list,
+) -> DataFrame:
+    """Apply a FROZEN whitening calibration (from `whitening_stats`)
+    — pure map-only projection (transform + posexplode), legal in a
+    streaming SELECT as-is: per-row determinism makes the streaming
+    union equal the batch result regardless of chunking (proven in
+    tests/test_round8_ops.py)."""
+    means = F.array(*[F.lit(m) for m, _ in stats])
+    stds = F.array(*[F.lit(sd) for _, sd in stats])
     white = F.transform(
         F.col(vec_col),
         lambda x, i: F.round(

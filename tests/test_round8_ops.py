@@ -2178,3 +2178,50 @@ def test_expand_mixture_epochs_streaming_native(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 400
+
+
+def test_whiten_with_frozen_stats_streaming_native(spark, tmp_path):
+    # The frozen-calibration split: stats from the even vec_id half,
+    # applied to the odd half arriving as a 3-batch stream — union
+    # must equal the batch application (map-only, per-row
+    # deterministic), the quality-blend-stream contract for
+    # embeddings.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        whiten_embeddings_with_stats, whitening_stats,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SF)
+    reference = emb.where(F.col("vec_id") % 2 == 0)
+    arriving = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    stats = whitening_stats(reference, vec_col="embedding")
+
+    src = str(tmp_path / "wh_src")
+    arriving.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = whiten_embeddings_with_stats(
+        stream, id_col="vec_id", vec_col="embedding", stats=stats
+    )
+    q = (
+        out.writeStream.format("memory").queryName("wh_stream_bank")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+
+    got = sorted(tuple(r) for r in spark.table("wh_stream_bank").collect())
+    want = sorted(
+        tuple(r) for r in whiten_embeddings_with_stats(
+            arriving, id_col="vec_id", vec_col="embedding", stats=stats
+        ).collect()
+    )
+    assert got == want and len(got) == 250 * 64
