@@ -982,3 +982,104 @@ def dedup_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming banding (the
+    Manku/Jain/Sarma web-dedup construction): fingerprints split
+    into `bands` equal chunks; candidates = pairs agreeing on at
+    least one chunk; verified with exact Hamming distance <=
+    `max_hamming`.
+
+    The pigeonhole guarantee makes candidate generation LOSSLESS —
+    d bit-differences can touch at most d chunks, so with
+    bands >= max_hamming + 1 every qualifying pair shares an
+    untouched chunk and is generated (unlike MinHash banding, whose
+    recall is probabilistic — the S-curve `ext-dedup-recall`
+    measures). Enforced at call time.
+
+    Emitted: (id_a, id_b, hamming), id_a < id_b, distinct.
+
+    Scale shape: fingerprints are one long per doc; the band
+    explode is bands rows per doc; the candidate join is an
+    equi-join on (band_idx, band_value) — hot band buckets (boiler-
+    plate-heavy corpora) are the skew risk, capped like the shingle
+    index (buckets above `hot_cap` docs cannot seed pairs; verify
+    still runs on every surviving candidate). The verify is one
+    bit_count(xor) per candidate — integer ops, no text touched
+    after the fingerprint pass.
+    """
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"simhash_near_dup_pairs: bands ({bands}) must be >= "
+            f"max_hamming + 1 ({max_hamming + 1}) for the pigeonhole "
+            "guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"simhash_near_dup_pairs: bits ({bits}) must divide into "
+            f"bands ({bands}) evenly"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    hot_cap = 200
+    fps = simhash(
+        df, text_col=text_col, id_col=id_col, bits=bits,
+        hash_fn=hash_fn,
+    )
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select(
+        id_col, "simhash",
+        F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+    hot = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_cap)
+        .select("band_idx", "band_val")
+    )
+    kept = banded.join(hot, ["band_idx", "band_val"], "left_anti")
+    left = kept.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"),
+    )
+    right = kept.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2225,3 +2225,140 @@ def test_whiten_with_frozen_stats_streaming_native(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 250 * 64
+
+
+def test_simhash_near_dup_pairs_oracle_and_losslessness(spark):
+    # Banked for r9 as `ext-dedup-simhash-pairs`: Hamming-banded
+    # SimHash near-dup pairs (pigeonhole construction) — candidate
+    # generation is LOSSLESS for hamming <= bands-1, unlike MinHash
+    # banding. Twin replays fingerprints, banding, the band join,
+    # and bit_count verify; a brute-force all-pairs check proves
+    # completeness at test scale.
+    import math
+
+    import duckdb
+
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, simhash_near_dup_pairs,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SF)
+    out = simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", bits=16,
+        max_hamming=3, bands=4, hash_fn=portable_hash52,
+    )
+
+    p52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS b{i}" for i in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    bands_sql = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, fp, {i} AS band_idx,"
+        f" (fp >> {i * 4}) & 15 AS band_val FROM sig"
+        for i in range(4)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = f"""
+        WITH w AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\\s+') END
+              AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+        hashed AS (
+          SELECT doc_id, {p52.format(x='t')} AS h FROM tok
+          WHERE t <> ''),
+        v AS (SELECT doc_id,
+                   {votes}
+              FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+        banded AS (
+              {bands_sql}),
+        hot AS (SELECT band_idx, band_val FROM banded
+                GROUP BY 1, 2 HAVING COUNT(*) > 200),
+        kept AS (
+          SELECT bd.* FROM banded bd
+          LEFT JOIN hot ON bd.band_idx = hot.band_idx
+                       AND bd.band_val = hot.band_val
+          WHERE hot.band_idx IS NULL),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.fp AS fa, r.fp AS fb
+          FROM kept l JOIN kept r
+            ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+           AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 100
+
+    # pigeonhole losslessness: if no band bucket hit the hot cap,
+    # the banded pair set must EQUAL the brute-force all-pairs set
+    hot_hit = con.execute(f"""
+        WITH w AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\\s+') END
+              AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+        hashed AS (SELECT doc_id, {p52.format(x='t')} AS h FROM tok
+                   WHERE t <> ''),
+        v AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+        banded AS ({bands_sql})
+        SELECT COUNT(*) FROM (
+          SELECT band_idx, band_val FROM banded
+          GROUP BY 1, 2 HAVING COUNT(*) > 200)
+    """).fetchone()[0]
+    assert hot_hit == 0
+    brute = con.execute(f"""
+        WITH w AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\\s+') END
+              AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+        hashed AS (SELECT doc_id, {p52.format(x='t')} AS h FROM tok
+                   WHERE t <> ''),
+        v AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v)
+        SELECT a.doc_id, b.doc_id,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT)
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """).fetchall()
+    # srows tuples follow sorted(column names) = (hamming, id_a, id_b)
+    assert sorted(
+        (canon(r[2]), canon(r[0]), canon(r[1])) for r in brute
+    ) == srows
