@@ -5463,8 +5463,8 @@ def oracle_sql() -> dict[str, str]:
                        AS pos_in_shard
               FROM k),
             c AS (
-              SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
-                          ORDER BY pos_in_shard) AS tok_end
+              SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                          ORDER BY pos_in_shard) AS BIGINT) AS tok_end
               FROM o)
             SELECT doc_id, source, shard, pos_in_shard, stride_key,
                    n_tokens, tok_end - n_tokens AS tok_start, tok_end,
@@ -5839,8 +5839,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c AS (
               SELECT shard, doc_id, n_tokens,
-                     SUM(n_tokens) OVER (PARTITION BY shard
-                       ORDER BY doc_id) AS tok_end
+                     CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id) AS BIGINT) AS tok_end
               FROM t)
             SELECT shard, doc_id, n_tokens,
                    tok_end - n_tokens AS tok_start, tok_end,
@@ -8266,19 +8266,20 @@ def oracle_sql() -> dict[str, str]:
     # proves the REAL stdlib codecs wrote and re-read exact payloads.
     d["ext-multimodal-wav"] = """
         SELECT i AS doc_id, 8000 AS sample_rate, 1 AS n_channels,
-               2 AS sample_width, 441 AS n_frames,
-               441 * 1000 // 8000 AS duration_ms,
-               SUM(((i * 31 + k * 17) % 65536) - 32768) AS sum_samples,
-               SUM(ABS(((i * 31 + k * 17) % 65536) - 32768))
-                 AS sum_abs_samples
+               2 AS sample_width, CAST(441 AS BIGINT) AS n_frames,
+               CAST(441 * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(((i * 31 + k * 17) % 65536) - 32768) AS BIGINT)
+                 AS sum_samples,
+               CAST(SUM(ABS(((i * 31 + k * 17) % 65536) - 32768))
+                 AS BIGINT) AS sum_abs_samples
         FROM range(0, 40) t(i), range(0, 441) s(k)
         GROUP BY i
     """
     d["ext-multimodal-png"] = """
         SELECT i AS doc_id, 8 AS height, 8 AS width, 8 AS bit_depth,
                2 AS color_type, TRUE AS crc_ok,
-               SUM((i * 7 + y * 131 + x * 17 + c * 43) % 256)
-                 AS sum_pixels
+               CAST(SUM((i * 7 + y * 131 + x * 17 + c * 43) % 256)
+                 AS BIGINT) AS sum_pixels
         FROM range(0, 25) t(i), range(0, 8) ys(y), range(0, 8) xs(x),
              range(0, 3) cs(c)
         GROUP BY i
@@ -8288,8 +8289,8 @@ def oracle_sql() -> dict[str, str]:
     # encode pixel formula per frame id.
     d["sink-png-files"] = """
         SELECT i AS frame_id,
-               SUM((i * 7 + y * 131 + x * 17 + c * 43) % 256)
-                 AS sum_pixels,
+               CAST(SUM((i * 7 + y * 131 + x * 17 + c * 43) % 256)
+                 AS BIGINT) AS sum_pixels,
                TRUE AS crc_ok
         FROM range(1, 61) t(i), range(0, 8) ys(y), range(0, 8) xs(x),
              range(0, 3) cs(c)

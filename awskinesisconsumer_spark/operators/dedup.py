@@ -347,14 +347,18 @@ def _attach_sizes(pairs: DataFrame, sizes: DataFrame, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(
     df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.5, hot_cap: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-prefiltered candidates: compute
     true Jaccard on pairs sharing at least one shingle hash bucket
     (inverted-index join on shingle -> candidate pair -> exact verify).
     The inverted index bounds the join to documents that share content;
     hot shingles (stopword runs) are the skew risk — cap postings per
-    shingle (drop buckets larger than a limit, standard practice).
+    shingle (drop buckets larger than `hot_cap` docs, standard
+    practice). NOTE the cap makes this a bounded ESTIMATE, not ground
+    truth: a pair whose every shared shingle is hot cannot be seeded,
+    and n_common is counted post-cap. Raise `hot_cap` (on a sampled
+    slab) when the exact pair set matters, e.g. as an audit truth side.
 
     True set sizes come from the UNFILTERED postings: hot shingles
     still count toward |A| and |B| even if they can't seed a pair —
@@ -362,7 +366,7 @@ def ngram_jaccard_pairs(
     numerator and denominator shrink together under the cap).
     """
     pairs, sizes, all_posts = _inverted_index_pair_counts(
-        df, id_col=id_col, text_col=text_col, n=n, hot_cap=100,
+        df, id_col=id_col, text_col=text_col, n=n, hot_cap=hot_cap,
         sizes_from_filtered=False,
     )
     out = (
@@ -930,9 +934,10 @@ def dedup_recall_audit(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn=xxhash64_col,
+    truth_hot_cap: int = 100,
 ) -> DataFrame:
-    """Dedup-quality audit: what fraction of TRUE near-duplicate
-    pairs (exact n-gram Jaccard >= truth_threshold) does the banded
+    """Dedup-quality audit: what fraction of near-duplicate
+    pairs (n-gram Jaccard >= truth_threshold) does the banded
     MinHash LSH candidate generator actually surface? The dedup
     analogue of the ANN recall@k audit (`ext-ann-recall`): every
     production dedup deployment needs this number per Jaccard band —
@@ -946,6 +951,14 @@ def dedup_recall_audit(
     collision, pre-filter). Emitted per 0.1-wide true-Jaccard
     bucket: n_true_pairs, n_caught, recall (4 dp).
 
+    CAVEAT on the denominator: the truth side is itself the
+    inverted-index-bounded estimate — shingle buckets above
+    `truth_hot_cap` docs cannot seed truth pairs, so on
+    stopword/boilerplate-heavy corpora the "true" pair set is
+    incomplete and the reported recall can be biased HIGH. Raise (or
+    effectively disable with a large value) `truth_hot_cap` when
+    auditing a sampled slab — that is the intended production mode.
+
     Scale shape: both inputs are pair tables bounded by the inverted
     index / band join (never O(n^2)); the audit itself is a
     pair-keyed semi-join + a ~10-row rollup. Run it on a sampled
@@ -954,7 +967,7 @@ def dedup_recall_audit(
     """
     truth = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=n,
-        threshold=truth_threshold,
+        threshold=truth_threshold, hot_cap=truth_hot_cap,
     )
     cand = dedup_minhash_lsh(
         df, id_col=id_col, text_col=text_col, n=n,
@@ -993,6 +1006,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hash_fn=xxhash64_col,
+    hot_cap: int | None = 200,
 ) -> DataFrame:
     """SimHash near-dup pairs via Hamming banding (the
     Manku/Jain/Sarma web-dedup construction): fingerprints split
@@ -1000,12 +1014,18 @@ def simhash_near_dup_pairs(
     least one chunk; verified with exact Hamming distance <=
     `max_hamming`.
 
-    The pigeonhole guarantee makes candidate generation LOSSLESS —
-    d bit-differences can touch at most d chunks, so with
-    bands >= max_hamming + 1 every qualifying pair shares an
+    The pigeonhole argument makes candidate generation LOSSLESS for
+    every pair untouched by the skew cap — d bit-differences can
+    touch at most d chunks, so with bands >= max_hamming + 1 (the
+    geometry enforced at call time) every qualifying pair shares an
     untouched chunk and is generated (unlike MinHash banding, whose
     recall is probabilistic — the S-curve `ext-dedup-recall`
-    measures). Enforced at call time.
+    measures). CAVEAT: `hot_cap` trades that guarantee for skew
+    safety — band buckets holding more than `hot_cap` docs cannot
+    seed pairs, so on boilerplate-heavy corpora a true pair whose
+    only agreeing chunk lands in a hot bucket is missed. Pass
+    hot_cap=None for the unconditional lossless form (accepting the
+    quadratic blow-up inside whatever mega-buckets exist).
 
     Emitted: (id_a, id_b, hamming), id_a < id_b, distinct.
 
@@ -1013,10 +1033,9 @@ def simhash_near_dup_pairs(
     explode is bands rows per doc; the candidate join is an
     equi-join on (band_idx, band_value) — hot band buckets (boiler-
     plate-heavy corpora) are the skew risk, capped like the shingle
-    index (buckets above `hot_cap` docs cannot seed pairs; verify
-    still runs on every surviving candidate). The verify is one
-    bit_count(xor) per candidate — integer ops, no text touched
-    after the fingerprint pass.
+    index (verify still runs on every surviving candidate). The
+    verify is one bit_count(xor) per candidate — integer ops, no
+    text touched after the fingerprint pass.
     """
     if bands < max_hamming + 1:
         raise ValueError(
@@ -1031,7 +1050,6 @@ def simhash_near_dup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    hot_cap = 200
     fps = simhash(
         df, text_col=text_col, id_col=id_col, bits=bits,
         hash_fn=hash_fn,
@@ -1054,13 +1072,16 @@ def simhash_near_dup_pairs(
         F.col("_b.band_idx").alias("band_idx"),
         F.col("_b.band_val").alias("band_val"),
     )
-    hot = (
-        banded.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > hot_cap)
-        .select("band_idx", "band_val")
-    )
-    kept = banded.join(hot, ["band_idx", "band_val"], "left_anti")
+    if hot_cap is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_cap)
+            .select("band_idx", "band_val")
+        )
+        kept = banded.join(hot, ["band_idx", "band_val"], "left_anti")
+    else:
+        kept = banded
     left = kept.select(
         F.col("band_idx"), F.col("band_val"),
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"),

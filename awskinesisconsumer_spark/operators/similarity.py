@@ -1258,7 +1258,12 @@ def whiten_embeddings_with_stats(
     — pure map-only projection (transform + posexplode), legal in a
     streaming SELECT as-is: per-row determinism makes the streaming
     union equal the batch result regardless of chunking (proven in
-    tests/test_round8_ops.py)."""
+    tests/test_round8_ops.py).
+
+    Dimensions BEYOND the calibration length stay NULL (not 0.0) so
+    a vector-length/calibration mismatch is visible in the output
+    instead of silently zeroed; in-range degenerate dims (std 0)
+    still map to 0.0."""
     means = F.array(*[F.lit(m) for m, _ in stats])
     stds = F.array(*[F.lit(sd) for _, sd in stats])
     white = F.transform(
@@ -1268,7 +1273,8 @@ def whiten_embeddings_with_stats(
                 F.element_at(stds, i + 1) > 0,
                 (x.cast("double") - F.element_at(means, i + 1))
                 / F.element_at(stds, i + 1),
-            ).otherwise(F.lit(0.0)),
+            # out-of-calibration dims fall past BOTH branches -> NULL
+            ).when(F.element_at(stds, i + 1) <= 0, F.lit(0.0)),
             6,
         ),
     )

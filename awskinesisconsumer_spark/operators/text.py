@@ -1467,7 +1467,8 @@ def split_sentences(
     explode shape. Terminal punctuation stays attached to its
     sentence; empty fragments are dropped; a document with no
     boundary yields itself as sentence 0; NULL/empty text yields no
-    rows.
+    rows. \\x1e (ASCII record separator) is RESERVED as the internal
+    boundary marker and is stripped from input text up front.
 
     Map-only: one regexp_replace (boundary -> marker, no lookbehind
     so the same rule runs on RE2/DuckDB) + split + posexplode — no
@@ -1476,8 +1477,13 @@ def split_sentences(
     downstream grouping key (sentence hash) is where the first
     exchange happens, exactly as in `dedup_lines`.
     """
+    # \x1e (ASCII record separator) is the reserved boundary marker:
+    # strip any pre-existing occurrence first so adversarial input
+    # can't fabricate sentence splits (it is a control char with no
+    # legitimate in-text meaning)
     marked = F.regexp_replace(
-        F.col(text_col), _SENT_BOUNDARY_RE, "$1" + _SENT_MARKER
+        F.regexp_replace(F.col(text_col), _SENT_MARKER, ""),
+        _SENT_BOUNDARY_RE, "$1" + _SENT_MARKER,
     )
     parts = F.split(marked, _SENT_MARKER)
     out = df.select(

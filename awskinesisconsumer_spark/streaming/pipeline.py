@@ -996,6 +996,15 @@ def frame_sample_stream(
             .sort_values(order_col, kind="mergesort")
             .reset_index(drop=True)
         )
+        if n_seen + len(pdf) >= 2**31:
+            # the emitted frame_idx is int32 (matches the batch
+            # sample_frames schema); fail loudly instead of letting
+            # astype('int32') wrap to negatives and silently break
+            # the sampling modulo past 2^31 frames per stream
+            raise OverflowError(
+                "frame_sample_stream: stream exceeded int32 frame "
+                f"indices (n_seen={n_seen + len(pdf)})"
+            )
         idx = pd.RangeIndex(n_seen + 1, n_seen + len(pdf) + 1)
         out = pdf[[stream_col, order_col]].copy()
         out["frame_idx"] = idx.astype("int32")

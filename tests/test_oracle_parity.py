@@ -11,6 +11,8 @@ import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -33,13 +35,25 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
-    if v is None:
+    # numpy containers -> plain python so both engines stringify alike
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        v = v.item()
+    # missing is ONE token: pandas renders NULL-in-float-column as
+    # NaN, NULL-in-object-column as None — post-pandas the driver
+    # cannot tell them apart either, so neither do we
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         # driver-style canonicalization: fixed-point string
         return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{_canon(x)}" for k, x in sorted(v.items())
+        ) + "}"
     if hasattr(v, "isoformat"):  # datetime/date
         s = v.isoformat()
         return s[:-6] if s.endswith("+00:00") else s
@@ -48,6 +62,24 @@ def _canon(v):
 
 def _rowset(rows):
     return sorted(tuple(_canon(v) for v in row) for row in rows)
+
+
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's hash is
+    sensitive to: integer vs float vs bool vs datetime vs object.
+    The r8 gate failure was exactly this — DuckDB types SUM(int) as
+    HUGEINT, which pandas renders float64 (`24000.0`) against Spark's
+    int64 (`24000`); a to_pylist()-based compare is blind to it."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "obj"
 
 
 ORACLES = entrymod.oracle_sql()
@@ -65,19 +97,32 @@ def duck():
 def test_oracle_parity(name, spark, duck):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
     sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sorted(sdf.columns)
-    srows = [
-        tuple(row[c] for c in spark_cols) for row in sdf.collect()
-    ]
-    ddf = duck.execute(ORACLES[name]).fetch_arrow_table()
-    duck_cols = sorted(ddf.column_names)
+    # Route BOTH sides through pandas, exactly as the driver does —
+    # this is where DuckDB HUGEINT becomes float64 and diverges from
+    # Spark's int64 unless the twin CASTs (the r8 red-gate class).
+    spdf = sdf.toPandas()
+    dpdf = duck.execute(ORACLES[name]).df()
+    spark_cols = sorted(spdf.columns)
+    duck_cols = sorted(dpdf.columns)
     assert spark_cols == duck_cols, (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
-    drows = [
-        tuple(r[c] for c in duck_cols)
-        for r in ddf.to_pylist()
-    ]
+    kind_mism = {
+        c: (_kind(spdf[c].dtype), _kind(dpdf[c].dtype))
+        for c in spark_cols
+        if _kind(spdf[c].dtype) != _kind(dpdf[c].dtype)
+        # all-NULL columns legitimately land in 'obj' on either side
+        and not (spdf[c].isna().all() and dpdf[c].isna().all())
+    }
+    assert not kind_mism, (
+        f"{name}: dtype-class mismatch (spark, duck): {kind_mism} — "
+        "the driver's pandas-based hash WILL flag this; align the "
+        "oracle twin's types (CAST ... AS BIGINT etc.)"
+    )
+    srows = list(zip(*[spdf[c].tolist() for c in spark_cols])) \
+        if len(spdf) else []
+    drows = list(zip(*[dpdf[c].tolist() for c in duck_cols])) \
+        if len(dpdf) else []
     assert len(srows) == len(drows), (
         f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
     )
