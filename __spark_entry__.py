@@ -516,6 +516,59 @@ def _ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Hamming-banded SimHash near-dup pairs (Manku/Jain/Sarma): the
+    # pigeonhole construction makes candidate generation LOSSLESS for
+    # hamming <= bands-1 (for pairs untouched by the skew cap) —
+    # the exact-recall complement to MinHash banding's S-curve.
+    # portable_hash52 -> the oracle replays fingerprints, banding,
+    # the band join, hot-cap and bit_count verify value-for-value
+    # (proven in tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", bits=16,
+        max_hamming=3, bands=4, hash_fn=portable_hash52,
+    )
+
+
+def _mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
+    # Materialized epoch up-sampling: floor(epochs) repeats always,
+    # +1 for a deterministic hash-gated fraction — the expansion step
+    # between mixture_allocation and shuffle_order/pack_sequences.
+    # Map-only (when-chain + hash gate + explode(sequence)); twin
+    # replays the gate and generate_series explode (proven in
+    # tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    return expand_mixture_epochs(
+        docs, id_col="doc_id", source_col="source",
+        epochs={"src0": 2.3, "src1": 0.0, "src2": 1.0, "src3": 0.4},
+        hash_fn=portable_hash52,
+    )
+
+
+def _embedding_whiten(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-dimension whitening (z-scoring) before cosine ANN: 6-dp
+    # dim stats collected driver-side (the centroid-table pattern,
+    # DIM-sized) and baked into a map-only transform + posexplode —
+    # the corpus is never shuffled. Long-format output; twin replays
+    # stats + normalize at the same 6-dp rounding (proven in
+    # tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.similarity import (
+        whiten_embeddings,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    return whiten_embeddings(emb, id_col="vec_id", vec_col="embedding")
+
+
 def _chunk_into_lines(docs: DataFrame) -> DataFrame:
     # The fixture docs have no newlines, so build multi-line docs
     # deterministically: 5-word chunks of each document become its
@@ -3617,16 +3670,12 @@ def _stream_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
-def _sentence_split(spark: SparkSession, sf: str) -> DataFrame:
-    # Sentence segmentation (operators/text.py split_sentences):
-    # RE2-portable mark-then-split, punctuation attached, map-only.
-    # The corpus has no punctuation, so the gated input joins each
-    # doc's words into chunks of (doc_id % 5 + 3) words terminated
-    # by a cycling [. ! ?]; %19 docs go NULL (no rows). The twin
-    # replays fixture + segmentation (tests/test_round8_ops.py).
-    from awskinesisconsumer_spark.operators.text import split_sentences
-
-    docs = load_table(spark, "documents", sf)
+def _sentenced_fixture(docs: DataFrame) -> DataFrame:
+    # The corpus has no punctuation, so sentence-granularity gates
+    # share this fixture: each doc's words joined into chunks of
+    # (doc_id % 5 + 3) words terminated by a cycling [. ! ?]; %19
+    # docs go NULL (no rows downstream). The twins replay this
+    # synthesis in a shared CTE shape — the two MUST agree.
     words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     csz = (F.col("doc_id") % 5 + 3).cast("int")
     n_chunks = F.greatest(
@@ -3647,12 +3696,48 @@ def _sentence_split(spark: SparkSession, sf: str) -> DataFrame:
         ),
         " ",
     )
-    fixture = docs.select(
+    return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 19 == 0, F.lit(None).cast("string"))
         .otherwise(sentenced).alias("text"),
     )
+
+
+def _sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Sentence segmentation (operators/text.py split_sentences):
+    # RE2-portable mark-then-split, punctuation attached, map-only.
+    # Twin replays fixture + segmentation (tests/test_round8_ops.py).
+    from awskinesisconsumer_spark.operators.text import split_sentences
+
+    fixture = _sentenced_fixture(load_table(spark, "documents", sf))
     return split_sentences(fixture, id_col="doc_id", text_col="text")
+
+
+def _sentence_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Sentence-granularity decontamination (operators/corpus_prep.py
+    # sentence_decontaminate) — the composed split_sentences ->
+    # normalize -> broadcast-join flag, the leak case SURVEY row
+    # ext-sentence-split names as its motivation: a benchmark answer
+    # leaking as ONE whole sentence. Benchmark = %97 docs of the
+    # sentenced fixture; benchmark docs flag themselves, plus any
+    # doc sharing a full >=3-word normalized sentence. Twin chains
+    # fixture + segmentation + normalize + semi-join in one statement
+    # (proven in tests/test_round9_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sentence_decontaminate,
+    )
+
+    fixture = _sentenced_fixture(load_table(spark, "documents", sf))
+    bench = fixture.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").alias("bench_text"),
+    )
+    out = sentence_decontaminate(
+        fixture, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+        min_words=3,
+    )
+    return out.select("doc_id", "n_leaked_sentences", "contaminated")
 
 
 def _pack_nofragment(spark: SparkSession, sf: str) -> DataFrame:
@@ -3846,6 +3931,28 @@ def _cdc_chunk_text(spark: SparkSession, sf: str) -> DataFrame:
     return content_defined_chunks(
         docs, id_col="doc_id", text_col="text", window=8, divisor=64,
         hash_fn=portable_hash52,
+    )
+
+
+def _cdc_chunk_clamped(spark: SparkSession, sf: str) -> DataFrame:
+    # CLAMPED FastCDC (operators/corpus_prep.py
+    # content_defined_chunks_clamped): min/max chunk bounds resolved
+    # left-to-right per doc — the form real chunk-dedup storage runs.
+    # Resolution is ONE F.aggregate fold over the candidate array
+    # (forced boundaries are an arithmetic F.sequence), zero Python,
+    # zero shuffle. Twin replays the fold as a per-doc recursive CTE:
+    # next boundary = first candidate in [last+min, last+max], else
+    # last+max while more than max chars remain (proven in
+    # tests/test_round9_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks_clamped,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return content_defined_chunks_clamped(
+        docs, id_col="doc_id", text_col="text", window=8, divisor=64,
+        min_len=32, max_len=128, hash_fn=portable_hash52,
     )
 
 
@@ -4207,82 +4314,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- CHANGED in round 8 (fingerprints re-recorded, so they
-        #    re-gate first): ext-quality-blend's twin gained the
-        #    NULL-signal + degenerate-cut (hi_cut == lo_cut -> 0.5)
-        #    guards mirroring the operator's NULL fixes;
-        #    ext-dup-spans migrated from strided to CONTENT-DEFINED
-        #    (anchored) sampling — the alignment-free form that
-        #    catches cross-doc boilerplate at arbitrary offsets.
-        "ext-quality-blend": _quality_blend,
-        "ext-dup-spans": _dup_spans,
-        # -- NEW in round 8: the 13 banked operators (oracles proven
-        #    one round ahead in tests/test_round6_ops.py and
-        #    tests/test_round7_ops.py; stream-corpus-drift reuses
-        #    ext-corpus-drift's oracle verbatim — final complete-mode
-        #    state == batch is its correctness property;
-        #    stream-vocab-coverage applies the batch twin to the
-        #    arriving half — per-doc flags are chunking-invariant).
-        #    The SECOND r8 wave registers mid-round instead of waiting
-        #    for r9 (oracles proven in tests/test_round8_ops.py): ten
-        #    more entries head the gate, displacing ten of the planned
-        #    r5-record veterans to the r9 rotation (their r5 records
-        #    ride the ledger unchanged).
-        "ext-shuffle-order": _shuffle_order,
-        "ext-interleave-mixture": _interleave_mixture,
-        "ext-layout-corpus": _layout_corpus,
-        "ext-dedup-recall": _dedup_recall,
-        "ext-sentence-split": _sentence_split,
-        "ext-pack-nofragment": _pack_nofragment,
-        "ext-tokenizer-fertility": _tokenizer_fertility,
-        "ext-audio-resample": _audio_resample,
-        "ext-cdc-chunk-text": _cdc_chunk_text,
-        "ext-frame-sample": _frame_sample,
-        "ext-dataset-card": _dataset_card,
-        "ext-html-strip": _html_strip,
-        "ext-perplexity-bigram": _perplexity_bigram,
-        "ext-rank-fusion": _rank_fusion_q,
-        "stream-quality-blend": _stream_quality_blend,
-        "stream-frame-sample": _stream_frame_sample,
-        "stream-pack-sequences": _stream_pack_sequences,
+        # -- CHANGED in round 9 (re-gate first): the five twins that
+        #    r8 red-flagged on DuckDB HUGEINT typing — integer
+        #    SUM/cumsum now CAST AS BIGINT (values were verified
+        #    identical; mirror of the :4637 convention) — plus
+        #    ext-sentence-split, whose entry was refactored onto the
+        #    shared _sentenced_fixture and whose operator now strips
+        #    the reserved \x1e marker from input.
         "ext-multimodal-wav": _multimodal_wav,
         "ext-multimodal-png": _multimodal_png,
-        "ext-tokenize-pack": _tokenize_pack,
-        "ext-validate-expectations": _validate_expectations,
-        "ext-compact-files": _compact_files,
-        "ext-vocab-coverage": _vocab_coverage,
-        "ext-corpus-drift": _corpus_drift,
-        "ext-domain-cap-topk": _domain_cap_topk,
-        "ext-dedup-span-removal": _dedup_span_removal,
-        "ext-curate-corpus": _curate_corpus,
         "sink-png-files": _sink_png_files,
-        "stream-corpus-drift": _stream_corpus_drift,
-        "stream-vocab-coverage": _stream_vocab_coverage,
-        # -- NEW in round 8, second batch: the reference's
-        #    elementHeadCalback extension point (ebml.py:157,300-301)
-        #    — the last unexpressed piece of the reference surface.
-        "scan-element-callback": _scan_element_callback,
-        # -- the oldest-record veterans: error-route (r4, displaced
-        #    from the r7 head by the snapshot-diff change) + the 33
-        #    oldest r5-record entries in registry order. 2 changed +
-        #    14 new + 1 + 33 = exactly the 50-entry gate head.
-        "error-route": _error_route,
-        "ext-dedup-incremental": _dedup_incremental,
-        "ext-winsorize": _winsorize,
-        "ext-scd2-asof": _scd2_asof,
-        "ext-bpe-train": _bpe_train,
-        "stream-pause-resume": _stream_pause_resume,
-        "sink-memory-bounded": _sink_memory_bounded,
-        "join-asof-nearest": _asof_nearest,
-        "ext-word-entropy": _word_entropy,
-        "ext-pagerank-dups": _pagerank_dups,
-        "sink-manifest-commit": _manifest_sink_roundtrip,
-        "stream-manifest-sink": _stream_manifest_sink,
-        "demux-decode-explode": _explode,
-        "join-asof-tags": _asof,
-        "join-asof-backward": _asof_backward,
-        "sample-throttle-time": _throttle,
-        "enqueue-bounded-retention": _retention,
+        "ext-layout-corpus": _layout_corpus,
+        "stream-pack-sequences": _stream_pack_sequences,
+        "ext-sentence-split": _sentence_split,
+        # -- NEW in round 9: the three r8-banked ops (oracles proven
+        #    in tests/test_round8_ops.py) + clamped FastCDC and
+        #    sentence-granularity decontamination (oracles proven in
+        #    tests/test_round9_ops.py).
+        "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
+        "ext-mixture-expand": _mixture_expand,
+        "ext-embedding-whiten": _embedding_whiten,
+        "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
+        "ext-sentence-decontaminate": _sentence_decontaminate,
+        # -- the oldest-record veterans: the 34 remaining r5-record
+        #    entries (the rest of the r5 cohort re-gated in r8) —
+        #    after this round no entry's latest green record is
+        #    older than r6.
         "agg-pricing-summary": _pricing_summary,
         "join-revenue-by-nation": _revenue_by_nation,
         "ext-dedup-exact": _dedup_exact,
@@ -4300,14 +4357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-prepare-corpus": _prepare_corpus,
         "ext-sample-stratified": _sample_stratified,
         "ext-vocabulary": _vocabulary,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json (the 17 r5 records left over head the
-        # r9 rotation, then the r6 block, then the r7 block). After
-        # this round no entry's latest external record is older
-        # than r5.
-        # -- r5 records (the 17 left over; r9 rotation head) --
         "ext-text-stats": _text_stats,
         "ext-quality-score": _quality,
         "ext-tfidf-terms": _tfidf_terms,
@@ -4325,12 +4374,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        # -- r6 records --
+        # -- the 5 oldest r6-record entries, filling the window to
+        #    exactly 50.
         "ext-bpe-encode": _bpe_encode,
         "ext-domain-cap": _domain_cap,
         "ext-semantic-decontaminate": _semantic_decontaminate,
         "stream-dedup-incremental": _stream_dedup_incremental,
         "ext-lang-id": _lang_id,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r6 records --
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
@@ -4424,6 +4479,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-minhash": _dedup_minhash,
         "join-salted-skew": _salted_join,
         "segment-sessions-gap": _sessions_gap,
+        # -- r8 records (the r8 gate head minus this round's
+        #    changed entries) --
+        "ext-quality-blend": _quality_blend,
+        "ext-dup-spans": _dup_spans,
+        "ext-shuffle-order": _shuffle_order,
+        "ext-interleave-mixture": _interleave_mixture,
+        "ext-dedup-recall": _dedup_recall,
+        "ext-pack-nofragment": _pack_nofragment,
+        "ext-tokenizer-fertility": _tokenizer_fertility,
+        "ext-audio-resample": _audio_resample,
+        "ext-cdc-chunk-text": _cdc_chunk_text,
+        "ext-frame-sample": _frame_sample,
+        "ext-dataset-card": _dataset_card,
+        "ext-html-strip": _html_strip,
+        "ext-perplexity-bigram": _perplexity_bigram,
+        "ext-rank-fusion": _rank_fusion_q,
+        "stream-quality-blend": _stream_quality_blend,
+        "stream-frame-sample": _stream_frame_sample,
+        "ext-tokenize-pack": _tokenize_pack,
+        "ext-validate-expectations": _validate_expectations,
+        "ext-compact-files": _compact_files,
+        "ext-vocab-coverage": _vocab_coverage,
+        "ext-corpus-drift": _corpus_drift,
+        "ext-domain-cap-topk": _domain_cap_topk,
+        "ext-dedup-span-removal": _dedup_span_removal,
+        "ext-curate-corpus": _curate_corpus,
+        "stream-corpus-drift": _stream_corpus_drift,
+        "stream-vocab-coverage": _stream_vocab_coverage,
+        "scan-element-callback": _scan_element_callback,
+        "error-route": _error_route,
+        "ext-dedup-incremental": _dedup_incremental,
+        "ext-winsorize": _winsorize,
+        "ext-scd2-asof": _scd2_asof,
+        "ext-bpe-train": _bpe_train,
+        "stream-pause-resume": _stream_pause_resume,
+        "sink-memory-bounded": _sink_memory_bounded,
+        "join-asof-nearest": _asof_nearest,
+        "ext-word-entropy": _word_entropy,
+        "ext-pagerank-dups": _pagerank_dups,
+        "sink-manifest-commit": _manifest_sink_roundtrip,
+        "stream-manifest-sink": _stream_manifest_sink,
+        "demux-decode-explode": _explode,
+        "join-asof-tags": _asof,
+        "join-asof-backward": _asof_backward,
+        "sample-throttle-time": _throttle,
+        "enqueue-bounded-retention": _retention,
     }
 
 
@@ -5034,6 +5135,17 @@ def oracle_sql() -> dict[str, str]:
     sh_fp = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(sh_bits)
     )
+    # Hamming-banded pair twin (ext-dedup-simhash-pairs): same geometry
+    # as operators/dedup.py simhash_near_dup_pairs (bits=16, bands=4,
+    # max_hamming=3, hot_cap=200).
+    sh_bands_n, sh_ham, sh_hot = 4, 3, 200
+    sh_width = sh_bits // sh_bands_n
+    sh_band_mask = (1 << sh_width) - 1
+    sh_bands_sql = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, fp, {i} AS band_idx,"
+        f" (fp >> {i * sh_width}) & {sh_band_mask} AS band_val FROM sig"
+        for i in range(sh_bands_n)
+    )
 
     # --- ANN oracles: the same seeded hyperplanes the Spark queries use,
     # inlined as SQL literals (deterministic_planes is pure f(seed)).
@@ -5573,6 +5685,63 @@ def oracle_sql() -> dict[str, str]:
                        x="substr(t, CAST(s AS INT) + 1, "
                          "CAST(e - s AS INT))")} AS chunk_hash
             FROM idx i JOIN d USING (doc_id) WHERE e - s > 0
+        """,
+        # Clamped-CDC twin: same boundary election as above, then the
+        # left-to-right min/max clamp fold as a per-doc recursive CTE
+        # (next boundary = first candidate in [last+min, last+max],
+        # else forced at last+max while > max chars remain), then the
+        # LAG segment reconstruction and chunk hashing.
+        "ext-cdc-chunk-clamped": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, COALESCE(text, '') AS t
+                                 FROM documents),
+            lens AS (SELECT doc_id, length(t) AS L FROM d),
+            cpos AS (SELECT doc_id, CAST(p AS INT) AS p
+                     FROM d, UNNEST(range(8, length(t) + 1)) AS u(p)
+                     WHERE length(t) >= 8
+                       AND {_SQL_H52.format(x="substr(t, p - 7, 8)")}
+                           % 64 = 0),
+            st AS (
+              SELECT doc_id, CAST(0 AS INT) AS b, 0 AS idx, L FROM lens
+              UNION ALL
+              SELECT st.doc_id,
+                     CAST(COALESCE(
+                       (SELECT MIN(p) FROM cpos
+                         WHERE cpos.doc_id = st.doc_id
+                           AND p >= st.b + 32 AND p <= st.b + 128),
+                       st.b + 128) AS INT),
+                     idx + 1, st.L
+              FROM st
+              WHERE EXISTS (SELECT 1 FROM cpos
+                             WHERE cpos.doc_id = st.doc_id
+                               AND p >= st.b + 32 AND p <= st.b + 128)
+                 OR st.L - st.b > 128
+            ),
+            cbnd AS (SELECT doc_id, b AS p FROM st WHERE idx > 0),
+            cseg AS (
+              SELECT doc_id,
+                     COALESCE(LAG(p) OVER (PARTITION BY doc_id
+                                           ORDER BY p), 0) AS s,
+                     p AS e
+              FROM cbnd
+              UNION ALL
+              SELECT d.doc_id,
+                     COALESCE((SELECT MAX(p) FROM cbnd b
+                               WHERE b.doc_id = d.doc_id), 0),
+                     length(t)
+              FROM d),
+            cidx AS (
+              SELECT doc_id, s, e,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+                       AS chunk_idx
+              FROM cseg)
+            SELECT i.doc_id, chunk_idx,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   CAST(e - s AS BIGINT) AS chunk_len,
+                   {_SQL_H52.format(
+                       x="substr(t, CAST(s AS INT) + 1, "
+                         "CAST(e - s AS INT))")} AS chunk_hash
+            FROM cidx i JOIN d USING (doc_id) WHERE e - s > 0
         """,
         # Frame-sampling twin: the kvs-frames arithmetic with the
         # 1-based sampled-index filter.
@@ -7621,6 +7790,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sent_idx, sentence
             FROM ex WHERE length(sentence) > 0
         """,
+        # Sentence-decontamination twin: the SAME fixture + split
+        # CTEs, then normalize (lower + whitespace collapse), the
+        # >=3-word floor, the %97 benchmark sentence set, and a
+        # per-doc distinct leaked-sentence count.
+        "ext-sentence-decontaminate": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(COALESCE(text, ''), ' ') AS ws,
+                     CAST(doc_id % 5 + 3 AS INT) AS csz
+              FROM documents),
+            nch AS (
+              SELECT doc_id, ws, csz,
+                     GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
+                                   AS INT), 1) AS n_chunks
+              FROM base),
+            fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+                       array_to_string(
+                         list_transform(range(1, n_chunks + 1), i ->
+                           array_to_string(
+                             ws[(i - 1) * csz + 1 : i * csz], ' ')
+                           || ['.', '!', '?'][(i % 3) + 1]),
+                         ' ')
+                     END AS text
+              FROM nch),
+            marked AS (
+              SELECT doc_id,
+                     regexp_replace(text, '([.!?])[ \t\r\n\f]+',
+                                    '\1' || chr(30), 'g') AS m
+              FROM fix),
+            parts AS (
+              SELECT doc_id, string_split(m, chr(30)) AS ps
+              FROM marked WHERE m IS NOT NULL),
+            ex AS (
+              SELECT doc_id, trim(ps[i]) AS sentence
+              FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)),
+            good AS (
+              SELECT doc_id,
+                     lower(regexp_replace(sentence, '\s+', ' ', 'g'))
+                       AS sn
+              FROM ex
+              WHERE length(sentence) > 0
+                AND len(string_split(
+                      lower(regexp_replace(sentence, '\s+', ' ', 'g')),
+                      ' ')) >= 3),
+            bset AS (SELECT DISTINCT sn FROM good WHERE doc_id % 97 = 0),
+            m AS (
+              SELECT doc_id, COUNT(DISTINCT sn) AS n
+              FROM good JOIN bset USING (sn)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n_leaked_sentences,
+                   COALESCE(n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN m USING (doc_id)
+        """,
         # No-fragment packer twin: the sequential next-fit fold as a
         # per-shard recursive CTE advancing one doc per step.
         "ext-pack-nofragment": r"""
@@ -7821,6 +8046,86 @@ def oracle_sql() -> dict[str, str]:
                    {sh_votes}
               FROM hashed GROUP BY doc_id)
             SELECT doc_id, CAST({sh_fp} AS BIGINT) AS simhash FROM v
+        """,
+        # Hamming-banded near-dup pairs over the same fingerprints:
+        # band explode -> hot-cap prune -> band equi-join -> exact
+        # bit_count(xor) verify (oracle proven verbatim in
+        # tests/test_round8_ops.py).
+        "ext-dedup-simhash-pairs": f"""
+            WITH w AS (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+            hashed AS (
+              SELECT doc_id, {p52('t')} AS h FROM tok WHERE t <> ''),
+            v AS (
+              SELECT doc_id,
+                   {sh_votes}
+              FROM hashed GROUP BY doc_id),
+            sig AS (SELECT doc_id, CAST({sh_fp} AS BIGINT) AS fp FROM v),
+            banded AS (
+              {sh_bands_sql}),
+            hot AS (SELECT band_idx, band_val FROM banded
+                    GROUP BY 1, 2 HAVING COUNT(*) > {sh_hot}),
+            kept AS (
+              SELECT bd.* FROM banded bd
+              LEFT JOIN hot ON bd.band_idx = hot.band_idx
+                           AND bd.band_val = hot.band_val
+              WHERE hot.band_idx IS NULL),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.fp AS fa, r.fp AS fb
+              FROM kept l JOIN kept r
+                ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= {sh_ham}
+        """,
+        # Epoch expansion twin: when-chain epochs, portable-hash
+        # fractional gate, generate_series explode (oracle proven
+        # verbatim in tests/test_round8_ops.py).
+        "ext-mixture-expand": f"""
+            WITH e AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
+                                 WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
+                                 ELSE 1.0 END AS ep,
+                     {p52("doc_id::VARCHAR || chr(31) || 'v1'")}
+                       % 1000000 AS gate
+              FROM documents),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(FLOOR(ep) AS BIGINT)
+                       + CASE WHEN gate < CAST((ep - FLOOR(ep)) * 1000000
+                                               AS BIGINT)
+                              THEN 1 ELSE 0 END AS n_rep
+              FROM e)
+            SELECT doc_id, source,
+                   CAST(UNNEST(generate_series(0, n_rep - 1)) AS INT)
+                     AS repeat_idx
+            FROM n WHERE n_rep > 0
+        """,
+        # Whitening twin: 6-dp dim stats + z-score at the same
+        # rounding; long format (oracle proven verbatim in
+        # tests/test_round8_ops.py).
+        "ext-embedding-whiten": """
+            WITH ex AS (
+              SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                   (SELECT UNNEST(generate_series(1, 64)) AS i)),
+            stats AS (
+              SELECT dim, ROUND(AVG(v), 6) AS m,
+                     ROUND(STDDEV_SAMP(v), 6) AS s
+              FROM ex GROUP BY 1)
+            SELECT vec_id, dim,
+                   ROUND(CASE WHEN s > 0 THEN (v - m) / s
+                              ELSE 0.0 END, 6) AS white_val
+            FROM ex JOIN stats USING (dim)
         """,
         # Inverted-index n-gram Jaccard, replicated with list functions:
         # distinct word 3-grams per doc, hot shingles (>100 docs) barred

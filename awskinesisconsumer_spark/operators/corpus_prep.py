@@ -77,6 +77,70 @@ def decontaminate(
     )
 
 
+def sentence_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    min_words: int = 3,
+) -> DataFrame:
+    """SENTENCE-granularity decontamination — the leak case n-gram
+    `decontaminate` is blunt about: a benchmark answer that leaks as
+    one whole sentence inside an otherwise-clean document. Both sides
+    are segmented with `split_sentences`, normalized (lowercased,
+    whitespace collapsed — punctuation stays attached, so "The answer
+    is 42." only matches as a full sentence), and a document is
+    contaminated iff at least one of its sentences of >= `min_words`
+    words appears verbatim among the benchmark's sentences (the
+    word floor keeps "Yes." from flagging everything).
+
+    Returns `docs` plus `n_leaked_sentences` (distinct leaked
+    sentences per doc, 0 when clean) and `contaminated` (boolean).
+
+    Scale shape: the benchmark sentence set is eval-suite-bounded ->
+    broadcast; the corpus sentence explosion streams map-side through
+    the broadcast join, so only MATCHED (doc, sentence) rows — rare
+    by construction — reach the distinct + groupBy shuffle, and the
+    final re-attach joins a match table bounded by contaminated docs
+    (AQE broadcasts it). Same shuffle contract as `decontaminate`.
+    """
+    from .text import split_sentences
+
+    def _norm(c: Column) -> Column:
+        return F.lower(F.regexp_replace(c, r"\s+", " "))
+
+    def _sents(df: DataFrame, idc: str, txtc: str) -> DataFrame:
+        s = split_sentences(df, id_col=idc, text_col=txtc)
+        return (
+            s.select(F.col(idc), _norm(F.col("sentence")).alias("_sn"))
+            .where(F.size(F.split(F.col("_sn"), " ")) >= min_words)
+        )
+
+    bench_sn = (
+        _sents(benchmark, bench_id_col, bench_text_col)
+        .select("_sn").distinct()
+    )
+    matched = (
+        _sents(docs, id_col, text_col)
+        .join(F.broadcast(bench_sn), "_sn")
+        .select(id_col, "_sn")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_leaked_sentences"))
+    )
+    return (
+        docs.join(matched, id_col, "left")
+        .withColumn(
+            "n_leaked_sentences",
+            F.coalesce(F.col("n_leaked_sentences"), F.lit(0)),
+        )
+        .withColumn("contaminated", F.col("n_leaked_sentences") >= 1)
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     *,
@@ -462,6 +526,55 @@ def chunk_text(
     )
 
 
+def _cdc_boundary_candidates(t: Column, L: Column, window: int,
+                             divisor: int, hash_fn) -> Column:
+    """Content-defined boundary ELECTION (shared by the stateless and
+    clamped CDC forms): a boundary is a candidate after 1-based
+    position p in [window, L] wherever the rolling window hash
+    divides `divisor`. Guard: sequence(a, b) runs DESCENDING when
+    b < a, so short docs must produce an empty array, not a
+    backwards range."""
+    return F.when(
+        L >= window,
+        F.filter(
+            F.sequence(F.lit(window), L),
+            lambda p: F.pmod(
+                hash_fn(t.substr(p - F.lit(window - 1), F.lit(window))),
+                F.lit(divisor),
+            ) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _cdc_spans_to_chunks(df: DataFrame, *, id_col: str, t: Column,
+                         starts: Column, ends: Column,
+                         hash_fn) -> DataFrame:
+    """Shared CDC tail: (starts, ends) arrays -> one row per chunk
+    with offsets, lengths, and the chunk-text hash (posexplode +
+    substr, all codegen)."""
+    base = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.arrays_zip(starts.alias("s"), ends.alias("e")).alias("_se"),
+    ).select(
+        id_col,
+        "_t",
+        F.posexplode("_se").alias("chunk_idx", "_p"),
+    )
+    clen = (F.col("_p.e") - F.col("_p.s")).cast("int")
+    chunk = F.col("_t").substr(F.col("_p.s") + 1, clen)
+    return (
+        base.where(clen > 0)
+        .select(
+            id_col,
+            F.col("chunk_idx"),
+            F.col("_p.s").cast("long").alias("chunk_start"),
+            clen.cast("long").alias("chunk_len"),
+            hash_fn(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 def content_defined_chunks(
     df: DataFrame,
     *,
@@ -497,8 +610,13 @@ def content_defined_chunks(
     Scale shape: narrow per-row higher-order expressions (sequence ->
     filter -> zip -> posexplode), ZERO shuffles — at 100 TB the cost
     is one pass over the text bytes; the per-doc position sequence is
-    len(text) longs, transient inside codegen."""
-    from .dedup import portable_hash52
+    len(text) longs, transient inside codegen.
+
+    `hash_fn` defaults to xxhash64_col (JVM-side, measured 3.3x
+    faster than the md5-derived portable_hash52 on this operator —
+    SCALING.md r8); pass portable_hash52 only when a DuckDB oracle
+    must replay boundaries bit-for-bit (the gate entries do)."""
+    from .dedup import xxhash64_col
 
     if window < 1:
         raise ValueError(f"content_defined_chunks: window >= 1, got {window}")
@@ -506,44 +624,114 @@ def content_defined_chunks(
         raise ValueError(
             f"content_defined_chunks: divisor >= 1, got {divisor}"
         )
-    hash_fn = hash_fn or portable_hash52
+    hash_fn = hash_fn or xxhash64_col
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
-    # boundary AFTER position p (1-based), candidates p in [window, L];
-    # guard: sequence(a, b) runs DESCENDING when b < a, so short docs
-    # must produce an empty array, not a backwards range.
-    bnd = F.when(
-        L >= window,
-        F.filter(
-            F.sequence(F.lit(window), L),
-            lambda p: F.pmod(
-                hash_fn(t.substr(p - F.lit(window - 1), F.lit(window))),
-                F.lit(divisor),
-            ) == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    bnd = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)
     starts = F.concat(F.array(F.lit(0)), bnd)
     ends = F.concat(bnd, F.array(L))
-    base = df.select(
-        F.col(id_col),
-        t.alias("_t"),
-        F.arrays_zip(starts.alias("s"), ends.alias("e")).alias("_se"),
-    ).select(
-        id_col,
-        "_t",
-        F.posexplode("_se").alias("chunk_idx", "_p"),
+    return _cdc_spans_to_chunks(
+        df, id_col=id_col, t=t, starts=starts, ends=ends,
+        hash_fn=hash_fn,
     )
-    clen = (F.col("_p.e") - F.col("_p.s")).cast("int")
-    chunk = F.col("_t").substr(F.col("_p.s") + 1, clen)
-    return (
-        base.where(clen > 0)
-        .select(
-            id_col,
-            F.col("chunk_idx"),
-            F.col("_p.s").cast("long").alias("chunk_start"),
-            clen.cast("long").alias("chunk_len"),
-            hash_fn(chunk).alias("chunk_hash"),
+
+
+def content_defined_chunks_clamped(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    min_len: int = 32,
+    max_len: int = 128,
+    hash_fn=None,
+) -> DataFrame:
+    """CLAMPED content-defined chunking — the form real chunk-dedup
+    storage runs (FastCDC's min/max bounds): candidate boundaries
+    are elected exactly as in `content_defined_chunks`, then resolved
+    LEFT-TO-RIGHT per document under two clamps —
+      * a candidate closer than `min_len` to the previous boundary is
+        skipped (tiny chunks thrash the chunk index), and
+      * a gap longer than `max_len` forces a boundary at
+        previous + max_len (pathological content that never elects a
+        boundary cannot produce unbounded chunks).
+    Equivalently: the next boundary after `last` is the FIRST
+    candidate in [last+min_len, last+max_len], else last+max_len if
+    more than max_len chars remain, else end-of-document.
+
+    The resolution is sequential per document, but it needs NO
+    per-doc Python fold: forced boundaries between consecutive
+    candidates form an arithmetic sequence, so one `F.aggregate`
+    left fold over the candidate array — state is (last, acc), each
+    step appends F.sequence(last+max, last+k*max, max) plus the
+    candidate when accepted — resolves the clamps entirely inside
+    codegen. ZERO shuffles, zero Python, same scale shape as the
+    stateless form. Output schema and hash conventions identical to
+    `content_defined_chunks`; the DuckDB twin replays the fold as a
+    per-document recursive CTE (the `ext-pack-nofragment` idiom).
+    """
+    from .dedup import xxhash64_col
+
+    if window < 1:
+        raise ValueError(
+            f"content_defined_chunks_clamped: window >= 1, got {window}"
         )
+    if divisor < 1:
+        raise ValueError(
+            f"content_defined_chunks_clamped: divisor >= 1, got {divisor}"
+        )
+    if not (1 <= min_len <= max_len):
+        raise ValueError(
+            "content_defined_chunks_clamped: need 1 <= min_len <= "
+            f"max_len, got min_len={min_len} max_len={max_len}"
+        )
+    hash_fn = hash_fn or xxhash64_col
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(t)
+    cand = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)
+    empty_int = F.array().cast("array<int>")
+    mx = F.lit(max_len)
+
+    def _forced(last: Column, k: Column) -> Column:
+        # the k boundaries forced at last+max, last+2*max, ...
+        return F.when(
+            k > 0, F.sequence(last + mx, last + k * mx, mx)
+        ).otherwise(empty_int)
+
+    def _n_forced(last: Column, nxt: Column) -> Column:
+        # boundaries forced before `nxt` = max(0, ceil(gap/max) - 1);
+        # gap fits an int so the double division below is exact
+        return F.when(
+            nxt - last > mx,
+            F.floor((nxt - last - 1) / mx).cast("int"),
+        ).otherwise(F.lit(0))
+
+    def _step(st: Column, c: Column) -> Column:
+        last = st["last"]
+        k = _n_forced(last, c)
+        last2 = (last + k * mx).cast("int")
+        accept = (c - last2) >= min_len
+        return F.struct(
+            F.when(accept, c).otherwise(last2).alias("last"),
+            F.concat(
+                st["acc"],
+                _forced(last, k),
+                F.when(accept, F.array(c)).otherwise(empty_int),
+            ).alias("acc"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("last"), empty_int.alias("acc")
+    )
+    folded = F.aggregate(cand, init, _step)
+    k_tail = _n_forced(folded["last"], L)
+    bnd = F.concat(folded["acc"], _forced(folded["last"], k_tail))
+    starts = F.concat(F.array(F.lit(0)), bnd)
+    ends = F.concat(bnd, F.array(L))
+    return _cdc_spans_to_chunks(
+        df, id_col=id_col, t=t, starts=starts, ends=ends,
+        hash_fn=hash_fn,
     )
 
 

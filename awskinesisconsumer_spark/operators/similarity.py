@@ -1260,7 +1260,8 @@ def whiten_embeddings_with_stats(
     union equal the batch result regardless of chunking (proven in
     tests/test_round8_ops.py).
 
-    Dimensions BEYOND the calibration length stay NULL (not 0.0) so
+    Dimensions BEYOND the calibration length stay NULL (not 0.0, and
+    not an ANSI INVALID_ARRAY_INDEX crash — hence try_element_at) so
     a vector-length/calibration mismatch is visible in the output
     instead of silently zeroed; in-range degenerate dims (std 0)
     still map to 0.0."""
@@ -1270,11 +1271,11 @@ def whiten_embeddings_with_stats(
         F.col(vec_col),
         lambda x, i: F.round(
             F.when(
-                F.element_at(stds, i + 1) > 0,
-                (x.cast("double") - F.element_at(means, i + 1))
-                / F.element_at(stds, i + 1),
+                F.try_element_at(stds, i + 1) > 0,
+                (x.cast("double") - F.try_element_at(means, i + 1))
+                / F.try_element_at(stds, i + 1),
             # out-of-calibration dims fall past BOTH branches -> NULL
-            ).when(F.element_at(stds, i + 1) <= 0, F.lit(0.0)),
+            ).when(F.try_element_at(stds, i + 1) <= 0, F.lit(0.0)),
             6,
         ),
     )
