@@ -1349,6 +1349,81 @@ def _dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    # Cluster resolution keeping the BEST-scoring doc per duplicate
+    # cluster (operators/dedup.py dedup_keep_best) — what production
+    # dedup ships, vs the arbitrary min-id member: clusters from the
+    # oracle-checkable n-gram-Jaccard pair graph, score = text length,
+    # ties -> ascending id. The argmax reuses domain_cap_topk's salted
+    # two-level rank (cap=1), so mega-clusters never hit one reducer.
+    # Twin chains the cluster CTE + a per-cluster ROW_NUMBER argmax
+    # (proven in tests/test_round9_ops.py).
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_keep_best, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    scored = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("score"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    out = dedup_keep_best(
+        scored, pairs, id_col="doc_id", score_col="score"
+    )
+    return out.select("doc_id", "cluster_id", "score", "kept")
+
+
+def _stream_sentence_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form of ext-sentence-decontaminate (streaming/
+    # pipeline.py sentence_decontaminate_stream): the sentenced
+    # fixture arrives as a 3-file stream (maxFilesPerTrigger=1); each
+    # micro-batch splits + checks against the STATIC benchmark
+    # sentence set via foreachBatch. A doc's flag depends only on
+    # (its own sentences, benchmark), so the appended union EQUALS
+    # the batch result and the batch oracle applies verbatim
+    # (chunking invariance proven in tests/test_round9_ops.py).
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        sentence_decontaminate_stream,
+    )
+
+    fixture = _sentenced_fixture(load_table(spark, "documents", sf))
+    bench = fixture.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").alias("bench_text"),
+    )
+    src = tempfile.mkdtemp(prefix="sent_dec_src_")
+    out_path = tempfile.mkdtemp(prefix="sent_dec_out_")
+    ckpt = tempfile.mkdtemp(prefix="sent_dec_ckpt_")
+    fixture.repartition(3).write.mode("overwrite").parquet(src)
+    q = sentence_decontaminate_stream(
+        spark.readStream.schema(fixture.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+        out_path=out_path, checkpoint=ckpt, min_words=3,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-sentence-decontaminate: timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-sentence-decontaminate: expected >=3 non-empty "
+            f"batches, got {n_batches}"
+        )
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_leaked_sentences", "contaminated"
+    )
+
+
 def _multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # Rows-only: decode -> explode frames -> metadata sample -> resize
     # (stubbed codecs; the Spark plumbing — schema, narrow ops,
@@ -4336,6 +4411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-embedding-whiten": _embedding_whiten,
         "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
         "ext-sentence-decontaminate": _sentence_decontaminate,
+        # -- r9 SECOND wave (registered mid-round, the r8
+        #    precedent): keep-best cluster resolution + the
+        #    streaming sentence-decontamination form. They take
+        #    the last two window slots; the two displaced r6
+        #    fillers ride their ledger records in the tail.
+        "ext-dedup-keep-best": _dedup_keep_best,
+        "stream-sentence-decontaminate": _stream_sentence_decontaminate,
         # -- the oldest-record veterans: the 34 remaining r5-record
         #    entries (the rest of the r5 cohort re-gated in r8) —
         #    after this round no entry's latest green record is
@@ -4374,18 +4456,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        # -- the 5 oldest r6-record entries, filling the window to
-        #    exactly 50.
+        # -- the 3 oldest r6-record entries, filling the window to
+        #    exactly 50 (two more were displaced to the tail by the
+        #    second wave; their r6 ledger records still hold).
         "ext-bpe-encode": _bpe_encode,
         "ext-domain-cap": _domain_cap,
         "ext-semantic-decontaminate": _semantic_decontaminate,
-        "stream-dedup-incremental": _stream_dedup_incremental,
-        "ext-lang-id": _lang_id,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
         # in GATE_LEDGER.json.
         # -- r6 records --
+        "stream-dedup-incremental": _stream_dedup_incremental,
+        "ext-lang-id": _lang_id,
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
         "ext-multimodal-decode": _multimodal,
         "ext-multimodal-pipeline": _multimodal_pipeline,
@@ -8968,5 +9051,28 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY domain
                    ORDER BY quality_blend DESC, doc_id) <= 30 AS kept
         FROM blended
+    """
+    # ---- round-9 second wave ----
+    # Streaming sentence decontamination's appended union EQUALS the
+    # batch result (every flag depends only on (doc, benchmark)) —
+    # same oracle-sharing rule as stream-semantic-decontaminate.
+    d["stream-sentence-decontaminate"] = d["ext-sentence-decontaminate"]
+    # Keep-best cluster resolution: the proven cluster CTE + score
+    # (text length) + per-cluster (score DESC, id ASC) argmax.
+    d["ext-dedup-keep-best"] = _CLUSTER_CTE_SQL + """,
+        lab AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT)
+                   AS cluster_id,
+                 CAST(length(COALESCE(d.text, '')) AS DOUBLE) AS score
+          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        rk AS (
+          SELECT doc_id, cluster_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY score DESC, doc_id ASC)
+                   AS rn
+          FROM lab)
+        SELECT doc_id, cluster_id, score, rn = 1 AS kept
+        FROM rk
     """
     return d

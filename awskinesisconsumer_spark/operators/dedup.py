@@ -495,6 +495,56 @@ def connected_components(
     return labels
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Cluster resolution that keeps the BEST document per duplicate
+    cluster — what production dedup actually ships: after pairwise
+    candidates resolve into clusters, keep the highest-QUALITY
+    representative (longest, best quality score), not the arbitrary
+    min-id member `where(id == cluster_id)` keeps. Ties break on
+    ascending id, so the kept set is fully deterministic.
+
+    Output: `docs` + cluster_id + kept (boolean; exactly one kept row
+    per cluster). Docs absent from `pairs` are singleton clusters and
+    always kept.
+
+    Scale shape: clusters come from `connected_components` (min-label
+    propagation, see there); the per-cluster argmax REUSES
+    `domain_cap_topk` with cap=1 — the salted two-level rank — so a
+    boilerplate mega-cluster never funnels through one reducer; the
+    winner table is cluster-count-bounded and re-attaches by an
+    id-keyed equi-join.
+    """
+    from .corpus_prep import domain_cap_topk
+
+    cc = connected_components(
+        pairs, id_a=id_a, id_b=id_b,
+        vertices=docs.select(F.col(id_col).alias("id")),
+    )
+    labeled = docs.join(
+        cc.select(F.col("id").alias(id_col), "cluster_id"), id_col
+    )
+    winners = domain_cap_topk(
+        labeled.select(id_col, "cluster_id", score_col),
+        group_col="cluster_id", cap=1,
+        order_by=[F.col(score_col).desc()], id_col=id_col,
+        salt_buckets=salt_buckets, with_totals=False,
+    ).select(F.col(id_col).alias("_win"))
+    return (
+        labeled.join(winners, labeled[id_col] == winners["_win"], "left")
+        .withColumn("kept", F.col("_win").isNotNull())
+        .drop("_win")
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     *,

@@ -693,6 +693,43 @@ def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def knn_ivf_pq(
+    df: DataFrame, *, id_col: str, vec_col: str, query: list[float],
+    centroids: list[list[float]], codebooks: list[list[list[float]]],
+    n_probes: int = 2, k: int = 10, rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the production large-scale ANN layout
+    (Faiss's default at billion scale), composed from the two proven
+    halves: the coarse quantizer restricts the search to the
+    `n_probes` cells nearest the query (`ivf_assign`; at 100 TB the
+    corpus is laid out partitionBy(cell), so this is partition
+    PRUNING — unprobed cells are never read), then PQ asymmetric
+    distance scores only the m-byte codes of the probed cells'
+    vectors (`knn_pq_adc`), with the optional exact-L2 rerank of the
+    `rerank`-row shortlist. Query-time IO = probed fraction x
+    code-sized rows; no float vector is touched except the rerank
+    shortlist.
+
+    Same output contract as `knn_pq_adc` ((id, [l2_dist,] adc_dist,
+    pq_code, rank)); fully deterministic (literal centroids/codebooks,
+    id tie-breaks), so the DuckDB twin chains the IVF cell CTE with
+    the ADC LUT arithmetic verbatim.
+    """
+    def _l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (_l2(query, centroids[i]), i)
+    )
+    probe = order[:n_probes]
+    assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return knn_pq_adc(
+        cand, id_col=id_col, vec_col=vec_col, query=query,
+        codebooks=codebooks, k=k, rerank=rerank,
+    )
+
+
 def knn_join_topk(
     df: DataFrame, *, id_col: str, vec_col: str, probe_ids: list[int],
     k: int = 5, salt_buckets: int = 16, vectorized: bool = False,
@@ -1196,6 +1233,78 @@ def rank_fusion(
     return (
         fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .where(F.col("fused_rank") <= top_n)
+    )
+
+
+def truncated_dim_recall(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list,
+    k: int = 10,
+    dim_tiers: tuple = (8, 16, 32),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval audit: recall@k of
+    cosine top-k computed on the FIRST-d prefix of each embedding vs
+    the full-dimension truth, one row per (dims, probe) plus the
+    per-tier mean — the measurement behind every shorten-the-vectors
+    decision (MRL-style embeddings, dim-sliced indexes, cheap
+    first-pass rerank): prefix dims carry the signal only if training
+    put it there, so MEASURE it, never assume it. The dim-axis
+    sibling of `ann_recall` (bucket axis) and `knn_pq_adc`
+    (codebook axis).
+
+    Emitted: (dims, probe_id, n_hits, recall_at_k), recall 4-dp.
+
+    Scale shape: truth and every tier reuse `knn_join_topk`'s
+    broadcast-probes / corpus-never-shuffles / salted two-level rank
+    contract; the prefix is one `F.slice` projection fused into the
+    scan; tiers are a UNION of len(dim_tiers) independent subplans
+    (tiers are few and the probe set is sampled, so the audit costs
+    T corpus scans of one Arrow-narrow projection each); the audit
+    join itself runs on k-row-per-(tier, probe) tables.
+    """
+    if not dim_tiers:
+        raise ValueError("truncated_dim_recall: dim_tiers must be non-empty")
+    if any(d < 1 for d in dim_tiers):
+        raise ValueError(
+            f"truncated_dim_recall: dims must be >= 1, got {dim_tiers}"
+        )
+    exact = knn_join_topk(
+        df, id_col=id_col, vec_col=vec_col, probe_ids=probe_ids, k=k,
+        salt_buckets=salt_buckets,
+    ).select("probe_id", "neighbor_id")
+    tiers = None
+    for d in sorted(set(int(d) for d in dim_tiers)):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        t = knn_join_topk(
+            sliced, id_col=id_col, vec_col=vec_col, probe_ids=probe_ids,
+            k=k, salt_buckets=salt_buckets,
+        ).select(
+            F.lit(d).alias("dims"), "probe_id", "neighbor_id"
+        )
+        tiers = t if tiers is None else tiers.unionByName(t)
+    hits = (
+        tiers.join(exact, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("dims", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = tiers.select("dims", "probe_id").distinct()
+    return (
+        base.join(hits, ["dims", "probe_id"], "left")
+        .select(
+            "dims",
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")) / F.lit(float(k)),
+                4,
+            ).alias("recall_at_k"),
+        )
     )
 
 

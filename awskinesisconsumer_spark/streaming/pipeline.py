@@ -660,6 +660,55 @@ def semantic_decontaminate_stream(
     return writer.start()
 
 
+def sentence_decontaminate_stream(
+    corpus_docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    out_path: str,
+    checkpoint: str,
+    min_words: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming sentence-granularity decontamination: each
+    micro-batch of corpus documents is split into sentences and
+    checked against the STATIC benchmark sentence set — ingest-time
+    eval hygiene at sentence grain, the continuous form of
+    `corpus_prep.sentence_decontaminate` (same symmetry contract as
+    `semantic_decontaminate_stream`).
+
+    foreachBatch applies the batch operator per micro-batch; the
+    benchmark sentence set broadcasts inside each batch, and a doc's
+    flag depends ONLY on (its own sentences, benchmark) — never on
+    other corpus rows — so the union of per-batch outputs EQUALS the
+    single-batch result regardless of arrival chunking, and the batch
+    oracle applies verbatim. At-least-once under crash-retry, like
+    the other foreachBatch sinks. Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sentence_decontaminate,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = sentence_decontaminate(
+            batch_df, benchmark, id_col=id_col, text_col=text_col,
+            bench_id_col=bench_id_col, bench_text_col=bench_text_col,
+            min_words=min_words,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        corpus_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def domain_cap_stream(
     rows: DataFrame,
     *,

@@ -181,6 +181,14 @@ HEADLINE = [
     "ext-sentence-split",
     "ext-pack-nofragment",
     "ext-tokenizer-fertility",
+    # round 9
+    "ext-dedup-simhash-pairs",
+    "ext-mixture-expand",
+    "ext-embedding-whiten",
+    "ext-cdc-chunk-clamped",
+    "ext-sentence-decontaminate",
+    "ext-dedup-keep-best",
+    "stream-sentence-decontaminate",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
@@ -218,6 +226,10 @@ CORE = [
     # (the two heaviest of the 13 new registrations).
     "ext-curate-corpus",
     "ext-dedup-span-removal",
+    # round 9: the lossless near-dup join + the clamped-CDC fold
+    # (the two heaviest new registrations).
+    "ext-dedup-simhash-pairs",
+    "ext-cdc-chunk-clamped",
 ]
 
 

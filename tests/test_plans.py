@@ -523,3 +523,80 @@ def test_interleave_mixture_two_parallel_window_families(spark):
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
     assert plan.count("Window") == 2
+
+
+def test_cdc_clamped_map_only_zero_exchanges(spark):
+    # ext-cdc-chunk-clamped: the min/max clamp fold is ONE F.aggregate
+    # over the candidate array — the whole operator must stay a
+    # map-only projection chain: zero exchanges, zero Python, one scan.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks_clamped,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = content_defined_chunks_clamped(
+        docs, id_col="doc_id", text_col="text",
+        min_len=32, max_len=128,
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_expand_mixture_map_only_zero_exchanges(spark):
+    # ext-mixture-expand: when-chain + hash gate + explode(sequence)
+    # — pure narrow ops; repetition multiplies rows WITHOUT a shuffle.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = expand_mixture_epochs(
+        docs, id_col="doc_id", source_col="source",
+        epochs={"src0": 2.5, "src1": 0.0},
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan  # the sequence explode
+
+
+def test_whiten_apply_is_map_only_projection(spark):
+    # ext-embedding-whiten's apply phase: frozen DIM-sized stats are
+    # baked in as array literals — transform + posexplode over the
+    # scan, zero exchanges; the corpus never shuffles.
+    from awskinesisconsumer_spark.operators.similarity import (
+        whiten_embeddings_with_stats,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = whiten_embeddings_with_stats(
+        emb, id_col="vec_id", vec_col="embedding",
+        stats=[(0.0, 1.0)] * 64,
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate posexplode" in plan
+
+
+def test_sentence_decontaminate_broadcasts_benchmark(spark):
+    # ext-sentence-decontaminate: the benchmark sentence set rides a
+    # broadcast — the corpus sentence explosion must stream map-side
+    # through a BroadcastHashJoin, never a nested-loop/cartesian.
+    df = entry.queries()["ext-sentence-decontaminate"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_is_banded_equi_join(spark):
+    # ext-dedup-simhash-pairs: candidates come from an equi-join on
+    # (band_idx, band_val) — any cartesian/nested-loop here is the
+    # quadratic cliff the banding exists to avoid.
+    df = entry.queries()["ext-dedup-simhash-pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -100,35 +100,28 @@ def test_np_round6_boundary_detection_scales_with_magnitude(spark):
 
 def test_gate_head_composition():
     # The external driver gates the first 50 queries() entries: this
-    # round that is the 2 changed entries (quality-blend twin
-    # NULL/degenerate guards; dup-spans anchored migration) + the
-    # SECOND r8 wave of 17 (registered mid-round) + the 13 newly
-    # registered r6/r7-banked operators + scan-element-callback +
-    # error-route (r4) + the oldest r5-record veterans (README
-    # "Round-8 rotation plan", second-wave update).
+    # round (r9) that is the 6 CHANGED entries (the five HUGEINT twin
+    # fixes + the refactored sentence-split entry), the 5 NEW
+    # registrations, the 34 remaining r5-record veterans, and the 5
+    # oldest r6-record entries — exactly 50.
     import __spark_entry__ as m
 
     keys = list(m.queries())
-    assert keys[:33] == [
-        "ext-quality-blend", "ext-dup-spans",
-        "ext-shuffle-order", "ext-interleave-mixture",
-        "ext-layout-corpus", "ext-dedup-recall",
-        "ext-sentence-split", "ext-pack-nofragment",
-        "ext-tokenizer-fertility",
-        "ext-audio-resample", "ext-cdc-chunk-text", "ext-frame-sample",
-        "ext-dataset-card", "ext-html-strip", "ext-perplexity-bigram",
-        "ext-rank-fusion", "stream-quality-blend",
-        "stream-frame-sample", "stream-pack-sequences",
-        "ext-multimodal-wav", "ext-multimodal-png", "ext-tokenize-pack",
-        "ext-validate-expectations", "ext-compact-files",
-        "ext-vocab-coverage", "ext-corpus-drift", "ext-domain-cap-topk",
-        "ext-dedup-span-removal", "ext-curate-corpus", "sink-png-files",
-        "stream-corpus-drift", "stream-vocab-coverage",
-        "scan-element-callback",
+    assert keys[:13] == [
+        "ext-multimodal-wav", "ext-multimodal-png", "sink-png-files",
+        "ext-layout-corpus", "stream-pack-sequences",
+        "ext-sentence-split",
+        "ext-dedup-simhash-pairs", "ext-mixture-expand",
+        "ext-embedding-whiten", "ext-cdc-chunk-clamped",
+        "ext-sentence-decontaminate",
+        # second wave (registered mid-round, the r8 precedent)
+        "ext-dedup-keep-best", "stream-sentence-decontaminate",
     ]
-    assert keys[33] == "error-route"
-    assert keys[34] == "ext-dedup-incremental"
-    assert len(keys) == 181 and len(set(keys)) == 181
+    assert keys[13] == "agg-pricing-summary"  # r5-cohort head
+    assert keys[46] == "ext-token-count"      # r5-cohort tail
+    assert keys[49] == "ext-semantic-decontaminate"  # last r6 filler
+    assert keys[50] == "stream-dedup-incremental"  # first past horizon
+    assert len(keys) == len(set(keys)) >= 188
     # every entry has an oracle twin (full hash-gate coverage)
     osql = m.oracle_sql()
     assert set(osql) == set(keys)

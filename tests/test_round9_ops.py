@@ -340,3 +340,404 @@ def test_split_sentences_strips_reserved_marker(spark):
     assert [r.sentence for r in rows] == [
         "Adversarialmarker inside.", "Second sentence here.",
     ]
+
+
+# ---------------------------------------------------------------------------
+# second wave: dedup_keep_best, sentence_decontaminate_stream
+# ---------------------------------------------------------------------------
+
+def test_dedup_keep_best_semantics(spark):
+    # clusters {1,2,3} (chain), {5,6}; 4 is a singleton. Best-by-score
+    # wins (NOT min id); ties break to ascending id; exactly one kept
+    # row per cluster.
+    from awskinesisconsumer_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 1.0), (5, 7.0), (6, 7.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.kept)
+        for r in dedup_keep_best(
+            docs, pairs, id_col="doc_id", score_col="score"
+        ).collect()
+    }
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False),  # best score wins
+        4: (4, True),                                # singleton kept
+        5: (5, True), 6: (5, False),                 # tie -> min id
+    }
+
+
+def test_dedup_keep_best_one_winner_per_cluster(spark):
+    # fixture-scale check: every cluster has EXACTLY one kept doc and
+    # the winner's score is the cluster max
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_keep_best, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    scored = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("score"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    rows = dedup_keep_best(
+        scored, pairs, id_col="doc_id", score_col="score"
+    ).collect()
+    assert len(rows) == 500
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) > 1 for v in by_cluster.values()) > 0  # real clusters
+    for cid, rs in by_cluster.items():
+        winners = [r for r in rs if r.kept]
+        assert len(winners) == 1, f"cluster {cid}"
+        assert winners[0].score == max(r.score for r in rs)
+
+
+def test_sentence_decontaminate_stream_equals_batch(spark, tmp_path):
+    # 3-file multi-batch arrival must produce EXACTLY the batch
+    # result: a doc's flag depends only on (its sentences, benchmark),
+    # so chunking is invisible.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sentence_decontaminate,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        sentence_decontaminate_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"Shared leak sentence number {i % 3}. Filler text {i}.")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "Shared leak sentence number 1.")],
+        "bench_id long, bench_text string",
+    )
+    src = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    docs.repartition(3).write.parquet(src)
+    q = sentence_decontaminate_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+        out_path=out_path, checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_path)
+        .select("doc_id", "n_leaked_sentences", "contaminated").collect()
+    )
+    want = sorted(
+        tuple(r) for r in sentence_decontaminate(
+            docs, bench, id_col="doc_id", text_col="text",
+            bench_id_col="bench_id", bench_text_col="bench_text",
+        ).select("doc_id", "n_leaked_sentences", "contaminated").collect()
+    )
+    assert got == want
+    assert sum(1 for _, n, c in got if c) == 10  # the %3==1 docs
+
+
+# ---------------------------------------------------------------------------
+# r10 bank: truncated-dim (Matryoshka) recall audit + composed IVF-PQ
+# ---------------------------------------------------------------------------
+
+def test_truncated_dim_recall_oracle_and_monotonicity(spark):
+    # Banked for r10 as `ext-ann-dim-recall`: recall@k of prefix-dim
+    # cosine top-k vs full-dim truth per tier — the measurement behind
+    # shorten-the-vectors decisions (MRL embeddings, dim-sliced
+    # indexes). Twin replays slicing, per-tier top-k, and the audit
+    # join; the full-dim tier must audit at exactly 1.0.
+    import duckdb
+
+    from awskinesisconsumer_spark.operators.similarity import (
+        truncated_dim_recall,
+    )
+
+    SFE = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SFE)
+    probes = list(range(8))
+    tiers = (8, 16, 32, 64)
+    out = truncated_dim_recall(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        k=10, dim_tiers=tiers,
+    )
+
+    def topk_cte(name, d):
+        va = f"list_transform(e.embedding[1:{d}], x -> CAST(x AS DOUBLE))"
+        vb = f"list_transform(p.probe_vec[1:{d}], x -> CAST(x AS DOUBLE))"
+        c = (
+            f"CASE WHEN sqrt(list_dot_product({va}, {va})) * "
+            f"sqrt(list_dot_product({vb}, {vb})) > 0 THEN "
+            f"ROUND(list_dot_product({va}, {vb}) / "
+            f"(sqrt(list_dot_product({va}, {va})) * "
+            f"sqrt(list_dot_product({vb}, {vb}))), 6) END"
+        )
+        return f"""
+            {name} AS (
+              SELECT {d} AS dims, p.probe_id, e.vec_id AS neighbor_id
+              FROM embeddings e CROSS JOIN probes p
+              WHERE e.vec_id <> p.probe_id
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                ORDER BY {c} DESC NULLS LAST, e.vec_id) <= 10)"""
+
+    tier_ctes = ",".join(topk_cte(f"t{d}", d) for d in tiers)
+    tier_union = "\n              UNION ALL ".join(
+        f"SELECT * FROM t{d}" for d in tiers
+    )
+    sql = f"""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, embedding AS probe_vec
+          FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+        {topk_cte("exact", 64)},
+        {tier_ctes},
+        alltiers AS ({tier_union}),
+        hits AS (
+          SELECT a.dims, a.probe_id, COUNT(*) AS n_hits
+          FROM alltiers a
+          JOIN exact x ON x.probe_id = a.probe_id
+                      AND x.neighbor_id = a.neighbor_id
+          GROUP BY 1, 2),
+        base AS (SELECT DISTINCT dims, probe_id FROM alltiers)
+        SELECT b.dims, b.probe_id,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n_hits, 0) / 10.0, 4) AS recall_at_k
+        FROM base b LEFT JOIN hits h
+          ON h.dims = b.dims AND h.probe_id = b.probe_id
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SFE}/embeddings.parquet'"
+    )
+    import math
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == len(tiers) * len(probes)
+
+    # semantics: full-dim tier IS the truth -> recall exactly 1.0;
+    # and mean recall is weakly monotone in dims on this fixture
+    rows = out.collect()
+    by_tier: dict = {}
+    for r in rows:
+        by_tier.setdefault(r.dims, []).append(r.recall_at_k)
+    assert all(v == 1.0 for v in by_tier[64])
+    means = {d: sum(v) / len(v) for d, v in by_tier.items()}
+    assert means[8] <= means[16] <= means[32] <= means[64]
+
+
+def test_knn_ivf_pq_oracle(spark):
+    # Banked for r10 as `ext-similarity-ivf-pq`: the production ANN
+    # layout (coarse IVF probe restricts candidates -> PQ-ADC scores
+    # codes only), composed from the two gated halves with their
+    # proven twin fragments chained: hash-spread centroids + 2-cell
+    # probe (the ivf twin) and seed + 2 Lloyd rounds + encode + LUT
+    # fold (the pq twin), candidates filtered between them.
+    import duckdb
+
+    from __spark_entry__ import _sql_l2
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, knn_ivf_pq, pq_codebooks_refined,
+    )
+
+    SFE = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SFE)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    cbs = pq_codebooks_refined(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=2, order_col="vec_id",
+    )
+    out = knn_ivf_pq(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding], centroids=centroids,
+        codebooks=cbs, n_probes=2, k=10,
+    ).select(
+        "vec_id", "adc_dist",
+        F.concat_ws(",", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"),
+        "rank",
+    )
+
+    def pq_lloyd_round(r: int) -> str:
+        return f"""
+            passign{r} AS (
+              SELECT s.vec_id, s.j, s.vs, t.i,
+                     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_l2('s.vs', 't.cs')}, t.i) AS rn
+              FROM sub s JOIN pcent{r} t ON t.j = s.j),
+            pmean{r} AS (
+              SELECT j, i, pos,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+                  (acc, v) -> acc + v) / COUNT(*) AS m
+              FROM (SELECT vec_id, j, i, UNNEST(vs) AS val,
+                           UNNEST(generate_series(1, len(vs))) AS pos
+                    FROM passign{r} WHERE rn = 1)
+              GROUP BY j, i, pos),
+            pcent{r + 1} AS (
+              SELECT p.j, p.i, COALESCE(n.cs, p.cs) AS cs
+              FROM pcent{r} p
+              LEFT JOIN (SELECT j, i, list(m ORDER BY pos) AS cs
+                         FROM pmean{r} GROUP BY j, i) n
+                ON n.j = p.j AND n.i = p.i)"""
+
+    lloyd = ",".join(pq_lloyd_round(r) for r in range(2))
+    sql = f"""
+        WITH corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 embedding
+          FROM embeddings WHERE vec_id <> 0),
+        q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                 embedding AS qe
+          FROM embeddings WHERE vec_id = 0),
+        icent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM corpus)
+          ORDER BY h, vec_id LIMIT 8),
+        iassign AS (
+          SELECT vec_id, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM corpus CROSS JOIN icent),
+        cells AS (SELECT vec_id, i AS cell FROM iassign WHERE rn = 1),
+        iprobe AS (
+          SELECT i FROM icent, q
+          ORDER BY {_sql_l2('qe', 'cv')}, i LIMIT 2),
+        cand AS (
+          SELECT vec_id FROM cells
+          WHERE cell IN (SELECT i FROM iprobe)),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS cv
+          FROM corpus ORDER BY vec_id LIMIT 16),
+        js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+        pcent0 AS (
+          SELECT j, i, list_slice(cv, j * 8 + 1, j * 8 + 8) AS cs
+          FROM seeds CROSS JOIN js),
+        sub AS (
+          SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS vs
+          FROM corpus CROSS JOIN js),
+        {lloyd},
+        cent AS (SELECT j, i, cs FROM pcent2),
+        assign AS (
+          SELECT vec_id, j, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY {_sql_l2('vs', 'cs')}, i) AS rn
+          FROM sub JOIN cent USING (j)),
+        codes AS (SELECT vec_id, j, i AS code FROM assign WHERE rn = 1),
+        lut AS (
+          SELECT j, i,
+                 {_sql_l2("list_slice(qv, j * 8 + 1, j * 8 + 8)", "cs")}
+                   AS d
+          FROM cent, q),
+        per AS (
+          SELECT c.vec_id, c.j, c.code, l.d
+          FROM codes c
+          JOIN cand USING (vec_id)
+          JOIN lut l ON l.j = c.j AND l.i = c.code),
+        adc AS (
+          SELECT vec_id,
+                 ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(d ORDER BY j)),
+                   (a, x) -> a + x), 6) AS adc_dist,
+                 list(code ORDER BY j) AS pq_code
+          FROM per GROUP BY vec_id)
+        SELECT vec_id, adc_dist,
+               array_to_string(pq_code, ',') AS pq_code,
+               CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id)
+                    AS INT) AS rank
+        FROM adc
+        QUALIFY rank <= 10
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SFE}/embeddings.parquet'"
+    )
+    import math
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 10
+
+
+def test_knn_ivf_pq_only_scores_probed_cells(spark):
+    # every returned id must belong to one of the n_probes nearest
+    # cells — the candidate restriction IS the operator's point
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign, ivf_centroids_from_sample, knn_ivf_pq,
+        pq_codebooks_from_sample,
+    )
+
+    SFE = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", SFE)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(x) for x in probe.embedding]
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    cbs = pq_codebooks_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16
+    )
+    out = knn_ivf_pq(
+        corpus, id_col="vec_id", vec_col="embedding", query=query,
+        centroids=centroids, codebooks=cbs, n_probes=2, k=10,
+    )
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probed = set(sorted(
+        range(len(centroids)), key=lambda i: (l2(query, centroids[i]), i)
+    )[:2])
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign(
+            corpus, vec_col="embedding", centroids=centroids
+        ).select("vec_id", "cell").collect()
+    }
+    got = out.collect()
+    assert len(got) == 10
+    assert all(cells[r.vec_id] in probed for r in got)
