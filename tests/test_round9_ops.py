@@ -741,3 +741,60 @@ def test_knn_ivf_pq_only_scores_probed_cells(spark):
     got = out.collect()
     assert len(got) == 10
     assert all(cells[r.vec_id] in probed for r in got)
+
+
+def test_cdc_clamped_property_random_inputs(spark):
+    # property check: for random (window, divisor, min, max) and
+    # adversarial text shapes, the F.aggregate fold always equals the
+    # sequential reference resolution and the tiling invariants hold
+    import hashlib
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks, content_defined_chunks_clamped,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    import random
+
+    rng = random.Random(9)
+    alphabet = "ab X.\n"
+    cases = []
+    for i in range(24):
+        n = rng.randrange(0, 600)
+        cases.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    cases += [
+        (100, ""), (101, None), (102, "a"), (103, "a" * 7),
+        (104, "a" * 8), (105, "xyz" * 200),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for window, divisor, mn, mx in [(4, 16, 8, 40), (8, 64, 32, 128),
+                                    (2, 4, 1, 6), (5, 32, 30, 30)]:
+        out = content_defined_chunks_clamped(
+            df, id_col="doc_id", text_col="text", window=window,
+            divisor=divisor, min_len=mn, max_len=mx,
+            hash_fn=portable_hash52,
+        ).collect()
+        stateless = content_defined_chunks(
+            df, id_col="doc_id", text_col="text", window=window,
+            divisor=divisor, hash_fn=portable_hash52,
+        ).collect()
+        cands: dict = {}
+        for r in stateless:
+            if r.chunk_start > 0:
+                cands.setdefault(r.doc_id, []).append(int(r.chunk_start))
+        got: dict = {}
+        for r in out:
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, int(r.chunk_start), int(r.chunk_len))
+            )
+        for did, text in cases:
+            text = text or ""
+            L = len(text)
+            bnd = _python_clamp_fold(cands.get(did, []), L, mn, mx)
+            starts, ends = [0] + bnd, bnd + [L]
+            want = [(i, s, e - s)
+                    for i, (s, e) in enumerate(zip(starts, ends))
+                    if e - s > 0]
+            assert sorted(got.get(did, [])) == want, (
+                f"doc {did} w={window} d={divisor} mn={mn} mx={mx}"
+            )
