@@ -690,6 +690,24 @@ def content_defined_chunks_clamped(
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
     cand = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)
+    bnd = _clamp_boundaries(cand, L, min_len, max_len)
+    starts = F.concat(F.array(F.lit(0)), bnd)
+    ends = F.concat(bnd, F.array(L))
+    return _cdc_spans_to_chunks(
+        df, id_col=id_col, t=t, starts=starts, ends=ends,
+        hash_fn=hash_fn,
+    )
+
+
+def _clamp_boundaries(cand: Column, L: Column, min_len: int,
+                      max_len: int) -> Column:
+    """The FastCDC min/max clamp resolution as ONE F.aggregate left
+    fold over the elected-candidate array (shared by the md5/xxhash
+    and rolling-hash CDC forms): next boundary = first candidate in
+    [last+min, last+max], else forced at last+max while more than
+    max_len chars remain. Forced boundaries between two candidates
+    form an arithmetic sequence, so each fold step is
+    concat(F.sequence(...), candidate) — no per-doc Python."""
     empty_int = F.array().cast("array<int>")
     mx = F.lit(max_len)
 
@@ -726,13 +744,7 @@ def content_defined_chunks_clamped(
     )
     folded = F.aggregate(cand, init, _step)
     k_tail = _n_forced(folded["last"], L)
-    bnd = F.concat(folded["acc"], _forced(folded["last"], k_tail))
-    starts = F.concat(F.array(F.lit(0)), bnd)
-    ends = F.concat(bnd, F.array(L))
-    return _cdc_spans_to_chunks(
-        df, id_col=id_col, t=t, starts=starts, ends=ends,
-        hash_fn=hash_fn,
-    )
+    return F.concat(folded["acc"], _forced(folded["last"], k_tail))
 
 
 def dataset_card(
