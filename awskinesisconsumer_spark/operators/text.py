@@ -709,6 +709,108 @@ def unigram_logprob(df: DataFrame, *, id_col: str, text_col: str,
     )
 
 
+def importance_score(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    target_text_col: str,
+    out_col: str = "importance",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al., Data Selection via
+    Importance Resampling): per-document mean unigram log-likelihood
+    RATIO of a TARGET domain sample over the corpus' own
+    distribution —
+
+        score(d) = (1/n_d) * sum_t c_t * (ln p_tgt(t) - ln p_src(t))
+
+    with both distributions add-one smoothed over the UNION
+    vocabulary (terms unseen in the target get a finite penalty, not
+    -inf). Docs whose word mix resembles the target score high; the
+    standard pick-pretraining-data-that-looks-like-the-eval-domain
+    signal, one tier above raw `unigram_logprob` fluency. Selection
+    composes downstream: `quality_blend` on the score, or a
+    hash-gated keep on score buckets (`sample_stratified`) — scoring
+    and sampling stay separate operators by design.
+
+    Empty/NULL docs -> NULL score ("no evidence"), n_tokens 0.
+
+    Scale shape: same contract as `unigram_logprob` — shuffles carry
+    one row per distinct (doc, term) / term, never raw tokens; the
+    corpus term table is Zipf-bounded; the TARGET term table is
+    domain-sample-bounded (tiny: eval suites / domain seeds) and
+    rides a left join that AQE broadcasts. The per-doc sum folds
+    over the SORTED term list (collect_list + array_sort +
+    F.aggregate) so summation order is engine-independent.
+    """
+    words = _words(F.lower(F.col(text_col)))
+    tok = (
+        df.select(id_col, F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+    )
+    twords = _words(F.lower(F.col(target_text_col)))
+    ttok = (
+        target.select(F.explode(twords).alias("term"))
+        .where(F.col("term") != "")
+    )
+    doc_tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_c"))
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_cf"))
+    tgt = ttok.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
+    both = corpus.join(tgt, "term", "full_outer").select(
+        "term",
+        F.coalesce("_cf", F.lit(0)).alias("_cf"),
+        F.coalesce("_tf", F.lit(0)).alias("_tf"),
+    )
+    totals = both.agg(
+        F.sum("_cf").alias("_n_src"),
+        F.sum("_tf").alias("_n_tgt"),
+        F.count(F.lit(1)).alias("_vocab"),  # UNION vocabulary
+    )
+    joined = (
+        doc_tf.join(both, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("_c"),
+            F.struct("term", "_c", "_cf", "_tf").alias("_e"),
+            (F.col("_n_src") + F.col("_vocab")).cast("double")
+            .alias("_dsrc"),
+            (F.col("_n_tgt") + F.col("_vocab")).cast("double")
+            .alias("_dtgt"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.array_sort(F.collect_list("_e")).alias("_es"),
+        F.first("_dsrc").alias("_dsrc"),
+        F.first("_dtgt").alias("_dtgt"),
+    )
+    acc = F.aggregate(
+        F.col("_es"),
+        F.lit(0.0),
+        lambda a, e: a
+        + e["_c"].cast("double")
+        * (
+            (F.log(e["_tf"].cast("double") + 1.0) - F.log(F.col("_dtgt")))
+            - (F.log(e["_cf"].cast("double") + 1.0) - F.log(F.col("_dsrc")))
+        ),
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(acc / F.col("_n").cast("double"), 4).alias(out_col),
+    )
+    return (
+        df.select(id_col).join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            out_col,
+        )
+    )
+
+
 def token_length_histogram(df: DataFrame, *, text_col: str,
                            bucket_width: int = 50) -> DataFrame:
     """Corpus token-length histogram: docs bucketed by BPE-ish token

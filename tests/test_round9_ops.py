@@ -798,3 +798,96 @@ def test_cdc_clamped_property_random_inputs(spark):
             assert sorted(got.get(did, [])) == want, (
                 f"doc {did} w={window} d={divisor} mn={mn} mx={mx}"
             )
+
+
+def test_importance_score_oracle_and_semantics(spark):
+    # Banked for r10 as `ext-importance-score`: DSIR-style per-doc
+    # mean unigram log-likelihood ratio (target domain sample over
+    # the corpus' own distribution, both add-one smoothed on the
+    # UNION vocabulary). Twin replays counts, smoothing masses, and
+    # the sorted-fold sum; target-domain docs must outrank the rest.
+    import duckdb
+    import math
+
+    from awskinesisconsumer_spark.operators.text import importance_score
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD)
+    # target domain sample = the src0 docs' text
+    target = docs.where(F.col("source") == "src0").select(
+        F.col("text").alias("t_text")
+    )
+    out = importance_score(
+        docs, target, id_col="doc_id", text_col="text",
+        target_text_col="t_text",
+    )
+
+    wl = ("CASE WHEN length(trim(COALESCE(text, ''))) = 0 "
+          "THEN CAST([] AS VARCHAR[]) "
+          "ELSE string_split_regex(lower(trim(COALESCE(text, ''))), "
+          "'\\s+') END")
+    sql = f"""
+        WITH w AS (SELECT doc_id, source, {wl} AS words FROM documents),
+        tok AS (SELECT doc_id, source, UNNEST(words) AS term FROM w),
+        tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        dtf AS (SELECT doc_id, term, COUNT(*) AS c
+                FROM tok2 GROUP BY 1, 2),
+        src AS (SELECT term, COUNT(*) AS cf FROM tok2 GROUP BY 1),
+        tgt AS (SELECT term, COUNT(*) AS tf FROM tok2
+                WHERE source = 'src0' GROUP BY 1),
+        uni AS (
+          SELECT COALESCE(s.term, t.term) AS term,
+                 COALESCE(cf, 0) AS cf, COALESCE(tf, 0) AS tf
+          FROM src s FULL OUTER JOIN tgt t ON s.term = t.term),
+        tot AS (SELECT SUM(cf) AS ns, SUM(tf) AS nt,
+                       COUNT(*) AS vocab FROM uni),
+        per AS (
+          SELECT doc_id, SUM(c) AS n,
+                 list(struct_pack(term := d.term, c := c, cf := cf,
+                                  tf := tf) ORDER BY d.term) AS es,
+                 ANY_VALUE(CAST(ns + vocab AS DOUBLE)) AS dsrc,
+                 ANY_VALUE(CAST(nt + vocab AS DOUBLE)) AS dtgt
+          FROM dtf d JOIN uni USING (term) CROSS JOIN tot
+          GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(es, e -> CAST(e.c AS DOUBLE)
+                 * ((ln(CAST(e.tf AS DOUBLE) + 1.0) - ln(dtgt))
+                    - (ln(CAST(e.cf AS DOUBLE) + 1.0) - ln(dsrc))))),
+               (a, x) -> a + x) / CAST(n AS DOUBLE), 4) AS importance
+          FROM per)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               importance
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SFD}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # semantics: docs OF the target domain must score higher on
+    # average than the rest (their unigrams define the target)
+    rows = [r for r in docs.select("doc_id", "source").collect()]
+    src_of = {r.doc_id: r.source for r in rows}
+    scores = {r.doc_id: r.importance for r in out.collect()
+              if r.importance is not None}
+    tgt_scores = [v for d, v in scores.items() if src_of[d] == "src0"]
+    rest = [v for d, v in scores.items() if src_of[d] != "src0"]
+    assert sum(tgt_scores) / len(tgt_scores) > sum(rest) / len(rest)
