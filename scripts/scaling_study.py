@@ -148,7 +148,112 @@ def doc_ops():
         # round-6 additions
         "quality-blend": quality_blend_study,
         "normalize-text": normalize_text_study,
+        # round-9 additions
+        "cdc-chunk-clamped": cdc_clamped_study,
+        "sentence-decontaminate": sentence_decontaminate_study,
+        "dedup-keep-best": dedup_keep_best_study,
+        "dedup-simhash-pairs": simhash_pairs_study,
+        "mixture-expand": mixture_expand_study,
+        "importance-score": importance_score_study,
     }
+
+
+def cdc_clamped_study(d):
+    # map-only: the clamp fold + chunking must scale linearly in
+    # total text bytes (production xxhash64 default)
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks_clamped,
+    )
+
+    return content_defined_chunks_clamped(
+        d, id_col="doc_id", text_col="text", min_len=32, max_len=128
+    )
+
+
+def sentence_decontaminate_study(d):
+    # benchmark side FIXED (the %97 docs of the base corpus) while
+    # the corpus grows: cost must be the corpus-side sentence
+    # explosion through the broadcast, linear in corpus size
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        sentence_decontaminate,
+    )
+
+    sentenced = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(".")).alias(
+            "text"
+        ),
+    )
+    bench = sentenced.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    return sentence_decontaminate(
+        sentenced, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="bench_text",
+    )
+
+
+def dedup_keep_best_study(d):
+    # the amplified corpus is ALL near-dup groups (replicas of one
+    # base doc) — dense clusters are exactly the hard case for the
+    # CC + salted-argmax resolution
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_keep_best, dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(
+        d, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, jaccard_threshold=0.8,
+    ).select("id_a", "id_b")
+    scored = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("score"),
+    )
+    return dedup_keep_best(scored, pairs, id_col="doc_id",
+                           score_col="score")
+
+
+def simhash_pairs_study(d):
+    # near-dup replicas share most simhash bands — the hot-cap skew
+    # guard is what keeps the banded join from going quadratic here
+    from awskinesisconsumer_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    return simhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", bits=16,
+        max_hamming=3, bands=4,
+    )
+
+
+def mixture_expand_study(d):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+
+    src = d.withColumn("source",
+                       F.concat(F.lit("src"),
+                                (F.col("doc_id") % 4).cast("string")))
+    return expand_mixture_epochs(
+        src, id_col="doc_id", source_col="source",
+        epochs={"src0": 2.3, "src1": 0.0, "src2": 1.0, "src3": 0.4},
+    )
+
+
+def importance_score_study(d):
+    # target sample FIXED (the %97 slice of whatever corpus) while
+    # the corpus grows — the production shape: a small domain seed
+    # against a growing crawl
+    from awskinesisconsumer_spark.operators.text import importance_score
+
+    target = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("t_text")
+    )
+    return importance_score(
+        d, target, id_col="doc_id", text_col="text",
+        target_text_col="t_text",
+    )
 
 
 def dedup_incremental_fixed_batch(d):
