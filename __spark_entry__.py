@@ -4665,6 +4665,44 @@ def _sql_l2(a: str, b: str) -> str:
 # (dedup.portable_hash52) — verified bit-identical.
 _SQL_H52 = "('0x' || substr(md5({x}), 1, 13))::BIGINT"
 
+# Sentenced-fixture CTE block shared VERBATIM by the two sentence-
+# granularity twins (ext-sentence-split, ext-sentence-decontaminate)
+# — mirrors the Spark side's shared _sentenced_fixture: word chunks of
+# (doc_id % 5 + 3) terminated by a cycling [. ! ?]; %19 docs NULL.
+# One constant so the two oracles cannot silently desynchronize (the
+# _EDGES_CTE_SQL / _CLUSTER_CTE_SQL pattern).
+_SENTENCED_FIX_CTE = r"""
+            base AS (
+              SELECT doc_id,
+                     string_split(COALESCE(text, ''), ' ') AS ws,
+                     CAST(doc_id % 5 + 3 AS INT) AS csz
+              FROM documents),
+            nch AS (
+              SELECT doc_id, ws, csz,
+                     GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
+                                   AS INT), 1) AS n_chunks
+              FROM base),
+            fix AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+                       array_to_string(
+                         list_transform(range(1, n_chunks + 1), i ->
+                           array_to_string(
+                             ws[(i - 1) * csz + 1 : i * csz], ' ')
+                           || ['.', '!', '?'][(i % 3) + 1]),
+                         ' ')
+                     END AS text
+              FROM nch),
+            marked AS (
+              SELECT doc_id,
+                     regexp_replace(text, '([.!?])[ \t\r\n\f]+',
+                                    '\1' || chr(30), 'g') AS m
+              FROM fix),
+            parts AS (
+              SELECT doc_id, string_split(m, chr(30)) AS ps
+              FROM marked WHERE m IS NOT NULL)"""
+
+
 
 def _sql_srp_bucket(vec: str, planes) -> str:
     """SRP bucket id: one sign bit per literal hyperplane — mirrors
@@ -7835,36 +7873,7 @@ def oracle_sql() -> dict[str, str]:
         # Sentence-split twin: fixture injection + mark-then-split
         # replay (RE2 backreference syntax \1 vs Java's $1 — same
         # semantics).
-        "ext-sentence-split": r"""
-            WITH base AS (
-              SELECT doc_id,
-                     string_split(COALESCE(text, ''), ' ') AS ws,
-                     CAST(doc_id % 5 + 3 AS INT) AS csz
-              FROM documents),
-            nch AS (
-              SELECT doc_id, ws, csz,
-                     GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
-                                   AS INT), 1) AS n_chunks
-              FROM base),
-            fix AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
-                       array_to_string(
-                         list_transform(range(1, n_chunks + 1), i ->
-                           array_to_string(
-                             ws[(i - 1) * csz + 1 : i * csz], ' ')
-                           || ['.', '!', '?'][(i % 3) + 1]),
-                         ' ')
-                     END AS text
-              FROM nch),
-            marked AS (
-              SELECT doc_id,
-                     regexp_replace(text, '([.!?])[ \t\r\n\f]+',
-                                    '\1' || chr(30), 'g') AS m
-              FROM fix),
-            parts AS (
-              SELECT doc_id, string_split(m, chr(30)) AS ps
-              FROM marked WHERE m IS NOT NULL),
+        "ext-sentence-split": "WITH " + _SENTENCED_FIX_CTE + r""",
             ex AS (
               SELECT doc_id,
                      CAST(i - 1 AS INT) AS sent_idx,
@@ -7877,36 +7886,7 @@ def oracle_sql() -> dict[str, str]:
         # CTEs, then normalize (lower + whitespace collapse), the
         # >=3-word floor, the %97 benchmark sentence set, and a
         # per-doc distinct leaked-sentence count.
-        "ext-sentence-decontaminate": r"""
-            WITH base AS (
-              SELECT doc_id,
-                     string_split(COALESCE(text, ''), ' ') AS ws,
-                     CAST(doc_id % 5 + 3 AS INT) AS csz
-              FROM documents),
-            nch AS (
-              SELECT doc_id, ws, csz,
-                     GREATEST(CAST(CEIL(len(ws) / CAST(csz AS DOUBLE))
-                                   AS INT), 1) AS n_chunks
-              FROM base),
-            fix AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
-                       array_to_string(
-                         list_transform(range(1, n_chunks + 1), i ->
-                           array_to_string(
-                             ws[(i - 1) * csz + 1 : i * csz], ' ')
-                           || ['.', '!', '?'][(i % 3) + 1]),
-                         ' ')
-                     END AS text
-              FROM nch),
-            marked AS (
-              SELECT doc_id,
-                     regexp_replace(text, '([.!?])[ \t\r\n\f]+',
-                                    '\1' || chr(30), 'g') AS m
-              FROM fix),
-            parts AS (
-              SELECT doc_id, string_split(m, chr(30)) AS ps
-              FROM marked WHERE m IS NOT NULL),
+        "ext-sentence-decontaminate": "WITH " + _SENTENCED_FIX_CTE + r""",
             ex AS (
               SELECT doc_id, trim(ps[i]) AS sentence
               FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)),
@@ -8174,17 +8154,24 @@ def oracle_sql() -> dict[str, str]:
         "ext-mixture-expand": f"""
             WITH e AS (
               SELECT doc_id, source,
-                     CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
-                                 WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
-                                 ELSE 1.0 END AS ep,
+                     CAST(CASE source
+                          WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
+                          WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
+                          ELSE 1.0 END AS DOUBLE) AS ep,
                      {p52("doc_id::VARCHAR || chr(31) || 'v1'")}
                        % 1000000 AS gate
               FROM documents),
             n AS (
               SELECT doc_id, source,
                      CAST(FLOOR(ep) AS BIGINT)
-                       + CASE WHEN gate < CAST((ep - FLOOR(ep)) * 1000000
-                                               AS BIGINT)
+                       -- DOUBLE subtraction + TRUNC replays Spark's
+                       -- (frac * 1e6).cast('long') exactly: 2.3-2.0
+                       -- is 0.299999..., so the threshold is 299999,
+                       -- not DECIMAL's exact 300000 (Spark casts
+                       -- truncate; DuckDB casts round — same rule as
+                       -- the ext-sample-stratified twin's FLOOR)
+                       + CASE WHEN gate < CAST(TRUNC((ep - FLOOR(ep))
+                                               * 1000000) AS BIGINT)
                               THEN 1 ELSE 0 END AS n_rep
               FROM e)
             SELECT doc_id, source,

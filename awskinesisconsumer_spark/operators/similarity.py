@@ -715,6 +715,13 @@ def knn_ivf_pq(
     id tie-breaks), so the DuckDB twin chains the IVF cell CTE with
     the ADC LUT arithmetic verbatim.
     """
+    if n_probes < 1:
+        raise ValueError(f"knn_ivf_pq: n_probes must be >= 1, got {n_probes}")
+    if not centroids:
+        raise ValueError("knn_ivf_pq: centroids must be non-empty")
+    if not codebooks:
+        raise ValueError("knn_ivf_pq: codebooks must be non-empty")
+
     def _l2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
@@ -1293,7 +1300,18 @@ def truncated_dim_recall(
         .groupBy("dims", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    base = tiers.select("dims", "probe_id").distinct()
+    # (dims, probe) frame from the EXACT side x tier literals — NOT
+    # distinct-over-tiers, which would run the whole T-scan tier
+    # union a second time just to enumerate keys
+    base = (
+        exact.select("probe_id").distinct()
+        .select(
+            F.explode(F.array(*[
+                F.lit(int(d)) for d in sorted(set(int(d) for d in dim_tiers))
+            ])).alias("dims"),
+            "probe_id",
+        )
+    )
     return (
         base.join(hits, ["dims", "probe_id"], "left")
         .select(

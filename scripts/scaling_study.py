@@ -171,9 +171,8 @@ def cdc_clamped_study(d):
 
 
 def sentence_decontaminate_study(d):
-    # benchmark side FIXED (the %97 docs of the base corpus) while
-    # the corpus grows: cost must be the corpus-side sentence
-    # explosion through the broadcast, linear in corpus size
+    # cost must be the corpus-side sentence explosion through the
+    # broadcast, linear in corpus size
     from awskinesisconsumer_spark.operators.corpus_prep import (
         sentence_decontaminate,
     )
@@ -184,7 +183,13 @@ def sentence_decontaminate_study(d):
             "text"
         ),
     )
-    bench = sentenced.where(F.col("doc_id") % 97 == 0).select(
+    # FIXED benchmark across amplification: only replica 0 of the %97
+    # base docs (replica ids are base*1000+rep), so the broadcast side
+    # stays constant while the corpus grows
+    bench = sentenced.where(
+        (F.col("doc_id") % 1000 == 0)
+        & ((F.col("doc_id") / 1000).cast("long") % 97 == 0)
+    ).select(
         F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
     )
     return sentence_decontaminate(
@@ -242,14 +247,15 @@ def mixture_expand_study(d):
 
 
 def importance_score_study(d):
-    # target sample FIXED (the %97 slice of whatever corpus) while
-    # the corpus grows — the production shape: a small domain seed
-    # against a growing crawl
     from awskinesisconsumer_spark.operators.text import importance_score
 
-    target = d.where(F.col("doc_id") % 97 == 0).select(
-        F.col("text").alias("t_text")
-    )
+    # FIXED target sample across amplification (replica 0 of the %97
+    # base docs) — the production shape: a small domain seed against a
+    # growing crawl
+    target = d.where(
+        (F.col("doc_id") % 1000 == 0)
+        & ((F.col("doc_id") / 1000).cast("long") % 97 == 0)
+    ).select(F.col("text").alias("t_text"))
     return importance_score(
         d, target, id_col="doc_id", text_col="text",
         target_text_col="t_text",

@@ -2087,9 +2087,10 @@ def test_expand_mixture_epochs_oracle(spark):
     sql = """
         WITH e AS (
           SELECT doc_id, source,
-                 CASE source WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
-                             WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
-                             ELSE 1.0 END AS ep,
+                 CAST(CASE source
+                      WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 0.0
+                      WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.4
+                      ELSE 1.0 END AS DOUBLE) AS ep,
                  ('0x' || substr(md5(doc_id::VARCHAR || chr(31)
                                      || 'v1'), 1, 13))::BIGINT
                    % 1000000 AS gate
@@ -2097,8 +2098,10 @@ def test_expand_mixture_epochs_oracle(spark):
         n AS (
           SELECT doc_id, source,
                  CAST(FLOOR(ep) AS BIGINT)
-                   + CASE WHEN gate < CAST((ep - FLOOR(ep)) * 1000000
-                                           AS BIGINT)
+                   -- DOUBLE + TRUNC replays Spark's truncating cast
+                   -- (2.3 - 2.0 -> threshold 299999, not 300000)
+                   + CASE WHEN gate < CAST(TRUNC((ep - FLOOR(ep))
+                                           * 1000000) AS BIGINT)
                           THEN 1 ELSE 0 END AS n_rep
           FROM e)
         SELECT doc_id, source,
