@@ -744,9 +744,37 @@ def importance_score(
     over the SORTED term list (collect_list + array_sort +
     F.aggregate) so summation order is engine-independent.
     """
+    stats, n_src, n_tgt, vocab = importance_stats(
+        df, target, text_col=text_col, target_text_col=target_text_col
+    )
+    return importance_score_with_stats(
+        df, stats, id_col=id_col, text_col=text_col,
+        n_src=n_src, n_tgt=n_tgt, vocab=vocab, out_col=out_col,
+    )
+
+
+def importance_stats(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str,
+    target_text_col: str,
+):
+    """Freeze the DSIR calibration: the UNION-vocabulary term table
+    with both distributions' counts, plus the three smoothing masses
+    — computed ONCE on a reference corpus + target seed, then applied
+    to any batch or stream with `importance_score_with_stats` (the
+    `quality_cut_points` / `whitening_stats` freeze/apply split, for
+    the data-selection signal).
+
+    Returns (stats_df[term, cf, tf], n_src, n_tgt, vocab). The stats
+    DataFrame is vocab-bounded (NOT collected — at 100 TB it is
+    millions of rows, joined broadcast-or-shuffle by the applier);
+    only the three masses are driver scalars.
+    """
     words = _words(F.lower(F.col(text_col)))
     tok = (
-        df.select(id_col, F.explode(words).alias("term"))
+        corpus.select(F.explode(words).alias("term"))
         .where(F.col("term") != "")
     )
     twords = _words(F.lower(F.col(target_text_col)))
@@ -754,46 +782,80 @@ def importance_score(
         target.select(F.explode(twords).alias("term"))
         .where(F.col("term") != "")
     )
-    doc_tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_c"))
-    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_cf"))
-    tgt = ttok.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
-    both = corpus.join(tgt, "term", "full_outer").select(
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tf = ttok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = cf.join(tf, "term", "full_outer").select(
         "term",
-        F.coalesce("_cf", F.lit(0)).alias("_cf"),
-        F.coalesce("_tf", F.lit(0)).alias("_tf"),
+        F.coalesce("cf", F.lit(0)).alias("cf"),
+        F.coalesce("tf", F.lit(0)).alias("tf"),
     )
-    totals = both.agg(
-        F.sum("_cf").alias("_n_src"),
-        F.sum("_tf").alias("_n_tgt"),
-        F.count(F.lit(1)).alias("_vocab"),  # UNION vocabulary
+    masses = stats.agg(
+        F.sum("cf"), F.sum("tf"), F.count(F.lit(1))
+    ).collect()[0]
+    return stats, int(masses[0]), int(masses[1]), int(masses[2])
+
+
+def importance_score_with_stats(
+    df: DataFrame,
+    stats: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_src: int,
+    n_tgt: int,
+    vocab: int,
+    out_col: str = "importance",
+) -> DataFrame:
+    """Apply a FROZEN DSIR calibration (from `importance_stats`) to
+    score documents. A term NOT in the frozen union vocabulary
+    contributes c * ln(dsrc/dtgt) (cf = tf = 0 under add-one
+    smoothing) — new words are neither evidence for nor against the
+    target beyond the mass ratio. Every score depends only on (the
+    doc's own tokens, the frozen stats), so per-micro-batch
+    application inside foreachBatch equals the batch result — the
+    streaming form `importance_score_stream` relies on exactly this.
+
+    Scale shape: explode -> per-(doc, term) count -> LEFT join the
+    vocab-bounded stats table (AQE broadcasts when it fits) -> one
+    doc-keyed agg whose addends fold over the SORTED term list
+    (engine-independent summation, the `unigram_logprob` trick).
+    """
+    dsrc = float(n_src + vocab)
+    dtgt = float(n_tgt + vocab)
+    words = _words(F.lower(F.col(text_col)))
+    tok = (
+        df.select(id_col, F.explode(words).alias("term"))
+        .where(F.col("term") != "")
     )
+    doc_tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_c"))
     joined = (
-        doc_tf.join(both, "term")
-        .crossJoin(F.broadcast(totals))
+        doc_tf.join(stats, "term", "left")
         .select(
             F.col(id_col),
             F.col("_c"),
-            F.struct("term", "_c", "_cf", "_tf").alias("_e"),
-            (F.col("_n_src") + F.col("_vocab")).cast("double")
-            .alias("_dsrc"),
-            (F.col("_n_tgt") + F.col("_vocab")).cast("double")
-            .alias("_dtgt"),
+            F.struct(
+                "term",
+                "_c",
+                F.coalesce("cf", F.lit(0)).alias("_cf"),
+                F.coalesce("tf", F.lit(0)).alias("_tf"),
+            ).alias("_e"),
         )
     )
     per_doc = joined.groupBy(id_col).agg(
         F.sum("_c").alias("_n"),
         F.array_sort(F.collect_list("_e")).alias("_es"),
-        F.first("_dsrc").alias("_dsrc"),
-        F.first("_dtgt").alias("_dtgt"),
     )
+    # logs stay JVM-side (F.log over literals, constant-folded by
+    # Catalyst) so the doubles match DuckDB's ln() the way the proven
+    # unigram twins do — never Python's math.log
     acc = F.aggregate(
         F.col("_es"),
         F.lit(0.0),
         lambda a, e: a
         + e["_c"].cast("double")
         * (
-            (F.log(e["_tf"].cast("double") + 1.0) - F.log(F.col("_dtgt")))
-            - (F.log(e["_cf"].cast("double") + 1.0) - F.log(F.col("_dsrc")))
+            (F.log(e["_tf"].cast("double") + 1.0) - F.log(F.lit(dtgt)))
+            - (F.log(e["_cf"].cast("double") + 1.0) - F.log(F.lit(dsrc)))
         ),
     )
     out = per_doc.select(

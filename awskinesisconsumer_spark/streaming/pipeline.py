@@ -709,6 +709,54 @@ def sentence_decontaminate_stream(
     return writer.start()
 
 
+def importance_score_stream(
+    corpus_docs: DataFrame,
+    stats: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_src: int,
+    n_tgt: int,
+    vocab: int,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming DSIR scoring against a FROZEN calibration
+    (`text.importance_stats`): every arriving document gets its
+    target-likeness score at ingest — the data-selection analogue of
+    `quality_blend_stream`'s frozen cut points and the whitening
+    stream's frozen dim stats. Re-deriving the distributions per
+    batch would silently shift the selection threshold as the stream
+    grows; freezing is the correct production semantics.
+
+    foreachBatch applies `importance_score_with_stats` per
+    micro-batch; a doc's score depends only on (its own tokens, the
+    frozen stats), so the union of per-batch outputs EQUALS the batch
+    result regardless of arrival chunking, and the batch oracle
+    applies verbatim. At-least-once under crash-retry, like the other
+    foreachBatch sinks. Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.text import (
+        importance_score_with_stats,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = importance_score_with_stats(
+            batch_df, stats, id_col=id_col, text_col=text_col,
+            n_src=n_src, n_tgt=n_tgt, vocab=vocab,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        corpus_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def domain_cap_stream(
     rows: DataFrame,
     *,

@@ -891,3 +891,59 @@ def test_importance_score_oracle_and_semantics(spark):
     tgt_scores = [v for d, v in scores.items() if src_of[d] == "src0"]
     rest = [v for d, v in scores.items() if src_of[d] != "src0"]
     assert sum(tgt_scores) / len(tgt_scores) > sum(rest) / len(rest)
+
+
+def test_importance_freeze_apply_and_stream_equals_batch(spark, tmp_path):
+    # Banked for r10 as `stream-importance-score`: the freeze/apply
+    # split must (a) reproduce the monolithic batch op exactly and
+    # (b) produce IDENTICAL results when the corpus arrives as a
+    # 3-file stream — every score depends only on (doc, frozen
+    # stats), the quality-blend-stream contract for data selection.
+    from awskinesisconsumer_spark.operators.text import (
+        importance_score, importance_score_with_stats, importance_stats,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        importance_score_stream,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select("doc_id", "text")
+    target = load_table(spark, "documents", SFD).where(
+        F.col("source") == "src0"
+    ).select(F.col("text").alias("t_text"))
+
+    mono = sorted(
+        tuple(r) for r in importance_score(
+            docs, target, id_col="doc_id", text_col="text",
+            target_text_col="t_text",
+        ).collect()
+    )
+    stats, ns, nt, vocab = importance_stats(
+        docs, target, text_col="text", target_text_col="t_text"
+    )
+    split = sorted(
+        tuple(r) for r in importance_score_with_stats(
+            docs, stats, id_col="doc_id", text_col="text",
+            n_src=ns, n_tgt=nt, vocab=vocab,
+        ).collect()
+    )
+    assert mono == split and len(mono) == 500
+
+    src = str(tmp_path / "imp_src")
+    out_path = str(tmp_path / "imp_out")
+    docs.repartition(3).write.parquet(src)
+    q = importance_score_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        stats, id_col="doc_id", text_col="text",
+        n_src=ns, n_tgt=nt, vocab=vocab,
+        out_path=out_path, checkpoint=str(tmp_path / "imp_ckpt"),
+    )
+    assert q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(out_path)
+        .select("doc_id", "n_tokens", "importance").collect()
+    )
+    assert streamed == mono
