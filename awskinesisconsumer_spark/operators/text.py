@@ -1450,6 +1450,89 @@ def drift_from_term_counts(cl: DataFrame, cr: DataFrame) -> DataFrame:
     )
 
 
+def grouped_drift(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """PER-GROUP term-distribution drift between two corpus snapshots
+    — the monitoring granularity `corpus_drift` lacks: a global KL
+    that moved tells you THAT something changed; the per-source
+    (per-domain, per-language) breakdown tells you WHERE. Each group
+    gets its own add-one-smoothed distributions over the GROUP's
+    union vocabulary, so a group's divergence is self-contained and
+    comparable across snapshots (a group absent from one side
+    diverges maximally, by construction — every term sits at count 0
+    on that side).
+
+    Returns per-(group, term) rows: (group, term, c_left, c_right,
+    p_left_micro, p_right_micro, kl_micro, js_micro) — same contract
+    as `corpus_drift` with the group key prefixed; per-group totals
+    are SUM(kl_micro)/1e6 over the group's rows (a trivial follow-up
+    rollup; kept out of the operator so the gate hashes exact per-term
+    values rather than order-dependent double sums).
+
+    Scale shape: one tokenize+count pass per side keyed by
+    (group, term) — still Zipf-bounded per group; a composite-keyed
+    FULL OUTER join; per-group smoothing masses come from one
+    group-keyed agg (group-table-sized) joined back broadcast. No
+    per-row Python, no global sort.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        words = _words(F.lower(F.col(text_col)))
+        return (
+            df.select(F.col(group_col).alias("group"),
+                      F.explode(words).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("group", "term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    terms = (
+        counts(left, "_cl").join(counts(right, "_cr"),
+                                 ["group", "term"], "full_outer")
+        .select(
+            "group", "term",
+            F.coalesce("_cl", F.lit(0)).alias("c_left"),
+            F.coalesce("_cr", F.lit(0)).alias("c_right"),
+        )
+    )
+    gtotals = terms.groupBy("group").agg(
+        F.sum("c_left").alias("_nl"),
+        F.sum("c_right").alias("_nr"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p = (F.col("c_left") + 1).cast("double") / (
+        F.col("_nl") + F.col("_v")
+    ).cast("double")
+    q = (F.col("c_right") + 1).cast("double") / (
+        F.col("_nr") + F.col("_v")
+    ).cast("double")
+    withpq = (
+        terms.join(F.broadcast(gtotals), "group")
+        .withColumn("_p", p)
+        .withColumn("_q", q)
+        .withColumn("_m", (F.col("_p") + F.col("_q")) / F.lit(2.0))
+    )
+    micro = F.lit(1_000_000.0)
+    return withpq.select(
+        "group", "term", "c_left", "c_right",
+        F.round(F.col("_p") * micro, 4).alias("p_left_micro"),
+        F.round(F.col("_q") * micro, 4).alias("p_right_micro"),
+        F.round(
+            F.col("_p") * (F.log("_p") - F.log("_q")) * micro, 4
+        ).alias("kl_micro"),
+        F.round(
+            (F.col("_p") * (F.log("_p") - F.log("_m"))
+             + F.col("_q") * (F.log("_q") - F.log("_m"))) / F.lit(2.0)
+            * micro,
+            4,
+        ).alias("js_micro"),
+    )
+
+
 # HTML tag-strip regexes, shared verbatim with the DuckDB oracle twin
 # (inline (?i)/(?s) flags + explicit whitespace class keep Java regex
 # and RE2 behavior identical; Java \s includes \x0B, RE2's does not,

@@ -947,3 +947,98 @@ def test_importance_freeze_apply_and_stream_equals_batch(spark, tmp_path):
         .select("doc_id", "n_tokens", "importance").collect()
     )
     assert streamed == mono
+
+
+def test_grouped_drift_oracle_and_semantics(spark):
+    # Banked for r10 as `ext-grouped-drift`: per-SOURCE term
+    # distribution drift between the even/odd doc_id halves — the
+    # WHERE-did-it-drift breakdown of ext-corpus-drift. Twin replays
+    # the composite-keyed counts, per-group masses, and KL/JS at the
+    # same micro-nat rounding.
+    import duckdb
+    import math
+
+    from awskinesisconsumer_spark.operators.text import grouped_drift
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select(
+        "doc_id", "source", "text"
+    )
+    out = grouped_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        group_col="source", text_col="text",
+    )
+
+    wl = ("CASE WHEN length(trim(COALESCE(text, ''))) = 0 "
+          "THEN CAST([] AS VARCHAR[]) "
+          "ELSE string_split_regex(lower(trim(COALESCE(text, ''))), "
+          "'\\s+') END")
+    sql = f"""
+        WITH lw AS (SELECT source AS grp, {wl} AS words FROM documents
+                    WHERE doc_id % 2 = 0),
+        rw AS (SELECT source AS grp, {wl} AS words FROM documents
+               WHERE doc_id % 2 = 1),
+        cl AS (SELECT grp, term, COUNT(*) AS c
+               FROM (SELECT grp, UNNEST(words) AS term FROM lw)
+               WHERE term <> '' GROUP BY 1, 2),
+        cr AS (SELECT grp, term, COUNT(*) AS c
+               FROM (SELECT grp, UNNEST(words) AS term FROM rw)
+               WHERE term <> '' GROUP BY 1, 2),
+        t AS (SELECT COALESCE(cl.grp, cr.grp) AS grp,
+                     COALESCE(cl.term, cr.term) AS term,
+                     COALESCE(cl.c, 0) AS c_left,
+                     COALESCE(cr.c, 0) AS c_right
+              FROM cl FULL OUTER JOIN cr
+                ON cl.term = cr.term AND cl.grp = cr.grp),
+        tot AS (SELECT grp, SUM(c_left) AS nl, SUM(c_right) AS nr,
+                       COUNT(*) AS v FROM t GROUP BY 1),
+        pq AS (SELECT t.grp, term, c_left, c_right,
+                      CAST(c_left + 1 AS DOUBLE)
+                        / CAST(nl + v AS DOUBLE) AS p,
+                      CAST(c_right + 1 AS DOUBLE)
+                        / CAST(nr + v AS DOUBLE) AS q
+               FROM t JOIN tot ON tot.grp = t.grp),
+        pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq)
+        SELECT grp AS "group", term,
+               CAST(c_left AS BIGINT) AS c_left,
+               CAST(c_right AS BIGINT) AS c_right,
+               ROUND(p * 1000000.0, 4) AS p_left_micro,
+               ROUND(q * 1000000.0, 4) AS p_right_micro,
+               ROUND(p * (ln(p) - ln(q)) * 1000000.0, 4) AS kl_micro,
+               ROUND((p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2.0
+                 * 1000000.0, 4) AS js_micro
+        FROM pqm
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SFD}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 500
+
+    # semantics: every source present; per-group KL totals are finite
+    # and non-negative up to rounding; a group's rows are
+    # self-contained (its union vocab)
+    rows = out.collect()
+    groups = {r.group for r in rows}
+    assert groups == {r.source for r in docs.select("source").collect()}
+    from collections import defaultdict
+    kl = defaultdict(float)
+    for r in rows:
+        kl[r.group] += r.kl_micro
+    for g, v in kl.items():
+        assert v / 1e6 >= -1e-6, f"group {g}: negative KL total"
