@@ -8410,15 +8410,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Portable md5 hash gate == Spark's portable_hash52; FLOOR
         # before the BIGINT cast because Spark's cast truncates while
-        # DuckDB's rounds.
+        # DuckDB's rounds; the rate CASE is forced to DOUBLE so the
+        # threshold replays Spark's float arithmetic for ANY rate —
+        # DECIMAL would put e.g. a 0.3 rate at exactly 300000 where
+        # Spark's double puts it at 299999 (the ext-mixture-expand
+        # lesson; current rates happen to agree, future ones must).
         "ext-sample-stratified": """
             SELECT doc_id, source, lang FROM documents
             WHERE (('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'),
                     1, 13))::BIGINT % 1000000)
-                < CAST(FLOOR((CASE source
+                < CAST(TRUNC(CAST((CASE source
                        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                        WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
-                       ELSE 0.05 END) * 1000000) AS BIGINT)
+                       ELSE 0.05 END) AS DOUBLE) * 1000000) AS BIGINT)
         """,
         "ext-mixture-allocate": r"""
             WITH t AS (
