@@ -1480,24 +1480,39 @@ def grouped_drift(
     group-keyed agg (group-table-sized) joined back broadcast. No
     per-row Python, no global sort.
     """
-    def counts(df: DataFrame, out: str) -> DataFrame:
-        words = _words(F.lower(F.col(text_col)))
-        return (
-            df.select(F.col(group_col).alias("group"),
-                      F.explode(words).alias("term"))
-            .where(F.col("term") != "")
-            .groupBy("group", "term")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
+    return grouped_drift_from_counts(
+        grouped_term_counts(left, group_col=group_col,
+                            text_col=text_col, out_col="_cl"),
+        grouped_term_counts(right, group_col=group_col,
+                            text_col=text_col, out_col="_cr"),
+    )
 
-    terms = (
-        counts(left, "_cl").join(counts(right, "_cr"),
-                                 ["group", "term"], "full_outer")
-        .select(
-            "group", "term",
-            F.coalesce("_cl", F.lit(0)).alias("c_left"),
-            F.coalesce("_cr", F.lit(0)).alias("c_right"),
-        )
+
+def grouped_term_counts(
+    df: DataFrame, *, group_col: str, text_col: str, out_col: str = "c"
+) -> DataFrame:
+    """(group, term, out_col) count table — the composite-keyed
+    sketch `grouped_drift` and its streaming monitor score from."""
+    words = _words(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(group_col).alias("group"),
+                  F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
+def grouped_drift_from_counts(cl: DataFrame, cr: DataFrame) -> DataFrame:
+    """`grouped_drift`'s scoring core over two pre-built
+    (group, term) count tables (columns (group, term, _cl) /
+    (group, term, _cr)) — shared by the batch operator and the
+    streaming monitor, which holds the right side's counts as its
+    running state. Same output contract as `grouped_drift`."""
+    terms = cl.join(cr, ["group", "term"], "full_outer").select(
+        "group", "term",
+        F.coalesce("_cl", F.lit(0)).alias("c_left"),
+        F.coalesce("_cr", F.lit(0)).alias("c_right"),
     )
     gtotals = terms.groupBy("group").agg(
         F.sum("c_left").alias("_nl"),

@@ -884,25 +884,7 @@ def corpus_drift_stream(
 
     def write_batch(counts_df: DataFrame, batch_id: int) -> None:
         drift = drift_from_term_counts(ref_counts, counts_df)
-        spark = counts_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        dest = jvm.org.apache.hadoop.fs.Path(out_path)
-        fs = dest.getFileSystem(hconf)
-        tmp = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_tmp")
-        old = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_old")
-        fs.delete(tmp, True)
-        drift.write.mode("overwrite").parquet(str(tmp.toString()))
-        fs.delete(old, True)
-        if fs.exists(dest) and not fs.rename(dest, old):
-            raise IOError(
-                f"corpus_drift_stream: cannot move {out_path} aside"
-            )
-        if not fs.rename(tmp, dest):
-            raise IOError(
-                f"corpus_drift_stream: cannot publish {out_path}"
-            )
-        fs.delete(old, True)
+        _publish_atomic(drift, counts_df.sparkSession, out_path)
 
     writer = (
         running.writeStream.outputMode("complete")
@@ -912,6 +894,78 @@ def corpus_drift_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return DriftStreamHandle(writer.start(), ref_counts)
+
+
+def grouped_drift_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming PER-GROUP drift monitor — `corpus_drift_stream` at
+    `grouped_drift`'s granularity: the arriving corpus' running
+    (group, term) counts (complete-mode aggregate; state is the
+    per-group Zipf-bounded term table, never rows) are scored per
+    group against the static reference on every trigger, so the
+    ingest alarm names WHICH source/domain drifted, not just that
+    something did.
+
+    Same contracts as `corpus_drift_stream`: final emission equals
+    batch `grouped_drift(reference, all_arrived_docs)` exactly (the
+    state IS the full count table), each trigger publishes the drift
+    table atomically via the aside/rename swap, and the returned
+    `DriftStreamHandle` owns the persisted reference counts
+    (`handle.release()` after termination).
+    """
+    from awskinesisconsumer_spark.operators.text import (
+        grouped_drift_from_counts, grouped_term_counts,
+    )
+
+    ref_counts = grouped_term_counts(
+        reference, group_col=group_col, text_col=text_col, out_col="_cl"
+    ).persist()
+    running = grouped_term_counts(
+        docs, group_col=group_col, text_col=text_col, out_col="_cr"
+    )
+
+    def write_batch(counts_df: DataFrame, batch_id: int) -> None:
+        drift = grouped_drift_from_counts(ref_counts, counts_df)
+        _publish_atomic(drift, counts_df.sparkSession, out_path)
+
+    writer = (
+        running.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return DriftStreamHandle(writer.start(), ref_counts)
+
+
+def _publish_atomic(df: DataFrame, spark, out_path: str) -> None:
+    """Write `df` to a sibling temp dir and swap it into `out_path`
+    via FileSystem renames — a concurrent reader sees the previous
+    complete table or the new one, never a partial directory (the
+    `layout.compact_small_files` aside/rename dance, shared by the
+    drift monitors)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = dest.getFileSystem(hconf)
+    tmp = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_old")
+    fs.delete(tmp, True)
+    df.write.mode("overwrite").parquet(str(tmp.toString()))
+    fs.delete(old, True)
+    if fs.exists(dest) and not fs.rename(dest, old):
+        raise IOError(f"drift publish: cannot move {out_path} aside")
+    if not fs.rename(tmp, dest):
+        raise IOError(f"drift publish: cannot publish {out_path}")
+    fs.delete(old, True)
 
 
 class DriftStreamHandle:

@@ -1042,3 +1042,49 @@ def test_grouped_drift_oracle_and_semantics(spark):
         kl[r.group] += r.kl_micro
     for g, v in kl.items():
         assert v / 1e6 >= -1e-6, f"group {g}: negative KL total"
+
+
+def test_grouped_drift_stream_equals_batch(spark, tmp_path):
+    # Banked for r10 as `stream-grouped-drift`: the running
+    # (group, term) count state makes the final emission equal batch
+    # grouped_drift exactly — same contract as stream-corpus-drift,
+    # so the batch twin is shared verbatim when it gates.
+    from awskinesisconsumer_spark.operators.text import grouped_drift
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        grouped_drift_stream,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select(
+        "doc_id", "source", "text"
+    )
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "gd_src")
+    out_path = str(tmp_path / "gd_out")
+    arriving.repartition(3).write.parquet(src)
+    handle = grouped_drift_stream(
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        reference, group_col="source", text_col="text",
+        out_path=out_path, checkpoint=str(tmp_path / "gd_ckpt"),
+    )
+    try:
+        assert handle.awaitTermination(180)
+        n_batches = len([
+            p for p in handle.query.recentProgress
+            if p["numInputRows"] > 0
+        ])
+        assert n_batches >= 3
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(out_path).collect()
+        )
+        want = sorted(
+            tuple(r) for r in grouped_drift(
+                reference, arriving, group_col="source", text_col="text",
+            ).collect()
+        )
+        assert got == want and len(got) > 500
+    finally:
+        handle.release()
