@@ -119,16 +119,39 @@ def corruption_spans(
     DuckDB's list_reduce mis-threads struct accumulators, measured,
     so the CTE form is the reliable replay).
     """
-    from .dedup import portable_hash52, xxhash64_col
+    words, spans = _corruption_plan(
+        id_col=id_col, text_col=text_col,
+        corruption_rate=corruption_rate, mean_span_len=mean_span_len,
+        salt=salt, hash_fn=hash_fn, op="corruption_spans",
+    )
+    return (
+        df.select(F.col(id_col), spans.alias("_sp"))
+        .select(id_col, F.posexplode("_sp").alias("span_idx", "_s"))
+        .select(
+            id_col,
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("_s.s").cast("int").alias("start_word"),
+            F.col("_s.l").cast("int").alias("span_len"),
+        )
+    )
+
+
+def _corruption_plan(*, id_col: str, text_col: str,
+                     corruption_rate: float, mean_span_len: int,
+                     salt: str, hash_fn, op: str):
+    """The span-corruption election + overlap fold as COLUMNS
+    (words array, resolved span array) — shared by `corruption_spans`
+    (which explodes the plan) and `denoising_pairs` (which builds the
+    masked input/target strings from it, map-only, no re-join)."""
+    from .dedup import xxhash64_col
 
     if not (0.0 < corruption_rate <= 1.0):
         raise ValueError(
-            f"corruption_spans: corruption_rate in (0, 1], got "
-            f"{corruption_rate}"
+            f"{op}: corruption_rate in (0, 1], got {corruption_rate}"
         )
     if mean_span_len < 1:
         raise ValueError(
-            f"corruption_spans: mean_span_len >= 1, got {mean_span_len}"
+            f"{op}: mean_span_len >= 1, got {mean_span_len}"
         )
     hash_fn = hash_fn or xxhash64_col
     k_gate = max(1, round(mean_span_len / corruption_rate))
@@ -179,16 +202,91 @@ def corruption_spans(
         F.lit(0).cast("int").alias("last_end"),
         empty_spans.alias("spans"),
     )
-    spans = F.aggregate(cand, init, _step)["spans"]
-    return (
-        df.select(F.col(id_col), spans.alias("_sp"))
-        .select(id_col, F.posexplode("_sp").alias("span_idx", "_s"))
-        .select(
-            id_col,
-            F.col("span_idx").cast("int").alias("span_idx"),
-            F.col("_s.s").cast("int").alias("start_word"),
-            F.col("_s.l").cast("int").alias("span_len"),
+    return words, F.aggregate(cand, init, _step)["spans"]
+
+
+def denoising_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corruption_rate: float = 0.15,
+    mean_span_len: int = 3,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """The denoising objective END-TO-END: turn each document into a
+    T5-style (input_text, target_text) training pair — corrupted
+    spans replaced by numbered sentinels in the input, and the target
+    holding each sentinel followed by the words it hides, closed by a
+    final sentinel:
+
+        input:  w1 w2 <extra_id_0> w6 <extra_id_1> w9
+        target: <extra_id_0> w3 w4 w5 <extra_id_1> w7 w8 <extra_id_2>
+
+    Spans come from the SAME deterministic plan as `corruption_spans`
+    (same salt => byte-identical pairs; the plan op exists for
+    auditing the layout, this one for producing the data). Docs with
+    no elected spans yield input == the whitespace-normalized text
+    and target == the lone closing sentinel <extra_id_0>; empty/NULL
+    docs yield empty input and that same lone sentinel.
+
+    Scale shape: strictly map-only — the plan fold plus two indexed
+    array-transform/flatten passes over the words array, all inside
+    one projection; no shuffle, no join, no Python. Emits (id,
+    n_words, n_spans, input_text, target_text).
+    """
+    words, spans = _corruption_plan(
+        id_col=id_col, text_col=text_col,
+        corruption_rate=corruption_rate, mean_span_len=mean_span_len,
+        salt=salt, hash_fn=hash_fn, op="denoising_pairs",
+    )
+    n = F.size(words)
+    k = F.size(spans)
+
+    def sentinel(i: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), i.cast("string"), F.lit(">"))
+
+    # input pieces: for span i (0-based), the gap words since the
+    # previous span's end, then sentinel_i; prev end comes from the
+    # spans array itself (element_at is 1-based, so element i IS the
+    # previous span inside transform's 0-based index)
+    def prev_end(i: Column) -> Column:
+        return F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(spans, i)["s"] + F.element_at(spans, i)["l"] - 1
         )
+
+    in_pieces = F.flatten(
+        F.transform(
+            spans,
+            lambda sp, i: F.concat(
+                F.slice(words, prev_end(i) + 1,
+                        sp["s"] - prev_end(i) - 1),
+                F.array(sentinel(i)),
+            ),
+        )
+    )
+    last_end = F.when(k == 0, F.lit(0)).otherwise(
+        F.element_at(spans, k)["s"] + F.element_at(spans, k)["l"] - 1
+    )
+    input_words = F.concat(
+        in_pieces, F.slice(words, last_end + 1, n - last_end)
+    )
+    tgt_pieces = F.flatten(
+        F.transform(
+            spans,
+            lambda sp, i: F.concat(
+                F.array(sentinel(i)), F.slice(words, sp["s"], sp["l"])
+            ),
+        )
+    )
+    target_words = F.concat(tgt_pieces, F.array(sentinel(k)))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        k.cast("int").alias("n_spans"),
+        F.array_join(input_words, " ").alias("input_text"),
+        F.array_join(target_words, " ").alias("target_text"),
     )
 
 

@@ -1209,3 +1209,127 @@ def test_corruption_spans_salt_changes_draw(spark):
     assert a1 == a2
     assert a1 != b
     assert 0.5 <= len(b) / len(a1) <= 2.0
+
+
+def test_denoising_pairs_oracle_and_structure(spark):
+    # Banked for r10 as `ext-denoise-pairs`: the denoising objective
+    # end-to-end — same deterministic span plan as corruption_spans,
+    # rendered as T5 (input_text, target_text) pairs. Twin extends the
+    # plan's recursive CTE with the indexed list-building passes.
+    import duckdb
+    import math
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        denoising_pairs,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select("doc_id", "text")
+    out = denoising_pairs(
+        docs, id_col="doc_id", text_col="text", corruption_rate=0.15,
+        mean_span_len=3, salt="v1", hash_fn=portable_hash52,
+    )
+
+    h = ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+         "p::VARCHAR || chr(31) || 'v1'{extra}), 1, 13))::BIGINT")
+    sql = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        cand AS (
+          SELECT doc_id, n, CAST(p AS INT) AS p,
+                 CAST({h.format(extra=" || chr(31) || 'len'")} % 5 + 1
+                      AS INT) AS l,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS rn
+          FROM w, UNNEST(range(1, n + 1)) AS u(p)
+          WHERE {h.format(extra="")} % 20 = 0),
+        st AS (
+          SELECT doc_id, rn, n, p, l, TRUE AS accepted,
+                 LEAST(l, n - p + 1) AS tl,
+                 p + LEAST(l, n - p + 1) - 1 AS last_end
+          FROM cand WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.n, c.p, c.l,
+                 c.p > st.last_end AS accepted,
+                 LEAST(c.l, c.n - c.p + 1) AS tl,
+                 CASE WHEN c.p > st.last_end
+                      THEN c.p + LEAST(c.l, c.n - c.p + 1) - 1
+                      ELSE st.last_end END AS last_end
+          FROM st JOIN cand c
+            ON c.doc_id = st.doc_id AND c.rn = st.rn + 1),
+        sp AS (
+          SELECT doc_id,
+                 list(struct_pack(s := CAST(p AS INT),
+                                  l := CAST(tl AS INT)) ORDER BY p)
+                   AS spans
+          FROM st WHERE accepted GROUP BY doc_id),
+        full_sp AS (
+          SELECT w.doc_id, w.ws, w.n,
+                 COALESCE(sp.spans,
+                          CAST([] AS STRUCT(s INT, l INT)[])) AS spans
+          FROM w LEFT JOIN sp ON sp.doc_id = w.doc_id),
+        built AS (
+          SELECT doc_id, n, len(spans) AS k,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(
+                  ws[(CASE WHEN i = 1 THEN 0
+                      ELSE spans[i - 1].s + spans[i - 1].l - 1 END) + 1
+                     : x.s - 1],
+                  ['<extra_id_' || (i - 1)::VARCHAR || '>']))),
+              ws[(CASE WHEN len(spans) = 0 THEN 0
+                  ELSE spans[len(spans)].s + spans[len(spans)].l - 1
+                  END) + 1 : n]) AS in_words,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(['<extra_id_' || (i - 1)::VARCHAR || '>'],
+                            ws[x.s : x.s + x.l - 1]))),
+              ['<extra_id_' || len(spans)::VARCHAR || '>']) AS tgt_words
+          FROM full_sp)
+        SELECT doc_id, CAST(n AS INT) AS n_words, CAST(k AS INT) AS n_spans,
+               array_to_string(in_words, ' ') AS input_text,
+               array_to_string(tgt_words, ' ') AS target_text
+        FROM built
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SFD}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # structure: sentinel counts line up (input has k, target k+1);
+    # word conservation: input non-sentinel words + target
+    # non-sentinel words == original words
+    import re as _re
+    rows = out.collect()
+    texts = {r.doc_id: (r.text or "") for r in docs.collect()}
+    for r in rows:
+        k = r.n_spans
+        assert len(_re.findall(r"<extra_id_\d+>", r.input_text)) == k
+        assert len(_re.findall(r"<extra_id_\d+>", r.target_text)) == k + 1
+        strip = lambda s: [w for w in s.split()
+                           if not _re.fullmatch(r"<extra_id_\d+>", w)]
+        assert (len(strip(r.input_text)) + len(strip(r.target_text))
+                == len(texts[r.doc_id].split()))
