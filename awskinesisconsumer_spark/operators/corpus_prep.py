@@ -290,6 +290,77 @@ def denoising_pairs(
     )
 
 
+def fim_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    fim_rate: float = 0.5,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al., the
+    standard infilling objective for code models), made
+    REPRODUCIBLE: a deterministic hash gate selects ~`fim_rate` of
+    documents; each selected doc gets two hash-chosen word cut points
+    c1 <= c2 and splits into (prefix, middle, suffix) = words[1..c1],
+    words[c1+1..c2], words[c2+1..n] — the PSM/SPM serialization
+    (sentinel order, token glue) is a trivial downstream map over
+    these columns. Unselected docs pass through whole (prefix = the
+    whitespace-normalized text, middle/suffix empty, fim_applied
+    false) — exactly the mixed AR+FIM batch recipe. No RNG anywhere:
+    gate and cuts are portable-hash functions of (id, salt), so
+    re-runs/engines agree and a salt change is a fresh draw.
+
+    Cut determinism: c_a = h(id,'c1') % (n+1), c_b = h(id,'c2') %
+    (n+1), (c1, c2) = (min, max) — uniform over split points
+    including empty prefix/middle/suffix edges (the paper keeps
+    them; degenerate middles are the caller's filter).
+
+    Scale shape: strictly map-only — one projection of hash gates +
+    three F.slice/array_join calls; no shuffle, no join, no Python.
+    Emits (id, n_words, fim_applied, prefix, middle, suffix).
+    """
+    from .dedup import xxhash64_col
+
+    if not (0.0 <= fim_rate <= 1.0):
+        raise ValueError(
+            f"fim_split: fim_rate in [0, 1], got {fim_rate}"
+        )
+    hash_fn = hash_fn or xxhash64_col
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    n = F.size(words)
+    sid = F.col(id_col).cast("string")
+
+    def _h(tag: str) -> Column:
+        return hash_fn(F.concat_ws("\x1f", sid, F.lit(salt), F.lit(tag)))
+
+    # the ext-sample-stratified gate rule: threshold computed the
+    # Spark way (double multiply, truncating cast)
+    gate = F.pmod(_h("gate"), F.lit(1_000_000))
+    applied = (gate < F.lit(int(fim_rate * 1_000_000))) & (n > 0)
+    ca = F.pmod(_h("c1"), n + 1).cast("int")
+    cb = F.pmod(_h("c2"), n + 1).cast("int")
+    c1, c2 = F.least(ca, cb), F.greatest(ca, cb)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        applied.alias("fim_applied"),
+        F.when(
+            applied, F.array_join(F.slice(words, 1, c1), " ")
+        ).otherwise(F.array_join(words, " ")).alias("prefix"),
+        F.when(
+            applied, F.array_join(F.slice(words, c1 + 1, c2 - c1), " ")
+        ).otherwise(F.lit("")).alias("middle"),
+        F.when(
+            applied, F.array_join(F.slice(words, c2 + 1, n - c2), " ")
+        ).otherwise(F.lit("")).alias("suffix"),
+    )
+
+
 def sentence_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

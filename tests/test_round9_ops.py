@@ -1333,3 +1333,101 @@ def test_denoising_pairs_oracle_and_structure(spark):
                            if not _re.fullmatch(r"<extra_id_\d+>", w)]
         assert (len(strip(r.input_text)) + len(strip(r.target_text))
                 == len(texts[r.doc_id].split()))
+
+
+def test_fim_split_oracle_and_invariants(spark):
+    # Banked for r10 as `ext-fim-split`: deterministic
+    # fill-in-the-middle splits — hash-gated doc selection, two
+    # hash-chosen cut points, (prefix, middle, suffix) word slices.
+    # Twin replays gates, cuts, and slicing verbatim.
+    import duckdb
+    import math
+
+    from awskinesisconsumer_spark.operators.corpus_prep import fim_split
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    SFD = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", SFD).select("doc_id", "text")
+    out = fim_split(
+        docs, id_col="doc_id", text_col="text", fim_rate=0.5,
+        salt="v1", hash_fn=portable_hash52,
+    )
+
+    def h(tag):
+        return ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1' "
+                f"|| chr(31) || '{tag}'), 1, 13))::BIGINT")
+
+    sql = f"""
+        WITH d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ({h('gate')} % 1000000 < 500000 AND n > 0) AS applied,
+                 CAST({h('c1')} % (n + 1) AS INT) AS ca,
+                 CAST({h('c2')} % (n + 1) AS INT) AS cb
+          FROM w),
+        c AS (
+          SELECT doc_id, ws, n, applied,
+                 LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2
+          FROM g)
+        SELECT doc_id, CAST(n AS INT) AS n_words, applied AS fim_applied,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is ''
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[1 : c1], ' '), '')
+                    ELSE COALESCE(array_to_string(ws, ' '), '')
+               END AS prefix,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c1 + 1 : c2], ' '),
+                                  '')
+                    ELSE '' END AS middle,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c2 + 1 : n], ' '),
+                                  '')
+                    ELSE '' END AS suffix
+        FROM c
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SFD}/documents.parquet'"
+    )
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    cols = sorted(out.columns)
+    srows = sorted(tuple(canon(r[c]) for c in cols) for r in out.collect())
+    tbl = con.execute(sql).fetch_arrow_table()
+    assert cols == sorted(tbl.column_names)
+    drows = sorted(tuple(canon(r[c]) for c in sorted(tbl.column_names))
+                   for r in tbl.to_pylist())
+    assert srows == drows and len(srows) == 500
+
+    # invariants: word conservation for applied docs; passthrough for
+    # the rest; rate lands near 0.5
+    rows = out.collect()
+    texts = {r.doc_id: (r.text or "") for r in docs.collect()}
+    n_applied = 0
+    for r in rows:
+        ws = texts[r.doc_id].split()
+        if r.fim_applied:
+            n_applied += 1
+            rebuilt = (r.prefix.split() + r.middle.split()
+                       + r.suffix.split())
+            assert rebuilt == ws, f"doc {r.doc_id}: words not conserved"
+        else:
+            assert r.prefix.split() == ws
+            assert r.middle == "" and r.suffix == ""
+    n_nonempty = sum(1 for t in texts.values() if t.strip())
+    assert 0.35 <= n_applied / n_nonempty <= 0.65
