@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .caching import release_after as _release_after
 from .dedup import portable_hash52, shingle_rows, xxhash64_col
+from .text import _words as _ws_words
 
 
 def decontaminate(
@@ -107,8 +108,11 @@ def corruption_spans(
     is 1 + hash(id, p, salt, 'len') % (2 * mean_span_len - 1)
     (uniform 1..2m-1, mean m). Overlaps resolve LEFT-TO-RIGHT: a
     candidate starting inside the previous accepted span is dropped;
-    spans truncate at the document end. Docs with no words yield no
-    rows.
+    spans truncate at the document end. Docs with no words — AND docs
+    whose positions elect no spans (likely below ~K words) — yield
+    no plan rows; consumers needing every doc accounted for use
+    `denoising_pairs`, the lossless form (its no-span docs emit a
+    passthrough pair).
 
     Scale shape: elections are pure column expressions over the
     position sequence; overlap resolution is the `_clamp_boundaries`
@@ -143,8 +147,6 @@ def _corruption_plan(*, id_col: str, text_col: str,
     (words array, resolved span array) — shared by `corruption_spans`
     (which explodes the plan) and `denoising_pairs` (which builds the
     masked input/target strings from it, map-only, no re-join)."""
-    from .dedup import xxhash64_col
-
     if not (0.0 < corruption_rate <= 1.0):
         raise ValueError(
             f"{op}: corruption_rate in (0, 1], got {corruption_rate}"
@@ -156,10 +158,9 @@ def _corruption_plan(*, id_col: str, text_col: str,
     hash_fn = hash_fn or xxhash64_col
     k_gate = max(1, round(mean_span_len / corruption_rate))
     len_mod = 2 * mean_span_len - 1
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.when(
-        F.length(t) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(t, r"\s+"))
+    # the shared empty-guarded whitespace split (text._words), WITHOUT
+    # lowercasing — masking must preserve the original words
+    words = _ws_words(F.col(text_col))
     n = F.size(words)
     sid = F.col(id_col).cast("string")
 
@@ -321,18 +322,13 @@ def fim_split(
     three F.slice/array_join calls; no shuffle, no join, no Python.
     Emits (id, n_words, fim_applied, prefix, middle, suffix).
     """
-    from .dedup import xxhash64_col
-
     if not (0.0 <= fim_rate <= 1.0):
         raise ValueError(
             f"fim_split: fim_rate in [0, 1], got {fim_rate}"
         )
     hash_fn = hash_fn or xxhash64_col
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.when(
-        F.length(t) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(t, r"\s+"))
-    n = F.size(words)
+    words = _ws_words(F.col(text_col))  # no lowercasing: splits must
+    n = F.size(words)                   # preserve the original words
     sid = F.col(id_col).cast("string")
 
     def _h(tag: str) -> Column:

@@ -789,10 +789,20 @@ def importance_stats(
         F.coalesce("cf", F.lit(0)).alias("cf"),
         F.coalesce("tf", F.lit(0)).alias("tf"),
     )
+    # Materialize ONCE: the masses collect below and every downstream
+    # apply (batch scoring join, each streaming micro-batch) reuse the
+    # checkpointed table instead of re-tokenizing both corpora per
+    # use; blocks are reclaimed by the ContextCleaner when the
+    # reference drops (the connected_components rule).
+    stats = stats.localCheckpoint(eager=True)
     masses = stats.agg(
         F.sum("cf"), F.sum("tf"), F.count(F.lit(1))
     ).collect()[0]
-    return stats, int(masses[0]), int(masses[1]), int(masses[2])
+    # token-less corpus+target -> SUM over zero rows is NULL; the
+    # calibration is legitimately all-zero masses and the applier
+    # degrades to NULL scores, matching the monolithic op's behavior
+    return (stats, int(masses[0] or 0), int(masses[1] or 0),
+            int(masses[2] or 0))
 
 
 def importance_score_with_stats(
@@ -1492,11 +1502,19 @@ def grouped_term_counts(
     df: DataFrame, *, group_col: str, text_col: str, out_col: str = "c"
 ) -> DataFrame:
     """(group, term, out_col) count table — the composite-keyed
-    sketch `grouped_drift` and its streaming monitor score from."""
+    sketch `grouped_drift` and its streaming monitor score from.
+    NULL group keys become the named "(null)" bucket: equi-joins
+    never match NULL keys, so without the coalesce every
+    NULL-group document would silently VANISH from the drift report
+    — a monitoring blind spot exactly where crawl metadata is
+    dirtiest."""
     words = _words(F.lower(F.col(text_col)))
     return (
-        df.select(F.col(group_col).alias("group"),
-                  F.explode(words).alias("term"))
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+            .alias("group"),
+            F.explode(words).alias("term"),
+        )
         .where(F.col("term") != "")
         .groupBy("group", "term")
         .agg(F.count(F.lit(1)).alias(out_col))

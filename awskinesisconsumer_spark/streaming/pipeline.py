@@ -736,6 +736,12 @@ def importance_score_stream(
     result regardless of arrival chunking, and the batch oracle
     applies verbatim. At-least-once under crash-retry, like the other
     foreachBatch sinks. Returns the started StreamingQuery.
+
+    Freeze `stats` with `importance_stats`, which MATERIALIZES the
+    term table (eager localCheckpoint) — each micro-batch then joins
+    the stored table instead of re-tokenizing the calibration corpora
+    per trigger (the ref-counts-persist rule the drift monitors
+    follow).
     """
     from awskinesisconsumer_spark.operators.text import (
         importance_score_with_stats,

@@ -1431,3 +1431,48 @@ def test_fim_split_oracle_and_invariants(spark):
             assert r.middle == "" and r.suffix == ""
     n_nonempty = sum(1 for t in texts.values() if t.strip())
     assert 0.35 <= n_applied / n_nonempty <= 0.65
+
+
+def test_grouped_drift_null_group_bucket(spark):
+    # NULL group keys must land in the "(null)" bucket, not vanish
+    # through the equi-joins — a monitoring blind spot otherwise
+    from awskinesisconsumer_spark.operators.text import grouped_drift
+
+    left = spark.createDataFrame(
+        [(1, None, "alpha beta gamma"), (2, "src0", "alpha alpha")],
+        "doc_id long, source string, text string",
+    )
+    right = spark.createDataFrame(
+        [(3, None, "delta delta epsilon"), (4, "src0", "alpha beta")],
+        "doc_id long, source string, text string",
+    )
+    rows = grouped_drift(
+        left, right, group_col="source", text_col="text"
+    ).collect()
+    groups = {r.group for r in rows}
+    assert groups == {"(null)", "src0"}
+    null_terms = {r.term for r in rows if r.group == "(null)"}
+    assert null_terms == {"alpha", "beta", "gamma", "delta", "epsilon"}
+
+
+def test_importance_stats_tokenless_corpus_degrades(spark):
+    # all-empty corpus/target: masses are zero, scores come back NULL
+    # (the monolithic op's behavior) instead of a TypeError
+    from awskinesisconsumer_spark.operators.text import (
+        importance_score, importance_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([("",)], "t_text string")
+    stats, ns, nt, vocab = importance_stats(
+        docs, target, text_col="text", target_text_col="t_text"
+    )
+    assert (ns, nt, vocab) == (0, 0, 0)
+    out = importance_score(
+        docs, target, id_col="doc_id", text_col="text",
+        target_text_col="t_text",
+    ).collect()
+    assert len(out) == 3
+    assert all(r.n_tokens == 0 and r.importance is None for r in out)
