@@ -1424,6 +1424,237 @@ def _stream_sentence_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- round-10 registrations: the 9 r9-banked operators (oracles
+# proven locally in tests/test_round9_ops.py, ported through the
+# SURVEY §5 fidelity rules) ---------------------------------------
+
+
+def _importance_score(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR-style data selection (operators/text.py importance_score):
+    # per-doc mean unigram log-likelihood ratio of a target-domain
+    # sample (src0 docs) over the corpus' own distribution, both
+    # add-one smoothed on the UNION vocabulary. Twin replays counts,
+    # smoothing masses, and the sorted-fold sum.
+    from awskinesisconsumer_spark.operators.text import importance_score
+
+    docs = load_table(spark, "documents", sf)
+    target = docs.where(F.col("source") == "src0").select(
+        F.col("text").alias("t_text")
+    )
+    return importance_score(
+        docs, target, id_col="doc_id", text_col="text",
+        target_text_col="t_text",
+    )
+
+
+def _stream_importance_score(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form (streaming/pipeline.py importance_score_stream):
+    # calibration stats FROZEN from (corpus, target) batch-side, then
+    # the corpus arrives as a 3-file stream and every micro-batch is
+    # scored against the frozen stats — each score depends only on
+    # (doc, stats), so the appended union EQUALS the monolithic batch
+    # op and the batch oracle applies verbatim (proven in
+    # tests/test_round9_ops.py).
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.text import importance_stats
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        importance_score_stream,
+    )
+
+    full = load_table(spark, "documents", sf)
+    docs = full.select("doc_id", "text")
+    target = full.where(F.col("source") == "src0").select(
+        F.col("text").alias("t_text")
+    )
+    stats, ns, nt, vocab = importance_stats(
+        docs, target, text_col="text", target_text_col="t_text"
+    )
+    src = tempfile.mkdtemp(prefix="imp_src_")
+    out_path = tempfile.mkdtemp(prefix="imp_out_")
+    ckpt = tempfile.mkdtemp(prefix="imp_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    q = importance_score_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        stats, id_col="doc_id", text_col="text",
+        n_src=ns, n_tgt=nt, vocab=vocab,
+        out_path=out_path, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-importance-score: timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-importance-score: expected >=3 non-empty "
+            f"batches, got {n_batches}"
+        )
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_tokens", "importance"
+    )
+
+
+def _grouped_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-SOURCE term-distribution drift between the even/odd doc_id
+    # halves (operators/text.py grouped_drift) — the WHERE-did-it-
+    # drift breakdown of ext-corpus-drift: composite (group, term)
+    # counts, per-group smoothing masses, KL/JS at micro-nat rounding.
+    from awskinesisconsumer_spark.operators.text import grouped_drift
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", "text"
+    )
+    return grouped_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        group_col="source", text_col="text",
+    )
+
+
+def _stream_grouped_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form (streaming/pipeline.py grouped_drift_stream):
+    # the odd half arrives as a 3-file stream against the static even
+    # reference; running (group, term) count state makes the final
+    # emission equal batch grouped_drift exactly, so the batch oracle
+    # is shared verbatim (proven in tests/test_round9_ops.py).
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        grouped_drift_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", "text"
+    )
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    src = tempfile.mkdtemp(prefix="gd_src_")
+    out_path = tempfile.mkdtemp(prefix="gd_out_")
+    ckpt = tempfile.mkdtemp(prefix="gd_ckpt_")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    handle = grouped_drift_stream(
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        reference, group_col="source", text_col="text",
+        out_path=out_path, checkpoint=ckpt,
+    )
+    try:
+        if not handle.awaitTermination(300):
+            raise RuntimeError("stream-grouped-drift: timed out")
+        n_batches = len([
+            p for p in handle.query.recentProgress
+            if p["numInputRows"] > 0
+        ])
+        if n_batches < 3:
+            raise RuntimeError(
+                f"stream-grouped-drift: expected >=3 non-empty "
+                f"batches, got {n_batches}"
+            )
+    finally:
+        handle.release()
+    return spark.read.parquet(out_path)
+
+
+def _corruption_spans(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic T5-style span-corruption PLAN (operators/
+    # corpus_prep.py corruption_spans): hash-gated span starts and
+    # lengths, left-to-right overlap resolution via the clamp-fold
+    # shape. portable_hash52 so the twin replays elections + the fold
+    # as a per-doc recursive CTE.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        corruption_spans,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return corruption_spans(
+        docs, id_col="doc_id", text_col="text", corruption_rate=0.15,
+        mean_span_len=3, salt="v1", hash_fn=portable_hash52,
+    )
+
+
+def _denoise_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # The denoising objective end-to-end (corpus_prep.py
+    # denoising_pairs): the SAME deterministic span plan rendered as
+    # T5 (input_text, target_text) sentinel pairs; word conservation
+    # and sentinel counts proven in tests/test_round9_ops.py.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        denoising_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return denoising_pairs(
+        docs, id_col="doc_id", text_col="text", corruption_rate=0.15,
+        mean_span_len=3, salt="v1", hash_fn=portable_hash52,
+    )
+
+
+def _fim_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic fill-in-the-middle splits (corpus_prep.py
+    # fim_split): hash-gated doc selection at fim_rate, two
+    # hash-chosen cut points, (prefix, middle, suffix) word slices;
+    # non-selected docs pass through whole.
+    from awskinesisconsumer_spark.operators.corpus_prep import fim_split
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return fim_split(
+        docs, id_col="doc_id", text_col="text", fim_rate=0.5,
+        salt="v1", hash_fn=portable_hash52,
+    )
+
+
+def _ann_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # Matryoshka/dim-truncation audit (operators/similarity.py
+    # truncated_dim_recall): recall@k of prefix-dim cosine top-k vs
+    # full-dim truth per tier — the measurement behind shorten-the-
+    # vectors decisions. Reuses knn_join's broadcast-probe shape;
+    # prefix slice happens in-scan.
+    from awskinesisconsumer_spark.operators.similarity import (
+        truncated_dim_recall,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    return truncated_dim_recall(
+        emb, id_col="vec_id", vec_col="embedding",
+        probe_ids=list(range(8)), k=10, dim_tiers=(8, 16, 32, 64),
+    )
+
+
+def _ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-PQ composition (similarity.py knn_ivf_pq): the production
+    # billion-scale ANN layout — coarse IVF probe restricts
+    # candidates, PQ-ADC scores codes only. Composed from the two
+    # gated halves (ext-similarity-ivf seeding + ext-similarity-pq
+    # codebooks) with candidates filtered between them; cells map to
+    # partition pruning at scale.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, knn_ivf_pq, pq_codebooks_refined,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    cbs = pq_codebooks_refined(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=2, order_col="vec_id",
+    )
+    return knn_ivf_pq(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding], centroids=centroids,
+        codebooks=cbs, n_probes=2, k=10,
+    ).select(
+        "vec_id", "adc_dist",
+        F.concat_ws(",", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"),
+        "rank",
+    )
+
+
 def _multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # Rows-only: decode -> explode frames -> metadata sample -> resize
     # (stubbed codecs; the Spark plumbing — schema, narrow ops,
@@ -4389,84 +4620,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- CHANGED in round 9 (re-gate first): the five twins that
-        #    r8 red-flagged on DuckDB HUGEINT typing — integer
-        #    SUM/cumsum now CAST AS BIGINT (values were verified
-        #    identical; mirror of the :4637 convention) — plus
-        #    ext-sentence-split, whose entry was refactored onto the
-        #    shared _sentenced_fixture and whose operator now strips
-        #    the reserved \x1e marker from input.
-        "ext-multimodal-wav": _multimodal_wav,
-        "ext-multimodal-png": _multimodal_png,
-        "sink-png-files": _sink_png_files,
-        "ext-layout-corpus": _layout_corpus,
-        "stream-pack-sequences": _stream_pack_sequences,
-        "ext-sentence-split": _sentence_split,
-        # -- NEW in round 9: the three r8-banked ops (oracles proven
-        #    in tests/test_round8_ops.py) + clamped FastCDC and
-        #    sentence-granularity decontamination (oracles proven in
-        #    tests/test_round9_ops.py).
-        "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
-        "ext-mixture-expand": _mixture_expand,
-        "ext-embedding-whiten": _embedding_whiten,
-        "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
-        "ext-sentence-decontaminate": _sentence_decontaminate,
-        # -- r9 SECOND wave (registered mid-round, the r8
-        #    precedent): keep-best cluster resolution + the
-        #    streaming sentence-decontamination form. They take
-        #    the last two window slots; the two displaced r6
-        #    fillers ride their ledger records in the tail.
-        "ext-dedup-keep-best": _dedup_keep_best,
-        "stream-sentence-decontaminate": _stream_sentence_decontaminate,
-        # -- the oldest-record veterans: the 34 remaining r5-record
-        #    entries (the rest of the r5 cohort re-gated in r8) —
-        #    after this round no entry's latest green record is
-        #    older than r6.
-        "agg-pricing-summary": _pricing_summary,
-        "join-revenue-by-nation": _revenue_by_nation,
-        "ext-dedup-exact": _dedup_exact,
-        "ext-fingerprint": _fingerprint,
-        "ext-similarity-knn": _knn,
-        "ext-dedup-embedding": _embedding_dedup,
-        "ext-similarity-ann": _ann_lsh,
-        "ext-similarity-ivf": _ann_ivf,
-        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
-        "ext-dedup-simhash": _simhash,
-        "ext-dedup-ngram-jaccard": _ngram_jaccard,
-        "ext-dedup-lines": _dedup_lines,
-        "ext-quality-repetition": _repetition,
-        "ext-decontaminate": _decontaminate,
-        "ext-prepare-corpus": _prepare_corpus,
-        "ext-sample-stratified": _sample_stratified,
-        "ext-vocabulary": _vocabulary,
-        "ext-text-stats": _text_stats,
-        "ext-quality-score": _quality,
-        "ext-tfidf-terms": _tfidf_terms,
-        "ext-mixture-allocate": _mixture_allocate,
-        "agg-percentiles": _percentiles,
-        "agg-rollup-revenue": _rollup_revenue,
-        "agg-tumbling-window": _tumbling_window,
-        "agg-distinct-users": _distinct_users,
-        "agg-salted-sum": _salted_sum,
-        "topk-customers": _topk_customers,
-        "join-semi-anti": _semi_anti,
-        "json-extract-props": _props_json,
-        "set-ops-users": _set_ops,
-        "query-point-lookup": _point,
-        "query-last-row": _last,
-        "id-assign-monotonic": _mono_id,
-        "ext-token-count": _token_count,
-        # -- the 3 oldest r6-record entries, filling the window to
-        #    exactly 50 (two more were displaced to the tail by the
-        #    second wave; their r6 ledger records still hold).
-        "ext-bpe-encode": _bpe_encode,
-        "ext-domain-cap": _domain_cap,
-        "ext-semantic-decontaminate": _semantic_decontaminate,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
-        # -- r6 records --
+        # -- NEW in round 10: the nine r9-banked operators (oracles
+        #    proven locally in tests/test_round9_ops.py, ported
+        #    through the SURVEY §5 fidelity rules) — DSIR importance
+        #    scoring batch+stream, grouped drift batch+stream, the
+        #    three training-objective transforms, and the two ANN
+        #    audit/layout compositions.
+        "ext-importance-score": _importance_score,
+        "stream-importance-score": _stream_importance_score,
+        "ext-grouped-drift": _grouped_drift,
+        "stream-grouped-drift": _stream_grouped_drift,
+        "ext-corruption-spans": _corruption_spans,
+        "ext-denoise-pairs": _denoise_pairs,
+        "ext-fim-split": _fim_split,
+        "ext-ann-dim-recall": _ann_dim_recall,
+        "ext-similarity-ivf-pq": _ann_ivf_pq,
+        # -- the 41 oldest-record veterans (all last hash-green r6;
+        #    46 r6-record entries remain after the r9 rotation, 41
+        #    window slots left — the trailing 5 ride their ledger
+        #    records one more round and rotate in r11).
         "stream-dedup-incremental": _stream_dedup_incremental,
         "ext-lang-id": _lang_id,
         "sink-jsonl-roundtrip": _jsonl_roundtrip,
@@ -4508,6 +4680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- the 5 remaining r6 records (rotate in r11) --
         "ext-pack-sequences": _pack_sequences,
         "ext-dedup-cluster": _dedup_cluster,
         "scan-prune-elements": _scan_prune,
@@ -4562,8 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-minhash": _dedup_minhash,
         "join-salted-skew": _salted_join,
         "segment-sessions-gap": _sessions_gap,
-        # -- r8 records (the r8 gate head minus this round's
-        #    changed entries) --
+        # -- r8 records --
         "ext-quality-blend": _quality_blend,
         "ext-dup-spans": _dup_spans,
         "ext-shuffle-order": _shuffle_order,
@@ -4608,6 +4784,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-asof-backward": _asof_backward,
         "sample-throttle-time": _throttle,
         "enqueue-bounded-retention": _retention,
+        # -- r9 records (last round's gate head) --
+        "ext-multimodal-wav": _multimodal_wav,
+        "ext-multimodal-png": _multimodal_png,
+        "sink-png-files": _sink_png_files,
+        "ext-layout-corpus": _layout_corpus,
+        "stream-pack-sequences": _stream_pack_sequences,
+        "ext-sentence-split": _sentence_split,
+        "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
+        "ext-mixture-expand": _mixture_expand,
+        "ext-embedding-whiten": _embedding_whiten,
+        "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
+        "ext-sentence-decontaminate": _sentence_decontaminate,
+        "ext-dedup-keep-best": _dedup_keep_best,
+        "stream-sentence-decontaminate": _stream_sentence_decontaminate,
+        "agg-pricing-summary": _pricing_summary,
+        "join-revenue-by-nation": _revenue_by_nation,
+        "ext-dedup-exact": _dedup_exact,
+        "ext-fingerprint": _fingerprint,
+        "ext-similarity-knn": _knn,
+        "ext-dedup-embedding": _embedding_dedup,
+        "ext-similarity-ann": _ann_lsh,
+        "ext-similarity-ivf": _ann_ivf,
+        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
+        "ext-dedup-simhash": _simhash,
+        "ext-dedup-ngram-jaccard": _ngram_jaccard,
+        "ext-dedup-lines": _dedup_lines,
+        "ext-quality-repetition": _repetition,
+        "ext-decontaminate": _decontaminate,
+        "ext-prepare-corpus": _prepare_corpus,
+        "ext-sample-stratified": _sample_stratified,
+        "ext-vocabulary": _vocabulary,
+        "ext-text-stats": _text_stats,
+        "ext-quality-score": _quality,
+        "ext-tfidf-terms": _tfidf_terms,
+        "ext-mixture-allocate": _mixture_allocate,
+        "agg-percentiles": _percentiles,
+        "agg-rollup-revenue": _rollup_revenue,
+        "agg-tumbling-window": _tumbling_window,
+        "agg-distinct-users": _distinct_users,
+        "agg-salted-sum": _salted_sum,
+        "topk-customers": _topk_customers,
+        "join-semi-anti": _semi_anti,
+        "json-extract-props": _props_json,
+        "set-ops-users": _set_ops,
+        "query-point-lookup": _point,
+        "query-last-row": _last,
+        "id-assign-monotonic": _mono_id,
+        "ext-token-count": _token_count,
+        "ext-bpe-encode": _bpe_encode,
+        "ext-domain-cap": _domain_cap,
+        "ext-semantic-decontaminate": _semantic_decontaminate,
     }
 
 
@@ -9065,5 +9292,353 @@ def oracle_sql() -> dict[str, str]:
           FROM lab)
         SELECT doc_id, cluster_id, score, rn = 1 AS kept
         FROM rk
+    """
+    # ---- round-10: the nine r9-banked operators (twins proven in
+    # tests/test_round9_ops.py, ported verbatim) ----
+    # DSIR importance scoring: tokenize -> per-doc term counts ->
+    # corpus/target masses on the UNION vocab (add-one smoothed) ->
+    # per-doc SORTED fold of c * (log p_tgt - log p_src), mean per
+    # token, 4-dp round. Mirrors operators/text.py:importance_score.
+    d["ext-importance-score"] = f"""
+        WITH w AS (SELECT doc_id, source, {words_lower} AS words
+                   FROM documents),
+        tok AS (SELECT doc_id, source, UNNEST(words) AS term FROM w),
+        tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        dtf AS (SELECT doc_id, term, COUNT(*) AS c
+                FROM tok2 GROUP BY 1, 2),
+        src AS (SELECT term, COUNT(*) AS cf FROM tok2 GROUP BY 1),
+        tgt AS (SELECT term, COUNT(*) AS tf FROM tok2
+                WHERE source = 'src0' GROUP BY 1),
+        uni AS (
+          SELECT COALESCE(s.term, t.term) AS term,
+                 COALESCE(cf, 0) AS cf, COALESCE(tf, 0) AS tf
+          FROM src s FULL OUTER JOIN tgt t ON s.term = t.term),
+        tot AS (SELECT SUM(cf) AS ns, SUM(tf) AS nt,
+                       COUNT(*) AS vocab FROM uni),
+        per AS (
+          SELECT doc_id, SUM(c) AS n,
+                 list(struct_pack(term := d.term, c := c, cf := cf,
+                                  tf := tf) ORDER BY d.term) AS es,
+                 ANY_VALUE(CAST(ns + vocab AS DOUBLE)) AS dsrc,
+                 ANY_VALUE(CAST(nt + vocab AS DOUBLE)) AS dtgt
+          FROM dtf d JOIN uni USING (term) CROSS JOIN tot
+          GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(es, e -> CAST(e.c AS DOUBLE)
+                 * ((ln(CAST(e.tf AS DOUBLE) + 1.0) - ln(dtgt))
+                    - (ln(CAST(e.cf AS DOUBLE) + 1.0) - ln(dsrc))))),
+               (a, x) -> a + x) / CAST(n AS DOUBLE), 4) AS importance
+          FROM per)
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               importance
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    # The streamed scores depend only on (doc, frozen stats), so the
+    # appended union EQUALS batch and the oracle is shared verbatim
+    # (the quality-blend-stream contract).
+    d["stream-importance-score"] = d["ext-importance-score"]
+    # Grouped drift: per-group (source) even/odd term counts ->
+    # per-group masses -> smoothed KL/JS at micro-nat rounding.
+    # Mirrors operators/text.py:grouped_drift.
+    d["ext-grouped-drift"] = f"""
+        WITH lw AS (SELECT source AS grp, {words_lower} AS words
+                    FROM documents WHERE doc_id % 2 = 0),
+        rw AS (SELECT source AS grp, {words_lower} AS words
+               FROM documents WHERE doc_id % 2 = 1),
+        cl AS (SELECT grp, term, COUNT(*) AS c
+               FROM (SELECT grp, UNNEST(words) AS term FROM lw)
+               WHERE term <> '' GROUP BY 1, 2),
+        cr AS (SELECT grp, term, COUNT(*) AS c
+               FROM (SELECT grp, UNNEST(words) AS term FROM rw)
+               WHERE term <> '' GROUP BY 1, 2),
+        t AS (SELECT COALESCE(cl.grp, cr.grp) AS grp,
+                     COALESCE(cl.term, cr.term) AS term,
+                     COALESCE(cl.c, 0) AS c_left,
+                     COALESCE(cr.c, 0) AS c_right
+              FROM cl FULL OUTER JOIN cr
+                ON cl.term = cr.term AND cl.grp = cr.grp),
+        tot AS (SELECT grp, SUM(c_left) AS nl, SUM(c_right) AS nr,
+                       COUNT(*) AS v FROM t GROUP BY 1),
+        pq AS (SELECT t.grp, term, c_left, c_right,
+                      CAST(c_left + 1 AS DOUBLE)
+                        / CAST(nl + v AS DOUBLE) AS p,
+                      CAST(c_right + 1 AS DOUBLE)
+                        / CAST(nr + v AS DOUBLE) AS q
+               FROM t JOIN tot ON tot.grp = t.grp),
+        pqm AS (SELECT *, (p + q) / 2.0 AS m FROM pq)
+        SELECT grp AS "group", term,
+               CAST(c_left AS BIGINT) AS c_left,
+               CAST(c_right AS BIGINT) AS c_right,
+               ROUND(p * 1000000.0, 4) AS p_left_micro,
+               ROUND(q * 1000000.0, 4) AS p_right_micro,
+               ROUND(p * (ln(p) - ln(q)) * 1000000.0, 4) AS kl_micro,
+               ROUND((p * (ln(p) - ln(m)) + q * (ln(q) - ln(m))) / 2.0
+                 * 1000000.0, 4) AS js_micro
+        FROM pqm
+    """
+    # Running (group, term) count state makes the final streamed
+    # emission equal batch grouped_drift exactly — oracle shared
+    # verbatim (the stream-corpus-drift contract).
+    d["stream-grouped-drift"] = d["ext-grouped-drift"]
+    # T5 span-corruption plan: hash-gated elections (md5-derived
+    # portable_hash52, RS=31 separators), hash-drawn lengths in
+    # [1, 2m-1], left-to-right overlap resolution replayed as a
+    # per-doc recursive CTE. Mirrors corpus_prep.py:corruption_spans.
+    _cs_h = ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+             "p::VARCHAR || chr(31) || 'v1'{extra}), 1, 13))::BIGINT")
+    _cs_plan_cte = f"""
+        d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        cand AS (
+          SELECT doc_id, n, CAST(p AS INT) AS p,
+                 CAST({_cs_h.format(extra=" || chr(31) || 'len'")} % 5 + 1
+                      AS INT) AS l,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS rn
+          FROM w, UNNEST(range(1, n + 1)) AS u(p)
+          WHERE {_cs_h.format(extra="")} % 20 = 0),
+        st AS (
+          SELECT doc_id, rn, n, p, l, TRUE AS accepted,
+                 LEAST(l, n - p + 1) AS tl,
+                 p + LEAST(l, n - p + 1) - 1 AS last_end
+          FROM cand WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.n, c.p, c.l,
+                 c.p > st.last_end AS accepted,
+                 LEAST(c.l, c.n - c.p + 1) AS tl,
+                 CASE WHEN c.p > st.last_end
+                      THEN c.p + LEAST(c.l, c.n - c.p + 1) - 1
+                      ELSE st.last_end END AS last_end
+          FROM st JOIN cand c
+            ON c.doc_id = st.doc_id AND c.rn = st.rn + 1)"""
+    d["ext-corruption-spans"] = f"""
+        WITH RECURSIVE {_cs_plan_cte}
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY p) - 1 AS INT) AS span_idx,
+               CAST(p AS INT) AS start_word,
+               CAST(tl AS INT) AS span_len
+        FROM st WHERE accepted
+    """
+    # Denoising pairs: the SAME span-plan CTE extended with the
+    # indexed list-building passes that render T5 sentinel pairs.
+    # Mirrors corpus_prep.py:denoising_pairs.
+    d["ext-denoise-pairs"] = f"""
+        WITH RECURSIVE {_cs_plan_cte},
+        sp AS (
+          SELECT doc_id,
+                 list(struct_pack(s := CAST(p AS INT),
+                                  l := CAST(tl AS INT)) ORDER BY p)
+                   AS spans
+          FROM st WHERE accepted GROUP BY doc_id),
+        full_sp AS (
+          SELECT w.doc_id, w.ws, w.n,
+                 COALESCE(sp.spans,
+                          CAST([] AS STRUCT(s INT, l INT)[])) AS spans
+          FROM w LEFT JOIN sp ON sp.doc_id = w.doc_id),
+        built AS (
+          SELECT doc_id, n, len(spans) AS k,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(
+                  ws[(CASE WHEN i = 1 THEN 0
+                      ELSE spans[i - 1].s + spans[i - 1].l - 1 END) + 1
+                     : x.s - 1],
+                  ['<extra_id_' || (i - 1)::VARCHAR || '>']))),
+              ws[(CASE WHEN len(spans) = 0 THEN 0
+                  ELSE spans[len(spans)].s + spans[len(spans)].l - 1
+                  END) + 1 : n]) AS in_words,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(['<extra_id_' || (i - 1)::VARCHAR || '>'],
+                            ws[x.s : x.s + x.l - 1]))),
+              ['<extra_id_' || len(spans)::VARCHAR || '>']) AS tgt_words
+          FROM full_sp)
+        SELECT doc_id, CAST(n AS INT) AS n_words,
+               CAST(k AS INT) AS n_spans,
+               array_to_string(in_words, ' ') AS input_text,
+               array_to_string(tgt_words, ' ') AS target_text
+        FROM built
+    """
+    # Fill-in-the-middle: hash gate at fim_rate over a 1e6 grid, two
+    # hash cuts mod (n+1), sorted -> (prefix, middle, suffix) word
+    # slices; passthrough otherwise. Mirrors corpus_prep.py:fim_split.
+    def _fim_h(tag: str) -> str:
+        return ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1' "
+                f"|| chr(31) || '{tag}'), 1, 13))::BIGINT")
+
+    d["ext-fim-split"] = f"""
+        WITH d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ({_fim_h('gate')} % 1000000 < 500000 AND n > 0)
+                   AS applied,
+                 CAST({_fim_h('c1')} % (n + 1) AS INT) AS ca,
+                 CAST({_fim_h('c2')} % (n + 1) AS INT) AS cb
+          FROM w),
+        c AS (
+          SELECT doc_id, ws, n, applied,
+                 LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2
+          FROM g)
+        SELECT doc_id, CAST(n AS INT) AS n_words, applied AS fim_applied,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is ''
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[1 : c1], ' '), '')
+                    ELSE COALESCE(array_to_string(ws, ' '), '')
+               END AS prefix,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c1 + 1 : c2], ' '),
+                                  '')
+                    ELSE '' END AS middle,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c2 + 1 : n], ' '),
+                                  '')
+                    ELSE '' END AS suffix
+        FROM c
+    """
+    # Matryoshka dim-truncation audit: per-tier prefix-slice cosine
+    # top-10 over 8 probes vs the full-dim (64) truth; recall@k per
+    # (tier, probe). Mirrors similarity.py:truncated_dim_recall.
+    def _tier_topk_cte(name: str, dims: int) -> str:
+        va = (f"list_transform(e.embedding[1:{dims}], "
+              "x -> CAST(x AS DOUBLE))")
+        vb = (f"list_transform(p.probe_vec[1:{dims}], "
+              "x -> CAST(x AS DOUBLE))")
+        c = (
+            f"CASE WHEN sqrt(list_dot_product({va}, {va})) * "
+            f"sqrt(list_dot_product({vb}, {vb})) > 0 THEN "
+            f"ROUND(list_dot_product({va}, {vb}) / "
+            f"(sqrt(list_dot_product({va}, {va})) * "
+            f"sqrt(list_dot_product({vb}, {vb}))), 6) END"
+        )
+        return f"""
+            {name} AS (
+              SELECT {dims} AS dims, p.probe_id, e.vec_id AS neighbor_id
+              FROM embeddings e CROSS JOIN probes p
+              WHERE e.vec_id <> p.probe_id
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                ORDER BY {c} DESC NULLS LAST, e.vec_id) <= 10)"""
+
+    _dr_tiers = (8, 16, 32, 64)
+    _dr_tier_ctes = ",".join(
+        _tier_topk_cte(f"t{dims}", dims) for dims in _dr_tiers
+    )
+    _dr_union = "\n              UNION ALL ".join(
+        f"SELECT * FROM t{dims}" for dims in _dr_tiers
+    )
+    d["ext-ann-dim-recall"] = f"""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, embedding AS probe_vec
+          FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+        {_tier_topk_cte("exact", 64)},
+        {_dr_tier_ctes},
+        alltiers AS ({_dr_union}),
+        hits AS (
+          SELECT a.dims, a.probe_id, COUNT(*) AS n_hits
+          FROM alltiers a
+          JOIN exact x ON x.probe_id = a.probe_id
+                      AND x.neighbor_id = a.neighbor_id
+          GROUP BY 1, 2),
+        base AS (SELECT DISTINCT dims, probe_id FROM alltiers)
+        SELECT b.dims, b.probe_id,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(n_hits, 0) / 10.0, 4) AS recall_at_k
+        FROM base b LEFT JOIN hits h
+          ON h.dims = b.dims AND h.probe_id = b.probe_id
+    """
+    # IVF-PQ composition: the ivf twin's hash-spread centroids +
+    # 2-cell probe restrict candidates; the pq twin's seed + 2 Lloyd
+    # rounds + encode + query LUT + ordered ADC fold score codes
+    # only. Mirrors similarity.py:knn_ivf_pq; reuses pq_lloyd_rounds.
+    d["ext-similarity-ivf-pq"] = f"""
+        WITH corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 embedding
+          FROM embeddings WHERE vec_id <> 0),
+        q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                 embedding AS qe
+          FROM embeddings WHERE vec_id = 0),
+        icent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM corpus)
+          ORDER BY h, vec_id LIMIT 8),
+        iassign AS (
+          SELECT vec_id, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM corpus CROSS JOIN icent),
+        cells AS (SELECT vec_id, i AS cell FROM iassign WHERE rn = 1),
+        iprobe AS (
+          SELECT i FROM icent, q
+          ORDER BY {_sql_l2('qe', 'cv')}, i LIMIT 2),
+        cand AS (
+          SELECT vec_id FROM cells
+          WHERE cell IN (SELECT i FROM iprobe)),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, v AS cv
+          FROM corpus ORDER BY vec_id LIMIT 16),
+        js AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+        pcent0 AS (
+          SELECT j, i, list_slice(cv, j * 8 + 1, j * 8 + 8) AS cs
+          FROM seeds CROSS JOIN js),
+        sub AS (
+          SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS vs
+          FROM corpus CROSS JOIN js),
+        {pq_lloyd_rounds},
+        cent AS (SELECT j, i, cs FROM pcent2),
+        assign AS (
+          SELECT vec_id, j, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY {_sql_l2('vs', 'cs')}, i) AS rn
+          FROM sub JOIN cent USING (j)),
+        codes AS (SELECT vec_id, j, i AS code FROM assign WHERE rn = 1),
+        lut AS (
+          SELECT j, i,
+                 {_sql_l2("list_slice(qv, j * 8 + 1, j * 8 + 8)", "cs")}
+                   AS d
+          FROM cent, q),
+        per AS (
+          SELECT c.vec_id, c.j, c.code, l.d
+          FROM codes c
+          JOIN cand USING (vec_id)
+          JOIN lut l ON l.j = c.j AND l.i = c.code),
+        adc AS (
+          SELECT vec_id,
+                 ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(d ORDER BY j)),
+                   (a, x) -> a + x), 6) AS adc_dist,
+                 list(code ORDER BY j) AS pq_code
+          FROM per GROUP BY vec_id)
+        SELECT vec_id, adc_dist,
+               array_to_string(pq_code, ',') AS pq_code,
+               CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id)
+                    AS INT) AS rank
+        FROM adc
+        QUALIFY rank <= 10
     """
     return d

@@ -22,6 +22,38 @@ from .caching import release_after as _release_after
 from .dedup import portable_hash52, shingle_rows, xxhash64_col
 from .text import _words as _ws_words
 
+# Version marker for the content-defined-chunking DEFAULT hash family.
+# v1 (<= round 8): portable_hash52 (md5-derived, DuckDB-replayable).
+# v2 (round 9+):   xxhash64_col (JVM-side, measured ~3.3x faster).
+# Chunk boundaries AND chunk_hash values differ between families, so
+# chunk tables / dedup indexes persisted under v1 do NOT reproduce
+# under the v2 default — callers re-running an existing pipeline must
+# pass hash_fn=portable_hash52 explicitly. content_defined_chunks
+# warns ONCE per process when the default is relied upon.
+CDC_HASH_DEFAULT_VERSION = 2
+
+
+def _cdc_default_hash(hash_fn, op: str):
+    """Resolve the CDC hash family, loudly: relying on the default
+    gets a one-shot FutureWarning naming the v1 -> v2 change (ADVICE
+    r9 — bit-identical re-runs are the framework's core contract, so
+    a silently different default is a compat trap)."""
+    if hash_fn is not None:
+        return hash_fn
+    import warnings
+
+    warnings.warn(
+        f"{op}: the default hash_fn changed in "
+        f"CDC_HASH_DEFAULT_VERSION={CDC_HASH_DEFAULT_VERSION} from "
+        "portable_hash52 to xxhash64_col; chunk boundaries and "
+        "chunk_hash values differ from tables persisted under the old "
+        "default. Pass hash_fn=portable_hash52 to reproduce them, or "
+        "hash_fn=xxhash64_col to pin the new family and silence this.",
+        FutureWarning,
+        stacklevel=3,
+    )
+    return xxhash64_col
+
 
 def decontaminate(
     docs: DataFrame,
@@ -895,16 +927,21 @@ def content_defined_chunks(
     `hash_fn` defaults to xxhash64_col (JVM-side, measured 3.3x
     faster than the md5-derived portable_hash52 on this operator —
     SCALING.md r8); pass portable_hash52 only when a DuckDB oracle
-    must replay boundaries bit-for-bit (the gate entries do)."""
-    from .dedup import xxhash64_col
+    must replay boundaries bit-for-bit (the gate entries do).
 
+    .. versionchanged:: CDC_HASH_DEFAULT_VERSION 2
+       The DEFAULT hash_fn changed from portable_hash52 to
+       xxhash64_col: different boundary elections AND different
+       chunk_hash values than chunk tables persisted under the old
+       default. Relying on the default emits a one-shot
+       FutureWarning; pass hash_fn explicitly to pin a family."""
     if window < 1:
         raise ValueError(f"content_defined_chunks: window >= 1, got {window}")
     if divisor < 1:
         raise ValueError(
             f"content_defined_chunks: divisor >= 1, got {divisor}"
         )
-    hash_fn = hash_fn or xxhash64_col
+    hash_fn = _cdc_default_hash(hash_fn, "content_defined_chunks")
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
     bnd = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)
@@ -950,9 +987,11 @@ def content_defined_chunks_clamped(
     stateless form. Output schema and hash conventions identical to
     `content_defined_chunks`; the DuckDB twin replays the fold as a
     per-document recursive CTE (the `ext-pack-nofragment` idiom).
-    """
-    from .dedup import xxhash64_col
 
+    `hash_fn` follows the same v2 default (xxhash64_col) and one-shot
+    FutureWarning as `content_defined_chunks` — see
+    CDC_HASH_DEFAULT_VERSION.
+    """
     if window < 1:
         raise ValueError(
             f"content_defined_chunks_clamped: window >= 1, got {window}"
@@ -966,7 +1005,7 @@ def content_defined_chunks_clamped(
             "content_defined_chunks_clamped: need 1 <= min_len <= "
             f"max_len, got min_len={min_len} max_len={max_len}"
         )
-    hash_fn = hash_fn or xxhash64_col
+    hash_fn = _cdc_default_hash(hash_fn, "content_defined_chunks_clamped")
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
     cand = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)

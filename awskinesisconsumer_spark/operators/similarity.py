@@ -1279,6 +1279,25 @@ def truncated_dim_recall(
         raise ValueError(
             f"truncated_dim_recall: dims must be >= 1, got {dim_tiers}"
         )
+    # A tier LARGER than the actual embedding would silently clamp
+    # (F.slice past the end returns the whole array), making that
+    # tier's top-k equal the full-dim truth and its recall a
+    # misleading 1.0 — so validate against the observed minimum
+    # vector length (one scalar to the driver; NULL vectors are
+    # ignored here, as the scorers already treat them as no-cosine).
+    max_tier = max(int(t) for t in dim_tiers)
+    min_dim = df.select(
+        F.min(
+            F.when(F.col(vec_col).isNotNull(), F.size(F.col(vec_col)))
+        ).alias("m")
+    ).head()["m"]
+    if min_dim is not None and max_tier > min_dim:
+        raise ValueError(
+            f"truncated_dim_recall: dim tier {max_tier} exceeds the "
+            f"shortest observed {vec_col} length {min_dim}; oversized "
+            "tiers would slice-clamp to the full vector and report a "
+            "vacuous recall of 1.0"
+        )
     exact = knn_join_topk(
         df, id_col=id_col, vec_col=vec_col, probe_ids=probe_ids, k=k,
         salt_buckets=salt_buckets,
@@ -1390,8 +1409,13 @@ def whiten_embeddings_with_stats(
     Dimensions BEYOND the calibration length stay NULL (not 0.0, and
     not an ANSI INVALID_ARRAY_INDEX crash — hence try_element_at) so
     a vector-length/calibration mismatch is visible in the output
-    instead of silently zeroed; in-range degenerate dims (std 0)
-    still map to 0.0."""
+    instead of silently zeroed; in-range degenerate dims — std 0, or
+    a NULL std from a degenerate calibration (STDDEV_SAMP over a
+    single row) — still map to 0.0 (ADVICE r9: degenerate-ness is
+    decided by the INDEX being in calibration range, never by the
+    std's NULL-ness, so NULL stds cannot leak out-of-range NULLs
+    in)."""
+    n_cal = len(stats)
     means = F.array(*[F.lit(m) for m, _ in stats])
     stds = F.array(*[F.lit(sd) for _, sd in stats])
     white = F.transform(
@@ -1401,8 +1425,9 @@ def whiten_embeddings_with_stats(
                 F.try_element_at(stds, i + 1) > 0,
                 (x.cast("double") - F.try_element_at(means, i + 1))
                 / F.try_element_at(stds, i + 1),
+            # in-range degenerate dims (std <= 0 OR NULL) -> 0.0;
             # out-of-calibration dims fall past BOTH branches -> NULL
-            ).when(F.try_element_at(stds, i + 1) <= 0, F.lit(0.0)),
+            ).when(i + 1 <= F.lit(n_cal), F.lit(0.0)),
             6,
         ),
     )

@@ -34,17 +34,21 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v):
+def _canon(v, float_col=False):
     # numpy containers -> plain python so both engines stringify alike
     if isinstance(v, np.ndarray):
         v = v.tolist()
     if isinstance(v, np.generic):
         v = v.item()
-    # missing is ONE token: pandas renders NULL-in-float-column as
-    # NaN, NULL-in-object-column as None — post-pandas the driver
-    # cannot tell them apart either, so neither do we
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        # Conflate NaN with NULL ONLY in float-dtype columns, where
+        # pandas genuinely erases the distinction (NULL renders as
+        # NaN). In object-dtype columns and inside lists/structs
+        # pandas preserves None vs nan, so a real NaN-vs-NULL engine
+        # divergence there must stay visible (ADVICE r9).
+        return "NULL" if float_col else "NaN"
     if isinstance(v, float):
         # driver-style canonicalization: fixed-point string
         return f"{v:.6f}"
@@ -60,8 +64,15 @@ def _canon(v):
     return str(v)
 
 
-def _rowset(rows):
-    return sorted(tuple(_canon(v) for v in row) for row in rows)
+def _rowset(rows, float_flags=None):
+    """Canonicalized sorted rowset; `float_flags[i]` marks column i as
+    float-dtype (the only place NaN folds into NULL)."""
+    if float_flags is None:
+        return sorted(tuple(_canon(v) for v in row) for row in rows)
+    return sorted(
+        tuple(_canon(v, f) for v, f in zip(row, float_flags))
+        for row in rows
+    )
 
 
 def _kind(dtype) -> str:
@@ -126,7 +137,11 @@ def test_oracle_parity(name, spark, duck):
     assert len(srows) == len(drows), (
         f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
     )
-    s_sorted, d_sorted = _rowset(srows), _rowset(drows)
+    # per-side float flags: the dtype-class assert above already
+    # pinned classes equal wherever either side has data
+    s_flags = [_kind(spdf[c].dtype) == "float" for c in spark_cols]
+    d_flags = [_kind(dpdf[c].dtype) == "float" for c in duck_cols]
+    s_sorted, d_sorted = _rowset(srows, s_flags), _rowset(drows, d_flags)
     mism = [
         (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
     ][:5]

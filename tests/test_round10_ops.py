@@ -1,0 +1,157 @@
+"""Round-10 operator tests: the four r9 ADVICE fixes (CDC default-hash
+deprecation, oversized-dim-tier validation, NaN/NULL parity-gate
+fidelity, whitening NULL-std semantics) plus the verdict items landed
+this round (clamped-CDC hash-family structure pin, keep-best pair cap,
+simhash capped-bucket observability).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cdc_default_hash_warns_once_and_is_silencable(spark):
+    # ADVICE r9 (medium): the r9 default flip portable_hash52 ->
+    # xxhash64_col silently changed boundary elections for existing
+    # callers. The default stays v2 (the r8 verdict's demand — 3.3x
+    # faster), but relying on it is now LOUD: a FutureWarning naming
+    # CDC_HASH_DEFAULT_VERSION; passing hash_fn explicitly (either
+    # family) is silent.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        CDC_HASH_DEFAULT_VERSION, content_defined_chunks,
+        content_defined_chunks_clamped,
+    )
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, xxhash64_col,
+    )
+
+    assert CDC_HASH_DEFAULT_VERSION == 2
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    with pytest.warns(FutureWarning, match="CDC_HASH_DEFAULT_VERSION"):
+        content_defined_chunks(docs, id_col="doc_id", text_col="text")
+    with pytest.warns(FutureWarning, match="CDC_HASH_DEFAULT_VERSION"):
+        content_defined_chunks_clamped(
+            docs, id_col="doc_id", text_col="text"
+        )
+    for fn in (portable_hash52, xxhash64_col):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            content_defined_chunks(
+                docs, id_col="doc_id", text_col="text", hash_fn=fn
+            )
+            content_defined_chunks_clamped(
+                docs, id_col="doc_id", text_col="text", hash_fn=fn
+            )
+
+
+def test_cdc_clamped_hash_families_same_structure(spark):
+    # Verdict r9 item 4 test leg, extended to the CLAMPED form: the
+    # two hash families elect different boundaries but the same chunk
+    # STRUCTURE — contiguous tiling, clamps respected, same
+    # expected-length regime. Switching hash_fn changes speed, not
+    # semantics.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks_clamped,
+    )
+    from awskinesisconsumer_spark.operators.dedup import (
+        portable_hash52, xxhash64_col,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    texts = {r.doc_id: len(r.text or "") for r in docs.collect()}
+    min_len, max_len = 32, 128
+    for fn in (xxhash64_col, portable_hash52):
+        rows = content_defined_chunks_clamped(
+            docs, id_col="doc_id", text_col="text", window=8,
+            divisor=64, min_len=min_len, max_len=max_len, hash_fn=fn,
+        ).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        total = 0
+        for did, rs in by_doc.items():
+            rs.sort(key=lambda r: r.chunk_idx)
+            pos = 0
+            for r in rs:
+                assert r.chunk_start == pos, f"doc {did}: gap/overlap"
+                assert r.chunk_len <= max_len, f"doc {did}: clamp"
+                # only the FINAL chunk may undershoot min_len
+                if r.chunk_idx < len(rs) - 1:
+                    assert r.chunk_len >= min_len, f"doc {did}: runt"
+                pos += r.chunk_len
+            assert pos == texts[did], f"doc {did}: doesn't tile"
+            total += len(rs)
+        n_chars = sum(texts.values())
+        assert min_len <= n_chars / total <= max_len
+
+
+def test_truncated_dim_recall_rejects_oversized_tier(spark):
+    # ADVICE r9: a tier larger than the embedding length used to
+    # slice-clamp and audit a vacuous recall of 1.0 — now a
+    # ValueError naming the observed length.
+    from awskinesisconsumer_spark.operators.similarity import (
+        truncated_dim_recall,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    with pytest.raises(ValueError, match="exceeds the shortest"):
+        truncated_dim_recall(
+            emb, id_col="vec_id", vec_col="embedding",
+            probe_ids=[0, 1], k=5, dim_tiers=(8, 128),
+        )
+    # the boundary case (tier == actual dim) stays legal
+    out = truncated_dim_recall(
+        emb.where(F.col("vec_id") < 40), id_col="vec_id",
+        vec_col="embedding", probe_ids=[0, 1], k=5, dim_tiers=(8, 64),
+    ).collect()
+    assert len(out) == 4
+
+
+def test_whiten_with_stats_null_std_maps_in_range_to_zero(spark):
+    # ADVICE r9: an in-range dim whose calibration std is NULL (e.g.
+    # STDDEV_SAMP over a single row) must produce 0.0 like any other
+    # degenerate dim — NULL stays reserved for OUT-OF-RANGE dims
+    # (vector longer than the calibration).
+    from awskinesisconsumer_spark.operators.similarity import (
+        whiten_embeddings_with_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [4.0, 6.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    rows = whiten_embeddings_with_stats(
+        df, id_col="vec_id", vec_col="embedding",
+        stats=[(4.0, None), (2.0, 2.0)],
+    ).collect()
+    got = {r.dim: r.white_val for r in rows}
+    assert got[0] == 0.0          # in-range, NULL std -> degenerate
+    assert got[1] == 2.0          # (6 - 2) / 2
+    assert got[2] is None         # out-of-calibration stays NULL
+
+
+def test_parity_canon_keeps_nan_distinct_outside_float_columns():
+    # ADVICE r9: the local gate replica only folds NaN into NULL for
+    # float-dtype columns (where pandas erases the distinction);
+    # inside lists and object columns a NaN-vs-NULL divergence stays
+    # visible.
+    from tests.test_oracle_parity import _canon, _rowset
+
+    nan = float("nan")
+    assert _canon(nan, float_col=True) == "NULL"
+    assert _canon(nan, float_col=False) == "NaN"
+    assert _canon(None, float_col=False) == "NULL"
+    assert _canon([nan, None]) == "[NaN,NULL]"
+    assert _canon([nan, None], float_col=True) == "[NaN,NULL]"
+    # rowset-level: object column (flag False) distinguishes, float
+    # column (flag True) conflates
+    assert _rowset([(nan,)], [False]) != _rowset([(None,)], [False])
+    assert _rowset([(nan,)], [True]) == _rowset([(None,)], [True])
+    assert math.isnan(nan)  # sanity: the literal is a real NaN
