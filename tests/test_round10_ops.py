@@ -1,8 +1,10 @@
 """Round-10 operator tests: the four r9 ADVICE fixes (CDC default-hash
 deprecation, oversized-dim-tier validation, NaN/NULL parity-gate
-fidelity, whitening NULL-std semantics) plus the verdict items landed
-this round (clamped-CDC hash-family structure pin, keep-best pair cap,
-simhash capped-bucket observability).
+fidelity, whitening NULL-std semantics) plus the clamped-CDC
+hash-family structure pin. (The keep-best pair cap and simhash
+capped-bucket observability did NOT land in r10 — the r10 verdict
+flagged this docstring for overstating; both landed in r11, tested in
+tests/test_round11_ops.py.)
 """
 
 from __future__ import annotations

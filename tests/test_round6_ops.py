@@ -99,29 +99,64 @@ def test_np_round6_boundary_detection_scales_with_magnitude(spark):
 
 
 def test_gate_head_composition():
-    # The external driver gates the first 50 queries() entries: this
-    # round (r9) that is the 6 CHANGED entries (the five HUGEINT twin
-    # fixes + the refactored sentence-split entry), the 5 NEW
-    # registrations, the 34 remaining r5-record veterans, and the 5
-    # oldest r6-record entries — exactly 50.
+    # The external driver gates the first 50 queries() entries. The
+    # expected composition is DERIVED (r10 verdict item 1b: the
+    # previous verbatim 50-entry pin went stale the moment the window
+    # legitimately rotated) from GATE_LEDGER.json plus the round
+    # constant __spark_entry__.GATE_NEW_THIS_ROUND, via invariants
+    # that hold both mid-round (before the snapshot lands) and after:
+    import json
+    import os
+
     import __spark_entry__ as m
 
     keys = list(m.queries())
-    assert keys[:13] == [
-        "ext-multimodal-wav", "ext-multimodal-png", "sink-png-files",
-        "ext-layout-corpus", "stream-pack-sequences",
-        "ext-sentence-split",
-        "ext-dedup-simhash-pairs", "ext-mixture-expand",
-        "ext-embedding-whiten", "ext-cdc-chunk-clamped",
-        "ext-sentence-decontaminate",
-        # second wave (registered mid-round, the r8 precedent)
-        "ext-dedup-keep-best", "stream-sentence-decontaminate",
+    new = list(m.GATE_NEW_THIS_ROUND)
+    # (1) this round's new/changed registrations head the window
+    assert keys[: len(new)] == new, (
+        "GATE_NEW_THIS_ROUND must be the literal head of queries()"
+    )
+    assert len(new) <= 50
+    ledger_path = os.path.join(
+        os.path.dirname(__file__), "..", "GATE_LEDGER.json"
+    )
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    # (2) entries with no green record anywhere must be new this round
+    # (they can only be gated from inside the window head)
+    unledgered = [q for q in keys if q not in ledger]
+    assert set(unledgered) <= set(new), (
+        f"registered but never-green and not declared new: "
+        f"{sorted(set(unledgered) - set(new))}"
+    )
+    # (3) freshness: with a 50-slot window over the registry, full
+    # rotation takes ceil(len(keys)/50) rounds — no ledgered entry's
+    # record may be older than that period behind the newest one
+    rounds = [ledger[q]["green_round"] for q in keys if q in ledger]
+    period = -(-len(keys) // 50)  # ceil
+    assert min(rounds) >= max(rounds) - period, (
+        f"stale rotation: oldest record r{min(rounds)} vs newest "
+        f"r{max(rounds)} with period {period}"
+    )
+    # (4) changed entries (fingerprint drift vs their green record)
+    # must sit inside the window so this round's gate re-records them
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import gate_ledger
+
+    fps = gate_ledger.current_fingerprints()
+    stale_in_tail = [
+        q for q in keys[50:]
+        if q in ledger and ledger[q]["fingerprint"] != fps[q]
     ]
-    assert keys[13] == "agg-pricing-summary"  # r5-cohort head
-    assert keys[46] == "ext-token-count"      # r5-cohort tail
-    assert keys[49] == "ext-semantic-decontaminate"  # last r6 filler
-    assert keys[50] == "stream-dedup-incremental"  # first past horizon
-    assert len(keys) == len(set(keys)) >= 188
+    assert not stale_in_tail, (
+        f"changed since green record but parked past the gate "
+        f"horizon: {stale_in_tail}"
+    )
+    assert len(keys) == len(set(keys)) >= 197
     # every entry has an oracle twin (full hash-gate coverage)
     osql = m.oracle_sql()
     assert set(osql) == set(keys)
