@@ -28,16 +28,22 @@ from .text import _words as _ws_words
 # Chunk boundaries AND chunk_hash values differ between families, so
 # chunk tables / dedup indexes persisted under v1 do NOT reproduce
 # under the v2 default — callers re-running an existing pipeline must
-# pass hash_fn=portable_hash52 explicitly. content_defined_chunks
-# warns ONCE per process when the default is relied upon.
+# pass hash_fn=portable_hash52 explicitly. Each CDC function warns
+# when the default is relied upon (a plain warnings.warn — how often
+# it surfaces is governed by the caller's warning filters: once per
+# call site under Python's default filter, every call under
+# "always"; ADVICE r10 — there is deliberately no process-level
+# latch, so test harnesses that reset filters still see it).
 CDC_HASH_DEFAULT_VERSION = 2
 
 
 def _cdc_default_hash(hash_fn, op: str):
     """Resolve the CDC hash family, loudly: relying on the default
-    gets a one-shot FutureWarning naming the v1 -> v2 change (ADVICE
-    r9 — bit-identical re-runs are the framework's core contract, so
-    a silently different default is a compat trap)."""
+    gets a FutureWarning naming the v1 -> v2 change (ADVICE r9 —
+    bit-identical re-runs are the framework's core contract, so a
+    silently different default is a compat trap). Deduplication is
+    left to the caller's warning filters (see the module comment at
+    CDC_HASH_DEFAULT_VERSION)."""
     if hash_fn is not None:
         return hash_fn
     import warnings

@@ -495,6 +495,61 @@ def connected_components(
     return labels
 
 
+def cap_pairs_per_doc(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cap: int,
+    order_col: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Bound a candidate-pair table at top-`cap` pairs PER DOCUMENT —
+    the guard between LSH pair generation and `connected_components`
+    that keeps a boilerplate mega-group (R near-identical docs emit
+    R^2/2 raw pairs) from materializing a quadratic edge list. Each
+    pair is ranked from BOTH endpoints' perspectives — by `order_col`
+    descending (similarity, band-hit count) when given, else the
+    portable-hash order — and survives if EITHER endpoint ranks it
+    within `cap` (the union keeps chains connected), so the output is
+    <= 2 * cap * docs rows, linear in corpus size.
+
+    Returns distinct (id_a, id_b), canonical id_a < id_b. Recall
+    trade, documented like `hot_cap`: a transitive link ranked past
+    `cap` on BOTH endpoints is dropped, which can split an
+    over-merged cluster — per-doc-bounded, same contract as
+    `knn_join_topk`'s top-k truncation.
+
+    Scale shape: one symmetric projection (no join) + the
+    `domain_cap_topk` salted two-level rank, so a mega-doc's
+    candidate list never funnels through one reducer; the final
+    distinct shuffles only the <= 2*cap*docs survivors.
+    """
+    from .corpus_prep import domain_cap_topk
+
+    if cap < 1:
+        raise ValueError(
+            f"cap_pairs_per_doc: cap must be >= 1, got {cap}"
+        )
+    carry = [F.col(order_col)] if order_col else []
+    sym = pairs.select(
+        F.col(id_a).alias("_end"), F.col(id_b).alias("_oth"), *carry
+    ).unionByName(pairs.select(
+        F.col(id_b).alias("_end"), F.col(id_a).alias("_oth"), *carry
+    ))
+    order = [F.col(order_col).desc()] if order_col else None
+    kept_sym = domain_cap_topk(
+        sym, group_col="_end", cap=cap, order_by=order,
+        id_col="_oth", salt_buckets=salt_buckets, with_totals=False,
+    )
+    # back to canonical (id_a < id_b) orientation; the union of the
+    # two endpoint views dedups to one row per surviving pair
+    return kept_sym.select(
+        F.least("_end", "_oth").alias(id_a),
+        F.greatest("_end", "_oth").alias(id_b),
+    ).distinct()
+
+
 def dedup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,
@@ -504,6 +559,8 @@ def dedup_keep_best(
     id_a: str = "id_a",
     id_b: str = "id_b",
     salt_buckets: int = 16,
+    pair_cap: int | None = None,
+    pair_order_col: str | None = None,
 ) -> DataFrame:
     """Cluster resolution that keeps the BEST document per duplicate
     cluster — what production dedup actually ships: after pairwise
@@ -516,15 +573,34 @@ def dedup_keep_best(
     per cluster). Docs absent from `pairs` are singleton clusters and
     always kept.
 
+    `pair_cap` (optional) bounds the pair table BEFORE connected
+    components: each doc keeps only its top-`pair_cap` candidate
+    pairs — ranked by `pair_order_col` descending (similarity, band
+    hits) when given, else by the portable-hash order — and a pair
+    survives if EITHER endpoint ranks it (the union keeps chains
+    connected), so the edge set entering label propagation is
+    <= 2 * pair_cap * docs instead of the raw LSH table's R^2/2 per
+    duplicate group (the r9 scaling study measured 3.9M pairs from
+    200k docs without it). The trade is the `hot_cap` one: a
+    transitive link ranked past `pair_cap` on BOTH endpoints can
+    split an over-merged mega-cluster — usually the desired outcome
+    for boilerplate blobs, and the recall cost is per-doc-bounded
+    like `knn_join_topk`'s.
+
     Scale shape: clusters come from `connected_components` (min-label
-    propagation, see there); the per-cluster argmax REUSES
-    `domain_cap_topk` with cap=1 — the salted two-level rank — so a
-    boilerplate mega-cluster never funnels through one reducer; the
-    winner table is cluster-count-bounded and re-attaches by an
-    id-keyed equi-join.
+    propagation, see there); both the pair cap and the per-cluster
+    argmax REUSE `domain_cap_topk` (the salted two-level rank — cap
+    here, cap=1 there), so a boilerplate mega-cluster never funnels
+    through one reducer; the winner table is cluster-count-bounded
+    and re-attaches by an id-keyed equi-join.
     """
     from .corpus_prep import domain_cap_topk
 
+    if pair_cap is not None:
+        pairs = cap_pairs_per_doc(
+            pairs, id_a=id_a, id_b=id_b, cap=pair_cap,
+            order_col=pair_order_col, salt_buckets=salt_buckets,
+        )
     cc = connected_components(
         pairs, id_a=id_a, id_b=id_b,
         vertices=docs.select(F.col(id_col).alias("id")),
@@ -1057,6 +1133,7 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     hash_fn=xxhash64_col,
     hot_cap: int | None = 200,
+    with_capped_audit: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via Hamming banding (the
     Manku/Jain/Sarma web-dedup construction): fingerprints split
@@ -1077,7 +1154,18 @@ def simhash_near_dup_pairs(
     hot_cap=None for the unconditional lossless form (accepting the
     quadratic blow-up inside whatever mega-buckets exist).
 
-    Emitted: (id_a, id_b, hamming), id_a < id_b, distinct.
+    `with_capped_audit=True` makes that recall trade VISIBLE: the
+    output gains an `n_capped_buckets` column — how many (band_idx,
+    band_val) buckets the hot cap silenced (0 when hot_cap is None).
+    The r9 scaling study measured the cap silently pruning most true
+    pairs on a near-dup-heavy corpus; a non-zero audit count is the
+    signal to raise `hot_cap` or accept the documented loss. The
+    count is one scalar (a bucket-table aggregate broadcast onto
+    every row — the one-row crossJoin pattern), so the audit costs
+    one tiny agg, not a second corpus pass.
+
+    Emitted: (id_a, id_b, hamming), id_a < id_b, distinct
+    (+ n_capped_buckets when `with_capped_audit`).
 
     Scale shape: fingerprints are one long per doc; the band
     explode is bands rows per doc; the candidate join is an
@@ -1122,6 +1210,7 @@ def simhash_near_dup_pairs(
         F.col("_b.band_idx").alias("band_idx"),
         F.col("_b.band_val").alias("band_val"),
     )
+    hot = None
     if hot_cap is not None:
         hot = (
             banded.groupBy("band_idx", "band_val")
@@ -1146,7 +1235,7 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "_fa", "_fb")
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int"),
@@ -1154,3 +1243,13 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if with_capped_audit:
+        if hot is None:
+            return out.withColumn(
+                "n_capped_buckets", F.lit(0).cast("long")
+            )
+        n_capped = hot.agg(
+            F.count(F.lit(1)).cast("long").alias("n_capped_buckets")
+        )
+        return out.crossJoin(F.broadcast(n_capped))
+    return out

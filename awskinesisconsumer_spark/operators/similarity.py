@@ -1252,6 +1252,7 @@ def truncated_dim_recall(
     k: int = 10,
     dim_tiers: tuple = (8, 16, 32),
     salt_buckets: int = 16,
+    validate_dims: bool = True,
 ) -> DataFrame:
     """Matryoshka / truncated-dimension retrieval audit: recall@k of
     cosine top-k computed on the FIRST-d prefix of each embedding vs
@@ -1285,19 +1286,29 @@ def truncated_dim_recall(
     # misleading 1.0 — so validate against the observed minimum
     # vector length (one scalar to the driver; NULL vectors are
     # ignored here, as the scorers already treat them as no-cosine).
-    max_tier = max(int(t) for t in dim_tiers)
-    min_dim = df.select(
-        F.min(
-            F.when(F.col(vec_col).isNotNull(), F.size(F.col(vec_col)))
-        ).alias("m")
-    ).head()["m"]
-    if min_dim is not None and max_tier > min_dim:
-        raise ValueError(
-            f"truncated_dim_recall: dim tier {max_tier} exceeds the "
-            f"shortest observed {vec_col} length {min_dim}; oversized "
-            "tiers would slice-clamp to the full vector and report a "
-            "vacuous recall of 1.0"
-        )
+    # ADVICE r10 caveats, both deliberate: (a) this is an EAGER
+    # full-corpus MIN(size(vec)) aggregate at call time — one narrow
+    # columnar scan, the price of failing fast instead of publishing
+    # a vacuous 1.0; (b) a single short vector anywhere blocks the
+    # audit even though only probes/neighbors enter recall — any
+    # short CORPUS vector still slice-clamps its own candidate
+    # cosine, so mixed-length corpora are a data bug this audit
+    # refuses to grade. Pass validate_dims=False to skip the scan
+    # for corpora with known, accepted mixed-length vectors.
+    if validate_dims:
+        max_tier = max(int(t) for t in dim_tiers)
+        min_dim = df.select(
+            F.min(
+                F.when(F.col(vec_col).isNotNull(), F.size(F.col(vec_col)))
+            ).alias("m")
+        ).head()["m"]
+        if min_dim is not None and max_tier > min_dim:
+            raise ValueError(
+                f"truncated_dim_recall: dim tier {max_tier} exceeds the "
+                f"shortest observed {vec_col} length {min_dim}; oversized "
+                "tiers would slice-clamp to the full vector and report a "
+                "vacuous recall of 1.0"
+            )
     exact = knn_join_topk(
         df, id_col=id_col, vec_col=vec_col, probe_ids=probe_ids, k=k,
         salt_buckets=salt_buckets,
@@ -1414,7 +1425,14 @@ def whiten_embeddings_with_stats(
     single row) — still map to 0.0 (ADVICE r9: degenerate-ness is
     decided by the INDEX being in calibration range, never by the
     std's NULL-ness, so NULL stds cannot leak out-of-range NULLs
-    in)."""
+    in).
+
+    CAVEAT (ADVICE r10): NULL output is NOT a unique
+    calibration-mismatch signal — an in-range input ELEMENT that is
+    itself NULL (with std > 0) propagates NULL through
+    (x - mean) / std as well. Callers needing a strict
+    out-of-range-only NULL invariant must pre-clean NULL elements
+    (they are rare: a well-formed embedding column has none)."""
     n_cal = len(stats)
     means = F.array(*[F.lit(m) for m, _ in stats])
     stds = F.array(*[F.lit(sd) for _, sd in stats])
