@@ -4602,16 +4602,177 @@ def _stream_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cdc_chunk_text_prod(spark: SparkSession, sf: str) -> DataFrame:
+    # PRODUCTION-path CDC (r10 verdict item: the bench timed only the
+    # md5-twin gate form): the same stateless FastCDC fold with the
+    # v2 default hash family, xxhash64 (JVM codegen, measured ~1.8x
+    # faster than the md5-derived portable_hash52 at sf0.1).
+    # Registered rows-only BY DESIGN — xxhash64 has no DuckDB
+    # equivalent, which is exactly why the gate twin uses
+    # portable_hash52; hash-family structure equivalence (contiguous
+    # tiling, same totals) is pinned in tests/test_round10_ops.py.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks,
+    )
+    from awskinesisconsumer_spark.operators.dedup import xxhash64_col
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return content_defined_chunks(
+        docs, id_col="doc_id", text_col="text", window=8, divisor=64,
+        hash_fn=xxhash64_col,
+    )
+
+
+def _cdc_chunk_clamped_prod(spark: SparkSession, sf: str) -> DataFrame:
+    # Production-path CLAMPED CDC — xxhash64 family, same min/max
+    # geometry as the gated md5-twin form; rows-only for the same
+    # reason as _cdc_chunk_text_prod.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        content_defined_chunks_clamped,
+    )
+    from awskinesisconsumer_spark.operators.dedup import xxhash64_col
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return content_defined_chunks_clamped(
+        docs, id_col="doc_id", text_col="text", window=8, divisor=64,
+        min_len=32, max_len=128, hash_fn=xxhash64_col,
+    )
+
+
+def _dedup_keep_best_capped(spark: SparkSession, sf: str) -> DataFrame:
+    # Keep-best cluster resolution with the r11 per-doc PAIR CAP
+    # (operators/dedup.py cap_pairs_per_doc, wired through
+    # dedup_keep_best(pair_cap=...)): each doc keeps its top-3
+    # candidate pairs by (jaccard desc, other-id asc), a pair
+    # survives from EITHER endpoint, so the edge set entering
+    # connected components is <= 2*3*docs — linear, vs the raw LSH
+    # table's R^2/2 per duplicate group (the r9-measured
+    # scale-killer). Twin replays the symmetric rank + union cap,
+    # then the same reach/cc recursion and argmax as
+    # ext-dedup-keep-best.
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_keep_best, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    scored = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("score"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    out = dedup_keep_best(
+        scored, pairs, id_col="doc_id", score_col="score",
+        pair_cap=3, pair_order_col="jaccard",
+    )
+    return out.select("doc_id", "cluster_id", "score", "kept")
+
+
+def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
+    # The COMPOSED raw-corpus -> packed-training-batch gate (r9/r10
+    # verdict stretch item): every stage is an individually-gated
+    # operator, chained here end-to-end the way a training-data job
+    # actually runs them —
+    #   1. DSIR importance scoring against a src0 target sample
+    #      (text.py importance_score), SELECT docs with importance
+    #      > 0 ("more target-like than the corpus average" — a
+    #      threshold filter, no global sort);
+    #   2. mixture epoch expansion (corpus_prep.py
+    #      expand_mixture_epochs) — deterministic hash-gated
+    #      fractional up-sampling per source; (doc_id, repeat_idx)
+    #      keys the expanded stream, ex_id = doc_id*16 + repeat_idx
+    #      (epochs < 16 by contract) makes it one numeric key;
+    #   3. deterministic shuffle layout (shuffle_order, 4 shards) —
+    #      global_pos = (pos_in_shard - 1) * n_shards + shard
+    #      interleaves shards round-robin without a global sort;
+    #   4. fill-in-the-middle split at fim_rate=0.5 keyed on ex_id
+    #      (repeats draw independent gates — the multi-epoch
+    #      recipe), portable hash so the twin replays it;
+    #   5. pack_sequences over (global_pos, n_words) at capacity
+    #      256 — the grouped two-pass prefix sum, no one-task cliff.
+    # Composition seams are id-keyed equi-joins on ex_id/global_pos
+    # (AQE broadcasts the small side at fixture SF; hash-co-located
+    # at scale). The twin chains the five stage twins as CTEs; the
+    # pack cumsum uses DuckDB's single window (oracle-side only).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs, fim_split, pack_sequences, shuffle_order,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.text import importance_score
+
+    docs = load_table(spark, "documents", sf)
+    target = docs.where(F.col("source") == "src0").select(
+        F.col("text").alias("t_text")
+    )
+    scored = importance_score(
+        docs, target, id_col="doc_id", text_col="text",
+        target_text_col="t_text",
+    )
+    selected = docs.join(
+        scored.where(F.col("importance") > 0).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    expanded = expand_mixture_epochs(
+        selected.select("doc_id", "source"), id_col="doc_id",
+        source_col="source",
+        epochs={"src0": 2.3, "src1": 1.0, "src2": 1.5, "src3": 0.5},
+        hash_fn=portable_hash52,
+    ).withColumn(
+        "ex_id", F.col("doc_id") * 16 + F.col("repeat_idx")
+    )
+    n_shards = 4
+    layout = shuffle_order(
+        expanded.select("ex_id"), id_col="ex_id", n_shards=n_shards,
+    ).withColumn(
+        "global_pos",
+        (F.col("pos_in_shard") - 1) * n_shards + F.col("shard"),
+    ).select("ex_id", "global_pos")
+    spine = (
+        expanded.join(layout, "ex_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    fim = fim_split(
+        spine.select("ex_id", "text"), id_col="ex_id", text_col="text",
+        fim_rate=0.5, hash_fn=portable_hash52,
+    )
+    tokens = spine.select("doc_id", "repeat_idx", "ex_id",
+                          "global_pos").join(fim, "ex_id")
+    packed = pack_sequences(
+        tokens.select("global_pos", F.col("n_words").cast("bigint")
+                      .alias("n_words")),
+        id_col="global_pos", token_col="n_words", capacity=256,
+    ).select("global_pos", "tok_start", "tok_end", "seq_first",
+             "seq_last", "n_seqs")
+    return tokens.join(packed, "global_pos").select(
+        "doc_id", "repeat_idx", "global_pos",
+        F.col("n_words").cast("int").alias("n_words"),
+        "fim_applied", "prefix", "middle", "suffix",
+        "tok_start", "tok_end", "seq_first", "seq_last", "n_seqs",
+    )
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    "ext-importance-score", "stream-importance-score",
-    "ext-grouped-drift", "stream-grouped-drift",
-    "ext-corruption-spans", "ext-denoise-pairs", "ext-fim-split",
-    "ext-ann-dim-recall", "ext-similarity-ivf-pq",
+    "ext-train-batch", "ext-dedup-keep-best-capped",
+    "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
+)
+
+# Queries registered WITHOUT an oracle twin BY DESIGN (the driver
+# records the weaker rows-only check for them): the production-hash
+# CDC forms — xxhash64 is JVM-specific, which is exactly why the
+# hash-gated twins run the md5-derived portable_hash52 family
+# instead. Rows-only entries never earn a hash-green ledger record,
+# so they must LIVE inside the 50-entry gate window permanently
+# (gate_ledger.is_green documents this rule); the composition test
+# enforces it.
+ROWS_ONLY_BY_DESIGN = (
+    "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
 
@@ -4633,77 +4794,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- NEW in round 10: the nine r9-banked operators (oracles
-        #    proven locally in tests/test_round9_ops.py, ported
-        #    through the SURVEY §5 fidelity rules) — DSIR importance
-        #    scoring batch+stream, grouped drift batch+stream, the
-        #    three training-objective transforms, and the two ANN
-        #    audit/layout compositions.
-        "ext-importance-score": _importance_score,
-        "stream-importance-score": _stream_importance_score,
-        "ext-grouped-drift": _grouped_drift,
-        "stream-grouped-drift": _stream_grouped_drift,
-        "ext-corruption-spans": _corruption_spans,
-        "ext-denoise-pairs": _denoise_pairs,
-        "ext-fim-split": _fim_split,
-        "ext-ann-dim-recall": _ann_dim_recall,
-        "ext-similarity-ivf-pq": _ann_ivf_pq,
-        # -- the 41 oldest-record veterans (all last hash-green r6;
-        #    46 r6-record entries remain after the r9 rotation, 41
-        #    window slots left — the trailing 5 ride their ledger
-        #    records one more round and rotate in r11).
-        "stream-dedup-incremental": _stream_dedup_incremental,
-        "ext-lang-id": _lang_id,
-        "sink-jsonl-roundtrip": _jsonl_roundtrip,
-        "ext-multimodal-decode": _multimodal,
-        "ext-multimodal-pipeline": _multimodal_pipeline,
-        "ext-multimodal-audio": _multimodal_audio,
-        "scan-ebml-tokenize": _ebml_tokenize,
-        "scan-ebml-heads": _ebml_heads,
-        "decode-scalars-roundtrip": _decode_roundtrip,
-        "kvs-frames-with-tags": _kvs_pipeline,
-        "source-kvs-replay": _kvs_replay_source,
-        "sink-fanout-roundtrip": _fanout_roundtrip,
-        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
-        "stream-asof-tags": _stream_asof,
-        "stream-segment-rollup": _stream_segment,
-        "stream-dedup-exact": _stream_dedup,
-        "ext-join-range": _range_join,
-        "ext-url-curation": _url_curation,
-        "ext-bm25-rank": _bm25,
-        "ext-cdc-compact": _cdc_compact,
-        "agg-grouping-sets": _grouping_sets,
-        "source-csv-roundtrip": _csv_roundtrip,
-        "stream-throttle": _stream_throttle,
-        "ext-unigram-logprob": _unigram_logprob,
-        "ext-token-histogram": _token_histogram,
-        "ext-shard-assign": _shard_assign,
-        "agg-moving-avg": _moving_avg,
-        "ext-heavy-hitters-cms": _cms_heavy_hitters,
-        "stream-tumbling-agg": _stream_tumbling,
-        "stream-cdc-compact": _stream_cdc,
-        "ext-quality-gopher-rules": _gopher_rules,
-        "source-json-permissive": _json_permissive,
-        "ext-split-leakage-free": _split_leakage_free,
-        "agg-unpivot-melt": _melt,
-        "source-orc-roundtrip": _orc_roundtrip,
-        "sink-partitioned-prune": _partitioned_prune,
-        "ext-ngram-novelty": _ngram_novelty,
-        "ext-dedup-ngram-containment": _ngram_containment,
-        "agg-robust-mad": _robust_mad,
-        "ext-pii-redact": _pii_redact,
-        "ext-embedding-pool": _embedding_pool,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
-        # -- the 5 remaining r6 records (rotate in r11) --
+        # -- NEW in round 11: the composed raw-corpus -> packed-
+        #    training-batch gate (five chained stage twins), the
+        #    pair-capped keep-best resolution (the r9-advised
+        #    scale-killer fix, oracle replaying the cap), and the two
+        #    production-hash CDC forms (rows-only BY DESIGN —
+        #    xxhash64 has no SQL twin; they exist to carry the
+        #    production-path bench lines the r10 verdict asked for).
+        "ext-train-batch": _train_batch,
+        "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the 5 last r6-record veterans, rotated in as promised by
+        #    the r10 registration comment (no registered query's
+        #    latest green record older than r7 after this window).
         "ext-pack-sequences": _pack_sequences,
         "ext-dedup-cluster": _dedup_cluster,
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- r7 records --
+        # -- 41 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 7 ride their ledger
+        #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
         "stream-domain-cap": _stream_domain_cap,
@@ -4745,6 +4857,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-sample-weighted": _sample_weighted,
         "ext-embedding-dim-stats": _embedding_dim_stats,
         "ext-mixture-temperature": _mixture_temperature,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r10 records (last round's gate head: the nine r9-banked
+        #    registrations + the 41 rotated r6 veterans) --
+        "ext-importance-score": _importance_score,
+        "stream-importance-score": _stream_importance_score,
+        "ext-grouped-drift": _grouped_drift,
+        "stream-grouped-drift": _stream_grouped_drift,
+        "ext-corruption-spans": _corruption_spans,
+        "ext-denoise-pairs": _denoise_pairs,
+        "ext-fim-split": _fim_split,
+        "ext-ann-dim-recall": _ann_dim_recall,
+        "ext-similarity-ivf-pq": _ann_ivf_pq,
+        "stream-dedup-incremental": _stream_dedup_incremental,
+        "ext-lang-id": _lang_id,
+        "sink-jsonl-roundtrip": _jsonl_roundtrip,
+        "ext-multimodal-decode": _multimodal,
+        "ext-multimodal-pipeline": _multimodal_pipeline,
+        "ext-multimodal-audio": _multimodal_audio,
+        "scan-ebml-tokenize": _ebml_tokenize,
+        "scan-ebml-heads": _ebml_heads,
+        "decode-scalars-roundtrip": _decode_roundtrip,
+        "kvs-frames-with-tags": _kvs_pipeline,
+        "source-kvs-replay": _kvs_replay_source,
+        "sink-fanout-roundtrip": _fanout_roundtrip,
+        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
+        "stream-asof-tags": _stream_asof,
+        "stream-segment-rollup": _stream_segment,
+        "stream-dedup-exact": _stream_dedup,
+        "ext-join-range": _range_join,
+        "ext-url-curation": _url_curation,
+        "ext-bm25-rank": _bm25,
+        "ext-cdc-compact": _cdc_compact,
+        "agg-grouping-sets": _grouping_sets,
+        "source-csv-roundtrip": _csv_roundtrip,
+        "stream-throttle": _stream_throttle,
+        "ext-unigram-logprob": _unigram_logprob,
+        "ext-token-histogram": _token_histogram,
+        "ext-shard-assign": _shard_assign,
+        "agg-moving-avg": _moving_avg,
+        "ext-heavy-hitters-cms": _cms_heavy_hitters,
+        "stream-tumbling-agg": _stream_tumbling,
+        "stream-cdc-compact": _stream_cdc,
+        "ext-quality-gopher-rules": _gopher_rules,
+        "source-json-permissive": _json_permissive,
+        "ext-split-leakage-free": _split_leakage_free,
+        "agg-unpivot-melt": _melt,
+        "source-orc-roundtrip": _orc_roundtrip,
+        "sink-partitioned-prune": _partitioned_prune,
+        "ext-ngram-novelty": _ngram_novelty,
+        "ext-dedup-ngram-containment": _ngram_containment,
+        "agg-robust-mad": _robust_mad,
+        "ext-pii-redact": _pii_redact,
+        "ext-embedding-pool": _embedding_pool,
+        # -- the 7 remaining r7 records (rotate in r12) --
         "stream-backpressure-multibatch": _stream_backpressure,
         "join-full-outer-activity": _full_outer_activity,
         "agg-forecast-revenue": _forecast_revenue,
@@ -4797,7 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join-asof-backward": _asof_backward,
         "sample-throttle-time": _throttle,
         "enqueue-bounded-retention": _retention,
-        # -- r9 records (last round's gate head) --
+        # -- r9 records --
         "ext-multimodal-wav": _multimodal_wav,
         "ext-multimodal-png": _multimodal_png,
         "sink-png-files": _sink_png_files,
@@ -9653,5 +9822,189 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS rank
         FROM adc
         QUALIFY rank <= 10
+    """
+    # ---- round-11 ----
+    # Pair-capped keep-best: the edge CTE rebuilt WITH the jaccard
+    # column, then the cap replayed exactly as cap_pairs_per_doc ranks
+    # it — per-endpoint ROW_NUMBER over (jaccard DESC, other ASC),
+    # keep rn <= 3 from EITHER endpoint (UNION of both orientations),
+    # then the same reach/cc recursion and per-cluster argmax as
+    # ext-dedup-keep-best. (domain_cap_topk's salt shards never
+    # influence the kept set — min-k composition — so the twin ranks
+    # unsalted.)
+    d["ext-dedup-keep-best-capped"] = """
+        WITH RECURSIVE w AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ws
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+          FROM (SELECT doc_id, ws,
+                       UNNEST(generate_series(1, len(ws) - 2)) AS i
+                FROM w WHERE len(ws) >= 3)
+          WHERE ws[i] <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM g GROUP BY doc_id),
+        hot AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 100),
+        posts AS (SELECT doc_id, s FROM g
+                  WHERE s NOT IN (SELECT s FROM hot)),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS n_common
+          FROM posts a JOIN posts b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sel AS (
+          SELECT * FROM (
+            SELECT id_a, id_b,
+                   ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common
+                                         AS DOUBLE), 4) AS j
+            FROM cand
+            JOIN sizes sa ON sa.doc_id = cand.id_a
+            JOIN sizes sb ON sb.doc_id = cand.id_b)
+          WHERE j >= 0.3),
+        sym AS (
+          SELECT id_a AS e, id_b AS o, j FROM sel
+          UNION ALL
+          SELECT id_b, id_a, j FROM sel),
+        rk0 AS (
+          SELECT e, o,
+                 ROW_NUMBER() OVER (PARTITION BY e
+                                    ORDER BY j DESC, o ASC) AS rn
+          FROM sym),
+        capped AS (
+          SELECT DISTINCT LEAST(e, o) AS ca, GREATEST(e, o) AS cb
+          FROM rk0 WHERE rn <= 3),
+        edges AS (
+          SELECT ca AS src, cb AS dst FROM capped
+          UNION
+          SELECT cb, ca FROM capped),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+        lab AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT)
+                   AS cluster_id,
+                 CAST(length(COALESCE(d.text, '')) AS DOUBLE) AS score
+          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        rk AS (
+          SELECT doc_id, cluster_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY score DESC, doc_id ASC)
+                   AS rn
+          FROM lab)
+        SELECT doc_id, cluster_id, score, rn = 1 AS kept
+        FROM rk
+    """
+    # The composed training-batch gate: the importance twin wrapped
+    # as a CTE (DuckDB allows a nested WITH inside a CTE body), then
+    # the mixture-expand, shuffle-order, fim-split, and pack twins
+    # chained on ex_id = doc_id*16 + repeat_idx and
+    # global_pos = (pos_in_shard - 1) * 4 + shard. The pack cumsum
+    # is oracle-side a single window (DuckDB), mirroring the Spark
+    # side's grouped two-pass prefix sum result exactly.
+    _tb_h = ("('0x' || substr(md5(ex_id::VARCHAR || chr(31) || 'v1' "
+             "|| chr(31) || '{tag}'), 1, 13))::BIGINT")
+    d["ext-train-batch"] = f"""
+        WITH imp AS ({d["ext-importance-score"]}),
+        picked AS (SELECT doc_id FROM imp WHERE importance > 0),
+        base AS (
+          SELECT d.doc_id, d.source, d.text
+          FROM documents d JOIN picked USING (doc_id)),
+        ep AS (
+          SELECT doc_id, text,
+                 CAST(CASE source
+                      WHEN 'src0' THEN 2.3 WHEN 'src1' THEN 1.0
+                      WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.5
+                      ELSE 1.0 END AS DOUBLE) AS e,
+                 {p52("doc_id::VARCHAR || chr(31) || 'v1'")}
+                   % 1000000 AS gate
+          FROM base),
+        nrep AS (
+          SELECT doc_id, text,
+                 CAST(FLOOR(e) AS BIGINT)
+                   + CASE WHEN gate < CAST(TRUNC((e - FLOOR(e))
+                                           * 1000000) AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_rep
+          FROM ep),
+        expd AS (
+          SELECT doc_id, text,
+                 CAST(UNNEST(generate_series(0, n_rep - 1)) AS INT)
+                   AS repeat_idx
+          FROM nrep WHERE n_rep > 0),
+        exid AS (
+          SELECT doc_id, repeat_idx, text,
+                 doc_id * 16 + repeat_idx AS ex_id
+          FROM expd),
+        lay AS (
+          SELECT ex_id,
+                 {p52("ex_id::VARCHAR || chr(31) || 'v1'")} AS sk
+          FROM exid),
+        gp AS (
+          SELECT ex_id,
+                 (ROW_NUMBER() OVER (PARTITION BY sk % 4
+                                     ORDER BY sk, ex_id) - 1) * 4
+                   + CAST(sk % 4 AS BIGINT) AS global_pos
+          FROM lay),
+        fw AS (
+          SELECT ex_id, doc_id, repeat_idx,
+                 CASE WHEN length(trim(COALESCE(text, ''))) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(COALESCE(text, '')),
+                                              '\\s+') END AS ws
+          FROM exid),
+        fg AS (
+          SELECT ex_id, doc_id, repeat_idx, ws, len(ws) AS n,
+                 ({_tb_h.format(tag='gate')} % 1000000 < 500000
+                  AND len(ws) > 0) AS applied,
+                 CAST({_tb_h.format(tag='c1')} % (len(ws) + 1) AS INT)
+                   AS ca,
+                 CAST({_tb_h.format(tag='c2')} % (len(ws) + 1) AS INT)
+                   AS cb
+          FROM fw),
+        fim AS (
+          SELECT ex_id, doc_id, repeat_idx, n, applied,
+                 LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2, ws
+          FROM fg),
+        toks AS (
+          SELECT f.ex_id, f.doc_id, f.repeat_idx, g2.global_pos,
+                 CAST(f.n AS BIGINT) AS n_words, f.applied,
+                 f.c1, f.c2, f.ws, f.n
+          FROM fim f JOIN gp g2 USING (ex_id)),
+        cum AS (
+          SELECT *,
+                 CAST(SUM(n_words) OVER (ORDER BY global_pos
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS tok_end
+          FROM toks)
+        SELECT doc_id, CAST(repeat_idx AS INT) AS repeat_idx,
+               global_pos, CAST(n AS INT) AS n_words,
+               applied AS fim_applied,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[1 : c1], ' '), '')
+                    ELSE COALESCE(array_to_string(ws, ' '), '')
+               END AS prefix,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c1 + 1 : c2], ' '),
+                                  '')
+                    ELSE '' END AS middle,
+               CASE WHEN applied
+                    THEN COALESCE(array_to_string(ws[c2 + 1 : n], ' '),
+                                  '')
+                    ELSE '' END AS suffix,
+               tok_end - n_words AS tok_start, tok_end,
+               (tok_end - n_words) // 256 AS seq_first,
+               CASE WHEN n_words > 0 THEN (tok_end - 1) // 256
+                    ELSE (tok_end - n_words) // 256 END AS seq_last,
+               (CASE WHEN n_words > 0 THEN (tok_end - 1) // 256
+                     ELSE (tok_end - n_words) // 256 END)
+                 - ((tok_end - n_words) // 256) + 1 AS n_seqs
+        FROM cum
     """
     return d

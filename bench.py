@@ -189,6 +189,14 @@ HEADLINE = [
     "ext-sentence-decontaminate",
     "ext-dedup-keep-best",
     "stream-sentence-decontaminate",
+    # round 11: the composed training-batch gate, the pair-capped
+    # keep-best, and the two PRODUCTION-hash CDC lines (xxhash64 —
+    # the r10 verdict asked for the production path to be timed
+    # alongside the md5-twin gate forms above).
+    "ext-train-batch",
+    "ext-dedup-keep-best-capped",
+    "ext-cdc-chunk-text-prod",
+    "ext-cdc-chunk-clamped-prod",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
@@ -230,6 +238,12 @@ CORE = [
     # (the two heaviest new registrations).
     "ext-dedup-simhash-pairs",
     "ext-cdc-chunk-clamped",
+    # round 11: the composed training-batch flagship + the
+    # production-hash CDC lines (compare against the md5 gate forms
+    # ext-cdc-chunk-text / ext-cdc-chunk-clamped above).
+    "ext-train-batch",
+    "ext-cdc-chunk-text-prod",
+    "ext-cdc-chunk-clamped-prod",
 ]
 
 

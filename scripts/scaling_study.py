@@ -155,6 +155,8 @@ def doc_ops():
         "dedup-simhash-pairs": simhash_pairs_study,
         "mixture-expand": mixture_expand_study,
         "importance-score": importance_score_study,
+        # round-11 addition
+        "dedup-keep-best-cap8": dedup_keep_best_capped_study,
     }
 
 
@@ -217,6 +219,29 @@ def dedup_keep_best_study(d):
     )
     return dedup_keep_best(scored, pairs, id_col="doc_id",
                            score_col="score")
+
+
+def dedup_keep_best_capped_study(d):
+    # the r11 pair cap: same dense-cluster stress as
+    # dedup_keep_best_study, with the per-doc top-8 candidate cap
+    # (portable-hash order — the production default when LSH pairs
+    # carry no weight column) bounding the edge list entering CC at
+    # <= 2*8*docs instead of R^2/2 per replica group.
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_keep_best, dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(
+        d, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, jaccard_threshold=0.8,
+    ).select("id_a", "id_b")
+    scored = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("score"),
+    )
+    return dedup_keep_best(scored, pairs, id_col="doc_id",
+                           score_col="score", pair_cap=8)
 
 
 def simhash_pairs_study(d):
