@@ -4694,8 +4694,17 @@ def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
     #      256 — the grouped two-pass prefix sum, no one-task cliff.
     # Composition seams are id-keyed equi-joins on ex_id/global_pos
     # (AQE broadcasts the small side at fixture SF; hash-co-located
-    # at scale). The twin chains the five stage twins as CTEs; the
-    # pack cumsum uses DuckDB's single window (oracle-side only).
+    # at scale). Two persist points collapse recomputation (plan-
+    # audited): `expanded` feeds both the layout window and the
+    # spine join (without it the whole DSIR subtree runs per
+    # consumer), and `tokens` feeds both the pack cumsum and the
+    # final re-attach — at 100 TB that second materialization is the
+    # standard curation->layout checkpoint (a parquet write between
+    # jobs); pack_sequences' own input cache is skipped
+    # (cache_input=False) since `tokens` is already materialized.
+    # The twin chains the five stage twins as CTEs; the pack cumsum
+    # uses DuckDB's single window (oracle-side only).
+    from awskinesisconsumer_spark.operators.caching import release_after
     from awskinesisconsumer_spark.operators.corpus_prep import (
         expand_mixture_epochs, fim_split, pack_sequences, shuffle_order,
     )
@@ -4721,7 +4730,8 @@ def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
         hash_fn=portable_hash52,
     ).withColumn(
         "ex_id", F.col("doc_id") * 16 + F.col("repeat_idx")
-    )
+    ).persist()
+    expanded.count()
     n_shards = 4
     layout = shuffle_order(
         expanded.select("ex_id"), id_col="ex_id", n_shards=n_shards,
@@ -4737,12 +4747,16 @@ def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
         spine.select("ex_id", "text"), id_col="ex_id", text_col="text",
         fim_rate=0.5, hash_fn=portable_hash52,
     )
-    tokens = spine.select("doc_id", "repeat_idx", "ex_id",
-                          "global_pos").join(fim, "ex_id")
+    tokens = release_after(
+        spine.select("doc_id", "repeat_idx", "ex_id",
+                     "global_pos").join(fim, "ex_id"),
+        expanded,
+    )
     packed = pack_sequences(
         tokens.select("global_pos", F.col("n_words").cast("bigint")
                       .alias("n_words")),
         id_col="global_pos", token_col="n_words", capacity=256,
+        cache_input=False,
     ).select("global_pos", "tok_start", "tok_end", "seq_first",
              "seq_last", "n_seqs")
     return tokens.join(packed, "global_pos").select(
@@ -4753,6 +4767,117 @@ def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    # Token-budget selection (operators/corpus_prep.py budget_select):
+    # keep highest-priority docs until the running token total hits
+    # the budget — the "B tokens affordable, who makes the cut"
+    # decision after scoring. Priority = doc length with every 11th
+    # doc unscored (NULL -> sorts last). The global priority-ordered
+    # cumsum runs as the pack_sequences two-pass prefix sum over
+    # FIXED-WIDTH priority bins (parallel per-bin windows + an
+    # n_bins-row broadcast offset table — no one-task global sort);
+    # the twin uses DuckDB's single window (oracle-side only).
+    # Proven in tests/test_round11_ops.py.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    fx = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("double")
+        ).alias("prio"),
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint").alias("n_toks"),
+    )
+    return budget_select(
+        fx, id_col="doc_id", token_col="n_toks", priority_col="prio",
+        budget=40_000, lo=0.0, hi=2000.0, n_bins=50,
+    )
+
+
+def _curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    # Curriculum layout (operators/corpus_prep.py curriculum_order):
+    # easy-first training order WITHOUT a global sort — uniform hash
+    # shards, per-shard (score asc, id) window sorts in parallel,
+    # round-robin interleave position; the approximation (bounded
+    # per-doc displacement vs the exact global order) is documented
+    # in the docstring. Difficulty = doc length, every 13th doc
+    # unscored (NULL -> after the scored curriculum). Proven in
+    # tests/test_round11_ops.py.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("double")
+        ).alias("difficulty"),
+    )
+    return curriculum_order(
+        docs, id_col="doc_id", score_col="difficulty", n_shards=4
+    )
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup (operators/similarity.py semantic_dedup, Abbas et al.
+    # 2023): k-means-cell-bounded pairwise cosine -> connected
+    # components -> one kept representative per duplicate cluster.
+    # The DATA-defined-bucket complement of the SRP-bucketed
+    # ext-dedup-embedding-lsh; cells double as the IVF layout the
+    # corpus is partitioned by at scale. Centroids = the hash-spread
+    # 8-sample (ivf_centroids_from_sample), replayed in SQL exactly
+    # as the ext-similarity-ivf twin replays it. Proven in
+    # tests/test_round11_ops.py.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3,
+    )
+
+
+def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form of ext-mixture-expand: expand_mixture_epochs is
+    # map-only (when-chain + hash gate + explode(sequence)) and
+    # therefore STREAMING-NATIVE as-is — applied directly in the
+    # streaming SELECT over a 3-file replay, append mode. Each row's
+    # expansion depends only on itself, so the appended union EQUALS
+    # the batch op and the batch twin is shared verbatim (3-batch ==
+    # batch proven in tests/test_round8_ops.py; the README r10 plan
+    # named this entry as the cheap leftover slot).
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        expand_mixture_epochs,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    src = tempfile.mkdtemp(prefix="mixexp_src_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = expand_mixture_epochs(
+        stream, id_col="doc_id", source_col="source",
+        epochs={"src0": 2.3, "src1": 0.0, "src2": 1.0, "src3": 0.4},
+        hash_fn=portable_hash52,
+    )
+    return _run_stream_to_table(out, spark, "mixexp_stream")
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
@@ -4761,6 +4886,10 @@ def _train_batch(spark: SparkSession, sf: str) -> DataFrame:
 GATE_NEW_THIS_ROUND = (
     "ext-train-batch", "ext-dedup-keep-best-capped",
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
+    # second wave, registered mid-round (the r8/r9 pattern): each
+    # displaces one r7 veteran from the window tail to r12.
+    "ext-budget-select", "ext-curriculum-order",
+    "ext-dedup-semantic", "stream-mixture-expand",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -4805,6 +4934,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- second r11 wave: token-budget selection, curriculum
+        #    layout, SemDeDup (k-means-cell embedding dedup), and the
+        #    streaming-native mixture expansion (shares the batch
+        #    twin verbatim) — twins proven in tests/test_round11_ops.py.
+        "ext-budget-select": _budget_select,
+        "ext-curriculum-order": _curriculum_order,
+        "ext-dedup-semantic": _semantic_dedup,
+        "stream-mixture-expand": _stream_mixture_expand,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -4813,8 +4950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 41 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 7 ride their ledger
+        # -- 37 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 11 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -4853,10 +4990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-hll-merge": _hll_merge,
         "join-top-supplier": _top_supplier,
         "join-above-nation-avg": _above_nation_avg,
-        "stream-hll-distinct": _stream_hll,
-        "ext-sample-weighted": _sample_weighted,
-        "ext-embedding-dim-stats": _embedding_dim_stats,
-        "ext-mixture-temperature": _mixture_temperature,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -4913,7 +5046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 7 remaining r7 records (rotate in r12) --
+        # -- the 11 remaining r7 records (rotate in r12) --
+        "stream-hll-distinct": _stream_hll,
+        "ext-sample-weighted": _sample_weighted,
+        "ext-embedding-dim-stats": _embedding_dim_stats,
+        "ext-mixture-temperature": _mixture_temperature,
         "stream-backpressure-multibatch": _stream_backpressure,
         "join-full-outer-activity": _full_outer_activity,
         "agg-forecast-revenue": _forecast_revenue,
@@ -10007,4 +10144,95 @@ def oracle_sql() -> dict[str, str]:
                  - ((tok_end - n_words) // 256) + 1 AS n_seqs
         FROM cum
     """
+    # ---- r11 second wave ----
+    # Token-budget selection: the Spark side's bin-chunked two-pass
+    # prefix sum EQUALS one global priority-ordered window cumsum
+    # (bins are disjoint priority ranges, exact within-bin order) —
+    # so the twin is the single window. NULLS LAST matches
+    # desc_nulls_last. Proven in tests/test_round11_ops.py.
+    d["ext-budget-select"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(COALESCE(text, '')) AS BIGINT) AS n_tokens,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL
+                      ELSE CAST(length(COALESCE(text, '')) AS DOUBLE)
+                 END AS p
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   ORDER BY p DESC NULLS LAST, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens,
+               cum_tokens <= 40000 AS kept
+        FROM c
+    """
+    # Curriculum layout: portable-hash shard + per-shard (score asc
+    # nulls last, id) rank + round-robin interleave position.
+    # Proven in tests/test_round11_ops.py.
+    d["ext-curriculum-order"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN NULL
+                      ELSE CAST(length(COALESCE(text, '')) AS DOUBLE)
+                 END AS difficulty,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'),
+                                 1, 13))::BIGINT % 4 AS shard
+          FROM documents),
+        r AS (
+          SELECT doc_id, difficulty, CAST(shard AS INT) AS shard,
+                 ROW_NUMBER() OVER (PARTITION BY shard
+                   ORDER BY difficulty ASC NULLS LAST, doc_id)
+                   AS pos_in_shard
+          FROM t)
+        SELECT doc_id, difficulty, shard,
+               CAST(pos_in_shard AS BIGINT) AS pos_in_shard,
+               (pos_in_shard - 1) * 4 + shard AS curriculum_pos
+        FROM r
+    """
+    # SemDeDup: the hash-spread centroid sample replayed exactly as
+    # the ext-similarity-ivf twin replays it (md5-order LIMIT 8, over
+    # the FULL embeddings table here), argmin cell assignment,
+    # within-cell pairwise cosine (fold-order-exact), reach/cc
+    # min-label recursion, min-id keeps. Proven in
+    # tests/test_round11_ops.py.
+    d["ext-dedup-semantic"] = f"""
+        WITH RECURSIVE cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+        SELECT c.vec_id, c.cell,
+               CAST(COALESCE(cc.cid, c.vec_id) AS BIGINT) AS cluster_id,
+               c.vec_id = COALESCE(cc.cid, c.vec_id) AS kept
+        FROM cells c LEFT JOIN cc ON cc.node = c.vec_id
+    """
+    # Map-only streaming expansion: appended union == batch, twin
+    # shared verbatim (the quality-blend-stream contract).
+    d["stream-mixture-expand"] = d["ext-mixture-expand"]
     return d

@@ -1707,6 +1707,154 @@ def shuffle_order(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    priority_col: str,
+    budget: int,
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+) -> DataFrame:
+    """Token-BUDGET selection: keep the highest-priority documents
+    until the running token total reaches `budget` — the "we can
+    afford B tokens of pretraining data, which docs make the cut"
+    decision every scaled run makes after scoring (quality_blend,
+    importance_score). Deterministic: docs are ordered by
+    (priority DESC, id ASC); a doc is kept iff the cumulative token
+    count INCLUDING itself is <= budget (zero-token docs cost
+    nothing and ride along when reached). NULL-priority docs sort
+    LAST (selected only if budget outlasts every scored doc).
+
+    Returns the input keys plus n_tokens, cum_tokens and kept.
+
+    Scale shape: the global priority-ordered cumsum is the
+    one-task-cliff risk (`ORDER BY priority` over the corpus), so it
+    runs as the `pack_sequences` two-pass prefix sum keyed on a
+    FIXED-WIDTH priority bin: bin = floor((hi - clip(p)) / w) over
+    `n_bins` bins of [lo, hi] (descending priority = ascending bin,
+    NULLs in a sentinel bin after all real bins), per-bin window
+    cumsum in PARALLEL, then bin totals (an n_bins-row table)
+    prefix-summed and broadcast back. Bin boundaries are literals,
+    so the layout is engine-replayable; the twin uses one window
+    (oracle-side only). Priorities denser than w within one bin
+    still order exactly — the bin only CHUNKS the sort, the
+    (priority DESC, id) order within a bin is exact and bins are
+    disjoint ranges.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(
+            f"budget_select: budget must be >= 0, got {budget}"
+        )
+    if n_bins < 1 or not (hi > lo):
+        raise ValueError(
+            f"budget_select: need n_bins >= 1 and hi > lo, got "
+            f"n_bins={n_bins}, lo={lo}, hi={hi}"
+        )
+    w = (float(hi) - float(lo)) / n_bins
+    p = F.col(priority_col).cast("double")
+    clipped = F.least(F.greatest(p, F.lit(float(lo))), F.lit(float(hi)))
+    bin_ = F.when(p.isNull(), F.lit(n_bins)).otherwise(
+        F.least(F.floor((F.lit(float(hi)) - clipped) / F.lit(w)),
+                F.lit(n_bins - 1))
+    )
+    toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    base = df.select(
+        F.col(id_col), toks.alias("n_tokens"), p.alias("_p"),
+        bin_.cast("int").alias("_bin"),
+    )
+    in_bin = Window.partitionBy("_bin").orderBy(
+        F.col("_p").desc_nulls_last(), F.col(id_col).asc()
+    )
+    local = base.withColumn(
+        "_local_cum", F.sum("n_tokens").over(in_bin)
+    )
+    bins_w = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("_bin").agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(bins_w),
+                                        F.lit(0)))
+        .select("_bin", "_boff")
+    )
+    cum = F.col("_boff") + F.col("_local_cum")
+    return (
+        local.join(F.broadcast(offsets), "_bin")
+        .select(
+            F.col(id_col), F.col("n_tokens"),
+            cum.alias("cum_tokens"),
+            (cum <= F.lit(int(budget))).alias("kept"),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    n_shards: int,
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """Curriculum layout: a training order sorted by a DIFFICULTY
+    score ascending (easy-first — swap the score's sign for
+    hard-first) without a global sort. Each doc gets
+    shard = hash(id, salt) mod n_shards (a uniform random split, the
+    `shuffle_order` assignment), pos_in_shard = rank by (score ASC,
+    id ASC) within its shard, and curriculum_pos =
+    (pos_in_shard - 1) * n_shards + shard — the round-robin
+    interleave of n_shards independently-sorted uniform samples.
+    NULL scores sort LAST (unscored docs arrive after the scored
+    curriculum).
+
+    APPROXIMATION, stated: the interleaved order is not the exact
+    global score order — a doc's global displacement is bounded by
+    the shard imbalance at its score prefix (O(sqrt(n/n_shards))
+    whp for a uniform hash split), which is curriculum-grade: what
+    matters is the easy->hard TREND, not total order (training
+    shuffles within windows anyway). The exact order needs the
+    one-task global sort this operator exists to avoid.
+
+    Scale shape: identical to `shuffle_order` — one narrow hash
+    projection + per-shard PARALLEL window sorts (each reducer
+    sorts corpus/n_shards rows); portable default hash keeps the
+    layout oracle-replayable, swap hash_fn=xxhash64_col in
+    production.
+    """
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if n_shards < 1:
+        raise ValueError(
+            f"curriculum_order: n_shards must be >= 1, got {n_shards}"
+        )
+    h = hash_fn or portable_hash52
+    shard = F.pmod(
+        h(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                      F.lit(salt))),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, score_col)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "curriculum_pos",
+            (F.col("pos_in_shard") - 1) * n_shards + F.col("shard"),
+        )
+    )
+
+
 def interleave_mixture(
     df: DataFrame,
     *,

@@ -208,6 +208,95 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — the cluster-then-dedup-within-
+    cluster recipe LLM corpora run on embeddings: k-means cells bound
+    the pairwise cosine comparison to CELL-LOCAL work (the paper's
+    trick for making semantic dedup tractable at web scale), then
+    near-dup groups (cosine >= `threshold` inside a cell) resolve to
+    one kept representative per connected component (min id — swap in
+    `dedup_keep_best` on the pair table for quality-ranked keeps).
+
+    The complement of the SRP-bucketed `embedding_near_dup_pairs`:
+    SRP buckets are similarity-hash-defined (probabilistic recall,
+    geometry-blind), k-means cells are DATA-defined — near-dups land
+    in the same cell because they are near the same centroid, and
+    the cells double as the IVF index layout the corpus is already
+    partitioned by. Cross-cell near-dups (straddling a Voronoi
+    boundary) are missed BY DESIGN — the documented SemDeDup trade.
+
+    Returns (id, cell, cluster_id, kept): every input row labeled,
+    exactly one kept row per duplicate cluster, singletons kept.
+
+    `cell_cap` (optional) skips pair generation inside cells larger
+    than the cap — the `hot_cap` skew guard for a degenerate
+    quantizer (one centroid capturing a constant-embedding blob
+    would otherwise go quadratic); capped cells keep every row as a
+    singleton.
+
+    Scale shape: assignment is the `ivf_assign` argmin (narrow,
+    map-only; at 100 TB the corpus is written partitionBy(cell)
+    once and this op reads cell-partitioned files with ZERO
+    shuffle); the pair join is a cell-keyed equi-join producing
+    O(sum cell_size^2) candidates — bounded by the quantizer's
+    balance, audited by `cell_cap`; the component resolution runs
+    on the near-dup pair table (rare by construction), never the
+    corpus.
+    """
+    from .dedup import connected_components
+
+    cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    eligible = base
+    if cell_cap is not None:
+        if cell_cap < 1:
+            raise ValueError(
+                f"semantic_dedup: cell_cap must be >= 1, got {cell_cap}"
+            )
+        hot = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > cell_cap)
+            .select("cell")
+        )
+        eligible = base.join(hot, "cell", "left_anti")
+    left = eligible.select(
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = eligible.select(
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
+                    _norm(F.col("_va")) * _norm(F.col("_vb")))
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(
+        pairs, vertices=df.select(F.col(id_col).alias("id"))
+    )
+    return (
+        base.join(
+            cc.select(F.col("id").alias(id_col), "cluster_id"), id_col
+        )
+        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
+        .select(id_col, "cell", "cluster_id", "kept")
+    )
+
+
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded hyperplanes for SRP sketches (numpy PRNG, reproducible)."""
     import numpy as np

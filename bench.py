@@ -197,6 +197,13 @@ HEADLINE = [
     "ext-dedup-keep-best-capped",
     "ext-cdc-chunk-text-prod",
     "ext-cdc-chunk-clamped-prod",
+    # round 11 second wave: budget selection, curriculum layout,
+    # SemDeDup, and the streaming mixture expansion (a real 3-batch
+    # file stream by construction).
+    "ext-budget-select",
+    "ext-curriculum-order",
+    "ext-dedup-semantic",
+    "stream-mixture-expand",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line
@@ -240,10 +247,12 @@ CORE = [
     "ext-cdc-chunk-clamped",
     # round 11: the composed training-batch flagship + the
     # production-hash CDC lines (compare against the md5 gate forms
-    # ext-cdc-chunk-text / ext-cdc-chunk-clamped above).
+    # ext-cdc-chunk-text / ext-cdc-chunk-clamped above) + SemDeDup
+    # (the heaviest second-wave registration).
     "ext-train-batch",
     "ext-cdc-chunk-text-prod",
     "ext-cdc-chunk-clamped-prod",
+    "ext-dedup-semantic",
 ]
 
 

@@ -166,6 +166,285 @@ def test_simhash_audit_default_off_schema_unchanged(spark):
     assert out.columns == ["id_a", "id_b", "hamming"]
 
 
+def _duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _cmp(sdf, con, sql, float_cols=()):
+    import math
+
+    cols = sorted(sdf.columns)
+
+    def canon(v, f):
+        if v is None:
+            return "NULL"
+        if f or isinstance(v, float):
+            fv = float(v)
+            return "NaN" if math.isnan(fv) else f"{fv:.6f}"
+        return str(v)
+
+    srows = sorted(
+        tuple(canon(r[c], c in float_cols) for c in cols)
+        for r in sdf.collect()
+    )
+    tbl = con.execute(sql).fetch_arrow_table()
+    dcols = sorted(tbl.column_names)
+    assert dcols == cols, (dcols, cols)
+    drows = sorted(
+        tuple(canon(r[c], c in float_cols) for c in dcols)
+        for r in tbl.to_pylist()
+    )
+    assert srows == drows, (
+        f"{len(srows)} vs {len(drows)} rows; first spark-only: "
+        f"{[r for r in srows if r not in set(drows)][:2]}; first "
+        f"duck-only: {[r for r in drows if r not in set(srows)][:2]}"
+    )
+    return len(srows)
+
+
+# ---- banked for the r11 second wave: budget_select -----------------
+
+BUDGET_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(COALESCE(text, '')) AS BIGINT) AS n_tokens,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE CAST(length(COALESCE(text, '')) AS DOUBLE)
+             END AS p
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY p DESC NULLS LAST, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, cum_tokens,
+           cum_tokens <= 40000 AS kept
+    FROM c
+"""
+
+
+def _budget_fixture(spark):
+    docs = load_table(spark, "documents", SF)
+    # priority = doc length; every 11th doc unscored (NULL priority)
+    return docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("double")
+        ).alias("prio"),
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint").alias("n_toks"),
+    )
+
+
+def test_budget_select_matches_single_window_oracle(spark):
+    # The bin-chunked two-pass prefix sum must EQUAL the single
+    # global window the DuckDB twin runs — same cum_tokens, same
+    # kept frontier, NULL priorities last.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    out = budget_select(
+        _budget_fixture(spark), id_col="doc_id", token_col="n_toks",
+        priority_col="prio", budget=40_000, lo=0.0, hi=2000.0,
+        n_bins=50,
+    )
+    n = _cmp(out, _duck(SF), BUDGET_SQL)
+    assert n == 500
+    rows = {r["doc_id"]: r for r in out.collect()}
+    kept = [r for r in rows.values() if r["kept"]]
+    # the frontier is real: something kept, something dropped, and
+    # the kept token mass respects the budget
+    assert 0 < len(kept) < 500
+    assert max(r["cum_tokens"] for r in kept) <= 40_000
+
+
+def test_budget_select_edges(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    fx = _budget_fixture(spark)
+    none = budget_select(
+        fx, id_col="doc_id", token_col="n_toks", priority_col="prio",
+        budget=0, lo=0.0, hi=2000.0,
+    )
+    assert none.where(F.col("kept")).count() == 0
+    every = budget_select(
+        fx, id_col="doc_id", token_col="n_toks", priority_col="prio",
+        budget=10**12, lo=0.0, hi=2000.0,
+    )
+    assert every.where(~F.col("kept")).count() == 0
+    with pytest.raises(ValueError, match="budget must be >= 0"):
+        budget_select(fx, id_col="doc_id", token_col="n_toks",
+                      priority_col="prio", budget=-1, lo=0.0, hi=1.0)
+
+
+# ---- banked for the r11 second wave: curriculum_order --------------
+
+CURRICULUM_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE CAST(length(COALESCE(text, '')) AS DOUBLE)
+             END AS difficulty,
+             ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'),
+                             1, 13))::BIGINT % 4 AS shard
+      FROM documents),
+    r AS (
+      SELECT doc_id, difficulty, CAST(shard AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+               ORDER BY difficulty ASC NULLS LAST, doc_id) AS pos_in_shard
+      FROM t)
+    SELECT doc_id, difficulty, shard,
+           CAST(pos_in_shard AS BIGINT) AS pos_in_shard,
+           (pos_in_shard - 1) * 4 + shard AS curriculum_pos
+    FROM r
+"""
+
+
+def test_curriculum_order_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("double")
+        ).alias("difficulty"),
+    )
+    out = curriculum_order(
+        docs, id_col="doc_id", score_col="difficulty", n_shards=4
+    )
+    n = _cmp(out, _duck(SF), CURRICULUM_SQL,
+             float_cols={"difficulty"})
+    assert n == 500
+
+
+def test_curriculum_order_trend(spark):
+    # easy-first trend: the mean difficulty of the first quarter of
+    # the curriculum must be materially below the last quarter's,
+    # and every shard's internal order is exactly sorted.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("difficulty"),
+    )
+    rows = curriculum_order(
+        docs, id_col="doc_id", score_col="difficulty", n_shards=4
+    ).orderBy("curriculum_pos").collect()
+    n = len(rows)
+    head = [r["difficulty"] for r in rows[: n // 4]]
+    tail = [r["difficulty"] for r in rows[-(n // 4):]]
+    assert sum(head) / len(head) < sum(tail) / len(tail)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["difficulty"])
+    for s, ds in by_shard.items():
+        assert ds == sorted(ds), f"shard {s} not score-sorted"
+
+
+# ---- banked for the r11 second wave: semantic_dedup ----------------
+
+def _semdedup_sql(centroids, threshold):
+    import __spark_entry__ as m
+
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {m._sql_vec(c)} AS cv"
+        for i, c in enumerate(centroids)
+    )
+    l2 = m._sql_l2("embedding", "cv")
+    cos = m._sql_cosine("a.embedding", "b.embedding")
+    return f"""
+        WITH RECURSIVE cent AS ({cent_rows}),
+        assign AS (
+          SELECT vec_id, embedding, i AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY {l2}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(cell AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+        SELECT c.vec_id, c.cell,
+               CAST(COALESCE(cc.cid, c.vec_id) AS BIGINT) AS cluster_id,
+               c.vec_id = COALESCE(cc.cid, c.vec_id) AS kept
+        FROM cells c LEFT JOIN cc ON cc.node = c.vec_id
+    """
+
+
+def test_semantic_dedup_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3,
+    )
+    n = _cmp(out, _duck(SF), _semdedup_sql(centroids, 0.3))
+    assert n == 500
+    rows = out.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m["kept"]) == 1
+        assert min(m["vec_id"] for m in members) == cid
+
+
+def test_semantic_dedup_cell_cap_makes_singletons(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=2
+    )
+    capped = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3, cell_cap=1,
+    )
+    # with every cell over the cap, no pairs form: all singletons
+    assert capped.where(~F.col("kept")).count() == 0
+    with pytest.raises(ValueError, match="cell_cap must be >= 1"):
+        semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                       centroids=centroids, threshold=0.3, cell_cap=0)
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
