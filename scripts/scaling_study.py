@@ -157,6 +157,8 @@ def doc_ops():
         "importance-score": importance_score_study,
         # round-11 addition
         "dedup-keep-best-cap8": dedup_keep_best_capped_study,
+        "budget-select": budget_select_study,
+        "curriculum-order": curriculum_order_study,
     }
 
 
@@ -242,6 +244,43 @@ def dedup_keep_best_capped_study(d):
     )
     return dedup_keep_best(scored, pairs, id_col="doc_id",
                            score_col="score", pair_cap=8)
+
+
+def budget_select_study(d):
+    # the bin-chunked prefix sum: per-bin windows stay parallel as
+    # docs grow; the offsets table is n_bins rows regardless of SF.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    fx = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("prio"),
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint").alias("n_toks"),
+    )
+    return budget_select(
+        fx, id_col="doc_id", token_col="n_toks", priority_col="prio",
+        budget=10**9, lo=0.0, hi=2000.0, n_bins=200,
+    )
+
+
+def curriculum_order_study(d):
+    # per-shard parallel sorts — the shuffle_order scale shape with a
+    # score ordering; n_shards=8 keeps each reducer at docs/8 rows.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        curriculum_order,
+    )
+
+    scored = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("difficulty"),
+    )
+    return curriculum_order(
+        scored, id_col="doc_id", score_col="difficulty", n_shards=8
+    )
 
 
 def simhash_pairs_study(d):
@@ -445,7 +484,27 @@ def emb_ops():
         return knn_ivf(d, id_col="vec_id", vec_col="embedding",
                        query=probe, centroids=cents, n_probes=2, k=10)
 
+    def semdedup(d):
+        # SemDeDup on the replica corpus: all replicas of a base
+        # vector share a cell, so cell sizes grow linearly with the
+        # amplification and the within-cell pairwise is the measured
+        # quadratic term — cell_cap=1500 is the documented guard
+        # (cells past it keep every row as a singleton, assignment
+        # cost only).
+        from awskinesisconsumer_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        cents = ivf_centroids_from_sample(
+            d, id_col="vec_id", vec_col="embedding", n_centroids=64
+        )
+        return semantic_dedup(
+            d, id_col="vec_id", vec_col="embedding", centroids=cents,
+            threshold=0.95, cell_cap=1500,
+        )
+
     return {
+        "semantic-dedup": semdedup,
         "knn-brute-topk": lambda d: pairwise_topk_cosine(
             d, id_col="vec_id", vec_col="embedding",
             probe_ids=[0, 1000, 2000], k=5,

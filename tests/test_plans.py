@@ -600,3 +600,57 @@ def test_simhash_pairs_is_banded_equi_join(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_select_has_no_single_partition_window(spark):
+    # ext-budget-select: the priority-ordered cumsum must run as the
+    # bin-partitioned two-pass prefix sum — a Window with an empty
+    # partitionBy over the corpus (the one-task cliff) may appear
+    # ONLY on the n_bins-row offsets table, whose input is an
+    # aggregate. Assert the corpus-side window partitions by the bin
+    # and the offsets side is fed by a HashAggregate.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    fx = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("double").alias("prio"),
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint").alias("n_toks"),
+    )
+    out = budget_select(
+        fx, id_col="doc_id", token_col="n_toks", priority_col="prio",
+        budget=1000, lo=0.0, hi=2000.0, n_bins=50,
+    )
+    plan = _plan(out)
+    # corpus-side window keyed by the bin
+    assert "partitionBy=[_bin" in plan.replace(" ", "")[:10**6] or \
+        "_bin" in plan.split("Window")[1][:400]
+    # offsets join is broadcast (n_bins rows), never shuffled-merge
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_windows_partition_by_shard(spark):
+    # ext-curriculum-order: the only sort is per-shard — no global
+    # ORDER BY, no single-partition window over the corpus.
+    df = entry.queries()["ext-curriculum-order"](spark, SF)
+    plan = _plan(df)
+    w = plan.split("Window")[1][:400]
+    assert "shard" in w
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_cell_equi_join(spark):
+    # ext-dedup-semantic: within-cell candidates come from an
+    # equi-join on the cell id — never cartesian/nested-loop (the
+    # SemDeDup tractability claim), and the corpus-side assignment
+    # is a map-only argmin (no shuffle before the cell join).
+    df = entry.queries()["ext-dedup-semantic"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
