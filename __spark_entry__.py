@@ -4878,6 +4878,21 @@ def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "mixexp_stream")
 
 
+def _ul2_plan(spark: SparkSession, sf: str) -> DataFrame:
+    # UL2 mixture-of-denoisers plan (operators/corpus_prep.py
+    # ul2_plan, Tay et al.): every doc hash-assigned ONE denoiser
+    # regime — R (T5 span corruption, rate .15 mean 3), X (extreme
+    # denoising, rate .5 mean 8), or S (prefix-LM suffix span) —
+    # then planned under that regime's parameters with per-regime
+    # salts. Map-only union of disjoint hash-gated subsets; the twin
+    # runs the proven corruption-spans recursive CTE per regime plus
+    # the S-cut arithmetic (proven in tests/test_round11_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_plan
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return ul2_plan(docs, id_col="doc_id", text_col="text")
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
@@ -4890,6 +4905,8 @@ GATE_NEW_THIS_ROUND = (
     # displaces one r7 veteran from the window tail to r12.
     "ext-budget-select", "ext-curriculum-order",
     "ext-dedup-semantic", "stream-mixture-expand",
+    # third wave: the UL2 mixture-of-denoisers plan.
+    "ext-ul2-plan",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -4942,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-curriculum-order": _curriculum_order,
         "ext-dedup-semantic": _semantic_dedup,
         "stream-mixture-expand": _stream_mixture_expand,
+        "ext-ul2-plan": _ul2_plan,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -4950,8 +4968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 37 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 11 ride their ledger
+        # -- 36 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 12 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -4989,7 +5007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
         "join-top-supplier": _top_supplier,
-        "join-above-nation-avg": _above_nation_avg,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5046,7 +5063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 11 remaining r7 records (rotate in r12) --
+        # -- the 12 remaining r7 records (rotate in r12) --
+        "join-above-nation-avg": _above_nation_avg,
         "stream-hll-distinct": _stream_hll,
         "ext-sample-weighted": _sample_weighted,
         "ext-embedding-dim-stats": _embedding_dim_stats,
@@ -10235,4 +10253,77 @@ def oracle_sql() -> dict[str, str]:
     # Map-only streaming expansion: appended union == batch, twin
     # shared verbatim (the quality-blend-stream contract).
     d["stream-mixture-expand"] = d["ext-mixture-expand"]
+    # UL2 mixture-of-denoisers plan: regime gate (md5 % 3), then the
+    # proven corruption-spans recursive CTE PER REGIME with that
+    # regime's (K, len_mod) literals and per-regime salt, plus the
+    # S regime's suffix-cut arithmetic. Same CTE shape as
+    # ext-corruption-spans, parameterized (tests/test_round11_ops.py
+    # proves the builder verbatim).
+    def _ul2_regime_cte(tag: str, ridx: int, k_gate: int,
+                        len_mod: int) -> str:
+        h = (f"('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+             f"p::VARCHAR || chr(31) || 'v1/{tag}'{{extra}}), 1, 13))"
+             "::BIGINT")
+        return f"""
+        cand{tag} AS (
+          SELECT doc_id, n, CAST(p AS INT) AS p,
+                 CAST({h.format(extra=" || chr(31) || 'len'")}
+                      % {len_mod} + 1 AS INT) AS l,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS rn
+          FROM (SELECT doc_id, ws, n FROM g WHERE ridx = {ridx}) q,
+               UNNEST(range(1, n + 1)) AS u(p)
+          WHERE {h.format(extra="")} % {k_gate} = 0),
+        st{tag} AS (
+          SELECT doc_id, rn, n, p, l, TRUE AS accepted,
+                 LEAST(l, n - p + 1) AS tl,
+                 p + LEAST(l, n - p + 1) - 1 AS last_end
+          FROM cand{tag} WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.n, c.p, c.l,
+                 c.p > st{tag}.last_end AS accepted,
+                 LEAST(c.l, c.n - c.p + 1) AS tl,
+                 CASE WHEN c.p > st{tag}.last_end
+                      THEN c.p + LEAST(c.l, c.n - c.p + 1) - 1
+                      ELSE st{tag}.last_end END AS last_end
+          FROM st{tag} JOIN cand{tag} c
+            ON c.doc_id = st{tag}.doc_id AND c.rn = st{tag}.rn + 1)"""
+
+    _ul2_sel = (
+        "SELECT doc_id, '{t}' AS regime, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS span_idx, "
+        "CAST(p AS INT) AS start_word, CAST(tl AS INT) AS span_len "
+        "FROM st{t} WHERE accepted"
+    )
+    _ul2_s_cut = (
+        "('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1' "
+        "|| chr(31) || 's_cut'), 1, 13))::BIGINT"
+    )
+    d["ext-ul2-plan"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'
+                                     || chr(31) || 'regime'), 1, 13))
+                   ::BIGINT % 3 AS ridx
+          FROM w),
+        {_ul2_regime_cte('R', 0, 20, 5)},
+        {_ul2_regime_cte('X', 1, 16, 15)}
+        {_ul2_sel.format(t='R')}
+        UNION ALL
+        {_ul2_sel.format(t='X')}
+        UNION ALL
+        SELECT doc_id, 'S' AS regime, CAST(0 AS INT) AS span_idx,
+               CAST({_ul2_s_cut} % n + 1 AS INT) AS start_word,
+               CAST(n - ({_ul2_s_cut} % n) AS INT) AS span_len
+        FROM g WHERE ridx = 2 AND n > 0
+    """
     return d

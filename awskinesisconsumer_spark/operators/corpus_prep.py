@@ -329,6 +329,100 @@ def denoising_pairs(
     )
 
 
+def ul2_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    regimes: tuple = (
+        ("R", 0.15, 3),    # regular T5 span corruption
+        ("X", 0.5, 8),     # extreme denoising (high rate, long spans)
+        ("S", None, None),  # sequential / prefix-LM: one suffix span
+    ),
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers PLAN (Tay et al., UL2): every document
+    is hash-assigned ONE denoiser regime (uniform over `regimes` —
+    the paper's mixing step), then planned under that regime's
+    parameters: R/X regimes run the `corruption_spans` election
+    (per-regime (rate, mean) and a per-regime salt, so the same doc
+    draws independent plans under different regimes); the S regime
+    emits a single suffix span — words[c+1..n] with the cut c =
+    hash(id, salt, 's_cut') % n in 0..n-1, so the target is never
+    empty — which downstream renders as the prefix-LM objective.
+    Like `corruption_spans`, zero-word docs and R/X docs electing no
+    spans yield no rows (the sentinel/passthrough rendering is
+    `denoising_pairs`' job per regime).
+
+    Emitted: (id, regime, span_idx, start_word, span_len) — the
+    union of per-regime plans; downstream maps render each regime's
+    masking/serialization from the same span rows.
+
+    NO RNG anywhere: the regime gate, elections, lengths and the S
+    cut are all portable-hash functions of (id, salt), so re-runs,
+    engines, and resumed jobs agree; a salt change redraws the whole
+    mixture (the `expand_mixture_epochs` determinism rule).
+
+    Scale shape: map-only end to end — the regime gate is one hash
+    projection, each regime's plan is the `_corruption_plan`
+    fold/arithmetic over ITS hash-defined subset (disjoint filters
+    over one scan; Spark unions them without a shuffle), the S span
+    is pure arithmetic. No joins, no aggregation, no Python.
+
+    Default hash is the engine-portable 52-bit md5 prefix for EVERY
+    draw (gate, elections, lengths, S cut — resolved ONCE here and
+    passed through to `corruption_spans`, overriding its xxhash64
+    default so one `hash_fn` governs the whole mixture); swap
+    hash_fn=xxhash64_col for the production family.
+    """
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if not regimes:
+        raise ValueError("ul2_plan: regimes must be non-empty")
+    names = [r[0] for r in regimes]
+    if len(set(names)) != len(names):
+        raise ValueError(f"ul2_plan: duplicate regime names in {names}")
+    hash_fn = hash_fn or portable_hash52
+    h = hash_fn
+    sid = F.col(id_col).cast("string")
+    ridx = F.pmod(
+        h(F.concat_ws("\x1f", sid, F.lit(salt), F.lit("regime"))),
+        F.lit(len(regimes)),
+    )
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_ridx", ridx
+    )
+    out = None
+    for i, (name, rate, mean) in enumerate(regimes):
+        sub = base.where(F.col("_ridx") == i)
+        if rate is None:  # S: sequential / prefix-LM suffix span
+            words = _ws_words(F.col(text_col))
+            n = F.size(words)
+            cut = F.pmod(
+                h(F.concat_ws("\x1f", sid, F.lit(salt),
+                              F.lit("s_cut"))),
+                n,
+            ).cast("int")
+            plan = sub.where(n > 0).select(
+                F.col(id_col), F.lit(name).alias("regime"),
+                F.lit(0).cast("int").alias("span_idx"),
+                (cut + 1).cast("int").alias("start_word"),
+                (n - cut).cast("int").alias("span_len"),
+            )
+        else:
+            plan = corruption_spans(
+                sub, id_col=id_col, text_col=text_col,
+                corruption_rate=rate, mean_span_len=mean,
+                salt=f"{salt}/{name}", hash_fn=hash_fn,
+            ).select(
+                F.col(id_col), F.lit(name).alias("regime"),
+                "span_idx", "start_word", "span_len",
+            )
+        out = plan if out is None else out.unionByName(plan)
+    return out
+
+
 def fim_split(
     df: DataFrame,
     *,

@@ -204,6 +204,7 @@ HEADLINE = [
     "ext-curriculum-order",
     "ext-dedup-semantic",
     "stream-mixture-expand",
+    "ext-ul2-plan",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -445,6 +445,132 @@ def test_semantic_dedup_cell_cap_makes_singletons(spark):
                        centroids=centroids, threshold=0.3, cell_cap=0)
 
 
+# ---- banked for r12: ul2_plan (mixture of denoisers) ---------------
+
+def _ul2_regime_cte(tag: str, ridx: int, k_gate: int, len_mod: int):
+    # parameterized copy of the proven corruption-spans twin CTE
+    # (same hash layout: md5(id || US || p || US || salt[/regime])),
+    # filtered to the docs the regime gate assigned to `ridx`.
+    h = (f"('0x' || substr(md5(doc_id::VARCHAR || chr(31) || "
+         f"p::VARCHAR || chr(31) || 'v1/{tag}'{{extra}}), 1, 13))::BIGINT")
+    return f"""
+        cand{tag} AS (
+          SELECT doc_id, n, CAST(p AS INT) AS p,
+                 CAST({h.format(extra=" || chr(31) || 'len'")}
+                      % {len_mod} + 1 AS INT) AS l,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS rn
+          FROM (SELECT doc_id, ws, n FROM g WHERE ridx = {ridx}) q,
+               UNNEST(range(1, n + 1)) AS u(p)
+          WHERE {h.format(extra="")} % {k_gate} = 0),
+        st{tag} AS (
+          SELECT doc_id, rn, n, p, l, TRUE AS accepted,
+                 LEAST(l, n - p + 1) AS tl,
+                 p + LEAST(l, n - p + 1) - 1 AS last_end
+          FROM cand{tag} WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.n, c.p, c.l,
+                 c.p > st{tag}.last_end AS accepted,
+                 LEAST(c.l, c.n - c.p + 1) AS tl,
+                 CASE WHEN c.p > st{tag}.last_end
+                      THEN c.p + LEAST(c.l, c.n - c.p + 1) - 1
+                      ELSE st{tag}.last_end END AS last_end
+          FROM st{tag} JOIN cand{tag} c
+            ON c.doc_id = st{tag}.doc_id AND c.rn = st{tag}.rn + 1)"""
+
+
+def _ul2_sql():
+    sel = (
+        "SELECT doc_id, '{t}' AS regime, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS span_idx, "
+        "CAST(p AS INT) AS start_word, CAST(tl AS INT) AS span_len "
+        "FROM st{t} WHERE accepted"
+    )
+    s_cut = ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1' "
+             "|| chr(31) || 's_cut'), 1, 13))::BIGINT")
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'
+                                     || chr(31) || 'regime'), 1, 13))
+                   ::BIGINT % 3 AS ridx
+          FROM w),
+        {_ul2_regime_cte('R', 0, 20, 5)},
+        {_ul2_regime_cte('X', 1, 16, 15)}
+        {sel.format(t='R')}
+        UNION ALL
+        {sel.format(t='X')}
+        UNION ALL
+        SELECT doc_id, 'S' AS regime, CAST(0 AS INT) AS span_idx,
+               CAST({s_cut} % n + 1 AS INT) AS start_word,
+               CAST(n - ({s_cut} % n) AS INT) AS span_len
+        FROM g WHERE ridx = 2 AND n > 0
+    """
+
+
+def test_ul2_plan_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_plan
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    out = ul2_plan(docs, id_col="doc_id", text_col="text")
+    n = _cmp(out, _duck(SF), _ul2_sql())
+    assert n > 0
+    rows = out.collect()
+    regimes = {r["regime"] for r in rows}
+    assert regimes == {"R", "X", "S"}
+    # per-regime structural invariants
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["regime"]), []).append(r)
+    for (doc, reg), spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_idx"])
+        # spans are disjoint, ordered, positive-length
+        last_end = 0
+        for s in spans:
+            assert s["span_len"] >= 1
+            assert s["start_word"] > last_end
+            last_end = s["start_word"] + s["span_len"] - 1
+        if reg == "S":
+            assert len(spans) == 1 and spans[0]["span_idx"] == 0
+
+
+def test_ul2_plan_regime_gate_is_partition(spark):
+    # each doc appears under exactly ONE regime (the UL2 mixing
+    # step assigns a denoiser per example), and a salt change
+    # redraws the mixture
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_plan
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    rows = ul2_plan(docs, id_col="doc_id", text_col="text").collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["regime"])
+    assert all(len(v) == 1 for v in per_doc.values())
+    rows2 = ul2_plan(
+        docs, id_col="doc_id", text_col="text", salt="v2"
+    ).collect()
+    per_doc2 = {}
+    for r in rows2:
+        per_doc2.setdefault(r["doc_id"], set()).add(r["regime"])
+    moved = sum(
+        1 for k in per_doc
+        if k in per_doc2 and per_doc[k] != per_doc2[k]
+    )
+    assert moved > 0
+    with pytest.raises(ValueError, match="duplicate regime"):
+        ul2_plan(docs, id_col="doc_id", text_col="text",
+                 regimes=(("R", 0.15, 3), ("R", 0.5, 8)))
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
