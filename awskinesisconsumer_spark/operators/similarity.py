@@ -182,8 +182,16 @@ def embedding_near_dup_pairs(
     within Hamming distance 1 (the 100 TB path: bucket-equi-join, no
     cross product); without, an exact all-pairs self-join — only for
     small/broadcastable corpora. Returns (id_a, id_b, cosine_sim)."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms precomputed once per row (float-identical to inline
+    # per-pair norms — same fold, same values — so the SQL twins'
+    # per-pair norm arithmetic still matches; 3x less interpreted-HOF
+    # work per candidate, the r11 semantic_dedup measurement)
+    left = df.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("_va"),
+                     _norm(F.col(vec_col)).alias("_na"))
+    right = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"),
+                      _norm(F.col(vec_col)).alias("_nb"))
     if planes is not None:
         lb = srp_bucket(left, vec_col="_va", planes=planes, out_col="_ba")
         rb = srp_bucket(right, vec_col="_vb", planes=planes, out_col="_bb")
@@ -200,7 +208,7 @@ def embedding_near_dup_pairs(
     else:
         pairs = left.join(right, on=[F.col("id_a") < F.col("id_b")])
     sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
-                    _norm(F.col("_va")) * _norm(F.col("_vb")))
+                    F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("cosine_sim", F.round(sim, 6))
         .where(F.col("cosine_sim") >= threshold)
@@ -268,16 +276,22 @@ def semantic_dedup(
             .select("cell")
         )
         eligible = base.join(hot, "cell", "left_anti")
+    # norms are precomputed ONCE per row in the projections (the
+    # per-pair expression then folds only the dot product — 3x less
+    # interpreted-HOF work per candidate; float-identical to inline
+    # norms, so the oracle's per-pair norm arithmetic still matches)
     left = eligible.select(
         F.col("cell"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
     right = eligible.select(
         F.col("cell"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
     sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
-                    _norm(F.col("_va")) * _norm(F.col("_vb")))
+                    F.col("_na") * F.col("_nb"))
     pairs = (
         left.join(right, "cell")
         .where(F.col("id_a") < F.col("id_b"))
