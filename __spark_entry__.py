@@ -4878,6 +4878,21 @@ def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "mixexp_stream")
 
 
+def _ul2_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # UL2 rendered END-TO-END (operators/corpus_prep.py ul2_pairs):
+    # the same regime gate as ext-ul2-plan, each regime's plan
+    # serialized into (input_text, target_text) sentinel pairs —
+    # R/X via denoising_pairs' rendering under per-regime params,
+    # S as a single suffix span through the same sentinel convention.
+    # LOSSLESS: one pair per input doc. Twin = the regime-
+    # parameterized denoise-pairs rendering CTEs + S arithmetic
+    # (proven in tests/test_round11_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_pairs
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return ul2_pairs(docs, id_col="doc_id", text_col="text")
+
+
 def _ul2_plan(spark: SparkSession, sf: str) -> DataFrame:
     # UL2 mixture-of-denoisers plan (operators/corpus_prep.py
     # ul2_plan, Tay et al.): every doc hash-assigned ONE denoiser
@@ -4905,8 +4920,9 @@ GATE_NEW_THIS_ROUND = (
     # displaces one r7 veteran from the window tail to r12.
     "ext-budget-select", "ext-curriculum-order",
     "ext-dedup-semantic", "stream-mixture-expand",
-    # third wave: the UL2 mixture-of-denoisers plan.
-    "ext-ul2-plan",
+    # third wave: the UL2 mixture-of-denoisers plan + its
+    # end-to-end rendered training pairs.
+    "ext-ul2-plan", "ext-ul2-pairs",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -4960,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-semantic": _semantic_dedup,
         "stream-mixture-expand": _stream_mixture_expand,
         "ext-ul2-plan": _ul2_plan,
+        "ext-ul2-pairs": _ul2_pairs,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -4968,8 +4985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 36 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 12 ride their ledger
+        # -- 35 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 13 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -5006,7 +5023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
-        "join-top-supplier": _top_supplier,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5063,7 +5079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 12 remaining r7 records (rotate in r12) --
+        # -- the 13 remaining r7 records (rotate in r12) --
+        "join-top-supplier": _top_supplier,
         "join-above-nation-avg": _above_nation_avg,
         "stream-hll-distinct": _stream_hll,
         "ext-sample-weighted": _sample_weighted,
@@ -10325,5 +10342,93 @@ def oracle_sql() -> dict[str, str]:
                CAST({_ul2_s_cut} % n + 1 AS INT) AS start_word,
                CAST(n - ({_ul2_s_cut} % n) AS INT) AS span_len
         FROM g WHERE ridx = 2 AND n > 0
+    """
+    # UL2 pairs: the regime-parameterized denoise-pairs rendering
+    # (sp/full/built CTEs from ext-denoise-pairs, per regime) chained
+    # on the same plan recursion, plus the S suffix span rendered
+    # through the same sentinel convention. Proven in
+    # tests/test_round11_ops.py.
+    def _ul2_built_cte(tag: str, ridx: int) -> str:
+        return f"""
+        sp{tag} AS (
+          SELECT doc_id,
+                 list(struct_pack(s := CAST(p AS INT),
+                                  l := CAST(tl AS INT)) ORDER BY p)
+                   AS spans
+          FROM st{tag} WHERE accepted GROUP BY doc_id),
+        full{tag} AS (
+          SELECT g.doc_id, g.ws, g.n,
+                 COALESCE(sp{tag}.spans,
+                          CAST([] AS STRUCT(s INT, l INT)[])) AS spans
+          FROM (SELECT * FROM g WHERE ridx = {ridx}) g
+          LEFT JOIN sp{tag} USING (doc_id)),
+        built{tag} AS (
+          SELECT doc_id, n, len(spans) AS k,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(
+                  ws[(CASE WHEN i = 1 THEN 0
+                      ELSE spans[i - 1].s + spans[i - 1].l - 1 END) + 1
+                     : x.s - 1],
+                  ['<extra_id_' || (i - 1)::VARCHAR || '>']))),
+              ws[(CASE WHEN len(spans) = 0 THEN 0
+                  ELSE spans[len(spans)].s + spans[len(spans)].l - 1
+                  END) + 1 : n]) AS in_words,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(['<extra_id_' || (i - 1)::VARCHAR || '>'],
+                            ws[x.s : x.s + x.l - 1]))),
+              ['<extra_id_' || len(spans)::VARCHAR || '>']) AS tgt_words
+          FROM full{tag})"""
+
+    _ul2_pair_sel = (
+        "SELECT doc_id, '{t}' AS regime, CAST(n AS INT) AS n_words, "
+        "CAST(k AS INT) AS n_spans, "
+        "COALESCE(array_to_string(in_words, ' '), '') AS input_text, "
+        "COALESCE(array_to_string(tgt_words, ' '), '') AS target_text "
+        "FROM built{t}"
+    )
+    d["ext-ul2-pairs"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'
+                                     || chr(31) || 'regime'), 1, 13))
+                   ::BIGINT % 3 AS ridx
+          FROM w),
+        {_ul2_regime_cte('R', 0, 20, 5)},
+        {_ul2_regime_cte('X', 1, 16, 15)},
+        {_ul2_built_cte('R', 0).lstrip()},
+        {_ul2_built_cte('X', 1).lstrip()},
+        s_base AS (
+          SELECT doc_id, ws, n,
+                 CASE WHEN n > 0
+                      THEN CAST({_ul2_s_cut} % n AS INT) END AS cut
+          FROM g WHERE ridx = 2)
+        {_ul2_pair_sel.format(t='R')}
+        UNION ALL
+        {_ul2_pair_sel.format(t='X')}
+        UNION ALL
+        SELECT doc_id, 'S' AS regime, CAST(n AS INT) AS n_words,
+               CAST(CASE WHEN n > 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_spans,
+               CASE WHEN n > 0 THEN COALESCE(array_to_string(
+                      list_concat(ws[1 : cut], ['<extra_id_0>']), ' '),
+                      '')
+                    ELSE '' END AS input_text,
+               CASE WHEN n > 0 THEN COALESCE(array_to_string(
+                      list_concat(list_concat(['<extra_id_0>'],
+                                              ws[cut + 1 : n]),
+                                  ['<extra_id_1>']), ' '), '')
+                    ELSE '<extra_id_0>' END AS target_text
+        FROM s_base
     """
     return d

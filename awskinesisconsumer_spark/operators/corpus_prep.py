@@ -423,6 +423,108 @@ def ul2_plan(
     return out
 
 
+def ul2_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    regimes: tuple = (
+        ("R", 0.15, 3),
+        ("X", 0.5, 8),
+        ("S", None, None),
+    ),
+    salt: str = "v1",
+    hash_fn=None,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers rendered END-TO-END: `ul2_plan`'s
+    regime assignment (same gate hash — a doc's pair here corresponds
+    to its plan rows there) with each regime's plan serialized into a
+    (input_text, target_text) training pair. R/X regimes reuse
+    `denoising_pairs`' sentinel rendering under the regime's
+    (rate, mean) and per-regime salt; the S regime renders its suffix
+    span through the SAME sentinel convention — the suffix IS a
+    single span, so
+
+        input:  w1 .. w_cut <extra_id_0>
+        target: <extra_id_0> w_cut+1 .. w_n <extra_id_1>
+
+    — which downstream serializers turn into the prefix-LM format by
+    stripping the sentinels (kept here so one schema and one
+    detokenizer covers all three regimes). LOSSLESS like
+    `denoising_pairs`: empty/zero-word docs emit input "" and the
+    lone closing sentinel (S included), so every input doc yields
+    exactly one pair.
+
+    Emits (id, regime, n_words, n_spans, input_text, target_text).
+
+    Scale shape: map-only union of disjoint hash-gated subsets (the
+    `ul2_plan` argument); each regime's rendering is
+    `denoising_pairs`' one-projection fold + indexed transforms — no
+    joins, no shuffle, no Python. One hash_fn governs every draw
+    (resolved once, portable default).
+    """
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    if not regimes:
+        raise ValueError("ul2_pairs: regimes must be non-empty")
+    names = [r[0] for r in regimes]
+    if len(set(names)) != len(names):
+        raise ValueError(f"ul2_pairs: duplicate regime names in {names}")
+    hash_fn = hash_fn or portable_hash52
+    sid = F.col(id_col).cast("string")
+    ridx = F.pmod(
+        hash_fn(F.concat_ws("\x1f", sid, F.lit(salt), F.lit("regime"))),
+        F.lit(len(regimes)),
+    )
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_ridx", ridx
+    )
+    out = None
+    for i, (name, rate, mean) in enumerate(regimes):
+        sub = base.where(F.col("_ridx") == i)
+        if rate is None:  # S: prefix-LM pair via the sentinel form
+            words = _ws_words(F.col(text_col))
+            n = F.size(words)
+            cut = F.pmod(
+                hash_fn(F.concat_ws("\x1f", sid, F.lit(salt),
+                                    F.lit("s_cut"))),
+                n,
+            ).cast("int")
+            s0 = F.array(F.lit("<extra_id_0>"))
+            s1 = F.array(F.lit("<extra_id_1>"))
+            pair = sub.select(
+                F.col(id_col), F.lit(name).alias("regime"),
+                n.cast("int").alias("n_words"),
+                F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+                .cast("int").alias("n_spans"),
+                F.when(
+                    n > 0,
+                    F.array_join(
+                        F.concat(F.slice(words, 1, cut), s0), " "
+                    ),
+                ).otherwise(F.lit("")).alias("input_text"),
+                F.when(
+                    n > 0,
+                    F.array_join(
+                        F.concat(s0, F.slice(words, cut + 1, n - cut),
+                                 s1),
+                        " ",
+                    ),
+                ).otherwise(F.lit("<extra_id_0>")).alias("target_text"),
+            )
+        else:
+            pair = denoising_pairs(
+                sub, id_col=id_col, text_col=text_col,
+                corruption_rate=rate, mean_span_len=mean,
+                salt=f"{salt}/{name}", hash_fn=hash_fn,
+            ).select(
+                F.col(id_col), F.lit(name).alias("regime"),
+                "n_words", "n_spans", "input_text", "target_text",
+            )
+        out = pair if out is None else out.unionByName(pair)
+    return out
+
+
 def fim_split(
     df: DataFrame,
     *,

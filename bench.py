@@ -205,6 +205,7 @@ HEADLINE = [
     "ext-dedup-semantic",
     "stream-mixture-expand",
     "ext-ul2-plan",
+    "ext-ul2-pairs",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

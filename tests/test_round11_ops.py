@@ -571,6 +571,140 @@ def test_ul2_plan_regime_gate_is_partition(spark):
                  regimes=(("R", 0.15, 3), ("R", 0.5, 8)))
 
 
+def _ul2_pairs_sql():
+    # regime-parameterized copy of the proven denoise-pairs rendering
+    # CTEs, chained on the ul2 plan recursion; the S regime renders
+    # its single suffix span through the same sentinel convention.
+    def built(tag: str, ridx: int) -> str:
+        return f"""
+        sp{tag} AS (
+          SELECT doc_id,
+                 list(struct_pack(s := CAST(p AS INT),
+                                  l := CAST(tl AS INT)) ORDER BY p)
+                   AS spans
+          FROM st{tag} WHERE accepted GROUP BY doc_id),
+        full{tag} AS (
+          SELECT g.doc_id, g.ws, g.n,
+                 COALESCE(sp{tag}.spans,
+                          CAST([] AS STRUCT(s INT, l INT)[])) AS spans
+          FROM (SELECT * FROM g WHERE ridx = {ridx}) g
+          LEFT JOIN sp{tag} USING (doc_id)),
+        built{tag} AS (
+          SELECT doc_id, n, len(spans) AS k,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(
+                  ws[(CASE WHEN i = 1 THEN 0
+                      ELSE spans[i - 1].s + spans[i - 1].l - 1 END) + 1
+                     : x.s - 1],
+                  ['<extra_id_' || (i - 1)::VARCHAR || '>']))),
+              ws[(CASE WHEN len(spans) = 0 THEN 0
+                  ELSE spans[len(spans)].s + spans[len(spans)].l - 1
+                  END) + 1 : n]) AS in_words,
+            list_concat(
+              flatten(list_transform(spans, (x, i) ->
+                list_concat(['<extra_id_' || (i - 1)::VARCHAR || '>'],
+                            ws[x.s : x.s + x.l - 1]))),
+              ['<extra_id_' || len(spans)::VARCHAR || '>']) AS tgt_words
+          FROM full{tag})"""
+
+    sel = (
+        "SELECT doc_id, '{t}' AS regime, CAST(n AS INT) AS n_words, "
+        "CAST(k AS INT) AS n_spans, "
+        "COALESCE(array_to_string(in_words, ' '), '') AS input_text, "
+        "COALESCE(array_to_string(tgt_words, ' '), '') AS target_text "
+        "FROM built{t}"
+    )
+    s_cut = ("('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1' "
+             "|| chr(31) || 's_cut'), 1, 13))::BIGINT")
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, trim(COALESCE(text, '')) AS t FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(t, '\\s+') END AS ws,
+                 CASE WHEN length(t) = 0 THEN 0
+                      ELSE len(string_split_regex(t, '\\s+')) END AS n
+          FROM d),
+        g AS (
+          SELECT doc_id, ws, n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || 'v1'
+                                     || chr(31) || 'regime'), 1, 13))
+                   ::BIGINT % 3 AS ridx
+          FROM w),
+        {_ul2_regime_cte('R', 0, 20, 5)},
+        {_ul2_regime_cte('X', 1, 16, 15)},
+        {built('R', 0).lstrip()},
+        {built('X', 1).lstrip()},
+        s_base AS (
+          SELECT doc_id, ws, n,
+                 CASE WHEN n > 0 THEN CAST({s_cut} % n AS INT) END
+                   AS cut
+          FROM g WHERE ridx = 2)
+        {sel.format(t='R')}
+        UNION ALL
+        {sel.format(t='X')}
+        UNION ALL
+        SELECT doc_id, 'S' AS regime, CAST(n AS INT) AS n_words,
+               CAST(CASE WHEN n > 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_spans,
+               CASE WHEN n > 0 THEN COALESCE(array_to_string(
+                      list_concat(ws[1 : cut], ['<extra_id_0>']), ' '),
+                      '')
+                    ELSE '' END AS input_text,
+               CASE WHEN n > 0 THEN COALESCE(array_to_string(
+                      list_concat(list_concat(['<extra_id_0>'],
+                                              ws[cut + 1 : n]),
+                                  ['<extra_id_1>']), ' '), '')
+                    ELSE '<extra_id_0>' END AS target_text
+        FROM s_base
+    """
+
+
+def test_ul2_pairs_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_pairs
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    out = ul2_pairs(docs, id_col="doc_id", text_col="text")
+    n = _cmp(out, _duck(SF), _ul2_pairs_sql())
+    assert n == 500  # lossless: one pair per doc
+
+
+def test_ul2_pairs_word_conservation_and_plan_agreement(spark):
+    # every regime's pair conserves the doc's words (input gaps +
+    # target spans == original words, in order), and the pair rows
+    # agree with ul2_plan's regime assignment
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        ul2_pairs, ul2_plan,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    pairs = {r["doc_id"]: r for r in ul2_pairs(
+        docs, id_col="doc_id", text_col="text").collect()}
+    plan_regimes: dict = {}
+    for r in ul2_plan(docs, id_col="doc_id", text_col="text").collect():
+        plan_regimes.setdefault(r["doc_id"], set()).add(r["regime"])
+    for doc, regs in plan_regimes.items():
+        assert {pairs[doc]["regime"]} == regs
+    import re
+
+    for r in pairs.values():
+        if r["n_words"] == 0:
+            assert r["input_text"] == ""
+            assert r["target_text"] == "<extra_id_0>"
+            continue
+        strip = lambda t: [w for w in t.split(" ")
+                           if w and not re.match(r"^<extra_id_\d+>$", w)]
+        in_w, tgt_w = strip(r["input_text"]), strip(r["target_text"])
+        assert len(in_w) + len(tgt_w) == r["n_words"], r
+        # sentinel counts: input has n_spans sentinels, target
+        # n_spans + 1
+        cnt = lambda t: len(re.findall(r"<extra_id_\d+>", t))
+        assert cnt(r["input_text"]) == r["n_spans"]
+        assert cnt(r["target_text"]) == r["n_spans"] + 1
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
