@@ -159,6 +159,7 @@ def doc_ops():
         "dedup-keep-best-cap8": dedup_keep_best_capped_study,
         "budget-select": budget_select_study,
         "curriculum-order": curriculum_order_study,
+        "ul2-pairs": ul2_pairs_study,
     }
 
 
@@ -281,6 +282,14 @@ def curriculum_order_study(d):
     return curriculum_order(
         scored, id_col="doc_id", score_col="difficulty", n_shards=8
     )
+
+
+def ul2_pairs_study(d):
+    # map-only union of three hash-gated regime renderings — expected
+    # linear in text bytes like cdc/denoise.
+    from awskinesisconsumer_spark.operators.corpus_prep import ul2_pairs
+
+    return ul2_pairs(d, id_col="doc_id", text_col="text")
 
 
 def simhash_pairs_study(d):
