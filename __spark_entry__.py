@@ -4878,6 +4878,26 @@ def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "mixexp_stream")
 
 
+def _contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    # Contrastive training triplets (operators/similarity.py
+    # contrastive_triplets): positives = exact near-dup pairs at
+    # cosine >= 0.35 (both directions), negatives = each anchor's
+    # top-2 most-similar NON-positive neighbors (hard negatives) via
+    # knn_join_topk at k = k_neg + max positive degree (exactness by
+    # min-k composition). Twin replays positives, per-anchor exact
+    # cosine ranks with the exclusion, and the join (proven in
+    # tests/test_round11_ops.py).
+    from awskinesisconsumer_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    return contrastive_triplets(
+        emb, id_col="vec_id", vec_col="embedding",
+        pos_threshold=0.35, k_neg=2,
+    )
+
+
 def _ul2_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # UL2 rendered END-TO-END (operators/corpus_prep.py ul2_pairs):
     # the same regime gate as ext-ul2-plan, each regime's plan
@@ -4921,8 +4941,9 @@ GATE_NEW_THIS_ROUND = (
     "ext-budget-select", "ext-curriculum-order",
     "ext-dedup-semantic", "stream-mixture-expand",
     # third wave: the UL2 mixture-of-denoisers plan + its
-    # end-to-end rendered training pairs.
-    "ext-ul2-plan", "ext-ul2-pairs",
+    # end-to-end rendered training pairs, and contrastive
+    # hard-negative triplet mining.
+    "ext-ul2-plan", "ext-ul2-pairs", "ext-contrastive-triplets",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -4977,6 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-mixture-expand": _stream_mixture_expand,
         "ext-ul2-plan": _ul2_plan,
         "ext-ul2-pairs": _ul2_pairs,
+        "ext-contrastive-triplets": _contrastive_triplets,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -4985,8 +5007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 35 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 13 ride their ledger
+        # -- 34 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 14 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -5022,7 +5044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink-bucketed-join": _bucketed_join_gate,
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
-        "ext-hll-merge": _hll_merge,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5079,7 +5100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 13 remaining r7 records (rotate in r12) --
+        # -- the 14 remaining r7 records (rotate in r12) --
+        "ext-hll-merge": _hll_merge,
         "join-top-supplier": _top_supplier,
         "join-above-nation-avg": _above_nation_avg,
         "stream-hll-distinct": _stream_hll,
@@ -10430,5 +10452,43 @@ def oracle_sql() -> dict[str, str]:
                                   ['<extra_id_1>']), ' '), '')
                     ELSE '<extra_id_0>' END AS target_text
         FROM s_base
+    """
+    # Contrastive triplets: exact all-pairs positives at the
+    # threshold (the ext-dedup-embedding twin's shape), symmetric
+    # anchors, per-anchor exact cosine ranks over the corpus with
+    # anchor+positives excluded, top-k_neg, re-attached to every
+    # (anchor, positive). Proven in tests/test_round11_ops.py.
+    d["ext-contrastive-triplets"] = f"""
+        WITH pos AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35),
+        sym AS (
+          SELECT id_a AS anchor_id, id_b AS positive_id FROM pos
+          UNION ALL
+          SELECT id_b, id_a FROM pos),
+        anchors AS (SELECT DISTINCT anchor_id FROM sym),
+        scored AS (
+          SELECT an.anchor_id, e.vec_id AS neighbor_id,
+                 {_sql_cosine('av.embedding', 'e.embedding')} AS cosine
+          FROM anchors an
+          JOIN embeddings av ON av.vec_id = an.anchor_id
+          JOIN embeddings e ON e.vec_id <> an.anchor_id),
+        nonpos AS (
+          SELECT s.* FROM scored s
+          ANTI JOIN sym p
+            ON s.anchor_id = p.anchor_id
+           AND s.neighbor_id = p.positive_id),
+        negs AS (
+          SELECT anchor_id, neighbor_id AS negative_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC NULLS LAST, neighbor_id)
+                   AS INT) AS neg_rank,
+                 cosine AS neg_cosine
+          FROM nonpos
+          QUALIFY neg_rank <= 2)
+        SELECT sym.anchor_id, sym.positive_id, negative_id, neg_rank,
+               neg_cosine
+        FROM sym JOIN negs USING (anchor_id)
     """
     return d

@@ -311,6 +311,106 @@ def semantic_dedup(
     )
 
 
+def contrastive_triplets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    pos_threshold: float = 0.95,
+    k_neg: int = 2,
+    planes: list[list[float]] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Contrastive-learning training triplets (anchor, positive,
+    HARD negative) mined from the corpus itself — the data-prep step
+    for embedding-model fine-tuning (SimCSE/SBERT-style): positives
+    are near-duplicate pairs (cosine >= `pos_threshold`, emitted in
+    BOTH directions — each doc anchors its own triplets), negatives
+    are the anchor's top-`k_neg` most-similar NON-positive neighbors
+    (hard negatives — random negatives are trivially separable and
+    teach nothing; the ranked-neighbor form is what batched triplet
+    miners ship).
+
+    Emits (anchor_id, positive_id, negative_id, neg_rank,
+    neg_cosine): one row per (anchor, positive) x negative, neg_rank
+    1..k_neg by (cosine desc, id asc) AFTER excluding the anchor
+    itself and ALL its positives.
+
+    Exactness of the exclusion: neighbors come from `knn_join_topk`
+    at k = k_neg + (max positives per anchor, a driver-side scalar
+    from a bounded agg) — since at most max_deg excluded rows can
+    occupy the top of any anchor's list, the surviving top-k_neg
+    EQUALS the true top-k_neg over the full non-positive corpus
+    (min-k composition again).
+
+    Scale shape: positives ride `embedding_near_dup_pairs` (pass
+    `planes` for the SRP-bucketed 100 TB path); the anchor set and
+    per-anchor degree are near-dup-bounded (rare by construction) —
+    anchors broadcast through `knn_join_topk`'s corpus-never-
+    shuffles salted two-level rank; the exclusion is one anti-join
+    on (anchor, neighbor) against the pair table. At corpora where
+    anchors stop being driver-bounded, mine per IVF cell instead
+    (semantic_dedup's layout) — documented trade, same shapes.
+    """
+    if k_neg < 1:
+        raise ValueError(
+            f"contrastive_triplets: k_neg must be >= 1, got {k_neg}"
+        )
+    pairs = embedding_near_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=pos_threshold,
+        planes=planes,
+    ).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("anchor_id"), F.col("id_a").alias("positive_id")
+    ))
+    # driver-side scalars, both bounded by the (rare) near-dup set:
+    # the anchor list and the max per-anchor positive degree
+    deg = sym.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.collect_list("anchor_id").alias("anchors"),
+        F.max("d").alias("max_deg"),
+    ).head()
+    anchors, max_deg = list(stats["anchors"]), int(stats["max_deg"] or 0)
+    if not anchors:
+        return sym.select(
+            "anchor_id", "positive_id",
+            F.lit(None).cast("long").alias("negative_id"),
+            F.lit(None).cast("int").alias("neg_rank"),
+            F.lit(None).cast("double").alias("neg_cosine"),
+        )
+    neigh = knn_join_topk(
+        df, id_col=id_col, vec_col=vec_col, probe_ids=anchors,
+        k=k_neg + max_deg, salt_buckets=salt_buckets,
+    ).select(
+        F.col("probe_id").alias("anchor_id"),
+        F.col("neighbor_id"), F.col("cosine_sim"),
+    )
+    non_pos = neigh.join(
+        sym.select("anchor_id",
+                   F.col("positive_id").alias("neighbor_id")),
+        ["anchor_id", "neighbor_id"], "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    negs = (
+        non_pos.withColumn("neg_rank",
+                           F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= k_neg)
+        .select("anchor_id",
+                F.col("neighbor_id").alias("negative_id"),
+                "neg_rank", F.col("cosine_sim").alias("neg_cosine"))
+    )
+    return sym.join(negs, "anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "neg_rank",
+        "neg_cosine",
+    )
+
+
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded hyperplanes for SRP sketches (numpy PRNG, reproducible)."""
     import numpy as np

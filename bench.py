@@ -206,6 +206,7 @@ HEADLINE = [
     "stream-mixture-expand",
     "ext-ul2-plan",
     "ext-ul2-pairs",
+    "ext-contrastive-triplets",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

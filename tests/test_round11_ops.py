@@ -705,6 +705,92 @@ def test_ul2_pairs_word_conservation_and_plan_agreement(spark):
         assert cnt(r["target_text"]) == r["n_spans"] + 1
 
 
+# ---- banked for r12: contrastive_triplets --------------------------
+
+def _triplets_sql(threshold, k_neg):
+    import __spark_entry__ as m
+
+    cab = m._sql_cosine("a.embedding", "b.embedding")
+    cae = m._sql_cosine("av.embedding", "e.embedding")
+    return f"""
+        WITH pos AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {cab} >= {threshold}),
+        sym AS (
+          SELECT id_a AS anchor_id, id_b AS positive_id FROM pos
+          UNION ALL
+          SELECT id_b, id_a FROM pos),
+        anchors AS (SELECT DISTINCT anchor_id FROM sym),
+        scored AS (
+          SELECT an.anchor_id, e.vec_id AS neighbor_id,
+                 {cae} AS cosine
+          FROM anchors an
+          JOIN embeddings av ON av.vec_id = an.anchor_id
+          JOIN embeddings e ON e.vec_id <> an.anchor_id),
+        nonpos AS (
+          SELECT s.* FROM scored s
+          ANTI JOIN sym p
+            ON s.anchor_id = p.anchor_id
+           AND s.neighbor_id = p.positive_id),
+        negs AS (
+          SELECT anchor_id, neighbor_id AS negative_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC NULLS LAST, neighbor_id)
+                   AS INT) AS neg_rank,
+                 cosine AS neg_cosine
+          FROM nonpos
+          QUALIFY neg_rank <= {k_neg})
+        SELECT sym.anchor_id, sym.positive_id, negative_id, neg_rank,
+               neg_cosine
+        FROM sym JOIN negs USING (anchor_id)
+    """
+
+
+def test_contrastive_triplets_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    out = contrastive_triplets(
+        emb, id_col="vec_id", vec_col="embedding",
+        pos_threshold=0.35, k_neg=2,
+    )
+    n = _cmp(out, _duck(SF), _triplets_sql(0.35, 2),
+             float_cols={"neg_cosine"})
+    assert n > 0
+    rows = out.collect()
+    # structural invariants: negatives never equal the anchor or ANY
+    # of the anchor's positives; exactly k_neg ranks per anchor
+    pos_by_anchor: dict = {}
+    for r in rows:
+        pos_by_anchor.setdefault(r["anchor_id"], set()).add(
+            r["positive_id"])
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["negative_id"] not in pos_by_anchor[r["anchor_id"]]
+        assert 1 <= r["neg_rank"] <= 2
+    with pytest.raises(ValueError, match="k_neg must be >= 1"):
+        contrastive_triplets(emb, id_col="vec_id", vec_col="embedding",
+                             pos_threshold=0.35, k_neg=0)
+
+
+def test_contrastive_triplets_no_positives_is_empty(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    out = contrastive_triplets(
+        emb, id_col="vec_id", vec_col="embedding",
+        pos_threshold=1.01, k_neg=2,  # impossible threshold
+    )
+    assert out.count() == 0
+    assert out.columns == ["anchor_id", "positive_id", "negative_id",
+                           "neg_rank", "neg_cosine"]
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
