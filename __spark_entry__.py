@@ -4878,6 +4878,56 @@ def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "mixexp_stream")
 
 
+def _stream_token_quota(spark: SparkSession, sf: str) -> DataFrame:
+    # Ingest-time per-shard token-quota admission (streaming/
+    # pipeline.py token_quota_stream): every arriving doc learns at
+    # admission whether it still fits the shard's token budget —
+    # kept iff the running total including it is <= quota; overflow
+    # keeps flowing flagged, never silently dropped. State = ONE
+    # long per shard (the pack_sequences_stream shape); per-shard
+    # id-ordered 3-chunk arrival => union == the per-shard batch
+    # cumsum twin (proven in tests/test_round11_ops.py).
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.text import token_count
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        token_quota_stream,
+    )
+
+    docs = token_count(
+        load_table(spark, "documents", sf), text_col="text"
+    ).select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    src = tempfile.mkdtemp(prefix="quota_src_")
+    chunked = docs.withColumn(
+        "_chunk", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    for i in range(3):
+        part = os.path.join(src, f"part{i}")
+        (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname),
+                         (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream
+        .schema("shard long, doc_id long, n_tokens bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = token_quota_stream(
+        stream, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", quota=6000,
+    )
+    return _run_stream_to_table(out, spark, "token_quota_gate")
+
+
 def _contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
     # Contrastive training triplets (operators/similarity.py
     # contrastive_triplets): positives = exact near-dup pairs at
@@ -4944,6 +4994,8 @@ GATE_NEW_THIS_ROUND = (
     # end-to-end rendered training pairs, and contrastive
     # hard-negative triplet mining.
     "ext-ul2-plan", "ext-ul2-pairs", "ext-contrastive-triplets",
+    # fourth wave: ingest-time per-shard token-quota admission.
+    "stream-token-quota",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -4999,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-ul2-plan": _ul2_plan,
         "ext-ul2-pairs": _ul2_pairs,
         "ext-contrastive-triplets": _contrastive_triplets,
+        "stream-token-quota": _stream_token_quota,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -5007,8 +5060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 34 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 14 ride their ledger
+        # -- 33 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 15 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -5043,7 +5096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
         "agg-retention-cohorts": _cohorts,
-        "stream-scd2": _stream_scd2,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5100,7 +5152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 14 remaining r7 records (rotate in r12) --
+        # -- the 15 remaining r7 records (rotate in r12) --
+        "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
         "join-top-supplier": _top_supplier,
         "join-above-nation-avg": _above_nation_avg,
@@ -10490,5 +10543,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT sym.anchor_id, sym.positive_id, negative_id, neg_rank,
                neg_cosine
         FROM sym JOIN negs USING (anchor_id)
+    """
+    # Streaming per-shard token-quota admission: per-shard id-ordered
+    # arrival => union == the per-shard batch cumsum (the
+    # pack_sequences_stream equivalence); kept iff the running total
+    # including the doc is <= 6000. Proven in
+    # tests/test_round11_ops.py.
+    d["stream-token-quota"] = r"""
+        WITH t AS (
+          SELECT doc_id % 4 AS shard, doc_id,
+                 CAST(len(regexp_extract_all(COALESCE(text, ''),
+                      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+          FROM t)
+        SELECT shard, doc_id, n_tokens, cum_tokens,
+               cum_tokens <= 6000 AS kept
+        FROM c
     """
     return d

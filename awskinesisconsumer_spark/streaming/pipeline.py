@@ -1276,3 +1276,87 @@ def pack_sequences_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def token_quota_stream(
+    docs: DataFrame,
+    *,
+    shard_col: str,
+    id_col: str,
+    token_col: str,
+    quota: int,
+) -> DataFrame:
+    """Ingest-time per-shard token-QUOTA admission: every arriving
+    document learns, the moment it lands, whether it still fits the
+    shard's token budget — `kept` iff the shard's running total
+    INCLUDING this doc is <= `quota` (the `budget_select` frontier
+    rule, enforced online). The streaming complement of
+    `budget_select`: that operator picks the best B tokens after
+    scoring a finished corpus; this one caps a live feed at B tokens
+    per shard in ARRIVAL order (ties inside a micro-batch ordered by
+    `id_col`) — the shape an ingestion service with a hard downstream
+    capacity runs. Docs keep flowing after exhaustion with
+    kept=false, so the overflow is routable, not dropped silently.
+
+    Per-shard id-ordered arrival makes the emitted union EQUAL the
+    per-shard batch cumsum (the `pack_sequences_stream` equivalence),
+    so the batch window twin applies verbatim.
+
+    Scale shape: identical to `pack_sequences_stream` — shards admit
+    in PARALLEL, state is ONE long per shard at any corpus size,
+    each micro-batch shuffles only its own arrivals. Zero/NULL-token
+    docs cost nothing and are always kept while the quota lasts.
+    """
+    from pyspark.sql.types import BooleanType as _Bool
+    from pyspark.sql.types import LongType as _Long
+
+    if quota < 0:
+        raise ValueError(
+            f"token_quota_stream: quota must be >= 0, got {quota}"
+        )
+    in_schema = docs.select(shard_col, id_col).schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [
+            StructField("n_tokens", _Long()),
+            StructField("cum_tokens", _Long()),
+            StructField("kept", _Bool()),
+        ]
+    )
+    state_schema = StructType([StructField("tok_off", LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (off,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        toks = (
+            pd.to_numeric(pdf[token_col], errors="coerce")
+            .fillna(0).astype("int64").clip(lower=0)
+        )
+        cums = off + toks.cumsum()
+        out = pdf[[shard_col, id_col]].copy()
+        out["n_tokens"] = toks
+        out["cum_tokens"] = cums
+        out["kept"] = cums <= quota
+        state.update((int(cums.iloc[-1]) if len(cums) else off,))
+        yield out
+
+    return (
+        docs.select(shard_col, id_col, token_col)
+        .groupBy(shard_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

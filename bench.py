@@ -207,6 +207,7 @@ HEADLINE = [
     "ext-ul2-plan",
     "ext-ul2-pairs",
     "ext-contrastive-triplets",
+    "stream-token-quota",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

@@ -791,6 +791,89 @@ def test_contrastive_triplets_no_positives_is_empty(spark):
                            "neg_rank", "neg_cosine"]
 
 
+# ---- banked for the r11 fourth wave: token_quota_stream ------------
+
+QUOTA_SQL = """
+    WITH t AS (
+      SELECT doc_id % 4 AS shard, doc_id,
+             CAST(len(regexp_extract_all(COALESCE(text, ''),
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM t)
+    SELECT shard, doc_id, n_tokens, cum_tokens,
+           cum_tokens <= 6000 AS kept
+    FROM c
+"""
+
+
+def test_token_quota_stream_equals_batch_cumsum(spark):
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from awskinesisconsumer_spark.operators.text import token_count
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        token_quota_stream,
+    )
+
+    docs = token_count(
+        load_table(spark, "documents", SF), text_col="text"
+    ).select(
+        (F.col("doc_id") % 4).alias("shard"), "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    src = tempfile.mkdtemp(prefix="quota_src_")
+    chunked = docs.withColumn(
+        "_chunk", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    for i in range(3):
+        part = os.path.join(src, f"part{i}")
+        (chunked.where(F.col("_chunk") == i + 1).drop("_chunk")
+         .coalesce(1).write.mode("overwrite").parquet(part))
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname),
+                         (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream
+        .schema("shard long, doc_id long, n_tokens bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = token_quota_stream(
+        stream, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", quota=6000,
+    )
+    name = "quota_stream_test"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="quota_ckpt_"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 3
+    result = spark.table(name)
+    n = _cmp(result, _duck(SF), QUOTA_SQL)
+    assert n == 500
+    rows = result.collect()
+    kept = [r for r in rows if r["kept"]]
+    assert 0 < len(kept) < 500  # a real frontier
+    with pytest.raises(ValueError, match="quota must be >= 0"):
+        token_quota_stream(stream, shard_col="shard", id_col="doc_id",
+                           token_col="n_tokens", quota=-1)
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
