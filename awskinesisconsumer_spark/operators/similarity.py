@@ -224,6 +224,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     threshold: float = 0.95,
     cell_cap: int | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — the cluster-then-dedup-within-
     cluster recipe LLM corpora run on embeddings: k-means cells bound
@@ -249,6 +250,17 @@ def semantic_dedup(
     quantizer (one centroid capturing a constant-embedding blob
     would otherwise go quadratic); capped cells keep every row as a
     singleton.
+
+    `vectorized=True` scores each cell's pairwise cosines with the
+    Arrow-batched dim-sequential numpy kernel (`_np_fold_cosines` —
+    same float fold order and HALF_UP 6-dp rounding as the HOF
+    expressions, so the pair set and every downstream cluster are
+    BIT-IDENTICAL; NaN/zero-norm candidates are excluded on both
+    paths by the threshold filter). One applyInPandas group per
+    cell, so the whole cell must fit a task (an n_cell^2 double
+    matrix) — exactly the SemDeDup regime, with `cell_cap` as the
+    enforcement; integer ids required (the knn kernel's contract).
+    The HOF form stays the gate default.
 
     Scale shape: assignment is the `ivf_assign` argmin (narrow,
     map-only; at 100 TB the corpus is written partitionBy(cell)
@@ -276,29 +288,64 @@ def semantic_dedup(
             .select("cell")
         )
         eligible = base.join(hot, "cell", "left_anti")
-    # norms are precomputed ONCE per row in the projections (the
-    # per-pair expression then folds only the dot product — 3x less
-    # interpreted-HOF work per candidate; float-identical to inline
-    # norms, so the oracle's per-pair norm arithmetic still matches)
-    left = eligible.select(
-        F.col("cell"), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        _norm(F.col(vec_col)).alias("_na"),
-    )
-    right = eligible.select(
-        F.col("cell"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
-    )
-    sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
-                    F.col("_na") * F.col("_nb"))
-    pairs = (
-        left.join(right, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(sim, 6))
-        .where(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b")
-    )
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def cell_pairs(pdf):
+            pdf = (
+                pdf[pdf[vec_col].notna()]
+                .sort_values(id_col).reset_index(drop=True)
+            )
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64")}
+                )
+            m = np.array(
+                [[float(x) for x in v] for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            sims = _np_fold_cosines(m, m)
+            ia, ib = np.nonzero(~np.isnan(sims) & (sims >= thr))
+            keep = ia < ib  # sorted by id, so position order == id order
+            ids = pdf[id_col].to_numpy()
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
+            )
+
+        pairs = (
+            eligible.select("cell", id_col, vec_col)
+            .groupBy("cell")
+            .applyInPandas(cell_pairs, "id_a long, id_b long")
+        )
+    else:
+        # norms are precomputed ONCE per row in the projections (the
+        # per-pair expression then folds only the dot product — 3x
+        # less interpreted-HOF work per candidate; float-identical to
+        # inline norms, so the oracle's per-pair norm arithmetic
+        # still matches)
+        left = eligible.select(
+            F.col("cell"), F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            _norm(F.col(vec_col)).alias("_na"),
+        )
+        right = eligible.select(
+            F.col("cell"), F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            _norm(F.col(vec_col)).alias("_nb"),
+        )
+        sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
+                        F.col("_na") * F.col("_nb"))
+        pairs = (
+            left.join(right, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim", F.round(sim, 6))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b")
+        )
     cc = connected_components(
         pairs, vertices=df.select(F.col(id_col).alias("id"))
     )

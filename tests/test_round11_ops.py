@@ -425,6 +425,32 @@ def test_semantic_dedup_matches_oracle(spark):
         assert min(m["vec_id"] for m in members) == cid
 
 
+def test_semantic_dedup_vectorized_equals_hof(spark):
+    # the Arrow/numpy cell-scoring path must produce the SAME pair
+    # set and therefore bit-identical clusters/keeps as the HOF
+    # expressions (same dim-sequential fold, same HALF_UP rounding)
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    hof = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3,
+    )
+    vec = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3, vectorized=True,
+    )
+    cols = ["vec_id", "cell", "cluster_id", "kept"]
+    assert sorted(map(tuple, hof.select(cols).collect())) == sorted(
+        map(tuple, vec.select(cols).collect())
+    )
+
+
 def test_semantic_dedup_cell_cap_makes_singletons(spark):
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_centroids_from_sample, semantic_dedup,
