@@ -4931,7 +4931,9 @@ def _stream_token_quota(spark: SparkSession, sf: str) -> DataFrame:
 def _contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
     # Contrastive training triplets (operators/similarity.py
     # contrastive_triplets): positives = exact near-dup pairs at
-    # cosine >= 0.35 (both directions), negatives = each anchor's
+    # cosine >= 0.45 (both directions — the rare-positives regime;
+    # looser thresholds anchor most of the corpus and the neighbor
+    # scoring goes quadratic, measured in the docstring), negatives = each anchor's
     # top-2 most-similar NON-positive neighbors (hard negatives) via
     # knn_join_topk at k = k_neg + max positive degree (exactness by
     # min-k composition). Twin replays positives, per-anchor exact
@@ -4941,10 +4943,20 @@ def _contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
         contrastive_triplets,
     )
 
+    # positives ride the SRP-bucketed path (planes) — the exact
+    # all-pairs form costs 2M HOF cosines at sf0.1 (measured 45-87 s
+    # entry wall); the Hamming<=1 bucket join is the 100 TB shape and
+    # the twin re-buckets with the same literal planes (the
+    # ext-dedup-embedding-lsh fragment).
+    from awskinesisconsumer_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
     emb = load_table(spark, "embeddings", sf)
     return contrastive_triplets(
         emb, id_col="vec_id", vec_col="embedding",
-        pos_threshold=0.35, k_neg=2,
+        pos_threshold=0.45, k_neg=2,
+        planes=deterministic_planes(64, 8),
     )
 
 
@@ -10512,10 +10524,15 @@ def oracle_sql() -> dict[str, str]:
     # anchor+positives excluded, top-k_neg, re-attached to every
     # (anchor, positive). Proven in tests/test_round11_ops.py.
     d["ext-contrastive-triplets"] = f"""
-        WITH pos AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35),
+        WITH bb AS (
+          SELECT vec_id, embedding, {bucket_emb} AS bkt
+          FROM embeddings),
+        pos AS (
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM bb a JOIN bb c
+            ON a.vec_id < c.vec_id
+           AND (a.bkt = c.bkt OR bit_count(xor(a.bkt, c.bkt)) = 1)
+          WHERE {_sql_cosine('a.embedding', 'c.embedding')} >= 0.45),
         sym AS (
           SELECT id_a AS anchor_id, id_b AS positive_id FROM pos
           UNION ALL

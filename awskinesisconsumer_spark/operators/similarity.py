@@ -195,14 +195,27 @@ def embedding_near_dup_pairs(
     if planes is not None:
         lb = srp_bucket(left, vec_col="_va", planes=planes, out_col="_ba")
         rb = srp_bucket(right, vec_col="_vb", planes=planes, out_col="_bb")
-        # Hamming<=1 probe: equal buckets or single-bit flips.
-        probes = F.array(
-            F.col("_ba"), *[F.col("_ba").bitwiseXOR(F.lit(1 << i))
-                            for i in range(len(planes))]
-        )
-        pairs = lb.join(
+        # Hamming<=1 probe as an EQUI join: the left side explodes
+        # into its own bucket plus every single-bit flip, and
+        # candidates equi-join on (probe bucket == right bucket) — a
+        # hash/sort-merge join keyed on the bucket. The previous
+        # array_contains form was a non-equi condition Catalyst can
+        # only plan as BroadcastNestedLoopJoin: O(n^2) condition
+        # evaluations regardless of bucketing (measured 30.7 s for 23
+        # pairs at 2k vectors; this form ~4 s). Exactly one of a's
+        # probes equals b's bucket when Hamming(a,b) <= 1 (identity
+        # at 0, the matching flip at 1), so the candidate set — and
+        # the output — is IDENTICAL, with no duplicate pairs.
+        probe = F.explode(
+            F.array(
+                F.col("_ba"), *[F.col("_ba").bitwiseXOR(F.lit(1 << i))
+                                for i in range(len(planes))]
+            )
+        ).alias("_probe")
+        lexp = lb.select("id_a", "_va", "_na", probe)
+        pairs = lexp.join(
             rb,
-            on=[F.array_contains(probes, F.col("_bb")),
+            on=[F.col("_probe") == F.col("_bb"),
                 F.col("id_a") < F.col("id_b")],
         )
     else:
@@ -367,6 +380,7 @@ def contrastive_triplets(
     k_neg: int = 2,
     planes: list[list[float]] | None = None,
     salt_buckets: int = 16,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Contrastive-learning training triplets (anchor, positive,
     HARD negative) mined from the corpus itself — the data-prep step
@@ -398,6 +412,15 @@ def contrastive_triplets(
     on (anchor, neighbor) against the pair table. At corpora where
     anchors stop being driver-bounded, mine per IVF cell instead
     (semantic_dedup's layout) — documented trade, same shapes.
+
+    `pos_threshold` IS the anchor-count dial: set it where pairs are
+    genuinely rare (the near-dup regime) — a loose threshold makes
+    every doc an anchor and the neighbor scoring quadratic (measured:
+    threshold 0.35 on the 2k fixture anchored 98% of vectors and
+    cost 190 s; 0.45 anchors 13% and costs ~2 s). `vectorized=True`
+    scores neighbors with knn_join_topk's numpy kernel (bit-equal,
+    integer ids required) — the production path when the anchor set
+    is large.
     """
     if k_neg < 1:
         raise ValueError(
@@ -412,6 +435,17 @@ def contrastive_triplets(
     ).unionByName(pairs.select(
         F.col("id_b").alias("anchor_id"), F.col("id_a").alias("positive_id")
     ))
+    # sym feeds THREE consumers (the degree/anchor scalars, the
+    # exclusion anti-join, the final re-attach) — without
+    # materializing, every consumer re-runs the whole pair scan
+    # (bucket join + cosines), measured 3x the entry wall at sf0.1.
+    # Near-dup-bounded, so the cache is tiny; released before return
+    # via the pack_sequences _release_after contract.
+    from awskinesisconsumer_spark.operators.caching import (
+        release_after as _release_after,
+    )
+
+    sym = sym.persist()
     # driver-side scalars, both bounded by the (rare) near-dup set:
     # the anchor list and the max per-anchor positive degree
     deg = sym.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("d"))
@@ -421,15 +455,17 @@ def contrastive_triplets(
     ).head()
     anchors, max_deg = list(stats["anchors"]), int(stats["max_deg"] or 0)
     if not anchors:
-        return sym.select(
+        empty = sym.select(
             "anchor_id", "positive_id",
             F.lit(None).cast("long").alias("negative_id"),
             F.lit(None).cast("int").alias("neg_rank"),
             F.lit(None).cast("double").alias("neg_cosine"),
         )
+        return _release_after(empty, sym)
     neigh = knn_join_topk(
         df, id_col=id_col, vec_col=vec_col, probe_ids=anchors,
         k=k_neg + max_deg, salt_buckets=salt_buckets,
+        vectorized=vectorized,
     ).select(
         F.col("probe_id").alias("anchor_id"),
         F.col("neighbor_id"), F.col("cosine_sim"),
@@ -452,10 +488,11 @@ def contrastive_triplets(
                 F.col("neighbor_id").alias("negative_id"),
                 "neg_rank", F.col("cosine_sim").alias("neg_cosine"))
     )
-    return sym.join(negs, "anchor_id").select(
+    out = sym.join(negs, "anchor_id").select(
         "anchor_id", "positive_id", "negative_id", "neg_rank",
         "neg_cosine",
     )
+    return _release_after(out, sym)
 
 
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -654,3 +654,16 @@ def test_semantic_dedup_pairs_are_cell_equi_join(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_pairs_is_bucket_equi_join(spark):
+    # ext-dedup-embedding-lsh (and the contrastive positives that
+    # reuse it): Hamming<=1 candidates must come from the exploded-
+    # probe EQUI join — the array_contains form planned a
+    # BroadcastNestedLoopJoin, O(n^2) condition evaluations
+    # regardless of bucketing (measured 30.7 s for 23 pairs at 2k
+    # vectors, r11).
+    df = entry.queries()["ext-dedup-embedding-lsh"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -781,9 +781,9 @@ def test_contrastive_triplets_matches_oracle(spark):
     emb = load_table(spark, "embeddings", SF)
     out = contrastive_triplets(
         emb, id_col="vec_id", vec_col="embedding",
-        pos_threshold=0.35, k_neg=2,
+        pos_threshold=0.45, k_neg=2,
     )
-    n = _cmp(out, _duck(SF), _triplets_sql(0.35, 2),
+    n = _cmp(out, _duck(SF), _triplets_sql(0.45, 2),
              float_cols={"neg_cosine"})
     assert n > 0
     rows = out.collect()
@@ -799,7 +799,17 @@ def test_contrastive_triplets_matches_oracle(spark):
         assert 1 <= r["neg_rank"] <= 2
     with pytest.raises(ValueError, match="k_neg must be >= 1"):
         contrastive_triplets(emb, id_col="vec_id", vec_col="embedding",
-                             pos_threshold=0.35, k_neg=0)
+                             pos_threshold=0.45, k_neg=0)
+    # the vectorized neighbor-scoring path is bit-equal
+    vec = contrastive_triplets(
+        emb, id_col="vec_id", vec_col="embedding",
+        pos_threshold=0.45, k_neg=2, vectorized=True,
+    )
+    cols = ["anchor_id", "positive_id", "negative_id", "neg_rank",
+            "neg_cosine"]
+    assert sorted(map(tuple, vec.select(cols).collect())) == sorted(
+        map(tuple, out.select(cols).collect())
+    )
 
 
 def test_contrastive_triplets_no_positives_is_empty(spark):
