@@ -4878,6 +4878,29 @@ def _stream_mixture_expand(spark: SparkSession, sf: str) -> DataFrame:
     return _run_stream_to_table(out, spark, "mixexp_stream")
 
 
+def _fim_serialize(spark: SparkSession, sf: str) -> DataFrame:
+    # FIM serialization (operators/corpus_prep.py fim_serialize):
+    # the gated fim_split rendered into the single-string PSM and
+    # SPM training layouts (Bavarian et al. / StarCoder sentinels);
+    # unapplied docs pass through as plain text — one column feeds
+    # the tokenizer for both example kinds. Map-only concat; twin
+    # wraps the proven fim twin with the same CASE/concat (proven in
+    # tests/test_round11_ops.py).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        fim_serialize, fim_split,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    split = fim_split(docs, id_col="doc_id", text_col="text",
+                      fim_rate=0.5, hash_fn=portable_hash52)
+    return fim_serialize(
+        fim_serialize(split, mode="psm", out_col="text_psm"),
+        mode="spm", out_col="text_spm",
+    ).select("doc_id", "n_words", "fim_applied", "text_psm",
+             "text_spm")
+
+
 def _stream_token_quota(spark: SparkSession, sf: str) -> DataFrame:
     # Ingest-time per-shard token-quota admission (streaming/
     # pipeline.py token_quota_stream): every arriving doc learns at
@@ -5006,8 +5029,9 @@ GATE_NEW_THIS_ROUND = (
     # end-to-end rendered training pairs, and contrastive
     # hard-negative triplet mining.
     "ext-ul2-plan", "ext-ul2-pairs", "ext-contrastive-triplets",
-    # fourth wave: ingest-time per-shard token-quota admission.
-    "stream-token-quota",
+    # fourth wave: ingest-time per-shard token-quota admission and
+    # the PSM/SPM FIM serialization.
+    "stream-token-quota", "ext-fim-serialize",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5064,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-ul2-pairs": _ul2_pairs,
         "ext-contrastive-triplets": _contrastive_triplets,
         "stream-token-quota": _stream_token_quota,
+        "ext-fim-serialize": _fim_serialize,
         # -- the 5 last r6-record veterans, rotated in as promised by
         #    the r10 registration comment (no registered query's
         #    latest green record older than r7 after this window).
@@ -5072,8 +5097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 33 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 15 ride their ledger
+        # -- 32 of the 48 r7-record veterans (oldest remaining
+        #    records, file order; the trailing 16 ride their ledger
         #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
@@ -5107,7 +5132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-ann-recall": _ann_recall,
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
-        "agg-retention-cohorts": _cohorts,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5164,7 +5188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 15 remaining r7 records (rotate in r12) --
+        # -- the 16 remaining r7 records (rotate in r12) --
+        "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
         "join-top-supplier": _top_supplier,
@@ -10582,5 +10607,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard, doc_id, n_tokens, cum_tokens,
                cum_tokens <= 6000 AS kept
         FROM c
+    """
+    # FIM PSM/SPM serialization: the proven fim twin wrapped with the
+    # same CASE/concat rendering. Proven in tests/test_round11_ops.py.
+    d["ext-fim-serialize"] = f"""
+        WITH fim AS ({d["ext-fim-split"]})
+        SELECT doc_id, n_words, fim_applied,
+               CASE WHEN fim_applied
+                    THEN '<fim_prefix>' || prefix || '<fim_suffix>'
+                         || suffix || '<fim_middle>' || middle
+                    ELSE prefix END AS text_psm,
+               CASE WHEN fim_applied
+                    THEN '<fim_suffix>' || suffix || '<fim_prefix>'
+                         || prefix || '<fim_middle>' || middle
+                    ELSE prefix END AS text_spm
+        FROM fim
     """
     return d

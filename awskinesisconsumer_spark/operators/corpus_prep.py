@@ -591,6 +591,57 @@ def fim_split(
     )
 
 
+def fim_serialize(
+    df: DataFrame,
+    *,
+    mode: str = "psm",
+    prefix_col: str = "prefix",
+    middle_col: str = "middle",
+    suffix_col: str = "suffix",
+    applied_col: str = "fim_applied",
+    out_col: str = "text_fim",
+    prefix_tok: str = "<fim_prefix>",
+    middle_tok: str = "<fim_middle>",
+    suffix_tok: str = "<fim_suffix>",
+) -> DataFrame:
+    """Serialize `fim_split` rows into the single-string FIM training
+    format (Bavarian et al. §3; the StarCoder/santacoder layout) —
+    the step between the split and the tokenizer:
+
+        psm: <fim_prefix>P<fim_suffix>S<fim_middle>M
+        spm: <fim_suffix>S<fim_prefix>P<fim_middle>M
+
+    (PSM presents prefix-then-suffix context; SPM leads with the
+    suffix — trained together they make the model robust to either
+    prompting order, which is why pipelines emit both.) Documents
+    the split left UNTOUCHED (`fim_applied` false — the mixed AR+FIM
+    batch recipe) pass through as their plain text (the whole doc
+    lives in `prefix_col`), no sentinels, so one column feeds the
+    tokenizer for both example kinds.
+
+    Scale shape: ONE concat projection per row — map-only, no
+    shuffle, fuses with whatever produced the split columns.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(
+            f"fim_serialize: mode must be 'psm' or 'spm', got {mode!r}"
+        )
+    p, mid, s = F.col(prefix_col), F.col(middle_col), F.col(suffix_col)
+    if mode == "psm":
+        serialized = F.concat(
+            F.lit(prefix_tok), p, F.lit(suffix_tok), s,
+            F.lit(middle_tok), mid,
+        )
+    else:
+        serialized = F.concat(
+            F.lit(suffix_tok), s, F.lit(prefix_tok), p,
+            F.lit(middle_tok), mid,
+        )
+    return df.withColumn(
+        out_col, F.when(F.col(applied_col), serialized).otherwise(p)
+    )
+
+
 def sentence_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

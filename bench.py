@@ -208,6 +208,7 @@ HEADLINE = [
     "ext-ul2-pairs",
     "ext-contrastive-triplets",
     "stream-token-quota",
+    "ext-fim-serialize",
 ]
 
 # Fixed cross-round comparison anchor — the compact stdout line

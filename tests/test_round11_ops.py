@@ -910,6 +910,62 @@ def test_token_quota_stream_equals_batch_cumsum(spark):
                            token_col="n_tokens", quota=-1)
 
 
+# ---- banked for the r11 fifth wave: fim_serialize ------------------
+
+def _fim_serialize_sql():
+    import __spark_entry__ as m
+
+    fim = m.oracle_sql()["ext-fim-split"]
+    return f"""
+        WITH fim AS ({fim})
+        SELECT doc_id, n_words, fim_applied,
+               CASE WHEN fim_applied
+                    THEN '<fim_prefix>' || prefix || '<fim_suffix>'
+                         || suffix || '<fim_middle>' || middle
+                    ELSE prefix END AS text_psm,
+               CASE WHEN fim_applied
+                    THEN '<fim_suffix>' || suffix || '<fim_prefix>'
+                         || prefix || '<fim_middle>' || middle
+                    ELSE prefix END AS text_spm
+        FROM fim
+    """
+
+
+def test_fim_serialize_matches_oracle(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        fim_serialize, fim_split,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    split = fim_split(docs, id_col="doc_id", text_col="text",
+                      fim_rate=0.5, hash_fn=portable_hash52)
+    out = fim_serialize(
+        fim_serialize(split, mode="psm", out_col="text_psm"),
+        mode="spm", out_col="text_spm",
+    ).select("doc_id", "n_words", "fim_applied", "text_psm",
+             "text_spm")
+    n = _cmp(out, _duck(SF), _fim_serialize_sql())
+    assert n == 500
+    rows = out.collect()
+    for r in rows:
+        if r["fim_applied"]:
+            assert r["text_psm"].startswith("<fim_prefix>")
+            assert r["text_spm"].startswith("<fim_suffix>")
+            for c in ("text_psm", "text_spm"):
+                assert r[c].count("<fim_prefix>") == 1
+                assert r[c].count("<fim_suffix>") == 1
+                assert r[c].count("<fim_middle>") == 1
+        else:
+            assert "<fim_" not in r["text_psm"]
+            assert r["text_psm"] == r["text_spm"]
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        fim_serialize as fs,
+    )
+    with pytest.raises(ValueError, match="mode must be"):
+        fs(split, mode="pms")
+
+
 def test_truncated_dim_recall_validate_override(spark):
     # ADVICE r10: the oversized-tier guard is an eager full-corpus
     # scan and a single short vector blocks the audit; the
