@@ -1973,7 +1973,12 @@ def budget_select(
     (priority DESC, id ASC); a doc is kept iff the cumulative token
     count INCLUDING itself is <= budget (zero-token docs cost
     nothing and ride along when reached). NULL-priority docs sort
-    LAST (selected only if budget outlasts every scored doc).
+    LAST (selected only if budget outlasts every scored doc); NaN
+    priorities are treated AS NULL — Spark orders NaN above every
+    double, so an unmapped NaN would silently outrank every scored
+    doc (land in bin 0 via the clip and sort first within it), the
+    exact opposite of the unscored-sorts-last contract (r11 ADVICE;
+    pinned in tests/test_round12_ops.py).
 
     Returns the input keys plus n_tokens, cum_tokens and kept.
 
@@ -2003,7 +2008,10 @@ def budget_select(
             f"n_bins={n_bins}, lo={lo}, hi={hi}"
         )
     w = (float(hi) - float(lo)) / n_bins
-    p = F.col(priority_col).cast("double")
+    # NaN -> NULL BEFORE any ordering/clipping touches it (see
+    # docstring: NaN would otherwise win bin 0 and sort first)
+    raw_p = F.col(priority_col).cast("double")
+    p = F.when(F.isnan(raw_p), F.lit(None).cast("double")).otherwise(raw_p)
     clipped = F.least(F.greatest(p, F.lit(float(lo))), F.lit(float(hi)))
     bin_ = F.when(p.isNull(), F.lit(n_bins)).otherwise(
         F.least(F.floor((F.lit(float(hi)) - clipped) / F.lit(w)),

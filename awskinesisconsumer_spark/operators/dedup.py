@@ -1162,7 +1162,13 @@ def simhash_near_dup_pairs(
     signal to raise `hot_cap` or accept the documented loss. The
     count is one scalar (a bucket-table aggregate broadcast onto
     every row — the one-row crossJoin pattern), so the audit costs
-    one tiny agg, not a second corpus pass.
+    one tiny agg, not a second corpus pass. CAVEAT (r11 ADVICE): the
+    column rides the PAIR rows, so when the cap suppresses every
+    pair — a fully boilerplate corpus, exactly the scenario the
+    audit exists for — the output is empty and the non-zero count is
+    unobservable here. An empty result with a cap set is NOT
+    evidence of a dup-free corpus: check `simhash_capped_buckets`
+    (the standalone one-row audit) before trusting it.
 
     Emitted: (id_a, id_b, hamming), id_a < id_b, distinct
     (+ n_capped_buckets when `with_capped_audit`).
@@ -1253,3 +1259,68 @@ def simhash_near_dup_pairs(
         )
         return out.crossJoin(F.broadcast(n_capped))
     return out
+
+
+def simhash_capped_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    hash_fn=xxhash64_col,
+    hot_cap: int | None = 200,
+) -> DataFrame:
+    """Standalone ONE-ROW audit of `simhash_near_dup_pairs`'
+    `hot_cap` recall trade: (n_capped_buckets, n_capped_rows) — how
+    many (band_idx, band_val) buckets the cap silenced and how many
+    banded rows sat inside them. Unlike `with_capped_audit=True`
+    (whose count rides the pair rows and vanishes when the cap
+    suppresses EVERY pair — the r11 ADVICE blind spot), this always
+    returns exactly one row, so a fully-boilerplate corpus reports
+    its silent recall loss instead of an empty, innocent-looking
+    result. Same banding arithmetic as the pair miner (same bits/
+    bands/hash give the same buckets); cost is the fingerprint pass
+    plus one tiny aggregate — no candidate join."""
+    if bits % bands != 0:
+        raise ValueError(
+            f"simhash_capped_buckets: bits ({bits}) must divide into "
+            f"bands ({bands}) evenly"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    fps = simhash(
+        df, text_col=text_col, id_col=id_col, bits=bits, hash_fn=hash_fn,
+    )
+    banded = fps.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select(F.col("_b.band_idx").alias("band_idx"),
+             F.col("_b.band_val").alias("band_val"))
+    if hot_cap is None:
+        return banded.agg(
+            F.lit(0).cast("long").alias("n_capped_buckets"),
+            F.lit(0).cast("long").alias("n_capped_rows"),
+        )
+    per_bucket = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_bucket.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > hot_cap, 1).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > hot_cap, F.col("_n"))
+                  .cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_capped_rows"),
+    )

@@ -131,6 +131,88 @@ def _norm2_diff(v, centroid: list[float]):
     )
 
 
+def ivf_assign_table(
+    df: DataFrame, *, vec_col: str, centroids, out_col: str = "cell",
+    centroid_id_col: str = "cell", centroid_vec_col: str | None = None,
+) -> DataFrame:
+    """`ivf_assign` with the centroids as DATA instead of literal
+    expressions — the scale lever the literal form lacks: its argmin
+    is an O(k) expression TREE (one aggregate fold per centroid), so
+    Catalyst plan size caps k at ~hundreds, while SemDeDup's own
+    balance rule (n/k ~ 2k docs per cell) needs k to GROW with the
+    corpus. Here the centroid matrix rides the closure as one numpy
+    (k x dim) array into an Arrow-batched pandas UDF — k in the tens
+    of thousands is a few MB of broadcast, and the per-row cost is a
+    vectorized matrix fold instead of k interpreted aggregates.
+
+    `centroids` is a list[list[float]] / numpy (k, dim) matrix, or a
+    DataFrame holding (`centroid_id_col`, `centroid_vec_col`
+    [default: `vec_col`]) — the trained-offline centroid TABLE shape;
+    ids must be exactly 0..k-1 (they ARE the emitted cell ids, same
+    contract as the literal form's positions).
+
+    BIT-IDENTICAL to `ivf_assign` (same contract as `knn_join_topk`'s
+    kernel): the squared-L2 accumulation is dimension-SEQUENTIAL
+    (vectorized over rows and centroids, but each dim's term is added
+    in dim order — the exact float left fold of the HOF/oracle form),
+    and ties argmin to the LOWEST centroid index like the struct
+    array_min. Degenerate rows (NULL vector, or length != centroid
+    dim, where zip_with pads with NULL and the whole fold collapses
+    to a NULL distance) land in cell 0 — pinned equal to the literal
+    form in tests/test_round12_ops.py.
+
+    Scale shape: map-only (no shuffle, pipelines into the scan); the
+    corpus is then written partitionBy(cell) once, exactly as with
+    the literal form.
+    """
+    import numpy as np
+
+    if isinstance(centroids, DataFrame):
+        cvc = centroid_vec_col or vec_col
+        rows = centroids.select(centroid_id_col, cvc).collect()
+        ids = sorted(int(r[0]) for r in rows)
+        if ids != list(range(len(rows))):
+            raise ValueError(
+                "ivf_assign_table: centroid ids must be exactly "
+                f"0..k-1, got {ids[:5]}..{ids[-3:] if ids else []}"
+            )
+        by_id = sorted(rows, key=lambda r: int(r[0]))
+        C = np.array([[float(x) for x in r[1]] for r in by_id],
+                     dtype=np.float64)
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] < 1:
+        raise ValueError(
+            f"ivf_assign_table: need a (k, dim) centroid matrix with "
+            f"k >= 1, got shape {C.shape}"
+        )
+    if C.size > 50_000_000:
+        # the closure ships one dense float64 matrix per task setup;
+        # past ~400 MB that is a broadcast problem, not an assign
+        # problem — train a coarser quantizer or shard the assign
+        raise ValueError(
+            f"ivf_assign_table: centroid matrix has {C.size} elements "
+            "(> 5e7); use fewer/lower-dim centroids"
+        )
+    k, dim = C.shape
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        out = pd.Series([0] * len(v), dtype="int32")
+        ok = v.apply(lambda x: x is not None and len(x) == dim)
+        if ok.any():
+            V = np.array([[float(x) for x in vec] for vec in v[ok]],
+                         dtype=np.float64)
+            d2 = np.zeros((V.shape[0], k))
+            for j in range(dim):
+                diff = V[:, j:j + 1] - C[None, :, j]
+                d2 += diff * diff
+            out[ok.to_numpy()] = d2.argmin(axis=1).astype("int32")
+        return out
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def ivf_centroids_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
                               n_centroids: int,
                               spread: bool = True) -> list[list[float]]:
@@ -234,10 +316,11 @@ def semantic_dedup(
     *,
     id_col: str,
     vec_col: str,
-    centroids: list[list[float]],
+    centroids,
     threshold: float = 0.95,
     cell_cap: int | None = None,
     vectorized: bool = False,
+    assign: str = "literal",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — the cluster-then-dedup-within-
     cluster recipe LLM corpora run on embeddings: k-means cells bound
@@ -283,10 +366,28 @@ def semantic_dedup(
     balance, audited by `cell_cap`; the component resolution runs
     on the near-dup pair table (rare by construction), never the
     corpus.
+
+    `assign="table"` routes the cell assignment through
+    `ivf_assign_table` (bit-identical, see its docstring) — the
+    production path once k grows past the literal expression tree's
+    ~hundreds-of-centroids ceiling; `centroids` may then also be a
+    numpy matrix or a (cell, vector) DataFrame. This is what makes
+    the paper's n/k ~ 2k balance rule EXECUTABLE at corpus scale:
+    k tracks sqrt(n/2) and the per-cell pair work stays flat
+    (measured near-linear in SCALING.md round 12) instead of the
+    fixed-k quadratic the r11 study measured.
     """
     from .dedup import connected_components
 
-    cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    if assign == "table":
+        cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
+    elif assign == "literal":
+        cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    else:
+        raise ValueError(
+            f"semantic_dedup: assign must be 'literal' or 'table', "
+            f"got {assign!r}"
+        )
     base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
     eligible = base
     if cell_cap is not None:
@@ -381,6 +482,10 @@ def contrastive_triplets(
     planes: list[list[float]] | None = None,
     salt_buckets: int = 16,
     vectorized: bool = False,
+    max_anchors: int = 50_000,
+    by_cell: bool = False,
+    centroids=None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Contrastive-learning training triplets (anchor, positive,
     HARD negative) mined from the corpus itself — the data-prep step
@@ -421,10 +526,27 @@ def contrastive_triplets(
     scores neighbors with knn_join_topk's numpy kernel (bit-equal,
     integer ids required) — the production path when the anchor set
     is large.
+
+    `max_anchors` (default 50k, the `knn_join_topk` bound) makes the
+    driver-side anchor collection fail LOUDLY instead of OOMing the
+    driver on a near-dup-heavy corpus: past the bound, switch to
+    `by_cell=True` (with `centroids`) — it delegates to
+    `contrastive_triplets_by_cell`, the IVF-cell-local form that
+    never collects anchors at all (see its docstring for the
+    cell-boundary divergence).
     """
     if k_neg < 1:
         raise ValueError(
             f"contrastive_triplets: k_neg must be >= 1, got {k_neg}"
+        )
+    if by_cell:
+        if centroids is None:
+            raise ValueError(
+                "contrastive_triplets: by_cell=True requires centroids"
+            )
+        return contrastive_triplets_by_cell(
+            df, id_col=id_col, vec_col=vec_col, centroids=centroids,
+            pos_threshold=pos_threshold, k_neg=k_neg, cell_cap=cell_cap,
         )
     pairs = embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, threshold=pos_threshold,
@@ -447,8 +569,21 @@ def contrastive_triplets(
 
     sym = sym.persist()
     # driver-side scalars, both bounded by the (rare) near-dup set:
-    # the anchor list and the max per-anchor positive degree
+    # the anchor list and the max per-anchor positive degree. The
+    # count gate runs BEFORE collect_list so an anchor explosion
+    # (loose threshold on a near-dup-heavy corpus) raises instead of
+    # OOMing the driver — sym is cached, so the extra count is one
+    # cheap agg over the cached pair table.
     deg = sym.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("d"))
+    n_anchors = deg.count()
+    if n_anchors > max_anchors:
+        sym.unpersist()
+        raise ValueError(
+            f"contrastive_triplets: {n_anchors} anchors exceeds "
+            f"max_anchors={max_anchors}; the driver-collected anchor "
+            "list and the knn probe broadcast would explode — tighten "
+            "pos_threshold or use contrastive_triplets_by_cell"
+        )
     stats = deg.agg(
         F.collect_list("anchor_id").alias("anchors"),
         F.max("d").alias("max_deg"),
@@ -493,6 +628,258 @@ def contrastive_triplets(
         "neg_cosine",
     )
     return _release_after(out, sym)
+
+
+def contrastive_triplets_by_cell(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    pos_threshold: float = 0.95,
+    k_neg: int = 2,
+    cell_cap: int | None = None,
+    assign: str = "literal",
+) -> DataFrame:
+    """`contrastive_triplets` mined inside IVF cells — the form that
+    survives corpora where anchors stop being driver-bounded: the
+    global miner collects every near-dup endpoint to the driver and
+    broadcasts it as a knn probe list (its `max_anchors` guard fails
+    loudly past 50k); here NOTHING is collected — positives, the
+    exclusion, and the hard-negative ranking are all CELL-LOCAL
+    equi-joins on the same k-means cells `semantic_dedup` partitions
+    by, so the whole mine is shuffle-on-cell + per-anchor windows
+    bounded by cell size.
+
+    Semantics vs the global form (same output schema): positives are
+    near-dup pairs WITHIN a cell (cosine >= `pos_threshold`; pairs
+    straddling a Voronoi boundary are missed — the SemDeDup trade),
+    and negatives are each anchor's top-`k_neg` most-similar
+    non-positive neighbors WITHIN ITS CELL (by cosine desc, id asc,
+    after excluding the anchor itself and ALL its positives;
+    zero-norm/NULL-cosine candidates are excluded). An anchor whose
+    cell holds no eligible negatives emits no rows. Deterministic and
+    fully engine-replayable — the oracle twin replays the cell
+    argmin, the pair join, the exclusion, and the rank verbatim.
+
+    `cell_cap` skips BOTH pair mining and negative mining inside
+    cells larger than the cap (the semantic_dedup skew guard — a
+    degenerate quantizer cell would otherwise go quadratic twice).
+    `assign="table"` routes the cell assignment through
+    `ivf_assign_table` (bit-identical; k can track corpus size).
+
+    Scale shape: one cell-keyed shuffle feeds pair mining and
+    negative scoring; candidate volume is O(sum cell_size^2),
+    bounded by quantizer balance exactly like semantic_dedup; the
+    per-anchor rank window sees at most cell_size rows. No driver
+    state, no broadcast that grows with the corpus.
+    """
+    if k_neg < 1:
+        raise ValueError(
+            f"contrastive_triplets_by_cell: k_neg must be >= 1, "
+            f"got {k_neg}"
+        )
+    if assign == "table":
+        cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
+    elif assign == "literal":
+        cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    else:
+        raise ValueError(
+            f"contrastive_triplets_by_cell: assign must be 'literal' "
+            f"or 'table', got {assign!r}"
+        )
+    base = cells.select(
+        F.col("cell"), F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n"),
+    )
+    eligible = base
+    if cell_cap is not None:
+        if cell_cap < 1:
+            raise ValueError(
+                f"contrastive_triplets_by_cell: cell_cap must be >= 1, "
+                f"got {cell_cap}"
+            )
+        hot = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_nrows"))
+            .where(F.col("_nrows") > cell_cap)
+            .select("cell")
+        )
+        eligible = base.join(hot, "cell", "left_anti")
+    left = eligible.select(
+        "cell", F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    right = eligible.select(
+        "cell", F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    pair_sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
+                         F.col("_na") * F.col("_nb"))
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", F.round(pair_sim, 6))
+        .where(F.col("_sim") >= pos_threshold)
+        .select("id_a", "id_b")
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("anchor_id"), F.col("id_a").alias("positive_id")
+    ))
+    # sym feeds three consumers (anchor projection, exclusion,
+    # re-attach) — same near-dup-bounded cache as the global form
+    from awskinesisconsumer_spark.operators.caching import (
+        release_after as _release_after,
+    )
+
+    sym = sym.persist()
+    anchors = (
+        sym.select("anchor_id").distinct()
+        .join(
+            eligible.select(
+                "cell", F.col("_id").alias("anchor_id"),
+                F.col("_v").alias("_av"), F.col("_n").alias("_an"),
+            ),
+            "anchor_id",
+        )
+    )
+    neg_sim = _safe_div(_dot(F.col("_av"), F.col("_v")),
+                        F.col("_an") * F.col("_n"))
+    scored = (
+        anchors.join(eligible, "cell")
+        .where(F.col("_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", F.col("_id").alias("neighbor_id"),
+            F.round(neg_sim, 6).alias("neg_cosine"),
+        )
+        .where(F.col("neg_cosine").isNotNull())
+    )
+    non_pos = scored.join(
+        sym.select("anchor_id", F.col("positive_id").alias("neighbor_id")),
+        ["anchor_id", "neighbor_id"], "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("neg_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    negs = (
+        non_pos.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= k_neg)
+        .select("anchor_id", F.col("neighbor_id").alias("negative_id"),
+                "neg_rank", "neg_cosine")
+    )
+    out = sym.join(negs, "anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "neg_rank",
+        "neg_cosine",
+    )
+    return _release_after(out, sym)
+
+
+def semantic_dedup_keep(sem: DataFrame, df: DataFrame, *, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """The kept-representative table a `semantic_dedup` run freezes
+    for the streaming apply stage: one row per kept doc — (cell,
+    rep_id, rep_vec). Just a projection + join back for the vectors;
+    split out so the freeze artifact has a named shape."""
+    return (
+        sem.where(F.col("kept"))
+        .select(F.col("cell"), F.col(id_col).alias("rep_id"))
+        .join(
+            df.select(F.col(id_col).alias("rep_id"),
+                      F.col(vec_col).alias("rep_vec")),
+            "rep_id",
+        )
+        .select("cell", "rep_id", "rep_vec")
+    )
+
+
+def semantic_dedup_apply(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    reps: DataFrame,
+    threshold: float = 0.95,
+    assign: str = "literal",
+) -> DataFrame:
+    """The APPLY half of the frozen-SemDeDup split (the
+    quality-cuts / whitening / importance freeze-apply pattern, on
+    embeddings): arriving docs are assigned to the FROZEN k-means
+    cells and scored against that cell's frozen KEPT representatives
+    (`reps`: the (cell, rep_id, rep_vec) table `semantic_dedup_keep`
+    extracts from a batch `semantic_dedup` run over the reference
+    corpus) — a doc is a duplicate iff some same-cell rep scores
+    cosine >= `threshold`. This is how SemDeDup deploys at ingest:
+    the expensive pairwise/CC resolution runs offline once; the live
+    feed only pays one cell argmin + a broadcast join against the
+    (rare, kept) reps.
+
+    Returns (id, cell, max_rep_cosine, matched_rep_id, is_dup): max
+    over the cell's reps EXCLUDING the doc itself (so replaying the
+    reference corpus doesn't self-match), matched_rep_id = the
+    argmax rep (ties to the lowest rep id), NULL/zero-norm cosines
+    excluded, docs with no scorable rep flagged is_dup=false.
+
+    Per-row results depend only on (row, centroids, reps) — never on
+    other rows — so the op is STREAMING-NATIVE map-side work (the
+    appended union over micro-batches EQUALS the batch apply over
+    all arrived rows; `streaming/pipeline.py semantic_dedup_stream`
+    wraps it) and the batch oracle gates it verbatim.
+
+    Scale shape: cell assignment is the narrow argmin (literal or
+    `assign="table"` for large k); reps are near-dup-cluster heads —
+    bounded by the reference's cluster count — and BROADCAST; the
+    groupBy key is the doc id over the (doc x cell-local reps)
+    candidates, map-side combinable. The corpus/stream is never
+    shuffled beyond that partial agg.
+    """
+    if assign == "table":
+        cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
+    elif assign == "literal":
+        cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    else:
+        raise ValueError(
+            f"semantic_dedup_apply: assign must be 'literal' or "
+            f"'table', got {assign!r}"
+        )
+    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    r = reps.select(
+        F.col("cell"), F.col("rep_id").alias("_rid"),
+        F.col("rep_vec").alias("_rv"),
+    )
+    sim = F.round(
+        _safe_div(_dot(F.col(vec_col), F.col("_rv")),
+                  _norm(F.col(vec_col)) * _norm(F.col("_rv"))),
+        6,
+    )
+    scored = (
+        base.join(F.broadcast(r), "cell")
+        .where(F.col(id_col) != F.col("_rid"))
+        .select(id_col, "cell", F.col("_rid"), sim.alias("_sim"))
+        .where(F.col("_sim").isNotNull())
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("_sim").alias("max_rep_cosine"),
+            F.min_by("_rid", F.struct(
+                (-F.col("_sim")).alias("s"), F.col("_rid").alias("i")
+            )).alias("matched_rep_id"),
+        )
+    )
+    return (
+        base.select(id_col, "cell").join(best, id_col, "left")
+        .select(
+            id_col, "cell", "max_rep_cosine", "matched_rep_id",
+            F.coalesce(
+                F.col("max_rep_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
 
 
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -1095,6 +1095,70 @@ def quality_blend_stream(
     return writer.start()
 
 
+def semantic_dedup_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.95,
+    out_path: str,
+    checkpoint: str,
+    assign: str = "literal",
+    trigger_available_now: bool = True,
+):
+    """Streaming SemDeDup against a FROZEN dedup state: the k-means
+    cells and the per-cell KEPT representatives come from one batch
+    `semantic_dedup` run over the REFERENCE corpus (the expensive
+    pairwise + connected-components resolution, offline), then every
+    arriving micro-batch is cell-assigned and scored against its
+    cell's frozen reps map-only (`similarity.semantic_dedup_apply`)
+    — the ingest-time near-dup gate a curation deployment actually
+    runs: flag incoming docs against the corpus they'll be joining,
+    instead of re-clustering per batch and silently shifting which
+    representative wins.
+
+    Per-row results depend only on (row, centroids, reps) — never on
+    other rows of the batch — so the appended union EQUALS the
+    single-batch apply over all arrived rows regardless of arrival
+    chunking (the `quality_blend_stream` freeze/apply contract), and
+    a batch oracle replaying assign + rep-join + argmax gates it
+    verbatim. No state store, no watermark; the reps table is a
+    bounded batch DataFrame broadcast into each micro-batch plan.
+
+    Returns the started StreamingQuery.
+    """
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_apply, semantic_dedup_keep,
+    )
+
+    sem = semantic_dedup(
+        reference, id_col=id_col, vec_col=vec_col,
+        centroids=centroids, threshold=threshold, assign=assign,
+    )
+    reps = semantic_dedup_keep(
+        sem, reference, id_col=id_col, vec_col=vec_col
+    ).persist()
+    reps.count()  # freeze NOW — one batch job, before the stream starts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = semantic_dedup_apply(
+            batch_df, id_col=id_col, vec_col=vec_col,
+            centroids=centroids, reps=reps, threshold=threshold,
+            assign=assign,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def frame_sample_stream(
     frames: DataFrame,
     *,
@@ -1247,9 +1311,13 @@ def pack_sequences_stream(
             .sort_values(id_col, kind="mergesort")
             .reset_index(drop=True)
         )
+        # NULLs -> 0 exactly like batch pack_sequences' coalesce;
+        # negative counts are CALLER ERROR and flow through
+        # unclamped so the 'union == batch' algebra stays identical
+        # (r11 ADVICE on token_quota_stream, same rule here)
         toks = (
             pd.to_numeric(pdf[token_col], errors="coerce")
-            .fillna(0).astype("int64").clip(lower=0)
+            .fillna(0).astype("int64")
         )
         ends = off + toks.cumsum()
         starts = ends - toks
@@ -1305,7 +1373,10 @@ def token_quota_stream(
     Scale shape: identical to `pack_sequences_stream` — shards admit
     in PARALLEL, state is ONE long per shard at any corpus size,
     each micro-batch shuffles only its own arrivals. Zero/NULL-token
-    docs cost nothing and are always kept while the quota lasts.
+    docs cost nothing and are always kept while the quota lasts;
+    NEGATIVE token counts are caller error and flow through
+    unclamped (identical to `budget_select`'s algebra — clamping
+    here would silently diverge from the batch twin).
     """
     from pyspark.sql.types import BooleanType as _Bool
     from pyspark.sql.types import LongType as _Long
@@ -1337,9 +1408,14 @@ def token_quota_stream(
             .sort_values(id_col, kind="mergesort")
             .reset_index(drop=True)
         )
+        # NULLs coalesce to 0 exactly like the batch twin
+        # (budget_select); negative counts are CALLER ERROR and flow
+        # through unclamped — a clip here would break the documented
+        # 'union == per-shard batch cumsum' equivalence for negative
+        # inputs (r11 ADVICE)
         toks = (
             pd.to_numeric(pdf[token_col], errors="coerce")
-            .fillna(0).astype("int64").clip(lower=0)
+            .fillna(0).astype("int64")
         )
         cums = off + toks.cumsum()
         out = pdf[[shard_col, id_col]].copy()

@@ -1,0 +1,538 @@
+"""Round-12 operator tests: the r11 verdict's two scale levers —
+`ivf_assign_table` (centroid-TABLE assign, bit-identical to the
+literal argmin, unblocking SemDeDup's n/k ~ 2k rule) and
+`contrastive_triplets_by_cell` (cell-local mining, no driver anchor
+collection) — the frozen-SemDeDup streaming split
+(`semantic_dedup_apply` / `semantic_dedup_stream`), and the four r11
+ADVICE regression pins (budget_select NaN priorities, token-quota /
+pack-sequences negative-token algebra, the standalone simhash
+capped-bucket audit, the contrastive anchor guard).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from awskinesisconsumer_spark.io import load_table
+from awskinesisconsumer_spark.operators.similarity import (
+    contrastive_triplets,
+    contrastive_triplets_by_cell,
+    ivf_assign,
+    ivf_assign_table,
+    ivf_centroids_from_sample,
+    semantic_dedup,
+    semantic_dedup_apply,
+    semantic_dedup_keep,
+)
+
+SF = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _cmp(sdf, con, sql, float_cols=()):
+    cols = sorted(sdf.columns)
+
+    def canon(v, f):
+        if v is None:
+            return "NULL"
+        if f or isinstance(v, float):
+            fv = float(v)
+            return "NaN" if math.isnan(fv) else f"{fv:.6f}"
+        return str(v)
+
+    srows = sorted(
+        tuple(canon(r[c], c in float_cols) for c in cols)
+        for r in sdf.collect()
+    )
+    tbl = con.execute(sql).fetch_arrow_table()
+    dcols = sorted(tbl.column_names)
+    assert dcols == cols, (dcols, cols)
+    drows = sorted(
+        tuple(canon(r[c], c in float_cols) for c in dcols)
+        for r in tbl.to_pylist()
+    )
+    assert srows == drows, (
+        f"{len(srows)} vs {len(drows)} rows; first spark-only: "
+        f"{[r for r in srows if r not in set(drows)][:2]}; first "
+        f"duck-only: {[r for r in drows if r not in set(srows)][:2]}"
+    )
+    return len(srows)
+
+
+# ---- ivf_assign_table: the SemDeDup scale lever ---------------------
+
+def test_ivf_assign_table_equals_literal_on_fixture(spark):
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    lit = ivf_assign(emb, vec_col="embedding", centroids=cents)
+    tab = ivf_assign_table(emb, vec_col="embedding", centroids=cents)
+    cols = ["vec_id", "cell"]
+    assert sorted(map(tuple, lit.select(cols).collect())) == sorted(
+        map(tuple, tab.select(cols).collect())
+    )
+
+
+def test_ivf_assign_table_degenerate_rows_match_literal(spark):
+    # NULL vectors, dim-mismatched vectors (zip_with pads with NULL ->
+    # NULL distance), and NaN elements all collapse to cell 0 on the
+    # literal path (NULL/NaN distance structs sort first in the
+    # array_min); the kernel pins the same collapse.
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.0, 0.0]), (4, [5.0]),
+         (5, [float("nan"), 1.0]), (6, [3.9, 3.9])],
+        "id long, v array<double>",
+    )
+    cents = [[1.0, 1.0], [4.0, 4.0], [0.1, 0.1]]
+    lit = {(r["id"], r["cell"]) for r in
+           ivf_assign(df, vec_col="v", centroids=cents).collect()}
+    tab = {(r["id"], r["cell"]) for r in
+           ivf_assign_table(df, vec_col="v", centroids=cents).collect()}
+    assert lit == tab
+    assert (2, 0) in tab and (4, 0) in tab and (5, 0) in tab
+    assert (6, 1) in tab  # a real assignment, not everything-zero
+
+
+def test_ivf_assign_table_accepts_centroid_dataframe(spark):
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, embedding array<double>",
+    )
+    from_list = ivf_assign_table(
+        emb, vec_col="embedding", centroids=cents
+    )
+    from_df = ivf_assign_table(
+        emb, vec_col="embedding", centroids=cdf,
+        centroid_vec_col="embedding",
+    )
+    cols = ["vec_id", "cell"]
+    assert sorted(map(tuple, from_list.select(cols).collect())) == sorted(
+        map(tuple, from_df.select(cols).collect())
+    )
+
+
+def test_ivf_assign_table_validates(spark):
+    emb = load_table(spark, "embeddings", SF)
+    bad_ids = spark.createDataFrame(
+        [(1, [0.0] * 64), (3, [1.0] * 64)],
+        "cell int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ids must be exactly"):
+        ivf_assign_table(emb, vec_col="embedding", centroids=bad_ids)
+    with pytest.raises(ValueError, match=r"\(k, dim\)"):
+        ivf_assign_table(emb, vec_col="embedding", centroids=[])
+
+
+def test_semantic_dedup_table_assign_bit_identical(spark):
+    # The verdict's done-criterion: equality vs the literal path on
+    # the gate fixture — same cells, same clusters, same kept flags.
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    lit = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3,
+    )
+    tab = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3, assign="table",
+    )
+    cols = ["vec_id", "cell", "cluster_id", "kept"]
+    assert sorted(map(tuple, lit.select(cols).collect())) == sorted(
+        map(tuple, tab.select(cols).collect())
+    )
+    with pytest.raises(ValueError, match="assign must be"):
+        semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                       centroids=cents, assign="nope")
+
+
+# ---- contrastive_triplets_by_cell -----------------------------------
+
+def _by_cell_sql(threshold: float, k_neg: int) -> str:
+    import __spark_entry__ as m
+
+    cos = m._sql_cosine
+    l2 = m._sql_l2
+    return f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {cos('a.embedding', 'b.embedding')} >= {threshold}),
+        sym AS (
+          SELECT id_a AS anchor_id, id_b AS positive_id FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+        anch AS (SELECT DISTINCT anchor_id FROM sym),
+        scored AS (
+          SELECT a.anchor_id, c.vec_id AS neighbor_id,
+                 {cos('av.embedding', 'c.embedding')} AS neg_cosine
+          FROM anch a
+          JOIN cells av ON av.vec_id = a.anchor_id
+          JOIN cells c ON c.cell = av.cell
+                      AND c.vec_id <> a.anchor_id),
+        np AS (
+          SELECT * FROM scored s
+          WHERE neg_cosine IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM sym
+                            WHERE sym.anchor_id = s.anchor_id
+                              AND sym.positive_id = s.neighbor_id)),
+        rk AS (
+          SELECT anchor_id, neighbor_id AS negative_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY neg_cosine DESC, neighbor_id) AS INT)
+                   AS neg_rank,
+                 neg_cosine
+          FROM np)
+        SELECT sym.anchor_id, sym.positive_id, rk.negative_id,
+               rk.neg_rank, rk.neg_cosine
+        FROM sym JOIN rk ON rk.anchor_id = sym.anchor_id
+        WHERE rk.neg_rank <= {k_neg}
+    """
+
+
+def test_contrastive_by_cell_oracle_parity(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    out = contrastive_triplets_by_cell(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        pos_threshold=0.3, k_neg=2,
+    )
+    n = _cmp(out, _duck(SF_ORACLE), _by_cell_sql(0.3, 2),
+             float_cols=("neg_cosine",))
+    assert n > 0
+
+
+def test_contrastive_by_cell_invariants_and_delegation(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    out = contrastive_triplets_by_cell(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        pos_threshold=0.3, k_neg=2,
+    )
+    rows = out.collect()
+    assert rows
+    pos_by_anchor: dict = {}
+    for r in rows:
+        pos_by_anchor.setdefault(r["anchor_id"], set()).add(
+            r["positive_id"]
+        )
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["negative_id"] not in pos_by_anchor[r["anchor_id"]]
+        assert 1 <= r["neg_rank"] <= 2
+    via_flag = contrastive_triplets(
+        emb, id_col="vec_id", vec_col="embedding",
+        pos_threshold=0.3, k_neg=2, by_cell=True, centroids=cents,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, via_flag.collect())
+    )
+    with pytest.raises(ValueError, match="requires centroids"):
+        contrastive_triplets(emb, id_col="vec_id", vec_col="embedding",
+                             by_cell=True)
+    with pytest.raises(ValueError, match="k_neg must be >= 1"):
+        contrastive_triplets_by_cell(
+            emb, id_col="vec_id", vec_col="embedding",
+            centroids=cents, k_neg=0,
+        )
+
+
+def test_contrastive_anchor_guard_raises_loudly(spark):
+    # r11 ADVICE: the driver-side anchor collection must fail loudly,
+    # not OOM — a tiny max_anchors trips it on the real fixture.
+    emb = load_table(spark, "embeddings", SF)
+    with pytest.raises(ValueError, match="exceeds max_anchors"):
+        contrastive_triplets(
+            emb, id_col="vec_id", vec_col="embedding",
+            pos_threshold=0.1, k_neg=1, max_anchors=1,
+        )
+
+
+# ---- frozen-SemDeDup apply + stream ----------------------------------
+
+def _apply_sql(threshold: float) -> str:
+    import __spark_entry__ as m
+
+    cos = m._sql_cosine
+    l2 = m._sql_l2
+    return f"""
+        WITH RECURSIVE cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {cos('a.embedding', 'b.embedding')} >= {threshold}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+        reps AS (
+          SELECT c.cell, c.vec_id AS rep_id, c.embedding AS rep_vec
+          FROM cells c LEFT JOIN cc ON cc.node = c.vec_id
+          WHERE c.vec_id = COALESCE(cc.cid, c.vec_id)),
+        scored AS (
+          SELECT c.vec_id, r.rep_id,
+                 {cos('c.embedding', 'r.rep_vec')} AS sim
+          FROM cells c JOIN reps r
+            ON r.cell = c.cell AND r.rep_id <> c.vec_id),
+        ranked AS (
+          SELECT vec_id, rep_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, rep_id) AS rn
+          FROM scored WHERE sim IS NOT NULL),
+        best AS (SELECT vec_id, sim AS max_rep_cosine,
+                        rep_id AS matched_rep_id
+                 FROM ranked WHERE rn = 1)
+        SELECT c.vec_id, c.cell, max_rep_cosine, matched_rep_id,
+               COALESCE(max_rep_cosine >= {threshold}, FALSE) AS is_dup
+        FROM cells c LEFT JOIN best ON best.vec_id = c.vec_id
+    """
+
+
+def test_semantic_dedup_apply_oracle_parity_and_invariants(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    sem = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3,
+    )
+    reps = semantic_dedup_keep(sem, emb, id_col="vec_id",
+                               vec_col="embedding")
+    out = semantic_dedup_apply(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, reps=reps, threshold=0.3,
+    )
+    n = _cmp(out, _duck(SF_ORACLE), _apply_sql(0.3),
+             float_cols=("max_rep_cosine",))
+    assert n == emb.count()
+    # kept reps of one cell are pairwise below threshold (else they'd
+    # share a cluster), so replaying the corpus flags NO kept doc
+    kept_ids = {r["rep_id"] for r in reps.collect()}
+    flagged = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+    assert not (kept_ids & flagged)
+    # and every non-singleton cluster member with a direct edge to its
+    # head IS flagged — the fixture has real dups at 0.3, so some are
+    assert flagged
+
+
+def test_semantic_dedup_stream_equals_batch_apply(spark):
+    import os
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    src = tempfile.mkdtemp(prefix="semdedup_src_")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out_path = tempfile.mkdtemp(prefix="semdedup_out_")
+    q = semantic_dedup_stream(
+        stream, emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3, out_path=out_path,
+        checkpoint=tempfile.mkdtemp(prefix="semdedup_ckpt_"),
+    )
+    assert q.awaitTermination(300)
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 3
+    sem = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3,
+    )
+    reps = semantic_dedup_keep(sem, emb, id_col="vec_id",
+                               vec_col="embedding")
+    batch = semantic_dedup_apply(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, reps=reps, threshold=0.3,
+    )
+    cols = ["vec_id", "cell", "max_rep_cosine", "matched_rep_id",
+            "is_dup"]
+    got = sorted(map(tuple,
+                     spark.read.parquet(out_path).select(cols).collect()))
+    want = sorted(map(tuple, batch.select(cols).collect()))
+    assert got == want
+    assert len(got) == emb.count()
+
+
+# ---- r11 ADVICE regression pins --------------------------------------
+
+def test_budget_select_nan_priority_behaves_as_null(spark):
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    nan = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, float("nan")), (3, 10, 9.0),
+         (4, 10, None)],
+        "id long, toks long, p double",
+    )
+    null = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, None), (3, 10, 9.0), (4, 10, None)],
+        "id long, toks long, p double",
+    )
+    kw = dict(id_col="id", token_col="toks", priority_col="p",
+              budget=25, lo=0.0, hi=10.0, n_bins=4)
+    got = sorted(map(tuple, budget_select(nan, **kw).collect()))
+    want = sorted(map(tuple, budget_select(null, **kw).collect()))
+    assert got == want
+    # NaN must NOT outrank the scored docs: ids 3 (p=9) and 1 (p=5)
+    # fill the 25-token budget; the NaN doc is cut with the NULLs
+    kept = {r[0] for r in got if r[3]}
+    assert kept == {1, 3}
+
+
+def test_token_quota_and_pack_negative_tokens_match_batch(spark):
+    # r11 ADVICE: negative token counts must flow through UNCLAMPED so
+    # the streaming cumsum equals the batch twin's algebra exactly.
+    import os
+    import tempfile
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        token_quota_stream,
+    )
+
+    rows = [(0, 1, 5), (0, 2, -3), (0, 3, 4), (1, 4, -2), (1, 5, 10)]
+    docs = spark.createDataFrame(
+        rows, "shard long, doc_id long, n_tokens bigint"
+    )
+    src = tempfile.mkdtemp(prefix="negquota_src_")
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        part = os.path.join(src, f"part{i}")
+        spark.createDataFrame(
+            chunk, "shard long, doc_id long, n_tokens bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(part)
+        for root, _dirs, files in os.walk(part):
+            for fname in files:
+                os.utime(os.path.join(root, fname),
+                         (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream
+        .schema("shard long, doc_id long, n_tokens bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "part*"))
+    )
+    out = token_quota_stream(
+        stream, shard_col="shard", id_col="doc_id",
+        token_col="n_tokens", quota=6,
+    )
+    import tempfile as _tf
+
+    name = "neg_quota_stream"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="negq_ckpt_"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["kept"])
+        for r in spark.table(name).collect()
+    }
+    # batch algebra: per-shard id-ordered cumsum WITH negatives
+    assert got == {
+        1: (5, True), 2: (2, True), 3: (6, True),
+        4: (-2, True), 5: (8, False),
+    }
+
+
+def test_simhash_capped_buckets_visible_when_pairs_empty(spark):
+    from awskinesisconsumer_spark.operators.dedup import (
+        simhash_capped_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    # fully boilerplate corpus: every doc identical -> every band
+    # bucket hot at cap 5 -> ZERO pairs, which with_capped_audit
+    # renders invisible; the standalone audit still reports it
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text again and again") for i in
+         range(20)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", bits=16,
+        max_hamming=3, bands=4, hot_cap=5, with_capped_audit=True,
+    )
+    assert pairs.count() == 0  # the r11 ADVICE blind spot
+    audit = simhash_capped_buckets(
+        docs, id_col="doc_id", text_col="text", bits=16, bands=4,
+        hot_cap=5,
+    ).head()
+    assert audit["n_capped_buckets"] == 4  # all 4 bands, one bucket each
+    assert audit["n_capped_rows"] == 80
+    # uncapped form reports zeros
+    off = simhash_capped_buckets(
+        docs, id_col="doc_id", text_col="text", bits=16, bands=4,
+        hot_cap=None,
+    ).head()
+    assert off["n_capped_buckets"] == 0 and off["n_capped_rows"] == 0
