@@ -5013,25 +5013,179 @@ def _ul2_plan(spark: SparkSession, sf: str) -> DataFrame:
     return ul2_plan(docs, id_col="doc_id", text_col="text")
 
 
+def _semantic_dedup_table(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup with the centroid-TABLE assign path
+    # (operators/similarity.py ivf_assign_table): the r11 verdict's
+    # scale lever — the literal argmin is an O(k) expression tree
+    # capping k at ~hundreds, while the paper's n/k ~ 2k balance rule
+    # needs k to track corpus size; the table form broadcasts the
+    # centroid matrix into an Arrow-batched numpy argmin kernel,
+    # BIT-IDENTICAL to the literal fold (dim-sequential accumulation,
+    # first-min ties — pinned in tests/test_round12_ops.py), so the
+    # ext-dedup-semantic oracle gates this path verbatim.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3, assign="table",
+    )
+
+
+def _semantic_dedup_vec(spark: SparkSession, sf: str) -> DataFrame:
+    # The PRODUCTION-kernel SemDeDup bench line the r11 verdict asked
+    # for (the CDC-prod pattern): vectorized=True scores each cell's
+    # pairwise cosines with the Arrow-batched dim-sequential numpy
+    # kernel — bit-identical pair set (pinned in
+    # tests/test_round11_ops.py), so the ext-dedup-semantic oracle
+    # gates this form too (hash-green, not rows-only).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3, vectorized=True,
+    )
+
+
+def _knn_join_vec(spark: SparkSession, sf: str) -> DataFrame:
+    # The PRODUCTION-kernel batch k-NN join bench line (r11 verdict):
+    # knn_join_topk(vectorized=True) — the Arrow-batched
+    # dim-sequential numpy cosine kernel, bit-equal to the HOF form
+    # on non-degenerate inputs (the embeddings tables have no NULL /
+    # zero-norm vectors at any SF, verified), so the ext-knn-join
+    # oracle gates this form verbatim.
+    from awskinesisconsumer_spark.operators.similarity import knn_join_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    return knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding",
+        probe_ids=list(range(16)), k=5, vectorized=True,
+    )
+
+
+def _contrastive_by_cell(spark: SparkSession, sf: str) -> DataFrame:
+    # Cell-local contrastive triplet mining (operators/similarity.py
+    # contrastive_triplets_by_cell): the r11 verdict's fix for the
+    # global miner's driver-collected anchor list — positives, the
+    # exclusion anti-join and the hard-negative ranking all run as
+    # cell-keyed equi-joins on the SemDeDup k-means cells; nothing is
+    # collected, per-anchor windows are bounded by cell size.
+    # Positives/negatives are cell-local BY DESIGN (the documented
+    # Voronoi-boundary divergence from ext-contrastive-triplets).
+    # Twin replays the cell argmin + pair join + exclusion + rank
+    # (proven in tests/test_round12_ops.py).
+    from awskinesisconsumer_spark.operators.similarity import (
+        contrastive_triplets_by_cell, ivf_centroids_from_sample,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return contrastive_triplets_by_cell(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, pos_threshold=0.3, k_neg=2,
+    )
+
+
+def _stream_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming SemDeDup against a FROZEN dedup state
+    # (streaming/pipeline.py semantic_dedup_stream): cells + kept
+    # representatives from one batch semantic_dedup over the
+    # reference corpus, then arriving docs are cell-assigned and
+    # scored against their cell's frozen reps map-only per
+    # micro-batch. Per-row determinism => appended union == batch
+    # semantic_dedup_apply over all arrivals (the freeze/apply
+    # contract quality-cuts/whitening/importance already use), so
+    # the batch assign+rep-join+argmax twin gates it verbatim
+    # (proven in tests/test_round12_ops.py).
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    src = tempfile.mkdtemp(prefix="semded_src_")
+    out_path = tempfile.mkdtemp(prefix="semded_out_") + "/sd"
+    ckpt = tempfile.mkdtemp(prefix="semded_ckpt_")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    q = semantic_dedup_stream(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3,
+        out_path=out_path, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-dedup-semantic: timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-dedup-semantic: expected >= 3 micro-batches, "
+            f"got {n_batches}"
+        )
+    return spark.read.parquet(out_path)
+
+
+def _simhash_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # Standalone hot-cap recall audit (operators/dedup.py
+    # simhash_capped_buckets, r11 ADVICE): one row of
+    # (n_capped_buckets, n_capped_rows) that stays visible even when
+    # the cap suppresses EVERY pair — the blind spot of the
+    # pair-riding with_capped_audit column. portable_hash52 + the
+    # same banding arithmetic as ext-dedup-simhash-pairs, so the
+    # twin reuses those fingerprint/banding fragments with a tighter
+    # cap (25) that actually trips on the fixture.
+    from awskinesisconsumer_spark.operators.dedup import (
+        simhash_capped_buckets,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return simhash_capped_buckets(
+        docs, id_col="doc_id", text_col="text", bits=16, bands=4,
+        hash_fn=portable_hash52, hot_cap=25,
+    )
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    "ext-train-batch", "ext-dedup-keep-best-capped",
-    "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
-    # second wave, registered mid-round (the r8/r9 pattern): each
-    # displaces one r7 veteran from the window tail to r12.
-    "ext-budget-select", "ext-curriculum-order",
-    "ext-dedup-semantic", "stream-mixture-expand",
-    # third wave: the UL2 mixture-of-denoisers plan + its
-    # end-to-end rendered training pairs, and contrastive
-    # hard-negative triplet mining.
-    "ext-ul2-plan", "ext-ul2-pairs", "ext-contrastive-triplets",
-    # fourth wave: ingest-time per-shard token-quota admission and
-    # the PSM/SPM FIM serialization.
-    "stream-token-quota", "ext-fim-serialize",
+    # r12 first wave — the r11 verdict's two scale levers + the
+    # production-kernel bench forms + the frozen-SemDeDup stream +
+    # the standalone cap audit:
+    "ext-dedup-semantic-table", "ext-dedup-semantic-vec",
+    "ext-knn-join-vec", "ext-contrastive-by-cell",
+    "stream-dedup-semantic", "ext-simhash-cap-audit",
+    # CHANGED this round (operator-module semantics fixed per r11
+    # ADVICE — NaN priorities, unclamped negative tokens, the
+    # max_anchors guard, the assign= parameter — so the driver
+    # re-gates them even though the entry fingerprints are stable):
+    "ext-budget-select", "stream-token-quota", "ext-dedup-semantic",
+    "ext-contrastive-triplets", "stream-pack-sequences",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5065,41 +5219,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- NEW in round 11: the composed raw-corpus -> packed-
-        #    training-batch gate (five chained stage twins), the
-        #    pair-capped keep-best resolution (the r9-advised
-        #    scale-killer fix, oracle replaying the cap), and the two
-        #    production-hash CDC forms (rows-only BY DESIGN —
-        #    xxhash64 has no SQL twin; they exist to carry the
-        #    production-path bench lines the r10 verdict asked for).
-        "ext-train-batch": _train_batch,
-        "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
+        # -- NEW in round 12 (the r11 verdict brief): the centroid-
+        #    TABLE SemDeDup path and its production-vectorized twin
+        #    (both share the ext-dedup-semantic oracle — the kernels
+        #    are bit-identical), the vectorized batch k-NN join, the
+        #    cell-local contrastive miner (no driver anchor list),
+        #    the frozen-SemDeDup stream, and the standalone simhash
+        #    hot-cap audit. Twins proven in tests/test_round12_ops.py.
+        "ext-dedup-semantic-table": _semantic_dedup_table,
+        "ext-dedup-semantic-vec": _semantic_dedup_vec,
+        "ext-knn-join-vec": _knn_join_vec,
+        "ext-contrastive-by-cell": _contrastive_by_cell,
+        "stream-dedup-semantic": _stream_dedup_semantic,
+        "ext-simhash-cap-audit": _simhash_cap_audit,
+        # -- CHANGED in round 12 (r11 ADVICE fixes in the operator
+        #    modules: budget_select NaN->NULL sentinel, token-quota /
+        #    pack-sequences negative-token algebra, the contrastive
+        #    max_anchors guard, semantic_dedup's assign= parameter) —
+        #    re-gated inside the window.
+        "ext-budget-select": _budget_select,
+        "stream-token-quota": _stream_token_quota,
+        "ext-dedup-semantic": _semantic_dedup,
+        "ext-contrastive-triplets": _contrastive_triplets,
+        "stream-pack-sequences": _stream_pack_sequences,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- second r11 wave: token-budget selection, curriculum
-        #    layout, SemDeDup (k-means-cell embedding dedup), and the
-        #    streaming-native mixture expansion (shares the batch
-        #    twin verbatim) — twins proven in tests/test_round11_ops.py.
-        "ext-budget-select": _budget_select,
+        # -- the 16 remaining r7-record veterans, rotated in as
+        #    promised by the r11 registration comment (after this
+        #    window no registered query's latest green record is
+        #    older than r8).
+        "agg-retention-cohorts": _cohorts,
+        "stream-scd2": _stream_scd2,
+        "ext-hll-merge": _hll_merge,
+        "join-top-supplier": _top_supplier,
+        "join-above-nation-avg": _above_nation_avg,
+        "stream-hll-distinct": _stream_hll,
+        "ext-sample-weighted": _sample_weighted,
+        "ext-embedding-dim-stats": _embedding_dim_stats,
+        "ext-mixture-temperature": _mixture_temperature,
+        "stream-backpressure-multibatch": _stream_backpressure,
+        "join-full-outer-activity": _full_outer_activity,
+        "agg-forecast-revenue": _forecast_revenue,
+        "join-late-orders-exists": _late_orders_exists,
+        "ext-dedup-minhash": _dedup_minhash,
+        "join-salted-skew": _salted_join,
+        "segment-sessions-gap": _sessions_gap,
+        # -- 21 of the 44 r8-record veterans (oldest remaining
+        #    records, alphabetical; the trailing 23 ride their
+        #    ledger records one more round and rotate in r13).
+        "demux-decode-explode": _explode,
+        "enqueue-bounded-retention": _retention,
+        "error-route": _error_route,
+        "ext-audio-resample": _audio_resample,
+        "ext-bpe-train": _bpe_train,
+        "ext-cdc-chunk-text": _cdc_chunk_text,
+        "ext-compact-files": _compact_files,
+        "ext-corpus-drift": _corpus_drift,
+        "ext-curate-corpus": _curate_corpus,
+        "ext-dataset-card": _dataset_card,
+        "ext-dedup-incremental": _dedup_incremental,
+        "ext-dedup-recall": _dedup_recall,
+        "ext-dedup-span-removal": _dedup_span_removal,
+        "ext-domain-cap-topk": _domain_cap_topk,
+        "ext-dup-spans": _dup_spans,
+        "ext-frame-sample": _frame_sample,
+        "ext-html-strip": _html_strip,
+        "ext-interleave-mixture": _interleave_mixture,
+        "ext-pack-nofragment": _pack_nofragment,
+        "ext-pagerank-dups": _pagerank_dups,
+        "ext-perplexity-bigram": _perplexity_bigram,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r11 records (last round's gate head) --
+        "ext-train-batch": _train_batch,
+        "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
         "ext-curriculum-order": _curriculum_order,
-        "ext-dedup-semantic": _semantic_dedup,
         "stream-mixture-expand": _stream_mixture_expand,
         "ext-ul2-plan": _ul2_plan,
         "ext-ul2-pairs": _ul2_pairs,
-        "ext-contrastive-triplets": _contrastive_triplets,
-        "stream-token-quota": _stream_token_quota,
         "ext-fim-serialize": _fim_serialize,
-        # -- the 5 last r6-record veterans, rotated in as promised by
-        #    the r10 registration comment (no registered query's
-        #    latest green record older than r7 after this window).
         "ext-pack-sequences": _pack_sequences,
         "ext-dedup-cluster": _dedup_cluster,
         "scan-prune-elements": _scan_prune,
         "pivot-tag-assembly": _pivot_tags,
         "segment-fragments": _segment,
-        # -- 32 of the 48 r7-record veterans (oldest remaining
-        #    records, file order; the trailing 16 ride their ledger
-        #    records one more round and rotate in r12).
         "ext-snapshot-diff": _snapshot_diff,
         "stream-semantic-decontaminate": _stream_semantic_decontaminate,
         "stream-domain-cap": _stream_domain_cap,
@@ -5132,12 +5340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-ann-recall": _ann_recall,
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
-        # -- r10 records (last round's gate head: the nine r9-banked
-        #    registrations + the 41 rotated r6 veterans) --
+        # -- r10 records (the nine r9-banked registrations + the 41
+        #    rotated r6 veterans) --
         "ext-importance-score": _importance_score,
         "stream-importance-score": _stream_importance_score,
         "ext-grouped-drift": _grouped_drift,
@@ -5188,74 +5392,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- the 16 remaining r7 records (rotate in r12) --
-        "agg-retention-cohorts": _cohorts,
-        "stream-scd2": _stream_scd2,
-        "ext-hll-merge": _hll_merge,
-        "join-top-supplier": _top_supplier,
-        "join-above-nation-avg": _above_nation_avg,
-        "stream-hll-distinct": _stream_hll,
-        "ext-sample-weighted": _sample_weighted,
-        "ext-embedding-dim-stats": _embedding_dim_stats,
-        "ext-mixture-temperature": _mixture_temperature,
-        "stream-backpressure-multibatch": _stream_backpressure,
-        "join-full-outer-activity": _full_outer_activity,
-        "agg-forecast-revenue": _forecast_revenue,
-        "join-late-orders-exists": _late_orders_exists,
-        "ext-dedup-minhash": _dedup_minhash,
-        "join-salted-skew": _salted_join,
-        "segment-sessions-gap": _sessions_gap,
-        # -- r8 records --
+        # -- r8 records (the 23 riding their ledger one more round;
+        #    rotate in r13) --
         "ext-quality-blend": _quality_blend,
-        "ext-dup-spans": _dup_spans,
         "ext-shuffle-order": _shuffle_order,
-        "ext-interleave-mixture": _interleave_mixture,
-        "ext-dedup-recall": _dedup_recall,
-        "ext-pack-nofragment": _pack_nofragment,
         "ext-tokenizer-fertility": _tokenizer_fertility,
-        "ext-audio-resample": _audio_resample,
-        "ext-cdc-chunk-text": _cdc_chunk_text,
-        "ext-frame-sample": _frame_sample,
-        "ext-dataset-card": _dataset_card,
-        "ext-html-strip": _html_strip,
-        "ext-perplexity-bigram": _perplexity_bigram,
         "ext-rank-fusion": _rank_fusion_q,
         "stream-quality-blend": _stream_quality_blend,
         "stream-frame-sample": _stream_frame_sample,
         "ext-tokenize-pack": _tokenize_pack,
         "ext-validate-expectations": _validate_expectations,
-        "ext-compact-files": _compact_files,
         "ext-vocab-coverage": _vocab_coverage,
-        "ext-corpus-drift": _corpus_drift,
-        "ext-domain-cap-topk": _domain_cap_topk,
-        "ext-dedup-span-removal": _dedup_span_removal,
-        "ext-curate-corpus": _curate_corpus,
         "stream-corpus-drift": _stream_corpus_drift,
         "stream-vocab-coverage": _stream_vocab_coverage,
         "scan-element-callback": _scan_element_callback,
-        "error-route": _error_route,
-        "ext-dedup-incremental": _dedup_incremental,
         "ext-winsorize": _winsorize,
         "ext-scd2-asof": _scd2_asof,
-        "ext-bpe-train": _bpe_train,
         "stream-pause-resume": _stream_pause_resume,
         "sink-memory-bounded": _sink_memory_bounded,
         "join-asof-nearest": _asof_nearest,
         "ext-word-entropy": _word_entropy,
-        "ext-pagerank-dups": _pagerank_dups,
         "sink-manifest-commit": _manifest_sink_roundtrip,
         "stream-manifest-sink": _stream_manifest_sink,
-        "demux-decode-explode": _explode,
         "join-asof-tags": _asof,
         "join-asof-backward": _asof_backward,
         "sample-throttle-time": _throttle,
-        "enqueue-bounded-retention": _retention,
         # -- r9 records --
         "ext-multimodal-wav": _multimodal_wav,
         "ext-multimodal-png": _multimodal_png,
         "sink-png-files": _sink_png_files,
         "ext-layout-corpus": _layout_corpus,
-        "stream-pack-sequences": _stream_pack_sequences,
         "ext-sentence-split": _sentence_split,
         "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
         "ext-mixture-expand": _mixture_expand,
@@ -10382,6 +10548,154 @@ def oracle_sql() -> dict[str, str]:
     # Map-only streaming expansion: appended union == batch, twin
     # shared verbatim (the quality-blend-stream contract).
     d["stream-mixture-expand"] = d["ext-mixture-expand"]
+    # The centroid-TABLE and vectorized-kernel SemDeDup forms are
+    # BIT-IDENTICAL to the literal/HOF gate form (dim-sequential
+    # folds, first-min ties — tests/test_round12_ops.py /
+    # test_round11_ops.py), so they share its oracle verbatim; same
+    # for the vectorized batch k-NN join (the embeddings tables have
+    # no NULL/zero-norm vectors, the one documented divergence).
+    d["ext-dedup-semantic-table"] = d["ext-dedup-semantic"]
+    d["ext-dedup-semantic-vec"] = d["ext-dedup-semantic"]
+    d["ext-knn-join-vec"] = d["ext-knn-join"]
+    # Cell-local contrastive mining: the SemDeDup cell CTE + within-
+    # cell pair mining + per-anchor exclusion and (cosine desc, id)
+    # rank — all engine-replayable (proven tests/test_round12_ops.py).
+    d["ext-contrastive-by-cell"] = f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        sym AS (
+          SELECT id_a AS anchor_id, id_b AS positive_id FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+        anch AS (SELECT DISTINCT anchor_id FROM sym),
+        scored AS (
+          SELECT a.anchor_id, c.vec_id AS neighbor_id,
+                 {_sql_cosine('av.embedding', 'c.embedding')}
+                   AS neg_cosine
+          FROM anch a
+          JOIN cells av ON av.vec_id = a.anchor_id
+          JOIN cells c ON c.cell = av.cell
+                      AND c.vec_id <> a.anchor_id),
+        np AS (
+          SELECT * FROM scored s
+          WHERE neg_cosine IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM sym
+                            WHERE sym.anchor_id = s.anchor_id
+                              AND sym.positive_id = s.neighbor_id)),
+        rk AS (
+          SELECT anchor_id, neighbor_id AS negative_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY neg_cosine DESC, neighbor_id) AS INT)
+                   AS neg_rank,
+                 neg_cosine
+          FROM np)
+        SELECT sym.anchor_id, sym.positive_id, rk.negative_id,
+               rk.neg_rank, rk.neg_cosine
+        FROM sym JOIN rk ON rk.anchor_id = sym.anchor_id
+        WHERE rk.neg_rank <= 2
+    """
+    # Frozen-SemDeDup apply: the full freeze chain (cells + pairs +
+    # CC -> kept reps) replayed, then every doc scored against its
+    # cell's reps with the lowest-rep-id argmax — per-row
+    # deterministic, so the streaming union shares this twin
+    # verbatim (proven tests/test_round12_ops.py).
+    d["stream-dedup-semantic"] = f"""
+        WITH RECURSIVE cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+        reps AS (
+          SELECT c.cell, c.vec_id AS rep_id, c.embedding AS rep_vec
+          FROM cells c LEFT JOIN cc ON cc.node = c.vec_id
+          WHERE c.vec_id = COALESCE(cc.cid, c.vec_id)),
+        scored AS (
+          SELECT c.vec_id, r.rep_id,
+                 {_sql_cosine('c.embedding', 'r.rep_vec')} AS sim
+          FROM cells c JOIN reps r
+            ON r.cell = c.cell AND r.rep_id <> c.vec_id),
+        ranked AS (
+          SELECT vec_id, rep_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, rep_id) AS rn
+          FROM scored WHERE sim IS NOT NULL),
+        best AS (SELECT vec_id, sim AS max_rep_cosine,
+                        rep_id AS matched_rep_id
+                 FROM ranked WHERE rn = 1)
+        SELECT c.vec_id, c.cell, max_rep_cosine, matched_rep_id,
+               COALESCE(max_rep_cosine >= 0.3, FALSE) AS is_dup
+        FROM cells c LEFT JOIN best ON best.vec_id = c.vec_id
+    """
+    # Standalone simhash hot-cap audit: the ext-dedup-simhash-pairs
+    # fingerprint + banding fragments with a tighter cap (25), folded
+    # to the one-row (n_capped_buckets, n_capped_rows) aggregate.
+    d["ext-simhash-cap-audit"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(lower(text)), '\\s+') END
+              AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, UNNEST(ws) AS t FROM w),
+        hashed AS (
+          SELECT doc_id, {p52('t')} AS h FROM tok WHERE t <> ''),
+        v AS (
+          SELECT doc_id,
+               {sh_votes}
+          FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sh_fp} AS BIGINT) AS fp FROM v),
+        banded AS (
+          {sh_bands_sql}),
+        per AS (SELECT band_idx, band_val, COUNT(*) AS n
+                FROM banded GROUP BY 1, 2)
+        SELECT CAST(COALESCE(SUM(CASE WHEN n > 25 THEN 1 END), 0)
+                    AS BIGINT) AS n_capped_buckets,
+               CAST(COALESCE(SUM(CASE WHEN n > 25 THEN n END), 0)
+                    AS BIGINT) AS n_capped_rows
+        FROM per
+    """
     # UL2 mixture-of-denoisers plan: regime gate (md5 % 3), then the
     # proven corruption-spans recursive CTE PER REGIME with that
     # regime's (K, len_mod) literals and per-regime salt, plus the

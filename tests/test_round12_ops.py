@@ -505,6 +505,25 @@ def test_token_quota_and_pack_negative_tokens_match_batch(spark):
     }
 
 
+def test_bench_coverage_rule():
+    # r11 verdict item 4 (the no-silent-caps rule): every registered
+    # query is either timed in bench.py's HEADLINE or explicitly
+    # declared UNTIMED with a rationale — nothing falls through.
+    import bench
+
+    import __spark_entry__ as m
+
+    keys = set(m.queries())
+    timed, untimed = set(bench.HEADLINE), set(bench.UNTIMED)
+    assert len(bench.HEADLINE) == len(timed), "duplicate HEADLINE entry"
+    assert len(bench.UNTIMED) == len(untimed), "duplicate UNTIMED entry"
+    assert not (timed & untimed), sorted(timed & untimed)
+    assert timed | untimed == keys, (
+        f"uncovered: {sorted(keys - timed - untimed)}; "
+        f"unregistered: {sorted((timed | untimed) - keys)}"
+    )
+
+
 def test_simhash_capped_buckets_visible_when_pairs_empty(spark):
     from awskinesisconsumer_spark.operators.dedup import (
         simhash_capped_buckets,
