@@ -5148,6 +5148,77 @@ def _stream_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def _semantic_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup with a QUALITY-ranked representative instead of the
+    # min-id member: the pair table comes from the new public
+    # semantic_near_dup_pairs surface (same cells/threshold as
+    # ext-dedup-semantic), resolved by dedup_keep_best — score =
+    # 6-dp vector norm (deterministic, oracle-replayable), ties ->
+    # ascending id. The composition the semantic_dedup docstring
+    # promised; twin chains the semantic pair CTE + CC + the
+    # keep-best ROW_NUMBER argmax (proven tests/test_round12_ops.py).
+    from awskinesisconsumer_spark.operators.dedup import dedup_keep_best
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_near_dup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    pairs = semantic_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3,
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(
+                F.transform(F.col("embedding"),
+                            lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, x: a + x,
+            )),
+            6,
+        ).alias("score"),
+    )
+    out = dedup_keep_best(
+        scored, pairs, id_col="vec_id", score_col="score"
+    )
+    return out.select("vec_id", "cluster_id", "score", "kept")
+
+
+def _ann_ivf_kmeans_table(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF ANN with centroids trained through the MATRIX path
+    # (operators/similarity.py kmeans_train_table): identical Lloyd
+    # algebra to kmeans_refine_centroids (same means, empty-cell
+    # rule, order_col bit-determinism) with each round's assignment
+    # through the ivf_assign_table numpy kernel instead of k literal
+    # folds — so the trained centroids are EQUAL given the same seed
+    # (pinned tests/test_round12_ops.py) and the
+    # ext-similarity-ivf-kmeans oracle gates this path verbatim.
+    # This is the offline-quantizer-training shape for k past the
+    # literal ceiling (the r11 verdict's missing primitive).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, kmeans_train_table, knn_ivf,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    seed = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    centroids = kmeans_train_table(
+        corpus, vec_col="embedding", init_centroids=seed, n_iter=3,
+        tol=0.0, order_col="vec_id",
+    )
+    return knn_ivf(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding],
+        centroids=centroids, n_probes=2, k=10,
+    )
+
+
 def _simhash_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
     # Standalone hot-cap recall audit (operators/dedup.py
     # simhash_capped_buckets, r11 ADVICE): one row of
@@ -5180,6 +5251,9 @@ GATE_NEW_THIS_ROUND = (
     "ext-dedup-semantic-table", "ext-dedup-semantic-vec",
     "ext-knn-join-vec", "ext-contrastive-by-cell",
     "stream-dedup-semantic", "ext-simhash-cap-audit",
+    # r12 second wave: quality-ranked SemDeDup resolution and the
+    # matrix-path quantizer training.
+    "ext-dedup-semantic-keep-best", "ext-similarity-ivf-kmeans-table",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5232,6 +5306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-contrastive-by-cell": _contrastive_by_cell,
         "stream-dedup-semantic": _stream_dedup_semantic,
         "ext-simhash-cap-audit": _simhash_cap_audit,
+        "ext-dedup-semantic-keep-best": _semantic_keep_best,
+        "ext-similarity-ivf-kmeans-table": _ann_ivf_kmeans_table,
         # -- CHANGED in round 12 (r11 ADVICE fixes in the operator
         #    modules: budget_select NaN->NULL sentinel, token-quota /
         #    pack-sequences negative-token algebra, the contrastive
@@ -5289,8 +5365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-html-strip": _html_strip,
         "ext-interleave-mixture": _interleave_mixture,
         "ext-pack-nofragment": _pack_nofragment,
-        "ext-pagerank-dups": _pagerank_dups,
-        "ext-perplexity-bigram": _perplexity_bigram,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5392,8 +5466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- r8 records (the 23 riding their ledger one more round;
+        # -- r8 records (the 25 riding their ledger one more round;
         #    rotate in r13) --
+        "ext-pagerank-dups": _pagerank_dups,
+        "ext-perplexity-bigram": _perplexity_bigram,
         "ext-quality-blend": _quality_blend,
         "ext-shuffle-order": _shuffle_order,
         "ext-tokenizer-fertility": _tokenizer_fertility,
@@ -10695,6 +10771,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(CASE WHEN n > 25 THEN n END), 0)
                     AS BIGINT) AS n_capped_rows
         FROM per
+    """
+    # Matrix-path quantizer training is Lloyd-identical to the
+    # literal refinement (same means, empty-cell rule, order_col
+    # fold; assignment kernel bit-identical) — the kmeans IVF twin
+    # gates it verbatim.
+    d["ext-similarity-ivf-kmeans-table"] = d["ext-similarity-ivf-kmeans"]
+    # Quality-ranked SemDeDup: the semantic pair CTE + CC (the
+    # ext-dedup-semantic fragments at the same threshold) resolved by
+    # the keep-best ROW_NUMBER argmax over the 6-dp vector norm.
+    d["ext-dedup-semantic-keep-best"] = f"""
+        WITH RECURSIVE cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+        lab AS (
+          SELECT e.vec_id,
+                 CAST(COALESCE(cc.cid, e.vec_id) AS BIGINT)
+                   AS cluster_id,
+                 ROUND({_sql_norm('e.embedding')}, 6) AS score
+          FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id),
+        rk AS (
+          SELECT vec_id, cluster_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY score DESC, vec_id ASC)
+                   AS rn
+          FROM lab)
+        SELECT vec_id, cluster_id, score, rn = 1 AS kept
+        FROM rk
     """
     # UL2 mixture-of-denoisers plan: regime gate (md5 % 3), then the
     # proven corruption-spans recursive CTE PER REGIME with that

@@ -131,6 +131,45 @@ def _norm2_diff(v, centroid: list[float]):
     )
 
 
+def _centroid_matrix(centroids, *, centroid_id_col: str,
+                     centroid_vec_col: str, caller: str):
+    """Coerce a centroid spec — list[list[float]], numpy (k, dim)
+    matrix, or a (`centroid_id_col`, `centroid_vec_col`) DataFrame —
+    into the dense float64 (k, dim) matrix the table-assign kernels
+    broadcast. DataFrame ids must be exactly 0..k-1 (they ARE the
+    emitted cell ids); size-guarded because the matrix rides every
+    task's closure."""
+    import numpy as np
+
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+        ids = sorted(int(r[0]) for r in rows)
+        if ids != list(range(len(rows))):
+            raise ValueError(
+                f"{caller}: centroid ids must be exactly "
+                f"0..k-1, got {ids[:5]}..{ids[-3:] if ids else []}"
+            )
+        by_id = sorted(rows, key=lambda r: int(r[0]))
+        C = np.array([[float(x) for x in r[1]] for r in by_id],
+                     dtype=np.float64)
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] < 1:
+        raise ValueError(
+            f"{caller}: need a (k, dim) centroid matrix with "
+            f"k >= 1, got shape {C.shape}"
+        )
+    if C.size > 50_000_000:
+        # the closure ships one dense float64 matrix per task setup;
+        # past ~400 MB that is a broadcast problem, not an assign
+        # problem — train a coarser quantizer or shard the assign
+        raise ValueError(
+            f"{caller}: centroid matrix has {C.size} elements "
+            "(> 5e7); use fewer/lower-dim centroids"
+        )
+    return C
+
+
 def ivf_assign_table(
     df: DataFrame, *, vec_col: str, centroids, out_col: str = "cell",
     centroid_id_col: str = "cell", centroid_vec_col: str | None = None,
@@ -167,33 +206,10 @@ def ivf_assign_table(
     """
     import numpy as np
 
-    if isinstance(centroids, DataFrame):
-        cvc = centroid_vec_col or vec_col
-        rows = centroids.select(centroid_id_col, cvc).collect()
-        ids = sorted(int(r[0]) for r in rows)
-        if ids != list(range(len(rows))):
-            raise ValueError(
-                "ivf_assign_table: centroid ids must be exactly "
-                f"0..k-1, got {ids[:5]}..{ids[-3:] if ids else []}"
-            )
-        by_id = sorted(rows, key=lambda r: int(r[0]))
-        C = np.array([[float(x) for x in r[1]] for r in by_id],
-                     dtype=np.float64)
-    else:
-        C = np.asarray(centroids, dtype=np.float64)
-    if C.ndim != 2 or C.shape[0] < 1:
-        raise ValueError(
-            f"ivf_assign_table: need a (k, dim) centroid matrix with "
-            f"k >= 1, got shape {C.shape}"
-        )
-    if C.size > 50_000_000:
-        # the closure ships one dense float64 matrix per task setup;
-        # past ~400 MB that is a broadcast problem, not an assign
-        # problem — train a coarser quantizer or shard the assign
-        raise ValueError(
-            f"ivf_assign_table: centroid matrix has {C.size} elements "
-            "(> 5e7); use fewer/lower-dim centroids"
-        )
+    C = _centroid_matrix(centroids,
+                         centroid_id_col=centroid_id_col,
+                         centroid_vec_col=centroid_vec_col or vec_col,
+                         caller="ivf_assign_table")
     k, dim = C.shape
 
     @pandas_udf("int")
@@ -376,24 +392,82 @@ def semantic_dedup(
     k tracks sqrt(n/2) and the per-cell pair work stays flat
     (measured near-linear in SCALING.md round 12) instead of the
     fixed-k quadratic the r11 study measured.
+
+    For a quality-ranked keep instead of min-id, mine the pair table
+    with `semantic_near_dup_pairs` and resolve with
+    `dedup.dedup_keep_best`.
     """
     from .dedup import connected_components
 
-    if assign == "table":
-        cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
-    elif assign == "literal":
-        cells = ivf_assign(df, vec_col=vec_col, centroids=centroids)
-    else:
-        raise ValueError(
-            f"semantic_dedup: assign must be 'literal' or 'table', "
-            f"got {assign!r}"
-        )
+    cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                          assign=assign, caller="semantic_dedup")
     base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    pairs = _cell_pairs(
+        base, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        cell_cap=cell_cap, vectorized=vectorized,
+        caller="semantic_dedup",
+    )
+    cc = connected_components(
+        pairs, vertices=df.select(F.col(id_col).alias("id"))
+    )
+    return (
+        base.join(
+            cc.select(F.col("id").alias(id_col), "cluster_id"), id_col
+        )
+        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
+        .select(id_col, "cell", "cluster_id", "kept")
+    )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.95,
+    cell_cap: int | None = None,
+    vectorized: bool = False,
+    assign: str = "literal",
+) -> DataFrame:
+    """The PAIR table under `semantic_dedup` as a public surface:
+    cell-local near-dup pairs (id_a, id_b), id_a < id_b, cosine >=
+    `threshold` within a k-means cell — for resolutions other than
+    the min-id connected component, e.g. `dedup.dedup_keep_best`
+    (quality-ranked representative per cluster) or recall audits.
+    Same cell assignment, skew cap, and scoring contracts as
+    `semantic_dedup` (whose docstring has the scale shape)."""
+    cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                          assign=assign,
+                          caller="semantic_near_dup_pairs")
+    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    return _cell_pairs(
+        base, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        cell_cap=cell_cap, vectorized=vectorized,
+        caller="semantic_near_dup_pairs",
+    )
+
+
+def _assign_cells(df, *, vec_col, centroids, assign, caller):
+    if assign == "table":
+        return ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
+    if assign == "literal":
+        return ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    raise ValueError(
+        f"{caller}: assign must be 'literal' or 'table', got {assign!r}"
+    )
+
+
+def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
+                vectorized, caller) -> DataFrame:
+    """Cell-local near-dup pair mining shared by semantic_dedup /
+    semantic_near_dup_pairs: `base` is (id, cell, vec); returns
+    (id_a, id_b). See semantic_dedup for the contracts."""
     eligible = base
     if cell_cap is not None:
         if cell_cap < 1:
             raise ValueError(
-                f"semantic_dedup: cell_cap must be >= 1, got {cell_cap}"
+                f"{caller}: cell_cap must be >= 1, got {cell_cap}"
             )
         hot = (
             base.groupBy("cell")
@@ -460,16 +534,7 @@ def semantic_dedup(
             .where(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b")
         )
-    cc = connected_components(
-        pairs, vertices=df.select(F.col(id_col).alias("id"))
-    )
-    return (
-        base.join(
-            cc.select(F.col("id").alias(id_col), "cluster_id"), id_col
-        )
-        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
-        .select(id_col, "cell", "cluster_id", "kept")
-    )
+    return pairs
 
 
 def contrastive_triplets(
@@ -967,9 +1032,62 @@ def kmeans_refine_centroids(
     therefore oracle-checkable). Costs a collect_list per (cell, dim)
     group — bounded by cell size, so sample-scale training only.
     """
+    return _lloyd_loop(
+        df, vec_col=vec_col, centroids=centroids, n_iter=n_iter,
+        tol=tol, order_col=order_col,
+        assign_fn=lambda d, cents: ivf_assign(
+            d, vec_col=vec_col, centroids=cents
+        ),
+    )
+
+
+def kmeans_train_table(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    init_centroids,
+    n_iter: int = 5,
+    tol: float = 1e-6,
+    order_col: str | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means with the centroids handled as a MATRIX end to
+    end — the offline quantizer-training path for k past the literal
+    expression tree's ~hundreds ceiling (the r11 verdict's missing
+    primitive, closing the loop `ivf_assign_table` opened): each
+    round assigns via the broadcast numpy argmin kernel instead of k
+    inlined aggregate folds, so training k in the tens of thousands
+    is one map-only pass + a (k x dim)-row mean shuffle per round.
+
+    `init_centroids` accepts everything `ivf_assign_table` does
+    (list / numpy matrix / 0..k-1-keyed DataFrame). The mean update,
+    empty-cell rule, tol early-stop and `order_col` bit-determinism
+    contract are IDENTICAL to `kmeans_refine_centroids` — and the
+    assignment kernel is bit-identical to the literal argmin — so
+    given the same init this returns the exact same centroids
+    (pinned in tests/test_round12_ops.py), and the kmeans IVF oracle
+    gates pipelines trained through either path.
+
+    At 100 TB: train on a sample (the quantizer needs distribution
+    shape, not every row), then `ivf_assign_table` the full corpus
+    once and write partitionBy(cell).
+    """
+    C = _centroid_matrix(init_centroids, centroid_id_col="cell",
+                         centroid_vec_col=vec_col,
+                         caller="kmeans_train_table")
+    return _lloyd_loop(
+        df, vec_col=vec_col, centroids=C.tolist(), n_iter=n_iter,
+        tol=tol, order_col=order_col,
+        assign_fn=lambda d, cents: ivf_assign_table(
+            d, vec_col=vec_col, centroids=cents
+        ),
+    )
+
+
+def _lloyd_loop(df, *, vec_col, centroids, n_iter, tol, order_col,
+                assign_fn) -> list[list[float]]:
     cents = [[float(x) for x in c] for c in centroids]
     for _ in range(n_iter):
-        assigned = ivf_assign(df, vec_col=vec_col, centroids=cents)
+        assigned = assign_fn(df, cents)
         exploded = assigned.select(
             *([order_col] if order_col else []),
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "_x"),

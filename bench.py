@@ -220,6 +220,8 @@ HEADLINE = [
     "ext-contrastive-by-cell",
     "stream-dedup-semantic",
     "ext-simhash-cap-audit",
+    "ext-dedup-semantic-keep-best",
+    "ext-similarity-ivf-kmeans-table",
     # round 12 second group: the five registry-tail queries the r11
     # verdict named as untimed-but-notable (closing the silent gap).
     "ext-similarity-ivf-pq",

@@ -512,8 +512,58 @@ def emb_ops():
             threshold=0.95, cell_cap=1500,
         )
 
+    def semdedup_ktracked(d, vectorized=False):
+        # r12: k TRACKS the corpus per the paper's n/k ~ 2k balance
+        # rule (k = sqrt(n/2): 32/100/200 cells at 2k/20k/80k
+        # vectors) — executable only via the centroid-TABLE assign;
+        # the literal argmin's expression tree made k > ~hundreds
+        # unplannable, which is why the r11 study had to hold k=64
+        # fixed and measured the quadratic. Expected shape: pairs
+        # = n * (n/2k) with k ∝ sqrt(n) -> n^1.5, vs the fixed-k n^2.
+        import math
+
+        from awskinesisconsumer_spark.operators.similarity import (
+            ivf_centroids_from_sample, semantic_dedup,
+        )
+
+        k = max(8, int(math.sqrt(d.count() / 2)))
+        cents = ivf_centroids_from_sample(
+            d, id_col="vec_id", vec_col="embedding", n_centroids=k
+        )
+        return semantic_dedup(
+            d, id_col="vec_id", vec_col="embedding", centroids=cents,
+            threshold=0.95, cell_cap=3000, assign="table",
+            vectorized=vectorized,
+        )
+
+    def contrastive_by_cell_study(d):
+        # r12: the amplified corpus is the global miner's failure
+        # mode MADE CONCRETE — every vector has repl-1 near-dups, so
+        # anchors ~ corpus and contrastive_triplets' driver-collected
+        # anchor list trips its 50k guard at x40; the cell-local form
+        # mines inside the same k-tracked cells with no collection.
+        import math
+
+        from awskinesisconsumer_spark.operators.similarity import (
+            contrastive_triplets_by_cell, ivf_centroids_from_sample,
+        )
+
+        k = max(8, int(math.sqrt(d.count() / 2)))
+        cents = ivf_centroids_from_sample(
+            d, id_col="vec_id", vec_col="embedding", n_centroids=k
+        )
+        return contrastive_triplets_by_cell(
+            d, id_col="vec_id", vec_col="embedding", centroids=cents,
+            pos_threshold=0.95, k_neg=2, cell_cap=3000, assign="table",
+        )
+
     return {
         "semantic-dedup": semdedup,
+        "semdedup-ktracked": semdedup_ktracked,
+        "semdedup-ktracked-vec": lambda d: semdedup_ktracked(
+            d, vectorized=True
+        ),
+        "contrastive-by-cell": contrastive_by_cell_study,
         "knn-brute-topk": lambda d: pairwise_topk_cosine(
             d, id_col="vec_id", vec_col="embedding",
             probe_ids=[0, 1000, 2000], k=5,

@@ -505,6 +505,85 @@ def test_token_quota_and_pack_negative_tokens_match_batch(spark):
     }
 
 
+def test_kmeans_train_table_equals_refine(spark):
+    # Matrix-path Lloyd training must return the EXACT centroids the
+    # literal refinement returns given the same seed (same means,
+    # empty-cell rule, order_col fold; bit-identical assignment).
+    from awskinesisconsumer_spark.operators.similarity import (
+        kmeans_refine_centroids,
+        kmeans_train_table,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    seed = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    a = kmeans_refine_centroids(
+        emb, vec_col="embedding", centroids=seed, n_iter=3, tol=0.0,
+        order_col="vec_id",
+    )
+    b = kmeans_train_table(
+        emb, vec_col="embedding", init_centroids=seed, n_iter=3,
+        tol=0.0, order_col="vec_id",
+    )
+    assert a == b
+
+
+def test_semantic_near_dup_pairs_is_semantic_dedup_pair_table(spark):
+    # The public pair surface must be exactly the pair table
+    # semantic_dedup resolves: every pair joins two same-cluster,
+    # same-cell members, and dropping pairs from clusters leaves
+    # only singletons.
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    pairs = semantic_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.3,
+    ).collect()
+    sem = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.3,
+    ).collect()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in sem}
+    cell = {r["vec_id"]: r["cell"] for r in sem}
+    assert pairs
+    for r in pairs:
+        assert cluster[r["id_a"]] == cluster[r["id_b"]]
+        assert cell[r["id_a"]] == cell[r["id_b"]]
+    paired = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    from collections import Counter
+
+    sizes = Counter(cluster.values())
+    for vid, cid in cluster.items():
+        if sizes[cid] > 1:
+            assert vid in paired
+
+
+def test_semantic_keep_best_oracle_parity(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["ext-dedup-semantic-keep-best"](spark, SF_ORACLE)
+    n = _cmp(out, _duck(SF_ORACLE),
+             m.oracle_sql()["ext-dedup-semantic-keep-best"],
+             float_cols=("score",))
+    assert n == 500
+    rows = out.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (-r["score"], r["vec_id"]))
+        assert kept[0]["vec_id"] == best["vec_id"]
+
+
 def test_bench_coverage_rule():
     # r11 verdict item 4 (the no-silent-caps rule): every registered
     # query is either timed in bench.py's HEADLINE or explicitly
