@@ -667,3 +667,72 @@ def test_embedding_lsh_pairs_is_bucket_equi_join(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_table_is_map_only(spark):
+    # The table assign must pipeline into the scan: no Exchange, no
+    # join — one ArrowEvalPython projection over the parquet read.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign_table, ivf_centroids_from_sample,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    plan = _plan(ivf_assign_table(
+        emb, vec_col="embedding", centroids=cents
+    ))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_contrastive_by_cell_all_joins_are_equi(spark):
+    # Every stage (pair mine, anchor re-attach, negative scoring,
+    # exclusion) must plan as hash/sort-merge equi-joins keyed on
+    # cell/id — never a nested loop or cartesian over the corpus.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        contrastive_triplets_by_cell, ivf_centroids_from_sample,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    plan = _plan(contrastive_triplets_by_cell(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        pos_threshold=0.3, k_neg=2,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_apply_broadcasts_reps(spark):
+    # The apply half must broadcast the (bounded) reps table and
+    # never shuffle the corpus beyond the per-doc partial aggregate.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+        semantic_dedup_apply, semantic_dedup_keep,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    sem = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.3,
+    )
+    reps = semantic_dedup_keep(sem, emb, id_col="vec_id",
+                               vec_col="embedding")
+    plan = _plan(semantic_dedup_apply(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        reps=reps, threshold=0.3,
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
