@@ -5219,6 +5219,60 @@ def _ann_ivf_kmeans_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_ivf_table(spark: SparkSession, sf: str) -> DataFrame:
+    # ext-similarity-ivf through the table-assign path: the corpus
+    # assignment runs in the ivf_assign_table numpy kernel
+    # (bit-identical to the literal argmin) and the probe-side cell
+    # choice is the same driver arithmetic — so the ext-similarity-ivf
+    # oracle gates this form verbatim. The large-k IVF query shape.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, knn_ivf,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return knn_ivf(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding],
+        centroids=centroids, n_probes=2, k=10, assign="table",
+    )
+
+
+def _ann_ivf_pq_table(spark: SparkSession, sf: str) -> DataFrame:
+    # ext-similarity-ivf-pq through the table-assign path (see
+    # _ann_ivf_table) — the billion-scale IVF-PQ layout with the
+    # coarse quantizer past the literal ceiling; shares the
+    # ext-similarity-ivf-pq oracle verbatim.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, knn_ivf_pq, pq_codebooks_refined,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    corpus = emb.where(F.col("vec_id") != 0)
+    centroids = ivf_centroids_from_sample(
+        corpus, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    cbs = pq_codebooks_refined(
+        corpus, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=2, order_col="vec_id",
+    )
+    return knn_ivf_pq(
+        corpus, id_col="vec_id", vec_col="embedding",
+        query=[float(x) for x in probe.embedding], centroids=centroids,
+        codebooks=cbs, n_probes=2, k=10, assign="table",
+    ).select(
+        "vec_id", "adc_dist",
+        F.concat_ws(",", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"),
+        "rank",
+    )
+
+
 def _simhash_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
     # Standalone hot-cap recall audit (operators/dedup.py
     # simhash_capped_buckets, r11 ADVICE): one row of
@@ -5251,9 +5305,11 @@ GATE_NEW_THIS_ROUND = (
     "ext-dedup-semantic-table", "ext-dedup-semantic-vec",
     "ext-knn-join-vec", "ext-contrastive-by-cell",
     "stream-dedup-semantic", "ext-simhash-cap-audit",
-    # r12 second wave: quality-ranked SemDeDup resolution and the
-    # matrix-path quantizer training.
+    # r12 second wave: quality-ranked SemDeDup resolution, the
+    # matrix-path quantizer training, and the table-assign IVF /
+    # IVF-PQ query forms.
     "ext-dedup-semantic-keep-best", "ext-similarity-ivf-kmeans-table",
+    "ext-similarity-ivf-table", "ext-similarity-ivf-pq-table",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5308,6 +5364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-simhash-cap-audit": _simhash_cap_audit,
         "ext-dedup-semantic-keep-best": _semantic_keep_best,
         "ext-similarity-ivf-kmeans-table": _ann_ivf_kmeans_table,
+        "ext-similarity-ivf-table": _ann_ivf_table,
+        "ext-similarity-ivf-pq-table": _ann_ivf_pq_table,
         # -- CHANGED in round 12 (r11 ADVICE fixes in the operator
         #    modules: budget_select NaN->NULL sentinel, token-quota /
         #    pack-sequences negative-token algebra, the contrastive
@@ -5363,8 +5421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dup-spans": _dup_spans,
         "ext-frame-sample": _frame_sample,
         "ext-html-strip": _html_strip,
-        "ext-interleave-mixture": _interleave_mixture,
-        "ext-pack-nofragment": _pack_nofragment,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -5466,8 +5522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- r8 records (the 25 riding their ledger one more round;
+        # -- r8 records (the 27 riding their ledger one more round;
         #    rotate in r13) --
+        "ext-interleave-mixture": _interleave_mixture,
+        "ext-pack-nofragment": _pack_nofragment,
         "ext-pagerank-dups": _pagerank_dups,
         "ext-perplexity-bigram": _perplexity_bigram,
         "ext-quality-blend": _quality_blend,
@@ -10777,6 +10835,11 @@ def oracle_sql() -> dict[str, str]:
     # fold; assignment kernel bit-identical) — the kmeans IVF twin
     # gates it verbatim.
     d["ext-similarity-ivf-kmeans-table"] = d["ext-similarity-ivf-kmeans"]
+    # Table-assign IVF / IVF-PQ query forms: corpus assignment through
+    # the bit-identical kernel, probe-side cell choice unchanged —
+    # the literal-form oracles gate them verbatim.
+    d["ext-similarity-ivf-table"] = d["ext-similarity-ivf"]
+    d["ext-similarity-ivf-pq-table"] = d["ext-similarity-ivf-pq"]
     # Quality-ranked SemDeDup: the semantic pair CTE + CC (the
     # ext-dedup-semantic fragments at the same threshold) resolved by
     # the keep-best ROW_NUMBER argmax over the 6-dp vector norm.

@@ -256,16 +256,33 @@ def ivf_centroids_from_sample(df: DataFrame, *, id_col: str, vec_col: str,
 
 def knn_ivf(
     df: DataFrame, *, id_col: str, vec_col: str, query: list[float],
-    centroids: list[list[float]], n_probes: int = 2, k: int = 10,
+    centroids, n_probes: int = 2, k: int = 10,
+    assign: str = "literal",
 ) -> DataFrame:
     """IVF ANN top-k: score only vectors in the `n_probes` cells
-    nearest the query, exact cosine re-rank inside them."""
+    nearest the query, exact cosine re-rank inside them.
+
+    `assign="table"` routes corpus assignment through
+    `ivf_assign_table` (bit-identical; k can track corpus size, and
+    `centroids` may be a matrix or DataFrame). The probe-side cell
+    choice is the same driver arithmetic either way — at scale the
+    corpus is partitionBy(cell)-laid-out once and the probe filter
+    becomes partition PRUNING."""
     def l2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    order = sorted(range(len(centroids)), key=lambda i: l2(query, centroids[i]))
+    if assign == "table":
+        cents_list = _centroid_matrix(
+            centroids, centroid_id_col="cell", centroid_vec_col=vec_col,
+            caller="knn_ivf",
+        ).tolist()
+    else:
+        cents_list = centroids
+    order = sorted(range(len(cents_list)),
+                   key=lambda i: l2(query, cents_list[i]))
     probe = order[:n_probes]
-    assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    assigned = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                             assign=assign, caller="knn_ivf")
     cand = assigned.where(F.col("cell").isin(probe))
     return knn_brute_force(cand, id_col=id_col, vec_col=vec_col, query=query, k=k)
 
@@ -1487,8 +1504,9 @@ def knn_pq_adc(df: DataFrame, *, id_col: str, vec_col: str,
 
 def knn_ivf_pq(
     df: DataFrame, *, id_col: str, vec_col: str, query: list[float],
-    centroids: list[list[float]], codebooks: list[list[list[float]]],
+    centroids, codebooks: list[list[list[float]]],
     n_probes: int = 2, k: int = 10, rerank: int | None = None,
+    assign: str = "literal",
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the production large-scale ANN layout
     (Faiss's default at billion scale), composed from the two proven
@@ -1509,7 +1527,7 @@ def knn_ivf_pq(
     """
     if n_probes < 1:
         raise ValueError(f"knn_ivf_pq: n_probes must be >= 1, got {n_probes}")
-    if not centroids:
+    if not isinstance(centroids, DataFrame) and len(centroids) == 0:
         raise ValueError("knn_ivf_pq: centroids must be non-empty")
     if not codebooks:
         raise ValueError("knn_ivf_pq: codebooks must be non-empty")
@@ -1517,11 +1535,22 @@ def knn_ivf_pq(
     def _l2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
+    if assign == "table":
+        # same driver arithmetic over the coerced matrix; corpus
+        # assignment through the bit-identical numpy kernel (see
+        # knn_ivf) — the large-k IVF-PQ layout
+        cents_list = _centroid_matrix(
+            centroids, centroid_id_col="cell", centroid_vec_col=vec_col,
+            caller="knn_ivf_pq",
+        ).tolist()
+    else:
+        cents_list = centroids
     order = sorted(
-        range(len(centroids)), key=lambda i: (_l2(query, centroids[i]), i)
+        range(len(cents_list)), key=lambda i: (_l2(query, cents_list[i]), i)
     )
     probe = order[:n_probes]
-    assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids)
+    assigned = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                             assign=assign, caller="knn_ivf_pq")
     cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
     return knn_pq_adc(
         cand, id_col=id_col, vec_col=vec_col, query=query,

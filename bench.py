@@ -222,6 +222,8 @@ HEADLINE = [
     "ext-simhash-cap-audit",
     "ext-dedup-semantic-keep-best",
     "ext-similarity-ivf-kmeans-table",
+    "ext-similarity-ivf-table",
+    "ext-similarity-ivf-pq-table",
     # round 12 second group: the five registry-tail queries the r11
     # verdict named as untimed-but-notable (closing the silent gap).
     "ext-similarity-ivf-pq",

@@ -584,6 +584,50 @@ def test_semantic_keep_best_oracle_parity(spark):
         assert kept[0]["vec_id"] == best["vec_id"]
 
 
+def test_knn_ivf_table_assign_equals_literal(spark):
+    from awskinesisconsumer_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    probe = [float(i % 13) / 13.0 for i in range(64)]
+    lit = knn_ivf(emb, id_col="vec_id", vec_col="embedding",
+                  query=probe, centroids=cents, n_probes=2, k=10)
+    tab = knn_ivf(emb, id_col="vec_id", vec_col="embedding",
+                  query=probe, centroids=cents, n_probes=2, k=10,
+                  assign="table")
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, tab.collect())
+    )
+
+
+def test_knn_ivf_pq_table_assign_equals_literal(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        knn_ivf_pq,
+        pq_codebooks_refined,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    cbs = pq_codebooks_refined(
+        emb, id_col="vec_id", vec_col="embedding", m=8, ksub=16,
+        n_iter=1, order_col="vec_id",
+    )
+    probe = [float(i % 13) / 13.0 for i in range(64)]
+    lit = knn_ivf_pq(emb, id_col="vec_id", vec_col="embedding",
+                     query=probe, centroids=cents, codebooks=cbs,
+                     n_probes=2, k=5)
+    tab = knn_ivf_pq(emb, id_col="vec_id", vec_col="embedding",
+                     query=probe, centroids=cents, codebooks=cbs,
+                     n_probes=2, k=5, assign="table")
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, tab.collect())
+    )
+
+
 def test_bench_coverage_rule():
     # r11 verdict item 4 (the no-silent-caps rule): every registered
     # query is either timed in bench.py's HEADLINE or explicitly
