@@ -5134,7 +5134,7 @@ def _stream_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         centroids=centroids, threshold=0.3,
         out_path=out_path, checkpoint=ckpt,
     )
-    if not q.awaitTermination(300):
+    if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("stream-dedup-semantic: timed out")
     n_batches = len(

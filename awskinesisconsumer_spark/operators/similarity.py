@@ -887,6 +887,7 @@ def semantic_dedup_apply(
     reps: DataFrame,
     threshold: float = 0.95,
     assign: str = "literal",
+    broadcast_reps: bool = True,
 ) -> DataFrame:
     """The APPLY half of the frozen-SemDeDup split (the
     quality-cuts / whitening / importance freeze-apply pattern, on
@@ -913,11 +914,19 @@ def semantic_dedup_apply(
     wraps it) and the batch oracle gates it verbatim.
 
     Scale shape: cell assignment is the narrow argmin (literal or
-    `assign="table"` for large k); reps are near-dup-cluster heads —
-    bounded by the reference's cluster count — and BROADCAST; the
-    groupBy key is the doc id over the (doc x cell-local reps)
-    candidates, map-side combinable. The corpus/stream is never
-    shuffled beyond that partial agg.
+    `assign="table"` for large k); the reps join is cell-keyed. HOW
+    MANY reps there are depends on the corpus: SemDeDup keeps one
+    row per CLUSTER, and on a low-duplication reference most docs
+    are singletons — kept reps ~ reference size, NOT a small set.
+    `broadcast_reps=True` (default) forces a broadcast join — right
+    when reps are genuinely bounded (an eval suite, a curated kept
+    subset, heavy-dup references); set it False at corpus-sized reps
+    so the join plans as a plain cell-keyed shuffle join against the
+    partitionBy(cell) layout both sides already live in at 100 TB
+    (co-located, no broadcast, no corpus-sized driver/executor
+    replication). The groupBy key is the doc id over the
+    (doc x cell-local reps) candidates, map-side combinable either
+    way.
     """
     if assign == "table":
         cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
@@ -938,8 +947,9 @@ def semantic_dedup_apply(
                   _norm(F.col(vec_col)) * _norm(F.col("_rv"))),
         6,
     )
+    r_side = F.broadcast(r) if broadcast_reps else r
     scored = (
-        base.join(F.broadcast(r), "cell")
+        base.join(r_side, "cell")
         .where(F.col(id_col) != F.col("_rid"))
         .select(id_col, "cell", F.col("_rid"), sim.alias("_sim"))
         .where(F.col("_sim").isNotNull())

@@ -1106,6 +1106,7 @@ def semantic_dedup_stream(
     out_path: str,
     checkpoint: str,
     assign: str = "literal",
+    broadcast_reps: bool = True,
     trigger_available_now: bool = True,
 ):
     """Streaming SemDeDup against a FROZEN dedup state: the k-means
@@ -1125,7 +1126,11 @@ def semantic_dedup_stream(
     chunking (the `quality_blend_stream` freeze/apply contract), and
     a batch oracle replaying assign + rep-join + argmax gates it
     verbatim. No state store, no watermark; the reps table is a
-    bounded batch DataFrame broadcast into each micro-batch plan.
+    batch DataFrame joined into each micro-batch plan —
+    `broadcast_reps=False` for corpus-sized kept sets (see
+    `semantic_dedup_apply`'s scale note: kept reps ~ reference size
+    on low-dup corpora; the cell-keyed shuffle join is the 100 TB
+    shape there).
 
     Returns the started StreamingQuery.
     """
@@ -1146,7 +1151,7 @@ def semantic_dedup_stream(
         out = semantic_dedup_apply(
             batch_df, id_col=id_col, vec_col=vec_col,
             centroids=centroids, reps=reps, threshold=threshold,
-            assign=assign,
+            assign=assign, broadcast_reps=broadcast_reps,
         )
         out.write.mode("append").parquet(out_path)
 

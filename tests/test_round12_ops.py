@@ -375,6 +375,29 @@ def test_semantic_dedup_apply_oracle_parity_and_invariants(spark):
     assert flagged
 
 
+def test_semantic_dedup_apply_shuffle_join_form_equal(spark):
+    # broadcast_reps=False (the corpus-sized-reps 100 TB shape: a
+    # cell-keyed shuffle join instead of a forced broadcast) must
+    # return the identical result.
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    sem = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=0.3,
+    )
+    reps = semantic_dedup_keep(sem, emb, id_col="vec_id",
+                               vec_col="embedding")
+    kw = dict(id_col="vec_id", vec_col="embedding", centroids=cents,
+              reps=reps, threshold=0.3)
+    bc = semantic_dedup_apply(emb, **kw)
+    sj = semantic_dedup_apply(emb, **kw, broadcast_reps=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(
+        map(tuple, sj.collect())
+    )
+
+
 def test_semantic_dedup_stream_equals_batch_apply(spark):
     import os
     import tempfile
