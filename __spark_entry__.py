@@ -5293,6 +5293,143 @@ def _simhash_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    # "How many distinct 8-char shingles do the en and fr slices
+    # share?" via ONE bottom-k (KMV / theta-style) sketch pass
+    # (operators/sketches.py kmv_sketch + kmv_set_ops) — the
+    # distinct-INTERSECTION question HLL registers structurally
+    # cannot answer (hll_distinct only unions). The sketch, and
+    # therefore every estimate, is a deterministic function of the
+    # key sets, so the oracle replays the sketch itself (the
+    # approximate-structure gate pattern of ext-hll-merge); the
+    # tolerance-vs-exact-truth audit lives in tests/test_round12_ops.
+    # Scale shape: narrow shingle explode (no shuffle), map-side
+    # combined distinct, salted two-level bottom-k; the set algebra
+    # then runs on <= 2k rows.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_set_ops, kmv_sketch,
+    )
+
+    docs = load_table(spark, "documents", sf).filter(
+        F.col("lang").isin(["en", "fr"]) & (F.length("text") >= 8)
+    )
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=256)
+    return kmv_set_ops(sk, group_a="en", group_b="fr", k=256)
+
+
+def _kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-day KMV sketches of distinct users per event type, merged
+    # into the global sketch — the per-shard build a 100 TB ingest
+    # actually runs. Merging is an EXACT identity (bottom-k of a
+    # union == bottom-k of the per-shard bottom-k's), so the oracle
+    # replays the GLOBAL build directly: the mergeability claim IS
+    # what the gate checks (the ext-hll-merge pattern). k=64 < the
+    # 150 distinct users, so the estimator path is exercised, not
+    # the exact-count passthrough.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_distinct_estimate, kmv_merge, kmv_sketch,
+    )
+
+    ev = load_table(spark, "events", sf).select(
+        F.concat_ws(
+            "\x1f", "event_type", F.to_date("ts").cast("string")
+        ).alias("_gs"),
+        "user_id",
+    )
+    shard_sk = kmv_sketch(ev, key_col="user_id", group_col="_gs", k=64)
+    per_shard = shard_sk.select(
+        F.substring_index("group", "\x1f", 1).alias("group"),
+        "kmv_hash",
+    )
+    merged = kmv_merge(per_shard, k=64)
+    return kmv_distinct_estimate(merged, k=64).select(
+        F.col("group").alias("event_type"), "n_sketch", "kmv_estimate"
+    )
+
+
+def _retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    # Rank-aware retrieval evaluation of the SRP-ANN join against the
+    # exact k-NN join — NDCG@10 / MRR / recall@10 per probe
+    # (operators/similarity.py retrieval_metrics), extending the
+    # membership-only ext-ann-recall audit with rank sensitivity.
+    # The DCG gains and IDCG prefix sums are Python float literals
+    # shared with the twin (ndcg_weights) and per-query DCG is an
+    # ORDERED fold, so the 6-dp metrics replay bit-for-bit.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, knn_join_topk, retrieval_metrics,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probes = list(range(8))
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes, k=10
+    )
+    ann = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        planes=deterministic_planes(64, 8), k=10,
+    )
+    return retrieval_metrics(exact, ann, k=10)
+
+
+def _stream_distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form of ext-distinct-intersect (streaming/pipeline.py
+    # kmv_sketch_stream): the en/fr documents arrive as a genuinely
+    # multi-batch file stream (3 files, maxFilesPerTrigger=1); each
+    # micro-batch's local bottom-k sketch is merged into the
+    # persisted sketch via the EXACT bottom-k-of-union identity, so
+    # the final sketch — and therefore the set-ops row — is
+    # bit-identical to the batch build regardless of chunking. The
+    # batch twin gates it verbatim. State: <= k rows per group,
+    # cardinality-independent.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.sketches import kmv_set_ops
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        kmv_sketch_stream,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf)
+        .filter(F.col("lang").isin(["en", "fr"]) & (F.length("text") >= 8))
+        .select("lang", "text")
+    )
+    src = tempfile.mkdtemp(prefix="kmv_src_")
+    out = tempfile.mkdtemp(prefix="kmv_out_")
+    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    pos = stream.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    q = kmv_sketch_stream(
+        sh, key_col="sh", group_col="lang", k=256,
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-distinct-intersect: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-distinct-intersect: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    sk = spark.read.parquet(out).select("group", "kmv_hash")
+    return kmv_set_ops(sk, group_a="en", group_b="fr", k=256)
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
@@ -5310,6 +5447,12 @@ GATE_NEW_THIS_ROUND = (
     # IVF-PQ query forms.
     "ext-dedup-semantic-keep-best", "ext-similarity-ivf-kmeans-table",
     "ext-similarity-ivf-table", "ext-similarity-ivf-pq-table",
+    # r12 third wave: the KMV (bottom-k / theta-style) sketch family —
+    # distinct-intersection estimates HLL cannot express, with exact
+    # shard mergeability — and rank-aware retrieval metrics
+    # (NDCG/MRR) over the exact-vs-ANN pair.
+    "ext-distinct-intersect", "ext-kmv-merge", "ext-retrieval-metrics",
+    "stream-distinct-intersect",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5371,6 +5514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pack-sequences negative-token algebra, the contrastive
         #    max_anchors guard, semantic_dedup's assign= parameter) —
         #    re-gated inside the window.
+        # -- r12 third wave: the KMV sketch family + retrieval metrics.
+        "ext-distinct-intersect": _distinct_intersect,
+        "ext-kmv-merge": _kmv_merge,
+        "ext-retrieval-metrics": _retrieval_metrics,
+        "stream-distinct-intersect": _stream_distinct_intersect,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
@@ -10829,6 +10977,126 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(CASE WHEN n > 25 THEN n END), 0)
                     AS BIGINT) AS n_capped_rows
         FROM per
+    """
+    # --- r12 third wave: KMV sketch family + retrieval metrics ---
+    # KMV twins replay the SKETCH (bottom-k of portable_hash52
+    # values) and its estimator arithmetic, not the true counts —
+    # the approximate structure is what must be deterministic. The
+    # (k-1)*2^52 numerators are single Python float literals shared
+    # with operators/sketches.py:kmv_numerator.
+    from awskinesisconsumer_spark.operators.sketches import kmv_numerator
+
+    _KMV256, _KMV64 = kmv_numerator(256), kmv_numerator(64)
+    d["ext-distinct-intersect"] = f"""
+        WITH pos AS (
+          SELECT lang, text, unnest(range(1, len(text)-6)) AS i
+          FROM documents
+          WHERE lang IN ('en','fr') AND len(text) >= 8),
+        sh AS (
+          SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
+          FROM pos GROUP BY 1, 2),
+        ranked AS (
+          SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h) AS r
+          FROM sh),
+        sk AS (SELECT g, h FROM ranked WHERE r <= 256),
+        m AS (
+          SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM sk WHERE g = 'en'
+            UNION ALL
+            SELECT h, 0, 1 FROM sk WHERE g = 'fr') GROUP BY h),
+        rm AS (
+          SELECT h, in_a, in_b,
+                 row_number() OVER (ORDER BY h) AS r
+          FROM m),
+        stats AS (
+          SELECT COUNT(*) AS n_merged,
+                 MAX(CASE WHEN r = 256 THEN h END) AS kth,
+                 SUM(CASE WHEN r <= 256 THEN in_a*in_b ELSE 0 END)
+                   AS matches
+          FROM rm)
+        SELECT 'en' AS group_a, 'fr' AS group_b,
+          CAST(n_merged AS BIGINT) AS n_merged,
+          ROUND(CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
+                ELSE {_KMV256!r} / CAST(kth AS DOUBLE) END, 4)
+            AS union_est,
+          ROUND(CAST(matches AS DOUBLE)
+                / CAST(LEAST(n_merged, 256) AS DOUBLE), 4) AS jaccard,
+          ROUND(CAST(matches AS DOUBLE)
+                / CAST(LEAST(n_merged, 256) AS DOUBLE)
+                * (CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
+                   ELSE {_KMV256!r} / CAST(kth AS DOUBLE) END), 4)
+            AS intersect_est
+        FROM stats
+    """
+    # Mergeability gate: the Spark side merges per-DAY sketches; the
+    # twin replays the GLOBAL build — equality IS the exact
+    # bottom-k-of-union identity.
+    d["ext-kmv-merge"] = f"""
+        WITH keyed AS (
+          SELECT event_type AS g, {p52("CAST(user_id AS VARCHAR)")} AS h
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h) AS r
+          FROM keyed),
+        sk AS (SELECT g, h FROM ranked WHERE r <= 64)
+        SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+          ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE {_KMV64!r} / CAST(MAX(h) AS DOUBLE) END, 4)
+            AS kmv_estimate
+        FROM sk GROUP BY g
+    """
+    # Streaming KMV twin: the per-batch merge is the EXACT
+    # bottom-k-of-union identity, so the batch twin gates the stream
+    # verbatim (the stream-cdc-compact sharing rule).
+    d["stream-distinct-intersect"] = d["ext-distinct-intersect"]
+    # Retrieval metrics: reuse the PROVEN exact/ann CTEs from the
+    # ext-ann-recall twin verbatim (slice up to its final rollup),
+    # then compute NDCG/MRR/recall with the SAME float literals the
+    # Spark side bakes (similarity.ndcg_weights) and an ORDERED
+    # list_reduce fold for DCG.
+    from awskinesisconsumer_spark.operators.similarity import ndcg_weights
+
+    _rm_gains, _rm_prefix = ndcg_weights(10)
+    _rm_w = "[" + ", ".join(repr(x) for x in _rm_gains) + "]"
+    _rm_p = "[" + ", ".join(repr(x) for x in _rm_prefix) + "]"
+    _rm_cte = d["ext-ann-recall"][: d["ext-ann-recall"].index("hits AS")]
+    d["ext-retrieval-metrics"] = _rm_cte + f"""
+            exact_r AS (SELECT probe_id, neighbor_id FROM exact),
+            nt AS (
+              SELECT probe_id, COUNT(*) AS n_truth
+              FROM exact_r GROUP BY 1),
+            ann_r AS (
+              SELECT probe_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY cs DESC, neighbor_id) AS r
+              FROM ann),
+            marked AS (
+              SELECT a.probe_id, a.r,
+                     CASE WHEN t.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END AS rel
+              FROM ann_r a LEFT JOIN exact_r t
+                ON t.probe_id = a.probe_id
+               AND t.neighbor_id = a.neighbor_id),
+            per AS (
+              SELECT probe_id, SUM(rel) AS n_hits,
+                     MIN(CASE WHEN rel = 1 THEN r END) AS first_rel,
+                     list_reduce(list_prepend(0.0,
+                       list(CAST(rel AS DOUBLE) * ({_rm_w})[r]
+                            ORDER BY r)),
+                       (acc, x) -> acc + x) AS dcg
+              FROM marked GROUP BY 1)
+            SELECT nt.probe_id, CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                         / CAST(n_truth AS DOUBLE), 4) AS recall_at_k,
+                   CASE WHEN first_rel IS NULL THEN 0.0
+                        ELSE ROUND(1.0 / CAST(first_rel AS DOUBLE), 6)
+                   END AS mrr,
+                   ROUND(COALESCE(dcg, 0.0)
+                         / ({_rm_p})[LEAST(n_truth, 10)], 6) AS ndcg
+            FROM nt LEFT JOIN per ON per.probe_id = nt.probe_id
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col

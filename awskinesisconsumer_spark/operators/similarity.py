@@ -2283,3 +2283,111 @@ def whiten_embeddings_with_stats(
     return df.select(
         id_col, F.posexplode(white).alias("dim", "white_val")
     )
+
+
+# --- retrieval-quality metrics (NDCG / MRR / recall) -------------------
+
+def ndcg_weights(k: int) -> tuple[list[float], list[float]]:
+    """Per-rank DCG gains 1/log2(i+1) for ranks 1..k and their prefix
+    sums (the IDCG at n relevant items), computed ONCE in Python so the
+    Spark plan and the DuckDB twin bake the IDENTICAL double literals
+    (the `_HLL_ALPHA_M2` pattern) — no cross-engine log2 in the hot
+    expression at all."""
+    import math
+
+    gains = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    prefix, acc = [], 0.0
+    for g in gains:
+        acc += g
+        prefix.append(acc)
+    return gains, prefix
+
+
+def retrieval_metrics(
+    truth: DataFrame,
+    approx: DataFrame,
+    *,
+    k: int,
+    query_col: str = "probe_id",
+    id_col: str = "neighbor_id",
+    truth_rank_col: str = "knn_rank",
+    approx_rank_col: str = "ann_rank",
+) -> DataFrame:
+    """Rank-aware retrieval-quality evaluation of an approximate
+    ranking against a ground-truth ranking — the standard IR metrics a
+    production ANN deployment tracks per probe, one row per query:
+
+      n_truth     ground-truth size (<= k; small corpora give < k)
+      n_hits      |approx top-k  intersect  truth top-k|
+      recall_at_k n_hits / n_truth
+      mrr         1 / rank of the FIRST relevant approx item (0 if none)
+      ndcg        DCG@k / IDCG(n_truth) with binary relevance
+                  (rel=1 iff the approx item is in the truth top-k)
+
+    Generic over any two (query, id, rank) tables — exact-vs-ANN here
+    (`ext-retrieval-metrics` gates exact kNN vs SRP-ANN, extending the
+    membership-only `ext-ann-recall` audit with rank sensitivity), but
+    equally IVF-vs-exact or fusion-vs-editorial.
+
+    Determinism contract: the DCG gain per rank and the IDCG prefix
+    sums are Python float literals shared with the SQL twin
+    (`ndcg_weights`), and per-query DCG is an ORDERED fold over ranks
+    (array_sort + F.aggregate, the `hll_distinct` summation pattern) —
+    bit-reproducible in any engine with an ordered list fold.
+
+    Scale shape: one (query, id) hash join marks relevance (truth side
+    is probes x k rows — broadcast), one groupBy per metric table; the
+    per-query fold touches <= k elements. Nothing is collected; state
+    per query is k (rank, rel) pairs.
+    """
+    gains, prefix = ndcg_weights(k)
+    w_arr = F.array(*[F.lit(g) for g in gains])
+    p_arr = F.array(*[F.lit(p) for p in prefix])
+
+    t = truth.filter(F.col(truth_rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.lit(1).alias("_rel"),
+    )
+    n_truth = t.groupBy("_q").agg(F.count(F.lit(1)).alias("n_truth"))
+    a = approx.filter(F.col(approx_rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(approx_rank_col).cast("int").alias("_r"),
+    )
+    marked = a.join(F.broadcast(t), ["_q", "_id"], "left").select(
+        "_q", "_r", F.coalesce("_rel", F.lit(0)).alias("_rel")
+    )
+    per = marked.groupBy("_q").agg(
+        F.sum("_rel").cast("long").alias("n_hits"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_r"))).alias("_first"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_r").alias("r"), F.col("_rel").alias("rel"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["rel"].cast("double") * F.element_at(w_arr, x["r"]),
+        ).alias("_dcg"),
+    )
+    idcg = F.element_at(p_arr, F.least(F.col("n_truth"), F.lit(k)).cast("int"))
+    return (
+        F.broadcast(n_truth)
+        .join(per, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+                / F.col("n_truth").cast("double"),
+                4,
+            ).alias("recall_at_k"),
+            F.when(F.col("_first").isNull(), F.lit(0.0))
+            .otherwise(F.round(F.lit(1.0) / F.col("_first").cast("double"), 6))
+            .alias("mrr"),
+            F.round(F.coalesce("_dcg", F.lit(0.0)) / idcg, 6).alias("ndcg"),
+        )
+    )

@@ -723,3 +723,217 @@ def winsorize(
             F.greatest(F.col(value_col), F.lit(lo_cut)), F.lit(hi_cut)
         ),
     ).withColumn("clipped", (F.col(value_col) != F.col(out_col)))
+
+
+# --- KMV (bottom-k / theta-style) distinct sketches -------------------
+
+KMV_HASH_SPACE = float(1 << 52)
+"""Size of the `portable_hash52` hash space as a double (exact: 2^52
+is representable). The KMV estimator treats hashes as uniform draws
+from [0, 2^52)."""
+
+
+def kmv_numerator(k: int) -> float:
+    """(k-1) * 2^52 as ONE double literal, computed once in Python so
+    the Spark plan and the DuckDB twin bake the identical constant
+    (the `_HLL_ALPHA_M2` pattern). Exact for any practical k."""
+    return float(k - 1) * KMV_HASH_SPACE
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+    salt_buckets: int = 16,
+    hash_fn=None,
+    group_out: str = "group",
+) -> DataFrame:
+    """Per-group bottom-k (KMV / theta-style) distinct-value sketch
+    (Beyer et al., SIGMOD 2007: "On synopses for distinct value
+    estimation under multiset operations") — the sketch family that,
+    unlike HyperLogLog (`hll_distinct`), supports SET INTERSECTION
+    estimates (`kmv_set_ops`): "how many distinct users did BOTH X and
+    Y" over 100 TB without shuffling distinct keys to one place.
+
+    Returns (group, kmv_hash, rank): the k smallest distinct
+    `portable_hash52` values per group, rank 1..k by hash. The whole
+    sketch is a deterministic function of the key set, so every
+    downstream estimate is engine-replayable — the oracle replays the
+    sketch, which is what makes an approximate structure
+    hash-checkable.
+
+    Scale shape: (1) groupBy(group, hash) dedups occurrences with
+    map-side combine — the shuffle carries at most one row per
+    distinct (group, key) per map partition; (2) a salted two-level
+    bottom-k (the `dedup_keep_best` rank pattern): row_number within
+    (group, hash mod salt_buckets) prunes to <= salt_buckets*k rows
+    per group before (3) the final per-group rank — no group's full
+    distinct set ever sorts on one task. Driver state: none; the
+    sketch stays distributed (k rows per group) and is broadcastable.
+
+    Mergeability (exact, not approximate): bottom-k of a union equals
+    bottom-k of the union of per-shard bottom-k's — `kmv_merge` of
+    per-shard sketches is bit-identical to the global build.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash52
+
+    hash_fn = hash_fn or portable_hash52
+    distinct = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            hash_fn(F.col(key_col).cast("string")).alias("_h"),
+        )
+        .groupBy("_g", "_h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    lvl1 = distinct.withColumn("_s", F.pmod("_h", F.lit(salt_buckets)))
+    w1 = Window.partitionBy("_g", "_s").orderBy("_h")
+    survivors = (
+        lvl1.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_s", "_r1")
+    )
+    w2 = Window.partitionBy("_g").orderBy("_h")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_g").alias(group_out),
+            F.col("_h").alias("kmv_hash"),
+            "rank",
+        )
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    *,
+    k: int,
+    group_col: str = "group",
+) -> DataFrame:
+    """Merge per-shard KMV sketches into the global per-group sketch:
+    union the hash sets, re-rank, keep the bottom k. EXACT identity —
+    the k smallest of a union are among the k smallest of each part —
+    so the merged sketch is bit-identical to one built over the raw
+    union (the mergeability claim the `ext-kmv-merge` gate checks by
+    replaying the GLOBAL build as the oracle). Input rows per group
+    are <= n_shards * k, so the final rank is cheap by construction.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("kmv_hash")
+    return (
+        sketches.select(group_col, "kmv_hash")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    *,
+    k: int,
+    group_col: str = "group",
+) -> DataFrame:
+    """Per-group distinct-count estimate from a `kmv_sketch`:
+    (k-1) / U_(k) with U_(k) = kth_smallest_hash / 2^52 — i.e.
+    (k-1)*2^52 / h_(k), the unbiased KMV estimator. A group whose
+    sketch holds fewer than k values is EXACT (the sketch saw every
+    distinct hash), so the count itself is returned. One aggregate
+    over k rows per group; the numerator literal is shared with the
+    SQL twin via `kmv_numerator`."""
+    num = kmv_numerator(k)
+    return (
+        sketch.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("kmv_hash").alias("_kth"),
+        )
+        .select(
+            group_col,
+            "n_sketch",
+            F.round(
+                F.when(
+                    F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+                ).otherwise(F.lit(num) / F.col("_kth").cast("double")),
+                4,
+            ).alias("kmv_estimate"),
+        )
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame,
+    *,
+    group_a,
+    group_b,
+    k: int,
+    group_col: str = "group",
+) -> DataFrame:
+    """Union / Jaccard / intersection estimates for two groups from
+    ONE `kmv_sketch` (Beyer et al. 2007 §4): the bottom-k of the
+    merged hash sets is a valid KMV sketch of the UNION, and the
+    fraction of those k values present in BOTH input sketches is an
+    unbiased Jaccard estimate — so
+
+        union_est     = (k-1)*2^52 / h_(k)   [exact count if < k]
+        jaccard       = |bottom-k(A u B)  in A and B| / K
+        intersect_est = jaccard * union_est
+
+    — the distinct-intersection question HLL structurally cannot
+    answer (register maxes only union). Inputs are two k-row sketch
+    slices: the merge, rank and aggregate all run on <= 2k rows
+    (bounded by construction — the corpus was only touched by
+    `kmv_sketch`). Exactness: if the merged set has < k values, both
+    sketches were exhaustive, so union (and hence intersection) are
+    exact counts, emitted through the same expressions.
+
+    Output: one row (group_a, group_b, n_merged, union_est, jaccard,
+    intersect_est). Floats rounded to 4 dp; the division and product
+    order is pinned (matches/K, then * union) so the DuckDB twin
+    replays bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    num = kmv_numerator(k)
+    marked = sketch.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        "kmv_hash",
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_in_a"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("_in_b"),
+    )
+    merged = marked.groupBy("kmv_hash").agg(
+        F.max("_in_a").alias("_in_a"), F.max("_in_b").alias("_in_b")
+    )
+    # Whole-frame window over <= 2k rows — bounded by construction.
+    ranked = merged.withColumn(
+        "_r", F.row_number().over(Window.orderBy("kmv_hash"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max(F.when(F.col("_r") == k, F.col("kmv_hash"))).alias("_kth"),
+        F.sum(
+            F.when(F.col("_r") <= k, F.col("_in_a") * F.col("_in_b"))
+            .otherwise(0)
+        ).alias("_matches"),
+    )
+    big_k = F.least(F.col("n_merged"), F.lit(k)).cast("double")
+    union_raw = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(F.lit(num) / F.col("_kth").cast("double"))
+    jac_raw = F.col("_matches").cast("double") / big_k
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(jac_raw, 4).alias("jaccard"),
+        F.round(jac_raw * union_raw, 4).alias("intersect_est"),
+    )

@@ -1441,3 +1441,63 @@ def token_quota_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def kmv_sketch_stream(
+    stream_df,
+    *,
+    key_col: str,
+    group_col: str,
+    k: int,
+    out_path: str,
+    checkpoint: str,
+    salt_buckets: int = 16,
+    hash_fn=None,
+    trigger_available_now: bool = True,
+):
+    """Streaming KMV (bottom-k) sketch maintenance: each micro-batch
+    builds its batch-local sketch (`operators.sketches.kmv_sketch`)
+    and merges it with the persisted sketch table via `kmv_merge`.
+    The EXACT bottom-k-of-union identity (bottom-k of a union ==
+    bottom-k of the per-part bottom-k's) makes the final table
+    bit-identical to the batch sketch over the union of ALL arrivals,
+    regardless of how they were chunked — so the batch gate oracle
+    applies verbatim (`stream-distinct-intersect` shares
+    `ext-distinct-intersect`'s twin).
+
+    State = the parquet sketch table, <= k rows per group,
+    CARDINALITY-INDEPENDENT — the streaming answer to "distinct
+    users who did both X and Y so far" without a growing
+    dropDuplicates state store. Each micro-batch costs one
+    batch-local sketch pass over the batch plus a merge over
+    (groups x k + batch-distinct) rows. The merged sketch is eagerly
+    localCheckpoint-ed (it is tiny by construction) so the overwrite
+    of `out_path` never races its own lazy read.
+    """
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_merge, kmv_sketch,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        local = kmv_sketch(
+            batch_df, key_col=key_col, group_col=group_col, k=k,
+            salt_buckets=salt_buckets, hash_fn=hash_fn,
+        ).select("group", "kmv_hash")
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(out_path).select(
+                "group", "kmv_hash"
+            )
+            both = local.unionByName(prev)
+        except Exception:  # first batch: no sketch yet
+            both = local
+        merged = kmv_merge(both, k=k).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -231,6 +231,12 @@ HEADLINE = [
     "ext-grouped-drift",
     "stream-cdc-compact",
     "ext-dup-spans",
+    # round 12 third wave: the KMV (bottom-k) sketch family and the
+    # rank-aware retrieval metrics over the exact-vs-ANN pair.
+    "ext-distinct-intersect",
+    "ext-kmv-merge",
+    "ext-retrieval-metrics",
+    "stream-distinct-intersect",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:
@@ -370,6 +376,9 @@ CORE = [
     "ext-dedup-semantic-vec",
     "ext-knn-join-vec",
     "ext-contrastive-by-cell",
+    # round 12 third wave: the KMV sketch flagship (shingle explode +
+    # salted bottom-k — the heaviest of the three new registrations).
+    "ext-distinct-intersect",
 ]
 
 

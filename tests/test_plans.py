@@ -736,3 +736,41 @@ def test_semantic_dedup_apply_broadcasts_reps(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_distinct_has_partial_aggregation(spark):
+    # The (group, hash) dedup must plan as a two-phase hash aggregate
+    # (map-side partial combine before the shuffle) so the shuffle
+    # carries at most one row per distinct key per map partition —
+    # and the salted two-level bottom-k means no full-corpus window
+    # funnels into one partition (Window partitions carry the salt).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.sketches import kmv_sketch
+
+    docs = load_table(spark, "documents", SF)
+    sk = kmv_sketch(
+        docs, key_col="text", group_col="lang", k=64
+    )
+    plan = _plan(sk)
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    # first window is salted: its partition spec mentions the salt
+    assert "pmod" in plan.lower() or "_s" in plan, plan
+
+
+def test_retrieval_metrics_broadcasts_truth(spark):
+    # The relevance join must broadcast the (probes x k)-row truth
+    # side — the corpus-sized approx table never shuffles for it.
+    from awskinesisconsumer_spark.operators.similarity import (
+        retrieval_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(0, 1, 1)], "probe_id long, neighbor_id long, knn_rank long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 1, 1)], "probe_id long, neighbor_id long, ann_rank long"
+    )
+    plan = _plan(retrieval_metrics(truth, approx, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

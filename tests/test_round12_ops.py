@@ -701,3 +701,211 @@ def test_simhash_capped_buckets_visible_when_pairs_empty(spark):
         hot_cap=None,
     ).head()
     assert off["n_capped_buckets"] == 0 and off["n_capped_rows"] == 0
+
+
+# --- r12 third wave: KMV sketches + retrieval metrics ------------------
+
+
+def _kmv_shingle_rows(spark):
+    docs = load_table(spark, "documents", SF_ORACLE).filter(
+        F.col("lang").isin(["en", "fr"]) & (F.length("text") >= 8)
+    )
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    return pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+
+
+def test_kmv_estimates_within_tolerance_of_exact(spark):
+    # The gate replays the sketch; THIS is the audit that the sketch
+    # estimates the truth. k=256 gives ~1/sqrt(254) ~ 6.3% relative
+    # std on distinct counts (Beyer et al. 2007); assert 3 sigma.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_distinct_estimate, kmv_set_ops, kmv_sketch,
+    )
+
+    sh = _kmv_shingle_rows(spark)
+    exact = {
+        r["lang"]: r["d"]
+        for r in sh.groupBy("lang")
+        .agg(F.countDistinct("sh").alias("d"))
+        .collect()
+    }
+    inter = (
+        sh.filter(F.col("lang") == "en").select("sh").distinct()
+        .join(
+            sh.filter(F.col("lang") == "fr").select("sh").distinct(), "sh"
+        )
+        .count()
+    )
+    union = exact["en"] + exact["fr"] - inter
+
+    sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=256)
+    est = {
+        r["group"]: r["kmv_estimate"]
+        for r in kmv_distinct_estimate(sk, k=256).collect()
+    }
+    for g in ("en", "fr"):
+        assert abs(est[g] - exact[g]) / exact[g] < 0.19, (g, est, exact)
+    ops = kmv_set_ops(sk, group_a="en", group_b="fr", k=256).first()
+    assert abs(ops["union_est"] - union) / union < 0.19
+    # Jaccard std is higher (binomial over k); 3 sigma ~ 0.095 at
+    # J~0.54, plus union error: allow 25% relative.
+    assert abs(ops["intersect_est"] - inter) / inter < 0.25
+
+
+def test_kmv_merge_identity_bit_exact(spark):
+    # bottom-k of a union == bottom-k of per-shard bottom-k's — the
+    # EXACT mergeability identity the ext-kmv-merge gate rests on,
+    # checked here shard-by-shard against the global build.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_merge, kmv_sketch,
+    )
+
+    sh = _kmv_shingle_rows(spark)
+    glob = kmv_sketch(sh, key_col="sh", group_col="lang", k=64)
+    sharded = sh.withColumn("_shard", F.crc32("sh") % 3)
+    per = kmv_sketch(
+        sharded.withColumn(
+            "_gs", F.concat_ws("\x1f", "lang", F.col("_shard").cast("string"))
+        ),
+        key_col="sh", group_col="_gs", k=64,
+    ).select(
+        F.substring_index("group", "\x1f", 1).alias("group"), "kmv_hash"
+    )
+    merged = kmv_merge(per, k=64)
+    assert merged.exceptAll(glob).count() == 0
+    assert glob.exceptAll(merged).count() == 0
+
+
+def test_kmv_exact_passthrough_below_k(spark):
+    # A group with fewer than k distinct keys is EXACT: estimate ==
+    # count, jaccard/intersection replay true set algebra.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_distinct_estimate, kmv_set_ops, kmv_sketch,
+    )
+
+    rows = [("a", f"k{i}") for i in range(30)] + [
+        ("b", f"k{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows * 2, "g string, k string")  # dups
+    sk = kmv_sketch(df, key_col="k", group_col="g", k=256)
+    est = {
+        r["group"]: (r["n_sketch"], r["kmv_estimate"])
+        for r in kmv_distinct_estimate(sk, k=256).collect()
+    }
+    assert est == {"a": (30, 30.0), "b": (30, 30.0)}
+    ops = kmv_set_ops(sk, group_a="a", group_b="b", k=256).first()
+    assert ops["n_merged"] == 50
+    assert ops["union_est"] == 50.0
+    assert ops["jaccard"] == 0.2
+    assert ops["intersect_est"] == 10.0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # Tiny hand-checkable fixture: truth = {1,2,3}, approx ranks
+    # (4, 2, 5) -> only rank-2 item relevant.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ndcg_weights, retrieval_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "probe_id long, neighbor_id long, knn_rank long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 40, 1), (0, 2, 2), (0, 50, 3)],
+        "probe_id long, neighbor_id long, ann_rank long",
+    )
+    r = retrieval_metrics(truth, approx, k=3).first()
+    gains, prefix = ndcg_weights(3)
+    assert r["n_truth"] == 3 and r["n_hits"] == 1
+    assert r["recall_at_k"] == round(1 / 3, 4)
+    assert r["mrr"] == 0.5
+    assert r["ndcg"] == round(gains[1] / prefix[2], 6)
+    # Perfect ranking -> ndcg == mrr == recall == 1.
+    perfect = retrieval_metrics(
+        truth,
+        truth.withColumnRenamed("knn_rank", "ann_rank"),
+        k=3,
+    ).first()
+    assert (
+        perfect["ndcg"], perfect["mrr"], perfect["recall_at_k"]
+    ) == (1.0, 1.0, 1.0)
+    # No relevant item at all -> zeros, not NULLs.
+    miss = retrieval_metrics(
+        truth,
+        approx.withColumn("neighbor_id", F.col("neighbor_id") + 100),
+        k=3,
+    ).first()
+    assert (miss["ndcg"], miss["mrr"], miss["recall_at_k"]) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_retrieval_metrics_truth_smaller_than_k(spark):
+    # n_truth < k: IDCG uses the n_truth prefix, recall base is
+    # n_truth — a 2-item truth perfectly retrieved scores 1.0 even
+    # though k=5.
+    from awskinesisconsumer_spark.operators.similarity import (
+        retrieval_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2)],
+        "probe_id long, neighbor_id long, knn_rank long",
+    )
+    approx = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2), (7, 9, 3)],
+        "probe_id long, neighbor_id long, ann_rank long",
+    )
+    r = retrieval_metrics(truth, approx, k=5).first()
+    assert (r["n_truth"], r["ndcg"], r["recall_at_k"]) == (2, 1.0, 1.0)
+
+
+def test_kmv_stream_equals_batch_sketch(spark, tmp_path):
+    # 3-batch streamed sketch == batch sketch, bit-for-bit — the
+    # bottom-k-of-union identity run through kmv_sketch_stream's
+    # foreachBatch merge (stream-distinct-intersect's whole claim).
+    from awskinesisconsumer_spark.operators.sketches import kmv_sketch
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        kmv_sketch_stream,
+    )
+
+    docs = (
+        load_table(spark, "documents", SF)
+        .filter(F.col("lang").isin(["en", "fr"]) & (F.length("text") >= 8))
+        .select("lang", "text")
+    )
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    pos = stream.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    q = kmv_sketch_stream(
+        sh, key_col="sh", group_col="lang", k=64,
+        out_path=out, checkpoint=ckpt,
+    )
+    assert q.awaitTermination(300)
+    assert (
+        len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    )
+    streamed = spark.read.parquet(out).select("group", "kmv_hash", "rank")
+
+    bpos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    bsh = bpos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    batch = kmv_sketch(bsh, key_col="sh", group_col="lang", k=64)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

@@ -96,3 +96,52 @@ def test_quota_stream_chunking_invariant_with_negatives(rows, quota):
             got[rid] = (run, run <= quota)
         state = run
     assert got == kept
+
+
+# --- KMV sketch algebra (driver-side replica of the exact spec) -------
+
+
+def _bottom_k(values, k):
+    return sorted(set(values))[:k]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 52) - 1),
+             min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=64),
+)
+def test_kmv_merge_identity_holds_for_any_sharding(hashes, n_shards, k):
+    # bottom-k(union) == bottom-k(union of per-shard bottom-k's),
+    # for EVERY sharding — the identity ext-kmv-merge's gate rests
+    # on (Spark-side shard check in test_round12_ops).
+    shards = [hashes[i::n_shards] for i in range(n_shards)]
+    merged_parts = [h for s in shards for h in _bottom_k(s, k)]
+    assert _bottom_k(merged_parts, k) == _bottom_k(hashes, k)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=(1 << 52) - 1),
+            min_size=0, max_size=100),
+    st.sets(st.integers(min_value=0, max_value=(1 << 52) - 1),
+            min_size=0, max_size=100),
+)
+def test_kmv_set_ops_exact_below_k(a, b):
+    # When the merged sketch holds every distinct hash (n < k), the
+    # operator's estimates ARE the true set counts — replicating
+    # kmv_set_ops' expressions in python floats.
+    k = 256
+    union = a | b
+    inter = a & b
+    n_merged = len(union)
+    assert n_merged < k  # fixture keeps the exact branch
+    if n_merged == 0:
+        return
+    big_k = float(min(n_merged, k))
+    union_raw = float(n_merged)
+    jac = round(len(inter) / big_k * union_raw, 4)
+    # exact-branch intersection estimate equals |A&B| only when the
+    # bottom-K covers the whole union (it does: n_merged < k)
+    assert jac == round(float(len(inter)), 4)
