@@ -5376,6 +5376,28 @@ def _retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(exact, ann, k=10)
 
 
+def _source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # ALL-PAIRS language-overlap matrix from ONE sketch pass
+    # (operators/sketches.py kmv_overlap_matrix): the 10 unordered
+    # lang-pair union/Jaccard/intersection estimates over 8-char
+    # shingles, k=128 — the per-source duplication audit a dataset
+    # card wants, with everything downstream of the sketch bounded by
+    # G^2 * k rows. Same estimator arithmetic as ext-distinct-
+    # intersect, so the twin replays bit-for-bit per pair.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_overlap_matrix, kmv_sketch,
+    )
+
+    docs = load_table(spark, "documents", sf).filter(F.length("text") >= 8)
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=128)
+    return kmv_overlap_matrix(sk, k=128)
+
+
 def _stream_distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # Streaming form of ext-distinct-intersect (streaming/pipeline.py
     # kmv_sketch_stream): the en/fr documents arrive as a genuinely
@@ -5452,7 +5474,7 @@ GATE_NEW_THIS_ROUND = (
     # shard mergeability — and rank-aware retrieval metrics
     # (NDCG/MRR) over the exact-vs-ANN pair.
     "ext-distinct-intersect", "ext-kmv-merge", "ext-retrieval-metrics",
-    "stream-distinct-intersect",
+    "stream-distinct-intersect", "ext-source-overlap",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5519,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-kmv-merge": _kmv_merge,
         "ext-retrieval-metrics": _retrieval_metrics,
         "stream-distinct-intersect": _stream_distinct_intersect,
+        "ext-source-overlap": _source_overlap,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
@@ -11051,6 +11074,58 @@ def oracle_sql() -> dict[str, str]:
     # bottom-k-of-union identity, so the batch twin gates the stream
     # verbatim (the stream-cdc-compact sharing rule).
     d["stream-distinct-intersect"] = d["ext-distinct-intersect"]
+    # All-pairs overlap matrix: the per-pair replay of the
+    # ext-distinct-intersect arithmetic over every unordered lang
+    # pair, k=128.
+    _KMV128 = kmv_numerator(128)
+    d["ext-source-overlap"] = f"""
+        WITH pos AS (
+          SELECT lang, text, unnest(range(1, len(text)-6)) AS i
+          FROM documents WHERE len(text) >= 8),
+        sh AS (
+          SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
+          FROM pos GROUP BY 1, 2),
+        ranked AS (
+          SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h) AS r
+          FROM sh),
+        sk AS (SELECT g, h FROM ranked WHERE r <= 128),
+        pairs AS (
+          SELECT a.g AS g1, b.g AS g2
+          FROM (SELECT DISTINCT g FROM sk) a
+          JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+        m AS (
+          SELECT g1, g2, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT p.g1, p.g2, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.g = p.g2)
+          GROUP BY 1, 2, 3),
+        rm AS (
+          SELECT g1, g2, h, in_a, in_b,
+                 row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS r
+          FROM m),
+        stats AS (
+          SELECT g1, g2, COUNT(*) AS n_merged,
+                 MAX(CASE WHEN r = 128 THEN h END) AS kth,
+                 SUM(CASE WHEN r <= 128 THEN in_a*in_b ELSE 0 END)
+                   AS matches
+          FROM rm GROUP BY 1, 2)
+        SELECT g1 AS group_a, g2 AS group_b,
+          CAST(n_merged AS BIGINT) AS n_merged,
+          ROUND(CASE WHEN n_merged < 128 THEN CAST(n_merged AS DOUBLE)
+                ELSE {_KMV128!r} / CAST(kth AS DOUBLE) END, 4)
+            AS union_est,
+          ROUND(CAST(matches AS DOUBLE)
+                / CAST(LEAST(n_merged, 128) AS DOUBLE), 4) AS jaccard,
+          ROUND(CAST(matches AS DOUBLE)
+                / CAST(LEAST(n_merged, 128) AS DOUBLE)
+                * (CASE WHEN n_merged < 128 THEN CAST(n_merged AS DOUBLE)
+                   ELSE {_KMV128!r} / CAST(kth AS DOUBLE) END), 4)
+            AS intersect_est
+        FROM stats
+    """
     # Retrieval metrics: reuse the PROVEN exact/ann CTEs from the
     # ext-ann-recall twin verbatim (slice up to its final rollup),
     # then compute NDCG/MRR/recall with the SAME float literals the

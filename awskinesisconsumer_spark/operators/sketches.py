@@ -937,3 +937,76 @@ def kmv_set_ops(
         F.round(jac_raw, 4).alias("jaccard"),
         F.round(jac_raw * union_raw, 4).alias("intersect_est"),
     )
+
+
+def kmv_overlap_matrix(
+    sketch: DataFrame,
+    *,
+    k: int,
+    group_col: str = "group",
+) -> DataFrame:
+    """ALL-PAIRS overlap audit from ONE `kmv_sketch` pass: for every
+    unordered group pair (g1 < g2), the same union / Jaccard /
+    intersection estimates as `kmv_set_ops` — the per-source-pair
+    duplication matrix a corpus card wants ("how much of src3 is also
+    in src17"), computed WITHOUT touching the corpus again. With G
+    groups the exact answer needs G(G-1)/2 distinct-intersection
+    jobs over the raw data; here everything downstream of the sketch
+    is bounded by G^2 * k rows (tens of groups x hundreds of hashes —
+    trivially small at any corpus size).
+
+    Scale notes: the group list and the pair table are
+    group-count-bounded (broadcast); each sketch row fans out to its
+    G-1 partner pairs, the per-pair rank window holds <= 2k rows.
+    Estimator arithmetic is shared with `kmv_set_ops` expression for
+    expression, so the twin replays bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    num = kmv_numerator(k)
+    groups = sketch.select(F.col(group_col).alias("_g")).distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("g1"))
+        .crossJoin(F.broadcast(groups.select(F.col("_g").alias("g2"))))
+        .where(F.col("g1") < F.col("g2"))
+    )
+    a = sketch.select(F.col(group_col).alias("g1"), "kmv_hash")
+    b = sketch.select(F.col(group_col).alias("g2"), "kmv_hash")
+    left = F.broadcast(pairs).join(a, "g1").select(
+        "g1", "g2", "kmv_hash",
+        F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
+    )
+    right = F.broadcast(pairs).join(b, "g2").select(
+        "g1", "g2", "kmv_hash",
+        F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"),
+    )
+    merged = left.unionByName(right).groupBy("g1", "g2", "kmv_hash").agg(
+        F.max("_in_a").alias("_in_a"), F.max("_in_b").alias("_in_b")
+    )
+    ranked = merged.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("g1", "g2").orderBy("kmv_hash")
+        ),
+    )
+    agg = ranked.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max(F.when(F.col("_r") == k, F.col("kmv_hash"))).alias("_kth"),
+        F.sum(
+            F.when(F.col("_r") <= k, F.col("_in_a") * F.col("_in_b"))
+            .otherwise(0)
+        ).alias("_matches"),
+    )
+    big_k = F.least(F.col("n_merged"), F.lit(k)).cast("double")
+    union_raw = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(F.lit(num) / F.col("_kth").cast("double"))
+    jac_raw = F.col("_matches").cast("double") / big_k
+    return agg.select(
+        F.col("g1").alias("group_a"),
+        F.col("g2").alias("group_b"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(jac_raw, 4).alias("jaccard"),
+        F.round(jac_raw * union_raw, 4).alias("intersect_est"),
+    )

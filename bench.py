@@ -237,6 +237,7 @@ HEADLINE = [
     "ext-kmv-merge",
     "ext-retrieval-metrics",
     "stream-distinct-intersect",
+    "ext-source-overlap",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -909,3 +909,31 @@ def test_kmv_stream_equals_batch_sketch(spark, tmp_path):
     batch = kmv_sketch(bsh, key_col="sh", group_col="lang", k=64)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_kmv_overlap_matrix_rows_equal_pairwise_set_ops(spark):
+    # The all-pairs matrix must reproduce kmv_set_ops exactly for
+    # every pair — same sketch in, same estimator arithmetic out.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_overlap_matrix, kmv_set_ops, kmv_sketch,
+    )
+
+    docs = load_table(spark, "documents", SF).filter(
+        F.length("text") >= 8
+    )
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=64).cache()
+    mat = {
+        (r["group_a"], r["group_b"]): tuple(r)[2:]
+        for r in kmv_overlap_matrix(sk, k=64).collect()
+    }
+    langs = sorted(mat and {g for p in mat for g in p} or [])
+    assert len(mat) == len(langs) * (len(langs) - 1) // 2
+    for (a, b), row in sorted(mat.items()):
+        ref = kmv_set_ops(sk, group_a=a, group_b=b, k=64).first()
+        assert row == tuple(ref)[2:], (a, b, row, tuple(ref))
+    sk.unpersist()
