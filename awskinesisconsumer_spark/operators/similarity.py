@@ -2373,9 +2373,11 @@ def retrieval_metrics(
         ).alias("_dcg"),
     )
     idcg = F.element_at(p_arr, F.least(F.col("n_truth"), F.lit(k)).cast("int"))
+    # Both sides are probe-count-bounded; the hint goes on the RIGHT
+    # side (the only broadcastable side of a left outer join).
     return (
-        F.broadcast(n_truth)
-        .join(per, "_q", "left")
+        n_truth
+        .join(F.broadcast(per), "_q", "left")
         .select(
             F.col("_q").alias(query_col),
             "n_truth",

@@ -1484,12 +1484,18 @@ def kmv_sketch_stream(
             salt_buckets=salt_buckets, hash_fn=hash_fn,
         ).select("group", "kmv_hash")
         spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
         try:
             prev = spark.read.parquet(out_path).select(
                 "group", "kmv_hash"
             )
             both = local.unionByName(prev)
-        except Exception:  # first batch: no sketch yet
+        except AnalysisException:
+            # First batch only: the sketch table does not exist yet.
+            # Narrow on purpose — a transient IO error must FAIL the
+            # batch (and retry through the checkpoint), never silently
+            # reset the accumulated sketch.
             both = local
         merged = kmv_merge(both, k=k).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(out_path)

@@ -115,6 +115,7 @@ def doc_ops():
 
     return {
         "dedup-exact": lambda d: dedup_exact(d, text_col="text", id_col="doc_id"),
+        "kmv-overlap": kmv_overlap_study,
         "prepare-pipeline": prepare,
         "dedup-minhash-lsh": lambda d: dedup_minhash_lsh(
             d, id_col="doc_id", text_col="text",
@@ -604,6 +605,29 @@ def semantic_decontam_study(d):
         bench_id_col="bid", bench_vec_col="bvec", threshold=0.9,
         vectorized=True,
     )
+
+
+def kmv_overlap_study(d):
+    # The r12 KMV family end to end on amplified docs: 8-char shingle
+    # rows (narrow explode) -> per-lang bottom-k sketch -> all-pairs
+    # overlap matrix. Expected shape: linear in shingle rows (the
+    # distinct groupBy dominates); everything after the sketch is
+    # G^2*k rows. documents lack lang in the amplified fixture, so
+    # group by doc_id % 5 as a 5-way source split.
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_overlap_matrix, kmv_sketch,
+    )
+
+    docs = d.filter(F.length("text") >= 8).select(
+        (F.col("doc_id") % 5).cast("string").alias("src"), "text"
+    )
+    pos = docs.select(
+        "src", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("src", F.expr("substring(text, i, 8)").alias("sh"))
+    sk = kmv_sketch(sh, key_col="sh", group_col="src", k=256)
+    return kmv_overlap_matrix(sk, k=256)
 
 
 def timed(make_df, src, spark) -> tuple[float, float]:
