@@ -937,3 +937,26 @@ def test_kmv_overlap_matrix_rows_equal_pairwise_set_ops(spark):
         ref = kmv_set_ops(sk, group_a=a, group_b=b, k=64).first()
         assert row == tuple(ref)[2:], (a, b, row, tuple(ref))
     sk.unpersist()
+
+
+def test_kmv_merge_estimate_within_tolerance(spark):
+    # ext-kmv-merge's fixture audit: every event type sees all 150
+    # users (identical key sets -> identical sketches), and the k=64
+    # estimator lands within 2 sigma (~25%) of the exact count. The
+    # gate itself replays the sketch; THIS pins that the sketch
+    # estimates the truth on the events fixture too.
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ext-kmv-merge"](spark, SF_ORACLE).collect()
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, "events", SF_ORACLE)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert e > 64, "fixture must exercise the estimator path"
+        assert abs(r["kmv_estimate"] - e) / e < 0.25, tuple(r)
