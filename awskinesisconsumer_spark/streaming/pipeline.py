@@ -1106,6 +1106,7 @@ def semantic_dedup_stream(
     out_path: str,
     checkpoint: str,
     assign: str = "literal",
+    vectorized: bool = False,
     broadcast_reps: bool = True,
     trigger_available_now: bool = True,
 ):
@@ -1138,9 +1139,14 @@ def semantic_dedup_stream(
         semantic_dedup, semantic_dedup_apply, semantic_dedup_keep,
     )
 
+    # `vectorized`/`assign` are the production dials (bit-identical
+    # kernels, pinned by tests) for the freeze's offline pairwise
+    # pass; the gate entry keeps the HOF/literal defaults so the
+    # gated artifact exercises the twin-replayed forms.
     sem = semantic_dedup(
         reference, id_col=id_col, vec_col=vec_col,
         centroids=centroids, threshold=threshold, assign=assign,
+        vectorized=vectorized,
     )
     reps = semantic_dedup_keep(
         sem, reference, id_col=id_col, vec_col=vec_col

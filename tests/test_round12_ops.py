@@ -960,3 +960,36 @@ def test_kmv_merge_estimate_within_tolerance(spark):
         e = exact[r["event_type"]]
         assert e > 64, "fixture must exercise the estimator path"
         assert abs(r["kmv_estimate"] - e) / e < 0.25, tuple(r)
+
+
+def test_semantic_dedup_stream_vectorized_freeze_identical(spark, tmp_path):
+    # The vectorized production dial on the stream's FROZEN reps must
+    # leave the flagged output bit-identical (the kernels are pinned
+    # bit-equal to the HOF forms, so the frozen reps — and therefore
+    # every per-row flag — cannot differ).
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    outs = []
+    for i, vec in enumerate((False, True)):
+        src = str(tmp_path / f"src{i}")
+        out = str(tmp_path / f"out{i}")
+        ckpt = str(tmp_path / f"ck{i}")
+        emb.repartition(2).write.parquet(src)
+        q = semantic_dedup_stream(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            emb, id_col="vec_id", vec_col="embedding",
+            centroids=cents, threshold=0.3,
+            out_path=out, checkpoint=ckpt, vectorized=vec,
+        )
+        assert q.awaitTermination(300)
+        outs.append(spark.read.parquet(out))
+    a, b = outs
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
