@@ -5452,6 +5452,33 @@ def _stream_distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_set_ops(sk, group_a="en", group_b="fr", k=256)
 
 
+def _rank_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Truncated rank-biased overlap (RBO@10, p=0.9) between the exact
+    # k-NN ranking and the SRP-ANN ranking per probe
+    # (operators/similarity.py rank_biased_overlap) — the SYMMETRIC
+    # agreement companion to ext-retrieval-metrics: no ground-truth
+    # labeling, top-weighted, the measure for comparing two index
+    # configurations. TAIL mass literals shared with the twin; the
+    # per-query fold is ordered, so the 6-dp value replays
+    # bit-for-bit. Identical rankings score 1 - p^k = 0.651322
+    # (truncated/min-RBO at depth 10; the residual mass lives past
+    # the evaluated depth by construction).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, knn_join_topk, rank_biased_overlap,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    probes = list(range(8))
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes, k=10
+    )
+    ann = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        planes=deterministic_planes(64, 8), k=10,
+    )
+    return rank_biased_overlap(exact, ann, k=10, p=0.9)
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
@@ -5475,6 +5502,7 @@ GATE_NEW_THIS_ROUND = (
     # (NDCG/MRR) over the exact-vs-ANN pair.
     "ext-distinct-intersect", "ext-kmv-merge", "ext-retrieval-metrics",
     "stream-distinct-intersect", "ext-source-overlap",
+    "ext-rank-overlap",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5542,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-retrieval-metrics": _retrieval_metrics,
         "stream-distinct-intersect": _stream_distinct_intersect,
         "ext-source-overlap": _source_overlap,
+        "ext-rank-overlap": _rank_overlap,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
@@ -11172,6 +11201,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(dcg, 0.0)
                          / ({_rm_p})[LEAST(n_truth, 10)], 6) AS ndcg
             FROM nt LEFT JOIN per ON per.probe_id = nt.probe_id
+    """
+    # RBO twin: same exact/ann rank CTEs, matched max-ranks folded
+    # over the shared TAIL literals in md order (ties carry equal
+    # literals -> tie order cannot change the sum).
+    from awskinesisconsumer_spark.operators.similarity import (
+        rbo_tail_weights,
+    )
+
+    _rbo_t = "[" + ", ".join(repr(x) for x in rbo_tail_weights(10, 0.9)) + "]"
+    d["ext-rank-overlap"] = _rm_cte + f"""
+            exact_r AS (
+              SELECT probe_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY cs DESC, neighbor_id) AS ra
+              FROM exact),
+            ann_r AS (
+              SELECT probe_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY cs DESC, neighbor_id) AS rb
+              FROM ann),
+            matched AS (
+              SELECT a.probe_id, GREATEST(a.ra, b.rb) AS md
+              FROM exact_r a JOIN ann_r b
+                ON b.probe_id = a.probe_id
+               AND b.neighbor_id = a.neighbor_id),
+            per AS (
+              SELECT probe_id, COUNT(*) AS n_matched,
+                     list_reduce(list_prepend(0.0,
+                       list(({_rbo_t})[md] ORDER BY md)),
+                       (acc, x) -> acc + x) AS rbo
+              FROM matched GROUP BY 1),
+            uni AS (
+              SELECT probe_id FROM exact_r
+              UNION SELECT probe_id FROM ann_r)
+            SELECT DISTINCT uni.probe_id,
+                   CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+                   ROUND(COALESCE(rbo, 0.0), 6) AS rbo
+            FROM uni LEFT JOIN per ON per.probe_id = uni.probe_id
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col

@@ -2393,3 +2393,80 @@ def retrieval_metrics(
             F.round(F.coalesce("_dcg", F.lit(0.0)) / idcg, 6).alias("ndcg"),
         )
     )
+
+
+def rbo_tail_weights(k: int, p: float = 0.9) -> list[float]:
+    """TAIL[r] = sum_{d=r..k} (1-p) p^(d-1) / d — the truncated
+    rank-biased-overlap mass an agreement at max-rank r contributes
+    (Webber et al. 2010 eq. 4, truncated form: RBO@k =
+    sum_d (1-p) p^(d-1) X_d / d, and X_d counts matched items with
+    max(rank_a, rank_b) <= d, so each matched item contributes
+    exactly TAIL[max-rank]). Python float literals shared with the
+    SQL twin — the `ndcg_weights` pattern."""
+    terms = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    tails = []
+    for r in range(k):
+        acc = 0.0
+        for t in terms[r:]:
+            acc += t
+        tails.append(acc)
+    return tails
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    k: int,
+    p: float = 0.9,
+    query_col: str = "probe_id",
+    id_col: str = "neighbor_id",
+    rank_a_col: str = "knn_rank",
+    rank_b_col: str = "ann_rank",
+) -> DataFrame:
+    """Truncated rank-biased overlap (RBO@k, Webber et al. 2010)
+    between two rankings per query — the SYMMETRIC agreement measure
+    that, unlike NDCG/MRR (`retrieval_metrics`), needs no ground-truth
+    labeling: compare two ANN configurations, two quantizers, or an
+    index before/after a rebuild, top-weighted by persistence
+    parameter p.
+
+    Decomposition that keeps it engine-replayable: a matched item
+    with ranks (ra, rb) enters every depth d >= max(ra, rb), so its
+    total mass is TAIL[max(ra, rb)] — a Python float literal
+    (`rbo_tail_weights`). Per-query RBO is then an ORDERED fold over
+    the sorted max-rank list (ties carry equal literals, so tie order
+    cannot change the sum). One (query, id) equi-join + one groupBy;
+    <= k elements per query ever fold.
+    """
+    tails = rbo_tail_weights(k, p)
+    t_arr = F.array(*[F.lit(t) for t in tails])
+    ar = a.filter(F.col(rank_a_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_a_col).cast("int").alias("_ra"),
+    )
+    br = b.filter(F.col(rank_b_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_b_col).cast("int").alias("_rb"),
+    )
+    matched = ar.join(br, ["_q", "_id"]).select(
+        "_q", F.greatest("_ra", "_rb").alias("_md")
+    )
+    per = matched.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_md")),
+            F.lit(0.0),
+            lambda acc, x: acc + F.element_at(t_arr, x),
+        ).alias("_rbo"),
+    )
+    universe = (
+        ar.select("_q").unionByName(br.select("_q")).distinct()
+    )
+    return universe.join(F.broadcast(per), "_q", "left").select(
+        F.col("_q").alias(query_col),
+        F.coalesce("n_matched", F.lit(0).cast("long")).alias("n_matched"),
+        F.round(F.coalesce("_rbo", F.lit(0.0)), 6).alias("rbo"),
+    )

@@ -238,6 +238,7 @@ HEADLINE = [
     "ext-retrieval-metrics",
     "stream-distinct-intersect",
     "ext-source-overlap",
+    "ext-rank-overlap",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -993,3 +993,42 @@ def test_semantic_dedup_stream_vectorized_freeze_identical(spark, tmp_path):
     a, b = outs
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_rank_biased_overlap_hand_computed(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        rank_biased_overlap, rbo_tail_weights,
+    )
+
+    t = rbo_tail_weights(3, 0.9)
+    ranking = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "probe_id long, neighbor_id long, knn_rank long",
+    )
+    # identical rankings: every item matches at max-rank d -> sum of
+    # all tails == 1 - p^k (truncated RBO of perfect agreement)
+    same = rank_biased_overlap(
+        ranking, ranking.withColumnRenamed("knn_rank", "ann_rank"), k=3
+    ).first()
+    assert same["n_matched"] == 3
+    assert same["rbo"] == round(t[0] + t[1] + t[2], 6)
+    assert same["rbo"] == round(1.0 - 0.9 ** 3, 6)
+    # disjoint rankings -> 0.0, row still present
+    disjoint = rank_biased_overlap(
+        ranking,
+        ranking.withColumnRenamed("knn_rank", "ann_rank")
+        .withColumn("neighbor_id", F.col("neighbor_id") + 100),
+        k=3,
+    ).first()
+    assert (disjoint["n_matched"], disjoint["rbo"]) == (0, 0.0)
+    # one shared item at ranks (1, 3): contributes TAIL[3] only
+    partial = rank_biased_overlap(
+        ranking,
+        spark.createDataFrame(
+            [(0, 99, 1), (0, 98, 2), (0, 10, 3)],
+            "probe_id long, neighbor_id long, ann_rank long",
+        ),
+        k=3,
+    ).first()
+    assert partial["n_matched"] == 1
+    assert partial["rbo"] == round(t[2], 6)
