@@ -5479,6 +5479,75 @@ def _rank_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return rank_biased_overlap(exact, ann, k=10, p=0.9)
 
 
+def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Composed corpus AUDIT REPORT — the ext-train-batch pattern
+    # applied to the r12 audit family: one long-format
+    # (metric, value) table chaining FOUR proven gates by reuse —
+    # exact-dup counts, per-lang KMV distinct-shingle estimates, the
+    # all-pairs source-overlap Jaccards, and per-probe ANN
+    # recall/RBO health. Design rule that keeps the chain hash-exact
+    # with NO new arithmetic: every row is either an integer count
+    # or a per-entity value some green gate already replays — the
+    # report never aggregates floats across rows (cross-row float
+    # sums are where engine summation order would bite). The twin
+    # nests the proven oracle strings as subqueries verbatim.
+    from awskinesisconsumer_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, "documents", sf)
+    n_docs = docs.agg(
+        F.lit("n_docs").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    dups = dedup_exact(docs, text_col="text", id_col="doc_id").agg(
+        F.lit("n_exact_dup_docs").alias("metric"),
+        F.sum(F.col("n_dups") - 1).cast("double").alias("value"),
+    )
+    kmv = _kmv_lang_distinct(spark, sf).select(
+        F.concat(F.lit("kmv_distinct_shingles:"), F.col("group"))
+        .alias("metric"),
+        F.col("kmv_estimate").alias("value"),
+    )
+    overlap = _source_overlap(spark, sf).select(
+        F.concat(
+            F.lit("overlap_jaccard:"), F.col("group_a"),
+            F.lit("/"), F.col("group_b"),
+        ).alias("metric"),
+        F.col("jaccard").alias("value"),
+    )
+    recall = _retrieval_metrics(spark, sf).select(
+        F.concat(F.lit("ann_recall@10:probe_"), F.col("probe_id"))
+        .alias("metric"),
+        F.col("recall_at_k").alias("value"),
+    )
+    rbo = _rank_overlap(spark, sf).select(
+        F.concat(F.lit("rbo@10:probe_"), F.col("probe_id"))
+        .alias("metric"),
+        F.col("rbo").alias("value"),
+    )
+    out = n_docs
+    for part in (dups, kmv, overlap, recall, rbo):
+        out = out.unionByName(part)
+    return out
+
+
+def _kmv_lang_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Shared piece of the audit report: per-lang KMV distinct-shingle
+    # estimates over the SAME sketch parameters as ext-source-overlap
+    # (k=128, 8-char shingles, all langs).
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_distinct_estimate, kmv_sketch,
+    )
+
+    docs = load_table(spark, "documents", sf).filter(F.length("text") >= 8)
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=128)
+    return kmv_distinct_estimate(sk, k=128)
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
@@ -5502,7 +5571,7 @@ GATE_NEW_THIS_ROUND = (
     # (NDCG/MRR) over the exact-vs-ANN pair.
     "ext-distinct-intersect", "ext-kmv-merge", "ext-retrieval-metrics",
     "stream-distinct-intersect", "ext-source-overlap",
-    "ext-rank-overlap",
+    "ext-rank-overlap", "ext-audit-report",
     # CHANGED this round (operator-module semantics fixed per r11
     # ADVICE — NaN priorities, unclamped negative tokens, the
     # max_anchors guard, the assign= parameter — so the driver
@@ -5571,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-distinct-intersect": _stream_distinct_intersect,
         "ext-source-overlap": _source_overlap,
         "ext-rank-overlap": _rank_overlap,
+        "ext-audit-report": _audit_report,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
@@ -11239,6 +11309,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
                    ROUND(COALESCE(rbo, 0.0), 6) AS rbo
             FROM uni LEFT JOIN per ON per.probe_id = uni.probe_id
+    """
+    # Composed audit report: the twin NESTS the proven oracle
+    # strings as subqueries verbatim — no new arithmetic anywhere;
+    # the only fresh SQL is the k=128 per-lang KMV estimate (the
+    # same expressions as ext-kmv-merge at different params) and two
+    # integer counts (GROUP BY text groups NULLs exactly like
+    # Spark's sha2-digest grouping).
+    d["ext-audit-report"] = f"""
+        SELECT 'n_docs' AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+        UNION ALL
+        SELECT 'n_exact_dup_docs',
+               CAST((SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(*) FROM
+                       (SELECT 1 FROM documents GROUP BY text))
+                    AS DOUBLE)
+        UNION ALL
+        SELECT 'kmv_distinct_shingles:' || g, kmv_estimate FROM (
+          WITH pos AS (
+            SELECT lang, text, unnest(range(1, len(text)-6)) AS i
+            FROM documents WHERE len(text) >= 8),
+          sh AS (
+            SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
+            FROM pos GROUP BY 1, 2),
+          ranked AS (
+            SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS r
+            FROM sh),
+          sk AS (SELECT g, h FROM ranked WHERE r <= 128)
+          SELECT g, ROUND(CASE WHEN COUNT(*) < 128
+                     THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE {_KMV128!r} / CAST(MAX(h) AS DOUBLE) END, 4)
+                   AS kmv_estimate
+          FROM sk GROUP BY g)
+        UNION ALL
+        SELECT 'overlap_jaccard:' || group_a || '/' || group_b, jaccard
+        FROM ({d["ext-source-overlap"]})
+        UNION ALL
+        SELECT 'ann_recall@10:probe_' || probe_id, recall_at_k
+        FROM ({d["ext-retrieval-metrics"]})
+        UNION ALL
+        SELECT 'rbo@10:probe_' || probe_id, rbo
+        FROM ({d["ext-rank-overlap"]})
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col

@@ -239,6 +239,7 @@ HEADLINE = [
     "stream-distinct-intersect",
     "ext-source-overlap",
     "ext-rank-overlap",
+    "ext-audit-report",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

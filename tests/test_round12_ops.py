@@ -1032,3 +1032,26 @@ def test_rank_biased_overlap_hand_computed(spark):
     ).first()
     assert partial["n_matched"] == 1
     assert partial["rbo"] == round(t[2], 6)
+
+
+def test_audit_report_composition(spark):
+    # 33 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
+    # + 8 recall probes + 8 rbo probes; every value non-null and the
+    # count rows are exact integers.
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ext-audit-report"](spark, SF_ORACLE).collect()
+    metrics = {r["metric"]: r["value"] for r in rows}
+    assert len(rows) == 33 and len(metrics) == 33
+    assert metrics["n_docs"] == 500.0
+    assert metrics["n_exact_dup_docs"] >= 0.0
+    fams = {
+        "kmv_distinct_shingles:": 5,
+        "overlap_jaccard:": 10,
+        "ann_recall@10:probe_": 8,
+        "rbo@10:probe_": 8,
+    }
+    for prefix, n in fams.items():
+        got = [m for m in metrics if m.startswith(prefix)]
+        assert len(got) == n, (prefix, got)
+    assert all(v is not None for v in metrics.values())
