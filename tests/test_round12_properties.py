@@ -145,3 +145,37 @@ def test_kmv_set_ops_exact_below_k(a, b):
     # exact-branch intersection estimate equals |A&B| only when the
     # bottom-K covers the whole union (it does: n_merged < k)
     assert jac == round(float(len(inter)), 4)
+
+
+# --- RBO tail decomposition == the direct truncated formula -----------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0,
+             max_size=10, unique=True),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0,
+             max_size=10, unique=True),
+)
+def test_rbo_tail_decomposition_matches_direct_formula(la, lb):
+    # Direct Webber et al. truncated form: sum_d (1-p) p^(d-1) X_d/d
+    # with X_d = |A_d intersect B_d| — vs the operator's per-item
+    # TAIL[max(ra, rb)] decomposition. Exact float equality is NOT
+    # asserted (different summation orders); 1e-12 closeness is.
+    from awskinesisconsumer_spark.operators.similarity import (
+        rbo_tail_weights,
+    )
+
+    k, p = 10, 0.9
+    ra = {item: i + 1 for i, item in enumerate(la)}
+    rb = {item: i + 1 for i, item in enumerate(lb)}
+    direct = 0.0
+    for d in range(1, k + 1):
+        ad = {it for it, r in ra.items() if r <= d}
+        bd = {it for it, r in rb.items() if r <= d}
+        direct += (1.0 - p) * p ** (d - 1) * len(ad & bd) / d
+    tails = rbo_tail_weights(k, p)
+    decomposed = sum(
+        tails[max(ra[it], rb[it]) - 1] for it in set(ra) & set(rb)
+    )
+    assert abs(direct - decomposed) < 1e-12
