@@ -142,7 +142,23 @@ def _centroid_matrix(centroids, *, centroid_id_col: str,
     import numpy as np
 
     if isinstance(centroids, DataFrame):
-        rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+        sel = centroids.select(centroid_id_col, centroid_vec_col)
+        # Size-guard BEFORE the driver materializes anything (r12
+        # verdict item 4: the guard exists to prevent a driver OOM,
+        # so on the DataFrame path it must fire before collect(),
+        # not after). k from a cheap count, dim from one row — two
+        # small jobs against a k-bounded table.
+        k_rows = sel.count()
+        first = sel.select(
+            F.size(F.col(centroid_vec_col)).alias("_d")
+        ).first()
+        dim0 = int(first["_d"]) if first and first["_d"] is not None else 1
+        if k_rows * max(dim0, 1) > 50_000_000:
+            raise ValueError(
+                f"{caller}: centroid table has ~{k_rows * max(dim0, 1)}"
+                " elements (> 5e7); use fewer/lower-dim centroids"
+            )
+        rows = sel.collect()
         ids = sorted(int(r[0]) for r in rows)
         if ids != list(range(len(rows))):
             raise ValueError(
@@ -887,7 +903,8 @@ def semantic_dedup_apply(
     reps: DataFrame,
     threshold: float = 0.95,
     assign: str = "literal",
-    broadcast_reps: bool = True,
+    broadcast_reps: bool | str = "auto",
+    broadcast_reps_cap: int = 100_000,
 ) -> DataFrame:
     """The APPLY half of the frozen-SemDeDup split (the
     quality-cuts / whitening / importance freeze-apply pattern, on
@@ -918,15 +935,23 @@ def semantic_dedup_apply(
     MANY reps there are depends on the corpus: SemDeDup keeps one
     row per CLUSTER, and on a low-duplication reference most docs
     are singletons — kept reps ~ reference size, NOT a small set.
-    `broadcast_reps=True` (default) forces a broadcast join — right
-    when reps are genuinely bounded (an eval suite, a curated kept
-    subset, heavy-dup references); set it False at corpus-sized reps
-    so the join plans as a plain cell-keyed shuffle join against the
-    partitionBy(cell) layout both sides already live in at 100 TB
-    (co-located, no broadcast, no corpus-sized driver/executor
-    replication). The groupBy key is the doc id over the
-    (doc x cell-local reps) candidates, map-side combinable either
-    way.
+    `broadcast_reps="auto"` (default, r12 verdict item 6) COUNTS the
+    reps once (one cheap agg over the frozen table) and broadcasts
+    only when the count is <= `broadcast_reps_cap` (default 1e5 reps
+    — ~50 MB of 64-dim float64 vectors, inside Spark's broadcast
+    comfort zone); past the cap the join plans as a plain cell-keyed
+    shuffle join against the partitionBy(cell) layout both sides
+    already live in at 100 TB (co-located, no broadcast, no
+    corpus-sized driver/executor replication). That matters exactly
+    when the op meets its production use case: SemDeDup keeps one
+    row per CLUSTER, so on a low-duplication reference the kept reps
+    are ~ reference size, NOT a small set — the r12-verdict failure
+    mode where a forced broadcast ships the corpus to every
+    executor. `True`/`False` still force the strategy explicitly
+    (True = the bounded-reps fast path with no count job; callers
+    owning an eval suite or curated kept subset know it's small).
+    The groupBy key is the doc id over the (doc x cell-local reps)
+    candidates, map-side combinable either way.
     """
     if assign == "table":
         cells = ivf_assign_table(df, vec_col=vec_col, centroids=centroids)
@@ -947,7 +972,16 @@ def semantic_dedup_apply(
                   _norm(F.col(vec_col)) * _norm(F.col("_rv"))),
         6,
     )
-    r_side = F.broadcast(r) if broadcast_reps else r
+    if broadcast_reps == "auto":
+        do_broadcast = r.count() <= int(broadcast_reps_cap)
+    elif isinstance(broadcast_reps, bool):
+        do_broadcast = broadcast_reps
+    else:
+        raise ValueError(
+            "semantic_dedup_apply: broadcast_reps must be True, "
+            f"False, or 'auto', got {broadcast_reps!r}"
+        )
+    r_side = F.broadcast(r) if do_broadcast else r
     scored = (
         base.join(r_side, "cell")
         .where(F.col(id_col) != F.col("_rid"))

@@ -1107,7 +1107,8 @@ def semantic_dedup_stream(
     checkpoint: str,
     assign: str = "literal",
     vectorized: bool = False,
-    broadcast_reps: bool = True,
+    broadcast_reps: bool | str = "auto",
+    broadcast_reps_cap: int = 100_000,
     trigger_available_now: bool = True,
 ):
     """Streaming SemDeDup against a FROZEN dedup state: the k-means
@@ -1128,10 +1129,12 @@ def semantic_dedup_stream(
     a batch oracle replaying assign + rep-join + argmax gates it
     verbatim. No state store, no watermark; the reps table is a
     batch DataFrame joined into each micro-batch plan —
-    `broadcast_reps=False` for corpus-sized kept sets (see
+    `broadcast_reps="auto"` (default) resolves the join strategy
+    ONCE against the frozen rep count before the stream starts (see
     `semantic_dedup_apply`'s scale note: kept reps ~ reference size
-    on low-dup corpora; the cell-keyed shuffle join is the 100 TB
-    shape there).
+    on low-dup corpora; past `broadcast_reps_cap` the cell-keyed
+    shuffle join is the 100 TB shape, and no per-batch count job is
+    ever issued).
 
     Returns the started StreamingQuery.
     """
@@ -1151,7 +1154,14 @@ def semantic_dedup_stream(
     reps = semantic_dedup_keep(
         sem, reference, id_col=id_col, vec_col=vec_col
     ).persist()
-    reps.count()  # freeze NOW — one batch job, before the stream starts
+    n_reps = reps.count()  # freeze NOW — one job, before the stream
+    if broadcast_reps == "auto":
+        # resolve the join strategy ONCE against the frozen count
+        # (the reps table is static for the life of the stream) so
+        # the per-micro-batch apply never re-counts — kept reps ~
+        # reference size on low-dup corpora, and past the cap the
+        # cell-keyed shuffle join is the 100 TB shape.
+        broadcast_reps = n_reps <= int(broadcast_reps_cap)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = semantic_dedup_apply(

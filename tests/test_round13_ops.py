@@ -1,0 +1,130 @@
+"""Round-13 additions, per the r12 verdict brief:
+
+1. `_centroid_matrix` size guard fires BEFORE the driver collects a
+   DataFrame centroid spec (verdict item 4).
+2. `semantic_dedup_apply` broadcast_reps="auto": the reps join
+   strategy is chosen from the frozen rep COUNT, so corpus-sized
+   kept sets never ride a forced broadcast (verdict item 6).
+3. Multi-assign (n_assign) cell assignment for cross-cell SemDeDup
+   recall (verdict item 3) + the SemDeDup recall audit (item 2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# verdict item 4: guard ordering in _centroid_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_matrix_guard_fires_before_collect(spark, monkeypatch):
+    # A centroid TABLE past the 5e7-element guard must raise
+    # ValueError without the driver ever materializing the rows.
+    # The guard path is allowed exactly two tiny jobs — a count and
+    # a LIMIT-1 probe of the vector dim (a one-column "_d" frame);
+    # any other collect() is the bug this pins (r12 verdict item 4:
+    # the old code collected first and guarded after).
+    import pyspark.sql.dataframe as dfmod
+
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign_table,
+    )
+
+    big = spark.range(60_000).select(
+        F.col("id").alias("cell"),
+        F.array_repeat(F.lit(0.0), 1000).alias("vector"),
+    )  # 6e7 elements > 5e7 guard, lazily defined — never materialized
+    probe = _load(spark, SF_SMOKE, "embeddings").limit(1)
+
+    real_collect = dfmod.DataFrame.collect
+
+    def guarded_collect(self):
+        if self.columns != ["_d"]:
+            raise AssertionError(
+                f"full collect of {self.columns} reached the driver "
+                "before the size guard fired"
+            )
+        return real_collect(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", guarded_collect)
+    with pytest.raises(ValueError, match="5e7"):
+        ivf_assign_table(
+            probe, vec_col="embedding", centroids=big,
+            centroid_vec_col="vector",
+        )
+
+
+# ---------------------------------------------------------------------------
+# verdict item 6: semantic_dedup_apply broadcast_reps="auto"
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _no_auto_broadcast(spark):
+    # Disable Spark's own size-estimate broadcast so the plan shows
+    # ONLY the strategy semantic_dedup_apply chose (test_skew.py
+    # pattern) — otherwise a tiny test reps table broadcasts anyway.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _apply_plan(spark, **kw):
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup, semantic_dedup_apply,
+        semantic_dedup_keep,
+    )
+
+    emb = _load(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    sem = semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                         centroids=cents, threshold=0.3)
+    reps = semantic_dedup_keep(sem, emb, id_col="vec_id",
+                               vec_col="embedding")
+    out = semantic_dedup_apply(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        reps=reps, threshold=0.3, **kw,
+    )
+    return out, out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_apply_auto_broadcast_small_reps(spark, _no_auto_broadcast):
+    # Under the cap, auto must still broadcast (the bounded-reps
+    # fast path survives the default change).
+    _, plan = _apply_plan(spark, broadcast_reps="auto")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_apply_auto_shuffle_join_past_cap(spark, _no_auto_broadcast):
+    # Corpus-sized reps (count > cap) must plan the cell-keyed
+    # shuffle join — NO broadcast of the reps side. The fixture reps
+    # table stands in for "corpus-sized" via a cap of 1: what is
+    # pinned is the DECISION (count > cap => no broadcast hint), the
+    # r12 verdict's exact failure mode.
+    out, plan = _apply_plan(
+        spark, broadcast_reps="auto", broadcast_reps_cap=1
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # and the result is unchanged by the join strategy
+    forced, _ = _apply_plan(spark, broadcast_reps=True)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+
+
+def test_apply_broadcast_reps_rejects_garbage(spark):
+    with pytest.raises(ValueError, match="broadcast_reps"):
+        _apply_plan(spark, broadcast_reps="always")
