@@ -5548,36 +5548,66 @@ def _kmv_lang_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct_estimate(sk, k=128)
 
 
+def _semantic_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup recall audit (operators/similarity.py
+    # semantic_dedup_recall_audit — r12 verdict item 2): per 0.1-wide
+    # TRUE-cosine bucket, the fraction of exact all-pairs threshold
+    # pairs the cell-bounded miner surfaces, at n_assign=1 (the
+    # documented Voronoi-boundary miss) and n_assign=2 (the
+    # build-side multi-probe buy-back, verdict item 3) — the family
+    # analogue of ext-dedup-recall / ext-ann-recall. Candidates are
+    # a SUBSET of truth by construction (same threshold, same
+    # scoring fold), so the twin derives them from the truth pair
+    # set with a shared-top-n-cell EXISTS instead of re-scoring.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup_recall_audit,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return semantic_dedup_recall_audit(
+        emb, id_col="vec_id", vec_col="embedding", centroids=centroids,
+        threshold=0.3, n_assign_values=(1, 2),
+    )
+
+
+def _semantic_dedup_multi(spark: SparkSession, sf: str) -> DataFrame:
+    # semantic_dedup with n_assign=2 (r12 verdict item 3): each
+    # vector joins pair mining in its 2 nearest cells, so
+    # Voronoi-boundary near-dup pairs are co-located whenever either
+    # point's second cell is the other's first — ext-dedup-semantic-
+    # recall measures exactly how much recall this buys (0.25 -> 0.67
+    # on the sf0.001 fixture). The labeled output's cell column stays
+    # the PRIMARY cell (the partitionBy(cell) layout is unchanged);
+    # twin = the ext-dedup-semantic oracle with the pair mine over
+    # rank<=2 memberships + DISTINCT.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf)
+    centroids = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroids=centroids, threshold=0.3, n_assign=2,
+    )
+
+
 # New/changed registrations this round — always the head of queries().
 # tests/test_round6_ops.py::test_gate_head_composition derives the
 # expected gate-window composition from this constant + GATE_LEDGER.json
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    # r12 first wave — the r11 verdict's two scale levers + the
-    # production-kernel bench forms + the frozen-SemDeDup stream +
-    # the standalone cap audit:
-    "ext-dedup-semantic-table", "ext-dedup-semantic-vec",
-    "ext-knn-join-vec", "ext-contrastive-by-cell",
-    "stream-dedup-semantic", "ext-simhash-cap-audit",
-    # r12 second wave: quality-ranked SemDeDup resolution, the
-    # matrix-path quantizer training, and the table-assign IVF /
-    # IVF-PQ query forms.
-    "ext-dedup-semantic-keep-best", "ext-similarity-ivf-kmeans-table",
-    "ext-similarity-ivf-table", "ext-similarity-ivf-pq-table",
-    # r12 third wave: the KMV (bottom-k / theta-style) sketch family —
-    # distinct-intersection estimates HLL cannot express, with exact
-    # shard mergeability — and rank-aware retrieval metrics
-    # (NDCG/MRR) over the exact-vs-ANN pair.
-    "ext-distinct-intersect", "ext-kmv-merge", "ext-retrieval-metrics",
-    "stream-distinct-intersect", "ext-source-overlap",
-    "ext-rank-overlap", "ext-audit-report",
-    # CHANGED this round (operator-module semantics fixed per r11
-    # ADVICE — NaN priorities, unclamped negative tokens, the
-    # max_anchors guard, the assign= parameter — so the driver
-    # re-gates them even though the entry fingerprints are stable):
-    "ext-budget-select", "stream-token-quota", "ext-dedup-semantic",
-    "ext-contrastive-triplets", "stream-pack-sequences",
+    # r13 first wave — the r12 verdict brief: the SemDeDup recall
+    # audit (the one documented-but-unmeasured trade left in the
+    # dedup stack) and the build-side multi-probe that buys the
+    # missed cross-cell recall back.
+    "ext-dedup-semantic-recall", "ext-dedup-semantic-multi",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5611,13 +5641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     return {
-        # -- NEW in round 12 (the r11 verdict brief): the centroid-
-        #    TABLE SemDeDup path and its production-vectorized twin
-        #    (both share the ext-dedup-semantic oracle — the kernels
-        #    are bit-identical), the vectorized batch k-NN join, the
-        #    cell-local contrastive miner (no driver anchor list),
-        #    the frozen-SemDeDup stream, and the standalone simhash
-        #    hot-cap audit. Twins proven in tests/test_round12_ops.py.
+        # -- NEW in round 13 (the r12 verdict brief): the SemDeDup
+        #    recall audit + the n_assign=2 multi-probe dedup form.
+        "ext-dedup-semantic-recall": _semantic_dedup_recall,
+        "ext-dedup-semantic-multi": _semantic_dedup_multi,
+        # -- r12 registrations (now ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
         "ext-knn-join-vec": _knn_join_vec,
@@ -10960,6 +10988,96 @@ def oracle_sql() -> dict[str, str]:
     # no NULL/zero-norm vectors, the one documented divergence).
     d["ext-dedup-semantic-table"] = d["ext-dedup-semantic"]
     d["ext-dedup-semantic-vec"] = d["ext-dedup-semantic"]
+    # n_assign=2 SemDeDup: the ext-dedup-semantic oracle with pair
+    # mining over rank<=2 memberships (each vector in its 2 nearest
+    # cells by (L2, index)) + DISTINCT — the labeled output's cell
+    # stays the rank-1 cell.
+    d["ext-dedup-semantic-multi"] = f"""
+        WITH RECURSIVE cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, embedding, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        cells AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                  FROM assign WHERE rn = 1),
+        members AS (SELECT vec_id, embedding, CAST(i AS INT) AS cell
+                    FROM assign WHERE rn <= 2),
+        p AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM members a JOIN members b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e
+            ON e.src = reach.node),
+        cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node)
+        SELECT c.vec_id, c.cell,
+               CAST(COALESCE(cc.cid, c.vec_id) AS BIGINT) AS cluster_id,
+               c.vec_id = COALESCE(cc.cid, c.vec_id) AS kept
+        FROM cells c LEFT JOIN cc ON cc.node = c.vec_id
+    """
+    # SemDeDup recall audit: truth = exact all-pairs round-6 cosine
+    # >= 0.3; a true pair is caught at n_assign=n iff the two ids
+    # share a cell among each's top-n (every pair shares all k
+    # centroid IDs in `assign`, so lv = MIN over shared i of
+    # GREATEST(rn_a, rn_b) always exists and candidates need no
+    # re-scoring — they are a subset of truth by construction, the
+    # same derivation the Spark side's docstring states).
+    d["ext-dedup-semantic-recall"] = f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS i, cv
+          FROM (SELECT vec_id, embedding AS cv,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM embeddings)
+          ORDER BY h, vec_id LIMIT 8),
+        assign AS (
+          SELECT vec_id, i,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY {_sql_l2('embedding', 'cv')}, i) AS rn
+          FROM embeddings CROSS JOIN cent),
+        t AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 FLOOR({_sql_cosine('a.embedding', 'b.embedding')}
+                       * 10) / 10 AS bucket_lo
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3),
+        tt AS (SELECT bucket_lo, COUNT(*) AS n_true_pairs
+               FROM t GROUP BY bucket_lo),
+        lvl AS (
+          SELECT t.id_a, t.id_b, t.bucket_lo,
+                 MIN(GREATEST(x.rn, y.rn)) AS lv
+          FROM t JOIN assign x ON x.vec_id = t.id_a
+                JOIN assign y ON y.vec_id = t.id_b AND y.i = x.i
+          GROUP BY t.id_a, t.id_b, t.bucket_lo),
+        cn AS (
+          SELECT 1 AS n_assign, bucket_lo, COUNT(*) AS n_caught
+          FROM lvl WHERE lv <= 1 GROUP BY bucket_lo
+          UNION ALL
+          SELECT 2, bucket_lo, COUNT(*)
+          FROM lvl WHERE lv <= 2 GROUP BY bucket_lo),
+        ns AS (SELECT 1 AS n_assign UNION ALL SELECT 2)
+        SELECT ns.n_assign, tt.bucket_lo, tt.n_true_pairs,
+               COALESCE(cn.n_caught, 0) AS n_caught,
+               ROUND(COALESCE(cn.n_caught, 0)
+                     / CAST(tt.n_true_pairs AS DOUBLE), 4) AS recall
+        FROM tt CROSS JOIN ns
+        LEFT JOIN cn ON cn.n_assign = ns.n_assign
+                    AND cn.bucket_lo = tt.bucket_lo
+    """
     d["ext-knn-join-vec"] = d["ext-knn-join"]
     # Cell-local contrastive mining: the SemDeDup cell CTE + within-
     # cell pair mining + per-anchor exclusion and (cosine desc, id)

@@ -370,6 +370,7 @@ def semantic_dedup(
     cell_cap: int | None = None,
     vectorized: bool = False,
     assign: str = "literal",
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — the cluster-then-dedup-within-
     cluster recipe LLM corpora run on embeddings: k-means cells bound
@@ -429,17 +430,46 @@ def semantic_dedup(
     For a quality-ranked keep instead of min-id, mine the pair table
     with `semantic_near_dup_pairs` and resolve with
     `dedup.dedup_keep_best`.
+
+    `n_assign > 1` (r12 verdict item 3) assigns each vector to its n
+    NEAREST cells for PAIR MINING only — the multi-probe idea applied
+    to the build side: a Voronoi-boundary pair is co-located whenever
+    either point's n-th cell is the other's first, recovering most of
+    the cross-cell recall the cell bound gives up
+    (`semantic_dedup_recall_audit` measures the curve). The labeled
+    output's `cell` column stays the PRIMARY (nearest) cell — the
+    partitionBy(cell) layout is unchanged; only candidate generation
+    widens, bounded by <= n_assign x memberships and <= n_assign x
+    candidate pairs per the quantizer's balance.
     """
     from .dedup import connected_components
 
-    cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
-                          assign=assign, caller="semantic_dedup")
-    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    if n_assign == 1:
+        cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                              assign=assign, caller="semantic_dedup")
+        members = base = cells.select(
+            F.col(id_col), F.col("cell"), F.col(vec_col)
+        )
+    else:
+        multi = _assign_cells_multi(
+            df, vec_col=vec_col, centroids=centroids, assign=assign,
+            n_assign=n_assign, caller="semantic_dedup",
+        )
+        base = multi.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+        members = multi.select(
+            F.col(id_col), F.explode("cells").alias("cell"),
+            F.col(vec_col),
+        )
     pairs = _cell_pairs(
-        base, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        members, id_col=id_col, vec_col=vec_col, threshold=threshold,
         cell_cap=cell_cap, vectorized=vectorized,
         caller="semantic_dedup",
     )
+    if n_assign > 1:
+        # a pair sharing several co-located cells is mined once per
+        # shared cell — identical rows, deterministic scoring —
+        # collapse before the (rare) component resolution
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cc = connected_components(
         pairs, vertices=df.select(F.col(id_col).alias("id"))
     )
@@ -462,23 +492,118 @@ def semantic_near_dup_pairs(
     cell_cap: int | None = None,
     vectorized: bool = False,
     assign: str = "literal",
+    n_assign: int = 1,
 ) -> DataFrame:
     """The PAIR table under `semantic_dedup` as a public surface:
     cell-local near-dup pairs (id_a, id_b), id_a < id_b, cosine >=
     `threshold` within a k-means cell — for resolutions other than
     the min-id connected component, e.g. `dedup.dedup_keep_best`
     (quality-ranked representative per cluster) or recall audits.
-    Same cell assignment, skew cap, and scoring contracts as
-    `semantic_dedup` (whose docstring has the scale shape)."""
-    cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
-                          assign=assign,
-                          caller="semantic_near_dup_pairs")
-    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
-    return _cell_pairs(
-        base, id_col=id_col, vec_col=vec_col, threshold=threshold,
+    Same cell assignment, skew cap, scoring, and `n_assign`
+    (multi-cell candidate widening) contracts as `semantic_dedup`
+    (whose docstring has the scale shape)."""
+    if n_assign == 1:
+        cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
+                              assign=assign,
+                              caller="semantic_near_dup_pairs")
+        members = cells.select(F.col(id_col), F.col("cell"),
+                               F.col(vec_col))
+    else:
+        multi = _assign_cells_multi(
+            df, vec_col=vec_col, centroids=centroids, assign=assign,
+            n_assign=n_assign, caller="semantic_near_dup_pairs",
+        )
+        members = multi.select(
+            F.col(id_col), F.explode("cells").alias("cell"),
+            F.col(vec_col),
+        )
+    pairs = _cell_pairs(
+        members, id_col=id_col, vec_col=vec_col, threshold=threshold,
         cell_cap=cell_cap, vectorized=vectorized,
         caller="semantic_near_dup_pairs",
     )
+    if n_assign > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
+
+
+def semantic_dedup_recall_audit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    threshold: float = 0.95,
+    n_assign_values: tuple[int, ...] = (1, 2),
+    cell_cap: int | None = None,
+    vectorized: bool = False,
+    assign: str = "literal",
+) -> DataFrame:
+    """SemDeDup recall audit (r12 verdict item 2) — the family
+    analogue of `dedup.dedup_recall_audit` (MinHash LSH) and
+    `ext-ann-recall` (SRP): what fraction of TRUE near-dup pairs
+    (exact all-pairs cosine >= `threshold`) does the cell-bounded
+    miner actually surface, per 0.1-wide true-cosine bucket and per
+    `n_assign`? Cross-cell (Voronoi-boundary) pairs are missed BY
+    DESIGN in the n_assign=1 form — this measures that documented
+    trade, and the n_assign=2 rows measure how much of it the
+    build-side multi-probe buys back, so a user tuning k finally has
+    a recall curve to tune against.
+
+    Truth = `embedding_near_dup_pairs(planes=None)` — the exact
+    all-pairs self-join. That is O(n^2) ON PURPOSE: like the LSH
+    audit's caveat, run this on a sampled corpus slab at 100 TB —
+    the recall curve is a property of the quantizer geometry
+    (centroids, k, n_assign), not of corpus size, so a bounded slab
+    estimates it. Candidates = `semantic_near_dup_pairs` under
+    exactly the production parameters being audited.
+
+    Emitted per (n_assign, bucket_lo): n_true_pairs, n_caught,
+    recall (4 dp). Candidate pairs are a SUBSET of truth by
+    construction (same threshold, same scoring fold), so recall is
+    exact, never > 1."""
+    truth = embedding_near_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        planes=None,
+    ).persist()
+    bucket = (F.floor(F.col("cosine_sim") * 10) / 10.0).alias(
+        "bucket_lo"
+    )
+    per_true = truth.select(bucket).groupBy("bucket_lo").agg(
+        F.count(F.lit(1)).alias("n_true_pairs")
+    )
+    parts = []
+    for n in n_assign_values:
+        cand = semantic_near_dup_pairs(
+            df, id_col=id_col, vec_col=vec_col, centroids=centroids,
+            threshold=threshold, cell_cap=cell_cap,
+            vectorized=vectorized, assign=assign, n_assign=int(n),
+        ).select("id_a", "id_b")
+        caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        per_caught = caught.select(bucket).groupBy("bucket_lo").agg(
+            F.count(F.lit(1)).alias("n_caught")
+        )
+        parts.append(
+            per_true.join(per_caught, "bucket_lo", "left").select(
+                F.lit(int(n)).alias("n_assign"),
+                "bucket_lo",
+                "n_true_pairs",
+                F.coalesce(
+                    "n_caught", F.lit(0).cast("long")
+                ).alias("n_caught"),
+                F.round(
+                    F.coalesce("n_caught", F.lit(0).cast("long"))
+                    / F.col("n_true_pairs"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    from .caching import release_after
+
+    return release_after(out, truth)
 
 
 def _assign_cells(df, *, vec_col, centroids, assign, caller):
@@ -489,6 +614,119 @@ def _assign_cells(df, *, vec_col, centroids, assign, caller):
     raise ValueError(
         f"{caller}: assign must be 'literal' or 'table', got {assign!r}"
     )
+
+
+def ivf_assign_multi(
+    df: DataFrame, *, vec_col: str, centroids: list[list[float]],
+    n_assign: int = 2, out_col: str = "cells",
+) -> DataFrame:
+    """`ivf_assign`'s n-nearest generalization: each vector gets the
+    ids of its `n_assign` NEAREST centroids, ordered by (squared-L2
+    distance, centroid index) — index 0 is exactly the single-assign
+    cell. This is multi-probe applied to the BUILD side (r12 verdict
+    item 3): assigning each vector to its 2 nearest cells makes a
+    Voronoi-BOUNDARY near-dup pair co-located whenever either point's
+    second cell is the other's first, which is most of what the
+    cell-bounded SemDeDup miner misses by design
+    (`semantic_dedup_recall_audit` measures the uplift). Cost is
+    bounded: <= n_assign x the membership rows, <= n_assign x the
+    candidate pairs.
+
+    Same argmin arithmetic as `ivf_assign` (one aggregate fold per
+    centroid, ties to the lowest index via the (d, i) struct sort);
+    degenerate rows (NULL vector / dim mismatch fold to NULL
+    distances) sort by bare index and land in cells [0..n_assign-1],
+    extending the single-assign cell-0 convention. Map-only, narrow.
+    """
+    if n_assign < 1:
+        raise ValueError(
+            f"ivf_assign_multi: n_assign must be >= 1, got {n_assign}"
+        )
+    dists = [
+        F.struct(
+            (_norm2_diff(F.col(vec_col), c)).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ordered = F.slice(F.array_sort(F.array(*dists)), 1, n_assign)
+    return df.withColumn(
+        out_col, F.transform(ordered, lambda s: s["i"])
+    )
+
+
+def ivf_assign_table_multi(
+    df: DataFrame, *, vec_col: str, centroids, n_assign: int = 2,
+    out_col: str = "cells",
+    centroid_id_col: str = "cell", centroid_vec_col: str | None = None,
+) -> DataFrame:
+    """`ivf_assign_multi` with the centroids as DATA — the
+    `ivf_assign_table` scale lever applied to the n-nearest form: the
+    (k x dim) float64 matrix rides the closure into an Arrow-batched
+    kernel, so k can track corpus size (the n/k ~ 2k balance rule)
+    while each row still gets its `n_assign` nearest cell ids.
+
+    BIT-IDENTICAL to `ivf_assign_multi`: the squared-L2 accumulation
+    is dimension-SEQUENTIAL (the exact float left fold of the literal
+    form) and the top-n order is a STABLE argsort — equal distances
+    keep ascending centroid index, the (d, i) struct-sort tie rule.
+    Degenerate rows land in cells [0..n_assign-1] like the literal
+    form. Map-only (no shuffle, pipelines into the scan)."""
+    import numpy as np
+
+    if n_assign < 1:
+        raise ValueError(
+            f"ivf_assign_table_multi: n_assign must be >= 1, "
+            f"got {n_assign}"
+        )
+    C = _centroid_matrix(centroids,
+                         centroid_id_col=centroid_id_col,
+                         centroid_vec_col=centroid_vec_col or vec_col,
+                         caller="ivf_assign_table_multi")
+    k, dim = C.shape
+    n_top = min(int(n_assign), k)
+    default = list(range(n_top))
+
+    @pandas_udf("array<int>")
+    def _assign_n(v: pd.Series) -> pd.Series:
+        vals = [list(default)] * len(v)
+        ok = v.apply(lambda x: x is not None and len(x) == dim)
+        hit = np.nonzero(ok.to_numpy())[0]
+        if len(hit):
+            V = np.array([[float(x) for x in vec] for vec in v.iloc[hit]],
+                         dtype=np.float64)
+            d2 = np.zeros((V.shape[0], k))
+            for j in range(dim):
+                diff = V[:, j:j + 1] - C[None, :, j]
+                d2 += diff * diff
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_top]
+            for pos, row in zip(hit, idx):
+                vals[pos] = row.astype("int32").tolist()
+        return pd.Series(vals, dtype="object")
+
+    return df.withColumn(out_col, _assign_n(F.col(vec_col)))
+
+
+def _assign_cells_multi(df, *, vec_col, centroids, assign, n_assign,
+                        caller):
+    """(cells array, primary cell) assignment shared by the
+    n_assign-aware SemDeDup surfaces: `cells` = the n nearest cell
+    ids, `cell` = cells[0] (exactly the single-assign cell, so the
+    labeled output schema is unchanged)."""
+    if assign == "table":
+        out = ivf_assign_table_multi(
+            df, vec_col=vec_col, centroids=centroids, n_assign=n_assign
+        )
+    elif assign == "literal":
+        out = ivf_assign_multi(
+            df, vec_col=vec_col, centroids=centroids, n_assign=n_assign
+        )
+    else:
+        raise ValueError(
+            f"{caller}: assign must be 'literal' or 'table', "
+            f"got {assign!r}"
+        )
+    return out.withColumn("cell", F.col("cells")[0])
 
 
 def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,

@@ -128,3 +128,134 @@ def test_apply_auto_shuffle_join_past_cap(spark, _no_auto_broadcast):
 def test_apply_broadcast_reps_rejects_garbage(spark):
     with pytest.raises(ValueError, match="broadcast_reps"):
         _apply_plan(spark, broadcast_reps="always")
+
+
+# ---------------------------------------------------------------------------
+# verdict items 2+3: multi-assign + SemDeDup recall audit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _emb_cents(spark):
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = _load(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids_from_sample(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return emb, cents
+
+
+def test_ivf_assign_multi_forms_bit_identical(spark, _emb_cents):
+    # literal expression form == table kernel form, element by
+    # element (the ivf_assign/ivf_assign_table contract extended to
+    # top-n: dim-sequential fold, stable ties to the lowest index);
+    # index 0 == the single-assign cell.
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign, ivf_assign_multi, ivf_assign_table_multi,
+    )
+
+    emb, cents = _emb_cents
+    lit = {r["vec_id"]: list(r["cells"]) for r in ivf_assign_multi(
+        emb, vec_col="embedding", centroids=cents, n_assign=3
+    ).collect()}
+    tab = {r["vec_id"]: list(r["cells"]) for r in ivf_assign_table_multi(
+        emb, vec_col="embedding", centroids=cents, n_assign=3
+    ).collect()}
+    assert lit == tab
+    single = {r["vec_id"]: r["cell"] for r in ivf_assign(
+        emb, vec_col="embedding", centroids=cents
+    ).collect()}
+    assert all(v[0] == single[k] for k, v in lit.items())
+    assert all(len(set(v)) == 3 for v in lit.values())
+
+
+def test_ivf_assign_multi_degenerate_rows(spark):
+    # NULL vectors and dim-mismatched vectors land in cells
+    # [0..n-1] in BOTH forms (the single-assign cell-0 convention
+    # extended).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign_multi, ivf_assign_table_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0]), (2, [9.0, 9.0])],
+        "id long, v array<double>",
+    )
+    cents = [[0.0, 0.0], [1.0, 1.0], [8.0, 8.0]]
+    for fn in (ivf_assign_multi, ivf_assign_table_multi):
+        got = {r["id"]: list(r["cells"]) for r in fn(
+            df, vec_col="v", centroids=cents, n_assign=2
+        ).collect()}
+        assert got[0] == [0, 1], fn.__name__
+        assert got[1] == [0, 1], fn.__name__
+        assert got[2] == [2, 1], fn.__name__
+
+
+def test_semantic_multi_pairs_superset(spark, _emb_cents):
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    emb, cents = _emb_cents
+    kw = dict(id_col="vec_id", vec_col="embedding", centroids=cents,
+              threshold=0.3)
+    p1 = {(r[0], r[1]) for r in
+          semantic_near_dup_pairs(emb, **kw).collect()}
+    p2df = semantic_near_dup_pairs(emb, **kw, n_assign=2)
+    p2 = [(r[0], r[1]) for r in p2df.collect()]
+    assert len(p2) == len(set(p2)), "multi pairs must be de-duplicated"
+    assert p1 <= set(p2)
+    # and the widened set is still a subset of exact truth
+    from awskinesisconsumer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    truth = {(r[0], r[1]) for r in embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+    ).select("id_a", "id_b").collect()}
+    assert set(p2) <= truth
+
+
+def test_semantic_dedup_multi_keeps_primary_cell(spark, _emb_cents):
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign, semantic_dedup,
+    )
+
+    emb, cents = _emb_cents
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.3, n_assign=2,
+    )
+    primary = {r["vec_id"]: r["cell"] for r in ivf_assign(
+        emb, vec_col="embedding", centroids=cents
+    ).collect()}
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(r["cell"] == primary[r["vec_id"]] for r in rows)
+
+
+def test_semantic_recall_audit_monotone(spark, _emb_cents):
+    # recall(n=2) >= recall(n=1) per bucket, n_caught <= n_true, and
+    # the n_assign=2 rows strictly improve on this fixture (the
+    # measured 0.25 -> 0.67 uplift, allowed to drift with testdata).
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_dedup_recall_audit,
+    )
+
+    emb, cents = _emb_cents
+    aud = semantic_dedup_recall_audit(
+        emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.3, n_assign_values=(1, 2),
+    ).collect()
+    by = {(r["n_assign"], r["bucket_lo"]): r for r in aud}
+    assert all(r["n_caught"] <= r["n_true_pairs"] for r in aud)
+    buckets = {b for (_, b) in by}
+    assert buckets, "fixture must produce at least one cosine bucket"
+    for b in buckets:
+        assert by[(2, b)]["recall"] >= by[(1, b)]["recall"]
+    assert sum(by[(2, b)]["n_caught"] for b in buckets) > sum(
+        by[(1, b)]["n_caught"] for b in buckets
+    )
