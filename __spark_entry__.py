@@ -5548,6 +5548,63 @@ def _kmv_lang_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct_estimate(sk, k=128)
 
 
+def _stream_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming form of ext-source-overlap (r12 verdict item 7):
+    # kmv_sketch_stream maintains the complete-mode per-lang bottom-k
+    # sketch over a genuinely multi-batch 3-file replay (the
+    # stream-distinct-intersect harness), and the FINAL persisted
+    # sketch feeds kmv_overlap_matrix verbatim — the all-pairs
+    # union/Jaccard/intersection audit computed from state a live
+    # ingest is already maintaining. The bottom-k-of-union identity
+    # makes the final sketch bit-identical to the batch build
+    # regardless of chunking, so the batch twin gates it verbatim.
+    # State: <= k rows per lang, cardinality-independent.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        kmv_sketch_stream,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf)
+        .filter(F.length("text") >= 8)
+        .select("lang", "text")
+    )
+    src = tempfile.mkdtemp(prefix="kmvov_src_")
+    out = tempfile.mkdtemp(prefix="kmvov_out_")
+    ckpt = tempfile.mkdtemp(prefix="kmvov_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    pos = stream.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    q = kmv_sketch_stream(
+        sh, key_col="sh", group_col="lang", k=128,
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-source-overlap: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-source-overlap: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    sk = spark.read.parquet(out).select("group", "kmv_hash")
+    return kmv_overlap_matrix(sk, k=128)
+
+
 def _semantic_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     # SemDeDup recall audit (operators/similarity.py
     # semantic_dedup_recall_audit — r12 verdict item 2): per 0.1-wide
@@ -5608,6 +5665,10 @@ GATE_NEW_THIS_ROUND = (
     # dedup stack) and the build-side multi-probe that buys the
     # missed cross-cell recall back.
     "ext-dedup-semantic-recall", "ext-dedup-semantic-multi",
+    # streaming KMV overlap: the final complete-mode sketch state fed
+    # through kmv_overlap_matrix, batch twin shared verbatim (the
+    # bottom-k-of-union identity).
+    "stream-source-overlap",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5645,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    recall audit + the n_assign=2 multi-probe dedup form.
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
         "ext-dedup-semantic-multi": _semantic_dedup_multi,
+        "stream-source-overlap": _stream_source_overlap,
         # -- r12 registrations (now ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
@@ -11291,6 +11353,8 @@ def oracle_sql() -> dict[str, str]:
     # bottom-k-of-union identity, so the batch twin gates the stream
     # verbatim (the stream-cdc-compact sharing rule).
     d["stream-distinct-intersect"] = d["ext-distinct-intersect"]
+    # same identity for the streaming overlap matrix (assigned after
+    # ext-source-overlap is defined below).
     # All-pairs overlap matrix: the per-pair replay of the
     # ext-distinct-intersect arithmetic over every unordered lang
     # pair, k=128.
@@ -11343,6 +11407,10 @@ def oracle_sql() -> dict[str, str]:
             AS intersect_est
         FROM stats
     """
+    # Streaming overlap matrix: final complete-mode sketch ==
+    # batch sketch (bottom-k-of-union), so the batch twin gates it
+    # verbatim.
+    d["stream-source-overlap"] = d["ext-source-overlap"]
     # Retrieval metrics: reuse the PROVEN exact/ann CTEs from the
     # ext-ann-recall twin verbatim (slice up to its final rollup),
     # then compute NDCG/MRR/recall with the SAME float literals the
