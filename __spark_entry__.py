@@ -5605,6 +5605,109 @@ def _stream_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_overlap_matrix(sk, k=128)
 
 
+def _stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming CMS heavy hitters (streaming/pipeline.py
+    # cms_sketch_stream): each micro-batch of a genuinely multi-batch
+    # 3-file docs replay tokenizes with the SHARED batch tokenizer
+    # (sketches.cms_tokens) and SUM-merges its local (row,bucket,n)
+    # counters + (term,exact) candidate counts into the persisted
+    # state; counter sums are exactly associative, so the final
+    # state == one batch build and cms_heavy_hitters_from_state over
+    # it == batch cms_heavy_hitters verbatim — the batch twin gates
+    # the stream (the kmv_sketch_stream identity). State <= depth x
+    # width + vocab rows, cardinality-independent in the sketch.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters_from_state,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        cms_sketch_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cms_src_")
+    sk_p = tempfile.mkdtemp(prefix="cms_sk_")
+    tm_p = tempfile.mkdtemp(prefix="cms_tm_")
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = cms_sketch_stream(
+        stream, text_col="text", depth=4, width=1024,
+        hash_fn=portable_hash52, sketch_path=sk_p, terms_path=tm_p,
+        checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-heavy-hitters: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-heavy-hitters: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    sketch = spark.read.parquet(sk_p).select("row", "bucket", "n")
+    cand = spark.read.parquet(tm_p).select("term", "exact")
+    return cms_heavy_hitters_from_state(
+        sketch, cand, k=20, depth=4, width=1024,
+        hash_fn=portable_hash52,
+    )
+
+
+def _stream_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming histogram quantiles (streaming/pipeline.py
+    # histogram_counts_stream): per-micro-batch (bin, c) counts over
+    # a 3-file orders replay SUM-merge into the persisted <=200-row
+    # counter table — "p99 so far" with no values held; the final
+    # interpolation (histogram_quantiles_from_counts) equals batch
+    # histogram_quantiles exactly (long-sum associativity), so the
+    # batch twin gates the stream verbatim.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_quantiles_from_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        histogram_counts_stream,
+    )
+
+    orders = load_table(spark, "orders", sf).select("o_totalprice")
+    src = tempfile.mkdtemp(prefix="hist_src_")
+    out = tempfile.mkdtemp(prefix="hist_out_")
+    ckpt = tempfile.mkdtemp(prefix="hist_ckpt_")
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = histogram_counts_stream(
+        stream, value_col="o_totalprice", lo=0.0, hi=600000.0,
+        n_bins=200, out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-histogram-quantile: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-histogram-quantile: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("bin", "c")
+    return histogram_quantiles_from_counts(
+        counts, lo=0.0, hi=600000.0, n_bins=200,
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
 def _semantic_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     # SemDeDup recall audit (operators/similarity.py
     # semantic_dedup_recall_audit — r12 verdict item 2): per 0.1-wide
@@ -5669,6 +5772,11 @@ GATE_NEW_THIS_ROUND = (
     # through kmv_overlap_matrix, batch twin shared verbatim (the
     # bottom-k-of-union identity).
     "stream-source-overlap",
+    # streaming sum-merged sketch maintenance for the two remaining
+    # batch-only sketch families — CMS heavy hitters and histogram
+    # quantiles — batch twins shared verbatim (counter-sum
+    # associativity).
+    "stream-heavy-hitters", "stream-histogram-quantile",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5707,6 +5815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
         "ext-dedup-semantic-multi": _semantic_dedup_multi,
         "stream-source-overlap": _stream_source_overlap,
+        "stream-heavy-hitters": _stream_heavy_hitters,
+        "stream-histogram-quantile": _stream_hist_quantiles,
         # -- r12 registrations (now ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
@@ -11411,6 +11521,11 @@ def oracle_sql() -> dict[str, str]:
     # batch sketch (bottom-k-of-union), so the batch twin gates it
     # verbatim.
     d["stream-source-overlap"] = d["ext-source-overlap"]
+    # Sum-merged sketch states == batch builds (counter-sum
+    # associativity), so the final-stage extraction over streamed
+    # state is gated by the batch twins verbatim.
+    d["stream-heavy-hitters"] = d["ext-heavy-hitters-cms"]
+    d["stream-histogram-quantile"] = d["ext-histogram-quantile"]
     # Retrieval metrics: reuse the PROVEN exact/ann CTEs from the
     # ext-ann-recall twin verbatim (slice up to its final rollup),
     # then compute NDCG/MRR/recall with the SAME float literals the

@@ -64,43 +64,40 @@ def cms_build(
     )
 
 
-def cms_heavy_hitters(
-    docs: DataFrame,
+def cms_tokens(docs: DataFrame, *, text_col: str) -> DataFrame:
+    """The CMS token stream: whitespace terms of the lower-cased
+    text, empties dropped — one `term` row per occurrence. Split out
+    so the streaming sketch maintainer (`pipeline.cms_sketch_stream`)
+    tokenizes each micro-batch EXACTLY as the batch build does."""
+    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")
+    return (
+        docs.select(F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+def cms_heavy_hitters_from_state(
+    sketch: DataFrame,
+    cand: DataFrame,
     *,
-    text_col: str,
     k: int = 20,
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms1",
     hash_fn=xxhash64_col,
 ) -> DataFrame:
-    """Top-k heavy-hitter terms by count-min estimate, with the exact
-    count alongside (est >= exact always — CMS errs by overcounting).
-
-    Candidates are the corpus' distinct terms with their exact counts
-    (one groupBy — at 100 TB swap in any cheap candidate source, e.g.
-    a per-partition top-m pre-filter; the sketch itself never needs
-    candidates to be exact). Each candidate probes the sketch via a
-    broadcast equi-join on (row, bucket); the estimate is the MIN
-    across the depth rows. Ranking is deterministic: (estimate DESC,
-    term ASC).
-    """
+    """The probe/rank stage of `cms_heavy_hitters` over EXISTING
+    state: `sketch` = (row, bucket, n) CMS counters, `cand` =
+    (term, exact) candidate counts. Both are plain sums, so state
+    maintained incrementally (per shard / per micro-batch, merged by
+    groupBy-sum) feeds this bit-identically to a single batch build
+    — the streaming form's whole correctness argument. Each
+    candidate probes the sketch via a broadcast equi-join on
+    (row, bucket); the estimate is the MIN across the depth rows;
+    ranking is (estimate DESC, term ASC)."""
     from pyspark.sql import Window
 
-    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                    r"\s+")
-    # persist: the tokenize+explode subtree feeds BOTH the sketch and
-    # the candidate counts — uncached it would re-scan the corpus.
-    tok = (
-        docs.select(F.explode(words).alias("term"))
-        .where(F.col("term") != "")
-        .persist()
-    )
-    sketch = cms_build(
-        tok, term_col="term", depth=depth, width=width, salt=salt,
-        hash_fn=hash_fn,
-    )
-    cand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
     probes = cand.select(
         "term", "exact",
         F.explode(
@@ -121,8 +118,45 @@ def cms_heavy_hitters(
     )
     top = est.orderBy(F.col("cms_est").desc(), F.col("term")).limit(k)
     w = Window.orderBy(F.col("cms_est").desc(), F.col("term"))
-    out = top.withColumn("rank", F.row_number().over(w)).select(
+    return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "cms_est", "exact", "rank"
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+    hash_fn=xxhash64_col,
+) -> DataFrame:
+    """Top-k heavy-hitter terms by count-min estimate, with the exact
+    count alongside (est >= exact always — CMS errs by overcounting).
+
+    Candidates are the corpus' distinct terms with their exact counts
+    (one groupBy — at 100 TB swap in any cheap candidate source, e.g.
+    a per-partition top-m pre-filter; the sketch itself never needs
+    candidates to be exact). Each candidate probes the sketch via a
+    broadcast equi-join on (row, bucket); the estimate is the MIN
+    across the depth rows. Ranking is deterministic: (estimate DESC,
+    term ASC). Composed from `cms_tokens` -> (`cms_build` +
+    exact counts) -> `cms_heavy_hitters_from_state`, each reusable
+    by the streaming maintainer.
+    """
+    # persist: the tokenize+explode subtree feeds BOTH the sketch and
+    # the candidate counts — uncached it would re-scan the corpus.
+    tok = cms_tokens(docs, text_col=text_col).persist()
+    sketch = cms_build(
+        tok, term_col="term", depth=depth, width=width, salt=salt,
+        hash_fn=hash_fn,
+    )
+    cand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    out = cms_heavy_hitters_from_state(
+        sketch, cand, k=k, depth=depth, width=width, salt=salt,
+        hash_fn=hash_fn,
     )
     from .caching import release_after
 
@@ -416,17 +450,53 @@ def histogram_quantiles(
             f"got [{lo}, {hi}] (zero-width bins would silently drop "
             "every row)"
         )
+    counts = histogram_bin_counts(
+        df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins
+    )
+    return histogram_quantiles_from_counts(
+        counts, lo=lo, hi=hi, n_bins=n_bins, quantiles=quantiles
+    )
+
+
+def histogram_bin_counts(
+    df: DataFrame, *, value_col: str, lo: float, hi: float,
+    n_bins: int = 200,
+) -> DataFrame:
+    """The (bin, c) histogram SKETCH under `histogram_quantiles`:
+    one map-side-combined long counter per equi-width bin,
+    out-of-range values clamped into the edge bins. Plain sums, so
+    per-shard / per-micro-batch counts merged by groupBy-sum equal
+    the single-pass build exactly — the mergeability the streaming
+    maintainer (`pipeline.histogram_counts_stream`) rides."""
+    if not hi > lo:
+        raise ValueError(
+            f"histogram_bin_counts: need hi > lo for {value_col!r}, "
+            f"got [{lo}, {hi}]"
+        )
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     bin_ = F.least(
         F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    counts = (
+    return (
         df.where(v.isNotNull())
         .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def histogram_quantiles_from_counts(
+    counts: DataFrame, *, lo: float, hi: float, n_bins: int = 200,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """The interpolation stage of `histogram_quantiles` over an
+    EXISTING (bin, c) counter table — exact-identity mergeable, so
+    incrementally maintained counts feed it bit-identically to a
+    batch build (the `cms_heavy_hitters_from_state` contract)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         counts.withColumn("cum", F.sum("c").over(wcum))
@@ -439,7 +509,7 @@ def histogram_quantiles(
     # first crossing bin with min_by, interpolate. rank is the
     # ceil(q*N)-th row (1-based); its offset inside the crossing bin
     # is rank - cum_before.
-    spark = df.sparkSession
+    spark = counts.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
     rank = F.ceil(F.col("q") * F.col("total"))
     return (

@@ -1523,3 +1523,150 @@ def kmv_sketch_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_sketch_stream(
+    docs,
+    *,
+    text_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+    hash_fn=None,
+    sketch_path: str,
+    terms_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming count-min-sketch maintenance: each micro-batch
+    tokenizes with the batch tokenizer (`sketches.cms_tokens` — the
+    shared function is the guarantee the split can't drift), builds
+    its batch-local (row, bucket, n) counters and (term, exact)
+    candidate counts, and SUM-merges both into the persisted state
+    tables. Counter sums are exactly associative, so the final state
+    is bit-identical to one batch build over the union of all
+    arrivals regardless of chunking — `cms_heavy_hitters_from_state`
+    over the final state then equals batch `cms_heavy_hitters`
+    verbatim, and the batch twin gates the stream
+    (the kmv_sketch_stream contract).
+
+    State: the sketch table is <= depth x width rows,
+    CARDINALITY-INDEPENDENT; the candidate table is
+    vocabulary-bounded (Zipf: distinct terms grow ~ sublinearly in
+    corpus size, and at 100 TB the candidate source swaps for a
+    per-partition top-m pre-filter exactly as the batch docstring
+    says — the sketch itself never needs it exact). Both tables are
+    eagerly localCheckpoint-ed before the overwrite so the write
+    never races its own lazy read.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_build, cms_tokens,
+    )
+
+    kw = {} if hash_fn is None else {"hash_fn": hash_fn}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
+        tok = cms_tokens(batch_df, text_col=text_col).persist()
+        local_sketch = cms_build(
+            tok, term_col="term", depth=depth, width=width, salt=salt,
+            **kw,
+        )
+        local_terms = tok.groupBy("term").agg(
+            F.count(F.lit(1)).alias("exact")
+        )
+        try:
+            prev_sketch = spark.read.parquet(sketch_path).select(
+                "row", "bucket", "n"
+            )
+            prev_terms = spark.read.parquet(terms_path).select(
+                "term", "exact"
+            )
+            sk = local_sketch.unionByName(prev_sketch)
+            tm = local_terms.unionByName(prev_terms)
+        except AnalysisException:
+            # First batch only (state tables absent). Narrow on
+            # purpose: a transient IO error must fail the batch and
+            # retry through the checkpoint, never reset the counters.
+            sk, tm = local_sketch, local_terms
+        merged_sk = (
+            sk.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        merged_tm = (
+            tm.groupBy("term").agg(F.sum("exact").alias("exact"))
+            .localCheckpoint(eager=True)
+        )
+        tok.unpersist()
+        merged_sk.write.mode("overwrite").parquet(sketch_path)
+        merged_tm.write.mode("overwrite").parquet(terms_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def histogram_counts_stream(
+    rows,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming equi-width-histogram maintenance: each micro-batch's
+    (bin, c) counts (`sketches.histogram_bin_counts` — the shared
+    binning function) SUM-merge into the persisted counter table.
+    Long sums are exactly associative, so the final table equals the
+    single-pass batch build over all arrivals regardless of chunking
+    and `histogram_quantiles_from_counts` over it equals batch
+    `histogram_quantiles` verbatim — the batch twin gates the stream.
+
+    State: <= n_bins rows, CARDINALITY-INDEPENDENT — the streaming
+    answer to "p99 so far" without holding values. Returns the
+    started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_bin_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
+        local = histogram_bin_counts(
+            batch_df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins
+        )
+        try:
+            prev = spark.read.parquet(out_path).select("bin", "c")
+            both = local.unionByName(prev)
+        except AnalysisException:
+            both = local
+        merged = (
+            both.groupBy("bin").agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(out_path)
+
+    writer = (
+        rows.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
