@@ -5605,6 +5605,168 @@ def _stream_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_overlap_matrix(sk, k=128)
 
 
+def _rater_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # Cohen's kappa (operators/evaluation.py cohen_kappa) between two
+    # deterministic heuristic "raters" over documents — the
+    # LLM-judge-panel calibration statistic. Rater A buckets by char
+    # length, rater B by whitespace count (correlated but not
+    # identical, so kappa is informative). All cross-row sums are
+    # integers (agree, n, per-label marginal products), so the twin
+    # replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import cohen_kappa
+
+    docs = load_table(spark, "documents", sf)
+    n_sp = F.length("text") - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    )
+    rated = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.length("text") < 250, 0)
+        .when(F.length("text") < 450, 1).otherwise(2).alias("ra"),
+        F.when(n_sp < 40, 0).when(n_sp < 75, 1).otherwise(2).alias("rb"),
+    )
+    return cohen_kappa(rated, rater_a_col="ra", rater_b_col="rb")
+
+
+def _fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # Fleiss' kappa (operators/evaluation.py fleiss_kappa) over a
+    # 3-rater panel: the two ext-rater-kappa heuristics plus a
+    # vowel-density rater, melted to the long (item, label) shape the
+    # statistic is defined on. Integer-sum arithmetic (S = sum n_ij^2,
+    # C2 = sum c_j^2) means no float ever crosses a row boundary —
+    # the twin replays the formula exactly.
+    from awskinesisconsumer_spark.operators.evaluation import fleiss_kappa
+
+    docs = load_table(spark, "documents", sf)
+    n_sp = F.length("text") - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    )
+    n_vow = F.length("text") - F.length(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         "[aeiou]", "")
+    )
+    rated = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.length("text") < 250, 0)
+        .when(F.length("text") < 450, 1).otherwise(2).alias("ra"),
+        F.when(n_sp < 40, 0).when(n_sp < 75, 1).otherwise(2).alias("rb"),
+        F.when(n_vow < 80, 0).when(n_vow < 140, 1).otherwise(2)
+        .alias("rc"),
+    )
+    long = rated.selectExpr(
+        "doc_id", "stack(3, ra, rb, rc) AS label"
+    )
+    return fleiss_kappa(long, item_col="doc_id", label_col="label")
+
+
+def _bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    # Poisson-bootstrap CI for the corpus mean token count
+    # (operators/evaluation.py bootstrap_ci): per-(doc, replicate)
+    # Poisson(1) weights from the portable hash — deterministic, no
+    # RNG state — so the 200-replicate empirical CI replays exactly
+    # in SQL (shared POISSON1_CDF ladder literals). Integer metric +
+    # integer weights keep every cross-row sum exact.
+    from awskinesisconsumer_spark.operators.evaluation import bootstrap_ci
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = token_count(
+        load_table(spark, "documents", sf), text_col="text"
+    )
+    return bootstrap_ci(
+        docs, id_col="doc_id", value_col="n_tokens", n_boot=200,
+    )
+
+
+def _ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov drift statistic (operators/
+    # evaluation.py ks_statistic) between the en and fr char-length
+    # distributions — the binning-free companion to the PSI drift
+    # gates: D = max ECDF gap over observed values, each gap a ratio
+    # of exact integer cumulative counts.
+    from awskinesisconsumer_spark.operators.evaluation import ks_statistic
+
+    docs = load_table(spark, "documents", sf).select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    return ks_statistic(
+        docs, value_col="n_chars", group_col="lang",
+        group_a="en", group_b="fr",
+    )
+
+
+def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-day MinHash sketches of each event type's user SET, merged
+    # into the global sketch (operators/dedup.py minhash_group_sketch
+    # + minhash_sketch_merge) — the similarity twin of ext-kmv-merge:
+    # min-of-mins is an EXACT identity, so the oracle replays the
+    # GLOBAL build directly and the mergeability claim IS the gate.
+    # Output = the merged (group, perm, minh) sketch table itself.
+    from awskinesisconsumer_spark.operators.dedup import (
+        minhash_group_sketch, minhash_sketch_merge, portable_hash52,
+    )
+
+    ev = load_table(spark, "events", sf).select(
+        F.concat_ws(
+            "\x1f", "event_type", F.to_date("ts").cast("string")
+        ).alias("_gs"),
+        "user_id",
+    )
+    shard = minhash_group_sketch(
+        ev, key_col="user_id", group_col="_gs", num_hashes=32,
+        hash_fn=portable_hash52,
+    )
+    per_shard = shard.select(
+        F.substring_index("group", "\x1f", 1).alias("group"),
+        "perm", "minh",
+    )
+    return minhash_sketch_merge(per_shard)
+
+
+def _minhash_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # All-pairs language Jaccard ESTIMATES from per-lang MinHash
+    # sketches over 8-char shingles (operators/dedup.py
+    # minhash_overlap_matrix) — the similarity companion to the KMV
+    # ext-source-overlap matrix (KMV estimates set SIZES, MinHash
+    # estimates Jaccard directly via component agreement; at G
+    # sources both are G^2-bounded downstream of one sketch pass).
+    # Same deterministic permutation family as every minhash dedup
+    # gate, so the twin replays the sketch bit-for-bit.
+    from awskinesisconsumer_spark.operators.dedup import (
+        minhash_group_sketch, minhash_overlap_matrix, portable_hash52,
+    )
+
+    docs = load_table(spark, "documents", sf).filter(
+        F.length("text") >= 8
+    )
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sig = minhash_group_sketch(
+        sh, key_col="sh", group_col="lang", num_hashes=32,
+        hash_fn=portable_hash52,
+    )
+    return minhash_overlap_matrix(sig, num_hashes=32)
+
+
+def _readability(spark: SparkSession, sf: str) -> DataFrame:
+    # Flesch / Flesch-Kincaid readability per doc (operators/text.py
+    # readability_scores): vowel-group syllable proxy + terminal-
+    # punctuation sentence count, published coefficients — the
+    # readability axis next to the Gopher structural rules. Map-only;
+    # the twin replays the same regexp counting.
+    from awskinesisconsumer_spark.operators.text import (
+        readability_scores,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return readability_scores(docs, text_col="text").select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch",
+        "fk_grade",
+    )
+
+
 def _stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     # Streaming CMS heavy hitters (streaming/pipeline.py
     # cms_sketch_stream): each micro-batch of a genuinely multi-batch
@@ -5777,6 +5939,13 @@ GATE_NEW_THIS_ROUND = (
     # quantiles — batch twins shared verbatim (counter-sum
     # associativity).
     "stream-heavy-hitters", "stream-histogram-quantile",
+    # r13 second wave: evaluation statistics (inter-rater agreement,
+    # Poisson-bootstrap CI, KS drift) + the group-MinHash sketch
+    # family (shard merge identity + all-pairs Jaccard matrix) +
+    # readability scoring.
+    "ext-rater-kappa", "ext-fleiss-kappa", "ext-bootstrap-ci",
+    "ext-ks-drift", "ext-minhash-shard-merge", "ext-minhash-overlap",
+    "ext-readability",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5817,6 +5986,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-source-overlap": _stream_source_overlap,
         "stream-heavy-hitters": _stream_heavy_hitters,
         "stream-histogram-quantile": _stream_hist_quantiles,
+        "ext-rater-kappa": _rater_kappa,
+        "ext-fleiss-kappa": _fleiss_kappa,
+        "ext-bootstrap-ci": _bootstrap_ci,
+        "ext-ks-drift": _ks_drift,
+        "ext-minhash-shard-merge": _minhash_shard_merge,
+        "ext-minhash-overlap": _minhash_overlap,
+        "ext-readability": _readability,
         # -- r12 registrations (now ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
@@ -11526,6 +11702,226 @@ def oracle_sql() -> dict[str, str]:
     # state is gated by the batch twins verbatim.
     d["stream-heavy-hitters"] = d["ext-heavy-hitters-cms"]
     d["stream-histogram-quantile"] = d["ext-histogram-quantile"]
+    # --- r13 evaluation statistics (operators/evaluation.py) ---
+    # Cohen's kappa: every cross-row sum is an integer (agree, n,
+    # label marginal products), so the replay is exact.
+    _RATED2 = """
+          SELECT doc_id,
+                 CASE WHEN length(text) < 250 THEN 0
+                      WHEN length(text) < 450 THEN 1 ELSE 2 END AS ra,
+                 CASE WHEN nsp < 40 THEN 0
+                      WHEN nsp < 75 THEN 1 ELSE 2 END AS rb
+          FROM (SELECT doc_id, text,
+                       length(text) - length(replace(COALESCE(text, ''),
+                                                     ' ', '')) AS nsp
+                FROM documents WHERE text IS NOT NULL)
+    """
+    d["ext-rater-kappa"] = f"""
+        WITH rated AS ({_RATED2}),
+        tot AS (SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree
+                FROM rated),
+        ma AS (SELECT ra AS label, COUNT(*) AS ca FROM rated GROUP BY ra),
+        mb AS (SELECT rb AS label, COUNT(*) AS cb FROM rated GROUP BY rb),
+        sab AS (SELECT COALESCE(SUM(ca * cb), 0) AS s_ab
+                FROM ma JOIN mb USING (label))
+        SELECT n AS n_items,
+               ROUND(agree / CAST(n AS DOUBLE), 6) AS po,
+               ROUND(s_ab / CAST(n * n AS DOUBLE), 6) AS pe,
+               ROUND(CASE WHEN s_ab / CAST(n * n AS DOUBLE) < 1.0 THEN
+                 (agree / CAST(n AS DOUBLE)
+                  - s_ab / CAST(n * n AS DOUBLE))
+                 / (1.0 - s_ab / CAST(n * n AS DOUBLE)) END, 6) AS kappa
+        FROM tot CROSS JOIN sab
+    """
+    # Fleiss' kappa: 3 heuristic raters melted long; S = sum n_ij^2
+    # and C2 = sum c_j^2 are exact integer sums.
+    d["ext-fleiss-kappa"] = f"""
+        WITH rated AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) < 250 THEN 0
+                      WHEN length(text) < 450 THEN 1 ELSE 2 END AS ra,
+                 CASE WHEN nsp < 40 THEN 0
+                      WHEN nsp < 75 THEN 1 ELSE 2 END AS rb,
+                 CASE WHEN nvow < 80 THEN 0
+                      WHEN nvow < 140 THEN 1 ELSE 2 END AS rc
+          FROM (SELECT doc_id, text,
+                       length(text) - length(replace(COALESCE(text, ''),
+                                                     ' ', '')) AS nsp,
+                       length(text) - length(regexp_replace(
+                           lower(COALESCE(text, '')), '[aeiou]', '', 'g'))
+                       AS nvow
+                FROM documents WHERE text IS NOT NULL)),
+        lng AS (
+          SELECT doc_id, ra AS label FROM rated
+          UNION ALL SELECT doc_id, rb FROM rated
+          UNION ALL SELECT doc_id, rc FROM rated),
+        cells AS (SELECT doc_id, label, COUNT(*) AS nij
+                  FROM lng GROUP BY doc_id, label),
+        sS AS (SELECT SUM(nij * nij) AS S FROM cells),
+        c2 AS (SELECT SUM(c * c) AS C2 FROM
+               (SELECT label, COUNT(*) AS c FROM lng GROUP BY label)),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS N FROM lng)
+        SELECT N AS n_items, 3 AS n_raters,
+               ROUND((S - N * 3) / CAST(N * 3 * 2 AS DOUBLE), 6) AS p_bar,
+               ROUND(C2 / CAST((N * 3) * (N * 3) AS DOUBLE), 6) AS p_e,
+               ROUND(CASE WHEN C2 / CAST((N * 3) * (N * 3) AS DOUBLE)
+                          < 1.0 THEN
+                 ((S - N * 3) / CAST(N * 3 * 2 AS DOUBLE)
+                  - C2 / CAST((N * 3) * (N * 3) AS DOUBLE))
+                 / (1.0 - C2 / CAST((N * 3) * (N * 3) AS DOUBLE)) END,
+                 6) AS kappa
+        FROM sS CROSS JOIN c2 CROSS JOIN nn
+    """
+    # Poisson bootstrap: the POISSON1_CDF ladder literals and the
+    # portable-hash uniform are shared verbatim with the Spark op,
+    # so all 200 replicate means replay exactly (integer metric x
+    # integer weights — exact sums).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        POISSON1_CDF,
+    )
+
+    _boot_u = _SQL_H52.format(
+        x="id || chr(31) || 'boot1' || chr(31) || CAST(b AS VARCHAR)"
+    )
+    _boot_w = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    ) + f" ELSE {len(POISSON1_CDF)} END"
+    d["ext-bootstrap-ci"] = f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(len(regexp_extract_all(COALESCE(text, ''),
+                      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS v
+          FROM documents WHERE doc_id IS NOT NULL),
+        tot AS (SELECT COUNT(*) AS n_items, SUM(v) AS sum_v FROM base),
+        u AS (
+          SELECT b, v, ({_boot_u}) / 4503599627370496.0 AS u
+          FROM base CROSS JOIN
+               (SELECT unnest(range(0, 200)) AS b)),
+        wts AS (SELECT b, v, {_boot_w} AS w FROM u),
+        reps AS (SELECT b, SUM(w * v) AS wv, SUM(w) AS wn
+                 FROM wts GROUP BY b),
+        means AS (SELECT wv / CAST(wn AS DOUBLE) AS mean_b
+                  FROM reps WHERE wn > 0),
+        ranked AS (SELECT mean_b,
+                          ROW_NUMBER() OVER (ORDER BY mean_b) AS r,
+                          COUNT(*) OVER () AS B
+                   FROM means),
+        bounds AS (
+          SELECT
+            MIN(CASE WHEN r = GREATEST(CAST(CEIL(
+                       CAST(0.025 AS DOUBLE) * B) AS BIGINT), 1)
+                     THEN mean_b END) AS ci_lo,
+            MIN(CASE WHEN r = CAST(CEIL(CAST(0.975 AS DOUBLE) * B)
+                                   AS BIGINT)
+                     THEN mean_b END) AS ci_hi,
+            MAX(B) AS n_reps
+          FROM ranked)
+        SELECT n_items, CAST(n_reps AS INT) AS n_boot,
+               ROUND(sum_v / CAST(n_items AS DOUBLE), 6) AS estimate,
+               ROUND(ci_lo, 6) AS ci_lo, ROUND(ci_hi, 6) AS ci_hi
+        FROM tot CROSS JOIN bounds
+    """
+    # KS drift: every ECDF gap is a ratio of exact integer cumulative
+    # counts; the alpha=0.05 coefficient literal is shared.
+    d["ext-ks-drift"] = """
+        WITH two AS (
+          SELECT lang, length(text) AS val FROM documents
+          WHERE text IS NOT NULL AND lang IN ('en', 'fr')),
+        pv AS (SELECT val,
+                      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                      SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS cb
+               FROM two GROUP BY val),
+        cums AS (SELECT
+            SUM(ca) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum_a,
+            SUM(cb) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum_b
+          FROM pv),
+        g2 AS (SELECT cum_a, cum_b,
+                      MAX(cum_a) OVER () AS na, MAX(cum_b) OVER () AS nb
+               FROM cums),
+        agg AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+                       MAX(CASE WHEN na > 0 AND nb > 0 THEN
+                           ABS(cum_a / CAST(na AS DOUBLE)
+                               - cum_b / CAST(nb AS DOUBLE)) END) AS d
+                FROM g2)
+        SELECT n_a, n_b, ROUND(d, 6) AS d_stat,
+               ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 1.3581015157406195
+                 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) END,
+                 6) AS d_crit,
+               d > 1.3581015157406195
+                   * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE))
+               AS drifted
+        FROM agg
+    """
+    # --- r13 group-MinHash sketch family (operators/dedup.py) ---
+    # Shard merge is min-of-mins (exact), so the oracle replays the
+    # GLOBAL build — the ext-kmv-merge gate pattern. Same permutation
+    # family as every minhash dedup twin: base = h52 % MERSENNE,
+    # perm_i = (h*(2i+1) + 7919*(i+1)) % MERSENNE.
+    _mh_h52 = _SQL_H52.format(x="k")
+    d["ext-minhash-shard-merge"] = f"""
+        WITH ex AS (
+          SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS k
+          FROM events WHERE user_id IS NOT NULL),
+        h AS (SELECT grp, ({_mh_h52}) % 2147483647 AS h FROM ex),
+        perms AS (SELECT unnest(range(0, 32)) AS perm)
+        SELECT grp AS "group", CAST(perm AS INT) AS perm,
+               MIN((h * (2 * perm + 1) + 7919 * (perm + 1))
+                   % 2147483647) AS minh
+        FROM h CROSS JOIN perms GROUP BY grp, perm
+    """
+    _mh_sh52 = _SQL_H52.format(x="sh")
+    d["ext-minhash-overlap"] = f"""
+        WITH pos AS (
+          SELECT lang, text, unnest(range(1, length(text) - 6)) AS i
+          FROM documents WHERE length(text) >= 8),
+        shn AS (SELECT lang, substr(text, i, 8) AS sh FROM pos),
+        h AS (SELECT lang, ({_mh_sh52}) % 2147483647 AS h
+              FROM shn WHERE sh IS NOT NULL),
+        perms AS (SELECT unnest(range(0, 32)) AS perm),
+        sig AS (SELECT lang, CAST(perm AS INT) AS perm,
+                       MIN((h * (2 * perm + 1) + 7919 * (perm + 1))
+                           % 2147483647) AS minh
+                FROM h CROSS JOIN perms GROUP BY lang, perm)
+        SELECT a.lang AS group_a, b.lang AS group_b,
+               SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+               AS n_match,
+               ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                     / 32.0, 6) AS jaccard_est
+        FROM sig a JOIN sig b ON a.perm = b.perm AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    """
+    # Readability: the words fragment is the canonical words_expr;
+    # syllable/sentence counts are regexp_extract_all lengths, the
+    # published Flesch coefficients applied left-to-right.
+    d["ext-readability"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len({words_expr}) AS BIGINT) AS n_words,
+                 CAST(GREATEST(len(regexp_extract_all(
+                      lower(COALESCE(text, '')), '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(
+                      lower(COALESCE(text, '')), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ROUND(CASE WHEN n_words > 0 THEN
+                 CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (n_words / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (n_syllables / CAST(n_words AS DOUBLE)) END,
+                 4) AS flesch,
+               ROUND(CASE WHEN n_words > 0 THEN
+                 CAST(0.39 AS DOUBLE)
+                   * (n_words / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE)
+                   * (n_syllables / CAST(n_words AS DOUBLE))
+                 - CAST(15.59 AS DOUBLE) END, 4) AS fk_grade
+        FROM m
+    """
     # Retrieval metrics: reuse the PROVEN exact/ann CTEs from the
     # ext-ann-recall twin verbatim (slice up to its final rollup),
     # then compute NDCG/MRR/recall with the SAME float literals the

@@ -154,6 +154,97 @@ def _minhash_from_rows(ex: DataFrame, *, id_col: str, num_hashes: int,
     )
 
 
+def minhash_group_sketch(
+    df: DataFrame, *, key_col: str, group_col: str,
+    num_hashes: int = 32, hash_fn=xxhash64_col,
+) -> DataFrame:
+    """GROUP-level MinHash signature as a mergeable sketch TABLE:
+    one (group, perm, minh) row per (group, permutation), minh = min
+    over the group's keys of permutation `perm` of the base hash —
+    the same `_perm_min_aggs` family the per-doc signatures use, so
+    one hash convention serves both granularities. This is the
+    MinHash analogue of `sketches.kmv_sketch`: KMV answers "how many
+    distinct", this answers "how SIMILAR are two groups' key sets"
+    (Jaccard from component agreement, `minhash_overlap_matrix`) in
+    O(num_hashes) state per group.
+
+    Merge rule is an EXACT identity (`minhash_sketch_merge`): min of
+    per-shard mins == global min, so per-day/per-shard sketches fold
+    into the corpus sketch with zero error — the property the shard
+    gate replays. NULL keys are dropped (a group with no keys emits
+    no rows). Scale shape: one narrow projection, one
+    map-side-combined groupBy carrying num_hashes longs per group,
+    then a num_hashes-wide melt of the G-row aggregate."""
+    ex = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .where(F.col("_k").isNotNull())
+        .withColumn(
+            "_h", F.pmod(hash_fn(F.col("_k")), F.lit(_MERSENNE))
+        )
+    )
+    agg = ex.groupBy("group").agg(*_perm_min_aggs(num_hashes))
+    melted = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("perm"), F.col(f"_m{i}").alias("minh")
+            )
+            for i in range(num_hashes)
+        ])
+    ).alias("pm")
+    return agg.select("group", melted).select(
+        "group", F.col("pm.perm").alias("perm"),
+        F.col("pm.minh").alias("minh"),
+    )
+
+
+def minhash_sketch_merge(shards: DataFrame) -> DataFrame:
+    """Merge per-shard (group, perm, minh) MinHash sketches into the
+    group-level sketch: min of mins — exact, associative, the
+    kmv_merge counterpart. Input rows for the same (group, perm)
+    from any number of shards collapse to one."""
+    return shards.groupBy("group", "perm").agg(
+        F.min("minh").alias("minh")
+    )
+
+
+def minhash_overlap_matrix(
+    sig: DataFrame, *, num_hashes: int,
+) -> DataFrame:
+    """All-pairs Jaccard estimates between groups from ONE sketch
+    pass: for each unordered group pair, the fraction of agreeing
+    signature components — E[agree] = J(A, B), the classic MinHash
+    estimator. The `kmv_overlap_matrix` companion when the question
+    is similarity rather than distinct counts; at G groups the
+    self-join is G^2 * num_hashes rows, everything downstream of the
+    sketch bounded. Returns (group_a, group_b, n_match,
+    jaccard_est)."""
+    a = sig.select(
+        F.col("group").alias("group_a"), "perm",
+        F.col("minh").alias("_ha"),
+    )
+    b = sig.select(
+        F.col("group").alias("group_b"), "perm",
+        F.col("minh").alias("_hb"),
+    )
+    j = a.join(b, "perm").where(F.col("group_a") < F.col("group_b"))
+    return (
+        j.groupBy("group_a", "group_b")
+        .agg(
+            F.sum((F.col("_ha") == F.col("_hb")).cast("long"))
+            .alias("n_match")
+        )
+        .select(
+            "group_a", "group_b", "n_match",
+            F.round(
+                F.col("n_match") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_est"),
+        )
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     *,

@@ -1,0 +1,322 @@
+"""Evaluation statistics for LLM-data / LLM-judge pipelines:
+inter-rater agreement (Cohen's and Fleiss' kappa), Poisson-bootstrap
+confidence intervals for corpus metrics, and the two-sample
+Kolmogorov-Smirnov drift statistic.
+
+Design rule shared by every op here (the audit-report rule, applied
+to statistics): cross-row aggregation happens on INTEGERS (counts,
+squared counts, integer-weighted sums) whose sums are exactly
+associative, and floats appear only in the final per-row arithmetic
+over those sums — so the values are independent of partitioning /
+summation order and a SQL oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Poisson(1) inverse-CDF ladder (cumulative P(X <= k), k = 0..8; u
+# past the last threshold draws 9). Shared verbatim with the SQL
+# twins — the whole bootstrap is deterministic given these literals
+# and the portable hash.
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+)
+
+# Two-sided KS critical-value coefficient at alpha = 0.05:
+# c(alpha) = sqrt(-ln(alpha/2) / 2). Literal shared with SQL twins.
+KS_COEF_05 = 1.3581015157406195
+
+
+def cohen_kappa(
+    df: DataFrame, *, rater_a_col: str, rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two raters (one row per rated item,
+    one label column per rater) — the agreement statistic an
+    LLM-judge calibration loop reports: observed agreement corrected
+    for the agreement two independent raters with these marginals
+    would reach by chance.
+
+    Returns ONE row: (n_items, po, pe, kappa), 6 dp. Items where
+    either label is NULL are excluded. Arithmetic is
+    order-independent: po = agree/n and pe = sum_l(ca_l * cb_l) / n^2
+    are ratios of exact integer sums (never a float sum across label
+    rows). kappa is NULL when pe == 1 (degenerate single-label
+    marginals leave no chance-correctable signal).
+
+    Scale shape: one narrow pass for (n, agree), two label-keyed
+    groupBys (label cardinality-bounded) and a label equi-join for
+    sum(ca*cb); everything after the map-side-combined counts is
+    constant-size."""
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    rated = df.where(a.isNotNull() & b.isNotNull())
+    totals = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a == b).cast("long")).alias("agree"),
+    )
+    ca = rated.groupBy(a.alias("label")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = rated.groupBy(b.alias("label")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    # inner join: a label absent from either marginal contributes 0
+    cross = ca.join(cb, "label").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .alias("s_ab")
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("s_ab") / (F.col("n") * F.col("n"))
+    return totals.crossJoin(cross).select(
+        F.col("n").alias("n_items"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame, *, item_col: str, label_col: str,
+) -> DataFrame:
+    """Fleiss' kappa over a LONG ratings table (one row per
+    (item, rating); rater identity irrelevant by construction) — the
+    n-rater panel agreement statistic. Requires the SAME number of
+    ratings per item (the statistic's own assumption); raises on
+    ragged input via one cheap bounded agg.
+
+    Returns ONE row: (n_items, n_raters, p_bar, p_e, kappa), 6 dp.
+    Everything derives from two exact integer sums — S = sum over
+    (item, label) cells of n_ij^2, and c_j = per-label totals —
+    P_bar = (S - N*n) / (N*n*(n-1)), P_e = sum_j c_j^2 / (N*n)^2,
+    so no float crosses a row boundary. kappa NULL when P_e == 1."""
+    rated = ratings.where(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    per_item = rated.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    shape = per_item.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.min("_n").alias("n_lo"),
+        F.max("_n").alias("n_hi"),
+    ).first()
+    if shape["N"] == 0:
+        raise ValueError("fleiss_kappa: no rated items")
+    if shape["n_lo"] != shape["n_hi"]:
+        raise ValueError(
+            "fleiss_kappa: ratings per item must be constant, got "
+            f"{shape['n_lo']}..{shape['n_hi']}"
+        )
+    n = int(shape["n_hi"])
+    if n < 2:
+        raise ValueError(
+            f"fleiss_kappa: need >= 2 ratings per item, got {n}"
+        )
+    cells = rated.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    s_df = cells.agg(
+        F.sum(F.col("n_ij") * F.col("n_ij")).alias("S")
+    )
+    labels = rated.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("c_j")
+    )
+    c2_df = labels.agg(
+        F.sum(F.col("c_j") * F.col("c_j")).alias("C2")
+    )
+    N = F.lit(int(shape["N"])).cast("long")
+    nn = F.lit(n).cast("long")
+    p_bar = (F.col("S") - N * nn) / (N * nn * (nn - 1)).cast("double")
+    p_e = F.col("C2") / ((N * nn) * (N * nn)).cast("double")
+    return s_df.crossJoin(c2_df).select(
+        N.alias("n_items"),
+        nn.cast("int").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(
+            F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)), 6
+        ).alias("kappa"),
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    conf: float = 0.95,
+    salt: str = "boot1",
+    hash_fn=None,
+) -> DataFrame:
+    """Poisson bootstrap CI for the MEAN of an integer metric (token
+    counts, dup counts, label flags) — the error bar an eval report
+    should put on every corpus-level mean. Each (row, replicate)
+    draws a Poisson(1) weight from the portable hash of
+    (id, salt, b), so the procedure is DETERMINISTIC, engine-portable
+    (no RNG state), and embarrassingly parallel: the explode is
+    narrow and the per-replicate sums are map-side-combined longs.
+
+    `value_col` must be integral — that is what keeps every
+    cross-row sum exact (the module's order-independence rule);
+    scale-and-round a float metric first. Returns ONE row:
+    (n_items, n_boot, estimate, ci_lo, ci_hi), 6 dp — estimate the
+    plain mean, bounds the empirical ceil(q*B)-th replicate means
+    (replicates with zero total weight are skipped by NULL mean).
+
+    Scale shape: n_boot x corpus rows flow through one narrow
+    projection into a B-row aggregate; no corpus-sized shuffle, no
+    driver state. At 100 TB run it on the metric table you are
+    reporting (usually already aggregated) or a sampled slab.
+    """
+    from .dedup import portable_hash52
+
+    if hash_fn is None:
+        hash_fn = portable_hash52
+    if n_boot < 2:
+        raise ValueError(f"bootstrap_ci: n_boot must be >= 2, got {n_boot}")
+    v = F.col(value_col)
+    base = df.where(v.isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"),
+        v.cast("long").alias("_v"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_v").alias("sum_v"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    u = hash_fn(
+        F.concat_ws("\x1f", F.col("_id"), F.lit(salt),
+                    F.col("b").cast("string"))
+    ) / F.lit(float(2 ** 52))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        base.select("_id", "_v", b)
+        .withColumn("_w", w.cast("long"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("wv"),
+            F.sum("_w").alias("wn"),
+        )
+        .select(
+            # wn > 0 guard: ANSI mode (the driver's session) raises
+            # on division by zero instead of returning NULL
+            F.when(F.col("wn") > 0, F.col("wv") / F.col("wn"))
+            .alias("mean_b")
+        )
+        .where(F.col("mean_b").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn(
+        "r", F.row_number().over(Window.orderBy("mean_b"))
+    ).withColumn("B", F.count(F.lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+    # round the tail mass to 9 dp: (1 - 0.95)/2 in binary is
+    # 0.025000000000000022, and ceil(that * B) can land one rank
+    # past ceil(0.025 * B) — the SQL twin (and any reader) computes
+    # with the clean decimal, so normalize before the rank math
+    alpha = round((1.0 - conf) / 2.0, 9)
+    lo_r = F.ceil(F.lit(alpha) * F.col("B"))
+    hi_r = F.ceil(F.lit(1.0 - alpha) * F.col("B"))
+    bounds = ranked.agg(
+        F.min(F.when(F.col("r") == F.greatest(lo_r, F.lit(1)),
+                     F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == hi_r, F.col("mean_b"))).alias("ci_hi"),
+        F.max("B").alias("n_reps"),
+    )
+    return totals.crossJoin(bounds).select(
+        "n_items",
+        F.col("n_reps").cast("int").alias("n_boot"),
+        F.round(
+            F.when(F.col("n_items") > 0,
+                   F.col("sum_v") / F.col("n_items")), 6
+        ).alias("estimate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha_coef: float = KS_COEF_05,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the
+    `value_col` distributions of two groups — the distribution-shape
+    companion to the binned PSI drift ops (`ext-corpus-drift`): D =
+    max over observed values of |ECDF_a - ECDF_b|, sensitive to ANY
+    shape change, no binning choices.
+
+    Returns ONE row: (n_a, n_b, d_stat, d_crit, drifted) — d_crit =
+    coef * sqrt((n_a+n_b)/(n_a*n_b)) at alpha = 0.05 by default,
+    drifted = d_stat > d_crit. Exact, not sketched: cumulative
+    counts per distinct value (integer window sums over value order)
+    make each per-value ECDF gap a ratio of exact integers, and D a
+    max — order-independent throughout (the module rule).
+
+    Scale shape: one groupBy(value) to per-value counts, one global
+    window over DISTINCT values (bounded by value cardinality, not
+    corpus rows — for continuous metrics at 100 TB, quantize to
+    meaningful precision first, e.g. round scores to 4 dp, exactly
+    as a production KS monitor does)."""
+    g = F.col(group_col)
+    v = F.col(value_col)
+    two = df.where(v.isNotNull() & g.isin([group_a, group_b]))
+    per_val = two.groupBy(v.alias("val")).agg(
+        F.sum((g == group_a).cast("long")).alias("ca"),
+        F.sum((g == group_b).cast("long")).alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gaps = (
+        per_val.select(
+            F.sum("ca").over(wcum).alias("cum_a"),
+            F.sum("cb").over(wcum).alias("cum_b"),
+        )
+        .withColumn("na", F.max("cum_a").over(wall))
+        .withColumn("nb", F.max("cum_b").over(wall))
+        .withColumn(
+            "gap",
+            # n > 0 guards: ANSI-safe when one group is absent
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.abs(F.col("cum_a") / F.col("na")
+                      - F.col("cum_b") / F.col("nb")),
+            ),
+        )
+    )
+    crit = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.lit(alpha_coef)
+        * F.sqrt((F.col("n_a") + F.col("n_b"))
+                 / (F.col("n_a") * F.col("n_b")).cast("double")),
+    )
+    return gaps.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max("gap").alias("_d"),
+    ).select(
+        "n_a", "n_b",
+        F.round("_d", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.col("_d") > crit).alias("drifted"),
+    )

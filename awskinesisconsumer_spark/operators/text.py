@@ -65,6 +65,63 @@ def text_stats(df: DataFrame, *, text_col: str) -> DataFrame:
     )
 
 
+def readability_scores(
+    df: DataFrame, *, text_col: str,
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability axis quality filters add next to the
+    Gopher-style structural rules: word/sentence/syllable ratios with
+    the published coefficients (206.835/1.015/84.6 and
+    0.39/11.8/15.59).
+
+    Syllables are approximated as VOWEL GROUPS ([aeiouy]+ runs in the
+    lower-cased text) and sentences as terminal-punctuation runs
+    ([.!?]+), both via one regexp_extract_all — deterministic,
+    engine-portable counting (no dictionary), the standard cheap
+    proxy; scores are a ranking signal, not linguistics. Zero-word
+    docs (NULL/empty text) get NULL scores; sentence count clamps to
+    >= 1 so headline-like fragments still score. Map-only, narrow;
+    adds n_words / n_sentences / n_syllables / flesch / fk_grade."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words).cast("bigint")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)) \
+        .cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    wps = n_words / n_sent
+    spw = n_syll / n_words
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sent)
+        .withColumn("n_syllables", n_syll)
+        .withColumn(
+            "flesch",
+            F.round(
+                F.when(
+                    n_words > 0,
+                    F.lit(206.835) - F.lit(1.015) * wps
+                    - F.lit(84.6) * spw,
+                ),
+                4,
+            ),
+        )
+        .withColumn(
+            "fk_grade",
+            F.round(
+                F.when(
+                    n_words > 0,
+                    F.lit(0.39) * wps + F.lit(11.8) * spw
+                    - F.lit(15.59),
+                ),
+                4,
+            ),
+        )
+    )
+
+
 def quality_score(df: DataFrame, *, text_col: str,
                   out_col: str = "quality") -> DataFrame:
     """Composite document-quality score in [0,1]: length signal

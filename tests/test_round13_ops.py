@@ -237,6 +237,141 @@ def test_semantic_dedup_multi_keeps_primary_cell(spark, _emb_cents):
     assert all(r["cell"] == primary[r["vec_id"]] for r in rows)
 
 
+def test_cohen_kappa_edges(spark):
+    from awskinesisconsumer_spark.operators.evaluation import cohen_kappa
+
+    # perfect agreement -> kappa 1; NULL labels excluded
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (None, 1), (1, None)],
+        "ra int, rb int",
+    )
+    row = cohen_kappa(df, rater_a_col="ra", rater_b_col="rb").first()
+    assert row["n_items"] == 3 and row["kappa"] == 1.0
+    # single shared label -> pe == 1 -> kappa NULL, not a crash
+    one = spark.createDataFrame([(1, 1)] * 4, "ra int, rb int")
+    row = cohen_kappa(one, rater_a_col="ra", rater_b_col="rb").first()
+    assert row["pe"] == 1.0 and row["kappa"] is None
+
+
+def test_fleiss_kappa_validation(spark):
+    from awskinesisconsumer_spark.operators.evaluation import fleiss_kappa
+
+    ragged = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0)], "item int, label int"
+    )
+    with pytest.raises(ValueError, match="constant"):
+        fleiss_kappa(ragged, item_col="item", label_col="label")
+    single = spark.createDataFrame([(1, 0), (2, 1)], "item int, label int")
+    with pytest.raises(ValueError, match=">= 2"):
+        fleiss_kappa(single, item_col="item", label_col="label")
+    # unanimous panel -> kappa 1
+    unanimous = spark.createDataFrame(
+        [(i, i % 2) for i in range(6) for _ in range(3)],
+        "item int, label int",
+    )
+    row = fleiss_kappa(
+        unanimous, item_col="item", label_col="label"
+    ).first()
+    assert row["n_raters"] == 3 and row["kappa"] == 1.0
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark):
+    from awskinesisconsumer_spark.operators.evaluation import bootstrap_ci
+
+    docs = _load(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    a = bootstrap_ci(docs, id_col="doc_id", value_col="v",
+                     n_boot=100).first()
+    b = bootstrap_ci(docs, id_col="doc_id", value_col="v",
+                     n_boot=100).first()
+    assert a == b, "Poisson bootstrap must be deterministic"
+    assert a["ci_lo"] <= a["estimate"] <= a["ci_hi"]
+    assert a["n_boot"] <= 100
+
+
+def test_ks_statistic_extremes(spark):
+    from awskinesisconsumer_spark.operators.evaluation import ks_statistic
+
+    same = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(50)],
+        "g string, v int",
+    )
+    row = ks_statistic(same, value_col="v", group_col="g",
+                       group_a="a", group_b="b").first()
+    assert row["d_stat"] == 0.0 and row["drifted"] is False
+    disjoint = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v + 100) for v in range(50)],
+        "g string, v int",
+    )
+    row = ks_statistic(disjoint, value_col="v", group_col="g",
+                       group_a="a", group_b="b").first()
+    assert row["d_stat"] == 1.0 and row["drifted"] is True
+
+
+def test_minhash_shard_merge_identity(spark):
+    # min-of-mins: per-shard sketches merged == global build, row for
+    # row — the exact identity the ext-minhash-shard-merge gate rides.
+    from awskinesisconsumer_spark.operators.dedup import (
+        minhash_group_sketch, minhash_sketch_merge, portable_hash52,
+    )
+
+    docs = _load(spark, SF_SMOKE, "documents").select(
+        "lang", "doc_id", (F.col("doc_id") % 3).alias("shard")
+    )
+    global_sk = minhash_group_sketch(
+        docs, key_col="doc_id", group_col="lang", num_hashes=16,
+        hash_fn=portable_hash52,
+    )
+    per_shard = minhash_group_sketch(
+        docs.withColumn(
+            "gs", F.concat_ws("\x1f", "lang", F.col("shard").cast("string"))
+        ),
+        key_col="doc_id", group_col="gs", num_hashes=16,
+        hash_fn=portable_hash52,
+    ).select(
+        F.substring_index("group", "\x1f", 1).alias("group"),
+        "perm", "minh",
+    )
+    merged = minhash_sketch_merge(per_shard)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, global_sk.collect())
+    )
+
+
+def test_minhash_overlap_identical_groups(spark):
+    from awskinesisconsumer_spark.operators.dedup import (
+        minhash_group_sketch, minhash_overlap_matrix, portable_hash52,
+    )
+
+    keys = spark.createDataFrame(
+        [(g, k) for g in ("a", "b") for k in range(40)],
+        "g string, k int",
+    )
+    sig = minhash_group_sketch(
+        keys, key_col="k", group_col="g", num_hashes=16,
+        hash_fn=portable_hash52,
+    )
+    row = minhash_overlap_matrix(sig, num_hashes=16).first()
+    assert row["n_match"] == 16 and row["jaccard_est"] == 1.0
+
+
+def test_readability_degenerate_docs(spark):
+    from awskinesisconsumer_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "The quick brown fox jumps. It runs!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            readability_scores(df, text_col="text").collect()}
+    for d in (0, 1):
+        assert rows[d]["n_words"] == 0
+        assert rows[d]["flesch"] is None and rows[d]["fk_grade"] is None
+    assert rows[2]["n_sentences"] == 2 and rows[2]["n_words"] == 7
+    assert rows[2]["flesch"] is not None
+
+
 def test_semantic_recall_audit_monotone(spark, _emb_cents):
     # recall(n=2) >= recall(n=1) per bucket, n_caught <= n_true, and
     # the n_assign=2 rows strictly improve on this fixture (the
