@@ -5524,8 +5524,20 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
         .alias("metric"),
         F.col("rbo").alias("value"),
     )
+    # r13: the report now carries its own dedup-quality health — the
+    # SemDeDup recall curve rows (per n_assign x true-cosine bucket)
+    # from the proven ext-dedup-semantic-recall gate, zero new
+    # arithmetic (the composition rule all other rows follow).
+    semrec = _semantic_dedup_recall(spark, sf).select(
+        F.concat(
+            F.lit("semdedup_recall:n"),
+            F.col("n_assign").cast("string"),
+            F.lit(":"), F.col("bucket_lo").cast("string"),
+        ).alias("metric"),
+        F.col("recall").alias("value"),
+    )
     out = n_docs
-    for part in (dups, kmv, overlap, recall, rbo):
+    for part in (dups, kmv, overlap, recall, rbo, semrec):
         out = out.unionByName(part)
     return out
 
@@ -5946,6 +5958,12 @@ GATE_NEW_THIS_ROUND = (
     "ext-rater-kappa", "ext-fleiss-kappa", "ext-bootstrap-ci",
     "ext-ks-drift", "ext-minhash-shard-merge", "ext-minhash-overlap",
     "ext-readability",
+    # CHANGED this round, re-gated inside the window: ext-audit-report
+    # gained the SemDeDup-recall health rows (entry + twin both
+    # extended); stream-dedup-semantic rides the semantic_dedup_apply
+    # broadcast_reps="auto" default (same output, new join-strategy
+    # decision — re-gated so the r13 snapshot certifies the new path).
+    "ext-audit-report", "stream-dedup-semantic",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -5958,6 +5976,31 @@ GATE_NEW_THIS_ROUND = (
 # enforces it.
 ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
+)
+
+# The r13 rotation plan: ALL 34 remaining r8-record ledger veterans
+# (GATE_LEDGER.json green_round == 8 as of round start), alphabetical
+# — including the 7 that slipped past position 50 in r12. queries()
+# asserts at call time that GATE_NEW_THIS_ROUND + ROWS_ONLY_BY_DESIGN
+# + R13_ROTATION is EXACTLY the 50-entry gate window, so the
+# documented rotation can never overstate what the window holds
+# again (r12 verdict item 1 — the r12 comment promised 21 veterans
+# and the window held 10).
+R13_ROTATION = (
+    "ext-dedup-incremental", "ext-dedup-recall",
+    "ext-dedup-span-removal", "ext-domain-cap-topk", "ext-dup-spans",
+    "ext-frame-sample", "ext-html-strip", "ext-interleave-mixture",
+    "ext-pack-nofragment", "ext-pagerank-dups",
+    "ext-perplexity-bigram", "ext-quality-blend", "ext-rank-fusion",
+    "ext-scd2-asof", "ext-shuffle-order", "ext-tokenize-pack",
+    "ext-tokenizer-fertility", "ext-validate-expectations",
+    "ext-vocab-coverage", "ext-winsorize", "ext-word-entropy",
+    "join-asof-backward", "join-asof-nearest", "join-asof-tags",
+    "sample-throttle-time", "scan-element-callback",
+    "sink-manifest-commit", "sink-memory-bounded",
+    "stream-corpus-drift", "stream-frame-sample",
+    "stream-manifest-sink", "stream-pause-resume",
+    "stream-quality-blend", "stream-vocab-coverage",
 )
 
 
@@ -5978,7 +6021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # .py::test_gate_rotation_invariant against GATE_LEDGER.json
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
-    return {
+    out = {
         # -- NEW in round 13 (the r12 verdict brief): the SemDeDup
         #    recall audit + the n_assign=2 multi-probe dedup form.
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
@@ -5993,12 +6036,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-minhash-shard-merge": _minhash_shard_merge,
         "ext-minhash-overlap": _minhash_overlap,
         "ext-readability": _readability,
-        # -- r12 registrations (now ledger veterans, green r12):
+        # -- CHANGED this round, re-gated (see GATE_NEW_THIS_ROUND):
+        "ext-audit-report": _audit_report,
+        "stream-dedup-semantic": _stream_dedup_semantic,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the r13 rotation (R13_ROTATION): ALL 34 remaining
+        #    r8-record veterans, alphabetical — including the 7 that
+        #    slipped past position 50 in r12. 14 new/changed + 2
+        #    rows-only + 34 veterans == exactly 50; queries() ASSERTS
+        #    head == plan at call time, so this comment can never
+        #    overstate what the window holds (r12 verdict item 1).
+        #    After this round no ledger record is older than r9.
+        "ext-dedup-incremental": _dedup_incremental,
+        "ext-dedup-recall": _dedup_recall,
+        "ext-dedup-span-removal": _dedup_span_removal,
+        "ext-domain-cap-topk": _domain_cap_topk,
+        "ext-dup-spans": _dup_spans,
+        "ext-frame-sample": _frame_sample,
+        "ext-html-strip": _html_strip,
+        "ext-interleave-mixture": _interleave_mixture,
+        "ext-pack-nofragment": _pack_nofragment,
+        "ext-pagerank-dups": _pagerank_dups,
+        "ext-perplexity-bigram": _perplexity_bigram,
+        "ext-quality-blend": _quality_blend,
+        "ext-rank-fusion": _rank_fusion_q,
+        "ext-scd2-asof": _scd2_asof,
+        "ext-shuffle-order": _shuffle_order,
+        "ext-tokenize-pack": _tokenize_pack,
+        "ext-tokenizer-fertility": _tokenizer_fertility,
+        "ext-validate-expectations": _validate_expectations,
+        "ext-vocab-coverage": _vocab_coverage,
+        "ext-winsorize": _winsorize,
+        "ext-word-entropy": _word_entropy,
+        "join-asof-backward": _asof_backward,
+        "join-asof-nearest": _asof_nearest,
+        "join-asof-tags": _asof,
+        "sample-throttle-time": _throttle,
+        "scan-element-callback": _scan_element_callback,
+        "sink-manifest-commit": _manifest_sink_roundtrip,
+        "sink-memory-bounded": _sink_memory_bounded,
+        "stream-corpus-drift": _stream_corpus_drift,
+        "stream-frame-sample": _stream_frame_sample,
+        "stream-manifest-sink": _stream_manifest_sink,
+        "stream-pause-resume": _stream_pause_resume,
+        "stream-quality-blend": _stream_quality_blend,
+        "stream-vocab-coverage": _stream_vocab_coverage,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r12 registrations (ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
         "ext-knn-join-vec": _knn_join_vec,
         "ext-contrastive-by-cell": _contrastive_by_cell,
-        "stream-dedup-semantic": _stream_dedup_semantic,
         "ext-simhash-cap-audit": _simhash_cap_audit,
         "ext-dedup-semantic-keep-best": _semantic_keep_best,
         "ext-similarity-ivf-kmeans-table": _ann_ivf_kmeans_table,
@@ -6016,21 +6111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-distinct-intersect": _stream_distinct_intersect,
         "ext-source-overlap": _source_overlap,
         "ext-rank-overlap": _rank_overlap,
-        "ext-audit-report": _audit_report,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
         "ext-contrastive-triplets": _contrastive_triplets,
         "stream-pack-sequences": _stream_pack_sequences,
-        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
-        #    live inside the window permanently so their weaker
-        #    rows-only check is refreshed every round.
-        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
-        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the 16 remaining r7-record veterans, rotated in as
-        #    promised by the r11 registration comment (after this
-        #    window no registered query's latest green record is
-        #    older than r8).
+        # -- the 16 r7-record veterans re-gated r12:
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
@@ -6047,9 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-minhash": _dedup_minhash,
         "join-salted-skew": _salted_join,
         "segment-sessions-gap": _sessions_gap,
-        # -- 21 of the 44 r8-record veterans (oldest remaining
-        #    records, alphabetical; the trailing 23 ride their
-        #    ledger records one more round and rotate in r13).
+        # -- the 10 then-oldest r8-record veterans re-gated r12:
         "demux-decode-explode": _explode,
         "enqueue-bounded-retention": _retention,
         "error-route": _error_route,
@@ -6060,18 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-corpus-drift": _corpus_drift,
         "ext-curate-corpus": _curate_corpus,
         "ext-dataset-card": _dataset_card,
-        "ext-dedup-incremental": _dedup_incremental,
-        "ext-dedup-recall": _dedup_recall,
-        "ext-dedup-span-removal": _dedup_span_removal,
-        "ext-domain-cap-topk": _domain_cap_topk,
-        "ext-dup-spans": _dup_spans,
-        "ext-frame-sample": _frame_sample,
-        "ext-html-strip": _html_strip,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
-        # -- r11 records (last round's gate head) --
+        # -- r11 records --
         "ext-train-batch": _train_batch,
         "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
         "ext-curriculum-order": _curriculum_order,
@@ -6168,35 +6241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- r8 records (the 27 riding their ledger one more round;
-        #    rotate in r13) --
-        "ext-interleave-mixture": _interleave_mixture,
-        "ext-pack-nofragment": _pack_nofragment,
-        "ext-pagerank-dups": _pagerank_dups,
-        "ext-perplexity-bigram": _perplexity_bigram,
-        "ext-quality-blend": _quality_blend,
-        "ext-shuffle-order": _shuffle_order,
-        "ext-tokenizer-fertility": _tokenizer_fertility,
-        "ext-rank-fusion": _rank_fusion_q,
-        "stream-quality-blend": _stream_quality_blend,
-        "stream-frame-sample": _stream_frame_sample,
-        "ext-tokenize-pack": _tokenize_pack,
-        "ext-validate-expectations": _validate_expectations,
-        "ext-vocab-coverage": _vocab_coverage,
-        "stream-corpus-drift": _stream_corpus_drift,
-        "stream-vocab-coverage": _stream_vocab_coverage,
-        "scan-element-callback": _scan_element_callback,
-        "ext-winsorize": _winsorize,
-        "ext-scd2-asof": _scd2_asof,
-        "stream-pause-resume": _stream_pause_resume,
-        "sink-memory-bounded": _sink_memory_bounded,
-        "join-asof-nearest": _asof_nearest,
-        "ext-word-entropy": _word_entropy,
-        "sink-manifest-commit": _manifest_sink_roundtrip,
-        "stream-manifest-sink": _stream_manifest_sink,
-        "join-asof-tags": _asof,
-        "join-asof-backward": _asof_backward,
-        "sample-throttle-time": _throttle,
         # -- r9 records --
         "ext-multimodal-wav": _multimodal_wav,
         "ext-multimodal-png": _multimodal_png,
@@ -6248,6 +6292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-domain-cap": _domain_cap,
         "ext-semantic-decontaminate": _semantic_decontaminate,
     }
+    # Composed-at-call window assertion (r12 verdict item 1): the
+    # documented rotation plan IS the gate window, exactly.
+    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R13_ROTATION)
+    assert len(plan) == 50, f"window plan is {len(plan)} entries, not 50"
+    head = list(out)[:50]
+    assert head == list(plan), (
+        "gate-window head drifted from the documented plan: "
+        f"{[q for q, p in zip(head, plan) if q != p][:5]}"
+    )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -12049,6 +12103,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'rbo@10:probe_' || probe_id, rbo
         FROM ({d["ext-rank-overlap"]})
+        UNION ALL
+        SELECT 'semdedup_recall:n' || CAST(n_assign AS VARCHAR)
+               || ':' || CAST(bucket_lo AS VARCHAR), recall
+        FROM ({d["ext-dedup-semantic-recall"]})
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col
