@@ -240,6 +240,19 @@ HEADLINE = [
     "ext-source-overlap",
     "ext-rank-overlap",
     "ext-audit-report",
+    # round 13: the SemDeDup recall audit (exact all-pairs truth — a
+    # genuinely heavy new workload) + the n_assign=2 multi-probe form
+    # vs its n=1 sibling, the three new sum-merged sketch streams,
+    # the 200-replicate bootstrap, and the group-MinHash family
+    # (events-scaled shard merge + shingle overlap matrix).
+    "ext-dedup-semantic-recall",
+    "ext-dedup-semantic-multi",
+    "stream-source-overlap",
+    "stream-heavy-hitters",
+    "stream-histogram-quantile",
+    "ext-bootstrap-ci",
+    "ext-minhash-shard-merge",
+    "ext-minhash-overlap",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:
@@ -257,7 +270,11 @@ HEADLINE = [
 #   (stream-dedup-exact, stream-grouped-drift, ...) where the timed
 #   stream-* representatives already capture micro-batch overhead;
 # - fixture-bound micro-entries (query-point-lookup is the bench
-#   warmup; kvs/ebml scans are timed via scan-ebml-tokenize's family).
+#   warmup; kvs/ebml scans are timed via scan-ebml-tokenize's family;
+#   the r13 kappa/KS/readability stats are one-pass aggregations over
+#   the 500-row documents table — constant at every SF, so a timing
+#   is session noise, while their heavy siblings ext-bootstrap-ci and
+#   ext-minhash-overlap ARE timed).
 UNTIMED = [
     "agg-distinct-users",
     "agg-percentiles",
@@ -280,14 +297,18 @@ UNTIMED = [
     "ext-denoise-pairs",
     "ext-distinct-hll",
     "ext-fim-split",
+    "ext-fleiss-kappa",
     "ext-histogram-quantile",
     "ext-join-range",
+    "ext-ks-drift",
     "ext-lang-id",
     "ext-multimodal-audio",
     "ext-multimodal-decode",
     "ext-multimodal-pipeline",
     "ext-ngram-novelty",
     "ext-quality-gopher-rules",
+    "ext-rater-kappa",
+    "ext-readability",
     "ext-reservoir-sample",
     "ext-similarity-ann",
     "ext-similarity-ivf-kmeans",
@@ -382,6 +403,11 @@ CORE = [
     # round 12 third wave: the KMV sketch flagship (shingle explode +
     # salted bottom-k — the heaviest of the three new registrations).
     "ext-distinct-intersect",
+    # round 13: the SemDeDup recall audit (exact all-pairs truth) and
+    # the n_assign=2 multi-probe form (compare against
+    # ext-dedup-semantic above for the widened-candidate cost).
+    "ext-dedup-semantic-recall",
+    "ext-dedup-semantic-multi",
 ]
 
 

@@ -558,12 +558,35 @@ def emb_ops():
             pos_threshold=0.95, k_neg=2, cell_cap=3000, assign="table",
         )
 
+    def semdedup_multi(d):
+        # r13: the k-tracked production form with n_assign=2 — the
+        # build-side multi-probe. Expected cost: <= 2x memberships
+        # and <= 2x candidate pairs over semdedup-ktracked-vec (the
+        # widened sibling above), buying back the cross-cell recall
+        # the recall-curve study quantifies.
+        import math
+
+        from awskinesisconsumer_spark.operators.similarity import (
+            ivf_centroids_from_sample, semantic_dedup,
+        )
+
+        k = max(8, int(math.sqrt(d.count() / 2)))
+        cents = ivf_centroids_from_sample(
+            d, id_col="vec_id", vec_col="embedding", n_centroids=k
+        )
+        return semantic_dedup(
+            d, id_col="vec_id", vec_col="embedding", centroids=cents,
+            threshold=0.95, cell_cap=3000, assign="table",
+            vectorized=True, n_assign=2,
+        )
+
     return {
         "semantic-dedup": semdedup,
         "semdedup-ktracked": semdedup_ktracked,
         "semdedup-ktracked-vec": lambda d: semdedup_ktracked(
             d, vectorized=True
         ),
+        "semdedup-multi-vec": semdedup_multi,
         "contrastive-by-cell": contrastive_by_cell_study,
         "knn-brute-topk": lambda d: pairwise_topk_cosine(
             d, id_col="vec_id", vec_col="embedding",
@@ -630,6 +653,72 @@ def kmv_overlap_study(d):
     return kmv_overlap_matrix(sk, k=256)
 
 
+def recall_curve() -> None:
+    """r13 (r12 verdict item 2's 'done' criterion): the SemDeDup
+    recall-vs-k curve, with the n_assign=2 multi-probe uplift —
+    run on the 500-row sf0.01 fixture because the truth side is the
+    exact all-pairs join (the audit's documented sampled-slab mode;
+    the curve is a property of the quantizer geometry, not corpus
+    size). Prints overall recall (sum caught / sum true) per
+    (k, n_assign) plus the per-bucket rows at the gate k.
+
+    Usage: python scripts/scaling_study.py --recall-curve
+    """
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_centroids_from_sample, semantic_dedup_recall_audit,
+    )
+
+    spark = get_spark("recall-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    print("| k | n_assign | n_true | n_caught | recall |")
+    print("|---|---|---|---|---|")
+    for k in (2, 4, 8, 16, 32):
+        cents = ivf_centroids_from_sample(
+            emb, id_col="vec_id", vec_col="embedding", n_centroids=k
+        )
+        rows = semantic_dedup_recall_audit(
+            emb, id_col="vec_id", vec_col="embedding", centroids=cents,
+            threshold=0.3, n_assign_values=(1, 2),
+        ).collect()
+        for n in (1, 2):
+            true = sum(r["n_true_pairs"] for r in rows
+                       if r["n_assign"] == n)
+            caught = sum(r["n_caught"] for r in rows
+                         if r["n_assign"] == n)
+            print(f"| {k} | {n} | {true} | {caught} | "
+                  f"{caught / true:.4f} |", flush=True)
+    spark.stop()
+
+
+def quiet_host_drifters() -> None:
+    """r13 (r12 verdict item 5): quiet-host median-of-3 re-measure of
+    the three r12 full-map drifters, bench.py timing discipline
+    (noop write, GC hint, median), nothing else running.
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --drifters
+    """
+    import statistics
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("quiet-drifters")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for name in ("ext-dedup-span-removal", "ext-ul2-plan",
+                 "stream-pause-resume"):
+        spark.sparkContext._jvm.System.gc()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        print(f"{name:26s} median={statistics.median(times):6.2f}s "
+              f"runs={[round(t, 2) for t in times]}", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -648,6 +737,12 @@ def timed(make_df, src, spark) -> tuple[float, float]:
 
 
 def main() -> None:
+    if "--recall-curve" in sys.argv:
+        recall_curve()
+        return
+    if "--drifters" in sys.argv:
+        quiet_host_drifters()
+        return
     quick = "--quick" in sys.argv
     only = None
     for i, a in enumerate(sys.argv):
