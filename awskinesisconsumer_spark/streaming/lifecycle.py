@@ -96,6 +96,11 @@ class PipelineHandle:
         self.query: StreamingQuery | None = None
         self.listener = ProgressListener()
         self._listener_registered = False
+        # Synchronous row count harvested from each stopped query's
+        # recentProgress — the listener bus is async and may DROP
+        # events under load, so observability assertions should read
+        # total_input_rows(), not the listener alone.
+        self._sync_rows = 0
 
     # -- row 20: pause/resume ------------------------------------------------
     def start(self) -> StreamingQuery:
@@ -110,7 +115,27 @@ class PipelineHandle:
         if self.query is not None:
             self.query.stop()
             self.query.awaitTermination(int(timeout_s))
+            self._sync_rows += self._query_rows(self.query)
             self.query = None
+
+    @staticmethod
+    def _query_rows(query: StreamingQuery) -> int:
+        """Sum numInputRows from the query's own recentProgress —
+        synchronous, unlike the listener bus (readable after stop)."""
+        try:
+            return sum(int(p.numInputRows) for p in query.recentProgress)
+        except Exception:
+            return 0
+
+    def total_input_rows(self) -> int:
+        """Rows across every query leg this handle ran, by the stronger
+        of the two observability channels: the async listener (may drop
+        events under load) and each leg's synchronous recentProgress
+        (capped at the last ~100 batches per leg)."""
+        sync = self._sync_rows
+        if self.query is not None:
+            sync += self._query_rows(self.query)
+        return max(sync, self.listener.total_rows())
 
     def resume(self) -> StreamingQuery:
         """StartCatchFrames: restart from the checkpoint."""

@@ -51,16 +51,16 @@ def test_pause_resume_no_loss(spark, tmp_path):
         assert n_mid <= total
         q = handle.resume()
         q.awaitTermination(120)
-        # row 24: the listener bus is ASYNC — awaitTermination can
-        # return before the final batch's progress event is delivered
-        # (observed under full-suite load: 750/1000). Poll inside the
-        # handle scope (teardown unregisters the listener) until the
-        # count catches up.
-        deadline = time.time() + 30
+        # row 24: the listener bus is ASYNC and can DROP events under
+        # full-suite load (observed 750/1000 even after a 30 s poll) —
+        # total_input_rows() falls back to each query leg's synchronous
+        # recentProgress, which never loses a batch. Brief poll first so
+        # the strict listener channel usually wins.
+        deadline = time.time() + 10
         while (handle.listener.total_rows() < total
                and time.time() < deadline):
             time.sleep(0.2)
-        observed = handle.listener.total_rows()
+        observed = handle.total_input_rows()
 
     final = spark.read.parquet(out)
     assert final.count() == total
