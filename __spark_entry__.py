@@ -11898,7 +11898,8 @@ def oracle_sql() -> dict[str, str]:
                            ABS(cum_a / CAST(na AS DOUBLE)
                                - cum_b / CAST(nb AS DOUBLE)) END) AS d
                 FROM g2)
-        SELECT n_a, n_b, ROUND(d, 6) AS d_stat,
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(d, 6) AS d_stat,
                ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
                  1.3581015157406195
                  * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) END,
@@ -11938,9 +11939,12 @@ def oracle_sql() -> dict[str, str]:
                        MIN((h * (2 * perm + 1) + 7919 * (perm + 1))
                            % 2147483647) AS minh
                 FROM h CROSS JOIN perms GROUP BY lang, perm)
+        -- n_match: SUM(CASE..) is HUGEINT in DuckDB -> pandas float;
+        -- Spark emits long, so CAST keeps the driver's dtype-classes
+        -- aligned (the ext-ks-drift rule)
         SELECT a.lang AS group_a, b.lang AS group_b,
-               SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
-               AS n_match,
+               CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
                ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
                      / 32.0, 6) AS jaccard_est
         FROM sig a JOIN sig b ON a.perm = b.perm AND a.lang < b.lang

@@ -774,3 +774,105 @@ def test_retrieval_metrics_broadcasts_truth(spark):
     plan = _plan(retrieval_metrics(truth, approx, k=3))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_readability_is_map_only_codegen(spark):
+    # Flesch/FK scoring must stay a narrow JVM-side projection: no
+    # Exchange, no Python eval — every regexp/ratio inside
+    # whole-stage codegen over the scan.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.text import (
+        readability_scores,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    plan = _plan(readability_scores(docs, text_col="text"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    # the `*(1)` star prefix is executedPlan toString's spelling of
+    # a whole-stage-codegen'd stage
+    assert plan.lstrip().startswith("*("), plan[:200]
+
+
+def test_cohen_kappa_label_join_no_cartesian_over_corpus(spark):
+    # The marginal-product join is keyed on label (equi); the only
+    # non-equi join is the final crossJoin of two ONE-ROW aggregates.
+    # Corpus-sized rows must never meet a nested loop, and the counts
+    # must partially aggregate map-side.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    pairs = docs.select(
+        F.col("lang").alias("ra"),
+        F.coalesce(F.col("source"), F.col("lang")).alias("rb"),
+    )
+    plan = _plan(cohen_kappa(pairs, rater_a_col="ra", rater_b_col="rb"))
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    # label-keyed equi join planned as hash join (label cardinality
+    # is tiny, so either side may broadcast)
+    assert "HashJoin" in plan
+
+
+def test_ks_statistic_groupby_has_partial_aggregation(spark):
+    # The per-value counts must map-side combine BEFORE the shuffle —
+    # the global ECDF window then runs over DISTINCT values only
+    # (value-cardinality-bounded, the docstring's quantize-first
+    # contract), never over corpus rows.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ks_statistic,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    plan = _plan(ks_statistic(
+        docs.select("lang", F.length("text").alias("v")),
+        value_col="v", group_col="lang", group_a="en", group_b="fr",
+    ))
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_replicate_sums_partially_aggregate(spark):
+    # The (row x replicate) explode is narrow; the per-replicate
+    # weighted sums must partially aggregate map-side so the shuffle
+    # carries <= n_boot rows per map partition, and no corpus-sized
+    # side ever meets a nested loop (the final crossJoin is two
+    # one-row aggregates).
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    plan = _plan(bootstrap_ci(
+        docs.select("doc_id", F.length("text").alias("v")),
+        id_col="doc_id", value_col="v", n_boot=8,
+    ))
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_minhash_group_sketch_partial_agg_and_equi_overlap(spark):
+    # The group sketch is ONE map-side-combined groupBy carrying
+    # num_hashes longs per group; the overlap matrix joins sketches
+    # on perm (equi, never cartesian) with everything downstream
+    # bounded by G^2 x num_hashes.
+    from awskinesisconsumer_spark.io import load_table
+    from awskinesisconsumer_spark.operators.dedup import (
+        minhash_group_sketch, minhash_overlap_matrix,
+    )
+
+    ev = load_table(spark, "events", SF)
+    sig = minhash_group_sketch(
+        ev, key_col="user_id", group_col="event_type", num_hashes=8
+    )
+    splan = _plan(sig)
+    assert "partial" in splan.lower(), splan
+    oplan = _plan(minhash_overlap_matrix(sig, num_hashes=8))
+    assert "CartesianProduct" not in oplan
+    assert "HashJoin" in oplan or "SortMergeJoin" in oplan

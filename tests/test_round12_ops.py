@@ -1035,14 +1035,16 @@ def test_rank_biased_overlap_hand_computed(spark):
 
 
 def test_audit_report_composition(spark):
-    # 33 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
-    # + 8 recall probes + 8 rbo probes; every value non-null and the
-    # count rows are exact integers.
+    # 39 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
+    # + 8 recall probes + 8 rbo probes + 6 SemDeDup-recall health rows
+    # (r13: 2 n_assign values x 3 true-cosine buckets on this
+    # fixture); every value non-null and the count rows are exact
+    # integers.
     import __spark_entry__ as entry
 
     rows = entry.queries()["ext-audit-report"](spark, SF_ORACLE).collect()
     metrics = {r["metric"]: r["value"] for r in rows}
-    assert len(rows) == 33 and len(metrics) == 33
+    assert len(rows) == 39 and len(metrics) == 39
     assert metrics["n_docs"] == 500.0
     assert metrics["n_exact_dup_docs"] >= 0.0
     fams = {
@@ -1050,6 +1052,7 @@ def test_audit_report_composition(spark):
         "overlap_jaccard:": 10,
         "ann_recall@10:probe_": 8,
         "rbo@10:probe_": 8,
+        "semdedup_recall:n": 6,
     }
     for prefix, n in fams.items():
         got = [m for m in metrics if m.startswith(prefix)]
