@@ -68,8 +68,14 @@ def cohen_kappa(
         F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
         .alias("s_ab")
     )
-    po = F.col("agree") / F.col("n")
-    pe = F.col("s_ab") / (F.col("n") * F.col("n"))
+    # n > 0 guards: ANSI mode (the driver's session) raises on 0/0
+    # instead of returning NULL — an all-NULL or empty rated set must
+    # yield NULL statistics, not DIVIDE_BY_ZERO (the module's sibling
+    # ops all guard their denominators the same way)
+    po = F.when(F.col("n") > 0, F.col("agree") / F.col("n"))
+    pe = F.when(
+        F.col("n") > 0, F.col("s_ab") / (F.col("n") * F.col("n"))
+    )
     return totals.crossJoin(cross).select(
         F.col("n").alias("n_items"),
         F.round(po, 6).alias("po"),

@@ -395,7 +395,11 @@ def semantic_dedup(
     than the cap — the `hot_cap` skew guard for a degenerate
     quantizer (one centroid capturing a constant-embedding blob
     would otherwise go quadratic); capped cells keep every row as a
-    singleton.
+    singleton. At `n_assign > 1` the cap is evaluated on PRIMARY
+    cell sizes (never on the widened memberships), so which cells
+    are capped is a property of the quantizer alone and the
+    n_assign=2 pair set stays a superset of n_assign=1's — a
+    degenerate blob still trips the cap through its primary count.
 
     `vectorized=True` scores each cell's pairwise cosines with the
     Arrow-batched dim-sequential numpy kernel (`_np_fold_cosines` —
@@ -464,6 +468,9 @@ def semantic_dedup(
         members, id_col=id_col, vec_col=vec_col, threshold=threshold,
         cell_cap=cell_cap, vectorized=vectorized,
         caller="semantic_dedup",
+        # cap on PRIMARY sizes when mining widened memberships — see
+        # _cell_pairs.cap_base
+        cap_base=None if n_assign == 1 else base.select("cell"),
     )
     if n_assign > 1:
         # a pair sharing several co-located cells is mined once per
@@ -521,6 +528,8 @@ def semantic_near_dup_pairs(
         members, id_col=id_col, vec_col=vec_col, threshold=threshold,
         cell_cap=cell_cap, vectorized=vectorized,
         caller="semantic_near_dup_pairs",
+        cap_base=None if n_assign == 1
+        else multi.select(F.col("cell")),
     )
     if n_assign > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
@@ -561,7 +570,14 @@ def semantic_dedup_recall_audit(
     Emitted per (n_assign, bucket_lo): n_true_pairs, n_caught,
     recall (4 dp). Candidate pairs are a SUBSET of truth by
     construction (same threshold, same scoring fold), so recall is
-    exact, never > 1."""
+    exact, never > 1.
+
+    Known cost shape: the candidate mine runs once PER n_assign value
+    (a single mine at max(n) tagged with the minimal co-location rank
+    would serve every level, as the SQL twin does) — accepted because
+    the O(n^2) truth self-join dominates this audit by construction
+    and n_assign_values is 2-3 levels in practice; revisit if the
+    audit ever runs with many levels."""
     truth = embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold,
         planes=None,
@@ -730,10 +746,19 @@ def _assign_cells_multi(df, *, vec_col, centroids, assign, n_assign,
 
 
 def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
-                vectorized, caller) -> DataFrame:
+                vectorized, caller, cap_base=None) -> DataFrame:
     """Cell-local near-dup pair mining shared by semantic_dedup /
     semantic_near_dup_pairs: `base` is (id, cell, vec); returns
-    (id_a, id_b). See semantic_dedup for the contracts."""
+    (id_a, id_b). See semantic_dedup for the contracts.
+
+    `cap_base` (optional): the frame whose per-cell row counts decide
+    which cells the `cell_cap` skips. Defaults to `base`; the
+    n_assign > 1 callers pass the PRIMARY assignment here so the cap
+    stays a property of the quantizer (same cells capped at every
+    n_assign) — counting the exploded memberships instead would let
+    secondary members push a cell over the cap and silently drop
+    pairs among its PRIMARY members that n_assign=1 mines, inverting
+    the documented widening guarantee."""
     eligible = base
     if cell_cap is not None:
         if cell_cap < 1:
@@ -741,7 +766,8 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
                 f"{caller}: cell_cap must be >= 1, got {cell_cap}"
             )
         hot = (
-            base.groupBy("cell")
+            (cap_base if cap_base is not None else base)
+            .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > cell_cap)
             .select("cell")

@@ -1459,6 +1459,74 @@ def token_quota_stream(
     )
 
 
+def _read_state(spark, path: str):
+    """Committed view of a swap-rename state dir (see _swap_state),
+    or None before the first commit. Recovers the one crash window
+    where the committed dir was renamed aside but its replacement
+    rename never ran: `path` missing/empty with `path.old` present
+    means restore `path.old` — a GENUINE first batch can never look
+    like that, because `.old` only exists after a successful commit.
+    Never returns a half-written table: `path` is only ever populated
+    by an atomic rename of a fully-written temp dir."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    old = path.rstrip("/") + ".old"
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    if not _has_parquet(path) and _has_parquet(old):
+        if os.path.isdir(path):
+            os.rmdir(path)  # empty placeholder from the crash window
+        os.rename(old, path)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None  # first batch: no committed state anywhere
+
+
+def _swap_state(merged_df, path: str) -> None:
+    """Commit a merged state table to `path` with rename-level crash
+    safety: write the new version to `path.tmp` (so the write NEVER
+    overwrites the committed dir its own plan is lazily reading —
+    the reason the old in-place mode("overwrite") needed an eager
+    localCheckpoint), then swap via two atomic renames
+    (path -> path.old, path.tmp -> path) and sweep `.old`. A crash
+    at any point leaves either the old committed state readable or
+    `_read_state`'s recovery able to restore it; the overwrite-then-
+    crash window that silently RESET in-place state (a deleted dir is
+    indistinguishable from a first batch) is gone."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".tmp", base + ".old"
+    merged_df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _state_batch_id(state_df) -> int | None:
+    """Highest committed micro-batch id recorded in a state table's
+    `_bid` column (None when absent) — the sum-merge replay guard:
+    foreachBatch is at-least-once, and unlike the KMV min-merge a
+    counter SUM-merge is NOT idempotent, so a replayed batch whose
+    merge already committed must be skipped, not re-added."""
+    from pyspark.sql import functions as F
+
+    if state_df is None or "_bid" not in state_df.columns:
+        return None
+    row = state_df.agg(F.max("_bid")).first()
+    return None if row[0] is None else int(row[0])
+
+
 def kmv_sketch_stream(
     stream_df,
     *,
@@ -1486,9 +1554,14 @@ def kmv_sketch_stream(
     users who did both X and Y so far" without a growing
     dropDuplicates state store. Each micro-batch costs one
     batch-local sketch pass over the batch plus a merge over
-    (groups x k + batch-distinct) rows. The merged sketch is eagerly
-    localCheckpoint-ed (it is tiny by construction) so the overwrite
-    of `out_path` never races its own lazy read.
+    (groups x k + batch-distinct) rows. State commits through the
+    swap-rename protocol (`_swap_state`): the merged sketch is
+    written to a temp dir (never racing its own lazy read of the
+    committed dir) and swapped in by atomic renames, so a crash at
+    any point leaves the previous sketch recoverable instead of the
+    old in-place overwrite's deleted-dir window (which a retry could
+    not tell from a first batch and silently reset). Replay is safe
+    without a batch-id guard because min-merge is idempotent.
     """
     from awskinesisconsumer_spark.operators.sketches import (
         kmv_merge, kmv_sketch,
@@ -1500,21 +1573,15 @@ def kmv_sketch_stream(
             salt_buckets=salt_buckets, hash_fn=hash_fn,
         ).select("group", "kmv_hash")
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = spark.read.parquet(out_path).select(
-                "group", "kmv_hash"
-            )
-            both = local.unionByName(prev)
-        except AnalysisException:
-            # First batch only: the sketch table does not exist yet.
-            # Narrow on purpose — a transient IO error must FAIL the
-            # batch (and retry through the checkpoint), never silently
-            # reset the accumulated sketch.
-            both = local
-        merged = kmv_merge(both, k=k).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(out_path)
+        # No replay guard needed HERE: re-merging an already-merged
+        # batch is a no-op for bottom-k (min-merge is idempotent) —
+        # unlike the SUM-merged CMS/histogram siblings below.
+        prev = _read_state(spark, out_path)
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("group", "kmv_hash"))
+        )
+        _swap_state(kmv_merge(both, k=k), out_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -1523,6 +1590,71 @@ def kmv_sketch_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
+                  sketch_path, terms_path):
+    """The cms_sketch_stream foreachBatch body as a module-level
+    factory so the replay / crash-window contracts are directly
+    testable with explicit (batch_df, batch_id) calls."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_build, cms_tokens,
+    )
+
+    kw = {} if hash_fn is None else {"hash_fn": hash_fn}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Counter SUM-merge is NOT idempotent, so each table carries
+        # the last merged micro-batch id in a `_bid` column (atomic
+        # with the data by construction) and a replayed batch skips
+        # tables that already committed it — foreachBatch is
+        # at-least-once, and the two tables commit one after the
+        # other, so a crash between them must leave the leader
+        # skippable and only the laggard re-merged.
+        prev_sketch = _read_state(spark, sketch_path)
+        prev_terms = _read_state(spark, terms_path)
+        need_sk = _state_batch_id(prev_sketch) != batch_id
+        need_tm = _state_batch_id(prev_terms) != batch_id
+        if not (need_sk or need_tm):
+            return
+        tok = cms_tokens(batch_df, text_col=text_col).persist()
+        if need_sk:
+            local_sketch = cms_build(
+                tok, term_col="term", depth=depth, width=width,
+                salt=salt, **kw,
+            )
+            sk = (
+                local_sketch if prev_sketch is None
+                else local_sketch.unionByName(
+                    prev_sketch.select("row", "bucket", "n")
+                )
+            )
+            _swap_state(
+                sk.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+                .withColumn("_bid", F.lit(batch_id)),
+                sketch_path,
+            )
+        if need_tm:
+            local_terms = tok.groupBy("term").agg(
+                F.count(F.lit(1)).alias("exact")
+            )
+            tm = (
+                local_terms if prev_terms is None
+                else local_terms.unionByName(
+                    prev_terms.select("term", "exact")
+                )
+            )
+            _swap_state(
+                tm.groupBy("term").agg(F.sum("exact").alias("exact"))
+                .withColumn("_bid", F.lit(batch_id)),
+                terms_path,
+            )
+        tok.unpersist()
+
+    return _merge
 
 
 def cms_sketch_stream(
@@ -1555,65 +1687,60 @@ def cms_sketch_stream(
     vocabulary-bounded (Zipf: distinct terms grow ~ sublinearly in
     corpus size, and at 100 TB the candidate source swaps for a
     per-partition top-m pre-filter exactly as the batch docstring
-    says — the sketch itself never needs it exact). Both tables are
-    eagerly localCheckpoint-ed before the overwrite so the write
-    never races its own lazy read.
+    says — the sketch itself never needs it exact). Both tables
+    commit through the swap-rename protocol (`_swap_state`) and
+    carry the last merged micro-batch id in a `_bid` column, so an
+    at-least-once foreachBatch replay is SKIPPED per table instead
+    of SUM-added twice, and a crash between the two table commits
+    leaves the leader skippable while only the laggard re-merges —
+    the final state stays bit-identical to the one-batch build under
+    every retry interleaving.
 
     Returns the started StreamingQuery.
     """
-    from pyspark.sql import functions as F
-
-    from awskinesisconsumer_spark.operators.sketches import (
-        cms_build, cms_tokens,
-    )
-
-    kw = {} if hash_fn is None else {"hash_fn": hash_fn}
-
-    def _merge(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-
-        tok = cms_tokens(batch_df, text_col=text_col).persist()
-        local_sketch = cms_build(
-            tok, term_col="term", depth=depth, width=width, salt=salt,
-            **kw,
-        )
-        local_terms = tok.groupBy("term").agg(
-            F.count(F.lit(1)).alias("exact")
-        )
-        try:
-            prev_sketch = spark.read.parquet(sketch_path).select(
-                "row", "bucket", "n"
-            )
-            prev_terms = spark.read.parquet(terms_path).select(
-                "term", "exact"
-            )
-            sk = local_sketch.unionByName(prev_sketch)
-            tm = local_terms.unionByName(prev_terms)
-        except AnalysisException:
-            # First batch only (state tables absent). Narrow on
-            # purpose: a transient IO error must fail the batch and
-            # retry through the checkpoint, never reset the counters.
-            sk, tm = local_sketch, local_terms
-        merged_sk = (
-            sk.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
-            .localCheckpoint(eager=True)
-        )
-        merged_tm = (
-            tm.groupBy("term").agg(F.sum("exact").alias("exact"))
-            .localCheckpoint(eager=True)
-        )
-        tok.unpersist()
-        merged_sk.write.mode("overwrite").parquet(sketch_path)
-        merged_tm.write.mode("overwrite").parquet(terms_path)
-
     writer = (
-        docs.writeStream.foreachBatch(_merge)
+        docs.writeStream.foreachBatch(_cms_merge_fn(
+            text_col=text_col, depth=depth, width=width, salt=salt,
+            hash_fn=hash_fn, sketch_path=sketch_path,
+            terms_path=terms_path,
+        ))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _hist_merge_fn(*, value_col, lo, hi, n_bins, out_path):
+    """histogram_counts_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.sketches import (
+        histogram_bin_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # SUM-merge replay guard + swap-rename commit — see
+        # _cms_merge_fn for the at-least-once rationale.
+        prev = _read_state(spark, out_path)
+        if _state_batch_id(prev) == batch_id:
+            return
+        local = histogram_bin_counts(
+            batch_df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("bin", "c"))
+        )
+        _swap_state(
+            both.groupBy("bin").agg(F.sum("c").alias("c"))
+            .withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
 
 
 def histogram_counts_stream(
@@ -1636,35 +1763,16 @@ def histogram_counts_stream(
     `histogram_quantiles` verbatim — the batch twin gates the stream.
 
     State: <= n_bins rows, CARDINALITY-INDEPENDENT — the streaming
-    answer to "p99 so far" without holding values. Returns the
-    started StreamingQuery.
+    answer to "p99 so far" without holding values; commits through
+    the swap-rename protocol with the `_bid` replay guard (see
+    cms_sketch_stream — counter sums are not replay-idempotent).
+    Returns the started StreamingQuery.
     """
-    from pyspark.sql import functions as F
-
-    from awskinesisconsumer_spark.operators.sketches import (
-        histogram_bin_counts,
-    )
-
-    def _merge(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
-
-        local = histogram_bin_counts(
-            batch_df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins
-        )
-        try:
-            prev = spark.read.parquet(out_path).select("bin", "c")
-            both = local.unionByName(prev)
-        except AnalysisException:
-            both = local
-        merged = (
-            both.groupBy("bin").agg(F.sum("c").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(out_path)
-
     writer = (
-        rows.writeStream.foreachBatch(_merge)
+        rows.writeStream.foreachBatch(_hist_merge_fn(
+            value_col=value_col, lo=lo, hi=hi, n_bins=n_bins,
+            out_path=out_path,
+        ))
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:

@@ -253,6 +253,12 @@ HEADLINE = [
     "ext-bootstrap-ci",
     "ext-minhash-shard-merge",
     "ext-minhash-overlap",
+    # r13 eval/readability stats: documents SCALES with SF (sf0.1 = 5,000
+    # rows, 10x sf0.01) — corpus-scaling scans belong in the timed set
+    "ext-rater-kappa",
+    "ext-fleiss-kappa",
+    "ext-ks-drift",
+    "ext-readability",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:
@@ -270,11 +276,11 @@ HEADLINE = [
 #   (stream-dedup-exact, stream-grouped-drift, ...) where the timed
 #   stream-* representatives already capture micro-batch overhead;
 # - fixture-bound micro-entries (query-point-lookup is the bench
-#   warmup; kvs/ebml scans are timed via scan-ebml-tokenize's family;
-#   the r13 kappa/KS/readability stats are one-pass aggregations over
-#   the 500-row documents table — constant at every SF, so a timing
-#   is session noise, while their heavy siblings ext-bootstrap-ci and
-#   ext-minhash-overlap ARE timed).
+#   warmup; kvs/ebml scans are timed via scan-ebml-tokenize's family).
+#   NOTE the r13 kappa/KS/readability stats were briefly here under a
+#   "documents is 500 rows at every SF" premise that is FALSE for this
+#   round's testdata (sf0.1 documents = 5,000 rows) — they scan a
+#   corpus-scaling table, so they are timed in HEADLINE now.
 UNTIMED = [
     "agg-distinct-users",
     "agg-percentiles",
@@ -297,18 +303,14 @@ UNTIMED = [
     "ext-denoise-pairs",
     "ext-distinct-hll",
     "ext-fim-split",
-    "ext-fleiss-kappa",
     "ext-histogram-quantile",
     "ext-join-range",
-    "ext-ks-drift",
     "ext-lang-id",
     "ext-multimodal-audio",
     "ext-multimodal-decode",
     "ext-multimodal-pipeline",
     "ext-ngram-novelty",
     "ext-quality-gopher-rules",
-    "ext-rater-kappa",
-    "ext-readability",
     "ext-reservoir-sample",
     "ext-similarity-ann",
     "ext-similarity-ivf-kmeans",

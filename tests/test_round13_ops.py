@@ -219,6 +219,35 @@ def test_semantic_multi_pairs_superset(spark, _emb_cents):
     assert set(p2) <= truth
 
 
+def test_semantic_multi_superset_holds_under_cell_cap(spark, _emb_cents):
+    # The cap must be evaluated on PRIMARY cell sizes at n_assign > 1:
+    # counting exploded memberships would let secondary members push a
+    # boundary cell over the cap and drop pairs among its PRIMARY
+    # members — making n_assign=2 return FEWER pairs than n_assign=1,
+    # the opposite of the documented widening. Pick the cap at exactly
+    # the largest primary cell so any membership-count capping would
+    # trip (every secondary membership overflows some at-cap cell).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ivf_assign, semantic_near_dup_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    emb, cents = _emb_cents
+    cap = (
+        ivf_assign(emb, vec_col="embedding", centroids=cents)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n")).first()[0]
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", centroids=cents,
+              threshold=0.3, cell_cap=int(cap))
+    p1 = {(r[0], r[1]) for r in
+          semantic_near_dup_pairs(emb, **kw).collect()}
+    p2 = {(r[0], r[1]) for r in
+          semantic_near_dup_pairs(emb, **kw, n_assign=2).collect()}
+    assert p1, "fixture must mine pairs at the primary-size cap"
+    assert p1 <= p2
+
+
 def test_semantic_dedup_multi_keeps_primary_cell(spark, _emb_cents):
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_assign, semantic_dedup,
@@ -251,6 +280,21 @@ def test_cohen_kappa_edges(spark):
     one = spark.createDataFrame([(1, 1)] * 4, "ra int, rb int")
     row = cohen_kappa(one, rater_a_col="ra", rater_b_col="rb").first()
     assert row["pe"] == 1.0 and row["kappa"] is None
+    # all labels NULL -> n == 0: NULL statistics, never 0/0 (ANSI
+    # mode — the driver's session — raises on division by zero)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        empty = spark.createDataFrame(
+            [(None, 1), (2, None)], "ra int, rb int"
+        )
+        row = cohen_kappa(
+            empty, rater_a_col="ra", rater_b_col="rb"
+        ).first()
+        assert row["n_items"] == 0
+        assert row["po"] is None and row["pe"] is None
+        assert row["kappa"] is None
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
 
 
 def test_fleiss_kappa_validation(spark):
@@ -394,3 +438,121 @@ def test_semantic_recall_audit_monotone(spark, _emb_cents):
     assert sum(by[(2, b)]["n_caught"] for b in buckets) > sum(
         by[(1, b)]["n_caught"] for b in buckets
     )
+
+
+def _hh_rows(spark, sk_p, tm_p):
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters_from_state,
+    )
+
+    sketch = spark.read.parquet(sk_p).select("row", "bucket", "n")
+    cand = spark.read.parquet(tm_p).select("term", "exact")
+    return sorted(
+        tuple(r) for r in cms_heavy_hitters_from_state(
+            sketch, cand, k=5, depth=4, width=64,
+            hash_fn=portable_hash52,
+        ).collect()
+    )
+
+
+def test_cms_merge_replay_is_skipped(spark, tmp_path):
+    # foreachBatch is at-least-once: replaying an already-committed
+    # batch_id must NOT sum-add the counters a second time. This was
+    # a real double-count before the _bid guard existed.
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.streaming.pipeline import _cms_merge_fn
+
+    sk_p, tm_p = str(tmp_path / "sk"), str(tmp_path / "tm")
+    merge = _cms_merge_fn(
+        text_col="text", depth=4, width=64, salt="cms1",
+        hash_fn=portable_hash52, sketch_path=sk_p, terms_path=tm_p,
+    )
+    b0 = spark.createDataFrame(
+        [("alpha beta beta",), ("beta gamma",)], "text string"
+    )
+    b1 = spark.createDataFrame([("alpha alpha",)], "text string")
+    merge(b0, 0)
+    merge(b1, 1)
+    want = _hh_rows(spark, sk_p, tm_p)
+    merge(b1, 1)  # checkpoint replay after a crash-before-commit
+    assert _hh_rows(spark, sk_p, tm_p) == want
+
+
+def test_cms_merge_partial_commit_converges(spark, tmp_path):
+    # Crash between the two table commits: the sketch carries batch 1
+    # but the terms table does not. The retry must skip the sketch
+    # (already merged) and re-merge ONLY the terms — converging to
+    # the same state as the unfailed run, never resetting either
+    # table to batch-local counts.
+    import shutil
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.streaming.pipeline import _cms_merge_fn
+
+    sk_p, tm_p = str(tmp_path / "sk"), str(tmp_path / "tm")
+    merge = _cms_merge_fn(
+        text_col="text", depth=4, width=64, salt="cms1",
+        hash_fn=portable_hash52, sketch_path=sk_p, terms_path=tm_p,
+    )
+    b0 = spark.createDataFrame(
+        [("alpha beta beta",), ("beta gamma",)], "text string"
+    )
+    b1 = spark.createDataFrame([("alpha alpha delta",)], "text string")
+    merge(b0, 0)
+    tm_backup = str(tmp_path / "tm_backup")
+    shutil.copytree(tm_p, tm_backup)
+    merge(b1, 1)
+    want = _hh_rows(spark, sk_p, tm_p)
+    # simulate the crash: terms commit for batch 1 never happened
+    shutil.rmtree(tm_p)
+    shutil.copytree(tm_backup, tm_p)
+    merge(b1, 1)  # checkpoint retry
+    assert _hh_rows(spark, sk_p, tm_p) == want
+
+
+def test_read_state_recovers_renamed_aside_dir(spark, tmp_path):
+    # The crash window inside _swap_state: committed state renamed to
+    # `.old` but the replacement rename never ran. _read_state must
+    # restore it — a deleted/empty state dir with a `.old` sibling is
+    # NOT a first batch.
+    import os
+
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _read_state, _state_batch_id, _swap_state,
+    )
+
+    path = str(tmp_path / "state")
+    df = spark.range(3).withColumn("_bid", F.lit(7))
+    _swap_state(df, path)
+    os.rename(path, path + ".old")
+    os.makedirs(path)  # the empty placeholder the entries pre-create
+    got = _read_state(spark, path)
+    assert got is not None and got.count() == 3
+    assert _state_batch_id(got) == 7
+    assert not os.path.exists(path + ".old")
+
+
+def test_hist_merge_replay_is_skipped(spark, tmp_path):
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _hist_merge_fn,
+    )
+
+    out = str(tmp_path / "hist")
+    merge = _hist_merge_fn(
+        value_col="v", lo=0.0, hi=10.0, n_bins=5, out_path=out,
+    )
+    b0 = spark.createDataFrame([(1.0,), (3.0,), (9.0,)], "v double")
+    b1 = spark.createDataFrame([(3.5,)], "v double")
+    merge(b0, 0)
+    merge(b1, 1)
+    want = sorted(
+        tuple(r) for r in
+        spark.read.parquet(out).select("bin", "c").collect()
+    )
+    merge(b1, 1)
+    got = sorted(
+        tuple(r) for r in
+        spark.read.parquet(out).select("bin", "c").collect()
+    )
+    assert got == want
