@@ -952,25 +952,33 @@ def grouped_drift_stream(
     return DriftStreamHandle(writer.start(), ref_counts)
 
 
+# swap-commit suffixes, shared by the drift monitors' published
+# tables and the sketch streams' state tables (_swap_state /
+# _read_state) — the `.old` aside doubles as _read_state's
+# crash-window recovery source
+_TMP_SUFFIX = "._swap_tmp"
+_OLD_SUFFIX = "._swap_old"
+
+
 def _publish_atomic(df: DataFrame, spark, out_path: str) -> None:
     """Write `df` to a sibling temp dir and swap it into `out_path`
     via FileSystem renames — a concurrent reader sees the previous
     complete table or the new one, never a partial directory (the
     `layout.compact_small_files` aside/rename dance, shared by the
-    drift monitors)."""
+    drift monitors and the sketch streams' state commits)."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     dest = jvm.org.apache.hadoop.fs.Path(out_path)
     fs = dest.getFileSystem(hconf)
-    tmp = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(out_path + "._drift_old")
+    tmp = jvm.org.apache.hadoop.fs.Path(out_path + _TMP_SUFFIX)
+    old = jvm.org.apache.hadoop.fs.Path(out_path + _OLD_SUFFIX)
     fs.delete(tmp, True)
     df.write.mode("overwrite").parquet(str(tmp.toString()))
     fs.delete(old, True)
     if fs.exists(dest) and not fs.rename(dest, old):
-        raise IOError(f"drift publish: cannot move {out_path} aside")
+        raise IOError(f"swap publish: cannot move {out_path} aside")
     if not fs.rename(tmp, dest):
-        raise IOError(f"drift publish: cannot publish {out_path}")
+        raise IOError(f"swap publish: cannot publish {out_path}")
     fs.delete(old, True)
 
 
@@ -1463,26 +1471,37 @@ def _read_state(spark, path: str):
     """Committed view of a swap-rename state dir (see _swap_state),
     or None before the first commit. Recovers the one crash window
     where the committed dir was renamed aside but its replacement
-    rename never ran: `path` missing/empty with `path.old` present
-    means restore `path.old` — a GENUINE first batch can never look
-    like that, because `.old` only exists after a successful commit.
-    Never returns a half-written table: `path` is only ever populated
-    by an atomic rename of a fully-written temp dir."""
-    import os
-
+    rename never ran: `path` missing/empty with the aside dir present
+    means restore the aside — a GENUINE first batch can never look
+    like that, because the aside only exists after a successful
+    commit. Never returns a half-written table: `path` is only ever
+    populated by an atomic rename of a fully-written temp dir. All
+    filesystem ops go through the Hadoop FileSystem of `path` (the
+    `_publish_atomic` contract), so the protocol works wherever the
+    state lives, not just on the driver's local disk."""
     from pyspark.errors import AnalysisException
 
-    old = path.rstrip("/") + ".old"
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dest.getFileSystem(hconf)
+    old = jvm.org.apache.hadoop.fs.Path(path + _OLD_SUFFIX)
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
+    def _has_parquet(p) -> bool:
+        if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
+            return False
+        return any(
+            s.getPath().getName().endswith(".parquet")
+            for s in fs.listStatus(p)
         )
 
-    if not _has_parquet(path) and _has_parquet(old):
-        if os.path.isdir(path):
-            os.rmdir(path)  # empty placeholder from the crash window
-        os.rename(old, path)
+    if not _has_parquet(dest) and _has_parquet(old):
+        # `dest` here is either absent or a placeholder with no data
+        # files (committed dirs always hold parquet parts — they are
+        # only ever created by renaming a fully-written temp dir)
+        fs.delete(dest, True)
+        if not fs.rename(old, dest):
+            raise IOError(f"state recovery: cannot restore {path}")
     try:
         return spark.read.parquet(path)
     except AnalysisException:
@@ -1491,26 +1510,16 @@ def _read_state(spark, path: str):
 
 def _swap_state(merged_df, path: str) -> None:
     """Commit a merged state table to `path` with rename-level crash
-    safety: write the new version to `path.tmp` (so the write NEVER
-    overwrites the committed dir its own plan is lazily reading —
-    the reason the old in-place mode("overwrite") needed an eager
-    localCheckpoint), then swap via two atomic renames
-    (path -> path.old, path.tmp -> path) and sweep `.old`. A crash
-    at any point leaves either the old committed state readable or
-    `_read_state`'s recovery able to restore it; the overwrite-then-
-    crash window that silently RESET in-place state (a deleted dir is
-    indistinguishable from a first batch) is gone."""
-    import os
-    import shutil
-
-    base = path.rstrip("/")
-    tmp, old = base + ".tmp", base + ".old"
-    merged_df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(base):
-        os.rename(base, old)
-    os.rename(tmp, base)
-    shutil.rmtree(old, ignore_errors=True)
+    safety — `_publish_atomic`'s write-aside-and-swap (the new table
+    is written to a temp dir, so the write NEVER overwrites the
+    committed dir its own plan is lazily reading — the reason the
+    old in-place mode("overwrite") needed an eager localCheckpoint).
+    A crash at any point leaves either the old committed state
+    readable or `_read_state`'s recovery able to restore it; the
+    overwrite-then-crash window that silently RESET in-place state
+    (a deleted dir is indistinguishable from a first batch) is
+    gone."""
+    _publish_atomic(merged_df, merged_df.sparkSession, path)
 
 
 def _state_batch_id(state_df) -> int | None:

@@ -719,6 +719,39 @@ def quiet_host_drifters() -> None:
     spark.stop()
 
 
+def quiet_host_state_protocol() -> None:
+    """r13 follow-up to the swap-rename state-commit change: quiet-host
+    median-of-3 for every gate entry riding the new protocol (the
+    two SUM-merged sketch streams + the two KMV min-merged streams)
+    plus the four stats entries newly moved into bench HEADLINE — a
+    quiet reference so the next BENCH snapshot's numbers have a
+    baseline that separates protocol cost from ambient load.
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --state-protocol
+    """
+    import statistics
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("quiet-state-protocol")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for name in ("stream-heavy-hitters", "stream-histogram-quantile",
+                 "stream-source-overlap", "stream-distinct-intersect",
+                 "ext-rater-kappa", "ext-fleiss-kappa", "ext-ks-drift",
+                 "ext-readability"):
+        spark.sparkContext._jvm.System.gc()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        print(f"{name:26s} median={statistics.median(times):6.2f}s "
+              f"runs={[round(t, 2) for t in times]}", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -742,6 +775,9 @@ def main() -> None:
         return
     if "--drifters" in sys.argv:
         quiet_host_drifters()
+        return
+    if "--state-protocol" in sys.argv:
+        quiet_host_state_protocol()
         return
     quick = "--quick" in sys.argv
     only = None

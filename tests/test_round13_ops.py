@@ -513,24 +513,24 @@ def test_cms_merge_partial_commit_converges(spark, tmp_path):
 
 def test_read_state_recovers_renamed_aside_dir(spark, tmp_path):
     # The crash window inside _swap_state: committed state renamed to
-    # `.old` but the replacement rename never ran. _read_state must
-    # restore it — a deleted/empty state dir with a `.old` sibling is
-    # NOT a first batch.
+    # the `.old` aside but the replacement rename never ran.
+    # _read_state must restore it — a deleted/empty state dir with an
+    # aside sibling is NOT a first batch.
     import os
 
     from awskinesisconsumer_spark.streaming.pipeline import (
-        _read_state, _state_batch_id, _swap_state,
+        _OLD_SUFFIX, _read_state, _state_batch_id, _swap_state,
     )
 
     path = str(tmp_path / "state")
     df = spark.range(3).withColumn("_bid", F.lit(7))
     _swap_state(df, path)
-    os.rename(path, path + ".old")
+    os.rename(path, path + _OLD_SUFFIX)
     os.makedirs(path)  # the empty placeholder the entries pre-create
     got = _read_state(spark, path)
     assert got is not None and got.count() == 3
     assert _state_batch_id(got) == 7
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + _OLD_SUFFIX)
 
 
 def test_hist_merge_replay_is_skipped(spark, tmp_path):
