@@ -556,3 +556,70 @@ def test_hist_merge_replay_is_skipped(spark, tmp_path):
         spark.read.parquet(out).select("bin", "c").collect()
     )
     assert got == want
+
+
+def test_cms_stream_restart_resumes_state_through_checkpoint(
+    spark, tmp_path
+):
+    # End-to-end composition of the checkpoint with the swap-commit
+    # state: run the CMS stream over 2 of 3 files, stop, add the
+    # third, restart with the SAME checkpoint + state paths — the
+    # final state must equal one batch build over all three files
+    # (no lost batches, no double-merge across the restart).
+    import os
+
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = _load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert len(parts) == 3
+    held_back = str(tmp_path / (parts[2] + ".heldback"))
+    os.rename(os.path.join(src, parts[2]), held_back)
+
+    sk_p = str(tmp_path / "sk")
+    tm_p = str(tmp_path / "tm")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        from awskinesisconsumer_spark.streaming.pipeline import (
+            cms_sketch_stream,
+        )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return cms_sketch_stream(
+            stream, text_col="text", depth=4, width=256,
+            hash_fn=portable_hash52, sketch_path=sk_p, terms_path=tm_p,
+            checkpoint=ckpt,
+        )
+
+    q = start()
+    assert q.awaitTermination(180)
+    os.rename(held_back, os.path.join(src, parts[2]))
+    q2 = start()
+    assert q2.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in cms_heavy_hitters(
+        docs, text_col="text", k=10, depth=4, width=256,
+        hash_fn=portable_hash52,
+    ).collect())
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters_from_state,
+    )
+
+    sketch = spark.read.parquet(sk_p).select("row", "bucket", "n")
+    cand = spark.read.parquet(tm_p).select("term", "exact")
+    streamed = sorted(tuple(r) for r in cms_heavy_hitters_from_state(
+        sketch, cand, k=10, depth=4, width=256,
+        hash_fn=portable_hash52,
+    ).collect())
+    assert streamed == got
