@@ -752,6 +752,75 @@ def quiet_host_state_protocol() -> None:
     spark.stop()
 
 
+def eval_stats_study() -> None:
+    """Scaling shapes for the r13 evaluation statistics: kappa /
+    bootstrap over amplified corpora (rows scaling), bootstrap over
+    n_boot (replicate scaling — the explode is rows x reps), and the
+    KS window's value-CARDINALITY bound (raw high-cardinality values
+    vs quantized ones on the same rows — the docstring's
+    quantize-first contract, measured).
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --eval-stats
+    """
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci, cohen_kappa, fleiss_kappa, ks_statistic,
+    )
+
+    spark = get_spark("eval-stats-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rated(d):
+        # two correlated-but-distinct deterministic "raters"
+        return d.select(
+            "doc_id",
+            (F.length("text") % 5).alias("ra"),
+            (F.size(F.split(F.col("text"), r"\s+")) % 5).alias("rb"),
+            F.length("text").alias("metric"),
+            (F.col("doc_id") % 2 == 0).alias("is_b"),
+        )
+
+    for r in (1, 10, 40):
+        p = f"{WORK}/docs_x{r}.parquet"
+        amplify_docs(spark, r, p)
+        src = rated(spark.read.parquet(p))
+        n = 5000 * r
+        for name, mk in (
+            ("cohen-kappa", lambda d: cohen_kappa(
+                d, rater_a_col="ra", rater_b_col="rb")),
+            ("fleiss-kappa", lambda d: fleiss_kappa(
+                d.select(
+                    "doc_id",
+                    F.explode(F.array("ra", "rb", "ra")).alias("l"),
+                ), item_col="doc_id", label_col="l")),
+            ("bootstrap-ci-200", lambda d: bootstrap_ci(
+                d, id_col="doc_id", value_col="metric", n_boot=200)),
+            ("ks-raw-values", lambda d: ks_statistic(
+                d.withColumn("g", F.col("is_b").cast("string")),
+                value_col="metric", group_col="g",
+                group_a="true", group_b="false")),
+            ("ks-quantized", lambda d: ks_statistic(
+                d.withColumn("g", F.col("is_b").cast("string"))
+                .withColumn("metric",
+                            (F.col("metric") / 100).cast("long")),
+                value_col="metric", group_col="g",
+                group_a="true", group_b="false")),
+        ):
+            cold, warm = timed(mk, src, spark)
+            print(f"{name:18s} n={n:7d} cold={cold:7.2f}s "
+                  f"warm={warm:7.2f}s", flush=True)
+    # replicate scaling at the largest corpus
+    src = rated(spark.read.parquet(f"{WORK}/docs_x40.parquet"))
+    for nb in (50, 200, 800):
+        cold, warm = timed(
+            lambda d, nb=nb: bootstrap_ci(
+                d, id_col="doc_id", value_col="metric", n_boot=nb),
+            src, spark,
+        )
+        print(f"bootstrap-ci n=200000 n_boot={nb:4d} cold={cold:7.2f}s "
+              f"warm={warm:7.2f}s", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -778,6 +847,9 @@ def main() -> None:
         return
     if "--state-protocol" in sys.argv:
         quiet_host_state_protocol()
+        return
+    if "--eval-stats" in sys.argv:
+        eval_stats_study()
         return
     quick = "--quick" in sys.argv
     only = None
