@@ -395,11 +395,14 @@ def semantic_dedup(
     than the cap — the `hot_cap` skew guard for a degenerate
     quantizer (one centroid capturing a constant-embedding blob
     would otherwise go quadratic); capped cells keep every row as a
-    singleton. At `n_assign > 1` the cap is evaluated on PRIMARY
-    cell sizes (never on the widened memberships), so which cells
-    are capped is a property of the quantizer alone and the
-    n_assign=2 pair set stays a superset of n_assign=1's — a
-    degenerate blob still trips the cap through its primary count.
+    singleton. At `n_assign > 1` two cap conditions apply: PRIMARY
+    cell size > cap (quantizer-stable, so the n_assign=2 pair set
+    stays a superset of n_assign=1's wherever only this check could
+    fire) and widened membership > cap x n_assign (the cost guard —
+    a degenerate blob floods its shared SECONDARY cell with
+    corpus-many memberships while that cell's primary count stays
+    tiny; only the membership check catches it, and it wins over the
+    superset property exactly there). See `_cell_pairs`.
 
     `vectorized=True` scores each cell's pairwise cosines with the
     Arrow-batched dim-sequential numpy kernel (`_np_fold_cosines` —
@@ -468,9 +471,10 @@ def semantic_dedup(
         members, id_col=id_col, vec_col=vec_col, threshold=threshold,
         cell_cap=cell_cap, vectorized=vectorized,
         caller="semantic_dedup",
-        # cap on PRIMARY sizes when mining widened memberships — see
-        # _cell_pairs.cap_base
+        # primary-size cap + widened-membership cost guard — see
+        # _cell_pairs.cap_base / cap_widened
         cap_base=None if n_assign == 1 else base.select("cell"),
+        cap_widened=None if cell_cap is None else cell_cap * n_assign,
     )
     if n_assign > 1:
         # a pair sharing several co-located cells is mined once per
@@ -530,6 +534,7 @@ def semantic_near_dup_pairs(
         caller="semantic_near_dup_pairs",
         cap_base=None if n_assign == 1
         else multi.select(F.col("cell")),
+        cap_widened=None if cell_cap is None else cell_cap * n_assign,
     )
     if n_assign > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
@@ -746,19 +751,35 @@ def _assign_cells_multi(df, *, vec_col, centroids, assign, n_assign,
 
 
 def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
-                vectorized, caller, cap_base=None) -> DataFrame:
+                vectorized, caller, cap_base=None,
+                cap_widened=None) -> DataFrame:
     """Cell-local near-dup pair mining shared by semantic_dedup /
     semantic_near_dup_pairs: `base` is (id, cell, vec); returns
     (id_a, id_b). See semantic_dedup for the contracts.
 
-    `cap_base` (optional): the frame whose per-cell row counts decide
-    which cells the `cell_cap` skips. Defaults to `base`; the
-    n_assign > 1 callers pass the PRIMARY assignment here so the cap
-    stays a property of the quantizer (same cells capped at every
-    n_assign) — counting the exploded memberships instead would let
-    secondary members push a cell over the cap and silently drop
-    pairs among its PRIMARY members that n_assign=1 mines, inverting
-    the documented widening guarantee."""
+    `cap_base` / `cap_widened` (optional, n_assign > 1 callers): two
+    cap conditions replace the single membership-count check —
+
+    * PRIMARY-size cap (`cap_base` = the primary assignment, one row
+      per vector): which cells are capped is a property of the
+      quantizer alone, identical at every n_assign, so the widened
+      pair set stays a superset of n_assign=1's for every cell that
+      survives BOTH checks. Counting exploded memberships here would
+      let ordinary secondary members push a boundary cell over the
+      cap and silently drop its primary pairs.
+    * WIDENED-membership cap (`cap_widened`, callers pass
+      cell_cap * n_assign, checked on `base` = the exploded
+      memberships): the COST guard, because the quadratic pair work
+      is driven by the rows actually mined in the cell. A balanced
+      quantizer's memberships stay <= n_assign x primary size, so
+      this never fires where the primary check passed — but a
+      degenerate blob floods its shared SECONDARY cell with
+      corpus-many memberships while that cell's own primary count
+      stays tiny, and only this check catches it. When the two
+      conflict, the cost guard wins (scale safety over recall — the
+      repo rule), which is the one regime where n_assign=2 may mine
+      fewer pairs than n_assign=1; it is the regime where
+      n_assign=1's own cap already gave up the cell's recall."""
     eligible = base
     if cell_cap is not None:
         if cell_cap < 1:
@@ -772,6 +793,15 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
             .where(F.col("_n") > cell_cap)
             .select("cell")
         )
+        if cap_base is not None:
+            hot_widened = (
+                base.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > (cap_widened if cap_widened
+                                      is not None else cell_cap))
+                .select("cell")
+            )
+            hot = hot.unionByName(hot_widened).distinct()
         eligible = base.join(hot, "cell", "left_anti")
     if vectorized:
         import numpy as np

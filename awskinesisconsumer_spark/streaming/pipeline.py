@@ -1524,14 +1524,25 @@ def _swap_state(merged_df, path: str) -> None:
 
 def _state_batch_id(state_df) -> int | None:
     """Highest committed micro-batch id recorded in a state table's
-    `_bid` column (None when absent) — the sum-merge replay guard:
-    foreachBatch is at-least-once, and unlike the KMV min-merge a
-    counter SUM-merge is NOT idempotent, so a replayed batch whose
-    merge already committed must be skipped, not re-added."""
+    `_bid` column (None when no state exists yet) — the sum-merge
+    replay guard: foreachBatch is at-least-once, and unlike the KMV
+    min-merge a counter SUM-merge is NOT idempotent, so a replayed
+    batch whose merge already committed must be skipped, not
+    re-added. A state table WITHOUT the column is refused loudly:
+    it predates the replay guard, and merging onto it cannot tell a
+    replay from fresh work — silent double-count is the exact bug
+    the guard exists for."""
     from pyspark.sql import functions as F
 
-    if state_df is None or "_bid" not in state_df.columns:
+    if state_df is None:
         return None
+    if "_bid" not in state_df.columns:
+        raise ValueError(
+            "sum-merged state table has no _bid column (written by a "
+            "pre-replay-guard version?) — restart the stream with a "
+            "fresh state path, or backfill a _bid column before "
+            "resuming"
+        )
     row = state_df.agg(F.max("_bid")).first()
     return None if row[0] is None else int(row[0])
 
@@ -1630,38 +1641,45 @@ def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
         if not (need_sk or need_tm):
             return
         tok = cms_tokens(batch_df, text_col=text_col).persist()
-        if need_sk:
-            local_sketch = cms_build(
-                tok, term_col="term", depth=depth, width=width,
-                salt=salt, **kw,
-            )
-            sk = (
-                local_sketch if prev_sketch is None
-                else local_sketch.unionByName(
-                    prev_sketch.select("row", "bucket", "n")
+        try:
+            if need_sk:
+                local_sketch = cms_build(
+                    tok, term_col="term", depth=depth, width=width,
+                    salt=salt, **kw,
                 )
-            )
-            _swap_state(
-                sk.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
-                .withColumn("_bid", F.lit(batch_id)),
-                sketch_path,
-            )
-        if need_tm:
-            local_terms = tok.groupBy("term").agg(
-                F.count(F.lit(1)).alias("exact")
-            )
-            tm = (
-                local_terms if prev_terms is None
-                else local_terms.unionByName(
-                    prev_terms.select("term", "exact")
+                sk = (
+                    local_sketch if prev_sketch is None
+                    else local_sketch.unionByName(
+                        prev_sketch.select("row", "bucket", "n")
+                    )
                 )
-            )
-            _swap_state(
-                tm.groupBy("term").agg(F.sum("exact").alias("exact"))
-                .withColumn("_bid", F.lit(batch_id)),
-                terms_path,
-            )
-        tok.unpersist()
+                _swap_state(
+                    sk.groupBy("row", "bucket")
+                    .agg(F.sum("n").alias("n"))
+                    .withColumn("_bid", F.lit(batch_id)),
+                    sketch_path,
+                )
+            if need_tm:
+                local_terms = tok.groupBy("term").agg(
+                    F.count(F.lit(1)).alias("exact")
+                )
+                tm = (
+                    local_terms if prev_terms is None
+                    else local_terms.unionByName(
+                        prev_terms.select("term", "exact")
+                    )
+                )
+                _swap_state(
+                    tm.groupBy("term")
+                    .agg(F.sum("exact").alias("exact"))
+                    .withColumn("_bid", F.lit(batch_id)),
+                    terms_path,
+                )
+        finally:
+            # a failed commit retries through the checkpoint, which
+            # persists a FRESH tok — without the finally every retry
+            # would leak the previous attempt's cached blocks
+            tok.unpersist()
 
     return _merge
 

@@ -623,3 +623,49 @@ def test_cms_stream_restart_resumes_state_through_checkpoint(
         hash_fn=portable_hash52,
     ).collect())
     assert streamed == got
+
+
+def test_semantic_multi_widened_cap_catches_secondary_flood(spark):
+    # The cost-guard half of the two-condition cap: a degenerate
+    # constant-embedding blob shares ONE primary cell (caught by the
+    # primary-size check) and floods ONE secondary cell whose own
+    # primary count is tiny — only the widened-membership check
+    # (> cell_cap * n_assign) stops that cell from going quadratic.
+    # 60 identical vectors (primary cell 0, secondary cell 1) + 2
+    # honest near-dups in untouched cell 2, cap 10: without the
+    # widened check, cell 1 (primary count 0 <= cap) would mine the
+    # blob's C(60,2) identical pairs; with it, the flooded cell is
+    # capped (its honest residents pay too — the documented cost-
+    # guard-wins trade) while cells the flood never reaches mine
+    # normally.
+    from awskinesisconsumer_spark.operators.similarity import (
+        semantic_near_dup_pairs,
+    )
+
+    blob = [(i, [10.0, 10.0]) for i in range(60)]
+    others = [(100, [-10.0, -10.0]), (101, [-10.01, -10.01])]
+    df = spark.createDataFrame(
+        blob + others, "vec_id long, embedding array<double>"
+    )
+    cents = [[10.0, 10.0], [5.0, 5.0], [-10.0, -10.0]]
+    pairs = semantic_near_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", centroids=cents,
+        threshold=0.9, cell_cap=10, n_assign=2,
+    ).collect()
+    got = {(r[0], r[1]) for r in pairs}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), got
+
+
+def test_state_batch_id_refuses_pre_guard_state(spark):
+    # A sum-merged state table without _bid predates the replay
+    # guard; merging onto it cannot tell a replay from fresh work,
+    # so it must be refused loudly, never silently double-counted.
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _state_batch_id,
+    )
+
+    legacy = spark.createDataFrame([(0, 1)], "bin int, c long")
+    with pytest.raises(ValueError, match="_bid"):
+        _state_batch_id(legacy)
+    assert _state_batch_id(None) is None
