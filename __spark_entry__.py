@@ -6003,6 +6003,38 @@ R13_ROTATION = (
     "stream-quality-blend", "stream-vocab-coverage",
 )
 
+# The r14 plan of record (written at r13 close, derived from
+# GATE_LEDGER green_round == 9 — 49 entries, one more than a window
+# can hold alongside new work, so the r9 cohort SPLITS r14+r15; the
+# freshness invariant only requires all r9 records re-gated by r15).
+# r14's window should be: GATE_NEW_r14 + the 2 rows-only residents +
+# as many of these as fit, taken IN ORDER (alphabetical); r15 takes
+# the remainder plus the r10 cohort's head. Keep GATE_NEW_r14 small
+# enough that at least ~25 fit. Also due when the r12 KMV entries
+# rotate (r15+, green_round 12): extract the 6x-duplicated 8-char
+# shingle fragment into one shared helper (README r13 section).
+R14_ROTATION_CANDIDATES = (
+    "agg-distinct-users", "agg-percentiles", "agg-pricing-summary",
+    "agg-rollup-revenue", "agg-salted-sum", "agg-tumbling-window",
+    "ext-bpe-encode", "ext-cdc-chunk-clamped", "ext-decontaminate",
+    "ext-dedup-embedding", "ext-dedup-exact", "ext-dedup-keep-best",
+    "ext-dedup-lines", "ext-dedup-ngram-jaccard", "ext-dedup-simhash",
+    "ext-dedup-simhash-pairs", "ext-domain-cap",
+    "ext-embedding-whiten", "ext-fingerprint", "ext-layout-corpus",
+    "ext-mixture-allocate", "ext-mixture-expand", "ext-multimodal-png",
+    "ext-multimodal-wav", "ext-prepare-corpus",
+    "ext-quality-repetition", "ext-quality-score",
+    "ext-sample-stratified", "ext-semantic-decontaminate",
+    "ext-sentence-decontaminate", "ext-sentence-split",
+    "ext-similarity-ann", "ext-similarity-ivf",
+    "ext-similarity-ivf-kmeans", "ext-similarity-knn",
+    "ext-text-stats", "ext-tfidf-terms", "ext-token-count",
+    "ext-vocabulary", "id-assign-monotonic", "join-revenue-by-nation",
+    "join-semi-anti", "json-extract-props", "query-last-row",
+    "query-point-lookup", "set-ops-users", "sink-png-files",
+    "stream-sentence-decontaminate", "topk-customers",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the

@@ -669,3 +669,26 @@ def test_state_batch_id_refuses_pre_guard_state(spark):
     with pytest.raises(ValueError, match="_bid"):
         _state_batch_id(legacy)
     assert _state_batch_id(None) is None
+
+
+def test_r14_rotation_candidates_match_ledger():
+    # The r14 plan of record must BE the r9 cohort (the r12 verdict's
+    # lesson: a rotation comment that drifts from the ledger
+    # overstates what the next window will hold). Derived check, so
+    # re-gating in r14 updates the ledger and retires this list
+    # naturally — at that point the constant should be dropped or
+    # replaced by R15's.
+    import json
+    import os
+
+    import __spark_entry__ as entry
+
+    ledger_path = os.path.join(
+        os.path.dirname(__file__), "..", "GATE_LEDGER.json"
+    )
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    r9 = sorted(q for q, e in ledger.items() if e["green_round"] == 9)
+    if not r9:
+        return  # the cohort rotated; the plan constant is historical
+    assert list(entry.R14_ROTATION_CANDIDATES) == r9
