@@ -123,6 +123,49 @@ def cms_heavy_hitters_from_state(
     )
 
 
+def cms_candidates_top_m(
+    tok: DataFrame, *, term_col: str = "term", m: int = 1000,
+) -> DataFrame:
+    """The cheap candidate source the `cms_heavy_hitters` docstring
+    promises for 100 TB: per-PARTITION top-m terms by local count
+    (the SpaceSaving-style heuristic — a term with global frequency
+    above total/m appears in some partition's local top-m with high
+    probability under any non-adversarial placement), unioned and
+    re-counted exactly.
+
+    Bounds the CANDIDATE table at m x n_partitions rows — tiny and
+    broadcastable — where the full distinct-term table is
+    vocabulary-sized. The exact recount is one broadcast semi-join +
+    a candidate-bounded groupBy; a true heavy hitter missed by every
+    partition's local top-m is absent BY DESIGN (the approximation
+    the caller opted into; the sketch estimates are unaffected).
+    Returns (term, exact) — drop-in for the candidate argument of
+    `cms_heavy_hitters_from_state`."""
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError(f"cms_candidates_top_m: m must be >= 1, got {m}")
+    local = (
+        tok.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p", term_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_p").orderBy(
+        F.col("_c").desc(), F.col(term_col)
+    )
+    cands = (
+        local.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= m)
+        .select(term_col)
+        .distinct()
+    )
+    return (
+        tok.join(F.broadcast(cands), term_col)
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+
+
 def cms_heavy_hitters(
     docs: DataFrame,
     *,
@@ -132,19 +175,24 @@ def cms_heavy_hitters(
     width: int = 1024,
     salt: str = "cms1",
     hash_fn=xxhash64_col,
+    candidate_top_m: int | None = None,
 ) -> DataFrame:
     """Top-k heavy-hitter terms by count-min estimate, with the exact
     count alongside (est >= exact always — CMS errs by overcounting).
 
     Candidates are the corpus' distinct terms with their exact counts
-    (one groupBy — at 100 TB swap in any cheap candidate source, e.g.
-    a per-partition top-m pre-filter; the sketch itself never needs
-    candidates to be exact). Each candidate probes the sketch via a
-    broadcast equi-join on (row, bucket); the estimate is the MIN
-    across the depth rows. Ranking is deterministic: (estimate DESC,
-    term ASC). Composed from `cms_tokens` -> (`cms_build` +
-    exact counts) -> `cms_heavy_hitters_from_state`, each reusable
-    by the streaming maintainer.
+    (one groupBy); at 100 TB pass `candidate_top_m` to swap in the
+    per-partition top-m pre-filter (`cms_candidates_top_m`) so the
+    candidate table is m x partitions rows instead of
+    vocabulary-sized — the sketch itself never needs candidates to be
+    exact, and any other cheap candidate source plugs into
+    `cms_heavy_hitters_from_state` directly. Each candidate probes
+    the sketch via a broadcast equi-join on (row, bucket); the
+    estimate is the MIN across the depth rows. Ranking is
+    deterministic: (estimate DESC, term ASC). Composed from
+    `cms_tokens` -> (`cms_build` + exact counts) ->
+    `cms_heavy_hitters_from_state`, each reusable by the streaming
+    maintainer.
     """
     # persist: the tokenize+explode subtree feeds BOTH the sketch and
     # the candidate counts — uncached it would re-scan the corpus.
@@ -153,7 +201,11 @@ def cms_heavy_hitters(
         tok, term_col="term", depth=depth, width=width, salt=salt,
         hash_fn=hash_fn,
     )
-    cand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    if candidate_top_m is None:
+        cand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    else:
+        cand = cms_candidates_top_m(tok, term_col="term",
+                                    m=candidate_top_m)
     out = cms_heavy_hitters_from_state(
         sketch, cand, k=k, depth=depth, width=width, salt=salt,
         hash_fn=hash_fn,

@@ -692,3 +692,36 @@ def test_r14_rotation_candidates_match_ledger():
     if not r9:
         return  # the cohort rotated; the plan constant is historical
     assert list(entry.R14_ROTATION_CANDIDATES) == r9
+
+
+def test_cms_candidate_top_m_prefilter(spark):
+    # The promised 100 TB candidate source, concrete: with m at least
+    # the per-partition vocabulary, the pre-filtered run equals the
+    # exact-candidates run verbatim; with tiny m the candidate table
+    # is bounded, survivors keep their EXACT counts, and every
+    # surviving term's count is among the corpus' largest.
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_candidates_top_m, cms_heavy_hitters, cms_tokens,
+    )
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+
+    docs = _load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    kw = dict(text_col="text", k=10, depth=4, width=256,
+              hash_fn=portable_hash52)
+    exact = sorted(tuple(r) for r in cms_heavy_hitters(
+        docs, **kw).collect())
+    wide = sorted(tuple(r) for r in cms_heavy_hitters(
+        docs, **kw, candidate_top_m=10_000_000).collect())
+    assert wide == exact
+    # tiny m: bounded candidates, exact counts for survivors
+    tok = cms_tokens(docs, text_col="text")
+    n_parts = tok.rdd.getNumPartitions()
+    cand = cms_candidates_top_m(tok, m=5)
+    n_cand = cand.count()
+    assert n_cand <= 5 * n_parts
+    truth = {r["term"]: r["exact"] for r in tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact")).collect()}
+    for r in cand.collect():
+        assert truth[r["term"]] == r["exact"]
+    with pytest.raises(ValueError, match="m must be"):
+        cms_candidates_top_m(tok, m=0)
