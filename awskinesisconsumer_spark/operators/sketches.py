@@ -125,45 +125,53 @@ def cms_heavy_hitters_from_state(
 
 def cms_candidates_top_m(
     tok: DataFrame, *, term_col: str = "term", m: int = 1000,
+    n_buckets: int = 64, salt: str = "cmscand1",
+    hash_fn=xxhash64_col,
 ) -> DataFrame:
-    """The cheap candidate source the `cms_heavy_hitters` docstring
-    promises for 100 TB: per-PARTITION top-m terms by local count
-    (the SpaceSaving-style heuristic — a term with global frequency
-    above total/m appears in some partition's local top-m with high
-    probability under any non-adversarial placement), unioned and
-    re-counted exactly.
+    """The bounded candidate source the `cms_heavy_hitters` docstring
+    promises for 100 TB: exact per-term counts (the same map-side-
+    combined groupBy the default path pays), each term assigned to
+    ONE of `n_buckets` by a salted hash of the TERM — deterministic
+    and layout-independent, never `spark_partition_id` — then only
+    each bucket's top-m by (count DESC, term ASC) survive, via the
+    skew-safe `domain_cap_topk` salted two-level rank.
 
-    Bounds the CANDIDATE table at m x n_partitions rows — tiny and
-    broadcastable — where the full distinct-term table is
-    vocabulary-sized. The exact recount is one broadcast semi-join +
-    a candidate-bounded groupBy; a true heavy hitter missed by every
-    partition's local top-m is absent BY DESIGN (the approximation
-    the caller opted into; the sketch estimates are unaffected).
-    Returns (term, exact) — drop-in for the candidate argument of
-    `cms_heavy_hitters_from_state`."""
-    from pyspark.sql import Window
-
+    Bounds the candidate TABLE at m x n_buckets rows where the full
+    distinct-term table is vocabulary-sized — the downstream
+    heavy-hitter rank then never sorts more than that. Survivors are
+    a SUPERSET of the global top-m (min-k composition: a term dropped
+    from its bucket is out-ranked by >= m terms there, so its global
+    rank exceeds m), so `cms_heavy_hitters(k=k, candidate_top_m=m)`
+    with m >= k EQUALS the exact-candidates path — pinned in tests.
+    No broadcast anywhere; same hash-portability contract as the
+    sketch (pass the portable hash for oracle-replayable runs).
+    Returns (term, exact) — the columns
+    `cms_heavy_hitters_from_state` expects, whatever `term_col` was.
+    """
     if m < 1:
         raise ValueError(f"cms_candidates_top_m: m must be >= 1, got {m}")
-    local = (
-        tok.withColumn("_p", F.spark_partition_id())
-        .groupBy("_p", term_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    w = Window.partitionBy("_p").orderBy(
-        F.col("_c").desc(), F.col(term_col)
-    )
-    cands = (
-        local.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= m)
-        .select(term_col)
-        .distinct()
-    )
-    return (
-        tok.join(F.broadcast(cands), term_col)
-        .groupBy(term_col)
+    from .corpus_prep import domain_cap_topk
+
+    counts = (
+        tok.groupBy(term_col)
         .agg(F.count(F.lit(1)).alias("exact"))
+        .withColumn(
+            "_b",
+            F.pmod(
+                hash_fn(F.concat_ws(
+                    "\x1f", F.col(term_col).cast("string"),
+                    F.lit(salt),
+                )),
+                F.lit(n_buckets),
+            ),
+        )
     )
+    kept = domain_cap_topk(
+        counts, group_col="_b", cap=m,
+        order_by=[F.col("exact").desc(), F.col(term_col).asc()],
+        id_col=term_col, with_totals=False,
+    )
+    return kept.select(F.col(term_col).alias("term"), "exact")
 
 
 def cms_heavy_hitters(

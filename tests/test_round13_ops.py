@@ -695,33 +695,50 @@ def test_r14_rotation_candidates_match_ledger():
 
 
 def test_cms_candidate_top_m_prefilter(spark):
-    # The promised 100 TB candidate source, concrete: with m at least
-    # the per-partition vocabulary, the pre-filtered run equals the
-    # exact-candidates run verbatim; with tiny m the candidate table
-    # is bounded, survivors keep their EXACT counts, and every
-    # surviving term's count is among the corpus' largest.
+    # The promised 100 TB candidate source, concrete and
+    # deterministic (hash-bucketed, never spark_partition_id): with
+    # m >= k the pre-filtered heavy-hitter report EQUALS the
+    # exact-candidates run verbatim (min-k composition: survivors are
+    # a superset of the global top-m); with tiny m the candidate
+    # table is bounded at m x n_buckets, survivors keep their EXACT
+    # counts, and survivors dominate — no dropped term out-counts a
+    # kept term's bucket floor.
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
     from awskinesisconsumer_spark.operators.sketches import (
         cms_candidates_top_m, cms_heavy_hitters, cms_tokens,
     )
-    from awskinesisconsumer_spark.operators.dedup import portable_hash52
 
     docs = _load(spark, SF_SMOKE, "documents").select("doc_id", "text")
     kw = dict(text_col="text", k=10, depth=4, width=256,
               hash_fn=portable_hash52)
     exact = sorted(tuple(r) for r in cms_heavy_hitters(
         docs, **kw).collect())
-    wide = sorted(tuple(r) for r in cms_heavy_hitters(
-        docs, **kw, candidate_top_m=10_000_000).collect())
-    assert wide == exact
-    # tiny m: bounded candidates, exact counts for survivors
+    pre = sorted(tuple(r) for r in cms_heavy_hitters(
+        docs, **kw, candidate_top_m=10).collect())  # m == k suffices
+    assert pre == exact
+    # tiny m: bounded candidates with exact counts; the survivor set
+    # must CONTAIN the global top-m (the composition guarantee) —
+    # a flipped sort order would keep the bottom instead and fail
     tok = cms_tokens(docs, text_col="text")
-    n_parts = tok.rdd.getNumPartitions()
-    cand = cms_candidates_top_m(tok, m=5)
-    n_cand = cand.count()
-    assert n_cand <= 5 * n_parts
+    cand = cms_candidates_top_m(tok, m=5, n_buckets=4,
+                                hash_fn=portable_hash52)
+    rows = cand.collect()
+    assert len(rows) <= 5 * 4
     truth = {r["term"]: r["exact"] for r in tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("exact")).collect()}
-    for r in cand.collect():
+    kept = {r["term"] for r in rows}
+    for r in rows:
         assert truth[r["term"]] == r["exact"]
+    top5 = sorted(truth, key=lambda t: (-truth[t], t))[:5]
+    assert set(top5) <= kept, (top5, sorted(kept))
+    # determinism across layouts: a different file split yields the
+    # same candidate set (the old partition-id form failed this)
+    cand2 = cms_candidates_top_m(
+        cms_tokens(docs.repartition(7), text_col="text"),
+        m=5, n_buckets=4, hash_fn=portable_hash52,
+    )
+    assert {(r["term"], r["exact"]) for r in cand2.collect()} == {
+        (r["term"], r["exact"]) for r in rows
+    }
     with pytest.raises(ValueError, match="m must be"):
         cms_candidates_top_m(tok, m=0)
