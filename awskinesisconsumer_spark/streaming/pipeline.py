@@ -8,8 +8,12 @@ watermark key, and state eviction happens (1) for the as-of join,
 explicitly inside the stateful function when a boundary arrives —
 byte-exact reproduction of `del tags_line[:tags_i]` — plus a timeout
 as the late-data backstop; (2) for windowed aggs, by watermark. Late
-data is dropped-and-counted (via observe), replacing the reference's
-hard 'No tag for packet!' error (parser.py:429).
+rows past the watermark are dropped SILENTLY by Spark's windowed
+operators (no per-drop observe metric here — the engine does not
+surface them to the query; monitor `stateOperators.numRowsDroppedByWatermark`
+in query progress if drop counts matter), replacing the reference's
+hard 'No tag for packet!' error (parser.py:429). The frame pipeline's
+error router is the one observe()-counted channel.
 """
 
 from __future__ import annotations
@@ -80,9 +84,17 @@ def _make_asof_fn(orphan_timeout_ms: int | None):
                 else:
                     ids.append(int(eid))
                     values.append(float(val))
-        state.update((ids, values))
-        if orphan_timeout_ms is not None:
-            state.setTimeoutDuration(orphan_timeout_ms)
+        if ids:
+            state.update((ids, values))
+            if orphan_timeout_ms is not None:
+                state.setTimeoutDuration(orphan_timeout_ms)
+        elif state.exists:
+            # a flush drained the buffers: a stored ([], []) is
+            # semantically identical to no state, but under the
+            # default NoTimeout it would park one empty entry PER
+            # EVER-SEEN user in the state store forever — remove it
+            # so state size tracks users with PENDING packets only
+            state.remove()
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=["user_id", "event_id", "value", "tag_event_id"]
@@ -398,12 +410,24 @@ def compact_latest_stream(log: DataFrame, *, key_cols: list[str],
     this is an unwatermarked complete/update-mode aggregation: one
     row of state per DISTINCT key, hash-partitioned; pair with the
     RocksDB state store at scale. Tombstones are filtered AFTER the
-    aggregate so a later re-insert can resurrect the key."""
+    aggregate so a later re-insert can resurrect the key.
+
+    Unlike batch `compact_latest` (which derives payload columns and
+    always carries the op), `op_col` must be INCLUDED in
+    `payload_cols` here — the tombstone filter reads it off the
+    aggregated winner; validated upfront."""
     from awskinesisconsumer_spark.operators.compaction import (
         _check_audit_collisions,
     )
 
     _check_audit_collisions(list(log.columns))
+    if op_col is not None and op_col not in payload_cols:
+        raise ValueError(
+            f"compact_latest_stream: op_col {op_col!r} must be listed "
+            "in payload_cols — the tombstone filter reads it from the "
+            "aggregated winner (batch compact_latest derives this "
+            "automatically; the streaming form cannot)"
+        )
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)
     ).alias("_w")
@@ -637,7 +661,12 @@ def semantic_decontaminate_stream(
 
     Delivery under CRASH-retry is at-least-once (same contract as
     `incremental_dedup_stream`); a clean stop/restart replays
-    nothing. Returns the started StreamingQuery.
+    nothing. The benchmark's LINEAGE re-executes every trigger (this
+    function does not persist inputs it does not own — the
+    corpus_drift_stream handle pattern); if your benchmark is derived
+    from upstream computation rather than a direct read, persist()
+    it before calling, exactly as you would for any reused frame.
+    Returns the started StreamingQuery.
     """
     from awskinesisconsumer_spark.operators.similarity import (
         semantic_decontaminate,
@@ -819,6 +848,16 @@ def domain_cap_stream(
             .sort_values(id_col, kind="mergesort")
             .reset_index(drop=True)
         )
+        if n_seen + len(pdf) >= 2**31:
+            # rank_in_group is int32 (matches the batch domain_cap
+            # schema); fail loudly instead of letting astype('int32')
+            # wrap negative — a wrapped rank satisfies rank <= cap
+            # and silently REOPENS an exhausted quota (the
+            # frame_sample_stream guard, same failure shape)
+            raise OverflowError(
+                "domain_cap_stream: group exceeded int32 running "
+                f"ranks (n_seen={n_seen + len(pdf)}, group={key})"
+            )
         ranks = pd.RangeIndex(n_seen + 1, n_seen + len(pdf) + 1)
         out = pdf[[group_col, id_col]].copy()
         out["rank_in_group"] = ranks.astype("int32")
@@ -1144,7 +1183,13 @@ def semantic_dedup_stream(
     shuffle join is the 100 TB shape, and no per-batch count job is
     ever issued).
 
-    Returns the started StreamingQuery.
+    Returns the started StreamingQuery. Cache lifetime note: the
+    frozen reps table is persist()-ed for the stream's lifetime and
+    stays pinned until the closure is GC'd after termination — in a
+    long-lived session launching many of these, hold the reps
+    yourself and `unpersist()` on teardown (the
+    `DriftStreamHandle.release()` pattern; planned as the returned
+    handle when this entry next rotates through the gate window).
     """
     from awskinesisconsumer_spark.operators.similarity import (
         semantic_dedup, semantic_dedup_apply, semantic_dedup_keep,
@@ -1547,6 +1592,24 @@ def _state_batch_id(state_df) -> int | None:
     return None if row[0] is None else int(row[0])
 
 
+def _check_bid_lineage(batch_id: int, stored: int | None,
+                       *, where: str) -> None:
+    """Refuse a micro-batch id BELOW the state's committed high-water
+    mark: in a healthy lineage batch ids only replay the LAST batch
+    (== stored) or advance past it — a smaller id means the
+    checkpoint was deleted/reset (or a second stream points at this
+    state path) and SUM-merging the replayed input would silently
+    double-count everything already committed, the exact bug the
+    `_bid` guard exists to prevent."""
+    if stored is not None and batch_id < stored:
+        raise ValueError(
+            f"sum-merged state at {where} has committed batch "
+            f"{stored} but the stream delivered batch {batch_id} — "
+            "checkpoint reset against surviving state? Start with a "
+            "fresh state path (or the original checkpoint)."
+        )
+
+
 def kmv_sketch_stream(
     stream_df,
     *,
@@ -1636,8 +1699,12 @@ def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
         # skippable and only the laggard re-merged.
         prev_sketch = _read_state(spark, sketch_path)
         prev_terms = _read_state(spark, terms_path)
-        need_sk = _state_batch_id(prev_sketch) != batch_id
-        need_tm = _state_batch_id(prev_terms) != batch_id
+        sk_bid = _state_batch_id(prev_sketch)
+        tm_bid = _state_batch_id(prev_terms)
+        _check_bid_lineage(batch_id, sk_bid, where=sketch_path)
+        _check_bid_lineage(batch_id, tm_bid, where=terms_path)
+        need_sk = sk_bid != batch_id
+        need_tm = tm_bid != batch_id
         if not (need_sk or need_tm):
             return
         tok = cms_tokens(batch_df, text_col=text_col).persist()
@@ -1752,7 +1819,9 @@ def _hist_merge_fn(*, value_col, lo, hi, n_bins, out_path):
         # SUM-merge replay guard + swap-rename commit — see
         # _cms_merge_fn for the at-least-once rationale.
         prev = _read_state(spark, out_path)
-        if _state_batch_id(prev) == batch_id:
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
             return
         local = histogram_bin_counts(
             batch_df, value_col=value_col, lo=lo, hi=hi, n_bins=n_bins

@@ -742,3 +742,34 @@ def test_cms_candidate_top_m_prefilter(spark):
     }
     with pytest.raises(ValueError, match="m must be"):
         cms_candidates_top_m(tok, m=0)
+
+
+def test_bid_lineage_refuses_checkpoint_reset(spark):
+    # batch ids below the state's committed high-water mark mean the
+    # checkpoint was reset against surviving state — SUM-merging the
+    # replayed input would double-count everything already committed.
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _check_bid_lineage,
+    )
+
+    _check_bid_lineage(0, None, where="x")     # first batch
+    _check_bid_lineage(7, 7, where="x")        # replay of the last
+    _check_bid_lineage(8, 7, where="x")        # normal advance
+    with pytest.raises(ValueError, match="checkpoint reset"):
+        _check_bid_lineage(0, 7, where="x")
+
+
+def test_compact_latest_stream_validates_op_col(spark):
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        compact_latest_stream,
+    )
+
+    log = spark.readStream.format("rate").load().select(
+        F.col("value").alias("k"), F.col("value").alias("seq"),
+        F.lit("v").alias("v"), F.lit("upsert").alias("op"),
+    )
+    with pytest.raises(ValueError, match="op_col 'op' must be listed"):
+        compact_latest_stream(
+            log, key_cols=["k"], seq_col="seq",
+            payload_cols=["v"], op_col="op",
+        )
