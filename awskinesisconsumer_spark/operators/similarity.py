@@ -146,16 +146,19 @@ def _centroid_matrix(centroids, *, centroid_id_col: str,
         # Size-guard BEFORE the driver materializes anything (r12
         # verdict item 4: the guard exists to prevent a driver OOM,
         # so on the DataFrame path it must fire before collect(),
-        # not after). k from a cheap count, dim from one row — two
-        # small jobs against a k-bounded table.
-        k_rows = sel.count()
-        first = sel.select(
-            F.size(F.col(centroid_vec_col)).alias("_d")
+        # not after). ONE small agg job: row count and the LARGEST
+        # vector size — deriving dim from an arbitrary single row
+        # would let a NULL/short outlier vector understate the bound
+        # and collect the oversized table anyway.
+        shape = sel.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.size(F.col(centroid_vec_col))).alias("_d"),
         ).first()
-        dim0 = int(first["_d"]) if first and first["_d"] is not None else 1
-        if k_rows * max(dim0, 1) > 50_000_000:
+        k_rows = int(shape["_n"])
+        dim0 = max(int(shape["_d"] or 1), 1)
+        if k_rows * dim0 > 50_000_000:
             raise ValueError(
-                f"{caller}: centroid table has ~{k_rows * max(dim0, 1)}"
+                f"{caller}: centroid table has ~{k_rows * dim0}"
                 " elements (> 5e7); use fewer/lower-dim centroids"
             )
         rows = sel.collect()
@@ -292,6 +295,12 @@ def knn_ivf(
             centroids, centroid_id_col="cell", centroid_vec_col=vec_col,
             caller="knn_ivf",
         ).tolist()
+        # reuse the coerced list for the corpus assign too: a
+        # DataFrame centroid spec would otherwise re-run the whole
+        # coercion (shape agg + collect + upstream plan) a second
+        # time inside ivf_assign_table — identical result, half the
+        # driver jobs
+        centroids = cents_list
     else:
         cents_list = centroids
     order = sorted(range(len(cents_list)),
@@ -451,36 +460,11 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
-    if n_assign == 1:
-        cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
-                              assign=assign, caller="semantic_dedup")
-        members = base = cells.select(
-            F.col(id_col), F.col("cell"), F.col(vec_col)
-        )
-    else:
-        multi = _assign_cells_multi(
-            df, vec_col=vec_col, centroids=centroids, assign=assign,
-            n_assign=n_assign, caller="semantic_dedup",
-        )
-        base = multi.select(F.col(id_col), F.col("cell"), F.col(vec_col))
-        members = multi.select(
-            F.col(id_col), F.explode("cells").alias("cell"),
-            F.col(vec_col),
-        )
-    pairs = _cell_pairs(
-        members, id_col=id_col, vec_col=vec_col, threshold=threshold,
-        cell_cap=cell_cap, vectorized=vectorized,
-        caller="semantic_dedup",
-        # primary-size cap + widened-membership cost guard — see
-        # _cell_pairs.cap_base / cap_widened
-        cap_base=None if n_assign == 1 else base.select("cell"),
-        cap_widened=None if cell_cap is None else cell_cap * n_assign,
+    base, pairs = _semantic_base_and_pairs(
+        df, id_col=id_col, vec_col=vec_col, centroids=centroids,
+        threshold=threshold, cell_cap=cell_cap, vectorized=vectorized,
+        assign=assign, n_assign=n_assign, caller="semantic_dedup",
     )
-    if n_assign > 1:
-        # a pair sharing several co-located cells is mined once per
-        # shared cell — identical rows, deterministic scoring —
-        # collapse before the (rare) component resolution
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cc = connected_components(
         pairs, vertices=df.select(F.col(id_col).alias("id"))
     )
@@ -513,32 +497,53 @@ def semantic_near_dup_pairs(
     Same cell assignment, skew cap, scoring, and `n_assign`
     (multi-cell candidate widening) contracts as `semantic_dedup`
     (whose docstring has the scale shape)."""
+    _, pairs = _semantic_base_and_pairs(
+        df, id_col=id_col, vec_col=vec_col, centroids=centroids,
+        threshold=threshold, cell_cap=cell_cap, vectorized=vectorized,
+        assign=assign, n_assign=n_assign,
+        caller="semantic_near_dup_pairs",
+    )
+    return pairs
+
+
+def _semantic_base_and_pairs(df, *, id_col, vec_col, centroids,
+                             threshold, cell_cap, vectorized, assign,
+                             n_assign, caller):
+    """The assignment + cell-local pair mine shared by
+    `semantic_dedup` and `semantic_near_dup_pairs` (one surface, so
+    the n_assign cap wiring cannot drift between them): returns
+    (base, pairs) where `base` is (id, PRIMARY cell, vec) — one row
+    per input — and `pairs` the deduplicated (id_a, id_b) table."""
     if n_assign == 1:
         cells = _assign_cells(df, vec_col=vec_col, centroids=centroids,
-                              assign=assign,
-                              caller="semantic_near_dup_pairs")
-        members = cells.select(F.col(id_col), F.col("cell"),
-                               F.col(vec_col))
+                              assign=assign, caller=caller)
+        members = base = cells.select(
+            F.col(id_col), F.col("cell"), F.col(vec_col)
+        )
     else:
         multi = _assign_cells_multi(
             df, vec_col=vec_col, centroids=centroids, assign=assign,
-            n_assign=n_assign, caller="semantic_near_dup_pairs",
+            n_assign=n_assign, caller=caller,
         )
+        base = multi.select(F.col(id_col), F.col("cell"), F.col(vec_col))
         members = multi.select(
             F.col(id_col), F.explode("cells").alias("cell"),
             F.col(vec_col),
         )
     pairs = _cell_pairs(
         members, id_col=id_col, vec_col=vec_col, threshold=threshold,
-        cell_cap=cell_cap, vectorized=vectorized,
-        caller="semantic_near_dup_pairs",
-        cap_base=None if n_assign == 1
-        else multi.select(F.col("cell")),
+        cell_cap=cell_cap, vectorized=vectorized, caller=caller,
+        # primary-size cap + widened-membership cost guard — see
+        # _cell_pairs.cap_base / cap_widened
+        cap_base=None if n_assign == 1 else base.select("cell"),
         cap_widened=None if cell_cap is None else cell_cap * n_assign,
     )
     if n_assign > 1:
+        # a pair sharing several co-located cells is mined once per
+        # shared cell — identical rows, deterministic scoring —
+        # collapse before anything downstream
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return pairs
+    return base, pairs
 
 
 def semantic_dedup_recall_audit(
@@ -583,6 +588,16 @@ def semantic_dedup_recall_audit(
     the O(n^2) truth self-join dominates this audit by construction
     and n_assign_values is 2-3 levels in practice; revisit if the
     audit ever runs with many levels."""
+    if not n_assign_values:
+        raise ValueError(
+            "semantic_dedup_recall_audit: n_assign_values must name "
+            "at least one level, got ()"
+        )
+    if any(int(n) < 1 for n in n_assign_values):
+        raise ValueError(
+            "semantic_dedup_recall_audit: n_assign levels must be "
+            f">= 1, got {tuple(n_assign_values)}"
+        )
     truth = embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold,
         planes=None,
@@ -593,32 +608,39 @@ def semantic_dedup_recall_audit(
     per_true = truth.select(bucket).groupBy("bucket_lo").agg(
         F.count(F.lit(1)).alias("n_true_pairs")
     )
-    parts = []
-    for n in n_assign_values:
-        cand = semantic_near_dup_pairs(
-            df, id_col=id_col, vec_col=vec_col, centroids=centroids,
-            threshold=threshold, cell_cap=cell_cap,
-            vectorized=vectorized, assign=assign, n_assign=int(n),
-        ).select("id_a", "id_b")
-        caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
-        per_caught = caught.select(bucket).groupBy("bucket_lo").agg(
-            F.count(F.lit(1)).alias("n_caught")
-        )
-        parts.append(
-            per_true.join(per_caught, "bucket_lo", "left").select(
-                F.lit(int(n)).alias("n_assign"),
-                "bucket_lo",
-                "n_true_pairs",
-                F.coalesce(
-                    "n_caught", F.lit(0).cast("long")
-                ).alias("n_caught"),
-                F.round(
-                    F.coalesce("n_caught", F.lit(0).cast("long"))
-                    / F.col("n_true_pairs"),
-                    4,
-                ).alias("recall"),
+    # try/finally: a failure while building the candidate legs (bad
+    # assign=, degenerate centroids, ...) must not strand the
+    # persisted truth table — the caching-module contract
+    try:
+        parts = []
+        for n in n_assign_values:
+            cand = semantic_near_dup_pairs(
+                df, id_col=id_col, vec_col=vec_col, centroids=centroids,
+                threshold=threshold, cell_cap=cell_cap,
+                vectorized=vectorized, assign=assign, n_assign=int(n),
+            ).select("id_a", "id_b")
+            caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+            per_caught = caught.select(bucket).groupBy("bucket_lo").agg(
+                F.count(F.lit(1)).alias("n_caught")
             )
-        )
+            parts.append(
+                per_true.join(per_caught, "bucket_lo", "left").select(
+                    F.lit(int(n)).alias("n_assign"),
+                    "bucket_lo",
+                    "n_true_pairs",
+                    F.coalesce(
+                        "n_caught", F.lit(0).cast("long")
+                    ).alias("n_caught"),
+                    F.round(
+                        F.coalesce("n_caught", F.lit(0).cast("long"))
+                        / F.col("n_true_pairs"),
+                        4,
+                    ).alias("recall"),
+                )
+            )
+    except BaseException:
+        truth.unpersist()
+        raise
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1881,6 +1903,7 @@ def knn_ivf_pq(
             centroids, centroid_id_col="cell", centroid_vec_col=vec_col,
             caller="knn_ivf_pq",
         ).tolist()
+        centroids = cents_list  # skip re-coercion in the assign (knn_ivf)
     else:
         cents_list = centroids
     order = sorted(

@@ -29,8 +29,8 @@ def _load(spark, sf, name):
 def test_centroid_matrix_guard_fires_before_collect(spark, monkeypatch):
     # A centroid TABLE past the 5e7-element guard must raise
     # ValueError without the driver ever materializing the rows.
-    # The guard path is allowed exactly two tiny jobs — a count and
-    # a LIMIT-1 probe of the vector dim (a one-column "_d" frame);
+    # The guard path is allowed exactly one tiny job — the
+    # (count, max vector size) shape agg (columns ["_n", "_d"]);
     # any other collect() is the bug this pins (r12 verdict item 4:
     # the old code collected first and guarded after).
     import pyspark.sql.dataframe as dfmod
@@ -48,7 +48,7 @@ def test_centroid_matrix_guard_fires_before_collect(spark, monkeypatch):
     real_collect = dfmod.DataFrame.collect
 
     def guarded_collect(self):
-        if self.columns != ["_d"]:
+        if self.columns != ["_n", "_d"]:
             raise AssertionError(
                 f"full collect of {self.columns} reached the driver "
                 "before the size guard fired"
@@ -59,6 +59,18 @@ def test_centroid_matrix_guard_fires_before_collect(spark, monkeypatch):
     with pytest.raises(ValueError, match="5e7"):
         ivf_assign_table(
             probe, vec_col="embedding", centroids=big,
+            centroid_vec_col="vector",
+        )
+    # an outlier NULL/short vector must not understate the bound:
+    # the guard derives dim from MAX(size), never from one row
+    mixed = spark.range(60_000).select(
+        F.col("id").alias("cell"),
+        F.when(F.col("id") == 0, F.lit(None).cast("array<double>"))
+        .otherwise(F.array_repeat(F.lit(0.0), 1000)).alias("vector"),
+    )
+    with pytest.raises(ValueError, match="5e7"):
+        ivf_assign_table(
+            probe, vec_col="embedding", centroids=mixed,
             centroid_vec_col="vector",
         )
 
