@@ -139,10 +139,19 @@ def cms_candidates_top_m(
     Bounds the candidate TABLE at m x n_buckets rows where the full
     distinct-term table is vocabulary-sized — the downstream
     heavy-hitter rank then never sorts more than that. Survivors are
-    a SUPERSET of the global top-m (min-k composition: a term dropped
-    from its bucket is out-ranked by >= m terms there, so its global
-    rank exceeds m), so `cms_heavy_hitters(k=k, candidate_top_m=m)`
-    with m >= k EQUALS the exact-candidates path — pinned in tests.
+    a SUPERSET of the global top-m by EXACT count (min-k composition:
+    a term dropped from its bucket is out-ranked by >= m terms there,
+    so its global rank exceeds m). Caveat (r13 ADVICE): downstream
+    `cms_heavy_hitters_from_state` ranks by CMS ESTIMATE, not exact
+    count, so `cms_heavy_hitters(k=k, candidate_top_m=m)` with m >= k
+    equals the exact-candidates path only when estimates preserve
+    exact-count order across the m boundary — i.e. no term outside
+    the exact top-m carries a collision-inflated estimate above the
+    k-th survivor's. That holds whenever width comfortably exceeds
+    the heavy tail (the regime the tests pin) but is NOT a theorem in
+    the high-collision vocabulary >> width regime; there the filtered
+    top-k can differ from the unfiltered one on collision-lucky
+    tail terms. Pick m with slack (m >> k) to shrink the exposure.
     No broadcast anywhere; same hash-portability contract as the
     sketch (pass the portable hash for oracle-replayable runs).
     Returns (term, exact) — the columns
@@ -190,9 +199,11 @@ def cms_heavy_hitters(
 
     Candidates are the corpus' distinct terms with their exact counts
     (one groupBy); at 100 TB pass `candidate_top_m` to swap in the
-    per-partition top-m pre-filter (`cms_candidates_top_m`) so the
-    candidate table is m x partitions rows instead of
-    vocabulary-sized — the sketch itself never needs candidates to be
+    salted term-hash bucket top-m pre-filter (`cms_candidates_top_m`)
+    so the candidate table is m x n_buckets rows (bucketing is by a
+    salted hash of the TERM, independent of data partitioning)
+    instead of vocabulary-sized — the sketch itself never needs
+    candidates to be
     exact, and any other cheap candidate source plugs into
     `cms_heavy_hitters_from_state` directly. Each candidate probes
     the sketch via a broadcast equi-join on (row, bucket); the

@@ -1523,7 +1523,17 @@ def _read_state(spark, path: str):
     populated by an atomic rename of a fully-written temp dir. All
     filesystem ops go through the Hadoop FileSystem of `path` (the
     `_publish_atomic` contract), so the protocol works wherever the
-    state lives, not just on the driver's local disk."""
+    state lives, not just on the driver's local disk.
+
+    PRECONDITION (r13 ADVICE): commit-ness is inferred from part-file
+    presence, so callers' state tables must never legitimately commit
+    EMPTY after committing non-empty. True for every current caller —
+    the KMV/CMS/histogram/drift states are monotone (merges only add
+    or update rows). A future caller whose state can shrink to zero
+    rows would have its genuine empty commit mistaken for the crash
+    window and silently rolled back to the aside; such a caller needs
+    an explicit commit marker (e.g. a sentinel file written after the
+    swap) instead of this inference."""
     from pyspark.errors import AnalysisException
 
     jvm = spark.sparkContext._jvm

@@ -23,7 +23,9 @@ test, which runs every entry regardless of position.)
 Usage (run at round start, after the driver writes a new snapshot):
 
     python scripts/gate_ledger.py          # update GATE_LEDGER.json
-    python scripts/gate_ledger.py --check  # report staleness, rc!=0 if any
+    python scripts/gate_ledger.py --check  # READ-ONLY: report
+                                           # staleness, rc!=0 if any;
+                                           # never writes the ledger
 """
 
 from __future__ import annotations
@@ -98,8 +100,9 @@ def load_ledger() -> dict:
     return {}
 
 
-def update_ledger() -> tuple[dict, list[str]]:
-    """Fold the newest green records into the ledger.
+def fold_ledger() -> tuple[dict, list[str]]:
+    """Pure fold of the newest green records over the on-disk ledger —
+    NO file writes (r13 VERDICT item 4: `--check` must be read-only).
 
     A query advances (round + fingerprint re-recorded) only when a
     NEWER green round appears; if its code changed with no newer green
@@ -117,6 +120,12 @@ def update_ledger() -> tuple[dict, list[str]]:
             ledger[q] = {"green_round": rnd, "fingerprint": fps[q]}
         elif ent["fingerprint"] != fps[q]:
             stale.append(q)
+    return ledger, stale
+
+
+def update_ledger() -> tuple[dict, list[str]]:
+    """fold_ledger(), then persist the folded view to GATE_LEDGER.json."""
+    ledger, stale = fold_ledger()
     with open(LEDGER_PATH, "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
         f.write("\n")
@@ -157,14 +166,16 @@ def main(argv: list[str]) -> int:
     if "--table" in argv:
         print(rotation_table())
         return 0
-    ledger, stale = update_ledger()
-    print(f"ledger: {len(ledger)} green-recorded queries "
-          f"-> {os.path.relpath(LEDGER_PATH, REPO)}")
+    check_only = "--check" in argv
+    ledger, stale = fold_ledger() if check_only else update_ledger()
+    where = ("(read-only check)" if check_only
+             else f"-> {os.path.relpath(LEDGER_PATH, REPO)}")
+    print(f"ledger: {len(ledger)} green-recorded queries {where}")
     for q in stale:
         print(f"STALE: {q} changed since its round-"
               f"{ledger[q]['green_round']} green record — rotate it "
               "into the gate window")
-    if "--check" in argv and stale:
+    if check_only and stale:
         return 1
     return 0
 

@@ -534,9 +534,11 @@ def test_cdc_clamped_map_only_zero_exchanges(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from awskinesisconsumer_spark.operators.corpus_prep import xxhash64_col
+
     out = content_defined_chunks_clamped(
         docs, id_col="doc_id", text_col="text",
-        min_len=32, max_len=128,
+        min_len=32, max_len=128, hash_fn=xxhash64_col,
     )
     plan = _plan(out)
     assert "Exchange" not in plan, plan
