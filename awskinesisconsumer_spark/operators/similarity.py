@@ -557,6 +557,7 @@ def semantic_dedup_recall_audit(
     cell_cap: int | None = None,
     vectorized: bool = False,
     assign: str = "literal",
+    truth_max_rows: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup recall audit (r12 verdict item 2) — the family
     analogue of `dedup.dedup_recall_audit` (MinHash LSH) and
@@ -570,24 +571,36 @@ def semantic_dedup_recall_audit(
     a recall curve to tune against.
 
     Truth = `embedding_near_dup_pairs(planes=None)` — the exact
-    all-pairs self-join. That is O(n^2) ON PURPOSE: like the LSH
-    audit's caveat, run this on a sampled corpus slab at 100 TB —
-    the recall curve is a property of the quantizer geometry
-    (centroids, k, n_assign), not of corpus size, so a bounded slab
-    estimates it. Candidates = `semantic_near_dup_pairs` under
-    exactly the production parameters being audited.
+    all-pairs self-join. That is O(n^2) ON PURPOSE: the recall curve
+    is a property of the quantizer geometry (centroids, k, n_assign),
+    not of corpus size, so a bounded slab estimates it — and unlike
+    the docstring-only caveat it used to be, the bound is now
+    ENFORCED (r13 verdict item 2, the `max_anchors` pattern):
+    `truth_max_rows` (default 20k ≈ 2x10^8 cosine folds) raises
+    loudly when the input exceeds it, instead of silently launching a
+    corpus-sized quadratic join from inside a composed report. Hand
+    the audit a deterministic slab to stay under it — e.g.
+    `df.where(F.pmod(F.xxhash64(F.col(id)), F.lit(s)) == 0)`, which
+    is hash-spread and oracle-replayable — or pass
+    `truth_max_rows=None` to opt out deliberately. Candidates =
+    the cell-bounded miner under exactly the production parameters
+    being audited.
 
     Emitted per (n_assign, bucket_lo): n_true_pairs, n_caught,
     recall (4 dp). Candidate pairs are a SUBSET of truth by
     construction (same threshold, same scoring fold), so recall is
     exact, never > 1.
 
-    Known cost shape: the candidate mine runs once PER n_assign value
-    (a single mine at max(n) tagged with the minimal co-location rank
-    would serve every level, as the SQL twin does) — accepted because
-    the O(n^2) truth self-join dominates this audit by construction
-    and n_assign_values is 2-3 levels in practice; revisit if the
-    audit ever runs with many levels."""
+    Cost shape (r13 verdict item 6 — fixed): with `cell_cap=None`
+    the candidate mine runs ONCE at n = max(n_assign_values), each
+    pair tagged with its minimal co-location rank (`_cell_pairs
+    rank_col`); level n's caught set is then just `_colev <= n` over
+    one tiny (bucket, level) count table — exactly the shared-mine
+    shape the SQL twin always had, so the plan holds a single mine
+    however many levels are audited. With a `cell_cap` the per-level
+    cap pair (primary cap, widened cap = cell_cap x n) genuinely
+    differs per level, so the audit falls back to one mine per level
+    — capped audits are small by construction."""
     if not n_assign_values:
         raise ValueError(
             "semantic_dedup_recall_audit: n_assign_values must name "
@@ -598,6 +611,27 @@ def semantic_dedup_recall_audit(
             "semantic_dedup_recall_audit: n_assign levels must be "
             f">= 1, got {tuple(n_assign_values)}"
         )
+    if truth_max_rows is not None:
+        if truth_max_rows < 2:
+            raise ValueError(
+                "semantic_dedup_recall_audit: truth_max_rows must be "
+                f">= 2 (or None to opt out), got {truth_max_rows}"
+            )
+        # limit(k+1).count() stops scanning once the bound is
+        # disproven — never a full count of a corpus-sized input
+        over = df.limit(int(truth_max_rows) + 1).count()
+        if over > truth_max_rows:
+            raise ValueError(
+                "semantic_dedup_recall_audit: input has > "
+                f"{truth_max_rows} rows; the exact all-pairs truth "
+                "leg is O(n^2) and would launch a corpus-sized "
+                "quadratic join. Audit a deterministic slab instead "
+                "(e.g. df.where(F.pmod(F.xxhash64(id), F.lit(s)) == "
+                "0) — the recall curve is a property of the "
+                "quantizer, not of corpus size), or raise "
+                "truth_max_rows / pass truth_max_rows=None "
+                "deliberately."
+            )
     truth = embedding_near_dup_pairs(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold,
         planes=None,
@@ -612,6 +646,74 @@ def semantic_dedup_recall_audit(
     # assign=, degenerate centroids, ...) must not strand the
     # persisted truth table — the caching-module contract
     try:
+        if cell_cap is None:
+            # SINGLE MINE (r13 verdict item 6): mine once at the
+            # deepest audited level with membership ranks; every
+            # level's caught set is a filter over the one tiny
+            # (bucket, co-location level) count table, so the plan
+            # references exactly one mine regardless of how many
+            # levels are audited (plan-asserted in tests).
+            deepest = max(int(n) for n in n_assign_values)
+            if deepest == 1:
+                members = _assign_cells(
+                    df, vec_col=vec_col, centroids=centroids,
+                    assign=assign, caller="semantic_dedup_recall_audit",
+                ).select(
+                    F.col(id_col), F.col("cell"), F.col(vec_col),
+                    F.lit(1).alias("_rank"),
+                )
+            else:
+                members = _assign_cells_multi(
+                    df, vec_col=vec_col, centroids=centroids,
+                    assign=assign, n_assign=deepest,
+                    caller="semantic_dedup_recall_audit",
+                ).select(
+                    F.col(id_col),
+                    F.posexplode("cells").alias("_p", "cell"),
+                    F.col(vec_col),
+                ).withColumn("_rank", F.col("_p") + 1).drop("_p")
+            ranked = _cell_pairs(
+                members, id_col=id_col, vec_col=vec_col,
+                threshold=threshold, cell_cap=None,
+                vectorized=vectorized,
+                caller="semantic_dedup_recall_audit", rank_col="_rank",
+            )
+            caught = truth.join(ranked, ["id_a", "id_b"]).select(
+                bucket, "_colev"
+            )
+            cnt = caught.groupBy("bucket_lo", "_colev").agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            out = (
+                per_true.withColumn(
+                    "n_assign",
+                    F.explode(F.array(
+                        *[F.lit(int(n)) for n in n_assign_values]
+                    )),
+                )
+                .join(cnt, "bucket_lo", "left")
+                .groupBy("n_assign", "bucket_lo", "n_true_pairs")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(
+                            F.col("_colev") <= F.col("n_assign"),
+                            F.col("_c"),
+                        )),
+                        F.lit(0).cast("long"),
+                    ).alias("n_caught")
+                )
+                .select(
+                    "n_assign", "bucket_lo", "n_true_pairs", "n_caught",
+                    F.round(
+                        F.col("n_caught") / F.col("n_true_pairs"), 4
+                    ).alias("recall"),
+                )
+            )
+            from .caching import release_after
+
+            return release_after(out, truth)
+        # capped audit: the per-level cap pair (primary, widened =
+        # cell_cap x n) genuinely differs per level — one mine each
         parts = []
         for n in n_assign_values:
             cand = semantic_near_dup_pairs(
@@ -774,10 +876,21 @@ def _assign_cells_multi(df, *, vec_col, centroids, assign, n_assign,
 
 def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
                 vectorized, caller, cap_base=None,
-                cap_widened=None) -> DataFrame:
+                cap_widened=None, rank_col=None) -> DataFrame:
     """Cell-local near-dup pair mining shared by semantic_dedup /
     semantic_near_dup_pairs: `base` is (id, cell, vec); returns
     (id_a, id_b). See semantic_dedup for the contracts.
+
+    `rank_col` (optional, the recall audit's single-mine form — r13
+    verdict item 6): when `base` carries a 1-based membership rank
+    (1 = the member's primary cell, r = its r-th nearest), the mine
+    instead returns (id_a, id_b, _colev) where `_colev` = the MIN
+    over shared cells of GREATEST(rank_a, rank_b) — the smallest
+    n_assign level at which the pair is co-located. A pair is mined
+    by the level-n pass iff _colev <= n, so ONE mine at
+    n = max(levels) serves every audited level; the per-pair scoring
+    fold is byte-identical to the plain form, and the groupBy-min
+    subsumes the multi-membership dropDuplicates.
 
     `cap_base` / `cap_widened` (optional, n_assign > 1 callers): two
     cap conditions replace the single membership-count check —
@@ -830,17 +943,19 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
         import pandas as pd
 
         thr = float(threshold)
+        with_rank = rank_col is not None
 
         def cell_pairs(pdf):
             pdf = (
                 pdf[pdf[vec_col].notna()]
                 .sort_values(id_col).reset_index(drop=True)
             )
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
+            empty = {"id_a": pd.Series(dtype="int64"),
                      "id_b": pd.Series(dtype="int64")}
-                )
+            if with_rank:
+                empty["_lev"] = pd.Series(dtype="int32")
+            if len(pdf) < 2:
+                return pd.DataFrame(empty)
             m = np.array(
                 [[float(x) for x in v] for v in pdf[vec_col]],
                 dtype=np.float64,
@@ -849,31 +964,49 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
             ia, ib = np.nonzero(~np.isnan(sims) & (sims >= thr))
             keep = ia < ib  # sorted by id, so position order == id order
             ids = pdf[id_col].to_numpy()
-            return pd.DataFrame(
-                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
-            )
+            out = {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
+            if with_rank:
+                rk = pdf[rank_col].to_numpy()
+                out["_lev"] = np.maximum(
+                    rk[ia[keep]], rk[ib[keep]]
+                ).astype("int32")
+            return pd.DataFrame(out)
 
-        pairs = (
-            eligible.select("cell", id_col, vec_col)
-            .groupBy("cell")
-            .applyInPandas(cell_pairs, "id_a long, id_b long")
+        schema = ("id_a long, id_b long, _lev int" if with_rank
+                  else "id_a long, id_b long")
+        cols = ["cell", id_col, vec_col] + (
+            [rank_col] if with_rank else []
         )
+        pairs = (
+            eligible.select(*cols)
+            .groupBy("cell")
+            .applyInPandas(cell_pairs, schema)
+        )
+        if with_rank:
+            pairs = pairs.groupBy("id_a", "id_b").agg(
+                F.min("_lev").cast("int").alias("_colev")
+            )
     else:
         # norms are precomputed ONCE per row in the projections (the
         # per-pair expression then folds only the dot product — 3x
         # less interpreted-HOF work per candidate; float-identical to
         # inline norms, so the oracle's per-pair norm arithmetic
         # still matches)
-        left = eligible.select(
+        lcols = [
             F.col("cell"), F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("_va"),
             _norm(F.col(vec_col)).alias("_na"),
-        )
-        right = eligible.select(
+        ]
+        rcols = [
             F.col("cell"), F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("_vb"),
             _norm(F.col(vec_col)).alias("_nb"),
-        )
+        ]
+        if rank_col is not None:
+            lcols.append(F.col(rank_col).alias("_ra"))
+            rcols.append(F.col(rank_col).alias("_rb"))
+        left = eligible.select(*lcols)
+        right = eligible.select(*rcols)
         sim = _safe_div(_dot(F.col("_va"), F.col("_vb")),
                         F.col("_na") * F.col("_nb"))
         pairs = (
@@ -881,8 +1014,14 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine_sim", F.round(sim, 6))
             .where(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b")
         )
+        if rank_col is not None:
+            pairs = pairs.groupBy("id_a", "id_b").agg(
+                F.min(F.greatest("_ra", "_rb")).cast("int")
+                .alias("_colev")
+            )
+        else:
+            pairs = pairs.select("id_a", "id_b")
     return pairs
 
 
