@@ -5536,8 +5536,23 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("metric"),
         F.col("recall").alias("value"),
     )
+    # r14: per-lang mean token count with its stratified-bootstrap
+    # error bar (the proven ext-bootstrap-ci-grouped gate) — the
+    # report's per-group rows finally carry CI bounds, zero new
+    # arithmetic (the composition rule all other rows follow).
+    tokci = _bootstrap_ci_grouped(spark, sf)
+    tok_parts = [
+        tokci.select(
+            F.concat(F.lit(f"token_mean{tag}:"), F.col("group"))
+            .alias("metric"),
+            F.col(src).alias("value"),
+        )
+        for tag, src in (
+            ("", "estimate"), ("_ci_lo", "ci_lo"), ("_ci_hi", "ci_hi"),
+        )
+    ]
     out = n_docs
-    for part in (dups, kmv, overlap, recall, rbo, semrec):
+    for part in (dups, kmv, overlap, recall, rbo, semrec, *tok_parts):
         out = out.unionByName(part)
     return out
 
@@ -5686,6 +5701,29 @@ def _bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
     return bootstrap_ci(
         docs, id_col="doc_id", value_col="n_tokens", n_boot=200,
+    )
+
+
+def _bootstrap_ci_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Stratified Poisson-bootstrap CI (operators/evaluation.py
+    # bootstrap_ci_grouped — r13 verdict item 7): one CI row per
+    # LANGUAGE for the mean token count — the per-group error bar
+    # the dataset card / audit report per-group rows need. Same
+    # deterministic (id, salt, b) weight ladder as ext-bootstrap-ci
+    # (the weight never sees the group, so each stratum's resample
+    # replays the ungrouped draws exactly); the rank-and-bound stage
+    # is G x B rows partitioned by group.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = token_count(
+        load_table(spark, "documents", sf), text_col="text"
+    )
+    return bootstrap_ci_grouped(
+        docs, id_col="doc_id", value_col="n_tokens", group_col="lang",
+        n_boot=200,
     )
 
 
@@ -11908,6 +11946,49 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ci_lo, 6) AS ci_lo, ROUND(ci_hi, 6) AS ci_hi
         FROM tot CROSS JOIN bounds
     """
+    # Stratified bootstrap (r13 verdict item 7): the ungrouped twin
+    # with one extra group key threaded through every stage — the
+    # (id, salt, b) weight hash is SHARED verbatim (it never sees
+    # the group), so each stratum replays its ungrouped draws.
+    d["ext-bootstrap-ci-grouped"] = f"""
+        WITH base AS (
+          SELECT lang AS g, CAST(doc_id AS VARCHAR) AS id,
+                 CAST(len(regexp_extract_all(COALESCE(text, ''),
+                      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS v
+          FROM documents
+          WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        tot AS (SELECT g, COUNT(*) AS n_items, SUM(v) AS sum_v
+                FROM base GROUP BY g),
+        u AS (
+          SELECT g, b, v, ({_boot_u}) / 4503599627370496.0 AS u
+          FROM base CROSS JOIN
+               (SELECT unnest(range(0, 200)) AS b)),
+        wts AS (SELECT g, b, v, {_boot_w} AS w FROM u),
+        reps AS (SELECT g, b, SUM(w * v) AS wv, SUM(w) AS wn
+                 FROM wts GROUP BY g, b),
+        means AS (SELECT g, wv / CAST(wn AS DOUBLE) AS mean_b
+                  FROM reps WHERE wn > 0),
+        ranked AS (SELECT g, mean_b,
+                          ROW_NUMBER() OVER (PARTITION BY g
+                                             ORDER BY mean_b) AS r,
+                          COUNT(*) OVER (PARTITION BY g) AS B
+                   FROM means),
+        bounds AS (
+          SELECT g,
+            MIN(CASE WHEN r = GREATEST(CAST(CEIL(
+                       CAST(0.025 AS DOUBLE) * B) AS BIGINT), 1)
+                     THEN mean_b END) AS ci_lo,
+            MIN(CASE WHEN r = CAST(CEIL(CAST(0.975 AS DOUBLE) * B)
+                                   AS BIGINT)
+                     THEN mean_b END) AS ci_hi,
+            MAX(B) AS n_reps
+          FROM ranked GROUP BY g)
+        SELECT tot.g AS "group", n_items,
+               CAST(n_reps AS INT) AS n_boot,
+               ROUND(sum_v / CAST(n_items AS DOUBLE), 6) AS estimate,
+               ROUND(ci_lo, 6) AS ci_lo, ROUND(ci_hi, 6) AS ci_hi
+        FROM tot LEFT JOIN bounds ON tot.g = bounds.g
+    """
     # KS drift: every ECDF gap is a ratio of exact integer cumulative
     # counts; the alpha=0.05 coefficient literal is shared.
     d["ext-ks-drift"] = """
@@ -12143,6 +12224,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'semdedup_recall:n' || CAST(n_assign AS VARCHAR)
                || ':' || CAST(bucket_lo AS VARCHAR), recall
         FROM ({d["ext-dedup-semantic-recall"]})
+        UNION ALL
+        SELECT 'token_mean:' || "group", estimate
+        FROM ({d["ext-bootstrap-ci-grouped"]})
+        UNION ALL
+        SELECT 'token_mean_ci_lo:' || "group", ci_lo
+        FROM ({d["ext-bootstrap-ci-grouped"]})
+        UNION ALL
+        SELECT 'token_mean_ci_hi:' || "group", ci_hi
+        FROM ({d["ext-bootstrap-ci-grouped"]})
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col

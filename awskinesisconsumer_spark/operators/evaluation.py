@@ -251,6 +251,114 @@ def bootstrap_ci(
     )
 
 
+def bootstrap_ci_grouped(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    n_boot: int = 200,
+    conf: float = 0.95,
+    salt: str = "boot1",
+    hash_fn=None,
+) -> DataFrame:
+    """`bootstrap_ci` stratified by `group_col` (r13 verdict item 7):
+    one Poisson-bootstrap CI row PER GROUP — the per-source /
+    per-language error bar the dataset card and the audit report's
+    per-group rows actually need. Same deterministic ladder: each
+    (row, replicate) draws its Poisson(1) weight from the portable
+    hash of (id, salt, b) — identical to the ungrouped op, so a
+    single-group input replays `bootstrap_ci` exactly (pinned) and
+    each stratum's resample is independent of every other's by
+    construction (the weight never sees the group).
+
+    Scale shape: the one extra group key rides the existing
+    replicate agg (map-side-combined integer sums, keyed (group, b)
+    instead of (b)); the rank-and-bound stage is G x B rows
+    partitioned by group — never corpus-sized. Returns one row per
+    group: (group, n_items, n_boot, estimate, ci_lo, ci_hi), 6 dp.
+    A group whose every replicate draws zero total weight (only
+    plausible for single-digit-row strata) keeps its count/estimate
+    row with NULL bounds."""
+    from .dedup import portable_hash52
+
+    if hash_fn is None:
+        hash_fn = portable_hash52
+    if n_boot < 2:
+        raise ValueError(
+            f"bootstrap_ci_grouped: n_boot must be >= 2, got {n_boot}"
+        )
+    v = F.col(value_col)
+    base = df.where(
+        v.isNotNull() & F.col(id_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("string").alias("_id"),
+        v.cast("long").alias("_v"),
+    )
+    totals = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_v").alias("sum_v"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    u = hash_fn(
+        F.concat_ws("\x1f", F.col("_id"), F.lit(salt),
+                    F.col("b").cast("string"))
+    ) / F.lit(float(2 ** 52))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        base.select("_g", "_id", "_v", b)
+        .withColumn("_w", w.cast("long"))
+        .groupBy("_g", "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("wv"),
+            F.sum("_w").alias("wn"),
+        )
+        .select(
+            "_g",
+            # wn > 0 guard: ANSI mode raises on division by zero
+            F.when(F.col("wn") > 0, F.col("wv") / F.col("wn"))
+            .alias("mean_b"),
+        )
+        .where(F.col("mean_b").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("_g").orderBy("mean_b")),
+    ).withColumn(
+        "B", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+    # decimal-normalized tail mass — see bootstrap_ci
+    alpha = round((1.0 - conf) / 2.0, 9)
+    lo_r = F.ceil(F.lit(alpha) * F.col("B"))
+    hi_r = F.ceil(F.lit(1.0 - alpha) * F.col("B"))
+    bounds = ranked.groupBy("_g").agg(
+        F.min(F.when(F.col("r") == F.greatest(lo_r, F.lit(1)),
+                     F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == hi_r, F.col("mean_b"))).alias("ci_hi"),
+        F.max("B").alias("n_reps"),
+    )
+    return (
+        totals.join(bounds, "_g", "left")
+        .select(
+            F.col("_g").alias("group"),
+            "n_items",
+            F.col("n_reps").cast("int").alias("n_boot"),
+            F.round(
+                F.when(F.col("n_items") > 0,
+                       F.col("sum_v") / F.col("n_items")), 6
+            ).alias("estimate"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )
+
+
 def ks_statistic(
     df: DataFrame,
     *,

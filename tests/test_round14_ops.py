@@ -150,3 +150,51 @@ def test_recall_audit_capped_fallback_still_bounded(spark, _emb_cents):
     assert rows
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["n_caught"] <= r["n_true_pairs"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# verdict item 7: grouped/stratified bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_grouped_equals_per_group_ungrouped(spark):
+    # Stratification must be exact: each group's CI row equals
+    # running the ungrouped bootstrap_ci on that group's slice alone
+    # (the (id, salt, b) weight hash never sees the group, so the
+    # draws are identical).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci, bootstrap_ci_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+
+    docs = token_count(
+        _load(spark, SF_SMOKE, "documents"), text_col="text"
+    )
+    grouped = {
+        r["group"]: tuple(r)[1:]
+        for r in bootstrap_ci_grouped(
+            docs, id_col="doc_id", value_col="n_tokens",
+            group_col="lang", n_boot=50,
+        ).collect()
+    }
+    assert len(grouped) >= 2, "fixture must have >= 2 languages"
+    for g, want in grouped.items():
+        solo = bootstrap_ci(
+            docs.where(F.col("lang") == g),
+            id_col="doc_id", value_col="n_tokens", n_boot=50,
+        ).collect()
+        assert len(solo) == 1
+        assert tuple(solo[0]) == want, g
+
+
+def test_bootstrap_ci_grouped_validation(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci_grouped,
+    )
+
+    docs = _load(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_ci_grouped(
+            docs, id_col="doc_id", value_col="doc_id",
+            group_col="lang", n_boot=1,
+        )
