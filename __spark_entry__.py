@@ -5293,6 +5293,24 @@ def _simhash_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _char8_shingles(docs: DataFrame) -> DataFrame:
+    # THE shared 8-char shingle source (r13 README plan executed in
+    # r14): (lang, sh) rows via a narrow position-explode +
+    # substring — the one Spark-side fragment every KMV / MinHash
+    # source-overlap gate builds on, extracted so the stream/batch/
+    # SQL shingle parity hinges on a single definition instead of
+    # six drift-prone copies. Works on batch AND streaming frames
+    # (select/explode are stateless projections). Callers pre-filter
+    # length(text) >= 8 — shorter rows would yield an empty sequence
+    # either way, but the filter keeps the twin's WHERE clause
+    # load-bearing.
+    pos = docs.select(
+        "lang", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    return pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+
+
 def _distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # "How many distinct 8-char shingles do the en and fr slices
     # share?" via ONE bottom-k (KMV / theta-style) sketch pass
@@ -5313,11 +5331,7 @@ def _distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf).filter(
         F.col("lang").isin(["en", "fr"]) & (F.length("text") >= 8)
     )
-    pos = docs.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(docs)
     sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=256)
     return kmv_set_ops(sk, group_a="en", group_b="fr", k=256)
 
@@ -5389,11 +5403,7 @@ def _source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf).filter(F.length("text") >= 8)
-    pos = docs.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(docs)
     sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=128)
     return kmv_overlap_matrix(sk, k=128)
 
@@ -5428,11 +5438,7 @@ def _stream_distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
-    pos = stream.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(stream)
     q = kmv_sketch_stream(
         sh, key_col="sh", group_col="lang", k=256,
         out_path=out, checkpoint=ckpt,
@@ -5566,11 +5572,7 @@ def _kmv_lang_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf).filter(F.length("text") >= 8)
-    pos = docs.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(docs)
     sk = kmv_sketch(sh, key_col="sh", group_col="lang", k=128)
     return kmv_distinct_estimate(sk, k=128)
 
@@ -5608,11 +5610,7 @@ def _stream_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
-    pos = stream.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(stream)
     q = kmv_sketch_stream(
         sh, key_col="sh", group_col="lang", k=128,
         out_path=out, checkpoint=ckpt,
@@ -5788,11 +5786,7 @@ def _minhash_overlap(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf).filter(
         F.length("text") >= 8
     )
-    pos = docs.select(
-        "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
-    sh = pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
+    sh = _char8_shingles(docs)
     sig = minhash_group_sketch(
         sh, key_col="sh", group_col="lang", num_hashes=32,
         hash_fn=portable_hash52,
@@ -6981,6 +6975,15 @@ def oracle_sql() -> dict[str, str]:
     # conv(substring(md5(x),1,13),16,10) — verified bit-identical.
     def p52(expr: str) -> str:
         return f"('0x' || substr(md5({expr}), 1, 13))::BIGINT"
+
+    # The one SQL-side 8-char shingle position CTE body — the twin
+    # of the Spark-side _char8_shingles helper (r13 README plan):
+    # every KMV / MinHash source-overlap twin builds its `pos` CTE
+    # from this, so the stream/batch/SQL shingle parity hinges on a
+    # single definition on each side.
+    def sql_pos8(where: str) -> str:
+        return ("SELECT lang, text, unnest(range(1, len(text)-6)) "
+                f"AS i\n          FROM documents WHERE {where}")
 
     # HLL bias constant * m^2 (p=9): the SAME Python float literal the
     # Spark side bakes in via F.lit(hll_alpha(m) * m * m).
@@ -11701,9 +11704,7 @@ def oracle_sql() -> dict[str, str]:
     _KMV256, _KMV64 = kmv_numerator(256), kmv_numerator(64)
     d["ext-distinct-intersect"] = f"""
         WITH pos AS (
-          SELECT lang, text, unnest(range(1, len(text)-6)) AS i
-          FROM documents
-          WHERE lang IN ('en','fr') AND len(text) >= 8),
+          {sql_pos8("lang IN ('en','fr') AND len(text) >= 8")}),
         sh AS (
           SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
           FROM pos GROUP BY 1, 2),
@@ -11771,8 +11772,7 @@ def oracle_sql() -> dict[str, str]:
     _KMV128 = kmv_numerator(128)
     d["ext-source-overlap"] = f"""
         WITH pos AS (
-          SELECT lang, text, unnest(range(1, len(text)-6)) AS i
-          FROM documents WHERE len(text) >= 8),
+          {sql_pos8("len(text) >= 8")}),
         sh AS (
           SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
           FROM pos GROUP BY 1, 2),
@@ -12042,8 +12042,7 @@ def oracle_sql() -> dict[str, str]:
     _mh_sh52 = _SQL_H52.format(x="sh")
     d["ext-minhash-overlap"] = f"""
         WITH pos AS (
-          SELECT lang, text, unnest(range(1, length(text) - 6)) AS i
-          FROM documents WHERE length(text) >= 8),
+          {sql_pos8("len(text) >= 8")}),
         shn AS (SELECT lang, substr(text, i, 8) AS sh FROM pos),
         h AS (SELECT lang, ({_mh_sh52}) % 2147483647 AS h
               FROM shn WHERE sh IS NOT NULL),
@@ -12196,8 +12195,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'kmv_distinct_shingles:' || g, kmv_estimate FROM (
           WITH pos AS (
-            SELECT lang, text, unnest(range(1, len(text)-6)) AS i
-            FROM documents WHERE len(text) >= 8),
+            {sql_pos8("len(text) >= 8")}),
           sh AS (
             SELECT lang AS g, {p52("substr(text, i, 8)")} AS h
             FROM pos GROUP BY 1, 2),
