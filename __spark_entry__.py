@@ -5742,6 +5742,128 @@ def _ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ks_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # All-pairs KS drift matrix (operators/evaluation.py ks_matrix —
+    # r14): every unordered lang pair's two-sample D over the
+    # char-length distributions from ONE ECDF pass — ks_statistic
+    # generalized the way kmv_overlap_matrix generalizes kmv_set_ops;
+    # per pair the arithmetic replays the pairwise op exactly
+    # (pinned), so the ext-ks-drift row appears verbatim in this
+    # matrix. Grid bounded by distinct lengths x G, pair join G^2.
+    from awskinesisconsumer_spark.operators.evaluation import ks_matrix
+
+    docs = load_table(spark, "documents", sf).select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    return ks_matrix(docs, value_col="n_chars", group_col="lang")
+
+
+def _psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Population Stability Index (operators/evaluation.py psi_drift —
+    # r14) between the en and fr char-length distributions: 10
+    # equi-width bins over the UNION min/max, smoothed masses, the
+    # conventional 0.1 / 0.25 reading — the binned magnitude-
+    # interpretable companion to ext-ks-drift's shape test. The
+    # final sum is an ORDERED bin fold, so the twin replays it
+    # bit-for-bit (the RBO/embedding-pool rule).
+    from awskinesisconsumer_spark.operators.evaluation import psi_drift
+
+    docs = load_table(spark, "documents", sf).select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    return psi_drift(
+        docs, value_col="n_chars", group_col="lang",
+        group_a="en", group_b="fr", n_bins=10,
+    )
+
+
+def _chao1_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    # Chao1 vocabulary-richness estimate (operators/evaluation.py
+    # chao1_vocab — r14): the bias-corrected unseen-species lower
+    # bound D + f1*(f1-1)/(2*(f2+1)) from the term frequency-of-
+    # frequencies — "how many distinct terms would a bigger crawl
+    # show". Same tokenization as ext-vocabulary so the twin reuses
+    # the proven words_lower fragment; integer counts end-to-end,
+    # one float division in the final row.
+    from awskinesisconsumer_spark.operators.evaluation import chao1_vocab
+
+    docs = load_table(spark, "documents", sf)
+    return chao1_vocab(docs, text_col="text")
+
+
+def _eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    # Classifier calibration report (operators/evaluation.py
+    # classification_report — r14): per-class precision/recall/F1 +
+    # the __all__ accuracy row for the stopword-marker language-id
+    # predictor (ext-lang-id) against the documents table's actual
+    # lang labels — the report an LLM-judge / lang-id loop reads.
+    # Every metric is per-row arithmetic over integer counts (F1 via
+    # 2*TP/(n_pred+n_true) — no compounded float ratios); the twin
+    # composes the proven lang-id prediction CTE with integer-count
+    # SQL.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        classification_report,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text")
+    return classification_report(
+        pred, label_col="lang", pred_col="lang_pred"
+    )
+
+
+def _stream_eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming classifier-calibration maintenance (streaming/
+    # pipeline.py confusion_counts_stream — r14): each micro-batch
+    # of a genuinely multi-batch 3-file docs replay scores lang-id
+    # with the SHARED batch predictor and SUM-merges its (label,
+    # pred, n) confusion counts into the persisted state through the
+    # swap-rename + _bid protocol; counter sums are exactly
+    # associative, so the final state == one batch build and
+    # classification_report_from_counts over it == batch
+    # classification_report verbatim — the batch twin gates the
+    # stream (the cms/histogram streaming-state identity). State is
+    # label-cardinality-bounded, corpus-size-independent.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        classification_report_from_counts,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        confusion_counts_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("lang", "text")
+    src = tempfile.mkdtemp(prefix="conf_src_")
+    out = tempfile.mkdtemp(prefix="conf_out_")
+    ckpt = tempfile.mkdtemp(prefix="conf_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = language_id(stream, text_col="text")
+    q = confusion_counts_stream(
+        scored, label_col="lang", pred_col="lang_pred",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-confusion: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-confusion: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("label", "pred", "n")
+    return classification_report_from_counts(counts)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -5925,6 +6047,10 @@ def _semantic_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     # a SUBSET of truth by construction (same threshold, same
     # scoring fold), so the twin derives them from the truth pair
     # set with a shared-top-n-cell EXISTS instead of re-scoring.
+    # r14 (re-gated): the truth leg is now LOUDLY bounded
+    # (truth_max_rows, r13 verdict item 2) and the candidate side is
+    # ONE rank-tagged mine at max(n_assign) serving every level
+    # (verdict item 6) — same output, plan-asserted single mine.
     from awskinesisconsumer_spark.operators.similarity import (
         ivf_centroids_from_sample, semantic_dedup_recall_audit,
     )
@@ -5969,33 +6095,27 @@ def _semantic_dedup_multi(spark: SparkSession, sf: str) -> DataFrame:
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    # r13 first wave — the r12 verdict brief: the SemDeDup recall
-    # audit (the one documented-but-unmeasured trade left in the
-    # dedup stack) and the build-side multi-probe that buys the
-    # missed cross-cell recall back.
-    "ext-dedup-semantic-recall", "ext-dedup-semantic-multi",
-    # streaming KMV overlap: the final complete-mode sketch state fed
-    # through kmv_overlap_matrix, batch twin shared verbatim (the
-    # bottom-k-of-union identity).
-    "stream-source-overlap",
-    # streaming sum-merged sketch maintenance for the two remaining
-    # batch-only sketch families — CMS heavy hitters and histogram
-    # quantiles — batch twins shared verbatim (counter-sum
-    # associativity).
-    "stream-heavy-hitters", "stream-histogram-quantile",
-    # r13 second wave: evaluation statistics (inter-rater agreement,
-    # Poisson-bootstrap CI, KS drift) + the group-MinHash sketch
-    # family (shard merge identity + all-pairs Jaccard matrix) +
-    # readability scoring.
-    "ext-rater-kappa", "ext-fleiss-kappa", "ext-bootstrap-ci",
-    "ext-ks-drift", "ext-minhash-shard-merge", "ext-minhash-overlap",
-    "ext-readability",
-    # CHANGED this round, re-gated inside the window: ext-audit-report
-    # gained the SemDeDup-recall health rows (entry + twin both
-    # extended); stream-dedup-semantic rides the semantic_dedup_apply
-    # broadcast_reps="auto" default (same output, new join-strategy
-    # decision — re-gated so the r13 snapshot certifies the new path).
-    "ext-audit-report", "stream-dedup-semantic",
+    # CHANGED in r14, re-gated inside the window:
+    # ext-dedup-semantic-recall (truth_max_rows guard + single-mine
+    # multi-level, r13 verdict items 2+6); ext-audit-report (gained
+    # the per-lang token_mean CI rows from the new grouped
+    # bootstrap); the five KMV/MinHash shingle-family entries whose
+    # Spark fragments now call the shared _char8_shingles helper
+    # (r13 README plan — the extraction the fingerprint pin was
+    # waiting for).
+    "ext-dedup-semantic-recall", "ext-audit-report",
+    "ext-distinct-intersect", "ext-source-overlap",
+    "stream-distinct-intersect", "stream-source-overlap",
+    "ext-minhash-overlap",
+    # NEW in r14 — the evaluation & drift completion wave:
+    # stratified bootstrap CI (r13 verdict item 7), the lang-id
+    # classification report (batch + SUM-merged streaming state on
+    # the swap-rename/_bid protocol), Chao1 vocabulary richness, the
+    # all-pairs KS drift matrix, and PSI drift with an ordered bin
+    # fold.
+    "ext-bootstrap-ci-grouped", "ext-eval-confusion",
+    "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
+    "ext-psi-drift",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6010,42 +6130,16 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r13 rotation plan: ALL 34 remaining r8-record ledger veterans
-# (GATE_LEDGER.json green_round == 8 as of round start), alphabetical
-# — including the 7 that slipped past position 50 in r12. queries()
-# asserts at call time that GATE_NEW_THIS_ROUND + ROWS_ONLY_BY_DESIGN
-# + R13_ROTATION is EXACTLY the 50-entry gate window, so the
-# documented rotation can never overstate what the window holds
-# again (r12 verdict item 1 — the r12 comment promised 21 veterans
-# and the window held 10).
-R13_ROTATION = (
-    "ext-dedup-incremental", "ext-dedup-recall",
-    "ext-dedup-span-removal", "ext-domain-cap-topk", "ext-dup-spans",
-    "ext-frame-sample", "ext-html-strip", "ext-interleave-mixture",
-    "ext-pack-nofragment", "ext-pagerank-dups",
-    "ext-perplexity-bigram", "ext-quality-blend", "ext-rank-fusion",
-    "ext-scd2-asof", "ext-shuffle-order", "ext-tokenize-pack",
-    "ext-tokenizer-fertility", "ext-validate-expectations",
-    "ext-vocab-coverage", "ext-winsorize", "ext-word-entropy",
-    "join-asof-backward", "join-asof-nearest", "join-asof-tags",
-    "sample-throttle-time", "scan-element-callback",
-    "sink-manifest-commit", "sink-memory-bounded",
-    "stream-corpus-drift", "stream-frame-sample",
-    "stream-manifest-sink", "stream-pause-resume",
-    "stream-quality-blend", "stream-vocab-coverage",
-)
-
-# The r14 plan of record (written at r13 close, derived from
-# GATE_LEDGER green_round == 9 — 49 entries, one more than a window
-# can hold alongside new work, so the r9 cohort SPLITS r14+r15; the
-# freshness invariant only requires all r9 records re-gated by r15).
-# r14's window should be: GATE_NEW_r14 + the 2 rows-only residents +
-# as many of these as fit, taken IN ORDER (alphabetical); r15 takes
-# the remainder plus the r10 cohort's head. Keep GATE_NEW_r14 small
-# enough that at least ~25 fit. Also due when the r12 KMV entries
-# rotate (r15+, green_round 12): extract the 6x-duplicated 8-char
-# shingle fragment into one shared helper (README r13 section).
-R14_ROTATION_CANDIDATES = (
+# The r14 rotation: the oldest 35 of the 49 r9-record ledger
+# veterans (GATE_LEDGER.json green_round == 9 at round start),
+# alphabetical — the head of the r13-pinned R14 plan of record.
+# 13 new/changed + 2 rows-only + 35 veterans == exactly 50;
+# queries() ASSERTS head == plan at call time (the r12 verdict
+# item 1 rule), so this comment cannot overstate the window. The
+# remaining 14 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# re-gate in r15 (freshness: no record older than 5 rounds behind
+# newest — r9 is exactly 5 behind after r14's snapshot lands).
+R14_ROTATION = (
     "agg-distinct-users", "agg-percentiles", "agg-pricing-summary",
     "agg-rollup-revenue", "agg-salted-sum", "agg-tumbling-window",
     "ext-bpe-encode", "ext-cdc-chunk-clamped", "ext-decontaminate",
@@ -6060,6 +6154,15 @@ R14_ROTATION_CANDIDATES = (
     "ext-sentence-decontaminate", "ext-sentence-split",
     "ext-similarity-ann", "ext-similarity-ivf",
     "ext-similarity-ivf-kmeans", "ext-similarity-knn",
+)
+
+# The r15 plan of record (written at r14 close): the window MUST
+# hold all 14 of these (the r9-cohort remainder — the freshness
+# invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
+# the 2 rows-only residents; fill what remains with the head of the
+# 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
+# — that cohort must finish re-gating by r16.
+R15_ROTATION_CANDIDATES = (
     "ext-text-stats", "ext-tfidf-terms", "ext-token-count",
     "ext-vocabulary", "id-assign-monotonic", "join-revenue-by-nation",
     "join-semi-anti", "json-extract-props", "query-last-row",
@@ -6086,11 +6189,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     out = {
-        # -- NEW in round 13 (the r12 verdict brief): the SemDeDup
-        #    recall audit + the n_assign=2 multi-probe dedup form.
+        # -- CHANGED in r14, re-gated (see GATE_NEW_THIS_ROUND):
+        #    the recall audit (truth guard + single mine), the
+        #    audit report (per-lang token CI rows), and the five
+        #    shingle-family entries on the shared _char8_shingles
+        #    helper.
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
-        "ext-dedup-semantic-multi": _semantic_dedup_multi,
+        "ext-audit-report": _audit_report,
+        "ext-distinct-intersect": _distinct_intersect,
+        "ext-source-overlap": _source_overlap,
+        "stream-distinct-intersect": _stream_distinct_intersect,
         "stream-source-overlap": _stream_source_overlap,
+        "ext-minhash-overlap": _minhash_overlap,
+        # -- NEW in round 14: the evaluation & drift completion
+        #    wave (stratified bootstrap CI, lang-id classification
+        #    report batch + streaming state, Chao1 richness, KS
+        #    matrix, PSI drift).
+        "ext-bootstrap-ci-grouped": _bootstrap_ci_grouped,
+        "ext-eval-confusion": _eval_confusion,
+        "stream-eval-confusion": _stream_eval_confusion,
+        "ext-chao1-vocab": _chao1_vocab,
+        "ext-ks-matrix": _ks_matrix,
+        "ext-psi-drift": _psi_drift,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the r14 rotation (R14_ROTATION): the oldest 35 of
+        #    the 49 r9-record veterans, alphabetical; the other 14
+        #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
+        #    13 new/changed + 2 rows-only + 35 == exactly 50;
+        #    queries() asserts head == plan at call time.
+        "agg-distinct-users": _distinct_users,
+        "agg-percentiles": _percentiles,
+        "agg-pricing-summary": _pricing_summary,
+        "agg-rollup-revenue": _rollup_revenue,
+        "agg-salted-sum": _salted_sum,
+        "agg-tumbling-window": _tumbling_window,
+        "ext-bpe-encode": _bpe_encode,
+        "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
+        "ext-decontaminate": _decontaminate,
+        "ext-dedup-embedding": _embedding_dedup,
+        "ext-dedup-exact": _dedup_exact,
+        "ext-dedup-keep-best": _dedup_keep_best,
+        "ext-dedup-lines": _dedup_lines,
+        "ext-dedup-ngram-jaccard": _ngram_jaccard,
+        "ext-dedup-simhash": _simhash,
+        "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
+        "ext-domain-cap": _domain_cap,
+        "ext-embedding-whiten": _embedding_whiten,
+        "ext-fingerprint": _fingerprint,
+        "ext-layout-corpus": _layout_corpus,
+        "ext-mixture-allocate": _mixture_allocate,
+        "ext-mixture-expand": _mixture_expand,
+        "ext-multimodal-png": _multimodal_png,
+        "ext-multimodal-wav": _multimodal_wav,
+        "ext-prepare-corpus": _prepare_corpus,
+        "ext-quality-repetition": _repetition,
+        "ext-quality-score": _quality,
+        "ext-sample-stratified": _sample_stratified,
+        "ext-semantic-decontaminate": _semantic_decontaminate,
+        "ext-sentence-decontaminate": _sentence_decontaminate,
+        "ext-sentence-split": _sentence_split,
+        "ext-similarity-ann": _ann_lsh,
+        "ext-similarity-ivf": _ann_ivf,
+        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
+        "ext-similarity-knn": _knn,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r13 records (last round's new/changed, green r13):
+        "ext-dedup-semantic-multi": _semantic_dedup_multi,
         "stream-heavy-hitters": _stream_heavy_hitters,
         "stream-histogram-quantile": _stream_hist_quantiles,
         "ext-rater-kappa": _rater_kappa,
@@ -6098,23 +6269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-bootstrap-ci": _bootstrap_ci,
         "ext-ks-drift": _ks_drift,
         "ext-minhash-shard-merge": _minhash_shard_merge,
-        "ext-minhash-overlap": _minhash_overlap,
         "ext-readability": _readability,
-        # -- CHANGED this round, re-gated (see GATE_NEW_THIS_ROUND):
-        "ext-audit-report": _audit_report,
         "stream-dedup-semantic": _stream_dedup_semantic,
-        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
-        #    live inside the window permanently so their weaker
-        #    rows-only check is refreshed every round.
-        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
-        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r13 rotation (R13_ROTATION): ALL 34 remaining
-        #    r8-record veterans, alphabetical — including the 7 that
-        #    slipped past position 50 in r12. 14 new/changed + 2
-        #    rows-only + 34 veterans == exactly 50; queries() ASSERTS
-        #    head == plan at call time, so this comment can never
-        #    overstate what the window holds (r12 verdict item 1).
-        #    After this round no ledger record is older than r9.
+        # -- the r13-rotated veterans (green r13):
         "ext-dedup-incremental": _dedup_incremental,
         "ext-dedup-recall": _dedup_recall,
         "ext-dedup-span-removal": _dedup_span_removal,
@@ -6149,10 +6306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-pause-resume": _stream_pause_resume,
         "stream-quality-blend": _stream_quality_blend,
         "stream-vocab-coverage": _stream_vocab_coverage,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
         # -- r12 registrations (ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
@@ -6163,17 +6316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-similarity-ivf-kmeans-table": _ann_ivf_kmeans_table,
         "ext-similarity-ivf-table": _ann_ivf_table,
         "ext-similarity-ivf-pq-table": _ann_ivf_pq_table,
-        # -- CHANGED in round 12 (r11 ADVICE fixes in the operator
-        #    modules: budget_select NaN->NULL sentinel, token-quota /
-        #    pack-sequences negative-token algebra, the contrastive
-        #    max_anchors guard, semantic_dedup's assign= parameter) —
-        #    re-gated inside the window.
-        # -- r12 third wave: the KMV sketch family + retrieval metrics.
-        "ext-distinct-intersect": _distinct_intersect,
         "ext-kmv-merge": _kmv_merge,
         "ext-retrieval-metrics": _retrieval_metrics,
-        "stream-distinct-intersect": _stream_distinct_intersect,
-        "ext-source-overlap": _source_overlap,
         "ext-rank-overlap": _rank_overlap,
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
@@ -6305,45 +6449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
         "ext-embedding-pool": _embedding_pool,
-        # -- r9 records --
-        "ext-multimodal-wav": _multimodal_wav,
-        "ext-multimodal-png": _multimodal_png,
         "sink-png-files": _sink_png_files,
-        "ext-layout-corpus": _layout_corpus,
-        "ext-sentence-split": _sentence_split,
-        "ext-dedup-simhash-pairs": _dedup_simhash_pairs,
-        "ext-mixture-expand": _mixture_expand,
-        "ext-embedding-whiten": _embedding_whiten,
-        "ext-cdc-chunk-clamped": _cdc_chunk_clamped,
-        "ext-sentence-decontaminate": _sentence_decontaminate,
-        "ext-dedup-keep-best": _dedup_keep_best,
         "stream-sentence-decontaminate": _stream_sentence_decontaminate,
-        "agg-pricing-summary": _pricing_summary,
         "join-revenue-by-nation": _revenue_by_nation,
-        "ext-dedup-exact": _dedup_exact,
-        "ext-fingerprint": _fingerprint,
-        "ext-similarity-knn": _knn,
-        "ext-dedup-embedding": _embedding_dedup,
-        "ext-similarity-ann": _ann_lsh,
-        "ext-similarity-ivf": _ann_ivf,
-        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
-        "ext-dedup-simhash": _simhash,
-        "ext-dedup-ngram-jaccard": _ngram_jaccard,
-        "ext-dedup-lines": _dedup_lines,
-        "ext-quality-repetition": _repetition,
-        "ext-decontaminate": _decontaminate,
-        "ext-prepare-corpus": _prepare_corpus,
-        "ext-sample-stratified": _sample_stratified,
         "ext-vocabulary": _vocabulary,
         "ext-text-stats": _text_stats,
-        "ext-quality-score": _quality,
         "ext-tfidf-terms": _tfidf_terms,
-        "ext-mixture-allocate": _mixture_allocate,
-        "agg-percentiles": _percentiles,
-        "agg-rollup-revenue": _rollup_revenue,
-        "agg-tumbling-window": _tumbling_window,
-        "agg-distinct-users": _distinct_users,
-        "agg-salted-sum": _salted_sum,
         "topk-customers": _topk_customers,
         "join-semi-anti": _semi_anti,
         "json-extract-props": _props_json,
@@ -6352,13 +6463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query-last-row": _last,
         "id-assign-monotonic": _mono_id,
         "ext-token-count": _token_count,
-        "ext-bpe-encode": _bpe_encode,
-        "ext-domain-cap": _domain_cap,
-        "ext-semantic-decontaminate": _semantic_decontaminate,
     }
     # Composed-at-call window assertion (r12 verdict item 1): the
     # documented rotation plan IS the gate window, exactly.
-    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R13_ROTATION)
+    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R14_ROTATION)
     assert len(plan) == 50, f"window plan is {len(plan)} entries, not 50"
     head = list(out)[:50]
     assert head == list(plan), (
@@ -12022,6 +12130,180 @@ def oracle_sql() -> dict[str, str]:
                AS drifted
         FROM agg
     """
+    # r14: all-pairs KS matrix — per pair the ext-ks-drift arithmetic
+    # verbatim, ECDFs from one pass over a (values x groups) grid.
+    d["ext-ks-matrix"] = """
+        WITH two AS (
+          SELECT lang AS g, length(text) AS val FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL),
+        counts AS (SELECT g, val, COUNT(*) AS c FROM two GROUP BY g, val),
+        grid AS (SELECT v.val, gg.g
+                 FROM (SELECT DISTINCT val FROM counts) v
+                 CROSS JOIN (SELECT DISTINCT g FROM counts) gg),
+        filled AS (SELECT grid.g, grid.val, COALESCE(c, 0) AS c
+                   FROM grid LEFT JOIN counts
+                     ON counts.g = grid.g AND counts.val = grid.val),
+        ecdf AS (SELECT g, val,
+                   SUM(c) OVER (PARTITION BY g ORDER BY val
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY g) AS n
+                 FROM filled),
+        pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+                    MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+                    MAX(CASE WHEN a.n > 0 AND b.n > 0 THEN
+                        ABS(a.cum / CAST(a.n AS DOUBLE)
+                            - b.cum / CAST(b.n AS DOUBLE)) END) AS d
+                  FROM ecdf a JOIN ecdf b
+                    ON a.val = b.val AND a.g < b.g
+                  GROUP BY a.g, b.g)
+        SELECT group_a, group_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(d, 6) AS d_stat,
+               ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 1.3581015157406195
+                 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)) END,
+                 6) AS d_crit,
+               d > 1.3581015157406195
+                   * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE))
+               AS drifted
+        FROM pairs
+    """
+    # r14: PSI drift — shared equi-width edges over the union
+    # min/max, 0.5-smoothed masses, final sum an ORDERED bin fold
+    # (the RBO/embedding-pool list_reduce rule).
+    d["ext-psi-drift"] = """
+        WITH two AS (
+          SELECT lang AS g, CAST(length(text) AS DOUBLE) AS v
+          FROM documents
+          WHERE text IS NOT NULL AND lang IN ('en', 'fr')),
+        span AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM two),
+        binned AS (
+          SELECT CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10))
+                                 AS INT), 9) END AS bin,
+                 SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS cb
+          FROM two CROSS JOIN span GROUP BY 1),
+        all_bins AS (SELECT unnest(range(0, 10)) AS bin),
+        full_b AS (SELECT ab.bin, COALESCE(ca, 0) AS ca,
+                          COALESCE(cb, 0) AS cb
+                   FROM all_bins ab
+                   LEFT JOIN binned ON binned.bin = ab.bin),
+        agg AS (SELECT
+            list(struct_pack(bin := bin, ca := ca, cb := cb)
+                 ORDER BY bin) AS arr,
+            SUM(ca) AS n_a, SUM(cb) AS n_b
+          FROM full_b),
+        folded AS (SELECT
+            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              ((x.ca + 0.5) / (n_a + 5.0)
+               - (x.cb + 0.5) / (n_b + 5.0))
+              * ln(((x.ca + 0.5) / (n_a + 5.0))
+                   / ((x.cb + 0.5) / (n_b + 5.0))))),
+              (acc, t) -> acc + t) AS psi
+          FROM agg)
+        SELECT n_a, n_b, 10 AS n_bins, ROUND(psi, 6) AS psi,
+               CASE WHEN psi < 0.1 THEN 'stable'
+                    WHEN psi < 0.25 THEN 'moderate'
+                    ELSE 'shifted' END AS drift_level
+        FROM folded
+    """
+    # r14: Chao1 vocabulary richness — the ext-vocabulary
+    # tokenization fragment, folded to frequency-of-frequencies
+    # integer sums; one float division in the final row.
+    d["ext-chao1-vocab"] = f"""
+        WITH w AS (SELECT {words_lower} AS words FROM documents),
+        t AS (SELECT UNNEST(words) AS term FROM w),
+        c AS (SELECT term, COUNT(*) AS n FROM t
+              WHERE term <> '' GROUP BY term),
+        a AS (SELECT SUM(n) AS n_tokens, COUNT(*) AS vocab_size,
+                     SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+                     SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+              FROM c)
+        SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(vocab_size AS BIGINT) AS vocab_size,
+               CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+               ROUND(vocab_size
+                     + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 4)
+                 AS chao1_est
+        FROM a
+    """
+    # r14: classification report — the proven ext-lang-id prediction
+    # CTE composed with integer-count precision/recall/F1 (F1 via
+    # 2*TP/(n_pred+n_true), no compounded float ratios) + the
+    # __all__ accuracy row. The streaming form SUM-merges the same
+    # (label, pred, n) counts, so this twin gates it verbatim.
+    d["ext-eval-confusion"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred
+          FROM s WHERE lang IS NOT NULL),
+        cnt AS (SELECT label, pred, COUNT(*) AS n
+                FROM pl GROUP BY 1, 2),
+        truec AS (SELECT label AS cls, SUM(n) AS n_true
+                  FROM cnt GROUP BY 1),
+        predc AS (SELECT pred AS cls, SUM(n) AS n_pred
+                  FROM cnt GROUP BY 1),
+        tpc AS (SELECT label AS cls, n AS tp
+                FROM cnt WHERE label = pred),
+        per AS (
+          SELECT COALESCE(truec.cls, predc.cls) AS cls,
+                 COALESCE(n_true, 0) AS n_true,
+                 COALESCE(n_pred, 0) AS n_pred,
+                 COALESCE(tp, 0) AS tp
+          FROM truec FULL JOIN predc ON truec.cls = predc.cls
+          LEFT JOIN tpc
+            ON tpc.cls = COALESCE(truec.cls, predc.cls)),
+        rows_ AS (
+          SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+                 CAST(n_pred AS BIGINT) AS n_pred,
+                 CAST(tp AS BIGINT) AS tp,
+                 ROUND(CASE WHEN n_pred > 0
+                       THEN tp / CAST(n_pred AS DOUBLE) END, 6)
+                   AS "precision",
+                 ROUND(CASE WHEN n_true > 0
+                       THEN tp / CAST(n_true AS DOUBLE) END, 6)
+                   AS recall,
+                 ROUND(CASE WHEN n_pred + n_true > 0
+                       THEN 2.0 * tp / (n_pred + n_true) END, 6)
+                   AS f1
+          FROM per),
+        micro AS (
+          SELECT '__all__' AS cls,
+                 CAST(SUM(n_true) AS BIGINT) AS n_true,
+                 CAST(SUM(n_true) AS BIGINT) AS n_pred,
+                 CAST(SUM(tp) AS BIGINT) AS tp,
+                 ROUND(CASE WHEN SUM(n_true) > 0 THEN
+                   SUM(tp) / CAST(SUM(n_true) AS DOUBLE) END, 6)
+                   AS "precision",
+                 ROUND(CASE WHEN SUM(n_true) > 0 THEN
+                   SUM(tp) / CAST(SUM(n_true) AS DOUBLE) END, 6)
+                   AS recall,
+                 ROUND(CASE WHEN SUM(n_true) > 0 THEN
+                   SUM(tp) / CAST(SUM(n_true) AS DOUBLE) END, 6)
+                   AS f1
+          FROM per)
+        SELECT * FROM rows_ UNION ALL SELECT * FROM micro
+    """
+    # streaming form: SUM-merged state + the factored batch final
+    # stage == the batch build (counter-sum associativity), so the
+    # batch twin gates the stream verbatim.
+    d["stream-eval-confusion"] = d["ext-eval-confusion"]
     # --- r13 group-MinHash sketch family (operators/dedup.py) ---
     # Shard merge is min-of-mins (exact), so the oracle replays the
     # GLOBAL build — the ext-kmv-merge gate pattern. Same permutation

@@ -434,3 +434,328 @@ def ks_statistic(
         F.round(crit, 6).alias("d_crit"),
         (F.col("_d") > crit).alias("drifted"),
     )
+
+
+def confusion_counts(
+    df: DataFrame, *, label_col: str, pred_col: str,
+) -> DataFrame:
+    """(label, pred, n) integer confusion counts — the mergeable
+    state behind `classification_report`. Counter sums are exactly
+    associative, so the streaming maintainer
+    (`streaming.pipeline.confusion_counts_stream`) SUM-merges this
+    per micro-batch and the final state is bit-identical to one
+    batch build over the union of arrivals — the cms/histogram
+    streaming-state pattern applied to classifier calibration.
+
+    Scale shape: one map-side-combined groupBy; the table is bounded
+    by (label cardinality) x (pred cardinality), never corpus rows.
+    """
+    lab, pr = F.col(label_col), F.col(pred_col)
+    return (
+        df.where(lab.isNotNull() & pr.isNotNull())
+        .groupBy(
+            lab.cast("string").alias("label"),
+            pr.cast("string").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def classification_report_from_counts(counts: DataFrame) -> DataFrame:
+    """Per-class precision / recall / F1 from a (label, pred, n)
+    confusion-count table (see `confusion_counts`) — the LLM-judge /
+    lang-id calibration report. One row per class seen as label OR
+    prediction, plus the '__all__' micro row (accuracy; for
+    single-label classification micro-P = micro-R = micro-F1 =
+    accuracy).
+
+    Every metric derives from integer counts in per-row arithmetic —
+    F1 uses the identity F1 = 2*TP / (n_pred + n_true), so no
+    intermediate float ratios compound (the module rule). Returns
+    (cls, n_true, n_pred, tp, precision, recall, f1), 6 dp; a class
+    absent from predictions gets NULL precision (0/0), absent from
+    labels NULL recall.
+    """
+    truec = counts.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").alias("n_true")
+    )
+    predc = counts.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tpc = counts.where(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    zero = F.lit(0).cast("long")
+    per = (
+        truec.join(predc, "cls", "full")
+        .join(tpc, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", zero).alias("n_true"),
+            F.coalesce("n_pred", zero).alias("n_pred"),
+            F.coalesce("tp", zero).alias("tp"),
+        )
+    )
+    # ANSI-safe guards: 0/0 stays NULL instead of raising
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(
+        (F.col("n_pred") + F.col("n_true")) > 0,
+        2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+    )
+    rows = per.select(
+        "cls", "n_true", "n_pred", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    # micro row: integer sums over the tiny class table
+    acc = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    micro = per.agg(
+        F.sum("n_true").alias("n_true"), F.sum("tp").alias("tp")
+    ).select(
+        F.lit("__all__").alias("cls"),
+        F.col("n_true"),
+        F.col("n_true").alias("n_pred"),
+        "tp",
+        F.round(acc, 6).alias("precision"),
+        F.round(acc, 6).alias("recall"),
+        F.round(acc, 6).alias("f1"),
+    )
+    return rows.unionByName(micro)
+
+
+def classification_report(
+    df: DataFrame, *, label_col: str, pred_col: str,
+) -> DataFrame:
+    """`confusion_counts` -> `classification_report_from_counts` in
+    one call — see those for the contracts. The factoring is the
+    streaming guarantee: stream state feeds the literal batch final
+    stage, so the batch twin gates the stream verbatim."""
+    return classification_report_from_counts(
+        confusion_counts(df, label_col=label_col, pred_col=pred_col)
+    )
+
+
+def chao1_vocab(df: DataFrame, *, text_col: str) -> DataFrame:
+    """Chao1 species-richness estimate of the corpus vocabulary
+    (Chao 1984; the standard "how many distinct terms would an
+    infinite corpus show" lower bound): from the term
+    frequency-of-frequencies, chao1 = D + f1*(f1-1) / (2*(f2+1)) —
+    the bias-corrected form, defined even when no term occurs
+    exactly twice. The coverage companion to `vocab_coverage`: it
+    estimates the UNSEEN vocabulary mass a bigger crawl would add.
+
+    Same tokenization as `text.top_terms` (lowercased whitespace
+    split, empty terms dropped) so the twin reuses the proven
+    fragment. One map-side-combined groupBy(term) then a
+    constant-size aggregate of integer counts; the float division
+    happens once, in the final row (the module rule). Returns ONE
+    row: (n_tokens, vocab_size, f1, f2, chao1_est 4 dp).
+    """
+    from .text import _words
+
+    counts = (
+        df.select(F.explode(_words(F.lower(F.col(text_col))))
+                  .alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = F.count(F.lit(1))
+    f1 = F.sum((F.col("n") == 1).cast("long"))
+    f2 = F.sum((F.col("n") == 2).cast("long"))
+    return counts.agg(
+        F.sum("n").alias("n_tokens"),
+        d.alias("vocab_size"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    ).select(
+        "n_tokens", "vocab_size", "f1", "f2",
+        F.round(
+            F.col("vocab_size")
+            + (F.col("f1") * (F.col("f1") - 1))
+            / (2.0 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1_est"),
+    )
+
+
+def ks_matrix(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    alpha_coef: float = KS_COEF_05,
+) -> DataFrame:
+    """All-pairs two-sample KS drift matrix over the groups of
+    `group_col` — `ks_statistic` generalized the way
+    `kmv_overlap_matrix` generalizes `kmv_set_ops`: every group's
+    ECDF comes from ONE pass, then every unordered pair's D is a
+    G^2-bounded join. Per pair the arithmetic is identical to
+    `ks_statistic(group_a, group_b)` (pinned), so each row replays
+    the pairwise op exactly.
+
+    Scale shape: groupBy(group, value) counts, then a (distinct
+    values x groups) grid for the cumulative sums — bounded by value
+    cardinality x G, never corpus rows (quantize continuous metrics
+    first, the ks_statistic rule); the pair join carries that grid
+    keyed on value with a G^2 output. The grid crossJoin is the
+    bounded small-x-small pattern (values x groups), not a corpus
+    cartesian. Returns one row per unordered pair:
+    (group_a, group_b, n_a, n_b, d_stat, d_crit, drifted).
+    """
+    from pyspark.sql import Window
+
+    g, v = F.col(group_col), F.col(value_col)
+    counts = (
+        df.where(v.isNotNull() & g.isNotNull())
+        .groupBy(g.cast("string").alias("g"), v.alias("val"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vals = counts.select("val").distinct()
+    groups = counts.select("g").distinct()
+    filled = (
+        vals.crossJoin(F.broadcast(groups))
+        .join(counts, ["g", "val"], "left")
+        .select("g", "val", F.coalesce("c", F.lit(0).cast("long"))
+                .alias("c"))
+    )
+    wcum = Window.partitionBy("g").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("g")
+    ecdf = filled.select(
+        "g", "val",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    a = ecdf.select(
+        F.col("g").alias("group_a"), "val",
+        F.col("cum").alias("cum_a"), F.col("n").alias("n_a"),
+    )
+    b = ecdf.select(
+        F.col("g").alias("group_b"), F.col("val").alias("val_b"),
+        F.col("cum").alias("cum_b"), F.col("n").alias("n_b"),
+    )
+    gap = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.abs(F.col("cum_a") / F.col("n_a")
+              - F.col("cum_b") / F.col("n_b")),
+    )
+    pairs = (
+        a.join(b, (F.col("val") == F.col("val_b"))
+               & (F.col("group_a") < F.col("group_b")))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(gap).alias("_d"),
+        )
+    )
+    crit = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.lit(alpha_coef)
+        * F.sqrt((F.col("n_a") + F.col("n_b"))
+                 / (F.col("n_a") * F.col("n_b")).cast("double")),
+    )
+    return pairs.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round("_d", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.col("_d") > crit).alias("drifted"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two slices' `value_col`
+    distributions — the binned, magnitude-interpretable drift score
+    the industry monitors alongside KS: psi = sum over bins of
+    (p_i - q_i) * ln(p_i / q_i), with the conventional reading
+    psi < 0.1 stable, < 0.25 moderate, else shifted.
+
+    Deterministic by construction: equi-width bins over the UNION
+    min/max (both slices share the edges — binning against one
+    slice's edges makes psi asymmetric under renaming), and
+    additive smoothing (count + smooth) / (n + smooth * n_bins) so
+    EMPTY bins stay finite — note an all-empty bin still contributes
+    when n_a != n_b (the smoothed masses differ), which is why all
+    n_bins bins materialize, not just observed ones. The final sum
+    is a float fold ORDERED BY bin over the n_bins-row table (the
+    RBO/embedding-pool rule), so the value replays bit-for-bit.
+
+    Scale shape: one min/max agg, one binned groupBy (map-side
+    combined, <= n_bins rows out), one n_bins-row fold. Returns ONE
+    row: (n_a, n_b, n_bins, psi, drift_level).
+    """
+    if n_bins < 2:
+        raise ValueError(f"psi_drift: n_bins must be >= 2, got {n_bins}")
+    g, v = F.col(group_col), F.col(value_col)
+    two = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("_g"), v.cast("double").alias("_v")
+    )
+    span = two.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    )
+    binned = (
+        two.crossJoin(F.broadcast(span))
+        .select(
+            "_g",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("_v") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("_g") == group_a).cast("long")).alias("ca"),
+            F.sum((F.col("_g") == group_b).cast("long")).alias("cb"),
+        )
+    )
+    all_bins = span.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    zero = F.lit(0).cast("long")
+    full = all_bins.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", zero).alias("ca"),
+        F.coalesce("cb", zero).alias("cb"),
+    )
+    s = float(smooth)
+    agg = full.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "ca", "cb"))
+        ).alias("arr"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+    )
+    p = lambda x, n: (x + F.lit(s)) / (n + F.lit(s * n_bins))  # noqa: E731
+    psi = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (p(x["ca"], F.col("n_a")) - p(x["cb"], F.col("n_b")))
+        * F.log(p(x["ca"], F.col("n_a")) / p(x["cb"], F.col("n_b"))),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.lit(n_bins).alias("n_bins"),
+        F.round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted")).alias("drift_level"),
+    )

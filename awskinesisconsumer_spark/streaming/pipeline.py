@@ -1884,3 +1884,75 @@ def histogram_counts_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _confusion_merge_fn(*, label_col, pred_col, out_path):
+    """confusion_counts_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn / _hist_merge_fn
+    pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        confusion_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # SUM-merge replay guard + swap-rename commit — see
+        # _cms_merge_fn for the at-least-once rationale.
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = confusion_counts(
+            batch_df, label_col=label_col, pred_col=pred_col
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("label", "pred", "n"))
+        )
+        _swap_state(
+            both.groupBy("label", "pred").agg(F.sum("n").alias("n"))
+            .withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def confusion_counts_stream(
+    rows,
+    *,
+    label_col: str,
+    pred_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming classifier-calibration maintenance: each
+    micro-batch's (label, pred, n) confusion counts
+    (`evaluation.confusion_counts` — the shared counting function)
+    SUM-merge into the persisted state table. Counter sums are
+    exactly associative, so the final table equals the single-pass
+    batch build over all arrivals regardless of chunking, and
+    `classification_report_from_counts` over it equals batch
+    `classification_report` verbatim — the batch twin gates the
+    stream (the cms/histogram streaming-state contract).
+
+    State: (label cardinality) x (pred cardinality) rows,
+    CARDINALITY-INDEPENDENT of corpus size — the continuously
+    maintained answer to "how is the lang-id / LLM-judge classifier
+    doing so far"; commits through the swap-rename protocol with the
+    `_bid` replay guard (counter sums are not replay-idempotent).
+    Returns the started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_confusion_merge_fn(
+            label_col=label_col, pred_col=pred_col, out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -259,6 +259,18 @@ HEADLINE = [
     "ext-fleiss-kappa",
     "ext-ks-drift",
     "ext-readability",
+    # r14 evaluation & drift wave — all scan documents (a
+    # corpus-scaling table), so they are timed: the stratified
+    # bootstrap (n_boot x rows narrow explode), the lang-id
+    # confusion report (batch + genuinely multi-micro-batch
+    # streaming state), Chao1 (vocab groupBy), the KS matrix
+    # (values x groups grid) and PSI (binned fold).
+    "ext-bootstrap-ci-grouped",
+    "ext-eval-confusion",
+    "stream-eval-confusion",
+    "ext-chao1-vocab",
+    "ext-ks-matrix",
+    "ext-psi-drift",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -198,3 +198,137 @@ def test_bootstrap_ci_grouped_validation(spark):
             docs, id_col="doc_id", value_col="doc_id",
             group_col="lang", n_boot=1,
         )
+
+
+# ---------------------------------------------------------------------------
+# r14 second wave: evaluation & drift completion
+# ---------------------------------------------------------------------------
+
+
+def test_classification_report_hand_counts(spark):
+    # 2x2 fixture with known counts: labels a,a,a,b; preds a,b,a,b
+    # -> class a: tp=2 n_true=3 n_pred=2; class b: tp=1 n_true=1
+    # n_pred=2; accuracy 3/4.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b")],
+        "label string, pred string",
+    )
+    rows = {r["cls"]: r for r in classification_report(
+        df, label_col="label", pred_col="pred"
+    ).collect()}
+    a, b, al = rows["a"], rows["b"], rows["__all__"]
+    assert (a["tp"], a["n_true"], a["n_pred"]) == (2, 3, 2)
+    assert a["precision"] == 1.0 and a["recall"] == 0.666667
+    assert a["f1"] == 0.8  # 2*2/(2+3)
+    assert (b["tp"], b["n_true"], b["n_pred"]) == (1, 1, 2)
+    assert b["precision"] == 0.5 and b["recall"] == 1.0
+    assert al["tp"] == 3 and al["precision"] == 0.75
+    assert al["precision"] == al["recall"] == al["f1"]
+
+
+def test_classification_report_unseen_class_nulls(spark):
+    # A class never predicted gets NULL precision (0/0), one never
+    # labeled gets NULL recall — not a crash, not a fake 0.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b")], "label string, pred string"
+    )
+    rows = {r["cls"]: r for r in classification_report(
+        df, label_col="label", pred_col="pred"
+    ).collect()}
+    assert rows["a"]["precision"] is None and rows["a"]["recall"] == 0.0
+    assert rows["b"]["recall"] is None and rows["b"]["precision"] == 0.0
+
+
+def test_ks_matrix_rows_equal_pairwise_ks(spark):
+    # Every matrix row must replay ks_statistic on that pair exactly
+    # — the kmv_overlap_matrix contract applied to drift.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ks_matrix, ks_statistic,
+    )
+
+    docs = _load(spark, SF_SMOKE, "documents").select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    mat = ks_matrix(docs, value_col="n_chars", group_col="lang")
+    rows = mat.collect()
+    assert len(rows) >= 3
+    for r in rows[:4]:
+        solo = ks_statistic(
+            docs, value_col="n_chars", group_col="lang",
+            group_a=r["group_a"], group_b=r["group_b"],
+        ).collect()[0]
+        assert tuple(r)[2:] == tuple(solo), (r["group_a"], r["group_b"])
+
+
+def test_psi_drift_symmetric_and_nonnegative(spark):
+    # (p-q)ln(p/q) >= 0 per bin, and swapping the slices leaves psi
+    # unchanged (shared union edges make it truly symmetric).
+    from awskinesisconsumer_spark.operators.evaluation import psi_drift
+
+    docs = _load(spark, SF_SMOKE, "documents").select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    kw = dict(value_col="n_chars", group_col="lang", n_bins=10)
+    ab = psi_drift(docs, group_a="en", group_b="fr", **kw).collect()[0]
+    ba = psi_drift(docs, group_a="fr", group_b="en", **kw).collect()[0]
+    assert ab["psi"] >= 0.0
+    assert ab["psi"] == ba["psi"]
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(docs, group_a="en", group_b="fr",
+                  value_col="n_chars", group_col="lang", n_bins=1)
+
+
+def test_chao1_hand_fixture(spark):
+    # terms: x x y z -> D=3, f1=2 (y,z), f2=1 (x);
+    # chao1 = 3 + 2*1/(2*2) = 3.5
+    from awskinesisconsumer_spark.operators.evaluation import chao1_vocab
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "z")], "doc_id long, text string"
+    )
+    r = chao1_vocab(df, text_col="text").collect()[0]
+    assert (r["n_tokens"], r["vocab_size"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert r["chao1_est"] == 3.5
+
+
+def test_confusion_stream_replay_and_equality(spark, tmp_path):
+    # The streaming maintainer must (a) SUM-merge to exactly the
+    # batch build over the union of arrivals and (b) skip an
+    # at-least-once replay of a committed batch id instead of
+    # double-counting — the cms/histogram state contract.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        classification_report, classification_report_from_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _confusion_merge_fn,
+    )
+
+    out = str(tmp_path / "conf")
+    merge = _confusion_merge_fn(
+        label_col="label", pred_col="pred", out_path=out
+    )
+    b0 = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "label string, pred string"
+    )
+    b1 = spark.createDataFrame(
+        [("b", "b"), ("a", "a"), ("c", "a")], "label string, pred string"
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # checkpoint replay after a crash-before-commit
+    got = sorted(tuple(r) for r in classification_report_from_counts(
+        spark.read.parquet(out).select("label", "pred", "n")
+    ).collect())
+    want = sorted(tuple(r) for r in classification_report(
+        b0.unionByName(b1), label_col="label", pred_col="pred"
+    ).collect())
+    assert got == want
