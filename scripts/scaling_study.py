@@ -691,10 +691,26 @@ def recall_curve() -> None:
     spark.stop()
 
 
+# Per-round quiet-host re-measure list: the entries whose latest
+# driver full-map number crossed ~2x their previous round's without a
+# quiet number on record (the ambient-band discipline — r12 item 5,
+# renewed r13 item 5 for these four), plus this round's new timed
+# entries so the NEXT verdict has a quiet baseline for them.
+DRIFTERS = (
+    # r13 full-map crossers vs r12 (driver 0.91/5.21/2.28/2.62 s)
+    "ext-chunk-text", "ext-bloom-prefilter", "stream-cdc-compact",
+    "ext-quality-repetition",
+    # r14 new timed entries — quiet baseline for the next round
+    "ext-bootstrap-ci-grouped", "ext-eval-confusion",
+    "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
+    "ext-psi-drift",
+)
+
+
 def quiet_host_drifters() -> None:
-    """r13 (r12 verdict item 5): quiet-host median-of-3 re-measure of
-    the three r12 full-map drifters, bench.py timing discipline
-    (noop write, GC hint, median), nothing else running.
+    """Quiet-host median-of-3 re-measure of the DRIFTERS list (see
+    above), bench.py timing discipline (noop write, GC hint,
+    median), nothing else running.
 
     Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --drifters
     """
@@ -705,8 +721,7 @@ def quiet_host_drifters() -> None:
     spark = get_spark("quiet-drifters")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    for name in ("ext-dedup-span-removal", "ext-ul2-plan",
-                 "stream-pause-resume"):
+    for name in DRIFTERS:
         spark.sparkContext._jvm.System.gc()
         times = []
         for _ in range(3):
