@@ -5864,6 +5864,111 @@ def _stream_eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return classification_report_from_counts(counts)
 
 
+def _krippendorff_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    # Krippendorff's alpha, nominal/complete (operators/evaluation.py
+    # krippendorff_alpha — r14): the third agreement statistic over
+    # the SAME 3-rater panel as ext-fleiss-kappa — alpha derives
+    # from exactly the two integer sums Fleiss uses (S = sum n_ij^2,
+    # C2 = sum c_j^2), so the twin reuses those CTEs with the
+    # coincidence-form Do/De arithmetic.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    n_sp = F.length("text") - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    )
+    n_vow = F.length("text") - F.length(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         "[aeiou]", "")
+    )
+    rated = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.length("text") < 250, 0)
+        .when(F.length("text") < 450, 1).otherwise(2).alias("ra"),
+        F.when(n_sp < 40, 0).when(n_sp < 75, 1).otherwise(2).alias("rb"),
+        F.when(n_vow < 80, 0).when(n_vow < 140, 1).otherwise(2)
+        .alias("rc"),
+    )
+    long = rated.selectExpr(
+        "doc_id", "stack(3, ra, rb, rc) AS label"
+    )
+    return krippendorff_alpha(long, item_col="doc_id", label_col="label")
+
+
+def _quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-fair quality calibration (operators/corpus_prep.py
+    # score_percentile_by_group — r14): per-doc ECDF percentile of
+    # the quality score WITHIN its language — "keep the top 30% of
+    # every source" thresholds that don't privilege high-scoring
+    # sources. Deliberately not a per-group percent_rank over raw
+    # rows (single-reducer trap): per-(lang, score) counts + a
+    # cumulative window over DISTINCT scores, joined back.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        score_percentile_by_group,
+    )
+    from awskinesisconsumer_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf)
+    scored = quality_score(docs, text_col="text")
+    return score_percentile_by_group(
+        scored.select("doc_id", "lang", "quality"),
+        score_col="quality", group_col="lang",
+    )
+
+
+def _stream_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming PSI drift monitor (streaming/pipeline.py
+    # psi_drift_stream — r14): each micro-batch of a genuinely
+    # multi-batch 3-file docs replay SUM-merges its (bin, ca, cb)
+    # counts under FROZEN edges [0, 600) x 12 bins (a monitor's
+    # edges exist before the data; out-of-range lengths clamp into
+    # the end bins) through the swap-rename/_bid protocol;
+    # psi_from_binned over the final state == batch
+    # psi_drift(lo=0, hi=600) verbatim (counter-sum associativity),
+    # so the fixed-edge batch twin gates the stream. State <= 12
+    # rows, corpus-size-independent.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        psi_from_binned,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        psi_drift_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select(
+        "lang", F.length("text").alias("n_chars")
+    ).where(F.col("n_chars").isNotNull())
+    src = tempfile.mkdtemp(prefix="psi_src_")
+    out = tempfile.mkdtemp(prefix="psi_out_")
+    ckpt = tempfile.mkdtemp(prefix="psi_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = psi_drift_stream(
+        stream, value_col="n_chars", group_col="lang",
+        group_a="en", group_b="fr", lo=0.0, hi=600.0, n_bins=12,
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-psi-drift: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-psi-drift: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("bin", "ca", "cb")
+    return psi_from_binned(counts, n_bins=12)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6116,6 +6221,13 @@ GATE_NEW_THIS_ROUND = (
     "ext-bootstrap-ci-grouped", "ext-eval-confusion",
     "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
     "ext-psi-drift",
+    # NEW in r14, third wave: Krippendorff's alpha (the fleiss sums
+    # under the coincidence arithmetic), source-fair quality
+    # percentile (ECDF over distinct scores — no single-reducer
+    # window), and the streaming PSI monitor (frozen-edge SUM-merged
+    # bin state on the swap-rename/_bid protocol).
+    "ext-krippendorff-alpha", "ext-quality-percentile",
+    "stream-psi-drift",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6130,13 +6242,13 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r14 rotation: the oldest 35 of the 49 r9-record ledger
+# The r14 rotation: the oldest 32 of the 49 r9-record ledger
 # veterans (GATE_LEDGER.json green_round == 9 at round start),
 # alphabetical — the head of the r13-pinned R14 plan of record.
-# 13 new/changed + 2 rows-only + 35 veterans == exactly 50;
+# 16 new/changed + 2 rows-only + 32 veterans == exactly 50;
 # queries() ASSERTS head == plan at call time (the r12 verdict
 # item 1 rule), so this comment cannot overstate the window. The
-# remaining 14 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# remaining 17 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
 # re-gate in r15 (freshness: no record older than 5 rounds behind
 # newest — r9 is exactly 5 behind after r14's snapshot lands).
 R14_ROTATION = (
@@ -6152,17 +6264,18 @@ R14_ROTATION = (
     "ext-quality-repetition", "ext-quality-score",
     "ext-sample-stratified", "ext-semantic-decontaminate",
     "ext-sentence-decontaminate", "ext-sentence-split",
-    "ext-similarity-ann", "ext-similarity-ivf",
-    "ext-similarity-ivf-kmeans", "ext-similarity-knn",
+    "ext-similarity-ann",
 )
 
 # The r15 plan of record (written at r14 close): the window MUST
-# hold all 14 of these (the r9-cohort remainder — the freshness
+# hold all 17 of these (the r9-cohort remainder — the freshness
 # invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
 # the 2 rows-only residents; fill what remains with the head of the
 # 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
 # — that cohort must finish re-gating by r16.
 R15_ROTATION_CANDIDATES = (
+    "ext-similarity-ivf", "ext-similarity-ivf-kmeans",
+    "ext-similarity-knn",
     "ext-text-stats", "ext-tfidf-terms", "ext-token-count",
     "ext-vocabulary", "id-assign-monotonic", "join-revenue-by-nation",
     "join-semi-anti", "json-extract-props", "query-last-row",
@@ -6211,15 +6324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-chao1-vocab": _chao1_vocab,
         "ext-ks-matrix": _ks_matrix,
         "ext-psi-drift": _psi_drift,
+        "ext-krippendorff-alpha": _krippendorff_alpha,
+        "ext-quality-percentile": _quality_percentile,
+        "stream-psi-drift": _stream_psi_drift,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 35 of
-        #    the 49 r9-record veterans, alphabetical; the other 14
+        # -- the r14 rotation (R14_ROTATION): the oldest 32 of
+        #    the 49 r9-record veterans, alphabetical; the other 17
         #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    13 new/changed + 2 rows-only + 35 == exactly 50;
+        #    16 new/changed + 2 rows-only + 32 == exactly 50;
         #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
@@ -6253,9 +6369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-sentence-decontaminate": _sentence_decontaminate,
         "ext-sentence-split": _sentence_split,
         "ext-similarity-ann": _ann_lsh,
-        "ext-similarity-ivf": _ann_ivf,
-        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
-        "ext-similarity-knn": _knn,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -6306,6 +6419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-pause-resume": _stream_pause_resume,
         "stream-quality-blend": _stream_quality_blend,
         "stream-vocab-coverage": _stream_vocab_coverage,
+        # -- r9-record veterans deferred to the r15 window (the
+        #    R15_ROTATION_CANDIDATES head — displaced when the r14
+        #    third wave grew GATE_NEW to 16):
+        "ext-similarity-ivf": _ann_ivf,
+        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
+        "ext-similarity-knn": _knn,
         # -- r12 registrations (ledger veterans, green r12):
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
@@ -12304,6 +12423,118 @@ def oracle_sql() -> dict[str, str]:
     # stage == the batch build (counter-sum associativity), so the
     # batch twin gates the stream verbatim.
     d["stream-eval-confusion"] = d["ext-eval-confusion"]
+    # r14: Krippendorff's alpha (nominal/complete) — the fleiss
+    # fixture + sums with the coincidence-form Do/De arithmetic
+    # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).
+    d["ext-krippendorff-alpha"] = """
+        WITH rated AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) < 250 THEN 0
+                      WHEN length(text) < 450 THEN 1 ELSE 2 END AS ra,
+                 CASE WHEN nsp < 40 THEN 0
+                      WHEN nsp < 75 THEN 1 ELSE 2 END AS rb,
+                 CASE WHEN nvow < 80 THEN 0
+                      WHEN nvow < 140 THEN 1 ELSE 2 END AS rc
+          FROM (SELECT doc_id, text,
+                       length(text) - length(replace(COALESCE(text, ''),
+                                                     ' ', '')) AS nsp,
+                       length(text) - length(regexp_replace(
+                           lower(COALESCE(text, '')), '[aeiou]', '', 'g'))
+                       AS nvow
+                FROM documents WHERE text IS NOT NULL)),
+        lng AS (
+          SELECT doc_id, ra AS label FROM rated
+          UNION ALL SELECT doc_id, rb FROM rated
+          UNION ALL SELECT doc_id, rc FROM rated),
+        cells AS (SELECT doc_id, label, COUNT(*) AS nij
+                  FROM lng GROUP BY doc_id, label),
+        sS AS (SELECT SUM(nij * nij) AS S FROM cells),
+        c2 AS (SELECT SUM(c * c) AS C2 FROM
+               (SELECT label, COUNT(*) AS c FROM lng GROUP BY label)),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS N FROM lng),
+        f AS (SELECT N, S, C2,
+                (N * 9 - S) / CAST(2 * N * 3 AS DOUBLE) AS d_o,
+                ((N * 3) * (N * 3) - C2)
+                / CAST((N * 3) * (N * 3 - 1) AS DOUBLE) AS d_e
+              FROM sS CROSS JOIN c2 CROSS JOIN nn)
+        SELECT N AS n_items, 3 AS n_raters,
+               ROUND(d_o, 6) AS d_o, ROUND(d_e, 6) AS d_e,
+               ROUND(CASE WHEN d_e > 0 THEN 1.0 - d_o / d_e END, 6)
+                 AS alpha
+        FROM f
+    """
+    # r14: source-fair quality percentile — the proven quality-score
+    # fragment + per-(lang, score) counts with a cumulative window
+    # over DISTINCT scores (the ECDF pattern), joined back.
+    d["ext-quality-percentile"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_expr} AS words FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(words) = 0 THEN 0.0 ELSE ROUND(
+              0.4 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - len(list_filter(words, x ->
+                  list_contains({stop_list}, x)))
+                  / CAST(len(words) AS DOUBLE))
+              + 0.3 * (len(list_distinct(words))
+                  / CAST(len(words) AS DOUBLE)),
+            4) END AS quality
+          FROM w),
+        counts AS (
+          SELECT lang AS pg, quality AS ps, COUNT(*) AS c
+          FROM scored WHERE lang IS NOT NULL AND quality IS NOT NULL
+          GROUP BY 1, 2),
+        pm AS (
+          SELECT pg, ps,
+            ROUND((SUM(c) OVER (PARTITION BY pg ORDER BY ps
+                                ROWS UNBOUNDED PRECEDING) - c)
+                  / CAST(SUM(c) OVER (PARTITION BY pg) AS DOUBLE),
+                  6) AS pctile
+          FROM counts)
+        SELECT doc_id, lang, quality, pctile
+        FROM scored LEFT JOIN pm
+          ON scored.lang = pm.pg AND scored.quality = pm.ps
+    """
+    # r14: streaming PSI monitor — the ext-psi-drift arithmetic
+    # under FROZEN edges [0, 600) x 12 bins with end-bin clamping
+    # (the batch psi_drift(lo=, hi=) form; counter-sum associativity
+    # makes the merged stream state == this batch count).
+    d["stream-psi-drift"] = """
+        WITH two AS (
+          SELECT lang AS g, CAST(length(text) AS DOUBLE) AS v
+          FROM documents
+          WHERE text IS NOT NULL AND lang IN ('en', 'fr')),
+        binned AS (
+          SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 50.0) AS INT),
+                                0), 11) AS bin,
+                 SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS cb
+          FROM two GROUP BY 1),
+        all_bins AS (SELECT unnest(range(0, 12)) AS bin),
+        full_b AS (SELECT ab.bin, COALESCE(ca, 0) AS ca,
+                          COALESCE(cb, 0) AS cb
+                   FROM all_bins ab
+                   LEFT JOIN binned ON binned.bin = ab.bin),
+        agg AS (SELECT
+            list(struct_pack(bin := bin, ca := ca, cb := cb)
+                 ORDER BY bin) AS arr,
+            SUM(ca) AS n_a, SUM(cb) AS n_b
+          FROM full_b),
+        folded AS (SELECT
+            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              ((x.ca + 0.5) / (n_a + 6.0)
+               - (x.cb + 0.5) / (n_b + 6.0))
+              * ln(((x.ca + 0.5) / (n_a + 6.0))
+                   / ((x.cb + 0.5) / (n_b + 6.0))))),
+              (acc, t) -> acc + t) AS psi
+          FROM agg)
+        SELECT n_a, n_b, 12 AS n_bins, ROUND(psi, 6) AS psi,
+               CASE WHEN psi < 0.1 THEN 'stable'
+                    WHEN psi < 0.25 THEN 'moderate'
+                    ELSE 'shifted' END AS drift_level
+        FROM folded
+    """
     # --- r13 group-MinHash sketch family (operators/dedup.py) ---
     # Shard merge is min-of-mins (exact), so the oracle replays the
     # GLOBAL build — the ext-kmv-merge gate pattern. Same permutation

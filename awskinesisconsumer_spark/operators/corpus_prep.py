@@ -2417,3 +2417,60 @@ def expand_mixture_epochs(
         )
         .drop("_n_rep")
     )
+
+
+def score_percentile_by_group(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pctile",
+) -> DataFrame:
+    """Per-group ECDF percentile of a score — SOURCE-FAIR quality
+    calibration: absolute quality scores are not comparable across
+    sources (a mid-tier web page outscores a top-tier forum post
+    under most heuristics), so curation thresholds should cut at a
+    percentile WITHIN source, not a global score. Each row gets
+    `out_col` = fraction of same-group rows with STRICTLY smaller
+    score (6 dp): 0 for a group's minimum, approaching 1 for its
+    maximum; "keep the top 30% of every source" is then
+    `pctile >= 0.7` regardless of the sources' score ranges. NULL
+    scores pass through with NULL percentile (unknown quality is a
+    routing decision, not silently worst/best).
+
+    Scale shape — deliberately NOT a per-group percent_rank window
+    over raw rows (that sorts each entire source on ONE task, the
+    single-reducer trap `domain_cap_topk` exists to avoid): per
+    (group, score) counts first (map-side combined), then the
+    cumulative window runs over DISTINCT scores per group — bounded
+    by score cardinality (quality scores are rounded to 4 dp by
+    construction), never corpus rows — and the result joins back on
+    (group, score). The join is AQE-broadcastable when the distinct
+    score table is small, a plain shuffle join otherwise; either
+    way no task ever holds a whole source."""
+    from pyspark.sql import Window
+
+    g, sc = F.col(group_col), F.col(score_col)
+    counts = (
+        df.where(g.isNotNull() & sc.isNotNull())
+        .groupBy(g.alias("_pg"), sc.alias("_ps"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("_pg").orderBy("_ps").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("_pg")
+    pct_map = counts.select(
+        "_pg", "_ps",
+        F.round(
+            (F.sum("_c").over(wcum) - F.col("_c"))
+            / F.sum("_c").over(wall),
+            6,
+        ).alias(out_col),
+    )
+    joined = df.join(
+        pct_map,
+        (g == F.col("_pg")) & (sc == F.col("_ps")),
+        "left",
+    ).drop("_pg", "_ps")
+    return joined

@@ -667,7 +667,7 @@ def ks_matrix(
     )
 
 
-def psi_drift(
+def psi_binned_counts(
     df: DataFrame,
     *,
     value_col: str,
@@ -675,47 +675,61 @@ def psi_drift(
     group_a,
     group_b,
     n_bins: int = 10,
-    smooth: float = 0.5,
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> DataFrame:
-    """Population Stability Index between two slices' `value_col`
-    distributions — the binned, magnitude-interpretable drift score
-    the industry monitors alongside KS: psi = sum over bins of
-    (p_i - q_i) * ln(p_i / q_i), with the conventional reading
-    psi < 0.1 stable, < 0.25 moderate, else shifted.
+    """The (bin, ca, cb) counting stage of `psi_drift` — the
+    mergeable state the streaming maintainer
+    (`streaming.pipeline.psi_drift_stream`) SUM-merges per
+    micro-batch: counter sums are exactly associative, so the merged
+    state equals one batch count over the union of arrivals.
 
-    Deterministic by construction: equi-width bins over the UNION
-    min/max (both slices share the edges — binning against one
-    slice's edges makes psi asymmetric under renaming), and
-    additive smoothing (count + smooth) / (n + smooth * n_bins) so
-    EMPTY bins stay finite — note an all-empty bin still contributes
-    when n_a != n_b (the smoothed masses differ), which is why all
-    n_bins bins materialize, not just observed ones. The final sum
-    is a float fold ORDERED BY bin over the n_bins-row table (the
-    RBO/embedding-pool rule), so the value replays bit-for-bit.
-
-    Scale shape: one min/max agg, one binned groupBy (map-side
-    combined, <= n_bins rows out), one n_bins-row fold. Returns ONE
-    row: (n_a, n_b, n_bins, psi, drift_level).
-    """
+    Edges: with `lo`/`hi` given (the streaming monitor form — edges
+    must be FROZEN before data arrives), equi-width bins over
+    [lo, hi) with out-of-range values CLAMPED into the end bins;
+    without, derived from the union min/max (the batch audit form).
+    Only observed bins appear — `psi_from_binned` materializes the
+    empties."""
     if n_bins < 2:
-        raise ValueError(f"psi_drift: n_bins must be >= 2, got {n_bins}")
+        raise ValueError(
+            f"psi_binned_counts: n_bins must be >= 2, got {n_bins}"
+        )
+    if (lo is None) != (hi is None):
+        raise ValueError(
+            "psi_binned_counts: pass both lo and hi (frozen edges) "
+            "or neither (derived edges)"
+        )
+    if lo is not None and not (float(hi) > float(lo)):
+        raise ValueError(
+            f"psi_binned_counts: hi must exceed lo, got [{lo}, {hi})"
+        )
     g, v = F.col(group_col), F.col(value_col)
     two = df.where(v.isNotNull() & g.isin([group_a, group_b])).select(
         g.alias("_g"), v.cast("double").alias("_v")
     )
-    span = two.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi")
-    )
-    binned = (
+    if lo is None:
+        span = two.agg(
+            F.min("_v").alias("lo"), F.max("_v").alias("hi")
+        )
+    else:
+        # frozen edges ride as literals; the degenerate hi == lo case
+        # is rejected above, so the when() branch never fires here
+        span = two.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi")
+        )
+    return (
         two.crossJoin(F.broadcast(span))
         .select(
             "_g",
             F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
                 F.least(
-                    F.floor(
-                        (F.col("_v") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / n_bins)
-                    ).cast("int"),
+                    F.greatest(
+                        F.floor(
+                            (F.col("_v") - F.col("lo"))
+                            / ((F.col("hi") - F.col("lo")) / n_bins)
+                        ).cast("int"),
+                        F.lit(0),
+                    ),
                     F.lit(n_bins - 1),
                 )
             ).alias("bin"),
@@ -726,8 +740,20 @@ def psi_drift(
             F.sum((F.col("_g") == group_b).cast("long")).alias("cb"),
         )
     )
-    all_bins = span.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+
+
+def psi_from_binned(
+    binned: DataFrame, *, n_bins: int = 10, smooth: float = 0.5,
+) -> DataFrame:
+    """`psi_drift`'s final stage over a (bin, ca, cb) count table
+    (see `psi_binned_counts`) — factored out so the streaming state
+    feeds the LITERAL batch code and the batch twin gates the stream
+    verbatim (the cms/histogram/confusion contract). Materializes
+    ALL n_bins bins (empty bins still contribute when n_a != n_b),
+    then the ordered-by-bin float fold."""
+    spark = binned.sparkSession
+    all_bins = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
     )
     zero = F.lit(0).cast("long")
     full = all_bins.join(binned, "bin", "left").select(
@@ -758,4 +784,123 @@ def psi_drift(
         F.when(psi < 0.1, F.lit("stable"))
         .when(psi < 0.25, F.lit("moderate"))
         .otherwise(F.lit("shifted")).alias("drift_level"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between two slices' `value_col`
+    distributions — the binned, magnitude-interpretable drift score
+    the industry monitors alongside KS: psi = sum over bins of
+    (p_i - q_i) * ln(p_i / q_i), with the conventional reading
+    psi < 0.1 stable, < 0.25 moderate, else shifted.
+
+    Deterministic by construction: equi-width bins over the UNION
+    min/max (both slices share the edges — binning against one
+    slice's edges makes psi asymmetric under renaming), and
+    additive smoothing (count + smooth) / (n + smooth * n_bins) so
+    EMPTY bins stay finite — note an all-empty bin still contributes
+    when n_a != n_b (the smoothed masses differ), which is why all
+    n_bins bins materialize, not just observed ones. The final sum
+    is a float fold ORDERED BY bin over the n_bins-row table (the
+    RBO/embedding-pool rule), so the value replays bit-for-bit.
+
+    Scale shape: one min/max agg, one binned groupBy (map-side
+    combined, <= n_bins rows out), one n_bins-row fold. Returns ONE
+    row: (n_a, n_b, n_bins, psi, drift_level).
+
+    `lo`/`hi` (both or neither): FREEZE the bin edges instead of
+    deriving them — the streaming-monitor form (edges must exist
+    before data arrives; out-of-range values clamp into the end
+    bins). Composed from `psi_binned_counts` -> `psi_from_binned`,
+    the factoring that lets the streaming maintainer's SUM-merged
+    state feed the literal batch final stage.
+    """
+    return psi_from_binned(
+        psi_binned_counts(
+            df, value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b, n_bins=n_bins,
+            lo=lo, hi=hi,
+        ),
+        n_bins=n_bins, smooth=smooth,
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame, *, item_col: str, label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, complete data — same
+    long (item, rating) shape and constant-ratings-per-item
+    requirement as `fleiss_kappa`): alpha = 1 - Do/De over the
+    coincidence matrix. The third agreement statistic an LLM-judge
+    calibration suite reports: unlike Fleiss' kappa it is built from
+    PAIRABLE-VALUE coincidences, so it generalizes to other metrics
+    and missing data — this implementation covers the
+    nominal/complete case, where it derives from EXACTLY the two
+    integer sums Fleiss uses (the module rule, shared machinery):
+
+        S  = sum over (item, label) cells of n_ij^2
+        C2 = sum over labels of c_j^2
+        Do = (N*R^2 - S) / ((R - 1) * N * R)
+        De = ((N*R)^2 - C2) / (N*R * (N*R - 1))
+
+    (sum over u of sum_{c != k} n_uc * n_uk = N*R^2 - S; pairable
+    values per unit = R). Returns ONE row:
+    (n_items, n_raters, d_o, d_e, alpha), 6 dp; alpha NULL when
+    De == 0 (a single observed label leaves no expected
+    disagreement to correct against)."""
+    rated = ratings.where(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    per_item = rated.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    shape = per_item.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.min("_n").alias("n_lo"),
+        F.max("_n").alias("n_hi"),
+    ).first()
+    if shape["N"] == 0:
+        raise ValueError("krippendorff_alpha: no rated items")
+    if shape["n_lo"] != shape["n_hi"]:
+        raise ValueError(
+            "krippendorff_alpha: ratings per item must be constant, "
+            f"got {shape['n_lo']}..{shape['n_hi']}"
+        )
+    r = int(shape["n_hi"])
+    if r < 2:
+        raise ValueError(
+            f"krippendorff_alpha: need >= 2 ratings per item, got {r}"
+        )
+    cells = rated.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    s_df = cells.agg(F.sum(F.col("n_ij") * F.col("n_ij")).alias("S"))
+    labels = rated.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("c_j")
+    )
+    c2_df = labels.agg(F.sum(F.col("c_j") * F.col("c_j")).alias("C2"))
+    n = int(shape["N"])
+    N, R = F.lit(n).cast("long"), F.lit(r).cast("long")
+    ntot = N * R
+    d_o = (N * R * R - F.col("S")) / ((R - 1) * ntot).cast("double")
+    d_e = (ntot * ntot - F.col("C2")) / (ntot * (ntot - 1)).cast(
+        "double"
+    )
+    return s_df.crossJoin(c2_df).select(
+        N.alias("n_items"),
+        R.cast("int").alias("n_raters"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(F.when(d_e > 0, 1.0 - d_o / d_e), 6).alias("alpha"),
     )

@@ -1956,3 +1956,87 @@ def confusion_counts_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _psi_merge_fn(*, value_col, group_col, group_a, group_b, lo, hi,
+                  n_bins, out_path):
+    """psi_drift_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        psi_binned_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # SUM-merge replay guard + swap-rename commit — see
+        # _cms_merge_fn for the at-least-once rationale.
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = psi_binned_counts(
+            batch_df, value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b, n_bins=n_bins,
+            lo=lo, hi=hi,
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("bin", "ca", "cb"))
+        )
+        _swap_state(
+            both.groupBy("bin").agg(
+                F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def psi_drift_stream(
+    rows,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming PSI drift maintenance: each micro-batch's
+    (bin, ca, cb) counts (`evaluation.psi_binned_counts` under
+    FROZEN edges — a streaming monitor's edges must exist before
+    data arrives, so `lo`/`hi` are required here; out-of-range
+    values clamp into the end bins) SUM-merge into the persisted
+    counter table. Counter sums are exactly associative, so the
+    final state equals the single-pass batch count over all
+    arrivals regardless of chunking, and `psi_from_binned` over it
+    equals batch `psi_drift(lo=, hi=)` verbatim — the batch twin
+    gates the stream (the cms/histogram/confusion streaming-state
+    contract).
+
+    State: <= n_bins rows, CARDINALITY-INDEPENDENT — the
+    continuously maintained answer to "has the length/quality
+    distribution of source A drifted from source B so far"; commits
+    through the swap-rename protocol with the `_bid` replay guard
+    (counter sums are not replay-idempotent). Returns the started
+    StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_psi_merge_fn(
+            value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b, lo=lo, hi=hi,
+            n_bins=n_bins, out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

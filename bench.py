@@ -271,6 +271,12 @@ HEADLINE = [
     "ext-chao1-vocab",
     "ext-ks-matrix",
     "ext-psi-drift",
+    # r14 third wave: agreement over 3 synthetic raters, the
+    # corpus-wide percentile join, and the multi-micro-batch PSI
+    # monitor — all documents-scanning.
+    "ext-krippendorff-alpha",
+    "ext-quality-percentile",
+    "stream-psi-drift",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -332,3 +332,156 @@ def test_confusion_stream_replay_and_equality(spark, tmp_path):
         b0.unionByName(b1), label_col="label", pred_col="pred"
     ).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r14 third wave: alpha, percentile calibration, streaming PSI
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_hand_fixture(spark):
+    # units: (a,a) and (a,b) with 2 raters -> S = 4 + 2 = 6,
+    # C2 = 3^2 + 1^2 = 10, N=2, R=2: Do = (2*4-6)/(1*4) = 0.5,
+    # De = (16-10)/(4*3) = 0.5, alpha = 0 (agreement == chance).
+    # And perfect agreement -> alpha = 1.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b")],
+        "item long, label string",
+    )
+    r = krippendorff_alpha(df, item_col="item", label_col="label") \
+        .collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (2, 2)
+    assert (r["d_o"], r["d_e"], r["alpha"]) == (0.5, 0.5, 0.0)
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")],
+        "item long, label string",
+    )
+    assert krippendorff_alpha(
+        perfect, item_col="item", label_col="label"
+    ).collect()[0]["alpha"] == 1.0
+
+
+def test_krippendorff_validation(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "item long, label string"
+    )
+    with pytest.raises(ValueError, match="constant"):
+        krippendorff_alpha(ragged, item_col="item", label_col="label")
+    single = spark.createDataFrame(
+        [(1, "a"), (1, "a")], "item long, label string"
+    )
+    # one observed label: De == 0 -> NULL alpha, not a crash
+    r = krippendorff_alpha(
+        single, item_col="item", label_col="label"
+    ).collect()[0]
+    assert r["alpha"] is None and r["d_e"] == 0.0
+
+
+def test_quality_percentile_semantics(spark):
+    # Percentile = strictly-smaller fraction WITHIN group: group
+    # minimum -> 0.0; ties share a percentile; groups independent;
+    # NULL score passes through with NULL percentile.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        score_percentile_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "a", 0.5), (3, "a", 0.5), (4, "a", 0.9),
+         (5, "b", 0.9), (6, "b", 0.1), (7, "b", None)],
+        "id long, g string, s double",
+    )
+    rows = {r["id"]: r["pctile"] for r in score_percentile_by_group(
+        df, score_col="s", group_col="g"
+    ).collect()}
+    assert rows[1] == 0.0 and rows[4] == 0.75
+    assert rows[2] == rows[3] == 0.25
+    assert rows[6] == 0.0 and rows[5] == 0.5
+    assert rows[7] is None
+
+
+def test_quality_percentile_no_pergroup_row_sort(spark):
+    # The plan must window over per-(group, score) COUNTS, not raw
+    # rows: the Window's input is the grouped count aggregate — the
+    # single-reducer-per-source trap this operator exists to avoid.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        score_percentile_by_group,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = score_percentile_by_group(
+        docs.select("doc_id", "lang", F.length("text").alias("s")),
+        score_col="s", group_col="lang",
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # the cumulative and total sums analyze to (at most) two Window
+    # nodes, and every one must sit ABOVE the (group, score) count
+    # Aggregate in the tree — i.e. the windows consume the bounded
+    # count table, never the raw corpus rows
+    assert 1 <= plan.count("Window [") <= 2, plan
+    assert plan.rindex("Window [") < plan.index("Aggregate ["), (
+        "window must consume the (group, score) count aggregate"
+    )
+
+
+def test_psi_stream_state_replay_and_equality(spark, tmp_path):
+    # The PSI maintainer must SUM-merge to the batch frozen-edge
+    # count and skip at-least-once replays — then psi_from_binned
+    # over the state equals batch psi_drift(lo=, hi=) verbatim.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        psi_drift, psi_from_binned,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import _psi_merge_fn
+
+    out = str(tmp_path / "psi")
+    merge = _psi_merge_fn(
+        value_col="v", group_col="g", group_a="en", group_b="fr",
+        lo=0.0, hi=100.0, n_bins=4, out_path=out,
+    )
+    b0 = spark.createDataFrame(
+        [("en", 10.0), ("fr", 60.0), ("en", 150.0)], "g string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("fr", -5.0), ("en", 99.0), ("fr", 55.0)], "g string, v double"
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = psi_from_binned(
+        spark.read.parquet(out).select("bin", "ca", "cb"), n_bins=4
+    ).collect()
+    want = psi_drift(
+        b0.unionByName(b1), value_col="v", group_col="g",
+        group_a="en", group_b="fr", n_bins=4, lo=0.0, hi=100.0,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_psi_frozen_edges_clamp_out_of_range(spark):
+    # v < lo lands in bin 0, v >= hi in the last bin — a monitor
+    # never drops out-of-range arrivals.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        psi_binned_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("en", -10.0), ("en", 500.0), ("fr", 50.0)],
+        "g string, v double",
+    )
+    rows = {r["bin"]: (r["ca"], r["cb"]) for r in psi_binned_counts(
+        df, value_col="v", group_col="g", group_a="en", group_b="fr",
+        n_bins=4, lo=0.0, hi=100.0,
+    ).collect()}
+    assert rows[0] == (1, 0) and rows[3] == (1, 0) and rows[2] == (0, 1)
+    with pytest.raises(ValueError, match="both lo and hi"):
+        psi_binned_counts(
+            df, value_col="v", group_col="g", group_a="en",
+            group_b="fr", lo=0.0,
+        )
