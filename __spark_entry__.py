@@ -5969,6 +5969,100 @@ def _stream_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     return psi_from_binned(counts, n_bins=12)
 
 
+def _stream_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming two-sample KS monitor (streaming/pipeline.py
+    # ks_drift_stream — r14): each micro-batch of a genuinely
+    # multi-batch 3-file docs replay SUM-merges its (val, ca, cb)
+    # distinct-length counts through the swap-rename/_bid protocol;
+    # ks_from_value_counts over the final state == batch
+    # ks_statistic verbatim (counter-sum associativity), so the
+    # ext-ks-drift twin gates the stream. State is length-
+    # cardinality-bounded — the binning-free companion to
+    # stream-psi-drift over the same pair.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ks_from_value_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        ks_drift_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    src = tempfile.mkdtemp(prefix="ksd_src_")
+    out = tempfile.mkdtemp(prefix="ksd_out_")
+    ckpt = tempfile.mkdtemp(prefix="ksd_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = ks_drift_stream(
+        stream, value_col="n_chars", group_col="lang",
+        group_a="en", group_b="fr", out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-ks-drift: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-ks-drift: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("val", "ca", "cb")
+    return ks_from_value_counts(counts)
+
+
+def _stream_chao1_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming Chao1 vocabulary richness (streaming/pipeline.py
+    # chao1_vocab_stream — r14): per-micro-batch (term, n) counts
+    # SUM-merge into vocabulary-bounded state; chao1_from_counts
+    # over the final state == batch chao1_vocab verbatim — f1/f2 are
+    # NOT mergeable themselves (a singleton in two batches is a
+    # doubleton overall), which is exactly why the state holds term
+    # counts and the frequency-of-frequencies derive at read time.
+    # The ext-chao1-vocab twin gates the stream.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        chao1_from_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        chao1_vocab_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="ch1_src_")
+    out = tempfile.mkdtemp(prefix="ch1_out_")
+    ckpt = tempfile.mkdtemp(prefix="ch1_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = chao1_vocab_stream(
+        stream, text_col="text", out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-chao1-vocab: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-chao1-vocab: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("term", "n")
+    return chao1_from_counts(counts)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6228,6 +6322,11 @@ GATE_NEW_THIS_ROUND = (
     # bin state on the swap-rename/_bid protocol).
     "ext-krippendorff-alpha", "ext-quality-percentile",
     "stream-psi-drift",
+    # NEW in r14, fourth wave: streaming maintenance for the last
+    # two batch-only evaluation statistics — KS (distinct-value
+    # count state) and Chao1 (term-count state; f1/f2 derive at read
+    # time because frequency-of-frequencies are not mergeable).
+    "stream-ks-drift", "stream-chao1-vocab",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6242,13 +6341,13 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r14 rotation: the oldest 32 of the 49 r9-record ledger
+# The r14 rotation: the oldest 30 of the 49 r9-record ledger
 # veterans (GATE_LEDGER.json green_round == 9 at round start),
 # alphabetical — the head of the r13-pinned R14 plan of record.
-# 16 new/changed + 2 rows-only + 32 veterans == exactly 50;
+# 18 new/changed + 2 rows-only + 30 veterans == exactly 50;
 # queries() ASSERTS head == plan at call time (the r12 verdict
 # item 1 rule), so this comment cannot overstate the window. The
-# remaining 17 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# remaining 19 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
 # re-gate in r15 (freshness: no record older than 5 rounds behind
 # newest — r9 is exactly 5 behind after r14's snapshot lands).
 R14_ROTATION = (
@@ -6263,17 +6362,17 @@ R14_ROTATION = (
     "ext-multimodal-wav", "ext-prepare-corpus",
     "ext-quality-repetition", "ext-quality-score",
     "ext-sample-stratified", "ext-semantic-decontaminate",
-    "ext-sentence-decontaminate", "ext-sentence-split",
-    "ext-similarity-ann",
+    "ext-sentence-decontaminate",
 )
 
 # The r15 plan of record (written at r14 close): the window MUST
-# hold all 17 of these (the r9-cohort remainder — the freshness
+# hold all 19 of these (the r9-cohort remainder — the freshness
 # invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
 # the 2 rows-only residents; fill what remains with the head of the
 # 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
 # — that cohort must finish re-gating by r16.
 R15_ROTATION_CANDIDATES = (
+    "ext-sentence-split", "ext-similarity-ann",
     "ext-similarity-ivf", "ext-similarity-ivf-kmeans",
     "ext-similarity-knn",
     "ext-text-stats", "ext-tfidf-terms", "ext-token-count",
@@ -6327,15 +6426,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-krippendorff-alpha": _krippendorff_alpha,
         "ext-quality-percentile": _quality_percentile,
         "stream-psi-drift": _stream_psi_drift,
+        "stream-ks-drift": _stream_ks_drift,
+        "stream-chao1-vocab": _stream_chao1_vocab,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 32 of
-        #    the 49 r9-record veterans, alphabetical; the other 17
+        # -- the r14 rotation (R14_ROTATION): the oldest 30 of
+        #    the 49 r9-record veterans, alphabetical; the other 19
         #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    16 new/changed + 2 rows-only + 32 == exactly 50;
+        #    18 new/changed + 2 rows-only + 30 == exactly 50;
         #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
@@ -6367,8 +6468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-sample-stratified": _sample_stratified,
         "ext-semantic-decontaminate": _semantic_decontaminate,
         "ext-sentence-decontaminate": _sentence_decontaminate,
-        "ext-sentence-split": _sentence_split,
-        "ext-similarity-ann": _ann_lsh,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -6422,6 +6521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9-record veterans deferred to the r15 window (the
         #    R15_ROTATION_CANDIDATES head — displaced when the r14
         #    third wave grew GATE_NEW to 16):
+        "ext-sentence-split": _sentence_split,
+        "ext-similarity-ann": _ann_lsh,
         "ext-similarity-ivf": _ann_ivf,
         "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
         "ext-similarity-knn": _knn,
@@ -12419,10 +12520,12 @@ def oracle_sql() -> dict[str, str]:
           FROM per)
         SELECT * FROM rows_ UNION ALL SELECT * FROM micro
     """
-    # streaming form: SUM-merged state + the factored batch final
+    # streaming forms: SUM-merged state + the factored batch final
     # stage == the batch build (counter-sum associativity), so the
-    # batch twin gates the stream verbatim.
+    # batch twins gate the streams verbatim.
     d["stream-eval-confusion"] = d["ext-eval-confusion"]
+    d["stream-ks-drift"] = d["ext-ks-drift"]
+    d["stream-chao1-vocab"] = d["ext-chao1-vocab"]
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

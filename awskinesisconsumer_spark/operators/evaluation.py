@@ -386,13 +386,42 @@ def ks_statistic(
     corpus rows — for continuous metrics at 100 TB, quantize to
     meaningful precision first, e.g. round scores to 4 dp, exactly
     as a production KS monitor does)."""
+    return ks_from_value_counts(
+        ks_value_counts(
+            df, value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b,
+        ),
+        alpha_coef=alpha_coef,
+    )
+
+
+def ks_value_counts(
+    df: DataFrame, *, value_col: str, group_col: str, group_a, group_b,
+) -> DataFrame:
+    """The (val, ca, cb) per-distinct-value counting stage of
+    `ks_statistic` — the mergeable state the streaming maintainer
+    (`streaming.pipeline.ks_drift_stream`) SUM-merges per
+    micro-batch: counter sums are exactly associative, so the merged
+    state equals one batch count over the union of arrivals. Bounded
+    by value cardinality (quantize continuous metrics first — the
+    ks_statistic rule; that bound is also the STATE bound for the
+    stream)."""
     g = F.col(group_col)
     v = F.col(value_col)
     two = df.where(v.isNotNull() & g.isin([group_a, group_b]))
-    per_val = two.groupBy(v.alias("val")).agg(
+    return two.groupBy(v.alias("val")).agg(
         F.sum((g == group_a).cast("long")).alias("ca"),
         F.sum((g == group_b).cast("long")).alias("cb"),
     )
+
+
+def ks_from_value_counts(
+    per_val: DataFrame, *, alpha_coef: float = KS_COEF_05,
+) -> DataFrame:
+    """`ks_statistic`'s final stage over a (val, ca, cb) count table
+    (see `ks_value_counts`) — factored out so the streaming state
+    feeds the LITERAL batch code and the batch twin gates the stream
+    verbatim (the cms/histogram/confusion/psi contract)."""
     from pyspark.sql import Window
 
     wcum = Window.orderBy("val").rowsBetween(
@@ -553,15 +582,34 @@ def chao1_vocab(df: DataFrame, *, text_col: str) -> DataFrame:
     happens once, in the final row (the module rule). Returns ONE
     row: (n_tokens, vocab_size, f1, f2, chao1_est 4 dp).
     """
+    return chao1_from_counts(
+        chao1_term_counts(df, text_col=text_col)
+    )
+
+
+def chao1_term_counts(df: DataFrame, *, text_col: str) -> DataFrame:
+    """The (term, n) counting stage of `chao1_vocab` — the mergeable
+    state the streaming maintainer
+    (`streaming.pipeline.chao1_vocab_stream`) SUM-merges per
+    micro-batch (term-count sums are exactly associative). Same
+    tokenization as `text.top_terms`; state vocabulary-bounded
+    (Zipf: sublinear in corpus size)."""
     from .text import _words
 
-    counts = (
+    return (
         df.select(F.explode(_words(F.lower(F.col(text_col))))
                   .alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def chao1_from_counts(counts: DataFrame) -> DataFrame:
+    """`chao1_vocab`'s final stage over a (term, n) count table (see
+    `chao1_term_counts`) — factored out so the streaming state feeds
+    the LITERAL batch code and the batch twin gates the stream
+    verbatim (the cms/histogram/confusion/psi/ks contract)."""
     d = F.count(F.lit(1))
     f1 = F.sum((F.col("n") == 1).cast("long"))
     f2 = F.sum((F.col("n") == 2).cast("long"))

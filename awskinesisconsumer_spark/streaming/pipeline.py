@@ -2040,3 +2040,143 @@ def psi_drift_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ks_merge_fn(*, value_col, group_col, group_a, group_b, out_path):
+    """ks_drift_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ks_value_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = ks_value_counts(
+            batch_df, value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b,
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("val", "ca", "cb"))
+        )
+        _swap_state(
+            both.groupBy("val").agg(
+                F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def ks_drift_stream(
+    rows,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming two-sample KS maintenance: each micro-batch's
+    (val, ca, cb) distinct-value counts
+    (`evaluation.ks_value_counts` — the shared counting function)
+    SUM-merge into the persisted state table;
+    `ks_from_value_counts` over the final state equals batch
+    `ks_statistic` verbatim (counter-sum associativity — the
+    cms/histogram/confusion/psi streaming-state contract), so the
+    batch twin gates the stream.
+
+    State: bounded by VALUE CARDINALITY, not corpus rows — the
+    ks_statistic quantize-first rule is also the state-size rule
+    here (round continuous metrics to meaningful precision before
+    feeding the monitor). The binning-free companion to
+    `psi_drift_stream`: PSI answers "how big is the shift" on frozen
+    bins, this answers "did the SHAPE change anywhere" with no edge
+    choices. Commits through the swap-rename protocol with the
+    `_bid` replay guard. Returns the started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_ks_merge_fn(
+            value_col=value_col, group_col=group_col,
+            group_a=group_a, group_b=group_b, out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _chao1_merge_fn(*, text_col, out_path):
+    """chao1_vocab_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        chao1_term_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = chao1_term_counts(batch_df, text_col=text_col)
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("term", "n"))
+        )
+        _swap_state(
+            both.groupBy("term").agg(F.sum("n").alias("n"))
+            .withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def chao1_vocab_stream(
+    docs,
+    *,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming vocabulary-richness maintenance: each micro-batch's
+    (term, n) counts (`evaluation.chao1_term_counts` — the shared
+    tokenizer) SUM-merge into the persisted term-count state;
+    `chao1_from_counts` over the final state equals batch
+    `chao1_vocab` verbatim — the continuously maintained answer to
+    "how much unseen vocabulary would more crawl add", updated as
+    data arrives. NOTE the frequency-of-frequencies (f1, f2) are NOT
+    themselves mergeable — a term singleton in two batches is a
+    doubleton overall — which is exactly why the state holds the
+    term counts (vocabulary-bounded, Zipf-sublinear) and f1/f2
+    derive at read time from the merged counts.
+
+    Commits through the swap-rename protocol with the `_bid` replay
+    guard (counter sums are not replay-idempotent). Returns the
+    started StreamingQuery.
+    """
+    writer = (
+        docs.writeStream.foreachBatch(_chao1_merge_fn(
+            text_col=text_col, out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

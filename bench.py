@@ -277,6 +277,8 @@ HEADLINE = [
     "ext-krippendorff-alpha",
     "ext-quality-percentile",
     "stream-psi-drift",
+    "stream-ks-drift",
+    "stream-chao1-vocab",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

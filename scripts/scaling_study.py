@@ -704,6 +704,9 @@ DRIFTERS = (
     "ext-bootstrap-ci-grouped", "ext-eval-confusion",
     "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
     "ext-psi-drift",
+    # r14 third + fourth waves
+    "ext-krippendorff-alpha", "ext-quality-percentile",
+    "stream-psi-drift", "stream-ks-drift", "stream-chao1-vocab",
 )
 
 

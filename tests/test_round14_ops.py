@@ -485,3 +485,66 @@ def test_psi_frozen_edges_clamp_out_of_range(spark):
             df, value_col="v", group_col="g", group_a="en",
             group_b="fr", lo=0.0,
         )
+
+
+def test_ks_stream_state_replay_and_equality(spark, tmp_path):
+    # SUM-merged (val, ca, cb) state + ks_from_value_counts must
+    # equal batch ks_statistic over the union; replays skipped.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ks_from_value_counts, ks_statistic,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import _ks_merge_fn
+
+    out = str(tmp_path / "ks")
+    merge = _ks_merge_fn(
+        value_col="v", group_col="g", group_a="en", group_b="fr",
+        out_path=out,
+    )
+    b0 = spark.createDataFrame(
+        [("en", 10), ("fr", 60), ("en", 30)], "g string, v int"
+    )
+    b1 = spark.createDataFrame(
+        [("fr", 10), ("en", 60), ("fr", 55)], "g string, v int"
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = ks_from_value_counts(
+        spark.read.parquet(out).select("val", "ca", "cb")
+    ).collect()
+    want = ks_statistic(
+        b0.unionByName(b1), value_col="v", group_col="g",
+        group_a="en", group_b="fr",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_chao1_stream_f1f2_derived_not_merged(spark, tmp_path):
+    # The defining subtlety: a term appearing once in EACH of two
+    # batches must count as f2 (doubleton), not 2x f1 — i.e. the
+    # state merges term COUNTS and derives the frequency-of-
+    # frequencies at read time. 'zz' below is exactly that term.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        chao1_from_counts, chao1_vocab,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _chao1_merge_fn,
+    )
+
+    out = str(tmp_path / "ch1")
+    merge = _chao1_merge_fn(text_col="text", out_path=out)
+    b0 = spark.createDataFrame([(1, "zz alpha alpha")],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, "zz beta")],
+                               "doc_id long, text string")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = chao1_from_counts(
+        spark.read.parquet(out).select("term", "n")
+    ).collect()[0]
+    want = chao1_vocab(
+        b0.unionByName(b1), text_col="text"
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["f2"] == 2 and got["f1"] == 1  # zz+alpha doubletons, beta singleton
