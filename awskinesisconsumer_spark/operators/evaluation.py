@@ -656,11 +656,15 @@ def ks_matrix(
     from pyspark.sql import Window
 
     g, v = F.col(group_col), F.col(value_col)
+    # persist: three branches (distinct values, distinct groups, the
+    # grid fill) all read the counts — uncached each branch re-scans
+    # the CORPUS to rebuild this bounded (values x groups) aggregate;
+    # released before returning (the caching-module contract)
     counts = (
         df.where(v.isNotNull() & g.isNotNull())
         .groupBy(g.cast("string").alias("g"), v.alias("val"))
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()
     vals = counts.select("val").distinct()
     groups = counts.select("g").distinct()
     filled = (
@@ -707,12 +711,15 @@ def ks_matrix(
         * F.sqrt((F.col("n_a") + F.col("n_b"))
                  / (F.col("n_a") * F.col("n_b")).cast("double")),
     )
-    return pairs.select(
+    out = pairs.select(
         "group_a", "group_b", "n_a", "n_b",
         F.round("_d", 6).alias("d_stat"),
         F.round(crit, 6).alias("d_crit"),
         (F.col("_d") > crit).alias("drifted"),
     )
+    from .caching import release_after
+
+    return release_after(out, counts)
 
 
 def psi_binned_counts(
