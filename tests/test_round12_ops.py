@@ -1035,16 +1035,17 @@ def test_rank_biased_overlap_hand_computed(spark):
 
 
 def test_audit_report_composition(spark):
-    # 39 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
+    # 54 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
     # + 8 recall probes + 8 rbo probes + 6 SemDeDup-recall health rows
-    # (r13: 2 n_assign values x 3 true-cosine buckets on this
-    # fixture); every value non-null and the count rows are exact
+    # (r13: 2 n_assign values x 3 true-cosine buckets on this fixture)
+    # + 15 per-lang token-mean CI rows (r14: estimate/lo/hi x 5
+    # langs); every value non-null and the count rows are exact
     # integers.
     import __spark_entry__ as entry
 
     rows = entry.queries()["ext-audit-report"](spark, SF_ORACLE).collect()
     metrics = {r["metric"]: r["value"] for r in rows}
-    assert len(rows) == 39 and len(metrics) == 39
+    assert len(rows) == 54 and len(metrics) == 54
     assert metrics["n_docs"] == 500.0
     assert metrics["n_exact_dup_docs"] >= 0.0
     fams = {
@@ -1053,8 +1054,17 @@ def test_audit_report_composition(spark):
         "ann_recall@10:probe_": 8,
         "rbo@10:probe_": 8,
         "semdedup_recall:n": 6,
+        "token_mean:": 5,
+        "token_mean_ci_lo:": 5,
+        "token_mean_ci_hi:": 5,
     }
     for prefix, n in fams.items():
         got = [m for m in metrics if m.startswith(prefix)]
         assert len(got) == n, (prefix, got)
     assert all(v is not None for v in metrics.values())
+    # the CI rows bracket their estimate per lang
+    for lang in [m.split(":")[1] for m in metrics if
+                 m.startswith("token_mean:")]:
+        assert (metrics[f"token_mean_ci_lo:{lang}"]
+                <= metrics[f"token_mean:{lang}"]
+                <= metrics[f"token_mean_ci_hi:{lang}"]), lang
