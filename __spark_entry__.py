@@ -6063,6 +6063,115 @@ def _stream_chao1_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return chao1_from_counts(counts)
 
 
+def _stream_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming stratified-bootstrap CI (streaming/pipeline.py
+    # bootstrap_ci_stream — r14): each micro-batch of a genuinely
+    # multi-batch 3-file docs replay tokenizes with the SHARED batch
+    # counter and SUM-merges its (group, b, wv, wn) Poisson-weighted
+    # sums through the swap-rename/_bid protocol — each weight
+    # depends only on (doc_id, salt, b), never on arrival batch, so
+    # the sums are exactly associative and
+    # bootstrap_ci_grouped_from_sums over the final state == batch
+    # bootstrap_ci_grouped verbatim. The ext-bootstrap-ci-grouped
+    # twin gates the stream. State = G x 201 rows,
+    # corpus-size-independent — a per-source error bar that stays
+    # current as data arrives.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci_grouped_from_sums,
+    )
+    from awskinesisconsumer_spark.operators.text import token_count
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        bootstrap_ci_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "lang", "text"
+    )
+    src = tempfile.mkdtemp(prefix="boot_src_")
+    out = tempfile.mkdtemp(prefix="boot_out_")
+    ckpt = tempfile.mkdtemp(prefix="boot_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    counted = token_count(stream, text_col="text")
+    q = bootstrap_ci_stream(
+        counted, id_col="doc_id", value_col="n_tokens",
+        group_col="lang", n_boot=200, out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-bootstrap-ci: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-bootstrap-ci: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    sums = spark.read.parquet(out).select("_g", "b", "wv", "wn")
+    return bootstrap_ci_grouped_from_sums(sums)
+
+
+def _stream_rater_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming Cohen's kappa (streaming/pipeline.py
+    # cohen_kappa_stream — r14): the two ext-rater-kappa heuristic
+    # raters score each micro-batch map-only, and the (label_a,
+    # label_b, n) pair counts SUM-merge through the swap-rename/_bid
+    # protocol; cohen_kappa_from_counts over the final state ==
+    # batch cohen_kappa verbatim, so the ext-rater-kappa twin gates
+    # the stream — continuously maintained LLM-judge calibration.
+    # (Fleiss deliberately has no streaming form: per-item cells
+    # grow with the corpus — documented in the maintainer.)
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        cohen_kappa_from_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        cohen_kappa_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="kap_src_")
+    out = tempfile.mkdtemp(prefix="kap_out_")
+    ckpt = tempfile.mkdtemp(prefix="kap_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    n_sp = F.length("text") - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+    )
+    rated = stream.where(F.col("text").isNotNull()).select(
+        F.when(F.length("text") < 250, 0)
+        .when(F.length("text") < 450, 1).otherwise(2).alias("ra"),
+        F.when(n_sp < 40, 0).when(n_sp < 75, 1).otherwise(2).alias("rb"),
+    )
+    q = cohen_kappa_stream(
+        rated, rater_a_col="ra", rater_b_col="rb",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-rater-kappa: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-rater-kappa: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    counts = spark.read.parquet(out).select("label_a", "label_b", "n")
+    return cohen_kappa_from_counts(counts)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6327,6 +6436,12 @@ GATE_NEW_THIS_ROUND = (
     # count state) and Chao1 (term-count state; f1/f2 derive at read
     # time because frequency-of-frequencies are not mergeable).
     "stream-ks-drift", "stream-chao1-vocab",
+    # NEW in r14, fifth wave: the last two streamable evaluation
+    # statistics — stratified bootstrap (the (group, b) Poisson sums
+    # are associative because weights depend only on (id, salt, b))
+    # and Cohen's kappa (pair-count state); Fleiss deliberately
+    # stays batch-only (per-item cells grow with the corpus).
+    "stream-bootstrap-ci", "stream-rater-kappa",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6341,13 +6456,13 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r14 rotation: the oldest 30 of the 49 r9-record ledger
+# The r14 rotation: the oldest 28 of the 49 r9-record ledger
 # veterans (GATE_LEDGER.json green_round == 9 at round start),
 # alphabetical — the head of the r13-pinned R14 plan of record.
-# 18 new/changed + 2 rows-only + 30 veterans == exactly 50;
+# 20 new/changed + 2 rows-only + 28 veterans == exactly 50;
 # queries() ASSERTS head == plan at call time (the r12 verdict
 # item 1 rule), so this comment cannot overstate the window. The
-# remaining 19 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# remaining 21 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
 # re-gate in r15 (freshness: no record older than 5 rounds behind
 # newest — r9 is exactly 5 behind after r14's snapshot lands).
 R14_ROTATION = (
@@ -6361,17 +6476,17 @@ R14_ROTATION = (
     "ext-mixture-allocate", "ext-mixture-expand", "ext-multimodal-png",
     "ext-multimodal-wav", "ext-prepare-corpus",
     "ext-quality-repetition", "ext-quality-score",
-    "ext-sample-stratified", "ext-semantic-decontaminate",
-    "ext-sentence-decontaminate",
+    "ext-sample-stratified",
 )
 
 # The r15 plan of record (written at r14 close): the window MUST
-# hold all 19 of these (the r9-cohort remainder — the freshness
+# hold all 21 of these (the r9-cohort remainder — the freshness
 # invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
 # the 2 rows-only residents; fill what remains with the head of the
 # 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
 # — that cohort must finish re-gating by r16.
 R15_ROTATION_CANDIDATES = (
+    "ext-semantic-decontaminate", "ext-sentence-decontaminate",
     "ext-sentence-split", "ext-similarity-ann",
     "ext-similarity-ivf", "ext-similarity-ivf-kmeans",
     "ext-similarity-knn",
@@ -6428,15 +6543,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-psi-drift": _stream_psi_drift,
         "stream-ks-drift": _stream_ks_drift,
         "stream-chao1-vocab": _stream_chao1_vocab,
+        "stream-bootstrap-ci": _stream_bootstrap_ci,
+        "stream-rater-kappa": _stream_rater_kappa,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 30 of
-        #    the 49 r9-record veterans, alphabetical; the other 19
+        # -- the r14 rotation (R14_ROTATION): the oldest 28 of
+        #    the 49 r9-record veterans, alphabetical; the other 21
         #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    18 new/changed + 2 rows-only + 30 == exactly 50;
+        #    20 new/changed + 2 rows-only + 28 == exactly 50;
         #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
@@ -6466,8 +6583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-quality-repetition": _repetition,
         "ext-quality-score": _quality,
         "ext-sample-stratified": _sample_stratified,
-        "ext-semantic-decontaminate": _semantic_decontaminate,
-        "ext-sentence-decontaminate": _sentence_decontaminate,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -6521,6 +6636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9-record veterans deferred to the r15 window (the
         #    R15_ROTATION_CANDIDATES head — displaced when the r14
         #    third wave grew GATE_NEW to 16):
+        "ext-semantic-decontaminate": _semantic_decontaminate,
+        "ext-sentence-decontaminate": _sentence_decontaminate,
         "ext-sentence-split": _sentence_split,
         "ext-similarity-ann": _ann_lsh,
         "ext-similarity-ivf": _ann_ivf,
@@ -12526,6 +12643,8 @@ def oracle_sql() -> dict[str, str]:
     d["stream-eval-confusion"] = d["ext-eval-confusion"]
     d["stream-ks-drift"] = d["ext-ks-drift"]
     d["stream-chao1-vocab"] = d["ext-chao1-vocab"]
+    d["stream-bootstrap-ci"] = d["ext-bootstrap-ci-grouped"]
+    d["stream-rater-kappa"] = d["ext-rater-kappa"]
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

@@ -51,17 +51,52 @@ def cohen_kappa(
     groupBys (label cardinality-bounded) and a label equi-join for
     sum(ca*cb); everything after the map-side-combined counts is
     constant-size."""
+    return cohen_kappa_from_counts(
+        kappa_pair_counts(
+            df, rater_a_col=rater_a_col, rater_b_col=rater_b_col
+        )
+    )
+
+
+def kappa_pair_counts(
+    df: DataFrame, *, rater_a_col: str, rater_b_col: str,
+) -> DataFrame:
+    """The (label_a, label_b, n) pair-count stage of `cohen_kappa` —
+    the mergeable state the streaming maintainer
+    (`streaming.pipeline.cohen_kappa_stream`) SUM-merges per
+    micro-batch (the confusion_counts shape with rater labels):
+    observed agreement, both marginals, and the chance-agreement
+    cross term all derive from these counts, so the state is
+    (label-cardinality)^2 rows, corpus-size-independent."""
     a, b = F.col(rater_a_col), F.col(rater_b_col)
-    rated = df.where(a.isNotNull() & b.isNotNull())
-    totals = rated.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((a == b).cast("long")).alias("agree"),
+    return (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(
+            a.cast("string").alias("label_a"),
+            b.cast("string").alias("label_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    ca = rated.groupBy(a.alias("label")).agg(
-        F.count(F.lit(1)).alias("ca")
+
+
+def cohen_kappa_from_counts(counts: DataFrame) -> DataFrame:
+    """`cohen_kappa`'s final stage over a (label_a, label_b, n)
+    pair-count table (see `kappa_pair_counts`) — factored out so the
+    streaming state feeds the LITERAL batch code and the batch twin
+    gates the stream verbatim (the family contract)."""
+    totals = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label_a") == F.col("label_b"),
+                         F.col("n"))),
+            F.lit(0).cast("long"),
+        ).alias("agree"),
     )
-    cb = rated.groupBy(b.alias("label")).agg(
-        F.count(F.lit(1)).alias("cb")
+    ca = counts.groupBy(F.col("label_a").alias("label")).agg(
+        F.sum("n").alias("ca")
+    )
+    cb = counts.groupBy(F.col("label_b").alias("label")).agg(
+        F.sum("n").alias("cb")
     )
     # inner join: a label absent from either marginal contributes 0
     cross = ca.join(cb, "label").agg(
@@ -280,13 +315,44 @@ def bootstrap_ci_grouped(
     A group whose every replicate draws zero total weight (only
     plausible for single-digit-row strata) keeps its count/estimate
     row with NULL bounds."""
+    return bootstrap_ci_grouped_from_sums(
+        bootstrap_replicate_sums(
+            df, id_col=id_col, value_col=value_col,
+            group_col=group_col, n_boot=n_boot, salt=salt,
+            hash_fn=hash_fn,
+        ),
+        conf=conf,
+    )
+
+
+def bootstrap_replicate_sums(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    n_boot: int = 200,
+    salt: str = "boot1",
+    hash_fn=None,
+) -> DataFrame:
+    """The (group, b, wv, wn) integer-sum stage of
+    `bootstrap_ci_grouped` — the mergeable state the streaming
+    maintainer (`streaming.pipeline.bootstrap_ci_stream`) SUM-merges
+    per micro-batch: each (row, replicate) Poisson weight depends
+    only on (id, salt, b), never on which batch the row arrived in,
+    so the per-(group, replicate) weighted sums are exactly
+    associative across arrivals. Rows with b = -1 carry the plain
+    totals (wn = n_items, wv = sum_v) so ONE state table serves the
+    estimate and the bounds. State is G x (n_boot + 1) rows,
+    CARDINALITY-INDEPENDENT of corpus size."""
     from .dedup import portable_hash52
 
     if hash_fn is None:
         hash_fn = portable_hash52
     if n_boot < 2:
         raise ValueError(
-            f"bootstrap_ci_grouped: n_boot must be >= 2, got {n_boot}"
+            f"bootstrap_replicate_sums: n_boot must be >= 2, "
+            f"got {n_boot}"
         )
     v = F.col(value_col)
     base = df.where(
@@ -298,9 +364,9 @@ def bootstrap_ci_grouped(
         v.cast("long").alias("_v"),
     )
     totals = base.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("_v").alias("sum_v"),
-    )
+        F.count(F.lit(1)).alias("wn"),
+        F.sum("_v").alias("wv"),
+    ).select("_g", F.lit(-1).alias("b"), "wv", "wn")
     b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
     u = hash_fn(
         F.concat_ws("\x1f", F.col("_id"), F.lit(salt),
@@ -317,6 +383,26 @@ def bootstrap_ci_grouped(
             F.sum(F.col("_w") * F.col("_v")).alias("wv"),
             F.sum("_w").alias("wn"),
         )
+        .select("_g", "b", "wv", "wn")
+    )
+    return totals.unionByName(reps)
+
+
+def bootstrap_ci_grouped_from_sums(
+    sums: DataFrame, *, conf: float = 0.95,
+) -> DataFrame:
+    """`bootstrap_ci_grouped`'s final stage over a
+    (group, b, wv, wn) sums table (see `bootstrap_replicate_sums`;
+    b = -1 rows carry the totals) — factored out so the streaming
+    state feeds the LITERAL batch code and the batch twin gates the
+    stream verbatim (the family contract)."""
+    totals = sums.where(F.col("b") == -1).select(
+        F.col("_g"),
+        F.col("wn").alias("n_items"),
+        F.col("wv").alias("sum_v"),
+    )
+    reps = (
+        sums.where(F.col("b") >= 0)
         .select(
             "_g",
             # wn > 0 guard: ANSI mode raises on division by zero

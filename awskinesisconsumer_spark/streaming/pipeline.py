@@ -2180,3 +2180,151 @@ def chao1_vocab_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _bootstrap_merge_fn(*, id_col, value_col, group_col, n_boot, salt,
+                        hash_fn, out_path):
+    """bootstrap_ci_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_replicate_sums,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = bootstrap_replicate_sums(
+            batch_df, id_col=id_col, value_col=value_col,
+            group_col=group_col, n_boot=n_boot, salt=salt,
+            hash_fn=hash_fn,
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("_g", "b", "wv", "wn"))
+        )
+        _swap_state(
+            both.groupBy("_g", "b").agg(
+                F.sum("wv").alias("wv"), F.sum("wn").alias("wn")
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def bootstrap_ci_stream(
+    rows,
+    *,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    n_boot: int = 200,
+    salt: str = "boot1",
+    hash_fn=None,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming stratified-bootstrap maintenance: each micro-batch's
+    (group, b, wv, wn) integer sums
+    (`evaluation.bootstrap_replicate_sums` — each (row, replicate)
+    Poisson weight depends only on (id, salt, b), never on arrival
+    batch, so the sums are exactly associative) SUM-merge into the
+    persisted state; `bootstrap_ci_grouped_from_sums` over the final
+    state equals batch `bootstrap_ci_grouped` verbatim — the batch
+    twin gates the stream, and the error bar an eval report puts on
+    every per-source mean stays CURRENT as data arrives instead of
+    being recomputed corpus-wide.
+
+    State: G x (n_boot + 1) rows (b = -1 carries the totals),
+    CARDINALITY-INDEPENDENT of corpus size. Commits through the
+    swap-rename protocol with the `_bid` replay guard. Returns the
+    started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_bootstrap_merge_fn(
+            id_col=id_col, value_col=value_col, group_col=group_col,
+            n_boot=n_boot, salt=salt, hash_fn=hash_fn,
+            out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _kappa_merge_fn(*, rater_a_col, rater_b_col, out_path):
+    """cohen_kappa_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        kappa_pair_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = kappa_pair_counts(
+            batch_df, rater_a_col=rater_a_col, rater_b_col=rater_b_col
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(
+                prev.select("label_a", "label_b", "n"))
+        )
+        _swap_state(
+            both.groupBy("label_a", "label_b")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def cohen_kappa_stream(
+    rows,
+    *,
+    rater_a_col: str,
+    rater_b_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming inter-rater agreement maintenance: each
+    micro-batch's (label_a, label_b, n) pair counts
+    (`evaluation.kappa_pair_counts` — the confusion_counts shape
+    with rater labels) SUM-merge into the persisted state;
+    `cohen_kappa_from_counts` over the final state equals batch
+    `cohen_kappa` verbatim — the continuously maintained LLM-judge
+    calibration signal. (Fleiss' kappa deliberately has NO streaming
+    form: its state is per-ITEM cells, which grow with the corpus —
+    not cardinality-independent — so maintaining it online would
+    violate the family's bounded-state contract.)
+
+    State: (label cardinality)^2 rows. Commits through the
+    swap-rename protocol with the `_bid` replay guard. Returns the
+    started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_kappa_merge_fn(
+            rater_a_col=rater_a_col, rater_b_col=rater_b_col,
+            out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

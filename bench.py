@@ -279,6 +279,8 @@ HEADLINE = [
     "stream-psi-drift",
     "stream-ks-drift",
     "stream-chao1-vocab",
+    "stream-bootstrap-ci",
+    "stream-rater-kappa",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -707,6 +707,7 @@ DRIFTERS = (
     # r14 third + fourth waves
     "ext-krippendorff-alpha", "ext-quality-percentile",
     "stream-psi-drift", "stream-ks-drift", "stream-chao1-vocab",
+    "stream-bootstrap-ci", "stream-rater-kappa",
 )
 
 

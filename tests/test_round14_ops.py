@@ -548,3 +548,71 @@ def test_chao1_stream_f1f2_derived_not_merged(spark, tmp_path):
     ).collect()[0]
     assert tuple(got) == tuple(want)
     assert got["f2"] == 2 and got["f1"] == 1  # zz+alpha doubletons, beta singleton
+
+
+def test_bootstrap_stream_state_replay_and_equality(spark, tmp_path):
+    # The (group, b, wv, wn) Poisson sums are associative because
+    # each weight depends only on (id, salt, b) — so the SUM-merged
+    # state must reproduce the batch grouped CI exactly, and an
+    # at-least-once replay must be skipped.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci_grouped, bootstrap_ci_grouped_from_sums,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _bootstrap_merge_fn,
+    )
+
+    out = str(tmp_path / "boot")
+    merge = _bootstrap_merge_fn(
+        id_col="id", value_col="v", group_col="g", n_boot=25,
+        salt="boot1", hash_fn=None, out_path=out,
+    )
+    b0 = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 60), (3, "en", 30)],
+        "id long, g string, v int",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "fr", 10), (5, "en", 61), (6, "fr", 55)],
+        "id long, g string, v int",
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = sorted(tuple(r) for r in bootstrap_ci_grouped_from_sums(
+        spark.read.parquet(out).select("_g", "b", "wv", "wn")
+    ).collect())
+    want = sorted(tuple(r) for r in bootstrap_ci_grouped(
+        b0.unionByName(b1), id_col="id", value_col="v",
+        group_col="g", n_boot=25,
+    ).collect())
+    assert got == want
+
+
+def test_kappa_stream_state_replay_and_equality(spark, tmp_path):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        cohen_kappa, cohen_kappa_from_counts,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _kappa_merge_fn,
+    )
+
+    out = str(tmp_path / "kap")
+    merge = _kappa_merge_fn(
+        rater_a_col="ra", rater_b_col="rb", out_path=out
+    )
+    b0 = spark.createDataFrame(
+        [(0, 0), (1, 1), (0, 1)], "ra int, rb int"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 2), (1, 0), (0, 0)], "ra int, rb int"
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = cohen_kappa_from_counts(
+        spark.read.parquet(out).select("label_a", "label_b", "n")
+    ).collect()
+    want = cohen_kappa(
+        b0.unionByName(b1), rater_a_col="ra", rater_b_col="rb"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
