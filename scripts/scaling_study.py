@@ -840,6 +840,72 @@ def eval_stats_study() -> None:
     spark.stop()
 
 
+def eval_stats_r14_study() -> None:
+    """Scaling shapes for the r14 evaluation & drift operators over
+    the amplified corpora: grouped bootstrap (rows x reps explode +
+    G x B window), classification report (C^2-bounded counts),
+    Chao1 (vocab groupBy), KS matrix (values x groups grid + G^2
+    pair join), PSI (binned fold), and the source-fair percentile
+    (distinct-score window + join-back, the one with a
+    corpus-proportional OUTPUT).
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --eval-stats-r14
+    """
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        score_percentile_by_group,
+    )
+    from awskinesisconsumer_spark.operators.evaluation import (
+        bootstrap_ci_grouped, chao1_vocab, classification_report,
+        krippendorff_alpha, ks_matrix, psi_drift,
+    )
+
+    spark = get_spark("eval-stats-r14-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def prepped(d):
+        # deterministic 5-way group, two correlated raters, a metric
+        return d.select(
+            "doc_id", "text",
+            (F.col("doc_id") % 5).cast("string").alias("g"),
+            (F.length("text") % 5).alias("ra"),
+            (F.size(F.split(F.col("text"), r"\s+")) % 5).alias("rb"),
+            F.length("text").alias("metric"),
+        )
+
+    for r in (1, 10, 40):
+        p = f"{WORK}/docs_x{r}.parquet"
+        amplify_docs(spark, r, p)
+        src = prepped(spark.read.parquet(p))
+        n = 5000 * r
+        for name, mk in (
+            ("bootstrap-grouped-200", lambda d: bootstrap_ci_grouped(
+                d, id_col="doc_id", value_col="metric",
+                group_col="g", n_boot=200)),
+            ("classification-report", lambda d: classification_report(
+                d.select(F.col("ra").alias("label"),
+                         F.col("rb").alias("pred")),
+                label_col="label", pred_col="pred")),
+            ("krippendorff-alpha", lambda d: krippendorff_alpha(
+                d.select("doc_id",
+                         F.explode(F.array("ra", "rb", "ra"))
+                         .alias("l")),
+                item_col="doc_id", label_col="l")),
+            ("chao1-vocab", lambda d: chao1_vocab(d, text_col="text")),
+            ("ks-matrix-5g", lambda d: ks_matrix(
+                d, value_col="metric", group_col="g")),
+            ("psi-drift", lambda d: psi_drift(
+                d, value_col="metric", group_col="g",
+                group_a="0", group_b="1", n_bins=10)),
+            ("quality-percentile", lambda d: score_percentile_by_group(
+                d.select("doc_id", "g", F.col("metric").alias("s")),
+                score_col="s", group_col="g")),
+        ):
+            cold, warm = timed(mk, src, spark)
+            print(f"{name:22s} n={n:7d} cold={cold:7.2f}s "
+                  f"warm={warm:7.2f}s", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -866,6 +932,9 @@ def main() -> None:
         return
     if "--state-protocol" in sys.argv:
         quiet_host_state_protocol()
+        return
+    if "--eval-stats-r14" in sys.argv:
+        eval_stats_r14_study()
         return
     if "--eval-stats" in sys.argv:
         eval_stats_study()
