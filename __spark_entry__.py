@@ -6172,6 +6172,48 @@ def _stream_rater_kappa(spark: SparkSession, sf: str) -> DataFrame:
     return cohen_kappa_from_counts(counts)
 
 
+def _dedup_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    # Duplicate-aware SOFT dedup (operators/dedup.py dedup_reweight
+    # — r14): weight = 1 / |duplicate cluster| per doc, so a
+    # weighted sampler sees each piece of content once in
+    # expectation while every near-dup variant stays available —
+    # the downweight-instead-of-drop alternative to hard removal.
+    # Same candidate pairs + CC as ext-dedup-cluster, so the twin
+    # nests that proven recursive CTE and adds one size join.
+    from awskinesisconsumer_spark.operators.dedup import (
+        dedup_reweight, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    return dedup_reweight(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "weight")
+
+
+def _eval_ece(spark: SparkSession, sf: str) -> DataFrame:
+    # Expected Calibration Error (operators/evaluation.py
+    # expected_calibration_error — r14) of the lang-id marker-share
+    # confidence against the actual lang labels: the standard
+    # LLM-judge calibration number, with quantized-integer per-bin
+    # confidence sums and an ordered <= 10-bin fold so the twin
+    # replays bit-for-bit. The heuristic confidence is honestly
+    # uncalibrated — measuring that IS the operator's job.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    return expected_calibration_error(
+        pred, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", n_bins=10,
+    )
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6442,6 +6484,11 @@ GATE_NEW_THIS_ROUND = (
     # and Cohen's kappa (pair-count state); Fleiss deliberately
     # stays batch-only (per-item cells grow with the corpus).
     "stream-bootstrap-ci", "stream-rater-kappa",
+    # NEW in r14, sixth wave: duplicate-aware soft-dedup weights
+    # (1/cluster-size — downweight instead of drop) and the
+    # expected-calibration-error harness over the lang-id
+    # marker-share confidence.
+    "ext-dedup-reweight", "ext-eval-ece",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6456,13 +6503,13 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r14 rotation: the oldest 28 of the 49 r9-record ledger
+# The r14 rotation: the oldest 26 of the 49 r9-record ledger
 # veterans (GATE_LEDGER.json green_round == 9 at round start),
 # alphabetical — the head of the r13-pinned R14 plan of record.
-# 20 new/changed + 2 rows-only + 28 veterans == exactly 50;
+# 22 new/changed + 2 rows-only + 26 veterans == exactly 50;
 # queries() ASSERTS head == plan at call time (the r12 verdict
 # item 1 rule), so this comment cannot overstate the window. The
-# remaining 21 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# remaining 23 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
 # re-gate in r15 (freshness: no record older than 5 rounds behind
 # newest — r9 is exactly 5 behind after r14's snapshot lands).
 R14_ROTATION = (
@@ -6475,17 +6522,17 @@ R14_ROTATION = (
     "ext-embedding-whiten", "ext-fingerprint", "ext-layout-corpus",
     "ext-mixture-allocate", "ext-mixture-expand", "ext-multimodal-png",
     "ext-multimodal-wav", "ext-prepare-corpus",
-    "ext-quality-repetition", "ext-quality-score",
-    "ext-sample-stratified",
+    "ext-quality-repetition",
 )
 
 # The r15 plan of record (written at r14 close): the window MUST
-# hold all 21 of these (the r9-cohort remainder — the freshness
+# hold all 23 of these (the r9-cohort remainder — the freshness
 # invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
 # the 2 rows-only residents; fill what remains with the head of the
 # 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
 # — that cohort must finish re-gating by r16.
 R15_ROTATION_CANDIDATES = (
+    "ext-quality-score", "ext-sample-stratified",
     "ext-semantic-decontaminate", "ext-sentence-decontaminate",
     "ext-sentence-split", "ext-similarity-ann",
     "ext-similarity-ivf", "ext-similarity-ivf-kmeans",
@@ -6545,15 +6592,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-chao1-vocab": _stream_chao1_vocab,
         "stream-bootstrap-ci": _stream_bootstrap_ci,
         "stream-rater-kappa": _stream_rater_kappa,
+        "ext-dedup-reweight": _dedup_reweight,
+        "ext-eval-ece": _eval_ece,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 28 of
-        #    the 49 r9-record veterans, alphabetical; the other 21
+        # -- the r14 rotation (R14_ROTATION): the oldest 26 of
+        #    the 49 r9-record veterans, alphabetical; the other 23
         #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    20 new/changed + 2 rows-only + 28 == exactly 50;
+        #    22 new/changed + 2 rows-only + 26 == exactly 50;
         #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
@@ -6581,8 +6630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-wav": _multimodal_wav,
         "ext-prepare-corpus": _prepare_corpus,
         "ext-quality-repetition": _repetition,
-        "ext-quality-score": _quality,
-        "ext-sample-stratified": _sample_stratified,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -6636,6 +6683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9-record veterans deferred to the r15 window (the
         #    R15_ROTATION_CANDIDATES head — displaced when the r14
         #    third wave grew GATE_NEW to 16):
+        "ext-quality-score": _quality,
+        "ext-sample-stratified": _sample_stratified,
         "ext-semantic-decontaminate": _semantic_decontaminate,
         "ext-sentence-decontaminate": _sentence_decontaminate,
         "ext-sentence-split": _sentence_split,
@@ -10783,6 +10832,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split
             FROM lab
         """,
+        # Soft dedup: the cluster CTE + one size join — weight =
+        # 1 / cluster size (singletons via the vertices LEFT JOIN).
+        "ext-dedup-reweight": _CLUSTER_CTE_SQL + """,
+            lab AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT)
+                       AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+            sz AS (SELECT cluster_id, COUNT(*) AS csize
+                   FROM lab GROUP BY 1)
+            SELECT lab.doc_id, ROUND(1.0 / csize, 6) AS weight
+            FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+        """,
         # Fan-out roundtrip: frames sink + dead-letter sink together
         # must reproduce the whole input table.
         "sink-fanout-roundtrip": """
@@ -12645,6 +12707,63 @@ def oracle_sql() -> dict[str, str]:
     d["stream-chao1-vocab"] = d["ext-chao1-vocab"]
     d["stream-bootstrap-ci"] = d["ext-bootstrap-ci-grouped"]
     d["stream-rater-kappa"] = d["ext-rater-kappa"]
+    # r14: ECE of the lang-id marker-share confidence — quantized
+    # integer per-bin confidence sums (round(c*1e6) as BIGINT) keep
+    # the per-bin mean a ratio of exact integers; the cross-bin sum
+    # and the max-gap are ordered <= 10-bin folds (the PSI pattern).
+    d["ext-eval-ece"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+                 CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 1000000.0) AS BIGINT) AS c6
+          FROM pl),
+        pb AS (SELECT bin, COUNT(*) AS nb, SUM(ok) AS ok,
+                      SUM(c6) AS c6
+               FROM base GROUP BY 1),
+        agg AS (SELECT
+            list(struct_pack(bin := bin, nb := nb, ok := ok,
+                             c6 := c6) ORDER BY bin) AS arr,
+            SUM(nb) AS n_items FROM pb),
+        folded AS (SELECT
+            CAST(n_items AS BIGINT) AS n_items,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              (x.nb / CAST(n_items AS DOUBLE))
+              * ABS(x.ok / CAST(x.nb AS DOUBLE)
+                    - x.c6 / (x.nb * 1000000.0)))),
+              (acc, t) -> acc + t) AS ece,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              ABS(x.ok / CAST(x.nb AS DOUBLE)
+                  - x.c6 / (x.nb * 1000000.0)))),
+              (acc, t) -> GREATEST(acc, t)) AS max_gap
+          FROM agg)
+        SELECT n_items, 10 AS n_bins,
+               ROUND(CASE WHEN n_items > 0 THEN ece END, 6) AS ece,
+               ROUND(CASE WHEN n_items > 0 THEN max_gap END, 6)
+                 AS max_gap
+        FROM folded
+    """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

@@ -1415,3 +1415,38 @@ def simhash_capped_buckets(
             F.lit(0).cast("long"),
         ).alias("n_capped_rows"),
     )
+
+
+def dedup_reweight(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Duplicate-aware SOFT dedup: downweight instead of drop. Each
+    doc gets `out_col` = 1 / |its duplicate cluster| (6 dp), so a
+    weighted sampler (`sample_weighted`, mixture allocation)
+    sees each piece of CONTENT once in expectation while every
+    variant stays available — the alternative to hard removal when
+    near-dup variants carry signal (formatting, dialect, updates).
+    A doc in no candidate pair is its own singleton (weight 1.0).
+
+    Composition over proven parts: `connected_components` over ANY
+    miner's candidate pair table (minhash / simhash / n-gram /
+    semantic pairs all plug in) with the full corpus as vertices,
+    cluster sizes from one count, weights joined back id-keyed.
+    Cluster count tables are near-dup-bounded and the join is
+    AQE-broadcastable; nothing corpus-sized sits on the driver.
+    Returns df + out_col, one row per input row."""
+    cc = connected_components(
+        pairs, vertices=df.select(F.col(id_col).alias("id"))
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_csize")
+    )
+    w = cc.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col),
+        F.round(F.lit(1.0) / F.col("_csize"), 6).alias(out_col),
+    )
+    return df.join(w, id_col, "left")

@@ -1045,3 +1045,78 @@ def krippendorff_alpha(
         F.round(d_e, 6).alias("d_e"),
         F.round(F.when(d_e > 0, 1.0 - d_o / d_e), 6).alias("alpha"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error of a classifier's confidence
+    scores (Naeini et al. 2015; the standard LLM-judge calibration
+    number): bin predictions by confidence into `n_bins` equal-width
+    bins over [0, 1], then ECE = sum over bins of
+    (n_b / N) * |accuracy_b - mean_confidence_b|. A perfectly
+    calibrated judge has ECE 0; marker-share heuristics
+    (`text.language_id(with_confidence=True)`) do not — which is the
+    point of measuring.
+
+    Order-independence under the module rule: confidences are
+    QUANTIZED to 6 dp and summed as scaled integers (round(c * 1e6)
+    as long), so the per-bin mean confidence is a ratio of exact
+    integer sums like the accuracy — no float crosses a row
+    boundary; the final cross-bin sum is an ordered <= n_bins fold
+    (the PSI pattern). Confidence must lie in [0, 1] (c = 1.0 lands
+    in the top bin); NULL label/pred/conf rows are excluded.
+
+    Returns ONE row: (n_items, n_bins, ece, max_gap) — max_gap the
+    largest per-bin |acc - conf| (the "maximum calibration error"
+    companion). Scale shape: one map-side-combined n_bins-row
+    groupBy, one bounded fold."""
+    if n_bins < 1:
+        raise ValueError(
+            f"expected_calibration_error: n_bins must be >= 1, "
+            f"got {n_bins}"
+        )
+    lab, pr, cf = F.col(label_col), F.col(pred_col), F.col(conf_col)
+    base = df.where(
+        lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
+    ).select(
+        F.least(
+            F.floor(cf * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        (lab == pr).cast("long").alias("_ok"),
+        F.round(cf * 1e6).cast("long").alias("_c6"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("_ok").alias("ok"),
+        F.sum("_c6").alias("c6"),
+    )
+    agg = per_bin.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "nb", "ok", "c6"))
+        ).alias("arr"),
+        F.coalesce(F.sum("nb"), F.lit(0).cast("long")).alias("n_items"),
+    )
+    gap = lambda x: F.abs(  # noqa: E731
+        x["ok"] / x["nb"] - x["c6"] / (x["nb"] * F.lit(1e6))
+    )
+    ece = F.aggregate(
+        F.col("arr"), F.lit(0.0),
+        lambda acc, x: acc + (x["nb"] / F.col("n_items")) * gap(x),
+    )
+    max_gap = F.aggregate(
+        F.col("arr"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, gap(x)),
+    )
+    return agg.select(
+        "n_items",
+        F.lit(n_bins).alias("n_bins"),
+        F.round(F.when(F.col("n_items") > 0, ece), 6).alias("ece"),
+        F.round(F.when(F.col("n_items") > 0, max_gap), 6)
+        .alias("max_gap"),
+    )

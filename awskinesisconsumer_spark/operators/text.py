@@ -155,11 +155,20 @@ def token_count(df: DataFrame, *, text_col: str, out_col: str = "n_tokens") -> D
     )
 
 
-def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred",
+                with_confidence: bool = False,
+                conf_col: str = "lang_conf") -> DataFrame:
     """Stopword-marker language ID: score each candidate language by
     marker-word hits, pick the argmax (ties -> lexicographic, 'und'
     when no marker hits). Pure expressions: the scores form a small
-    array of structs reduced with array_max."""
+    array of structs reduced with array_max.
+
+    `with_confidence` adds `conf_col` = best score / total marker
+    hits (6 dp; 0.0 when no marker hits) — an honest HEURISTIC
+    confidence (marker-share, not a calibrated probability), which is
+    exactly what makes it the worked input for
+    `evaluation.expected_calibration_error`: a calibration harness
+    exists to measure how mis-calibrated such scores are."""
     words = _words(F.lower(F.col(text_col)))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -174,7 +183,18 @@ def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred") -> 
     pred = F.lit("und")
     for s in reversed(scores):
         pred = F.when((best > 0) & (s["score"] == best), s["lang"]).otherwise(pred)
-    return df.withColumn(out_col, pred)
+    out = df.withColumn(out_col, pred)
+    if with_confidence:
+        total = scores[0]["score"]
+        for s in scores[1:]:
+            total = total + s["score"]
+        out = out.withColumn(
+            conf_col,
+            F.when(total > 0, F.round(best / total, 6)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return out
 
 
 def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -> DataFrame:

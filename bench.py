@@ -281,6 +281,8 @@ HEADLINE = [
     "stream-chao1-vocab",
     "stream-bootstrap-ci",
     "stream-rater-kappa",
+    "ext-dedup-reweight",
+    "ext-eval-ece",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

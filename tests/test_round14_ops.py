@@ -616,3 +616,83 @@ def test_kappa_stream_state_replay_and_equality(spark, tmp_path):
         b0.unionByName(b1), rater_a_col="ra", rater_b_col="rb"
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_dedup_reweight_semantics(spark):
+    # Duplicate cluster of 3 -> each weight 1/3; singleton -> 1.0;
+    # the weighted corpus "sees each content once in expectation":
+    # sum of weights == number of clusters.
+    from awskinesisconsumer_spark.operators.dedup import dedup_reweight
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (5,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r["weight"] for r in dedup_reweight(
+        docs, pairs, id_col="doc_id"
+    ).collect()}
+    assert rows[1] == rows[2] == rows[3] == 0.333333
+    assert rows[4] == rows[5] == 0.5
+    singleton = spark.createDataFrame([(9,)], "doc_id long")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_reweight(
+        singleton, empty_pairs, id_col="doc_id"
+    ).collect()[0]["weight"] == 1.0
+
+
+def test_ece_hand_fixture(spark):
+    # Two bins: conf 0.95 x2 (1 right, 1 wrong -> acc .5, conf .95,
+    # gap .45) and conf 0.05 x2 (both right -> acc 1, conf .05, gap
+    # .95). ECE = .5*.45 + .5*.95 = 0.7; max_gap = 0.95. Perfectly
+    # calibrated input -> 0.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a", 0.95), ("a", "b", 0.95),
+         ("a", "a", 0.05), ("b", "b", 0.05)],
+        "label string, pred string, conf double",
+    )
+    r = expected_calibration_error(
+        df, label_col="label", pred_col="pred", conf_col="conf",
+        n_bins=10,
+    ).collect()[0]
+    assert (r["n_items"], r["n_bins"]) == (4, 10)
+    assert r["ece"] == 0.7 and r["max_gap"] == 0.95
+    # conf == 1.0 must land in the top bin, not bin n_bins
+    top = spark.createDataFrame(
+        [("a", "a", 1.0)], "label string, pred string, conf double"
+    )
+    rt = expected_calibration_error(
+        top, label_col="label", pred_col="pred", conf_col="conf"
+    ).collect()[0]
+    assert rt["ece"] == 0.0
+    with pytest.raises(ValueError, match="n_bins"):
+        expected_calibration_error(
+            df, label_col="label", pred_col="pred", conf_col="conf",
+            n_bins=0,
+        )
+
+
+def test_language_id_confidence(spark):
+    # marker-share confidence: conf = best / total marker hits,
+    # 0.0 when no markers; the default signature is unchanged.
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the town"),
+         (2, "zzz qqq xxx"),
+         (3, "the le")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in language_id(
+        df, text_col="text", with_confidence=True
+    ).collect()}
+    assert rows[1]["lang_pred"] == "en" and rows[1]["lang_conf"] == 1.0
+    assert rows[2]["lang_pred"] == "und" and rows[2]["lang_conf"] == 0.0
+    # 'the' (en) + 'le' (fr): tie broken to 'en', conf = 1/2
+    assert rows[3]["lang_pred"] == "en" and rows[3]["lang_conf"] == 0.5
+    assert "lang_conf" not in language_id(df, text_col="text").columns
