@@ -6214,6 +6214,23 @@ def _eval_ece(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _eval_brier(spark: SparkSession, sf: str) -> DataFrame:
+    # Brier score (operators/evaluation.py brier_score — r14) of the
+    # lang-id marker-share confidence: ECE's proper-scoring-rule
+    # companion (calibration + refinement, no binning choice). The
+    # per-row squared gap is an exact INTEGER ((ok*1e4 - c4)^2), so
+    # the cross-row sum is a long and the twin replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import brier_score
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    return brier_score(
+        pred, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf",
+    )
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6488,7 +6505,7 @@ GATE_NEW_THIS_ROUND = (
     # (1/cluster-size — downweight instead of drop) and the
     # expected-calibration-error harness over the lang-id
     # marker-share confidence.
-    "ext-dedup-reweight", "ext-eval-ece",
+    "ext-dedup-reweight", "ext-eval-ece", "ext-eval-brier",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6503,13 +6520,13 @@ ROWS_ONLY_BY_DESIGN = (
     "ext-cdc-chunk-text-prod", "ext-cdc-chunk-clamped-prod",
 )
 
-# The r14 rotation: the oldest 26 of the 49 r9-record ledger
+# The r14 rotation: the oldest 25 of the 49 r9-record ledger
 # veterans (GATE_LEDGER.json green_round == 9 at round start),
 # alphabetical — the head of the r13-pinned R14 plan of record.
-# 22 new/changed + 2 rows-only + 26 veterans == exactly 50;
+# 23 new/changed + 2 rows-only + 25 veterans == exactly 50;
 # queries() ASSERTS head == plan at call time (the r12 verdict
 # item 1 rule), so this comment cannot overstate the window. The
-# remaining 23 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
+# remaining 24 r9 veterans move to R15_ROTATION_CANDIDATES and MUST
 # re-gate in r15 (freshness: no record older than 5 rounds behind
 # newest — r9 is exactly 5 behind after r14's snapshot lands).
 R14_ROTATION = (
@@ -6522,16 +6539,16 @@ R14_ROTATION = (
     "ext-embedding-whiten", "ext-fingerprint", "ext-layout-corpus",
     "ext-mixture-allocate", "ext-mixture-expand", "ext-multimodal-png",
     "ext-multimodal-wav", "ext-prepare-corpus",
-    "ext-quality-repetition",
 )
 
 # The r15 plan of record (written at r14 close): the window MUST
-# hold all 23 of these (the r9-cohort remainder — the freshness
+# hold all 24 of these (the r9-cohort remainder — the freshness
 # invariant leaves no slack for them in r16) plus GATE_NEW_r15 +
 # the 2 rows-only residents; fill what remains with the head of the
 # 50-entry r10 cohort (GATE_LEDGER green_round == 10), alphabetical
 # — that cohort must finish re-gating by r16.
 R15_ROTATION_CANDIDATES = (
+    "ext-quality-repetition",
     "ext-quality-score", "ext-sample-stratified",
     "ext-semantic-decontaminate", "ext-sentence-decontaminate",
     "ext-sentence-split", "ext-similarity-ann",
@@ -6594,15 +6611,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-rater-kappa": _stream_rater_kappa,
         "ext-dedup-reweight": _dedup_reweight,
         "ext-eval-ece": _eval_ece,
+        "ext-eval-brier": _eval_brier,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
         "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
         "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 26 of
-        #    the 49 r9-record veterans, alphabetical; the other 23
+        # -- the r14 rotation (R14_ROTATION): the oldest 25 of
+        #    the 49 r9-record veterans, alphabetical; the other 24
         #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    22 new/changed + 2 rows-only + 26 == exactly 50;
+        #    23 new/changed + 2 rows-only + 25 == exactly 50;
         #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
@@ -6629,7 +6647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-png": _multimodal_png,
         "ext-multimodal-wav": _multimodal_wav,
         "ext-prepare-corpus": _prepare_corpus,
-        "ext-quality-repetition": _repetition,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -6683,6 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9-record veterans deferred to the r15 window (the
         #    R15_ROTATION_CANDIDATES head — displaced when the r14
         #    third wave grew GATE_NEW to 16):
+        "ext-quality-repetition": _repetition,
         "ext-quality-score": _quality,
         "ext-sample-stratified": _sample_stratified,
         "ext-semantic-decontaminate": _semantic_decontaminate,
@@ -12763,6 +12781,48 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN n_items > 0 THEN max_gap END, 6)
                  AS max_gap
         FROM folded
+    """
+    # r14: Brier score — per-row squared gap as an exact integer
+    # ((ok*1e4 - round(conf*1e4))^2), cross-row sum a BIGINT, one
+    # float division in the final row.
+    d["ext-eval-brier"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 10000.0) AS BIGINT) AS c4
+          FROM pl),
+        agg AS (SELECT COUNT(*) AS n_items,
+                       COALESCE(SUM(ok), 0) AS oks,
+                       COALESCE(SUM((ok * 10000 - c4)
+                                    * (ok * 10000 - c4)), 0) AS sq
+                FROM base)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               ROUND(CASE WHEN n_items > 0 THEN
+                 oks / CAST(n_items AS DOUBLE) END, 6) AS accuracy,
+               ROUND(CASE WHEN n_items > 0 THEN
+                 sq / (n_items * 100000000.0) END, 6) AS brier
+        FROM agg
     """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic

@@ -1120,3 +1120,49 @@ def expected_calibration_error(
         F.round(F.when(F.col("n_items") > 0, max_gap), 6)
         .alias("max_gap"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+) -> DataFrame:
+    """Brier score of a classifier's confidence against its binary
+    correctness (Brier 1950): mean over predictions of
+    (correct - confidence)^2 — ECE's proper-scoring-rule companion
+    (`expected_calibration_error` measures calibration alone; the
+    Brier score is calibration + refinement in one number, and
+    unlike ECE needs no binning choice).
+
+    Order-independence under the module rule, overflow-aware:
+    confidences quantize to 4 dp and the per-row squared gap is an
+    INTEGER ((correct*1e4 - round(conf*1e4))^2 <= 1e8), so the
+    cross-row sum is an exact long — safe to ~9e10 rows, corpus
+    scale — and the single float division happens in the final row:
+    brier = sum_sq / (n * 1e8). Confidence must lie in [0, 1]; NULL
+    label/pred/conf rows are excluded. Returns ONE row:
+    (n_items, accuracy, brier), 6 dp."""
+    lab, pr, cf = F.col(label_col), F.col(pred_col), F.col(conf_col)
+    base = df.where(
+        lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
+    ).select(
+        (lab == pr).cast("long").alias("_ok"),
+        F.round(cf * 1e4).cast("long").alias("_c4"),
+    )
+    d = F.col("_ok") * 10000 - F.col("_c4")
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.coalesce(F.sum("_ok"), F.lit(0).cast("long")).alias("_oks"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast("long")).alias("_sq"),
+    )
+    ok = F.when(F.col("n_items") > 0,
+                F.col("_oks") / F.col("n_items"))
+    br = F.when(F.col("n_items") > 0,
+                F.col("_sq") / (F.col("n_items") * F.lit(1e8)))
+    return agg.select(
+        "n_items",
+        F.round(ok, 6).alias("accuracy"),
+        F.round(br, 6).alias("brier"),
+    )

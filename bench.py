@@ -283,6 +283,7 @@ HEADLINE = [
     "stream-rater-kappa",
     "ext-dedup-reweight",
     "ext-eval-ece",
+    "ext-eval-brier",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -708,7 +708,7 @@ DRIFTERS = (
     "ext-krippendorff-alpha", "ext-quality-percentile",
     "stream-psi-drift", "stream-ks-drift", "stream-chao1-vocab",
     "stream-bootstrap-ci", "stream-rater-kappa",
-    "ext-dedup-reweight", "ext-eval-ece",
+    "ext-dedup-reweight", "ext-eval-ece", "ext-eval-brier",
 )
 
 

@@ -696,3 +696,27 @@ def test_language_id_confidence(spark):
     # 'the' (en) + 'le' (fr): tie broken to 'en', conf = 1/2
     assert rows[3]["lang_pred"] == "en" and rows[3]["lang_conf"] == 0.5
     assert "lang_conf" not in language_id(df, text_col="text").columns
+
+
+def test_brier_hand_fixture(spark):
+    # (correct, conf): (1,.9) -> .01; (0,.9) -> .81; (1,.2) -> .64;
+    # (1,1.0) -> 0. mean = (0.01+0.81+0.64+0)/4 = 0.365; acc 0.75.
+    from awskinesisconsumer_spark.operators.evaluation import brier_score
+
+    df = spark.createDataFrame(
+        [("a", "a", 0.9), ("a", "b", 0.9), ("a", "a", 0.2),
+         ("b", "b", 1.0)],
+        "label string, pred string, conf double",
+    )
+    r = brier_score(
+        df, label_col="label", pred_col="pred", conf_col="conf"
+    ).collect()[0]
+    assert (r["n_items"], r["accuracy"], r["brier"]) == (4, 0.75, 0.365)
+    # empty rated set: NULL stats, not a division error (ANSI)
+    empty = spark.createDataFrame(
+        [], "label string, pred string, conf double"
+    )
+    re = brier_score(
+        empty, label_col="label", pred_col="pred", conf_col="conf"
+    ).collect()[0]
+    assert re["n_items"] == 0 and re["brier"] is None

@@ -252,3 +252,27 @@ def test_min_colocation_rank_equals_per_level_membership(args):
             for n in range(1, n_max + 1):
                 mined = bool(set(cells[i][:n]) & set(cells[j][:n]))
                 assert mined == (cv is not None and cv <= n)
+
+
+# ---------------------------------------------------------------------------
+# brier_score: integer squared-gap algebra == float definition
+# ---------------------------------------------------------------------------
+
+
+_conf4 = st.integers(0, 10**4).map(lambda i: i / 10**4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.booleans(), _conf4),
+                min_size=1, max_size=80))
+def test_brier_integer_algebra_equals_float_definition(rows):
+    # confidences already 4-dp: sum of integer squared gaps over
+    # 1e8*n must equal the float mean of (ok - conf)^2 exactly
+    # (each term is exactly representable), and 0 <= brier <= 1.
+    n = len(rows)
+    sq = sum((int(ok) * 10**4 - round(c * 10**4)) ** 2
+             for ok, c in rows)
+    b_int = sq / (n * 1e8)
+    b_flt = sum((int(ok) - c) ** 2 for ok, c in rows) / n
+    assert math.isclose(b_int, b_flt, rel_tol=0, abs_tol=1e-9)
+    assert -1e-12 <= b_int <= 1 + 1e-12
