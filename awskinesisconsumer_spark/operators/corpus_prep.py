@@ -2474,3 +2474,120 @@ def score_percentile_by_group(
         "left",
     ).drop("_pg", "_ps")
     return joined
+
+
+def group_percentile_cuts(
+    ref: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    n_cuts: int = 20,
+) -> DataFrame:
+    """FREEZE `score_percentile_by_group`'s per-group calibration
+    into cut points (r14 verdict item 7): for each group, the scores
+    at the interior quantile grid i/n_cuts (i = 1 .. n_cuts-1) of
+    the REFERENCE corpus — cuts[i-1] = the smallest score whose
+    within-group inclusive ECDF reaches i/n_cuts. A streaming
+    quality gate must cut at a FROZEN per-source percentile
+    (re-deriving the ECDF per micro-batch silently shifts the
+    threshold as the stream grows — the `quality_cut_points` /
+    `importance_stats` / whitening freeze rule, here at group
+    grain).
+
+    The reach test is INTEGER arithmetic (cum * n_cuts >= i * total
+    — never a float ratio), so the frozen table replays bit-for-bit
+    in any engine. Scale shape: per-(group, score) counts (map-side
+    combined), the cumulative window over DISTINCT scores per group
+    (bounded by score cardinality, never corpus rows — the
+    `score_percentile_by_group` layout), a (distinct scores) x
+    (n_cuts-1) grid join, one min per (group, i). Returns one row
+    per group: (group, cuts array<double> of n_cuts-1 ascending cut
+    points) — G rows, broadcastable."""
+    if n_cuts < 2:
+        raise ValueError(
+            f"group_percentile_cuts: n_cuts must be >= 2, got {n_cuts}"
+        )
+    from pyspark.sql import Window
+
+    g, sc = F.col(group_col), F.col(score_col)
+    counts = (
+        ref.where(g.isNotNull() & sc.isNotNull())
+        .groupBy(g.alias("group"), sc.cast("double").alias("_ps"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("group").orderBy("_ps").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("group")
+    ecdf = counts.select(
+        "group", "_ps",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_tot"),
+    )
+    grid = ref.sparkSession.range(1, n_cuts).select(
+        F.col("id").cast("int").alias("_i")
+    )
+    cuts_long = (
+        ecdf.join(F.broadcast(grid))
+        .where(
+            F.col("_cum") * n_cuts >= F.col("_i") * F.col("_tot")
+        )
+        .groupBy("group", "_i")
+        .agg(F.min("_ps").alias("_cut"))
+    )
+    return cuts_long.groupBy("group").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_i", "_cut"))),
+            lambda x: x["_cut"],
+        ).alias("cuts")
+    )
+
+
+def apply_group_percentile_cuts(
+    df: DataFrame,
+    cuts: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pctile_frozen",
+) -> DataFrame:
+    """The MAP-ONLY half of the frozen source-fair percentile: each
+    row's `out_col` = (number of its group's frozen cut points <=
+    its score) / n_cuts — the quantile-grid percentile of the score
+    under the REFERENCE corpus' per-group calibration
+    (`group_percentile_cuts`), quantized to the grid
+    {0, 1/n, ..., (n-1)/n}. "Keep the top 30% of every source by
+    the reference calibration" is then `pctile_frozen >= 0.7`,
+    stable however the live corpus drifts.
+
+    One broadcast join on group (the cuts table is G rows) plus a
+    <= n_cuts-element array fold per row — no shuffle of `df`, no
+    scan beyond the projection, so it applies identically to a
+    batch DataFrame or each streaming micro-batch: per-row results
+    depend only on (row, cuts), the chunking-invariance that lets
+    ONE batch oracle gate the streaming form verbatim
+    (`streaming.pipeline.percentile_gate_stream`). NULL scores and
+    groups absent from the calibration get NULL (unknown quality /
+    uncalibrated source is a routing decision, not silently
+    worst/best)."""
+    g, sc = F.col(group_col), F.col(score_col)
+    cts = cuts.select(
+        F.col("group").alias("_cg"), F.col("cuts").alias("_cuts")
+    )
+    kept = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(sc.cast("double") >= c, 1).otherwise(0),
+    )
+    pct = F.when(
+        sc.isNotNull() & F.col("_cuts").isNotNull(),
+        F.round(
+            kept / (F.size("_cuts") + F.lit(1)).cast("double"), 6
+        ),
+    )
+    return (
+        df.join(F.broadcast(cts), g == F.col("_cg"), "left")
+        .withColumn(out_col, pct)
+        .drop("_cg", "_cuts")
+    )

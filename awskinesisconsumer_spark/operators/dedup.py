@@ -1438,10 +1438,24 @@ def dedup_reweight(
     cluster sizes from one count, weights joined back id-keyed.
     Cluster count tables are near-dup-bounded and the join is
     AQE-broadcastable; nothing corpus-sized sits on the driver.
-    Returns df + out_col, one row per input row."""
-    cc = connected_components(
-        pairs, vertices=df.select(F.col(id_col).alias("id"))
+    Returns df + out_col, one row per input row.
+
+    Pairs mined from a SUPERSET of `df` are safe (r14 ADVICE): both
+    endpoints are semi-joined to df's ids first, so absent vertices
+    can neither inflate cluster sizes nor deflate weights. `df`
+    itself must carry unique non-NULL ids — a duplicated id would
+    double-count in its cluster's size (and fan out the join-back);
+    that precondition is the caller's, same as every id-keyed dedup
+    op in this module."""
+    ids = df.select(F.col(id_col).alias("id"))
+    # plain shuffle semi-joins (pairs are near-dup-bounded, ids are
+    # corpus-sized — never broadcast the corpus side; AQE may still
+    # broadcast the PAIRS side when it is tiny)
+    pruned = (
+        pairs.join(ids, F.col("id_a") == F.col("id"), "leftsemi")
+        .join(ids, F.col("id_b") == F.col("id"), "leftsemi")
     )
+    cc = connected_components(pruned, vertices=ids)
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_csize")
     )

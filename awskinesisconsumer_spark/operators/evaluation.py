@@ -67,7 +67,15 @@ def kappa_pair_counts(
     micro-batch (the confusion_counts shape with rater labels):
     observed agreement, both marginals, and the chance-agreement
     cross term all derive from these counts, so the state is
-    (label-cardinality)^2 rows, corpus-size-independent."""
+    (label-cardinality)^2 rows, corpus-size-independent.
+
+    LABEL CANONICALIZATION (r14 ADVICE): both rater columns are cast
+    to STRING before comparison, so agreement is string equality —
+    int 1 vs string '1' agree ('1' == '1'), but double 1.0 vs int 1
+    do NOT ('1.0' != '1'), where Spark's coercing `a == b` would say
+    they do. Mixed-type rater columns should be cast to one
+    comparable type by the caller first; same-type columns (the
+    normal case) are unaffected."""
     a, b = F.col(rater_a_col), F.col(rater_b_col)
     return (
         df.where(a.isNotNull() & b.isNotNull())
@@ -891,7 +899,11 @@ def psi_from_binned(
     feeds the LITERAL batch code and the batch twin gates the stream
     verbatim (the cms/histogram/confusion contract). Materializes
     ALL n_bins bins (empty bins still contribute when n_a != n_b),
-    then the ordered-by-bin float fold."""
+    then the ordered-by-bin float fold. An input bin outside
+    [0, n_bins) — a reader passing a smaller n_bins than the state
+    was counted under — would silently vanish in the bin join, so it
+    FAILS LOUDLY instead (r14 ADVICE): the out-of-range count rides
+    the plan as a lazy assert, no extra job."""
     spark = binned.sparkSession
     all_bins = spark.range(n_bins).select(
         F.col("id").cast("int").alias("bin")
@@ -902,6 +914,13 @@ def psi_from_binned(
         F.coalesce("ca", zero).alias("ca"),
         F.coalesce("cb", zero).alias("cb"),
     )
+    oob = binned.agg(
+        F.coalesce(
+            F.sum(((F.col("bin") < 0) | (F.col("bin") >= n_bins))
+                  .cast("long")),
+            zero,
+        ).alias("_oob")
+    )
     s = float(smooth)
     agg = full.agg(
         F.sort_array(
@@ -909,14 +928,22 @@ def psi_from_binned(
         ).alias("arr"),
         F.sum("ca").alias("n_a"),
         F.sum("cb").alias("n_b"),
-    )
+    ).crossJoin(F.broadcast(oob))
     p = lambda x, n: (x + F.lit(s)) / (n + F.lit(s * n_bins))  # noqa: E731
-    psi = F.aggregate(
+    psi_fold = F.aggregate(
         F.col("arr"),
         F.lit(0.0),
         lambda acc, x: acc
         + (p(x["ca"], F.col("n_a")) - p(x["cb"], F.col("n_b")))
         * F.log(p(x["ca"], F.col("n_a")) / p(x["cb"], F.col("n_b"))),
+    )
+    psi = F.when(
+        F.assert_true(
+            F.col("_oob") == 0,
+            F.lit("psi_from_binned: input bin outside [0, n_bins) — "
+                  "n_bins smaller than the state's frozen binning?"),
+        ).isNull(),
+        psi_fold,
     )
     return agg.select(
         "n_a", "n_b",
@@ -1075,33 +1102,116 @@ def expected_calibration_error(
     Returns ONE row: (n_items, n_bins, ece, max_gap) — max_gap the
     largest per-bin |acc - conf| (the "maximum calibration error"
     companion). Scale shape: one map-side-combined n_bins-row
-    groupBy, one bounded fold."""
+    groupBy, one bounded fold. Composed from `ece_binned_counts` ->
+    `ece_from_binned`, the factoring that lets the streaming
+    maintainer's SUM-merged state feed the literal batch final
+    stage (the psi/confusion family contract)."""
+    return ece_from_binned(
+        ece_binned_counts(
+            df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, n_bins=n_bins,
+        ),
+        n_bins=n_bins,
+    )
+
+
+def expected_calibration_error_grouped(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """`expected_calibration_error` stratified by `group_col` — one
+    calibration row PER GROUP (language / source / judge version):
+    the aggregate ECE of an LLM judge can look healthy while one
+    language's confidence is badly miscalibrated, which is exactly
+    what a per-group ECE surfaces. Same quantized-integer bin sums
+    as the ungrouped op, keyed (group, bin) instead of (bin), so a
+    single-group input replays `expected_calibration_error` exactly
+    (pinned in tests) and the state stays G x n_bins rows —
+    CARDINALITY-INDEPENDENT of corpus size. Rows with NULL group are
+    excluded (unattributable predictions can't be calibrated
+    per-group). Returns one row per group:
+    (group, n_items, n_bins, ece, max_gap), 6 dp."""
+    return ece_from_binned(
+        ece_binned_counts(
+            df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, n_bins=n_bins, group_col=group_col,
+        ),
+        n_bins=n_bins,
+    )
+
+
+def ece_binned_counts(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The (group?, bin, nb, ok, c6) integer-count stage of
+    `expected_calibration_error` — the mergeable state the streaming
+    maintainer (`streaming.pipeline.ece_stream`) SUM-merges per
+    micro-batch: every column is an exact integer sum, so the
+    per-(group, bin) counts are exactly associative across arrivals
+    and the merged state equals the single-pass batch count. The
+    confidence bin clamps at BOTH ends (the psi_binned_counts rule —
+    r14 ADVICE: an out-of-contract conf < 0 must not land in bin -1
+    and silently contribute); conf is still contractually [0, 1].
+    With `group_col` the output carries a leading `group` column and
+    the state is G x n_bins rows."""
     if n_bins < 1:
         raise ValueError(
-            f"expected_calibration_error: n_bins must be >= 1, "
-            f"got {n_bins}"
+            f"ece_binned_counts: n_bins must be >= 1, got {n_bins}"
         )
     lab, pr, cf = F.col(label_col), F.col(pred_col), F.col(conf_col)
-    base = df.where(
-        lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
-    ).select(
-        F.least(
-            F.floor(cf * n_bins).cast("int"), F.lit(n_bins - 1)
+    keep = lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
+    cols = [
+        F.greatest(
+            F.least(
+                F.floor(cf * n_bins).cast("int"), F.lit(n_bins - 1)
+            ),
+            F.lit(0),
         ).alias("bin"),
         (lab == pr).cast("long").alias("_ok"),
         F.round(cf * 1e6).cast("long").alias("_c6"),
-    )
-    per_bin = base.groupBy("bin").agg(
+    ]
+    keys = ["bin"]
+    if group_col is not None:
+        keep = keep & F.col(group_col).isNotNull()
+        cols = [F.col(group_col).alias("group"), *cols]
+        keys = ["group", "bin"]
+    return df.where(keep).select(*cols).groupBy(*keys).agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("_ok").alias("ok"),
         F.sum("_c6").alias("c6"),
     )
-    agg = per_bin.agg(
+
+
+def ece_from_binned(
+    binned: DataFrame, *, n_bins: int = 10,
+) -> DataFrame:
+    """`expected_calibration_error`'s final stage over a
+    (bin, nb, ok, c6) count table (see `ece_binned_counts`) —
+    factored out so the streaming state feeds the LITERAL batch code
+    and the batch twin gates the stream verbatim (the family
+    contract). A leading `group` column (the grouped form's state)
+    turns the single fold into one fold per group — still bounded by
+    n_bins per group."""
+    grouped = "group" in binned.columns
+    aggs = [
         F.sort_array(
             F.collect_list(F.struct("bin", "nb", "ok", "c6"))
         ).alias("arr"),
         F.coalesce(F.sum("nb"), F.lit(0).cast("long")).alias("n_items"),
-    )
+    ]
+    agg = (binned.groupBy("group").agg(*aggs) if grouped
+           else binned.agg(*aggs))
     gap = lambda x: F.abs(  # noqa: E731
         x["ok"] / x["nb"] - x["c6"] / (x["nb"] * F.lit(1e6))
     )
@@ -1114,6 +1224,7 @@ def expected_calibration_error(
         lambda acc, x: F.greatest(acc, gap(x)),
     )
     return agg.select(
+        *(["group"] if grouped else []),
         "n_items",
         F.lit(n_bins).alias("n_bins"),
         F.round(F.when(F.col("n_items") > 0, ece), 6).alias("ece"),
@@ -1143,25 +1254,88 @@ def brier_score(
     scale — and the single float division happens in the final row:
     brier = sum_sq / (n * 1e8). Confidence must lie in [0, 1]; NULL
     label/pred/conf rows are excluded. Returns ONE row:
-    (n_items, accuracy, brier), 6 dp."""
+    (n_items, accuracy, brier), 6 dp. Composed from `brier_sums` ->
+    `brier_from_sums` (the psi/confusion streaming-state
+    factoring)."""
+    return brier_from_sums(
+        brier_sums(
+            df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col,
+        )
+    )
+
+
+def brier_score_grouped(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    group_col: str,
+) -> DataFrame:
+    """`brier_score` stratified by `group_col` — one
+    (group, n_items, accuracy, brier) row per group, the per-language
+    / per-source proper-scoring companion of
+    `expected_calibration_error_grouped`: same exact-integer row
+    sums keyed by group, so a single-group input replays
+    `brier_score` exactly (pinned in tests) and the state is G rows,
+    CARDINALITY-INDEPENDENT. Rows with NULL group are excluded."""
+    return brier_from_sums(
+        brier_sums(
+            df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, group_col=group_col,
+        )
+    )
+
+
+def brier_sums(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The (group?, n_items, oks, sq) integer-sum stage of
+    `brier_score` — the mergeable state the streaming maintainer
+    (`streaming.pipeline.brier_stream`) SUM-merges per micro-batch:
+    all three columns are exact long sums (the per-row squared gap
+    (ok*1e4 - round(conf*1e4))^2 <= 1e8 is itself an integer), so
+    the merged state equals the single-pass batch sums regardless
+    of chunking. Ungrouped state is ONE row; grouped, G rows."""
     lab, pr, cf = F.col(label_col), F.col(pred_col), F.col(conf_col)
-    base = df.where(
-        lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
-    ).select(
+    keep = lab.isNotNull() & pr.isNotNull() & cf.isNotNull()
+    cols = [
         (lab == pr).cast("long").alias("_ok"),
         F.round(cf * 1e4).cast("long").alias("_c4"),
-    )
+    ]
+    if group_col is not None:
+        keep = keep & F.col(group_col).isNotNull()
+        cols = [F.col(group_col).alias("group"), *cols]
+    base = df.where(keep).select(*cols)
     d = F.col("_ok") * 10000 - F.col("_c4")
-    agg = base.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_items"),
-        F.coalesce(F.sum("_ok"), F.lit(0).cast("long")).alias("_oks"),
-        F.coalesce(F.sum(d * d), F.lit(0).cast("long")).alias("_sq"),
-    )
+        F.coalesce(F.sum("_ok"), F.lit(0).cast("long")).alias("oks"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast("long")).alias("sq"),
+    ]
+    return (base.groupBy("group").agg(*aggs) if group_col is not None
+            else base.agg(*aggs))
+
+
+def brier_from_sums(sums: DataFrame) -> DataFrame:
+    """`brier_score`'s final stage over a (n_items, oks, sq) sums
+    table (see `brier_sums`) — factored out so the streaming state
+    feeds the LITERAL batch code and the batch twin gates the stream
+    verbatim (the family contract). A leading `group` column (the
+    grouped form's state) passes through."""
+    grouped = "group" in sums.columns
     ok = F.when(F.col("n_items") > 0,
-                F.col("_oks") / F.col("n_items"))
+                F.col("oks") / F.col("n_items"))
     br = F.when(F.col("n_items") > 0,
-                F.col("_sq") / (F.col("n_items") * F.lit(1e8)))
-    return agg.select(
+                F.col("sq") / (F.col("n_items") * F.lit(1e8)))
+    return sums.select(
+        *(["group"] if grouped else []),
         "n_items",
         F.round(ok, 6).alias("accuracy"),
         F.round(br, 6).alias("brier"),

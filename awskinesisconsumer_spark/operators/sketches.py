@@ -86,6 +86,7 @@ def cms_heavy_hitters_from_state(
     width: int = 1024,
     salt: str = "cms1",
     hash_fn=xxhash64_col,
+    rank_by: str = "estimate",
 ) -> DataFrame:
     """The probe/rank stage of `cms_heavy_hitters` over EXISTING
     state: `sketch` = (row, bucket, n) CMS counters, `cand` =
@@ -95,9 +96,24 @@ def cms_heavy_hitters_from_state(
     — the streaming form's whole correctness argument. Each
     candidate probes the sketch via a broadcast equi-join on
     (row, bucket); the estimate is the MIN across the depth rows;
-    ranking is (estimate DESC, term ASC)."""
+    ranking is (estimate DESC, term ASC), or (exact DESC, term ASC)
+    with `rank_by="exact"` — the escape hatch that makes the
+    `candidate_top_m` pre-filter LOSSLESS (r14 verdict item 4): the
+    candidate table already carries exact counts, and
+    `cms_candidates_top_m(m)`'s survivors are a superset of the
+    global exact top-m, so exact-ranked top-k over the filtered
+    candidates EQUALS exact-ranked top-k over all candidates
+    whenever m >= k — a theorem, where estimate-ranking under heavy
+    collisions (vocabulary >> width) is not (pinned by
+    tests/test_round15_ops.py's divergence fixture)."""
     from pyspark.sql import Window
 
+    if rank_by not in ("estimate", "exact"):
+        raise ValueError(
+            f"cms_heavy_hitters_from_state: rank_by must be "
+            f"'estimate' or 'exact', got {rank_by!r}"
+        )
+    key = F.col("cms_est" if rank_by == "estimate" else "exact")
     probes = cand.select(
         "term", "exact",
         F.explode(
@@ -116,8 +132,8 @@ def cms_heavy_hitters_from_state(
         .groupBy("term", "exact")
         .agg(F.min("n").alias("cms_est"))
     )
-    top = est.orderBy(F.col("cms_est").desc(), F.col("term")).limit(k)
-    w = Window.orderBy(F.col("cms_est").desc(), F.col("term"))
+    top = est.orderBy(key.desc(), F.col("term")).limit(k)
+    w = Window.orderBy(key.desc(), F.col("term"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "cms_est", "exact", "rank"
     )
@@ -151,7 +167,11 @@ def cms_candidates_top_m(
     the heavy tail (the regime the tests pin) but is NOT a theorem in
     the high-collision vocabulary >> width regime; there the filtered
     top-k can differ from the unfiltered one on collision-lucky
-    tail terms. Pick m with slack (m >> k) to shrink the exposure.
+    tail terms (exhibited by tests/test_round15_ops.py's divergence
+    fixture). Pick m with slack (m >> k) to shrink the exposure —
+    `cms_heavy_hitters` warns below 4x — or close it entirely with
+    `rank_by="exact"`: survivors are a superset of the exact top-m,
+    so exact-ranked top-k over them is LOSSLESS for m >= k.
     No broadcast anywhere; same hash-portability contract as the
     sketch (pass the portable hash for oracle-replayable runs).
     Returns (term, exact) — the columns
@@ -193,6 +213,7 @@ def cms_heavy_hitters(
     salt: str = "cms1",
     hash_fn=xxhash64_col,
     candidate_top_m: int | None = None,
+    rank_by: str = "estimate",
 ) -> DataFrame:
     """Top-k heavy-hitter terms by count-min estimate, with the exact
     count alongside (est >= exact always — CMS errs by overcounting).
@@ -212,6 +233,15 @@ def cms_heavy_hitters(
     `cms_tokens` -> (`cms_build` + exact counts) ->
     `cms_heavy_hitters_from_state`, each reusable by the streaming
     maintainer.
+
+    `rank_by="exact"` ranks the final top-k by the exact candidate
+    counts instead of the CMS estimate — with `candidate_top_m` >= k
+    the pre-filter is then LOSSLESS (see
+    `cms_heavy_hitters_from_state`). Under the default estimate
+    ranking, a `candidate_top_m` close to k in the high-collision
+    vocabulary >> width regime can change the top-k (the
+    `cms_candidates_top_m` caveat), so that combination WARNS unless
+    m carries 4x slack over k.
     """
     # persist: the tokenize+explode subtree feeds BOTH the sketch and
     # the candidate counts — uncached it would re-scan the corpus.
@@ -223,11 +253,22 @@ def cms_heavy_hitters(
     if candidate_top_m is None:
         cand = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
     else:
+        if rank_by == "estimate" and candidate_top_m < 4 * k:
+            import warnings
+
+            warnings.warn(
+                f"cms_heavy_hitters: candidate_top_m={candidate_top_m}"
+                f" carries < 4x slack over k={k} while ranking by CMS"
+                " estimate — under heavy collisions the filtered"
+                " top-k can diverge from the unfiltered one; raise m"
+                " or pass rank_by='exact' (lossless for m >= k)",
+                stacklevel=2,
+            )
         cand = cms_candidates_top_m(tok, term_col="term",
                                     m=candidate_top_m)
     out = cms_heavy_hitters_from_state(
         sketch, cand, k=k, depth=depth, width=width, salt=salt,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, rank_by=rank_by,
     )
     from .caching import release_after
 

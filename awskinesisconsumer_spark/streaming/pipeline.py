@@ -1512,9 +1512,146 @@ def token_quota_stream(
     )
 
 
+# How streaming state tables commit (r14 verdict item 5). "rename"
+# (default) is the swap-rename protocol below — correct wherever
+# directory rename is atomic (HDFS, local, ABFS). "marker" is the
+# two-phase versioned-dir + commit-sentinel protocol
+# (_swap_state_marker) for S3A-class object stores, where rename is
+# copy+delete and the rename protocol's guarantees silently weaken.
+# One switch covers every streaming state family: they all commit
+# through _swap_state and recover through _read_state.
+_STATE_COMMIT_MODE = "rename"
+_MARKER_FILE = "_COMMITTED"
+
+
+def set_state_commit_mode(mode: str) -> None:
+    """Select the state-commit protocol for ALL streaming state
+    families: "rename" (atomic-rename filesystems — HDFS, local,
+    ABFS; the default) or "marker" (object stores without atomic
+    rename — S3A class: each commit writes a NEW versioned
+    subdirectory, then publishes it by overwriting the one-line
+    `_COMMITTED` sentinel, a single small PUT — atomic on S3). Set
+    it once at process start, before any stream touches its state
+    path; the two layouts are distinct on disk and both protocols
+    refuse loudly when pointed at the other's layout."""
+    global _STATE_COMMIT_MODE
+    if mode not in ("rename", "marker"):
+        raise ValueError(
+            f"set_state_commit_mode: mode must be 'rename' or "
+            f"'marker', got {mode!r}"
+        )
+    _STATE_COMMIT_MODE = mode
+
+
+def _fs_for(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(hconf)
+
+
+def _committed_version(jvm, fs, path: str) -> str | None:
+    """The version name in `path`'s `_COMMITTED` sentinel, or None
+    when absent/unreadable (the marker-mode recovery then falls back
+    to the newest fully-written version dir)."""
+    marker = jvm.org.apache.hadoop.fs.Path(path + "/" + _MARKER_FILE)
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        raw = bytes(
+            stream.readNBytes(64)  # version names are v%06d — 7 bytes
+        ).decode("utf-8", "replace").strip()
+    finally:
+        stream.close()
+    return raw if raw.startswith("v") and raw[1:].isdigit() else None
+
+
+def _marker_versions(jvm, fs, path: str) -> list[str]:
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(name)
+    return sorted(out)
+
+
+def _read_state_marker(spark, path: str):
+    """Committed view of a marker-mode state dir (see
+    _swap_state_marker), or None before the first commit. The
+    sentinel names the committed version; if the sentinel itself was
+    lost mid-overwrite (the one marker-mode crash window — a PUT
+    replace is atomic on S3, so this covers weaker stores), recovery
+    falls back to the NEWEST version dir whose `_SUCCESS` exists
+    (Spark's committer writes it last, so its presence means the
+    version is fully written)."""
+    from pyspark.errors import AnalysisException
+
+    jvm, fs = _fs_for(spark, path)
+    version = _committed_version(jvm, fs, path)
+    if version is None:
+        complete = [
+            v for v in _marker_versions(jvm, fs, path)
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{v}/_SUCCESS"))
+        ]
+        if not complete:
+            return None  # first batch: nothing committed anywhere
+        version = complete[-1]
+    try:
+        return spark.read.parquet(f"{path}/{version}")
+    except AnalysisException:
+        return None
+
+
+def _swap_state_marker(merged_df, path: str) -> None:
+    """Commit a merged state table WITHOUT directory renames — the
+    object-store protocol (the `sources/manifest_sink.py` two-phase
+    shape): (1) write the new table to a fresh versioned subdir
+    `path/vNNNNNN` — nothing existing is touched, and the plan can
+    lazily read the CURRENT version while writing the next; (2)
+    publish by overwriting the one-line `_COMMITTED` sentinel with
+    the new version name — a single small object PUT, atomic on
+    S3-class stores; (3) best-effort delete of superseded version
+    dirs (a crash here leaves garbage, never corruption). A crash
+    before (2) leaves the old sentinel pointing at the old complete
+    version; `_read_state_marker` covers a lost sentinel via the
+    newest `_SUCCESS`-complete version."""
+    spark = merged_df.sparkSession
+    jvm, fs = _fs_for(spark, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path)) and any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
+    ):
+        raise IOError(
+            f"marker-mode commit onto a rename-mode state dir "
+            f"({path} holds parquet parts at its root) — migrate or "
+            "use a fresh state path"
+        )
+    versions = _marker_versions(jvm, fs, path)
+    nxt = f"v{(int(versions[-1][1:]) + 1 if versions else 0):06d}"
+    merged_df.write.mode("overwrite").parquet(f"{path}/{nxt}")
+    marker = jvm.org.apache.hadoop.fs.Path(path + "/" + _MARKER_FILE)
+    out = fs.create(marker, True)
+    try:
+        out.write(nxt.encode("utf-8"))
+    finally:
+        out.close()
+    for v in versions:
+        if v != nxt:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/{v}"), True
+            )
+
+
 def _read_state(spark, path: str):
     """Committed view of a swap-rename state dir (see _swap_state),
-    or None before the first commit. Recovers the one crash window
+    or None before the first commit. In marker commit mode
+    (`set_state_commit_mode("marker")` — object stores) delegates to
+    the sentinel protocol instead. Recovers the one crash window
     where the committed dir was renamed aside but its replacement
     rename never ran: `path` missing/empty with the aside dir present
     means restore the aside — a GENUINE first batch can never look
@@ -1536,10 +1673,19 @@ def _read_state(spark, path: str):
     swap) instead of this inference."""
     from pyspark.errors import AnalysisException
 
+    if _STATE_COMMIT_MODE == "marker":
+        return _read_state_marker(spark, path)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     dest = jvm.org.apache.hadoop.fs.Path(path)
     fs = dest.getFileSystem(hconf)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(
+            path + "/" + _MARKER_FILE)):
+        raise IOError(
+            f"rename-mode read of a marker-mode state dir ({path} "
+            "holds a _COMMITTED sentinel) — call "
+            "set_state_commit_mode('marker') first"
+        )
     old = jvm.org.apache.hadoop.fs.Path(path + _OLD_SUFFIX)
 
     def _has_parquet(p) -> bool:
@@ -1573,7 +1719,13 @@ def _swap_state(merged_df, path: str) -> None:
     readable or `_read_state`'s recovery able to restore it; the
     overwrite-then-crash window that silently RESET in-place state
     (a deleted dir is indistinguishable from a first batch) is
-    gone."""
+    gone. In marker commit mode (`set_state_commit_mode("marker")`
+    — object stores without atomic rename) delegates to the
+    versioned-dir + sentinel protocol (`_swap_state_marker`)
+    instead; rename stays the fast path everywhere rename is
+    atomic."""
+    if _STATE_COMMIT_MODE == "marker":
+        return _swap_state_marker(merged_df, path)
     _publish_atomic(merged_df, merged_df.sparkSession, path)
 
 
@@ -2323,6 +2475,210 @@ def cohen_kappa_stream(
             rater_a_col=rater_a_col, rater_b_col=rater_b_col,
             out_path=out_path,
         ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ece_merge_fn(*, label_col, pred_col, conf_col, group_col, n_bins,
+                  out_path):
+    """ece_stream's foreachBatch body as a testable module-level
+    factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ece_binned_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = ece_binned_counts(
+            batch_df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, n_bins=n_bins, group_col=group_col,
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(
+                prev.select("group", "bin", "nb", "ok", "c6"))
+        )
+        _swap_state(
+            both.groupBy("group", "bin").agg(
+                F.sum("nb").alias("nb"),
+                F.sum("ok").alias("ok"),
+                F.sum("c6").alias("c6"),
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def ece_stream(
+    rows,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-group calibration maintenance: each
+    micro-batch's (group, bin, nb, ok, c6) quantized-integer bin
+    counts (`evaluation.ece_binned_counts` — the shared counting
+    stage) SUM-merge into the persisted state; `ece_from_binned`
+    over the final state equals batch
+    `expected_calibration_error_grouped` verbatim — the continuously
+    maintained per-language / per-source LLM-judge calibration
+    monitor (an aggregate ECE can stay healthy while one language's
+    confidence drifts; the grouped state is what catches it).
+
+    State: G x n_bins rows, CARDINALITY-INDEPENDENT of corpus size;
+    commits through the swap-rename protocol with the `_bid` replay
+    guard (counter sums are not replay-idempotent). Returns the
+    started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_ece_merge_fn(
+            label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, group_col=group_col, n_bins=n_bins,
+            out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _brier_merge_fn(*, label_col, pred_col, conf_col, group_col,
+                    out_path):
+    """brier_stream's foreachBatch body as a testable module-level
+    factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        brier_sums,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = brier_sums(
+            batch_df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, group_col=group_col,
+        )
+        both = (
+            local if prev is None
+            else local.unionByName(
+                prev.select("group", "n_items", "oks", "sq"))
+        )
+        _swap_state(
+            both.groupBy("group").agg(
+                F.sum("n_items").alias("n_items"),
+                F.sum("oks").alias("oks"),
+                F.sum("sq").alias("sq"),
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def brier_stream(
+    rows,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    group_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-group Brier-score maintenance: each
+    micro-batch's (group, n_items, oks, sq) exact-integer sums
+    (`evaluation.brier_sums` — the per-row squared gap is itself an
+    integer, so the cross-batch sum is exact) SUM-merge into the
+    persisted state; `brier_from_sums` over the final state equals
+    batch `brier_score_grouped` verbatim — ECE's proper-scoring-rule
+    companion, maintained online per language / source.
+
+    State: G rows, CARDINALITY-INDEPENDENT; commits through the
+    swap-rename protocol with the `_bid` replay guard. Returns the
+    started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_brier_merge_fn(
+            label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, group_col=group_col,
+            out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def percentile_gate_stream(
+    rows: DataFrame,
+    cuts: DataFrame,
+    *,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pctile_frozen",
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming source-fair quality gate against a FROZEN per-group
+    percentile calibration (`corpus_prep.group_percentile_cuts`):
+    every arriving document gets its within-source reference
+    percentile at ingest — the group-grain sibling of
+    `quality_blend_stream`'s frozen cut points and
+    `importance_score_stream`'s frozen DSIR stats. Re-deriving the
+    per-group ECDF per micro-batch would silently shift the
+    "top 30% of this source" threshold as the stream grows;
+    freezing on the reference corpus is the production semantics.
+
+    foreachBatch applies `apply_group_percentile_cuts` per
+    micro-batch — a broadcast join on group plus a bounded array
+    fold, map-only over the batch — so a row's output depends only
+    on (row, cuts) and the union of per-batch outputs EQUALS the
+    batch apply regardless of arrival chunking: the batch oracle
+    gates the stream verbatim. At-least-once under crash-retry,
+    like the other foreachBatch sinks. Freeze `cuts` from a
+    MATERIALIZED reference (it is G rows — tiny); each micro-batch
+    then broadcasts the stored table instead of re-scanning the
+    reference corpus per trigger.
+    """
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        apply_group_percentile_cuts,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = apply_group_percentile_cuts(
+            batch_df, cuts, score_col=score_col,
+            group_col=group_col, out_col=out_col,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        rows.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
     )
     if trigger_available_now:
