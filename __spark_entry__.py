@@ -4300,7 +4300,43 @@ def _dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("doc_id") % 17 == 0, F.lit("   "))
         .otherwise(F.col("text")).alias("text"),
     )
-    return dataset_card(docs, id_col="doc_id", text_col="text")
+    out = dataset_card(docs, id_col="doc_id", text_col="text")
+    # r15 card v2 (r14 verdict item 8): the release block carries the
+    # evaluation layer the audit report already proves — vocabulary
+    # richness (Chao1 over the raw corpus), the per-lang token-mean
+    # CI rows, and the en/fr length-drift snapshot. Zero new
+    # arithmetic: every added row is a value a green gate replays,
+    # and the twin nests those oracles verbatim.
+    chao = _chao1_vocab(spark, sf)
+    tokci = _bootstrap_ci_grouped(spark, sf)
+    extras = [
+        chao.select(
+            F.lit("vocab_size").alias("metric"),
+            F.col("vocab_size").cast("double").alias("value"),
+        ),
+        chao.select(
+            F.lit("chao1_est").alias("metric"),
+            F.col("chao1_est").alias("value"),
+        ),
+        _psi_drift(spark, sf).select(
+            F.lit("psi_len_drift:en/fr").alias("metric"),
+            F.col("psi").alias("value"),
+        ),
+        *[
+            tokci.select(
+                F.concat(F.lit(f"token_mean{tag}:"), F.col("group"))
+                .alias("metric"),
+                F.col(src).alias("value"),
+            )
+            for tag, src in (
+                ("", "estimate"), ("_ci_lo", "ci_lo"),
+                ("_ci_hi", "ci_hi"),
+            )
+        ],
+    ]
+    for part in extras:
+        out = out.unionByName(part)
+    return out
 
 
 # The deterministic markup suffix every gated document is wrapped in
@@ -5557,8 +5593,21 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
             ("", "estimate"), ("_ci_lo", "ci_lo"), ("_ci_hi", "ci_hi"),
         )
     ]
+    # r15: per-lang judge calibration — ECE and Brier by language
+    # from the proven grouped-calibration gates (r14 verdict item
+    # 6's fold), zero new arithmetic: each value is a per-group
+    # number the grouped gate already replays.
+    eceg = _eval_ece_grouped(spark, sf).select(
+        F.concat(F.lit("ece:"), F.col("group")).alias("metric"),
+        F.col("ece").alias("value"),
+    )
+    brig = _eval_brier_grouped(spark, sf).select(
+        F.concat(F.lit("brier:"), F.col("group")).alias("metric"),
+        F.col("brier").alias("value"),
+    )
     out = n_docs
-    for part in (dups, kmv, overlap, recall, rbo, semrec, *tok_parts):
+    for part in (dups, kmv, overlap, recall, rbo, semrec, *tok_parts,
+                 eceg, brig):
         out = out.unionByName(part)
     return out
 
@@ -6231,6 +6280,241 @@ def _eval_brier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _eval_ece_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language ECE (operators/evaluation.py
+    # expected_calibration_error_grouped — r15, r14 verdict item 6):
+    # the aggregate ECE can stay healthy while one language's
+    # confidence is badly miscalibrated — the grouped form keys the
+    # same quantized-integer bin sums by the true lang, G x n_bins
+    # state, and a single-group input replays the ungrouped op
+    # exactly (pinned in tests).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        expected_calibration_error_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    return expected_calibration_error_grouped(
+        pred, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", group_col="lang", n_bins=10,
+    )
+
+
+def _eval_brier_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language Brier score (operators/evaluation.py
+    # brier_score_grouped — r15): ECE's proper-scoring-rule
+    # companion at group grain; the per-row squared gap stays an
+    # exact integer, so the G-row state replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        brier_score_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    return brier_score_grouped(
+        pred, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", group_col="lang",
+    )
+
+
+def _stream_eval_ece(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming per-group calibration maintenance (streaming/
+    # pipeline.py ece_stream — r15): each micro-batch of a 3-file
+    # docs replay scores lang-id with the SHARED batch predictor and
+    # SUM-merges its (group, bin, nb, ok, c6) quantized-integer bin
+    # counts through the swap-rename + _bid protocol; integer sums
+    # are exactly associative, so ece_from_binned over the final
+    # state == batch expected_calibration_error_grouped verbatim —
+    # the batch twin gates the stream. State is G x 10 rows.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        ece_from_binned,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+    from awskinesisconsumer_spark.streaming.pipeline import ece_stream
+
+    docs = load_table(spark, "documents", sf).select("lang", "text")
+    src = tempfile.mkdtemp(prefix="ece_src_")
+    out = tempfile.mkdtemp(prefix="ece_out_")
+    ckpt = tempfile.mkdtemp(prefix="ece_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = language_id(stream, text_col="text", with_confidence=True)
+    q = ece_stream(
+        scored, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", group_col="lang", n_bins=10,
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-ece: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-ece: expected >=3 non-empty micro-batches, "
+            f"saw {n_batches}"
+        )
+    state = spark.read.parquet(out).select(
+        "group", "bin", "nb", "ok", "c6"
+    )
+    return ece_from_binned(state, n_bins=10)
+
+
+def _stream_eval_brier(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming per-group Brier maintenance (streaming/pipeline.py
+    # brier_stream — r15): the (group, n_items, oks, sq) exact-long
+    # sums SUM-merge per micro-batch; brier_from_sums over the final
+    # state == batch brier_score_grouped verbatim — the batch twin
+    # gates the stream. State is G rows.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        brier_from_sums,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+    from awskinesisconsumer_spark.streaming.pipeline import brier_stream
+
+    docs = load_table(spark, "documents", sf).select("lang", "text")
+    src = tempfile.mkdtemp(prefix="brier_src_")
+    out = tempfile.mkdtemp(prefix="brier_out_")
+    ckpt = tempfile.mkdtemp(prefix="brier_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = language_id(stream, text_col="text", with_confidence=True)
+    q = brier_stream(
+        scored, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", group_col="lang",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-brier: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-brier: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    state = spark.read.parquet(out).select(
+        "group", "n_items", "oks", "sq"
+    )
+    return brier_from_sums(state)
+
+
+def _quality_percentile_frozen(spark: SparkSession, sf: str) -> DataFrame:
+    # Frozen source-fair percentile (operators/corpus_prep.py
+    # group_percentile_cuts + apply_group_percentile_cuts — r15, r14
+    # verdict item 7): per-lang quantile-grid cut points FROZEN on a
+    # deterministic reference slab (doc_id % 4 == 0), applied
+    # map-only to the full corpus — the production shape where the
+    # "top 30% of this source" threshold must not drift as data
+    # grows. The reach test is integer arithmetic (cum * n >= i *
+    # total), so the twin replays the cuts bit-for-bit.
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        apply_group_percentile_cuts, group_percentile_cuts,
+    )
+    from awskinesisconsumer_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf)
+    scored = quality_score(docs, text_col="text").select(
+        "doc_id", "lang", "quality"
+    )
+    cuts = group_percentile_cuts(
+        scored.where(F.col("doc_id") % 4 == 0),
+        score_col="quality", group_col="lang", n_cuts=10,
+    )
+    return apply_group_percentile_cuts(
+        scored, cuts, score_col="quality", group_col="lang",
+    )
+
+
+def _stream_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming source-fair quality gate (streaming/pipeline.py
+    # percentile_gate_stream — r15): the SAME frozen per-lang cuts
+    # (reference slab doc_id % 4 == 0), applied per micro-batch of a
+    # 3-file scored-docs replay — map-only (broadcast join + bounded
+    # array fold), so the union of per-batch outputs == the batch
+    # apply and ONE twin gates both forms verbatim.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        group_percentile_cuts,
+    )
+    from awskinesisconsumer_spark.operators.text import quality_score
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        percentile_gate_stream,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    scored = quality_score(docs, text_col="text").select(
+        "doc_id", "lang", "quality"
+    )
+    cuts = group_percentile_cuts(
+        scored.where(F.col("doc_id") % 4 == 0),
+        score_col="quality", group_col="lang", n_cuts=10,
+    ).localCheckpoint()  # freeze: G rows, materialized once
+    src = tempfile.mkdtemp(prefix="pctl_src_")
+    out = tempfile.mkdtemp(prefix="pctl_out_")
+    ckpt = tempfile.mkdtemp(prefix="pctl_ckpt_")
+    scored.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(scored.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = percentile_gate_stream(
+        stream, cuts, score_col="quality", group_col="lang",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-quality-percentile: timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-quality-percentile: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "quality", "pctile_frozen"
+    )
+
+
+def _cms_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    # Lossless CMS candidate pre-filter (operators/sketches.py
+    # cms_heavy_hitters(rank_by="exact") — r15, r14 verdict item 4):
+    # with the top-k ranked by the EXACT counts the candidate table
+    # already carries, the m x n_buckets pre-filter is a theorem-
+    # backed no-op for m >= k (survivors are a superset of the exact
+    # top-m) — so the oracle needs NO candidate machinery at all: it
+    # ranks the exact top-k directly and probes the same portable
+    # sketch for the estimates.
+    from awskinesisconsumer_spark.operators.dedup import portable_hash52
+    from awskinesisconsumer_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return cms_heavy_hitters(
+        docs, text_col="text", k=20, depth=4, width=1024,
+        hash_fn=portable_hash52, candidate_top_m=64, rank_by="exact",
+    )
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6462,50 +6746,26 @@ def _semantic_dedup_multi(spark: SparkSession, sf: str) -> DataFrame:
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    # CHANGED in r14, re-gated inside the window:
-    # ext-dedup-semantic-recall (truth_max_rows guard + single-mine
-    # multi-level, r13 verdict items 2+6); ext-audit-report (gained
-    # the per-lang token_mean CI rows from the new grouped
-    # bootstrap); the five KMV/MinHash shingle-family entries whose
-    # Spark fragments now call the shared _char8_shingles helper
-    # (r13 README plan — the extraction the fingerprint pin was
-    # waiting for).
-    "ext-dedup-semantic-recall", "ext-audit-report",
-    "ext-distinct-intersect", "ext-source-overlap",
-    "stream-distinct-intersect", "stream-source-overlap",
-    "ext-minhash-overlap",
-    # NEW in r14 — the evaluation & drift completion wave:
-    # stratified bootstrap CI (r13 verdict item 7), the lang-id
-    # classification report (batch + SUM-merged streaming state on
-    # the swap-rename/_bid protocol), Chao1 vocabulary richness, the
-    # all-pairs KS drift matrix, and PSI drift with an ordered bin
-    # fold.
-    "ext-bootstrap-ci-grouped", "ext-eval-confusion",
-    "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
-    "ext-psi-drift",
-    # NEW in r14, third wave: Krippendorff's alpha (the fleiss sums
-    # under the coincidence arithmetic), source-fair quality
-    # percentile (ECDF over distinct scores — no single-reducer
-    # window), and the streaming PSI monitor (frozen-edge SUM-merged
-    # bin state on the swap-rename/_bid protocol).
-    "ext-krippendorff-alpha", "ext-quality-percentile",
-    "stream-psi-drift",
-    # NEW in r14, fourth wave: streaming maintenance for the last
-    # two batch-only evaluation statistics — KS (distinct-value
-    # count state) and Chao1 (term-count state; f1/f2 derive at read
-    # time because frequency-of-frequencies are not mergeable).
-    "stream-ks-drift", "stream-chao1-vocab",
-    # NEW in r14, fifth wave: the last two streamable evaluation
-    # statistics — stratified bootstrap (the (group, b) Poisson sums
-    # are associative because weights depend only on (id, salt, b))
-    # and Cohen's kappa (pair-count state); Fleiss deliberately
-    # stays batch-only (per-item cells grow with the corpus).
-    "stream-bootstrap-ci", "stream-rater-kappa",
-    # NEW in r14, sixth wave: duplicate-aware soft-dedup weights
-    # (1/cluster-size — downweight instead of drop) and the
-    # expected-calibration-error harness over the lang-id
-    # marker-share confidence.
-    "ext-dedup-reweight", "ext-eval-ece", "ext-eval-brier",
+    # CHANGED in r15, re-gated inside the window: ext-audit-report
+    # (gained the per-lang ECE/Brier calibration rows from the new
+    # grouped gates — r14 verdict item 6's fold) and ext-dataset-card
+    # (v2 — r14 verdict item 8: Chao1 richness, per-lang token CI
+    # rows, and the en/fr length-drift snapshot folded in from the
+    # proven gates).
+    "ext-audit-report", "ext-dataset-card",
+    # NEW in r15, first wave: per-group judge calibration — grouped
+    # ECE and Brier (G x n_bins / G rows of exact-integer state) and
+    # their streaming maintainers on the swap-rename/_bid contract
+    # (r14 verdict item 6).
+    "ext-eval-ece-grouped", "ext-eval-brier-grouped",
+    "stream-eval-ece", "stream-eval-brier",
+    # NEW in r15, second wave: the frozen source-fair percentile gate
+    # (per-group quantile-grid cuts frozen on a deterministic
+    # reference slab, applied map-only in batch and per micro-batch —
+    # r14 verdict item 7) and the lossless exact-ranked CMS candidate
+    # pre-filter (r14 verdict item 4).
+    "ext-quality-percentile-frozen", "stream-quality-percentile",
+    "ext-cms-topk-exact",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6561,6 +6821,50 @@ R15_ROTATION_CANDIDATES = (
     "stream-sentence-decontaminate", "topk-customers",
 )
 
+# The r15 rotation: ALL 24 R15_ROTATION_CANDIDATES (the r9-cohort
+# remainder — exactly 5 rounds behind after the r14 snapshot, zero
+# freshness slack) plus the alphabetical head-15 of the 50-entry r10
+# ledger cohort. 9 new/changed + 2 rows-only + 39 == exactly 50;
+# queries() ASSERTS head == plan at call time. The remaining 35 r10
+# veterans are R16_ROTATION_CANDIDATES and MUST re-gate in r16
+# (freshness: r10 is exactly 5 rounds behind once the r15 snapshot
+# lands).
+R15_ROTATION = (
+    "ext-quality-repetition", "ext-quality-score", "ext-sample-stratified",
+    "ext-semantic-decontaminate", "ext-sentence-decontaminate",
+    "ext-sentence-split", "ext-similarity-ann", "ext-similarity-ivf",
+    "ext-similarity-ivf-kmeans", "ext-similarity-knn", "ext-text-stats",
+    "ext-tfidf-terms", "ext-token-count", "ext-vocabulary",
+    "id-assign-monotonic", "join-revenue-by-nation", "join-semi-anti",
+    "json-extract-props", "query-last-row", "query-point-lookup",
+    "set-ops-users", "sink-png-files", "stream-sentence-decontaminate",
+    "topk-customers", "agg-grouping-sets", "agg-moving-avg",
+    "agg-robust-mad", "agg-unpivot-melt", "decode-scalars-roundtrip",
+    "ext-ann-dim-recall", "ext-bm25-rank", "ext-cdc-compact",
+    "ext-corruption-spans", "ext-dedup-embedding-lsh",
+    "ext-dedup-ngram-containment", "ext-denoise-pairs",
+    "ext-embedding-pool", "ext-fim-split", "ext-grouped-drift",
+)
+
+# The r16 plan of record (written at r15 close): the window MUST hold
+# all 35 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
+# 2 rows-only residents; GATE_NEW_r16 therefore has at most 13 slots.
+R16_ROTATION_CANDIDATES = (
+    "ext-heavy-hitters-cms", "ext-importance-score", "ext-join-range",
+    "ext-lang-id", "ext-multimodal-audio", "ext-multimodal-decode",
+    "ext-multimodal-pipeline", "ext-ngram-novelty", "ext-pii-redact",
+    "ext-quality-gopher-rules", "ext-shard-assign", "ext-similarity-ivf-pq",
+    "ext-split-leakage-free", "ext-token-histogram", "ext-unigram-logprob",
+    "ext-url-curation", "kvs-frames-with-tags", "scan-ebml-heads",
+    "scan-ebml-tokenize", "sink-fanout-roundtrip", "sink-jsonl-roundtrip",
+    "sink-partitioned-prune", "source-csv-roundtrip",
+    "source-json-permissive", "source-kvs-replay", "source-orc-roundtrip",
+    "stream-asof-tags", "stream-cdc-compact", "stream-dedup-exact",
+    "stream-dedup-incremental", "stream-grouped-drift",
+    "stream-importance-score", "stream-segment-rollup", "stream-throttle",
+    "stream-tumbling-agg",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
@@ -6580,22 +6884,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     out = {
-        # -- CHANGED in r14, re-gated (see GATE_NEW_THIS_ROUND):
-        #    the recall audit (truth guard + single mine), the
-        #    audit report (per-lang token CI rows), and the five
-        #    shingle-family entries on the shared _char8_shingles
-        #    helper.
-        "ext-dedup-semantic-recall": _semantic_dedup_recall,
+        # -- CHANGED in r15, re-gated (see GATE_NEW_THIS_ROUND):
+        #    the audit report (gained per-lang ECE/Brier calibration
+        #    rows) and the dataset card (v2: Chao1 richness, per-lang
+        #    token CI, length-drift snapshot).
         "ext-audit-report": _audit_report,
+        "ext-dataset-card": _dataset_card,
+        # -- NEW in round 15: per-group judge calibration (batch +
+        #    streaming maintainers on the swap-rename/_bid contract),
+        #    the frozen source-fair percentile gate (freeze/apply +
+        #    map-only stream), and the lossless exact-ranked CMS
+        #    candidate pre-filter.
+        "ext-eval-ece-grouped": _eval_ece_grouped,
+        "ext-eval-brier-grouped": _eval_brier_grouped,
+        "stream-eval-ece": _stream_eval_ece,
+        "stream-eval-brier": _stream_eval_brier,
+        "ext-quality-percentile-frozen": _quality_percentile_frozen,
+        "stream-quality-percentile": _stream_quality_percentile,
+        "ext-cms-topk-exact": _cms_topk_exact,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the r15 rotation (R15_ROTATION): ALL 24 remaining r9-
+        #    record veterans (exactly 5 rounds behind after the r14
+        #    snapshot -- zero freshness slack) + the alphabetical
+        #    head-15 of the 50-entry r10 cohort (which must finish
+        #    re-gating by r16). 9 new/changed + 2 rows-only + 39 ==
+        #    exactly 50; queries() asserts head == plan at call time.
+        "ext-quality-repetition": _repetition,
+        "ext-quality-score": _quality,
+        "ext-sample-stratified": _sample_stratified,
+        "ext-semantic-decontaminate": _semantic_decontaminate,
+        "ext-sentence-decontaminate": _sentence_decontaminate,
+        "ext-sentence-split": _sentence_split,
+        "ext-similarity-ann": _ann_lsh,
+        "ext-similarity-ivf": _ann_ivf,
+        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
+        "ext-similarity-knn": _knn,
+        "ext-text-stats": _text_stats,
+        "ext-tfidf-terms": _tfidf_terms,
+        "ext-token-count": _token_count,
+        "ext-vocabulary": _vocabulary,
+        "id-assign-monotonic": _mono_id,
+        "join-revenue-by-nation": _revenue_by_nation,
+        "join-semi-anti": _semi_anti,
+        "json-extract-props": _props_json,
+        "query-last-row": _last,
+        "query-point-lookup": _point,
+        "set-ops-users": _set_ops,
+        "sink-png-files": _sink_png_files,
+        "stream-sentence-decontaminate": _stream_sentence_decontaminate,
+        "topk-customers": _topk_customers,
+        "agg-grouping-sets": _grouping_sets,
+        "agg-moving-avg": _moving_avg,
+        "agg-robust-mad": _robust_mad,
+        "agg-unpivot-melt": _melt,
+        "decode-scalars-roundtrip": _decode_roundtrip,
+        "ext-ann-dim-recall": _ann_dim_recall,
+        "ext-bm25-rank": _bm25,
+        "ext-cdc-compact": _cdc_compact,
+        "ext-corruption-spans": _corruption_spans,
+        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
+        "ext-dedup-ngram-containment": _ngram_containment,
+        "ext-denoise-pairs": _denoise_pairs,
+        "ext-embedding-pool": _embedding_pool,
+        "ext-fim-split": _fim_split,
+        "ext-grouped-drift": _grouped_drift,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r14 ledger records:
+        "ext-dedup-semantic-recall": _semantic_dedup_recall,
         "ext-distinct-intersect": _distinct_intersect,
         "ext-source-overlap": _source_overlap,
         "stream-distinct-intersect": _stream_distinct_intersect,
         "stream-source-overlap": _stream_source_overlap,
         "ext-minhash-overlap": _minhash_overlap,
-        # -- NEW in round 14: the evaluation & drift completion
-        #    wave (stratified bootstrap CI, lang-id classification
-        #    report batch + streaming state, Chao1 richness, KS
-        #    matrix, PSI drift).
         "ext-bootstrap-ci-grouped": _bootstrap_ci_grouped,
         "ext-eval-confusion": _eval_confusion,
         "stream-eval-confusion": _stream_eval_confusion,
@@ -6612,16 +6979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-reweight": _dedup_reweight,
         "ext-eval-ece": _eval_ece,
         "ext-eval-brier": _eval_brier,
-        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
-        #    live inside the window permanently so their weaker
-        #    rows-only check is refreshed every round.
-        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
-        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r14 rotation (R14_ROTATION): the oldest 25 of
-        #    the 49 r9-record veterans, alphabetical; the other 24
-        #    are R15_ROTATION_CANDIDATES and MUST re-gate in r15.
-        #    23 new/changed + 2 rows-only + 25 == exactly 50;
-        #    queries() asserts head == plan at call time.
         "agg-distinct-users": _distinct_users,
         "agg-percentiles": _percentiles,
         "agg-pricing-summary": _pricing_summary,
@@ -6647,11 +7004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-png": _multimodal_png,
         "ext-multimodal-wav": _multimodal_wav,
         "ext-prepare-corpus": _prepare_corpus,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
-        # -- r13 records (last round's new/changed, green r13):
+        # -- r13 ledger records:
         "ext-dedup-semantic-multi": _semantic_dedup_multi,
         "stream-heavy-hitters": _stream_heavy_hitters,
         "stream-histogram-quantile": _stream_hist_quantiles,
@@ -6662,7 +7015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-minhash-shard-merge": _minhash_shard_merge,
         "ext-readability": _readability,
         "stream-dedup-semantic": _stream_dedup_semantic,
-        # -- the r13-rotated veterans (green r13):
         "ext-dedup-incremental": _dedup_incremental,
         "ext-dedup-recall": _dedup_recall,
         "ext-dedup-span-removal": _dedup_span_removal,
@@ -6697,20 +7049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-pause-resume": _stream_pause_resume,
         "stream-quality-blend": _stream_quality_blend,
         "stream-vocab-coverage": _stream_vocab_coverage,
-        # -- r9-record veterans deferred to the r15 window (the
-        #    R15_ROTATION_CANDIDATES head — displaced when the r14
-        #    third wave grew GATE_NEW to 16):
-        "ext-quality-repetition": _repetition,
-        "ext-quality-score": _quality,
-        "ext-sample-stratified": _sample_stratified,
-        "ext-semantic-decontaminate": _semantic_decontaminate,
-        "ext-sentence-decontaminate": _sentence_decontaminate,
-        "ext-sentence-split": _sentence_split,
-        "ext-similarity-ann": _ann_lsh,
-        "ext-similarity-ivf": _ann_ivf,
-        "ext-similarity-ivf-kmeans": _ann_ivf_kmeans,
-        "ext-similarity-knn": _knn,
-        # -- r12 registrations (ledger veterans, green r12):
+        # -- r12 ledger records:
         "ext-dedup-semantic-table": _semantic_dedup_table,
         "ext-dedup-semantic-vec": _semantic_dedup_vec,
         "ext-knn-join-vec": _knn_join_vec,
@@ -6728,7 +7067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-semantic": _semantic_dedup,
         "ext-contrastive-triplets": _contrastive_triplets,
         "stream-pack-sequences": _stream_pack_sequences,
-        # -- the 16 r7-record veterans re-gated r12:
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
         "ext-hll-merge": _hll_merge,
@@ -6745,7 +7083,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-minhash": _dedup_minhash,
         "join-salted-skew": _salted_join,
         "segment-sessions-gap": _sessions_gap,
-        # -- the 10 then-oldest r8-record veterans re-gated r12:
         "demux-decode-explode": _explode,
         "enqueue-bounded-retention": _retention,
         "error-route": _error_route,
@@ -6755,8 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-compact-files": _compact_files,
         "ext-corpus-drift": _corpus_drift,
         "ext-curate-corpus": _curate_corpus,
-        "ext-dataset-card": _dataset_card,
-        # -- r11 records --
+        # -- r11 ledger records:
         "ext-train-batch": _train_batch,
         "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
         "ext-curriculum-order": _curriculum_order,
@@ -6801,16 +7137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-ann-recall": _ann_recall,
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
-        # -- r10 records (the nine r9-banked registrations + the 41
-        #    rotated r6 veterans) --
+        # -- r10 ledger records:
         "ext-importance-score": _importance_score,
         "stream-importance-score": _stream_importance_score,
-        "ext-grouped-drift": _grouped_drift,
         "stream-grouped-drift": _stream_grouped_drift,
-        "ext-corruption-spans": _corruption_spans,
-        "ext-denoise-pairs": _denoise_pairs,
-        "ext-fim-split": _fim_split,
-        "ext-ann-dim-recall": _ann_dim_recall,
         "ext-similarity-ivf-pq": _ann_ivf_pq,
         "stream-dedup-incremental": _stream_dedup_incremental,
         "ext-lang-id": _lang_id,
@@ -6820,57 +7150,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-multimodal-audio": _multimodal_audio,
         "scan-ebml-tokenize": _ebml_tokenize,
         "scan-ebml-heads": _ebml_heads,
-        "decode-scalars-roundtrip": _decode_roundtrip,
         "kvs-frames-with-tags": _kvs_pipeline,
         "source-kvs-replay": _kvs_replay_source,
         "sink-fanout-roundtrip": _fanout_roundtrip,
-        "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
         "stream-asof-tags": _stream_asof,
         "stream-segment-rollup": _stream_segment,
         "stream-dedup-exact": _stream_dedup,
         "ext-join-range": _range_join,
         "ext-url-curation": _url_curation,
-        "ext-bm25-rank": _bm25,
-        "ext-cdc-compact": _cdc_compact,
-        "agg-grouping-sets": _grouping_sets,
         "source-csv-roundtrip": _csv_roundtrip,
         "stream-throttle": _stream_throttle,
         "ext-unigram-logprob": _unigram_logprob,
         "ext-token-histogram": _token_histogram,
         "ext-shard-assign": _shard_assign,
-        "agg-moving-avg": _moving_avg,
         "ext-heavy-hitters-cms": _cms_heavy_hitters,
         "stream-tumbling-agg": _stream_tumbling,
         "stream-cdc-compact": _stream_cdc,
         "ext-quality-gopher-rules": _gopher_rules,
         "source-json-permissive": _json_permissive,
         "ext-split-leakage-free": _split_leakage_free,
-        "agg-unpivot-melt": _melt,
         "source-orc-roundtrip": _orc_roundtrip,
         "sink-partitioned-prune": _partitioned_prune,
         "ext-ngram-novelty": _ngram_novelty,
-        "ext-dedup-ngram-containment": _ngram_containment,
-        "agg-robust-mad": _robust_mad,
         "ext-pii-redact": _pii_redact,
-        "ext-embedding-pool": _embedding_pool,
-        "sink-png-files": _sink_png_files,
-        "stream-sentence-decontaminate": _stream_sentence_decontaminate,
-        "join-revenue-by-nation": _revenue_by_nation,
-        "ext-vocabulary": _vocabulary,
-        "ext-text-stats": _text_stats,
-        "ext-tfidf-terms": _tfidf_terms,
-        "topk-customers": _topk_customers,
-        "join-semi-anti": _semi_anti,
-        "json-extract-props": _props_json,
-        "set-ops-users": _set_ops,
-        "query-point-lookup": _point,
-        "query-last-row": _last,
-        "id-assign-monotonic": _mono_id,
-        "ext-token-count": _token_count,
     }
     # Composed-at-call window assertion (r12 verdict item 1): the
     # documented rotation plan IS the gate window, exactly.
-    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R14_ROTATION)
+    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R15_ROTATION)
     assert len(plan) == 50, f"window plan is {len(plan)} entries, not 50"
     head = list(out)[:50]
     assert head == list(plan), (
@@ -12824,6 +13130,110 @@ def oracle_sql() -> dict[str, str]:
                  sq / (n_items * 100000000.0) END, 6) AS brier
         FROM agg
     """
+    # r15: per-lang ECE — the ext-eval-ece arithmetic keyed by the
+    # true lang (group == label here), bin clamped at BOTH ends (the
+    # psi rule); one ordered <= 10-bin fold per group.
+    d["ext-eval-ece-grouped"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS g, lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT g,
+                 GREATEST(LEAST(CAST(FLOOR(conf * 10) AS INT), 9), 0)
+                   AS bin,
+                 CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 1000000.0) AS BIGINT) AS c6
+          FROM pl),
+        pb AS (SELECT g, bin, COUNT(*) AS nb, SUM(ok) AS ok,
+                      SUM(c6) AS c6
+               FROM base GROUP BY 1, 2),
+        agg AS (SELECT g,
+            list(struct_pack(bin := bin, nb := nb, ok := ok,
+                             c6 := c6) ORDER BY bin) AS arr,
+            SUM(nb) AS n_items FROM pb GROUP BY g),
+        folded AS (SELECT g,
+            CAST(n_items AS BIGINT) AS n_items,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              (x.nb / CAST(n_items AS DOUBLE))
+              * ABS(x.ok / CAST(x.nb AS DOUBLE)
+                    - x.c6 / (x.nb * 1000000.0)))),
+              (acc, t) -> acc + t) AS ece,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              ABS(x.ok / CAST(x.nb AS DOUBLE)
+                  - x.c6 / (x.nb * 1000000.0)))),
+              (acc, t) -> GREATEST(acc, t)) AS max_gap
+          FROM agg)
+        SELECT g AS "group", n_items, 10 AS n_bins,
+               ROUND(CASE WHEN n_items > 0 THEN ece END, 6) AS ece,
+               ROUND(CASE WHEN n_items > 0 THEN max_gap END, 6)
+                 AS max_gap
+        FROM folded
+    """
+    # r15: per-lang Brier — the ext-eval-brier exact-integer squared
+    # gaps grouped by the true lang.
+    d["ext-eval-brier-grouped"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS g, lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT g, CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 10000.0) AS BIGINT) AS c4
+          FROM pl),
+        agg AS (SELECT g, COUNT(*) AS n_items,
+                       COALESCE(SUM(ok), 0) AS oks,
+                       COALESCE(SUM((ok * 10000 - c4)
+                                    * (ok * 10000 - c4)), 0) AS sq
+                FROM base GROUP BY g)
+        SELECT g AS "group", CAST(n_items AS BIGINT) AS n_items,
+               ROUND(CASE WHEN n_items > 0 THEN
+                 oks / CAST(n_items AS DOUBLE) END, 6) AS accuracy,
+               ROUND(CASE WHEN n_items > 0 THEN
+                 sq / (n_items * 100000000.0) END, 6) AS brier
+        FROM agg
+    """
+    # streaming grouped calibration: SUM-merged integer state + the
+    # factored batch final stage == the batch build, so the batch
+    # twins gate the streams verbatim.
+    d["stream-eval-ece"] = d["ext-eval-ece-grouped"]
+    d["stream-eval-brier"] = d["ext-eval-brier-grouped"]
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).
@@ -12895,6 +13305,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, quality, pctile
         FROM scored LEFT JOIN pm
           ON scored.lang = pm.pg AND scored.quality = pm.ps
+    """
+    # r15: frozen source-fair percentile — the proven quality-score
+    # fragment; per-lang quantile-grid cuts from the doc_id % 4 == 0
+    # reference slab via INTEGER reach tests (cum * n >= i * total),
+    # applied as a bounded count of cuts <= score. ONE twin gates
+    # the batch apply and the map-only streaming gate verbatim.
+    d["ext-quality-percentile-frozen"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_expr} AS words FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(words) = 0 THEN 0.0 ELSE ROUND(
+              0.4 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - len(list_filter(words, x ->
+                  list_contains({stop_list}, x)))
+                  / CAST(len(words) AS DOUBLE))
+              + 0.3 * (len(list_distinct(words))
+                  / CAST(len(words) AS DOUBLE)),
+            4) END AS quality
+          FROM w),
+        refc AS (
+          SELECT lang AS pg, quality AS ps, COUNT(*) AS c
+          FROM scored
+          WHERE doc_id % 4 = 0 AND lang IS NOT NULL
+                AND quality IS NOT NULL
+          GROUP BY 1, 2),
+        ecdf AS (
+          SELECT pg, ps,
+                 SUM(c) OVER (PARTITION BY pg ORDER BY ps
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY pg) AS tot
+          FROM refc),
+        grid AS (SELECT unnest(range(1, 10)) AS i),
+        cuts AS (
+          SELECT pg, i, MIN(ps) AS cut
+          FROM ecdf CROSS JOIN grid
+          WHERE cum * 10 >= i * tot
+          GROUP BY pg, i),
+        app AS (
+          SELECT s.doc_id, s.lang, s.quality,
+                 SUM(CASE WHEN c.cut <= s.quality THEN 1 ELSE 0 END)
+                   AS k,
+                 COUNT(c.cut) AS ncuts
+          FROM scored s LEFT JOIN cuts c ON s.lang = c.pg
+          GROUP BY 1, 2, 3)
+        SELECT doc_id, lang, quality,
+               CASE WHEN quality IS NOT NULL AND ncuts > 0
+                    THEN ROUND(k / 10.0, 6) END AS pctile_frozen
+        FROM app
+    """
+    d["stream-quality-percentile"] = d["ext-quality-percentile-frozen"]
+    # r15: lossless CMS pre-filter — exact-ranked top-k needs no
+    # candidate machinery in the oracle (survivors of any m >= k
+    # pre-filter are a superset of the exact top-m, a theorem); the
+    # estimates come from the same portable sketch as
+    # ext-heavy-hitters-cms.
+    d["ext-cms-topk-exact"] = f"""
+        WITH w AS (SELECT {words_lower} AS words FROM documents),
+        tok AS (SELECT t.term FROM w, UNNEST(words) AS t(term)
+                WHERE t.term <> ''),
+        js AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+        pairs AS (
+          SELECT j, ('0x' || substr(md5(term || chr(31)
+                      || 'cms1:' || j), 1, 13))::BIGINT % 1024
+                   AS bucket
+          FROM tok CROSS JOIN js),
+        sketch AS (
+          SELECT j, bucket, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+        cand AS (SELECT term, COUNT(*) AS exact FROM tok GROUP BY 1),
+        probes AS (
+          SELECT c.term, c.exact, js.j,
+                 ('0x' || substr(md5(c.term || chr(31)
+                   || 'cms1:' || js.j), 1, 13))::BIGINT % 1024
+                   AS bucket
+          FROM cand c CROSS JOIN js),
+        est AS (
+          SELECT pr.term, pr.exact, MIN(s.n) AS cms_est
+          FROM probes pr
+          JOIN sketch s ON pr.j = s.j AND pr.bucket = s.bucket
+          GROUP BY 1, 2)
+        SELECT term, CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(exact AS BIGINT) AS exact,
+               CAST(ROW_NUMBER() OVER (ORDER BY exact DESC, term)
+                    AS INT) AS rank
+        FROM est
+        QUALIFY rank <= 20
     """
     # r14: streaming PSI monitor — the ext-psi-drift arithmetic
     # under FROZEN edges [0, 600) x 12 bins with end-bin clamping
@@ -13145,6 +13641,32 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'token_mean_ci_hi:' || "group", ci_hi
         FROM ({d["ext-bootstrap-ci-grouped"]})
+        UNION ALL
+        SELECT 'ece:' || "group", ece
+        FROM ({d["ext-eval-ece-grouped"]})
+        UNION ALL
+        SELECT 'brier:' || "group", brier
+        FROM ({d["ext-eval-brier-grouped"]})
+    """
+    # r15 card v2 (r14 verdict item 8): the release block nests the
+    # proven evaluation gates verbatim — vocabulary richness, the
+    # per-lang token-mean CI rows, and the en/fr length-drift
+    # snapshot — so the card and the audit report stop diverging in
+    # coverage.
+    d["ext-dataset-card"] = f"""
+        SELECT * FROM ({d["ext-dataset-card"]})
+        UNION ALL SELECT 'vocab_size', CAST(vocab_size AS DOUBLE)
+          FROM ({d["ext-chao1-vocab"]})
+        UNION ALL SELECT 'chao1_est', chao1_est
+          FROM ({d["ext-chao1-vocab"]})
+        UNION ALL SELECT 'psi_len_drift:en/fr', psi
+          FROM ({d["ext-psi-drift"]})
+        UNION ALL SELECT 'token_mean:' || "group", estimate
+          FROM ({d["ext-bootstrap-ci-grouped"]})
+        UNION ALL SELECT 'token_mean_ci_lo:' || "group", ci_lo
+          FROM ({d["ext-bootstrap-ci-grouped"]})
+        UNION ALL SELECT 'token_mean_ci_hi:' || "group", ci_hi
+          FROM ({d["ext-bootstrap-ci-grouped"]})
     """
     # Matrix-path quantizer training is Lloyd-identical to the
     # literal refinement (same means, empty-cell rule, order_col

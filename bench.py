@@ -284,6 +284,17 @@ HEADLINE = [
     "ext-dedup-reweight",
     "ext-eval-ece",
     "ext-eval-brier",
+    # r15: per-group judge calibration (batch + multi-micro-batch
+    # streaming maintainers), the frozen source-fair percentile gate
+    # (freeze + map-only apply, batch and stream), and the lossless
+    # exact-ranked CMS pre-filter — all documents-scanning.
+    "ext-eval-ece-grouped",
+    "ext-eval-brier-grouped",
+    "stream-eval-ece",
+    "stream-eval-brier",
+    "ext-quality-percentile-frozen",
+    "stream-quality-percentile",
+    "ext-cms-topk-exact",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:
