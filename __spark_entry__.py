@@ -6515,6 +6515,42 @@ def _cms_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _eval_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    # Reliability diagram (operators/evaluation.py
+    # reliability_diagram — r15): the per-bin calibration table ECE
+    # compresses to one number — count, observed accuracy, mean
+    # confidence and gap per occupied bin, each an exact-integer
+    # quotient from the SAME quantized bin state as ext-eval-ece, so
+    # the streaming ECE state feeds it directly.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        reliability_diagram,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    return reliability_diagram(
+        pred, label_col="lang", pred_col="lang_pred",
+        conf_col="lang_conf", n_bins=10,
+    )
+
+
+def _eval_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    # Multiclass Matthews correlation (operators/evaluation.py
+    # mcc_score — r15): the imbalance-honest single-number classifier
+    # summary (a majority-class guesser scores ~0), derived entirely
+    # from the (label, pred, n) confusion counts — so the streaming
+    # confusion state feeds mcc_from_counts directly. Cross-class
+    # sums ride DECIMAL(38,0) (p_k^2 outgrows a long past ~3e9 rows
+    # per class); one float division in the final row.
+    from awskinesisconsumer_spark.operators.evaluation import mcc_score
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text")
+    return mcc_score(pred, label_col="lang", pred_col="lang_pred")
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6766,6 +6802,11 @@ GATE_NEW_THIS_ROUND = (
     # pre-filter (r14 verdict item 4).
     "ext-quality-percentile-frozen", "stream-quality-percentile",
     "ext-cms-topk-exact",
+    # NEW in r15, third wave: the per-bin reliability-diagram table
+    # (ECE's uncompressed form, same quantized bin state) and the
+    # multiclass Matthews correlation from the confusion counts
+    # (DECIMAL(38,0) cross-class sums).
+    "ext-eval-reliability", "ext-eval-mcc",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6823,8 +6864,8 @@ R15_ROTATION_CANDIDATES = (
 
 # The r15 rotation: ALL 24 R15_ROTATION_CANDIDATES (the r9-cohort
 # remainder — exactly 5 rounds behind after the r14 snapshot, zero
-# freshness slack) plus the alphabetical head-15 of the 50-entry r10
-# ledger cohort. 9 new/changed + 2 rows-only + 39 == exactly 50;
+# freshness slack) plus the alphabetical head-13 of the 50-entry r10
+# ledger cohort. 11 new/changed + 2 rows-only + 37 == exactly 50;
 # queries() ASSERTS head == plan at call time. The remaining 35 r10
 # veterans are R16_ROTATION_CANDIDATES and MUST re-gate in r16
 # (freshness: r10 is exactly 5 rounds behind once the r15 snapshot
@@ -6843,13 +6884,14 @@ R15_ROTATION = (
     "ext-ann-dim-recall", "ext-bm25-rank", "ext-cdc-compact",
     "ext-corruption-spans", "ext-dedup-embedding-lsh",
     "ext-dedup-ngram-containment", "ext-denoise-pairs",
-    "ext-embedding-pool", "ext-fim-split", "ext-grouped-drift",
+    "ext-embedding-pool",
 )
 
 # The r16 plan of record (written at r15 close): the window MUST hold
-# all 35 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
-# 2 rows-only residents; GATE_NEW_r16 therefore has at most 13 slots.
+# all 37 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
+# 2 rows-only residents; GATE_NEW_r16 therefore has at most 11 slots.
 R16_ROTATION_CANDIDATES = (
+    "ext-fim-split", "ext-grouped-drift",
     "ext-heavy-hitters-cms", "ext-importance-score", "ext-join-range",
     "ext-lang-id", "ext-multimodal-audio", "ext-multimodal-decode",
     "ext-multimodal-pipeline", "ext-ngram-novelty", "ext-pii-redact",
@@ -6902,6 +6944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-quality-percentile-frozen": _quality_percentile_frozen,
         "stream-quality-percentile": _stream_quality_percentile,
         "ext-cms-topk-exact": _cms_topk_exact,
+        "ext-eval-reliability": _eval_reliability,
+        "ext-eval-mcc": _eval_mcc,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
@@ -6910,7 +6954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the r15 rotation (R15_ROTATION): ALL 24 remaining r9-
         #    record veterans (exactly 5 rounds behind after the r14
         #    snapshot -- zero freshness slack) + the alphabetical
-        #    head-15 of the 50-entry r10 cohort (which must finish
+        #    head-13 of the 50-entry r10 cohort (which must finish
         #    re-gating by r16). 9 new/changed + 2 rows-only + 39 ==
         #    exactly 50; queries() asserts head == plan at call time.
         "ext-quality-repetition": _repetition,
@@ -6950,8 +6994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-ngram-containment": _ngram_containment,
         "ext-denoise-pairs": _denoise_pairs,
         "ext-embedding-pool": _embedding_pool,
-        "ext-fim-split": _fim_split,
-        "ext-grouped-drift": _grouped_drift,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -7138,6 +7180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
         # -- r10 ledger records:
+        "ext-fim-split": _fim_split,
+        "ext-grouped-drift": _grouped_drift,
         "ext-importance-score": _importance_score,
         "stream-importance-score": _stream_importance_score,
         "stream-grouped-drift": _stream_grouped_drift,
@@ -13234,6 +13278,99 @@ def oracle_sql() -> dict[str, str]:
     # twins gate the streams verbatim.
     d["stream-eval-ece"] = d["ext-eval-ece-grouped"]
     d["stream-eval-brier"] = d["ext-eval-brier-grouped"]
+    # r15: reliability diagram — the per-bin table the ECE fold
+    # compresses; every column an exact-integer quotient per bin.
+    d["ext-eval-reliability"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT GREATEST(LEAST(CAST(FLOOR(conf * 10) AS INT), 9), 0)
+                   AS bin,
+                 CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 1000000.0) AS BIGINT) AS c6
+          FROM pl),
+        pb AS (SELECT bin, COUNT(*) AS nb, SUM(ok) AS ok,
+                      SUM(c6) AS c6
+               FROM base GROUP BY 1)
+        SELECT bin, CAST(nb AS BIGINT) AS nb,
+               ROUND(ok / CAST(nb AS DOUBLE), 6) AS acc,
+               ROUND(c6 / (nb * 1000000.0), 6) AS conf,
+               ROUND(ABS(ok / CAST(nb AS DOUBLE)
+                         - c6 / (nb * 1000000.0)), 6) AS gap
+        FROM pb
+    """
+    # r15: multiclass MCC (Gorodkin R_K) — every cross-class sum in
+    # HUGEINT (the Spark side rides DECIMAL(38,0)); one float
+    # division in the final row.
+    d["ext-eval-mcc"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred
+          FROM s WHERE lang IS NOT NULL),
+        counts AS (SELECT label, pred, COUNT(*) AS n
+                   FROM pl GROUP BY 1, 2),
+        t AS (SELECT label AS k, SUM(n) AS tk FROM counts GROUP BY 1),
+        p AS (SELECT pred AS k, SUM(n) AS pk FROM counts GROUP BY 1),
+        tot AS (SELECT SUM(n) AS s,
+                       SUM(CASE WHEN label = pred THEN n ELSE 0 END)
+                         AS c
+                FROM counts),
+        sptq AS (SELECT COALESCE(SUM(CAST(pk AS HUGEINT)
+                                     * CAST(tk AS HUGEINT)), 0)
+                          AS spt
+                 FROM p JOIN t USING (k)),
+        p2 AS (SELECT SUM(CAST(pk AS HUGEINT) * CAST(pk AS HUGEINT))
+                 AS sp2 FROM p),
+        t2 AS (SELECT SUM(CAST(tk AS HUGEINT) * CAST(tk AS HUGEINT))
+                 AS st2 FROM t),
+        f AS (SELECT s, c,
+                     CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS s2,
+                     spt, sp2, st2
+              FROM tot CROSS JOIN sptq CROSS JOIN p2 CROSS JOIN t2)
+        SELECT CAST(s AS BIGINT) AS n_items,
+               ROUND(CASE WHEN s > 0 THEN c / CAST(s AS DOUBLE) END,
+                     6) AS accuracy,
+               ROUND(CASE WHEN (s2 - sp2) > 0 AND (s2 - st2) > 0 THEN
+                 CAST(CAST(c AS HUGEINT) * CAST(s AS HUGEINT)
+                      - spt AS DOUBLE)
+                 / SQRT(CAST(s2 - sp2 AS DOUBLE)
+                        * CAST(s2 - st2 AS DOUBLE)) END, 6) AS mcc
+        FROM f
+    """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

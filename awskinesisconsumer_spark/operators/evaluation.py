@@ -1340,3 +1340,137 @@ def brier_from_sums(sums: DataFrame) -> DataFrame:
         F.round(ok, 6).alias("accuracy"),
         F.round(br, 6).alias("brier"),
     )
+
+
+def reliability_diagram(
+    df: DataFrame,
+    *,
+    label_col: str,
+    pred_col: str,
+    conf_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The per-bin calibration table behind
+    `expected_calibration_error` — the data a reliability diagram
+    (Niculescu-Mizil & Caruana 2005) plots: for each occupied
+    confidence bin, the count, the observed accuracy, the mean
+    confidence, and their gap. ECE compresses this table to one
+    number; the diagram is what a calibration REVIEW actually reads
+    (which bins are over/under-confident, and with how much mass).
+
+    Same quantized-integer bin state as ECE (`ece_binned_counts` —
+    both ratios are exact-integer quotients computed per bin, never
+    summed as floats across bins), so the table replays bit-for-bit
+    and the streaming ECE state (`streaming.pipeline.ece_stream`)
+    feeds it directly. Empty bins are omitted (a diagram plots
+    occupied bins; ECE's fold never needed the empty ones either).
+    Returns one row per (group?,) occupied bin:
+    (group?, bin, nb, acc, conf, gap), 6 dp."""
+    return reliability_from_binned(
+        ece_binned_counts(
+            df, label_col=label_col, pred_col=pred_col,
+            conf_col=conf_col, n_bins=n_bins, group_col=group_col,
+        )
+    )
+
+
+def reliability_from_binned(binned: DataFrame) -> DataFrame:
+    """`reliability_diagram`'s final stage over a (bin, nb, ok, c6)
+    count table (see `ece_binned_counts`) — per-bin exact-integer
+    quotients only; a leading `group` column passes through."""
+    grouped = "group" in binned.columns
+    acc = F.col("ok") / F.col("nb")
+    conf = F.col("c6") / (F.col("nb") * F.lit(1e6))
+    return binned.select(
+        *(["group"] if grouped else []),
+        "bin",
+        "nb",
+        F.round(acc, 6).alias("acc"),
+        F.round(conf, 6).alias("conf"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+    )
+
+
+def mcc_score(
+    df: DataFrame, *, label_col: str, pred_col: str,
+) -> DataFrame:
+    """Multiclass Matthews correlation coefficient (Gorodkin 2004's
+    R_K) of a classifier — the single-number summary that, unlike
+    accuracy or macro-F1, stays honest under class imbalance (a
+    majority-class guesser scores ~0, not ~majority share):
+
+        mcc = (c*s - sum_k p_k*t_k)
+              / sqrt((s^2 - sum_k p_k^2) * (s^2 - sum_k t_k^2))
+
+    with s total predictions, c correct, t_k/p_k the true/predicted
+    counts of class k. Derives entirely from the (label, pred, n)
+    confusion counts, so the streaming state
+    (`streaming.pipeline.confusion_counts_stream`) feeds
+    `mcc_from_counts` directly and batch gates stream for free.
+    Returns ONE row: (n_items, accuracy, mcc), 6 dp; mcc NULL when a
+    marginal is degenerate (single observed class on either side —
+    the statistic's own undefined case)."""
+    return mcc_from_counts(
+        confusion_counts(df, label_col=label_col, pred_col=pred_col)
+    )
+
+
+def mcc_from_counts(counts: DataFrame) -> DataFrame:
+    """`mcc_score`'s final stage over a (label, pred, n) confusion
+    count table (see `confusion_counts`). Overflow-aware under the
+    module rule: every cross-class sum (sum p_k*t_k, sum p_k^2,
+    sum t_k^2, and c*s) is computed in DECIMAL(38,0) — p_k^2 alone
+    exceeds long range past ~3e9 rows per class — and the single
+    float conversion happens in the final row's division. All sums
+    are integer-exact, so the value replays bit-for-bit."""
+    dec = "decimal(38,0)"
+    totals = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") == F.col("pred"),
+                         F.col("n"))),
+            F.lit(0).cast("long"),
+        ).alias("c"),
+    )
+    t = counts.groupBy(F.col("label").alias("k")).agg(
+        F.sum("n").alias("tk")
+    )
+    p = counts.groupBy(F.col("pred").alias("k")).agg(
+        F.sum("n").alias("pk")
+    )
+    spt = p.join(t, "k").agg(
+        F.coalesce(
+            F.sum(F.col("pk").cast(dec) * F.col("tk").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("spt")
+    )
+    sp2 = p.agg(
+        F.coalesce(
+            F.sum(F.col("pk").cast(dec) * F.col("pk").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("sp2")
+    )
+    st2 = t.agg(
+        F.coalesce(
+            F.sum(F.col("tk").cast(dec) * F.col("tk").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("st2")
+    )
+    s, c = F.col("s").cast(dec), F.col("c").cast(dec)
+    d1 = s * s - F.col("sp2")
+    d2 = s * s - F.col("st2")
+    mcc = F.when(
+        (d1 > 0) & (d2 > 0),
+        (c * s - F.col("spt")).cast("double")
+        / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    acc = F.when(F.col("s") > 0, F.col("c") / F.col("s"))
+    return (
+        totals.crossJoin(spt).crossJoin(sp2).crossJoin(st2)
+        .select(
+            F.col("s").alias("n_items"),
+            F.round(acc, 6).alias("accuracy"),
+            F.round(mcc, 6).alias("mcc"),
+        )
+    )

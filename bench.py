@@ -295,6 +295,8 @@ HEADLINE = [
     "ext-quality-percentile-frozen",
     "stream-quality-percentile",
     "ext-cms-topk-exact",
+    "ext-eval-reliability",
+    "ext-eval-mcc",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

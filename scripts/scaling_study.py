@@ -697,23 +697,24 @@ def recall_curve() -> None:
 # renewed r13 item 5 for these four), plus this round's new timed
 # entries so the NEXT verdict has a quiet baseline for them.
 DRIFTERS = (
-    # r13 full-map crossers vs r12 (driver 0.91/5.21/2.28/2.62 s)
-    "ext-chunk-text", "ext-bloom-prefilter", "stream-cdc-compact",
-    "ext-quality-repetition",
-    # r14 new timed entries — quiet baseline for the next round
-    "ext-bootstrap-ci-grouped", "ext-eval-confusion",
-    "stream-eval-confusion", "ext-chao1-vocab", "ext-ks-matrix",
-    "ext-psi-drift",
-    # r14 third + fourth waves
-    "ext-krippendorff-alpha", "ext-quality-percentile",
-    "stream-psi-drift", "stream-ks-drift", "stream-chao1-vocab",
-    "stream-bootstrap-ci", "stream-rater-kappa",
-    "ext-dedup-reweight", "ext-eval-ece", "ext-eval-brier",
+    # r14 driver-map crossers vs r13 (driver 1.09/2.99/0.93 s =
+    # 2.5-2.7x; the committed r14 round-close map shows all three
+    # flat, so these medians are the ambient-band counter-evidence —
+    # r14 verdict item 3)
+    "ext-embedding-whiten", "stream-hll-distinct",
+    "agg-topn-per-group",
+    # r15 new timed entries — quiet baseline for the next round
+    "ext-eval-ece-grouped", "ext-eval-brier-grouped",
+    "stream-eval-ece", "stream-eval-brier",
+    "ext-quality-percentile-frozen", "stream-quality-percentile",
+    "ext-cms-topk-exact", "ext-eval-reliability", "ext-eval-mcc",
+    # r15 changed composites (audit report + card v2 grew rows)
+    "ext-audit-report", "ext-dataset-card",
 )
 
 
 def quiet_host_drifters() -> None:
-    """Quiet-host median-of-3 re-measure of the DRIFTERS list (see
+    """Quiet-host median-of-5 re-measure of the DRIFTERS list (see
     above), bench.py timing discipline (noop write, GC hint,
     median), nothing else running.
 
@@ -729,7 +730,7 @@ def quiet_host_drifters() -> None:
     for name in DRIFTERS:
         spark.sparkContext._jvm.System.gc()
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()

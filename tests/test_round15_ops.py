@@ -505,3 +505,60 @@ def test_dedup_reweight_prunes_superset_pairs(spark):
         for r in dedup_reweight(df, pairs, id_col="id").collect()
     )
     assert got == [("a", 0.5), ("b", 0.5), ("c", 1.0), ("d", 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# r15 third wave: reliability diagram + multiclass MCC
+# ---------------------------------------------------------------------------
+
+
+def test_reliability_diagram_consistent_with_ece(spark, _lang_pred):
+    # ECE == sum over occupied bins of (nb/N) * gap — the diagram is
+    # the uncompressed form of the same integer state.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        expected_calibration_error, reliability_diagram,
+    )
+
+    kw = dict(label_col="lang", pred_col="lang_pred",
+              conf_col="lang_conf", n_bins=10)
+    bins = reliability_diagram(_lang_pred, **kw).collect()
+    assert bins and all(0 <= r["bin"] < 10 for r in bins)
+    n = sum(r["nb"] for r in bins)
+    recomposed = sum(r["nb"] / n * abs(r["acc"] - r["conf"])
+                     for r in bins)
+    ece = expected_calibration_error(_lang_pred, **kw).first()
+    assert ece["n_items"] == n
+    assert abs(recomposed - ece["ece"]) < 2e-5
+    for r in bins:
+        assert abs(r["gap"] - round(abs(r["acc"] - r["conf"]), 6)) \
+            <= 2e-6
+
+
+def test_mcc_binary_closed_form_and_degenerate(spark):
+    # Gorodkin's R_K reduces to the textbook binary MCC; a
+    # single-class marginal (the undefined case) yields NULL.
+    import math
+
+    from awskinesisconsumer_spark.operators.evaluation import mcc_score
+
+    # TP=4 (a/a), FN=1 (a/b), FP=2 (b/a), TN=3 (b/b)
+    rows = ([("a", "a")] * 4 + [("a", "b")] * 1
+            + [("b", "a")] * 2 + [("b", "b")] * 3)
+    df = spark.createDataFrame(rows, "lab string, prd string")
+    got = mcc_score(df, label_col="lab", pred_col="prd").first()
+    tp, fn, fp, tn = 4, 1, 2, 3
+    want = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert got["n_items"] == 10
+    assert abs(got["mcc"] - round(want, 6)) <= 1e-6
+    assert got["accuracy"] == 0.7
+    # perfect predictor -> 1.0
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "lab string, prd string")
+    assert mcc_score(
+        perfect, label_col="lab", pred_col="prd").first()["mcc"] == 1.0
+    # constant predictor -> NULL (s^2 == sum p_k^2)
+    const = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "lab string, prd string")
+    assert mcc_score(
+        const, label_col="lab", pred_col="prd").first()["mcc"] is None
