@@ -562,3 +562,27 @@ def test_mcc_binary_closed_form_and_degenerate(spark):
         [("a", "a"), ("b", "a"), ("c", "a")], "lab string, prd string")
     assert mcc_score(
         const, label_col="lab", pred_col="prd").first()["mcc"] is None
+
+
+def test_apply_cuts_plan_is_broadcast_map_only(spark):
+    # the map-only claim, plan-asserted: ONE broadcast join, and the
+    # corpus side never shuffles (no ShuffleExchange anywhere).
+    from awskinesisconsumer_spark.operators.corpus_prep import (
+        apply_group_percentile_cuts, group_percentile_cuts,
+    )
+    from awskinesisconsumer_spark.operators.text import quality_score
+
+    docs = _load(spark, SF_SMOKE, "documents")
+    scored = quality_score(docs, text_col="text").select(
+        "doc_id", "lang", "quality"
+    )
+    cuts = group_percentile_cuts(
+        scored.where(F.col("doc_id") % 4 == 0),
+        score_col="quality", group_col="lang", n_cuts=10,
+    ).localCheckpoint()
+    out = apply_group_percentile_cuts(
+        scored, cuts, score_col="quality", group_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan
