@@ -6551,6 +6551,74 @@ def _eval_mcc(spark: SparkSession, sf: str) -> DataFrame:
     return mcc_score(pred, label_col="lang", pred_col="lang_pred")
 
 
+def _eval_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # ROC AUC of confidence vs correctness (operators/evaluation.py
+    # auc_score — r15): does a HIGHER lang-id confidence actually
+    # mean a higher chance of being right — the discrimination
+    # companion to ext-eval-ece's calibration. Tie-exact Mann-Whitney
+    # form: U2 = sum_s pos_s * (2*neg_below + neg_s) is an exact
+    # integer (DECIMAL(38,0) products), one float division at the
+    # end, so the twin replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import auc_score
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    scored = pred.where(F.col("lang").isNotNull()).select(
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    return auc_score(scored, label_col="_ok", score_col="lang_conf")
+
+
+def _stream_eval_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming AUC maintenance (streaming/pipeline.py auc_stream —
+    # r15): each micro-batch of a 3-file docs replay SUM-merges its
+    # (score, pos, neg) counts; auc_from_counts over the final state
+    # == batch auc_score verbatim — the batch twin gates the stream.
+    # State bounded by the 6-dp confidence cardinality.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_from_counts,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+    from awskinesisconsumer_spark.streaming.pipeline import auc_stream
+
+    docs = load_table(spark, "documents", sf).select("lang", "text")
+    src = tempfile.mkdtemp(prefix="auc_src_")
+    out = tempfile.mkdtemp(prefix="auc_out_")
+    ckpt = tempfile.mkdtemp(prefix="auc_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = language_id(
+        stream, text_col="text", with_confidence=True
+    ).where(F.col("lang").isNotNull()).select(
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    q = auc_stream(
+        scored, label_col="_ok", score_col="lang_conf",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-auc: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-auc: expected >=3 non-empty micro-batches, "
+            f"saw {n_batches}"
+        )
+    state = spark.read.parquet(out).select("score", "pos", "neg")
+    return auc_from_counts(state)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6807,6 +6875,10 @@ GATE_NEW_THIS_ROUND = (
     # multiclass Matthews correlation from the confusion counts
     # (DECIMAL(38,0) cross-class sums).
     "ext-eval-reliability", "ext-eval-mcc",
+    # NEW in r15, fourth wave: ROC AUC of confidence vs correctness
+    # (tie-exact Mann-Whitney integer rank sums) + its streaming
+    # maintainer over the (score, pos, neg) state.
+    "ext-eval-auc", "stream-eval-auc",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6864,8 +6936,8 @@ R15_ROTATION_CANDIDATES = (
 
 # The r15 rotation: ALL 24 R15_ROTATION_CANDIDATES (the r9-cohort
 # remainder — exactly 5 rounds behind after the r14 snapshot, zero
-# freshness slack) plus the alphabetical head-13 of the 50-entry r10
-# ledger cohort. 11 new/changed + 2 rows-only + 37 == exactly 50;
+# freshness slack) plus the alphabetical head-11 of the 50-entry r10
+# ledger cohort. 13 new/changed + 2 rows-only + 35 == exactly 50;
 # queries() ASSERTS head == plan at call time. The remaining 35 r10
 # veterans are R16_ROTATION_CANDIDATES and MUST re-gate in r16
 # (freshness: r10 is exactly 5 rounds behind once the r15 snapshot
@@ -6883,14 +6955,16 @@ R15_ROTATION = (
     "agg-robust-mad", "agg-unpivot-melt", "decode-scalars-roundtrip",
     "ext-ann-dim-recall", "ext-bm25-rank", "ext-cdc-compact",
     "ext-corruption-spans", "ext-dedup-embedding-lsh",
-    "ext-dedup-ngram-containment", "ext-denoise-pairs",
-    "ext-embedding-pool",
+    "ext-dedup-ngram-containment",
 )
 
 # The r16 plan of record (written at r15 close): the window MUST hold
-# all 37 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
-# 2 rows-only residents; GATE_NEW_r16 therefore has at most 11 slots.
+# all 39 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
+# 2 rows-only residents; GATE_NEW_r16 therefore has at most 9 slots
+# under the conservative plan (the period-6 freshness window actually
+# leaves r10 records legal through r16, so the real bound is looser).
 R16_ROTATION_CANDIDATES = (
+    "ext-denoise-pairs", "ext-embedding-pool",
     "ext-fim-split", "ext-grouped-drift",
     "ext-heavy-hitters-cms", "ext-importance-score", "ext-join-range",
     "ext-lang-id", "ext-multimodal-audio", "ext-multimodal-decode",
@@ -6946,6 +7020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-cms-topk-exact": _cms_topk_exact,
         "ext-eval-reliability": _eval_reliability,
         "ext-eval-mcc": _eval_mcc,
+        "ext-eval-auc": _eval_auc,
+        "stream-eval-auc": _stream_eval_auc,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
@@ -6954,7 +7030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the r15 rotation (R15_ROTATION): ALL 24 remaining r9-
         #    record veterans (exactly 5 rounds behind after the r14
         #    snapshot -- zero freshness slack) + the alphabetical
-        #    head-13 of the 50-entry r10 cohort (which must finish
+        #    head-11 of the 50-entry r10 cohort (which must finish
         #    re-gating by r16). 9 new/changed + 2 rows-only + 39 ==
         #    exactly 50; queries() asserts head == plan at call time.
         "ext-quality-repetition": _repetition,
@@ -6992,8 +7068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-corruption-spans": _corruption_spans,
         "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
         "ext-dedup-ngram-containment": _ngram_containment,
-        "ext-denoise-pairs": _denoise_pairs,
-        "ext-embedding-pool": _embedding_pool,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -7180,6 +7254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
         # -- r10 ledger records:
+        "ext-denoise-pairs": _denoise_pairs,
+        "ext-embedding-pool": _embedding_pool,
         "ext-fim-split": _fim_split,
         "ext-grouped-drift": _grouped_drift,
         "ext-importance-score": _importance_score,
@@ -13371,6 +13447,61 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(s2 - st2 AS DOUBLE)) END, 6) AS mcc
         FROM f
     """
+    # r15: ROC AUC of confidence vs correctness — tie-exact
+    # Mann-Whitney rank sums over per-distinct-score class counts;
+    # HUGEINT products (the Spark side rides DECIMAL(38,0)), one
+    # float division at the end.
+    d["ext-eval-auc"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT CASE WHEN label = pred THEN 1 ELSE 0 END AS y,
+                 conf AS score
+          FROM pl),
+        pv AS (SELECT score, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+               FROM base GROUP BY score),
+        cum AS (SELECT pos, neg,
+                       COALESCE(SUM(neg) OVER (
+                         ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS bneg
+                FROM pv),
+        agg AS (SELECT
+            COALESCE(SUM(CAST(pos AS HUGEINT)
+                         * (2 * CAST(bneg AS HUGEINT)
+                            + CAST(neg AS HUGEINT))), 0) AS u2,
+            COALESCE(SUM(pos), 0) AS np,
+            COALESCE(SUM(neg), 0) AS nn
+          FROM cum)
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               ROUND(CASE WHEN np > 0 AND nn > 0 THEN
+                 CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END, 6) AS auc
+        FROM agg
+    """
+    d["stream-eval-auc"] = d["ext-eval-auc"]
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

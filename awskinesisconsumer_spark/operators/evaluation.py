@@ -1474,3 +1474,96 @@ def mcc_from_counts(counts: DataFrame) -> DataFrame:
             F.round(mcc, 6).alias("mcc"),
         )
     )
+
+
+def auc_score(
+    df: DataFrame, *, label_col: str, score_col: str,
+) -> DataFrame:
+    """Binary ROC AUC of a score against a 0/1 (or boolean) label —
+    the discrimination companion to the calibration suite: ECE asks
+    "is the confidence honest", AUC asks "does a higher score
+    actually mean a higher chance of being right" (for an LLM judge:
+    label = judged-correct, score = its confidence). Equals the
+    probability a random positive outscores a random negative, ties
+    counted half (the Mann-Whitney U form).
+
+    Order-independence under the module rule with EXACT tie
+    handling: per-distinct-score (pos, neg) counts first, then over
+    scores ascending U2 = sum_s pos_s * (2 * neg_below_s + neg_s) —
+    an exact integer (the half-tie credit rides the factor of 2) —
+    and auc = U2 / (2 * n_pos * n_neg) is the single float division
+    in the final row. Cross-score products ride DECIMAL(38,0) (the
+    mcc rule). Returns ONE row: (n_pos, n_neg, auc), 6 dp; auc NULL
+    when either class is empty. NULL labels/scores are excluded.
+
+    Scale shape: one map-side-combined groupBy(score) — bounded by
+    SCORE CARDINALITY, which is why scores should be quantized (the
+    ks_statistic rule: quantize-first is also the state-size rule) —
+    then one ordered cumulative over the distinct-score table and a
+    constant-size agg. Composed from `auc_counts` ->
+    `auc_from_counts`, the factoring that lets the streaming
+    maintainer (`streaming.pipeline.auc_stream`) SUM-merge the
+    counts."""
+    return auc_from_counts(
+        auc_counts(df, label_col=label_col, score_col=score_col)
+    )
+
+
+def auc_counts(
+    df: DataFrame, *, label_col: str, score_col: str,
+) -> DataFrame:
+    """The (score, pos, neg) counting stage of `auc_score` — the
+    mergeable state the streaming maintainer SUM-merges per
+    micro-batch (per-score class counts are exactly associative).
+    State bounded by score cardinality, corpus-size-independent for
+    quantized scores."""
+    y = F.col(label_col).cast("boolean").cast("long")
+    s = F.col(score_col)
+    return (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .select(s.cast("double").alias("score"), y.alias("_y"))
+        .groupBy("score")
+        .agg(
+            F.sum("_y").alias("pos"),
+            F.sum(F.lit(1) - F.col("_y")).alias("neg"),
+        )
+    )
+
+
+def auc_from_counts(counts: DataFrame) -> DataFrame:
+    """`auc_score`'s final stage over a (score, pos, neg) count table
+    (see `auc_counts`) — factored out so the streaming state feeds
+    the LITERAL batch code and the batch twin gates the stream
+    verbatim (the family contract)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = counts.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0).cast("long"))
+        .alias("_bneg"),
+    )
+    u2 = F.sum(
+        F.col("pos").cast(dec)
+        * (F.lit(2).cast(dec) * F.col("_bneg").cast(dec)
+           + F.col("neg").cast(dec))
+    )
+    agg = cum.agg(
+        F.coalesce(u2, F.lit(0).cast(dec)).alias("u2"),
+        F.coalesce(F.sum("pos"), F.lit(0).cast("long")).alias("np"),
+        F.coalesce(F.sum("neg"), F.lit(0).cast("long")).alias("nn"),
+    )
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        F.col("u2").cast("double")
+        / (F.lit(2.0) * F.col("np").cast("double")
+           * F.col("nn").cast("double")),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )

@@ -297,6 +297,8 @@ HEADLINE = [
     "ext-cms-topk-exact",
     "ext-eval-reliability",
     "ext-eval-mcc",
+    "ext-eval-auc",
+    "stream-eval-auc",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

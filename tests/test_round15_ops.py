@@ -586,3 +586,52 @@ def test_apply_cuts_plan_is_broadcast_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ShuffleExchange" not in plan
+
+
+def test_auc_matches_pairwise_brute_force(spark):
+    # AUC == P(random positive outscores random negative, ties 1/2)
+    # — brute-forced over all pos x neg pairs on a tie-heavy fixture.
+    from awskinesisconsumer_spark.operators.evaluation import auc_score
+
+    rows = [(1, 0.9), (1, 0.7), (1, 0.7), (1, 0.3),
+            (0, 0.7), (0, 0.5), (0, 0.3), (0, 0.3), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = auc_score(df, label_col="y", score_col="s").first()
+    pos = [s for y, s in rows if y]
+    neg = [s for y, s in rows if not y]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    assert got["auc"] == round(brute, 6)
+    # perfect separation -> 1.0; one empty class -> NULL
+    sep = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2)], "y int, s double")
+    assert auc_score(sep, label_col="y", score_col="s").first()["auc"] == 1.0
+    onec = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    assert auc_score(onec, label_col="y", score_col="s").first()["auc"] is None
+
+
+def test_auc_stream_state_replay_and_equality(spark, tmp_path):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_from_counts, auc_score,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import _auc_merge_fn
+
+    out = str(tmp_path / "auc")
+    merge = _auc_merge_fn(label_col="y", score_col="s", out_path=out)
+    b0 = spark.createDataFrame(
+        [(1, 0.9), (0, 0.7), (1, 0.7)], "y int, s double")
+    b1 = spark.createDataFrame(
+        [(0, 0.3), (1, 0.3), (0, 0.1)], "y int, s double")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    got = auc_from_counts(
+        spark.read.parquet(out).select("score", "pos", "neg")
+    ).first()
+    want = auc_score(
+        b0.unionByName(b1), label_col="y", score_col="s"
+    ).first()
+    assert tuple(got) == tuple(want)
