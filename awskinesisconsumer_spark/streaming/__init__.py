@@ -7,6 +7,7 @@ from awskinesisconsumer_spark.streaming.pipeline import (
     asof_join_stream,
     frame_pipeline,
     segment_rollup_stream,
+    set_state_commit_mode,
     throttle_stream,
 )
 from awskinesisconsumer_spark.streaming.sinks import start_fanout
@@ -16,5 +17,6 @@ __all__ = [
     "events_stream",
     "table_stream",
     "asof_join_stream", "frame_pipeline", "segment_rollup_stream",
+    "set_state_commit_mode",
     "throttle_stream", "start_fanout", "use_rocksdb_state_store",
 ]

@@ -1035,17 +1035,18 @@ def test_rank_biased_overlap_hand_computed(spark):
 
 
 def test_audit_report_composition(spark):
-    # 54 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
+    # 64 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
     # + 8 recall probes + 8 rbo probes + 6 SemDeDup-recall health rows
     # (r13: 2 n_assign values x 3 true-cosine buckets on this fixture)
     # + 15 per-lang token-mean CI rows (r14: estimate/lo/hi x 5
+    # langs) + 10 per-lang calibration rows (r15: ece/brier x 5
     # langs); every value non-null and the count rows are exact
     # integers.
     import __spark_entry__ as entry
 
     rows = entry.queries()["ext-audit-report"](spark, SF_ORACLE).collect()
     metrics = {r["metric"]: r["value"] for r in rows}
-    assert len(rows) == 54 and len(metrics) == 54
+    assert len(rows) == 64 and len(metrics) == 64
     assert metrics["n_docs"] == 500.0
     assert metrics["n_exact_dup_docs"] >= 0.0
     fams = {
@@ -1057,6 +1058,8 @@ def test_audit_report_composition(spark):
         "token_mean:": 5,
         "token_mean_ci_lo:": 5,
         "token_mean_ci_hi:": 5,
+        "ece:": 5,
+        "brier:": 5,
     }
     for prefix, n in fams.items():
         got = [m for m in metrics if m.startswith(prefix)]
