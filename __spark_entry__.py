@@ -4310,14 +4310,23 @@ def _dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     chao = _chao1_vocab(spark, sf)
     tokci = _bootstrap_ci_grouped(spark, sf)
     extras = [
+        # one explode over the single chao1 row emits both metric
+        # rows from ONE scan of the term-count aggregate
         chao.select(
-            F.lit("vocab_size").alias("metric"),
-            F.col("vocab_size").cast("double").alias("value"),
-        ),
-        chao.select(
-            F.lit("chao1_est").alias("metric"),
-            F.col("chao1_est").alias("value"),
-        ),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("vocab_size").alias("metric"),
+                        F.col("vocab_size").cast("double")
+                        .alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("chao1_est").alias("metric"),
+                        F.col("chao1_est").alias("value"),
+                    ),
+                )
+            ).alias("kv")
+        ).select("kv.metric", "kv.value"),
         _psi_drift(spark, sf).select(
             F.lit("psi_len_drift:en/fr").alias("metric"),
             F.col("psi").alias("value"),
@@ -5596,12 +5605,31 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
     # r15: per-lang judge calibration — ECE and Brier by language
     # from the proven grouped-calibration gates (r14 verdict item
     # 6's fold), zero new arithmetic: each value is a per-group
-    # number the grouped gate already replays.
-    eceg = _eval_ece_grouped(spark, sf).select(
+    # number the grouped gate already replays. The lang-id scoring
+    # pass is computed ONCE and persisted for both statistics (the
+    # gates' own operator code runs on it verbatim, so the values
+    # are the gates' values — only the shared scan is deduplicated).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        brier_score_grouped, expected_calibration_error_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    # localCheckpoint, not persist: nothing to unpersist after the
+    # report is collected, and the scored table is G-lang x corpus
+    # rows of three narrow columns (tiny at gate SF; at scale a user
+    # composes the operators directly)
+    pred = language_id(
+        docs, text_col="text", with_confidence=True
+    ).select("lang", "lang_pred", "lang_conf").localCheckpoint()
+    cal_kw = dict(label_col="lang", pred_col="lang_pred",
+                  conf_col="lang_conf", group_col="lang")
+    eceg = expected_calibration_error_grouped(
+        pred, n_bins=10, **cal_kw
+    ).select(
         F.concat(F.lit("ece:"), F.col("group")).alias("metric"),
         F.col("ece").alias("value"),
     )
-    brig = _eval_brier_grouped(spark, sf).select(
+    brig = brier_score_grouped(pred, **cal_kw).select(
         F.concat(F.lit("brier:"), F.col("group")).alias("metric"),
         F.col("brier").alias("value"),
     )
