@@ -1534,14 +1534,23 @@ def auc_from_counts(counts: DataFrame) -> DataFrame:
     """`auc_score`'s final stage over a (score, pos, neg) count table
     (see `auc_counts`) — factored out so the streaming state feeds
     the LITERAL batch code and the batch twin gates the stream
-    verbatim (the family contract)."""
+    verbatim (the family contract).
+
+    Defensive re-merge: the cumulative window must see ONE row per
+    score — duplicate score rows (e.g. per-batch counts concatenated
+    without the SUM-merge) would make the neg-below prefix depend on
+    arbitrary tie order, a silently NONDETERMINISTIC result — so the
+    stage sums per score first (a no-op on already-merged state)."""
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
+    merged = counts.groupBy("score").agg(
+        F.sum("pos").alias("pos"), F.sum("neg").alias("neg")
+    )
     w = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum = counts.select(
+    cum = merged.select(
         "pos", "neg",
         F.coalesce(F.sum("neg").over(w), F.lit(0).cast("long"))
         .alias("_bneg"),

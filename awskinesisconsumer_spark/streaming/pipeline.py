@@ -1576,7 +1576,10 @@ def _marker_versions(jvm, fs, path: str) -> list[str]:
         name = s.getPath().getName()
         if s.isDirectory() and name.startswith("v") and name[1:].isdigit():
             out.append(name)
-    return sorted(out)
+    # NUMERIC order: v%06d names sort lexicographically only up to
+    # v999999 — a seconds-cadence monitor passes that in ~12 days,
+    # after which a lexicographic "newest" would silently regress
+    return sorted(out, key=lambda v: int(v[1:]))
 
 
 def _read_state_marker(spark, path: str):

@@ -635,3 +635,47 @@ def test_auc_stream_state_replay_and_equality(spark, tmp_path):
         b0.unionByName(b1), label_col="y", score_col="s"
     ).first()
     assert tuple(got) == tuple(want)
+
+
+def test_auc_from_counts_tolerates_unmerged_duplicates(spark):
+    # duplicate score rows (per-batch counts concatenated without the
+    # SUM-merge) must produce the MERGED answer, not an arbitrary
+    # tie-order-dependent prefix.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_from_counts,
+    )
+
+    merged = spark.createDataFrame(
+        [(0.9, 3, 1), (0.5, 1, 4)], "score double, pos long, neg long"
+    )
+    split = spark.createDataFrame(
+        [(0.9, 2, 0), (0.5, 1, 3), (0.9, 1, 1), (0.5, 0, 1)],
+        "score double, pos long, neg long",
+    )
+    a = auc_from_counts(merged).first()
+    b = auc_from_counts(split).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_marker_versions_order_numerically(spark, tmp_path,
+                                           _marker_mode):
+    # v%06d names sort lexicographically only up to v999999; the
+    # protocol must order versions NUMERICALLY or a long-running
+    # monitor's "newest" regresses at v1000000.
+    P = _marker_mode
+    st = str(tmp_path / "state")
+    df1 = spark.createDataFrame([("a", 1)], "k string, n long")
+    df1.withColumn("_bid", F.lit(0)).write.parquet(f"{st}/v999999")
+    import os
+
+    with open(os.path.join(st, "_COMMITTED"), "w") as f:
+        f.write("v999999")
+    df2 = spark.createDataFrame([("a", 2)], "k string, n long")
+    P._swap_state(df2.withColumn("_bid", F.lit(1)), st)
+    assert os.path.isdir(f"{st}/v1000000")
+    got = P._read_state(spark, st)
+    assert [(r["k"], r["n"]) for r in got.collect()] == [("a", 2)]
+    # lost sentinel: numeric-newest complete version wins
+    os.remove(os.path.join(st, "_COMMITTED"))
+    got = P._read_state(spark, st)
+    assert [(r["k"], r["n"]) for r in got.collect()] == [("a", 2)]
