@@ -6986,11 +6986,15 @@ R15_ROTATION = (
     "ext-dedup-ngram-containment",
 )
 
-# The r16 plan of record (written at r15 close): the window MUST hold
-# all 39 of these (the r10-cohort remainder) plus GATE_NEW_r16 + the
-# 2 rows-only residents; GATE_NEW_r16 therefore has at most 9 slots
-# under the conservative plan (the period-6 freshness window actually
-# leaves r10 records legal through r16, so the real bound is looser).
+# The r16 plan of record (written at r15 close): the 39-entry
+# r10-cohort remainder. HARD deadline (freshness period =
+# ceil(266/50) = 6): r10 records stay legal through an r16 snapshot
+# (6 behind, exactly at the edge) and violate at r17 — so the cohort
+# may split across r16 + r17, but r16 should take AT LEAST
+# 39 + GATE_NEW_r17_estimate - 48 of them; taking all 39 in r16
+# (GATE_NEW_r16 <= 9) keeps r17 fully free, taking ~24 balances the
+# two rounds at ~GATE_NEW 24/33 capacity. Fill r16's window from
+# this list's head, alphabetical.
 R16_ROTATION_CANDIDATES = (
     "ext-denoise-pairs", "ext-embedding-pool",
     "ext-fim-split", "ext-grouped-drift",
