@@ -6647,6 +6647,30 @@ def _stream_eval_auc(spark: SparkSession, sf: str) -> DataFrame:
     return auc_from_counts(state)
 
 
+def _eval_auc_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language ROC AUC (operators/evaluation.py
+    # auc_score_grouped — r15): a judge that discriminates well
+    # overall can be near-random on one language — the grouped form
+    # keys the tie-exact rank sums by the true lang, completing the
+    # per-group calibration trio (ECE / Brier / AUC by language).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_score_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    scored = pred.where(F.col("lang").isNotNull()).select(
+        "lang",
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    return auc_score_grouped(
+        scored, label_col="_ok", score_col="lang_conf",
+        group_col="lang",
+    )
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6906,7 +6930,7 @@ GATE_NEW_THIS_ROUND = (
     # NEW in r15, fourth wave: ROC AUC of confidence vs correctness
     # (tie-exact Mann-Whitney integer rank sums) + its streaming
     # maintainer over the (score, pos, neg) state.
-    "ext-eval-auc", "stream-eval-auc",
+    "ext-eval-auc", "stream-eval-auc", "ext-eval-auc-grouped",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -6964,8 +6988,8 @@ R15_ROTATION_CANDIDATES = (
 
 # The r15 rotation: ALL 24 R15_ROTATION_CANDIDATES (the r9-cohort
 # remainder — exactly 5 rounds behind after the r14 snapshot, zero
-# freshness slack) plus the alphabetical head-11 of the 50-entry r10
-# ledger cohort. 13 new/changed + 2 rows-only + 35 == exactly 50;
+# freshness slack) plus the alphabetical head-10 of the 50-entry r10
+# ledger cohort. 14 new/changed + 2 rows-only + 34 == exactly 50;
 # queries() ASSERTS head == plan at call time. The remaining 35 r10
 # veterans are R16_ROTATION_CANDIDATES and MUST re-gate in r16
 # (freshness: r10 is exactly 5 rounds behind once the r15 snapshot
@@ -6983,19 +7007,19 @@ R15_ROTATION = (
     "agg-robust-mad", "agg-unpivot-melt", "decode-scalars-roundtrip",
     "ext-ann-dim-recall", "ext-bm25-rank", "ext-cdc-compact",
     "ext-corruption-spans", "ext-dedup-embedding-lsh",
-    "ext-dedup-ngram-containment",
 )
 
-# The r16 plan of record (written at r15 close): the 39-entry
+# The r16 plan of record (written at r15 close): the 40-entry
 # r10-cohort remainder. HARD deadline (freshness period =
 # ceil(266/50) = 6): r10 records stay legal through an r16 snapshot
 # (6 behind, exactly at the edge) and violate at r17 — so the cohort
 # may split across r16 + r17, but r16 should take AT LEAST
-# 39 + GATE_NEW_r17_estimate - 48 of them; taking all 39 in r16
-# (GATE_NEW_r16 <= 9) keeps r17 fully free, taking ~24 balances the
+# 40 + GATE_NEW_r17_estimate - 48 of them; taking all 40 in r16
+# (GATE_NEW_r16 <= 8) keeps r17 fully free, taking ~24 balances the
 # two rounds at ~GATE_NEW 24/33 capacity. Fill r16's window from
 # this list's head, alphabetical.
 R16_ROTATION_CANDIDATES = (
+    "ext-dedup-ngram-containment",
     "ext-denoise-pairs", "ext-embedding-pool",
     "ext-fim-split", "ext-grouped-drift",
     "ext-heavy-hitters-cms", "ext-importance-score", "ext-join-range",
@@ -7054,6 +7078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-eval-mcc": _eval_mcc,
         "ext-eval-auc": _eval_auc,
         "stream-eval-auc": _stream_eval_auc,
+        "ext-eval-auc-grouped": _eval_auc_grouped,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
@@ -7062,7 +7087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the r15 rotation (R15_ROTATION): ALL 24 remaining r9-
         #    record veterans (exactly 5 rounds behind after the r14
         #    snapshot -- zero freshness slack) + the alphabetical
-        #    head-11 of the 50-entry r10 cohort (which must finish
+        #    head-10 of the 50-entry r10 cohort (which must finish
         #    re-gating by r16). 9 new/changed + 2 rows-only + 39 ==
         #    exactly 50; queries() asserts head == plan at call time.
         "ext-quality-repetition": _repetition,
@@ -7099,7 +7124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-cdc-compact": _cdc_compact,
         "ext-corruption-spans": _corruption_spans,
         "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
-        "ext-dedup-ngram-containment": _ngram_containment,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -7286,6 +7310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
         # -- r10 ledger records:
+        "ext-dedup-ngram-containment": _ngram_containment,
         "ext-denoise-pairs": _denoise_pairs,
         "ext-embedding-pool": _embedding_pool,
         "ext-fim-split": _fim_split,
@@ -13534,6 +13559,61 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
     d["stream-eval-auc"] = d["ext-eval-auc"]
+    # r15: per-lang AUC — the same tie-exact rank sums keyed by the
+    # true lang (group == label here); the cumulative partitions by
+    # group.
+    d["ext-eval-auc-grouped"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS g, lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT g, CASE WHEN label = pred THEN 1 ELSE 0 END AS y,
+                 conf AS score
+          FROM pl),
+        pv AS (SELECT g, score, SUM(y) AS pos,
+                      COUNT(*) - SUM(y) AS neg
+               FROM base GROUP BY g, score),
+        cum AS (SELECT g, pos, neg,
+                       COALESCE(SUM(neg) OVER (
+                         PARTITION BY g ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS bneg
+                FROM pv),
+        agg AS (SELECT g,
+            COALESCE(SUM(CAST(pos AS HUGEINT)
+                         * (2 * CAST(bneg AS HUGEINT)
+                            + CAST(neg AS HUGEINT))), 0) AS u2,
+            COALESCE(SUM(pos), 0) AS np,
+            COALESCE(SUM(neg), 0) AS nn
+          FROM cum GROUP BY g)
+        SELECT g AS "group",
+               CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               ROUND(CASE WHEN np > 0 AND nn > 0 THEN
+                 CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+                 END, 6) AS auc
+        FROM agg
+    """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic
     # (Do = (N*R^2 - S)/((R-1)*N*R), De = ((NR)^2 - C2)/(NR*(NR-1))).

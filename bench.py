@@ -299,6 +299,7 @@ HEADLINE = [
     "ext-eval-mcc",
     "ext-eval-auc",
     "stream-eval-auc",
+    "ext-eval-auc-grouped",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -708,7 +708,7 @@ DRIFTERS = (
     "stream-eval-ece", "stream-eval-brier",
     "ext-quality-percentile-frozen", "stream-quality-percentile",
     "ext-cms-topk-exact", "ext-eval-reliability", "ext-eval-mcc",
-    "ext-eval-auc", "stream-eval-auc",
+    "ext-eval-auc", "stream-eval-auc", "ext-eval-auc-grouped",
     # r15 changed composites (audit report + card v2 grew rows)
     "ext-audit-report", "ext-dataset-card",
 )

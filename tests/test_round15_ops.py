@@ -679,3 +679,28 @@ def test_marker_versions_order_numerically(spark, tmp_path,
     os.remove(os.path.join(st, "_COMMITTED"))
     got = P._read_state(spark, st)
     assert [(r["k"], r["n"]) for r in got.collect()] == [("a", 2)]
+
+
+def test_auc_grouped_equals_per_group_ungrouped(spark, _lang_pred):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_score, auc_score_grouped,
+    )
+
+    scored = _lang_pred.where(F.col("lang").isNotNull()).select(
+        "lang",
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("y"),
+        "lang_conf",
+    )
+    grouped = auc_score_grouped(
+        scored, label_col="y", score_col="lang_conf",
+        group_col="lang",
+    ).collect()
+    assert len(grouped) >= 2
+    for r in grouped:
+        one = auc_score(
+            scored.where(F.col("lang") == r["group"]),
+            label_col="y", score_col="lang_conf",
+        ).first()
+        assert (r["n_pos"], r["n_neg"], r["auc"]) == (
+            one["n_pos"], one["n_neg"], one["auc"]
+        ), r["group"]
