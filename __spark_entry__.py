@@ -6990,7 +6990,7 @@ R15_ROTATION_CANDIDATES = (
 # remainder — exactly 5 rounds behind after the r14 snapshot, zero
 # freshness slack) plus the alphabetical head-10 of the 50-entry r10
 # ledger cohort. 14 new/changed + 2 rows-only + 34 == exactly 50;
-# queries() ASSERTS head == plan at call time. The remaining 35 r10
+# queries() ASSERTS head == plan at call time. The remaining 40 r10
 # veterans are R16_ROTATION_CANDIDATES and MUST re-gate in r16
 # (freshness: r10 is exactly 5 rounds behind once the r15 snapshot
 # lands).
@@ -7088,7 +7088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    record veterans (exactly 5 rounds behind after the r14
         #    snapshot -- zero freshness slack) + the alphabetical
         #    head-10 of the 50-entry r10 cohort (which must finish
-        #    re-gating by r16). 9 new/changed + 2 rows-only + 39 ==
+        #    re-gating by r16). 14 new/changed + 2 rows-only + 34 ==
         #    exactly 50; queries() asserts head == plan at call time.
         "ext-quality-repetition": _repetition,
         "ext-quality-score": _quality,
