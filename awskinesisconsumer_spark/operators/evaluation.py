@@ -1160,9 +1160,13 @@ def ece_binned_counts(
     micro-batch: every column is an exact integer sum, so the
     per-(group, bin) counts are exactly associative across arrivals
     and the merged state equals the single-pass batch count. The
-    confidence bin clamps at BOTH ends (the psi_binned_counts rule —
-    r14 ADVICE: an out-of-contract conf < 0 must not land in bin -1
-    and silently contribute); conf is still contractually [0, 1].
+    confidence bin clamps at BOTH ends (the psi_binned_counts
+    value-clamp rule — r14 ADVICE): an out-of-contract conf < 0
+    cannot mint a bin -1 key that `ece_from_binned`'s bin fold never
+    visits — it lands (and still counts) in bin 0, exactly as
+    conf > 1 lands in the top bin; conf is contractually [0, 1], and
+    inputs outside it are the caller's bug, merely kept visible
+    rather than dropped.
     With `group_col` the output carries a leading `group` column and
     the state is G x n_bins rows."""
     if n_bins < 1:

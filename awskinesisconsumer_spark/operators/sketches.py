@@ -243,6 +243,17 @@ def cms_heavy_hitters(
     `cms_candidates_top_m` caveat), so that combination WARNS unless
     m carries 4x slack over k.
     """
+    if (rank_by == "exact" and candidate_top_m is not None
+            and candidate_top_m < k):
+        # the losslessness theorem REQUIRES m >= k (the per-bucket
+        # survivors are a superset of the exact top-m, hence of the
+        # top-k only when m >= k) — m < k would silently return a
+        # truncated top-k, so it fails loudly (r15 ADVICE)
+        raise ValueError(
+            f"cms_heavy_hitters: rank_by='exact' needs "
+            f"candidate_top_m >= k for the lossless guarantee, got "
+            f"m={candidate_top_m} < k={k}"
+        )
     # persist: the tokenize+explode subtree feeds BOTH the sketch and
     # the candidate counts — uncached it would re-scan the corpus.
     tok = cms_tokens(docs, text_col=text_col).persist()

@@ -1590,24 +1590,43 @@ def _read_state_marker(spark, path: str):
     replace is atomic on S3, so this covers weaker stores), recovery
     falls back to the NEWEST version dir whose `_SUCCESS` exists
     (Spark's committer writes it last, so its presence means the
-    version is fully written)."""
+    version is fully written). A sentinel naming an UNREADABLE
+    version (e.g. a concurrent commit deleted it as superseded)
+    likewise falls back to the newest `_SUCCESS`-complete version —
+    and with no fallback it raises IOError rather than returning
+    None, which would silently RESET accumulated counter state to
+    first-batch semantics (r15 ADVICE: the fail-loud rule)."""
     from pyspark.errors import AnalysisException
 
     jvm, fs = _fs_for(spark, path)
-    version = _committed_version(jvm, fs, path)
-    if version is None:
-        complete = [
+
+    def _complete_versions(but: str | None = None) -> list[str]:
+        return [
             v for v in _marker_versions(jvm, fs, path)
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+            if v != but and fs.exists(jvm.org.apache.hadoop.fs.Path(
                 f"{path}/{v}/_SUCCESS"))
         ]
+
+    version = _committed_version(jvm, fs, path)
+    from_sentinel = version is not None
+    if version is None:
+        complete = _complete_versions()
         if not complete:
             return None  # first batch: nothing committed anywhere
         version = complete[-1]
     try:
         return spark.read.parquet(f"{path}/{version}")
     except AnalysisException:
-        return None
+        fallback = _complete_versions(but=version)
+        if fallback:
+            return spark.read.parquet(f"{path}/{fallback[-1]}")
+        raise IOError(
+            f"marker-mode state at {path}: "
+            + (f"_COMMITTED names {version}" if from_sentinel
+               else f"newest complete version {version}")
+            + " but it is unreadable and no _SUCCESS-complete fallback"
+            " version exists — refusing to silently reset state"
+        ) from None
 
 
 def _swap_state_marker(merged_df, path: str) -> None:
