@@ -6671,6 +6671,135 @@ def _eval_auc_grouped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _eval_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # PR-AUC / average precision of confidence vs correctness
+    # (operators/evaluation.py pr_auc_score — r16): the imbalance-
+    # appropriate companion to ext-eval-auc, derived from the SAME
+    # (score, pos, neg) counts state. Inclusive cumulative TP/FP are
+    # exact integers; the cross-threshold sum is an ordered left fold
+    # (score descending) so the twin replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_score,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    scored = pred.where(F.col("lang").isNotNull()).select(
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    return pr_auc_score(scored, label_col="_ok", score_col="lang_conf")
+
+
+def _eval_pr_auc_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language PR-AUC (operators/evaluation.py
+    # pr_auc_score_grouped — r16): class balance varies by source —
+    # a gate can hold precision only where positives are common,
+    # which the per-group PR summary surfaces.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_score_grouped,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(docs, text_col="text", with_confidence=True)
+    scored = pred.where(F.col("lang").isNotNull()).select(
+        "lang",
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    return pr_auc_score_grouped(
+        scored, label_col="_ok", score_col="lang_conf",
+        group_col="lang",
+    )
+
+
+def _stream_eval_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming PR-AUC (streaming/pipeline.py pr_auc_stream — r16):
+    # the SAME maintained (score, pos, neg) state as stream-eval-auc
+    # — pr_auc_from_counts over the final state == batch pr_auc_score
+    # verbatim, so one state dir serves both ROC and PR monitors and
+    # the batch twin gates the stream.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_from_counts,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        pr_auc_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("lang", "text")
+    src = tempfile.mkdtemp(prefix="prauc_src_")
+    out = tempfile.mkdtemp(prefix="prauc_out_")
+    ckpt = tempfile.mkdtemp(prefix="prauc_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = language_id(
+        stream, text_col="text", with_confidence=True
+    ).where(F.col("lang").isNotNull()).select(
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("_ok"),
+        "lang_conf",
+    )
+    q = pr_auc_stream(
+        scored, label_col="_ok", score_col="lang_conf",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-pr-auc: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-pr-auc: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    state = spark.read.parquet(out).select("score", "pos", "neg")
+    return pr_auc_from_counts(state)
+
+
+def _eval_calibration_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Calibration drift between two frozen snapshots
+    # (operators/evaluation.py calibration_drift — r16): the per-
+    # group ECE monitors say "this language is miscalibrated NOW";
+    # this op says which group's calibration MOVED since the
+    # reference freeze — one bounded full-outer join over two
+    # G x n_bins states. Reference snapshot = even doc_ids; current
+    # = odd doc_ids with the confidence systematically inflated
+    # (least(conf * 1.15, 1.0) — a deterministic stand-in for a
+    # judge growing overconfident between freezes).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        calibration_drift, ece_binned_counts,
+    )
+    from awskinesisconsumer_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf)
+    pred = language_id(
+        docs, text_col="text", with_confidence=True
+    ).where(F.col("lang").isNotNull())
+    ref = ece_binned_counts(
+        pred.where(F.col("doc_id") % 2 == 0),
+        label_col="lang", pred_col="lang_pred", conf_col="lang_conf",
+        group_col="lang",
+    )
+    cur = ece_binned_counts(
+        pred.where(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "lang_conf", F.least(F.col("lang_conf") * 1.15, F.lit(1.0))
+        ),
+        label_col="lang", pred_col="lang_pred", conf_col="lang_conf",
+        group_col="lang",
+    )
+    return calibration_drift(ref, cur)
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -6902,35 +7031,22 @@ def _semantic_dedup_multi(spark: SparkSession, sf: str) -> DataFrame:
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    # CHANGED in r15, re-gated inside the window: ext-audit-report
-    # (gained the per-lang ECE/Brier calibration rows from the new
-    # grouped gates — r14 verdict item 6's fold) and ext-dataset-card
-    # (v2 — r14 verdict item 8: Chao1 richness, per-lang token CI
-    # rows, and the en/fr length-drift snapshot folded in from the
-    # proven gates).
-    "ext-audit-report", "ext-dataset-card",
-    # NEW in r15, first wave: per-group judge calibration — grouped
-    # ECE and Brier (G x n_bins / G rows of exact-integer state) and
-    # their streaming maintainers on the swap-rename/_bid contract
-    # (r14 verdict item 6).
-    "ext-eval-ece-grouped", "ext-eval-brier-grouped",
-    "stream-eval-ece", "stream-eval-brier",
-    # NEW in r15, second wave: the frozen source-fair percentile gate
-    # (per-group quantile-grid cuts frozen on a deterministic
-    # reference slab, applied map-only in batch and per micro-batch —
-    # r14 verdict item 7) and the lossless exact-ranked CMS candidate
-    # pre-filter (r14 verdict item 4).
-    "ext-quality-percentile-frozen", "stream-quality-percentile",
-    "ext-cms-topk-exact",
-    # NEW in r15, third wave: the per-bin reliability-diagram table
-    # (ECE's uncompressed form, same quantized bin state) and the
-    # multiclass Matthews correlation from the confusion counts
-    # (DECIMAL(38,0) cross-class sums).
-    "ext-eval-reliability", "ext-eval-mcc",
-    # NEW in r15, fourth wave: ROC AUC of confidence vs correctness
-    # (tie-exact Mann-Whitney integer rank sums) + its streaming
-    # maintainer over the (score, pos, neg) state.
-    "ext-eval-auc", "stream-eval-auc", "ext-eval-auc-grouped",
+    # CHANGED in r16, re-gated inside the window: ext-audit-report
+    # (gained the per-lang calibration-drift rows from the new
+    # calibration_drift gate — r15 verdict item 8's fold).
+    "ext-audit-report",
+    # NEW in r16, first wave: PR-AUC / average precision — the
+    # imbalance-appropriate discrimination summary (rare positives:
+    # contamination, PII, judge failures), derived from the SAME
+    # (score, pos, neg) counts state as ROC AUC (r15 verdict item 4):
+    # batch, streaming maintainer (one state dir serves both ROC and
+    # PR), and the per-language grouped form.
+    "ext-eval-pr-auc", "stream-eval-pr-auc", "ext-eval-pr-auc-grouped",
+    # NEW in r16, second wave: calibration drift between two frozen
+    # per-group calibration snapshots — which group's calibration
+    # MOVED since the reference freeze; one bounded full-outer join
+    # over two G x n_bins states (r15 verdict item 8).
+    "ext-eval-calibration-drift",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -7009,15 +7125,12 @@ R15_ROTATION = (
     "ext-corruption-spans", "ext-dedup-embedding-lsh",
 )
 
-# The r16 plan of record (written at r15 close): the 40-entry
-# r10-cohort remainder. HARD deadline (freshness period =
-# ceil(266/50) = 6): r10 records stay legal through an r16 snapshot
-# (6 behind, exactly at the edge) and violate at r17 — so the cohort
-# may split across r16 + r17, but r16 should take AT LEAST
-# 40 + GATE_NEW_r17_estimate - 48 of them; taking all 40 in r16
-# (GATE_NEW_r16 <= 8) keeps r17 fully free, taking ~24 balances the
-# two rounds at ~GATE_NEW 24/33 capacity. Fill r16's window from
-# this list's head, alphabetical.
+# The r16 plan of record (written at r15 close, EXECUTED whole in
+# r16): the 40-entry r10-cohort remainder. HARD deadline (freshness
+# period = ceil(271/50) = 6): r10 records stay legal through an r16
+# snapshot (6 behind, exactly at the edge) and violate at r17 —
+# taking all 40 in r16 (GATE_NEW_r16 = 5 <= 8) keeps r17 fully free
+# for the r11 cohort.
 R16_ROTATION_CANDIDATES = (
     "ext-dedup-ngram-containment",
     "ext-denoise-pairs", "ext-embedding-pool",
@@ -7035,6 +7148,41 @@ R16_ROTATION_CANDIDATES = (
     "stream-dedup-incremental", "stream-grouped-drift",
     "stream-importance-score", "stream-segment-rollup", "stream-throttle",
     "stream-tumbling-agg",
+)
+
+# The r16 rotation: ALL 40 R16_ROTATION_CANDIDATES (the r10-cohort
+# remainder — zero freshness slack past this snapshot) + the
+# alphabetical head-3 of the 44-entry r11 cohort pulled forward to
+# shrink r17's mandatory load. 5 new/changed + 2 rows-only + 43 ==
+# exactly 50; queries() ASSERTS head == plan at call time.
+R16_ROTATION = (
+    *R16_ROTATION_CANDIDATES,
+    "agg-conversion-funnel", "agg-shipmode-priority", "agg-skyline-2d",
+)
+
+# The r17 plan of record (written at r16 close): the 41-entry r11
+# cohort remainder. HARD deadline (freshness period =
+# ceil(271/50) = 6): r11 records stay legal through an r17 snapshot
+# and violate at r18 — take ALL 41 in r17 (GATE_NEW_r17 <= 7). The
+# 42-entry r12 cohort comes due right behind at r18
+# (GATE_NEW_r18 <= 6), so keep new-entry waves small through r18.
+R17_ROTATION_CANDIDATES = (
+    "agg-topn-per-group", "agg-window-ranks", "ext-ann-recall",
+    "ext-anomaly-zscore", "ext-bloom-prefilter", "ext-chunk-text",
+    "ext-collocations-pmi", "ext-curriculum-order", "ext-dedup-cluster",
+    "ext-dedup-keep-best-capped", "ext-distinct-hll",
+    "ext-embedding-quantize", "ext-fim-serialize",
+    "ext-histogram-quantile", "ext-knn-join", "ext-length-buckets",
+    "ext-normalize-text", "ext-pack-sequences", "ext-reservoir-sample",
+    "ext-scd2-versions", "ext-sequence-build", "ext-similarity-pq",
+    "ext-snapshot-diff", "ext-train-batch", "ext-ul2-pairs",
+    "ext-ul2-plan", "ext-zorder-layout", "join-large-orders",
+    "join-shipping-priority", "pivot-tag-assembly",
+    "scan-prune-elements", "segment-fragments", "sink-bucketed-join",
+    "source-parquet-evolve", "stream-domain-cap",
+    "stream-enrich-static", "stream-join-interval",
+    "stream-mixture-expand", "stream-restart-resume",
+    "stream-semantic-decontaminate", "stream-sliding-agg",
 )
 
 
@@ -7056,17 +7204,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     out = {
-        # -- CHANGED in r15, re-gated (see GATE_NEW_THIS_ROUND):
-        #    the audit report (gained per-lang ECE/Brier calibration
-        #    rows) and the dataset card (v2: Chao1 richness, per-lang
-        #    token CI, length-drift snapshot).
+        # -- CHANGED in r16, re-gated (see GATE_NEW_THIS_ROUND):
+        #    the audit report (gained the per-lang calibration-
+        #    drift rows).
         "ext-audit-report": _audit_report,
+        # -- NEW in round 16: PR-AUC / average precision (batch +
+        #    streaming off the SHARED auc_counts state + grouped)
+        #    and the two-snapshot calibration-drift gate.
+        "ext-eval-pr-auc": _eval_pr_auc,
+        "stream-eval-pr-auc": _stream_eval_pr_auc,
+        "ext-eval-pr-auc-grouped": _eval_pr_auc_grouped,
+        "ext-eval-calibration-drift": _eval_calibration_drift,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the r16 rotation (R16_ROTATION): ALL 40 remaining r10-
+        #    record veterans (r10 violates freshness at r17 -- zero
+        #    slack past this snapshot) + the alphabetical head-3 of
+        #    the 44-entry r11 cohort pulled forward to shrink r17's
+        #    mandatory load. 5 new/changed + 2 rows-only + 43 ==
+        #    exactly 50; queries() asserts head == plan at call time.
+        "ext-dedup-ngram-containment": _ngram_containment,
+        "ext-denoise-pairs": _denoise_pairs,
+        "ext-embedding-pool": _embedding_pool,
+        "ext-fim-split": _fim_split,
+        "ext-grouped-drift": _grouped_drift,
+        "ext-heavy-hitters-cms": _cms_heavy_hitters,
+        "ext-importance-score": _importance_score,
+        "ext-join-range": _range_join,
+        "ext-lang-id": _lang_id,
+        "ext-multimodal-audio": _multimodal_audio,
+        "ext-multimodal-decode": _multimodal,
+        "ext-multimodal-pipeline": _multimodal_pipeline,
+        "ext-ngram-novelty": _ngram_novelty,
+        "ext-pii-redact": _pii_redact,
+        "ext-quality-gopher-rules": _gopher_rules,
+        "ext-shard-assign": _shard_assign,
+        "ext-similarity-ivf-pq": _ann_ivf_pq,
+        "ext-split-leakage-free": _split_leakage_free,
+        "ext-token-histogram": _token_histogram,
+        "ext-unigram-logprob": _unigram_logprob,
+        "ext-url-curation": _url_curation,
+        "kvs-frames-with-tags": _kvs_pipeline,
+        "scan-ebml-heads": _ebml_heads,
+        "scan-ebml-tokenize": _ebml_tokenize,
+        "sink-fanout-roundtrip": _fanout_roundtrip,
+        "sink-jsonl-roundtrip": _jsonl_roundtrip,
+        "sink-partitioned-prune": _partitioned_prune,
+        "source-csv-roundtrip": _csv_roundtrip,
+        "source-json-permissive": _json_permissive,
+        "source-kvs-replay": _kvs_replay_source,
+        "source-orc-roundtrip": _orc_roundtrip,
+        "stream-asof-tags": _stream_asof,
+        "stream-cdc-compact": _stream_cdc,
+        "stream-dedup-exact": _stream_dedup,
+        "stream-dedup-incremental": _stream_dedup_incremental,
+        "stream-grouped-drift": _stream_grouped_drift,
+        "stream-importance-score": _stream_importance_score,
+        "stream-segment-rollup": _stream_segment,
+        "stream-throttle": _stream_throttle,
+        "stream-tumbling-agg": _stream_tumbling,
+        "agg-conversion-funnel": _funnel,
+        "agg-shipmode-priority": _shipmode_priority,
+        "agg-skyline-2d": _skyline,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json.
+        # -- r15 ledger records:
         "ext-dataset-card": _dataset_card,
-        # -- NEW in round 15: per-group judge calibration (batch +
-        #    streaming maintainers on the swap-rename/_bid contract),
-        #    the frozen source-fair percentile gate (freeze/apply +
-        #    map-only stream), and the lossless exact-ranked CMS
-        #    candidate pre-filter.
         "ext-eval-ece-grouped": _eval_ece_grouped,
         "ext-eval-brier-grouped": _eval_brier_grouped,
         "stream-eval-ece": _stream_eval_ece,
@@ -7079,17 +7287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-eval-auc": _eval_auc,
         "stream-eval-auc": _stream_eval_auc,
         "ext-eval-auc-grouped": _eval_auc_grouped,
-        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
-        #    live inside the window permanently so their weaker
-        #    rows-only check is refreshed every round.
-        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
-        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r15 rotation (R15_ROTATION): ALL 24 remaining r9-
-        #    record veterans (exactly 5 rounds behind after the r14
-        #    snapshot -- zero freshness slack) + the alphabetical
-        #    head-10 of the 50-entry r10 cohort (which must finish
-        #    re-gating by r16). 14 new/changed + 2 rows-only + 34 ==
-        #    exactly 50; queries() asserts head == plan at call time.
         "ext-quality-repetition": _repetition,
         "ext-quality-score": _quality,
         "ext-sample-stratified": _sample_stratified,
@@ -7124,10 +7321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-cdc-compact": _cdc_compact,
         "ext-corruption-spans": _corruption_spans,
         "ext-dedup-embedding-lsh": _embedding_dedup_lsh,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
         # -- r14 ledger records:
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
         "ext-distinct-intersect": _distinct_intersect,
@@ -7296,64 +7489,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-join-interval": _stream_interval_join,
         "join-shipping-priority": _shipping_priority,
         "join-large-orders": _large_orders,
-        "agg-shipmode-priority": _shipmode_priority,
         "agg-window-ranks": _window_ranks,
-        "agg-skyline-2d": _skyline,
         "ext-collocations-pmi": _collocations,
         "ext-reservoir-sample": _reservoir,
         "ext-histogram-quantile": _hist_quantiles,
         "ext-knn-join": _knn_join,
-        "agg-conversion-funnel": _funnel,
         "ext-anomaly-zscore": _zscore,
         "ext-scd2-versions": _scd2,
         "ext-ann-recall": _ann_recall,
         "source-parquet-evolve": _parquet_evolve,
         "sink-bucketed-join": _bucketed_join_gate,
-        # -- r10 ledger records:
-        "ext-dedup-ngram-containment": _ngram_containment,
-        "ext-denoise-pairs": _denoise_pairs,
-        "ext-embedding-pool": _embedding_pool,
-        "ext-fim-split": _fim_split,
-        "ext-grouped-drift": _grouped_drift,
-        "ext-importance-score": _importance_score,
-        "stream-importance-score": _stream_importance_score,
-        "stream-grouped-drift": _stream_grouped_drift,
-        "ext-similarity-ivf-pq": _ann_ivf_pq,
-        "stream-dedup-incremental": _stream_dedup_incremental,
-        "ext-lang-id": _lang_id,
-        "sink-jsonl-roundtrip": _jsonl_roundtrip,
-        "ext-multimodal-decode": _multimodal,
-        "ext-multimodal-pipeline": _multimodal_pipeline,
-        "ext-multimodal-audio": _multimodal_audio,
-        "scan-ebml-tokenize": _ebml_tokenize,
-        "scan-ebml-heads": _ebml_heads,
-        "kvs-frames-with-tags": _kvs_pipeline,
-        "source-kvs-replay": _kvs_replay_source,
-        "sink-fanout-roundtrip": _fanout_roundtrip,
-        "stream-asof-tags": _stream_asof,
-        "stream-segment-rollup": _stream_segment,
-        "stream-dedup-exact": _stream_dedup,
-        "ext-join-range": _range_join,
-        "ext-url-curation": _url_curation,
-        "source-csv-roundtrip": _csv_roundtrip,
-        "stream-throttle": _stream_throttle,
-        "ext-unigram-logprob": _unigram_logprob,
-        "ext-token-histogram": _token_histogram,
-        "ext-shard-assign": _shard_assign,
-        "ext-heavy-hitters-cms": _cms_heavy_hitters,
-        "stream-tumbling-agg": _stream_tumbling,
-        "stream-cdc-compact": _stream_cdc,
-        "ext-quality-gopher-rules": _gopher_rules,
-        "source-json-permissive": _json_permissive,
-        "ext-split-leakage-free": _split_leakage_free,
-        "source-orc-roundtrip": _orc_roundtrip,
-        "sink-partitioned-prune": _partitioned_prune,
-        "ext-ngram-novelty": _ngram_novelty,
-        "ext-pii-redact": _pii_redact,
     }
     # Composed-at-call window assertion (r12 verdict item 1): the
     # documented rotation plan IS the gate window, exactly.
-    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R15_ROTATION)
+    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R16_ROTATION)
     assert len(plan) == 50, f"window plan is {len(plan)} entries, not 50"
     head = list(out)[:50]
     assert head == list(plan), (
@@ -13613,6 +13762,212 @@ def oracle_sql() -> dict[str, str]:
                  / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
                  END, 6) AS auc
         FROM agg
+    """
+    # r16: PR-AUC / average precision — same (score, pos, neg) state
+    # as ext-eval-auc; inclusive cumulative TP/FP over scores
+    # DESCENDING, per-threshold term pos * (tp / (tp + fp)) (division
+    # first — one IEEE rounding per op from exact-integer operands),
+    # explicit LEFT FOLD in score-descending order to pin the float
+    # summation order to Spark's F.aggregate.
+    _pr_auc_tail = """
+        pv AS (SELECT score, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+               FROM base GROUP BY score),
+        cum AS (SELECT score, pos, neg,
+                       SUM(pos) OVER (
+                         ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS tp,
+                       SUM(neg) OVER (
+                         ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS fp
+                FROM pv),
+        terms AS (SELECT score, pos, neg,
+                         CAST(pos AS DOUBLE)
+                         * (CAST(tp AS DOUBLE)
+                            / CAST(tp + fp AS DOUBLE)) AS term
+                  FROM cum),
+        agg AS (SELECT list(term ORDER BY score DESC) AS arr,
+                       COALESCE(SUM(pos), 0) AS np,
+                       COALESCE(SUM(neg), 0) AS nn
+                FROM terms)
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               ROUND(CASE WHEN np > 0 THEN
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+                             (acc, x) -> acc + x)
+                 / CAST(np AS DOUBLE) END, 6) AS pr_auc
+        FROM agg
+    """
+    d["ext-eval-pr-auc"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT CASE WHEN label = pred THEN 1 ELSE 0 END AS y,
+                 conf AS score
+          FROM pl),
+        {_pr_auc_tail}"""
+    d["stream-eval-pr-auc"] = d["ext-eval-pr-auc"]
+    # r16: per-lang PR-AUC — the grouped form keys the cumulative and
+    # the fold by the true lang.
+    d["ext-eval-pr-auc-grouped"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT lang AS g, lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base AS (
+          SELECT g, CASE WHEN label = pred THEN 1 ELSE 0 END AS y,
+                 conf AS score
+          FROM pl),
+        pv AS (SELECT g, score, SUM(y) AS pos,
+                      COUNT(*) - SUM(y) AS neg
+               FROM base GROUP BY g, score),
+        cum AS (SELECT g, score, pos, neg,
+                       SUM(pos) OVER (
+                         PARTITION BY g ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS tp,
+                       SUM(neg) OVER (
+                         PARTITION BY g ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS fp
+                FROM pv),
+        terms AS (SELECT g, score, pos, neg,
+                         CAST(pos AS DOUBLE)
+                         * (CAST(tp AS DOUBLE)
+                            / CAST(tp + fp AS DOUBLE)) AS term
+                  FROM cum),
+        agg AS (SELECT g, list(term ORDER BY score DESC) AS arr,
+                       COALESCE(SUM(pos), 0) AS np,
+                       COALESCE(SUM(neg), 0) AS nn
+                FROM terms GROUP BY g)
+        SELECT g AS "group",
+               CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               ROUND(CASE WHEN np > 0 THEN
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+                             (acc, x) -> acc + x)
+                 / CAST(np AS DOUBLE) END, 6) AS pr_auc
+        FROM agg
+    """
+    # r16: calibration drift — per-group ECE on two frozen snapshots
+    # (even doc_ids = reference freeze; odd doc_ids with confidence
+    # inflated least(conf*1.15, 1.0) = current), full-outer joined on
+    # group; both ECE values are 6-dp before the delta.
+    _cal_ece_grouped = """
+        SELECT g, CAST(n_items AS BIGINT) AS n_items,
+               ROUND(CASE WHEN n_items > 0 THEN ece END, 6) AS ece
+        FROM (SELECT g,
+            n_items,
+            list_reduce(list_prepend(0.0, list_transform(arr, x ->
+              (x.nb / CAST(n_items AS DOUBLE))
+              * ABS(x.ok / CAST(x.nb AS DOUBLE)
+                    - x.c6 / (x.nb * 1000000.0)))),
+              (acc, t) -> acc + t) AS ece
+          FROM (SELECT g,
+              list(struct_pack(bin := bin, nb := nb, ok := ok,
+                               c6 := c6) ORDER BY bin) AS arr,
+              SUM(nb) AS n_items
+            FROM (SELECT g, bin, COUNT(*) AS nb, SUM(ok) AS ok,
+                         SUM(c6) AS c6
+                  FROM {side} GROUP BY 1, 2) pb{sfx}
+            GROUP BY g) agg{sfx}) folded{sfx}
+    """
+    d["ext-eval-calibration-drift"] = f"""
+        WITH w AS (
+          SELECT doc_id, lang, {words_lower} AS words FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            {lang_scores}
+          FROM w),
+        s AS (
+          SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+            GREATEST(s_de, s_en, s_es, s_fr) AS best,
+            s_de + s_en + s_es + s_fr AS total
+          FROM sc),
+        pl AS (
+          SELECT doc_id, lang AS g, lang AS label,
+                 CASE WHEN best = 0 THEN 'und'
+                      WHEN s_de = best THEN 'de'
+                      WHEN s_en = best THEN 'en'
+                      WHEN s_es = best THEN 'es'
+                      ELSE 'fr' END AS pred,
+                 CASE WHEN total > 0
+                      THEN ROUND(best / CAST(total AS DOUBLE), 6)
+                      ELSE 0.0 END AS conf
+          FROM s WHERE lang IS NOT NULL),
+        base_ref AS (
+          SELECT g,
+                 GREATEST(LEAST(CAST(FLOOR(conf * 10) AS INT), 9), 0)
+                   AS bin,
+                 CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(conf * 1000000.0) AS BIGINT) AS c6
+          FROM pl WHERE doc_id % 2 = 0),
+        base_cur AS (
+          SELECT g,
+                 GREATEST(LEAST(CAST(FLOOR(cconf * 10) AS INT), 9), 0)
+                   AS bin,
+                 CASE WHEN label = pred THEN 1 ELSE 0 END AS ok,
+                 CAST(ROUND(cconf * 1000000.0) AS BIGINT) AS c6
+          FROM (SELECT g, label, pred,
+                       LEAST(conf * 1.15, 1.0) AS cconf
+                FROM pl WHERE doc_id % 2 = 1) plc),
+        ece_ref AS ({_cal_ece_grouped.format(side="base_ref",
+                                             sfx="_r")}),
+        ece_cur AS ({_cal_ece_grouped.format(side="base_cur",
+                                             sfx="_c")})
+        SELECT COALESCE(a.g, b.g) AS "group",
+               COALESCE(a.n_items, 0) AS n_ref,
+               COALESCE(b.n_items, 0) AS n_cur,
+               a.ece AS ece_ref,
+               b.ece AS ece_cur,
+               ROUND(ABS(b.ece - a.ece), 6) AS ece_delta,
+               CASE WHEN a.g IS NULL THEN 'new'
+                    WHEN b.g IS NULL THEN 'gone'
+                    WHEN ROUND(ABS(b.ece - a.ece), 6) < 0.02
+                      THEN 'stable'
+                    WHEN ROUND(ABS(b.ece - a.ece), 6) < 0.05
+                      THEN 'moderate'
+                    ELSE 'shifted' END AS drift_level
+        FROM ece_ref a FULL OUTER JOIN ece_cur b ON a.g = b.g
     """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic

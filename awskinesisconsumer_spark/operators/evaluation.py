@@ -1618,3 +1618,168 @@ def auc_from_counts(counts: DataFrame) -> DataFrame:
         F.col("nn").alias("n_neg"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def pr_auc_score(
+    df: DataFrame, *, label_col: str, score_col: str,
+) -> DataFrame:
+    """Area under the precision-recall curve (average precision, the
+    step-interpolated form — Zhu 2004; sklearn's
+    `average_precision_score`): AP = sum_k (R_k - R_{k-1}) * P_k over
+    score thresholds descending, ties grouped. The
+    imbalance-appropriate companion to `auc_score`: when positives
+    are rare (contamination, PII, judge failures in a mostly-correct
+    corpus), ROC AUC is dominated by the abundant negatives while PR
+    directly measures "of what the gate flags, how much is real" —
+    a near-useless detector can post ROC AUC 0.9 at 0.1% prevalence
+    and PR-AUC near the prevalence floor.
+
+    Derives from the SAME (score, pos, neg) counts state as
+    `auc_score` (`auc_counts` — one maintained state serves both
+    discrimination summaries): per distinct score descending,
+    TP/FP are INCLUSIVE cumulative class counts (exact integers),
+    the per-threshold term is pos * (TP / (TP + FP)) — each float op
+    a single IEEE rounding from exact-integer operands — and the
+    cross-threshold sum is an ORDERED LEFT FOLD in score-descending
+    order (the psi/ece determinism rule: a groupBy float sum would
+    depend on partial-aggregation order), with AP = fold / n_pos the
+    single final division. Returns ONE row: (n_pos, n_neg, pr_auc),
+    6 dp; pr_auc NULL when there are no positives (recall
+    undefined). NULL labels/scores are excluded.
+
+    Scale shape: identical to `auc_score` — one map-side-combined
+    groupBy(score) bounded by SCORE CARDINALITY (quantize scores —
+    the state-size rule), then one ordered cumulative + one bounded
+    collect over the distinct-score table only."""
+    return pr_auc_from_counts(
+        auc_counts(df, label_col=label_col, score_col=score_col)
+    )
+
+
+def pr_auc_score_grouped(
+    df: DataFrame, *, label_col: str, score_col: str, group_col: str,
+) -> DataFrame:
+    """`pr_auc_score` stratified by `group_col` — one
+    (group, n_pos, n_neg, pr_auc) row per group: class balance
+    varies BY SOURCE (one language's corpus can be 50x dirtier), so
+    the per-group PR summary catches a gate that only works where
+    positives are common. Same inclusive cumulative counts keyed by
+    group (a single-group input replays `pr_auc_score` exactly —
+    pinned in tests); the per-group fold is bounded by per-group
+    score cardinality. Rows with NULL group are excluded."""
+    return pr_auc_from_counts(
+        auc_counts(df, label_col=label_col, score_col=score_col,
+                   group_col=group_col)
+    )
+
+
+def pr_auc_from_counts(counts: DataFrame) -> DataFrame:
+    """`pr_auc_score`'s final stage over a (group?, score, pos, neg)
+    count table (see `auc_counts`) — factored out so the SAME
+    streaming state (`streaming.pipeline.auc_stream`) feeds both the
+    ROC and PR summaries and the batch twin gates the stream
+    verbatim (the family contract). Defensive re-merge first, like
+    `auc_from_counts`: duplicate score rows would corrupt the
+    cumulative TP/FP. The ordered fold keeps the float summation
+    order pinned (score descending) so the DuckDB twin replays
+    bit-for-bit; the collect_list is over DISTINCT scores only —
+    the same cardinality bound as the cumulative window."""
+    from pyspark.sql import Window
+
+    grouped = "group" in counts.columns
+    gkeys = ["group"] if grouped else []
+    merged = counts.groupBy(*gkeys, "score").agg(
+        F.sum("pos").alias("pos"), F.sum("neg").alias("neg")
+    )
+    w = (Window.partitionBy("group") if grouped else Window
+         ).orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.select(
+        *gkeys, "score", "pos", "neg",
+        F.sum("pos").over(w).alias("_tp"),
+        F.sum("neg").over(w).alias("_fp"),
+    )
+    # dRecall * precision with n_pos deferred: pos * (tp / (tp + fp)).
+    # Division FIRST — tp, fp, pos are exact integers (< 2^53, hence
+    # exact doubles), so each op is one IEEE rounding and the product
+    # never overflows, unlike an integer pos * tp at corpus scale.
+    term = (
+        F.col("pos").cast("double")
+        * (F.col("_tp").cast("double")
+           / (F.col("_tp") + F.col("_fp")).cast("double"))
+    )
+    rows = cum.select(*gkeys, "score", "pos", "neg",
+                      term.alias("_term"))
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.struct("score", "_term"))
+        ).alias("arr"),
+        F.coalesce(F.sum("pos"), F.lit(0).cast("long")).alias("np"),
+        F.coalesce(F.sum("neg"), F.lit(0).cast("long")).alias("nn"),
+    ]
+    agg = (rows.groupBy("group").agg(*aggs) if grouped
+           else rows.agg(*aggs))
+    ap_sum = F.aggregate(
+        F.reverse(F.col("arr")), F.lit(0.0),
+        lambda acc, x: acc + x["_term"],
+    )
+    ap = F.when(F.col("np") > 0, ap_sum / F.col("np").cast("double"))
+    return agg.select(
+        *gkeys,
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(ap, 6).alias("pr_auc"),
+    )
+
+
+def calibration_drift(
+    ref_binned: DataFrame, cur_binned: DataFrame, *, n_bins: int = 10,
+) -> DataFrame:
+    """Per-group calibration DELTA between two frozen calibration
+    snapshots — "which group's calibration MOVED since the reference
+    freeze": the per-group ECE/AUC monitors detect a judge drifting
+    on one language, but nothing alarms on the difference between
+    two snapshots until this op (the `corpus_drift`/`grouped_drift`
+    pattern applied to the G x n_bins calibration state).
+
+    Inputs are two GROUPED `ece_binned_counts` states (the frozen
+    reference — e.g. the calibration at dataset-freeze time, possibly
+    read back from a streaming maintainer's state dir — and the
+    current one). Each side reduces through the LITERAL
+    `ece_from_binned` batch stage (G rows), then ONE bounded
+    full-outer join on group — G rows total, never corpus rows — so
+    a group present in only one snapshot surfaces as 'new' (appeared
+    since the freeze) or 'gone' rather than vanishing in an inner
+    join. ece_delta = |ece_cur - ece_ref| (both already 6-dp — the
+    subtraction is deterministic), classified against literal
+    thresholds: < 0.02 'stable', < 0.05 'moderate', else 'shifted'.
+    Returns one row per group:
+    (group, n_ref, n_cur, ece_ref, ece_cur, ece_delta, drift_level),
+    6 dp."""
+    a = ece_from_binned(ref_binned, n_bins=n_bins).select(
+        "group",
+        F.col("n_items").alias("n_ref"),
+        F.col("ece").alias("ece_ref"),
+    )
+    b = ece_from_binned(cur_binned, n_bins=n_bins).select(
+        "group",
+        F.col("n_items").alias("n_cur"),
+        F.col("ece").alias("ece_cur"),
+    )
+    j = a.join(b, "group", "full_outer")
+    delta = F.round(F.abs(F.col("ece_cur") - F.col("ece_ref")), 6)
+    zero = F.lit(0).cast("long")
+    return j.select(
+        "group",
+        F.coalesce("n_ref", zero).alias("n_ref"),
+        F.coalesce("n_cur", zero).alias("n_cur"),
+        "ece_ref",
+        "ece_cur",
+        delta.alias("ece_delta"),
+        F.when(F.col("n_ref").isNull(), F.lit("new"))
+        .when(F.col("n_cur").isNull(), F.lit("gone"))
+        .when(delta < 0.02, F.lit("stable"))
+        .when(delta < 0.05, F.lit("moderate"))
+        .otherwise(F.lit("shifted")).alias("drift_level"),
+    )

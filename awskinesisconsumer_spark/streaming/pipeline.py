@@ -2771,3 +2771,28 @@ def auc_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pr_auc_stream(
+    rows,
+    *,
+    label_col: str,
+    score_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming PR-AUC maintenance — IDENTICAL maintained state to
+    `auc_stream` (the per-score (pos, neg) class counts serve BOTH
+    discrimination summaries); only the final stage differs
+    (`evaluation.pr_auc_from_counts` instead of `auc_from_counts`),
+    so one state dir answers "is the judge still discriminative"
+    (ROC) and "is the gate's precision holding at rare prevalence"
+    (PR) without a second pass over the stream. Same score-
+    cardinality state bound, swap-rename/marker commit, and `_bid`
+    replay guard. Returns the started StreamingQuery."""
+    return auc_stream(
+        rows, label_col=label_col, score_col=score_col,
+        out_path=out_path, checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+    )

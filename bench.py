@@ -300,6 +300,13 @@ HEADLINE = [
     "ext-eval-auc",
     "stream-eval-auc",
     "ext-eval-auc-grouped",
+    # r16: PR-AUC off the shared auc_counts state (batch + multi-
+    # micro-batch streaming + grouped) and the two-snapshot
+    # calibration-drift gate — all documents-scanning.
+    "ext-eval-pr-auc",
+    "stream-eval-pr-auc",
+    "ext-eval-pr-auc-grouped",
+    "ext-eval-calibration-drift",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

@@ -89,3 +89,183 @@ def test_marker_sentinel_to_unreadable_version_falls_back(
     shutil.rmtree(f"{st}/v000001")
     with pytest.raises(IOError, match="refusing to silently reset"):
         P._read_state(spark, st)
+
+
+# ---------------------------------------------------------------------------
+# verdict item 4: PR-AUC / average precision off the shared AUC state
+# ---------------------------------------------------------------------------
+
+
+def _brute_ap(rows):
+    # step-interpolated average precision, thresholds descending with
+    # ties grouped — sklearn's average_precision_score semantics.
+    from collections import defaultdict
+
+    cnt = defaultdict(lambda: [0, 0])
+    for y, s in rows:
+        cnt[s][0] += y
+        cnt[s][1] += 1 - y
+    tp = fp = 0
+    ap = 0.0
+    npos = sum(y for y, _ in rows)
+    for s in sorted(cnt, reverse=True):
+        p, n = cnt[s]
+        tp += p
+        fp += n
+        ap += p * (tp / (tp + fp))
+    return ap / npos
+
+
+def test_pr_auc_matches_brute_force(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_score,
+    )
+
+    rows = [(1, 0.9), (1, 0.7), (1, 0.7), (1, 0.3),
+            (0, 0.7), (0, 0.5), (0, 0.3), (0, 0.3), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = pr_auc_score(df, label_col="y", score_col="s").first()
+    assert (got["n_pos"], got["n_neg"]) == (4, 5)
+    assert got["pr_auc"] == round(_brute_ap(rows), 6)
+    # perfect separation -> 1.0; no positives -> NULL (recall
+    # undefined); all-positive -> 1.0 (precision 1 at every cut)
+    sep = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2)], "y int, s double")
+    assert pr_auc_score(
+        sep, label_col="y", score_col="s").first()["pr_auc"] == 1.0
+    nop = spark.createDataFrame([(0, 0.9), (0, 0.1)], "y int, s double")
+    assert pr_auc_score(
+        nop, label_col="y", score_col="s").first()["pr_auc"] is None
+    allp = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    assert pr_auc_score(
+        allp, label_col="y", score_col="s").first()["pr_auc"] == 1.0
+
+
+def test_pr_auc_beats_roc_at_rare_prevalence(spark):
+    # the reason PR exists: a detector whose false-positive MASS is
+    # large relative to the rare positives keeps a high ROC AUC (FPR
+    # divides by the huge negative class) while PR-AUC collapses.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_score, pr_auc_score,
+    )
+
+    rows = [(1, 0.75)] * 5 + [(0, 0.8)] * 45 + [(0, 0.1)] * 950
+    df = spark.createDataFrame(rows, "y int, s double")
+    roc = auc_score(df, label_col="y", score_col="s").first()["auc"]
+    pr = pr_auc_score(df, label_col="y", score_col="s").first()["pr_auc"]
+    assert roc > 0.95
+    assert pr == 0.1  # 5 real / 50 flagged at the operating point
+
+
+def test_pr_auc_grouped_equals_per_group_ungrouped(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_score, pr_auc_score_grouped,
+    )
+
+    rows = [("a", 1, 0.9), ("a", 0, 0.7), ("a", 1, 0.7), ("a", 0, 0.2),
+            ("b", 1, 0.4), ("b", 0, 0.4), ("b", 0, 0.6), ("b", 1, 0.1)]
+    df = spark.createDataFrame(rows, "g string, y int, s double")
+    gg = {r["group"]: r for r in pr_auc_score_grouped(
+        df, label_col="y", score_col="s", group_col="g").collect()}
+    for g in ("a", "b"):
+        solo = pr_auc_score(
+            df.where(F.col("g") == g), label_col="y", score_col="s",
+        ).first()
+        assert (gg[g]["n_pos"], gg[g]["n_neg"], gg[g]["pr_auc"]) == (
+            solo["n_pos"], solo["n_neg"], solo["pr_auc"])
+
+
+def test_pr_auc_from_counts_tolerates_unmerged_duplicates(spark):
+    # the defensive re-merge: per-batch counts concatenated without
+    # the SUM-merge must produce the merged answer.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        pr_auc_from_counts,
+    )
+
+    merged = spark.createDataFrame(
+        [(0.9, 3, 1), (0.5, 1, 4)], "score double, pos long, neg long"
+    )
+    split = spark.createDataFrame(
+        [(0.9, 2, 0), (0.5, 1, 3), (0.9, 1, 1), (0.5, 0, 1)],
+        "score double, pos long, neg long",
+    )
+    assert tuple(pr_auc_from_counts(merged).first()) == tuple(
+        pr_auc_from_counts(split).first())
+
+
+def test_pr_auc_stream_shares_auc_state(spark, tmp_path):
+    # ONE maintained state serves both summaries: run the auc_stream
+    # merge over chunked arrivals (with a replay), then read BOTH
+    # finals off the same state dir and compare to batch.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        auc_from_counts, auc_score, pr_auc_from_counts, pr_auc_score,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import _auc_merge_fn
+
+    out = str(tmp_path / "prauc")
+    merge = _auc_merge_fn(label_col="y", score_col="s", out_path=out)
+    b0 = spark.createDataFrame(
+        [(1, 0.9), (0, 0.7), (1, 0.7)], "y int, s double")
+    b1 = spark.createDataFrame(
+        [(0, 0.3), (1, 0.3), (0, 0.1)], "y int, s double")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay must be skipped
+    state = spark.read.parquet(out).select("score", "pos", "neg")
+    both = b0.unionByName(b1)
+    got_pr = pr_auc_from_counts(state).first()
+    want_pr = pr_auc_score(both, label_col="y", score_col="s").first()
+    assert tuple(got_pr) == tuple(want_pr)
+    got_roc = auc_from_counts(state).first()
+    want_roc = auc_score(both, label_col="y", score_col="s").first()
+    assert tuple(got_roc) == tuple(want_roc)
+
+
+# ---------------------------------------------------------------------------
+# verdict item 8 (stretch): calibration drift between frozen snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_drift_levels_and_membership(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        calibration_drift, ece_binned_counts,
+    )
+
+    sch = "g string, lab string, prd string, cf double"
+    ref = ece_binned_counts(
+        spark.createDataFrame(
+            [("en", "a", "a", 0.9), ("en", "a", "b", 0.4),
+             ("fr", "a", "a", 0.7)], sch),
+        label_col="lab", pred_col="prd", conf_col="cf", group_col="g")
+    cur = ece_binned_counts(
+        spark.createDataFrame(
+            [("en", "a", "a", 0.99), ("en", "a", "b", 0.8),
+             ("de", "a", "a", 0.5)], sch),
+        label_col="lab", pred_col="prd", conf_col="cf", group_col="g")
+    got = {r["group"]: r for r in
+           calibration_drift(ref, cur).collect()}
+    assert got["de"]["drift_level"] == "new"
+    assert got["de"]["n_ref"] == 0 and got["de"]["ece_ref"] is None
+    assert got["fr"]["drift_level"] == "gone"
+    assert got["fr"]["n_cur"] == 0 and got["fr"]["ece_cur"] is None
+    en = got["en"]
+    assert en["ece_delta"] == round(
+        abs(en["ece_cur"] - en["ece_ref"]), 6)
+    assert en["drift_level"] == "shifted"  # 0.155 >= 0.05
+
+
+def test_calibration_drift_identical_snapshots_are_stable(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        calibration_drift, ece_binned_counts,
+    )
+
+    sch = "g string, lab string, prd string, cf double"
+    df = spark.createDataFrame(
+        [("en", "a", "a", 0.9), ("en", "a", "b", 0.4),
+         ("fr", "a", "a", 0.7)], sch)
+    st = ece_binned_counts(df, label_col="lab", pred_col="prd",
+                           conf_col="cf", group_col="g")
+    for r in calibration_drift(st, st).collect():
+        assert r["drift_level"] == "stable"
+        assert r["ece_delta"] == 0.0
+        assert r["n_ref"] == r["n_cur"]
