@@ -5610,17 +5610,25 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
     # gates' own operator code runs on it verbatim, so the values
     # are the gates' values — only the shared scan is deduplicated).
     from awskinesisconsumer_spark.operators.evaluation import (
-        brier_score_grouped, expected_calibration_error_grouped,
+        brier_score_grouped, calibration_drift, ece_binned_counts,
+        expected_calibration_error_grouped,
     )
     from awskinesisconsumer_spark.operators.text import language_id
 
     # localCheckpoint, not persist: nothing to unpersist after the
     # report is collected, and the scored table is G-lang x corpus
-    # rows of three narrow columns (tiny at gate SF; at scale a user
-    # composes the operators directly)
+    # rows of four narrow columns (tiny at gate SF; at scale a user
+    # composes the operators directly). COST BUDGET (r15 verdict
+    # item 6): this is the report's ONE lang-id scoring pass — the
+    # ECE, Brier, AND calibration-drift rows all read this
+    # checkpoint; tests/test_round16_ops.py::
+    # test_audit_report_scan_budget pins the report's documents-scan
+    # count so a future fold-in that re-scans the corpus fails
+    # loudly instead of growing the flagship entry quietly.
     pred = language_id(
         docs, text_col="text", with_confidence=True
-    ).select("lang", "lang_pred", "lang_conf").localCheckpoint()
+    ).select("doc_id", "lang", "lang_pred", "lang_conf"
+             ).localCheckpoint()
     cal_kw = dict(label_col="lang", pred_col="lang_pred",
                   conf_col="lang_conf", group_col="lang")
     eceg = expected_calibration_error_grouped(
@@ -5633,9 +5641,27 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("brier:"), F.col("group")).alias("metric"),
         F.col("brier").alias("value"),
     )
+    # r16: per-lang calibration DRIFT between the frozen snapshots
+    # (the proven ext-eval-calibration-drift gate's values verbatim
+    # — even doc_ids = reference, odd with the inflated confidence =
+    # current), zero new arithmetic and ZERO new scans: both
+    # snapshot states read the same checkpointed scoring pass.
+    predl = pred.where(F.col("lang").isNotNull())
+    drift = calibration_drift(
+        ece_binned_counts(
+            predl.where(F.col("doc_id") % 2 == 0), **cal_kw),
+        ece_binned_counts(
+            predl.where(F.col("doc_id") % 2 == 1).withColumn(
+                "lang_conf",
+                F.least(F.col("lang_conf") * 1.15, F.lit(1.0)),
+            ), **cal_kw),
+    ).select(
+        F.concat(F.lit("ece_drift:"), F.col("group")).alias("metric"),
+        F.col("ece_delta").alias("value"),
+    )
     out = n_docs
     for part in (dups, kmv, overlap, recall, rbo, semrec, *tok_parts,
-                 eceg, brig):
+                 eceg, brig, drift):
         out = out.unionByName(part)
     return out
 
@@ -14382,6 +14408,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'brier:' || "group", brier
         FROM ({d["ext-eval-brier-grouped"]})
+        UNION ALL
+        SELECT 'ece_drift:' || "group", ece_delta
+        FROM ({d["ext-eval-calibration-drift"]})
     """
     # r15 card v2 (r14 verdict item 8): the release block nests the
     # proven evaluation gates verbatim — vocabulary richness, the
