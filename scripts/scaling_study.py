@@ -909,6 +909,71 @@ def eval_stats_r14_study() -> None:
     spark.stop()
 
 
+def eval_stats_r16_study() -> None:
+    """Scaling shapes for the r16 discrimination/drift operators over
+    the amplified corpora: PR-AUC at raw high-cardinality scores vs
+    quantized ones on the same rows (the auc_counts quantize-first
+    contract, measured — the collect_list fold and the cumulative
+    window are both bounded by DISTINCT-score cardinality, so the
+    quantized form should flatten while raw grows), grouped PR-AUC
+    (per-group fold), and calibration_drift over two snapshot halves
+    (G x n_bins states — corpus-size-independent join).
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --eval-stats-r16
+    """
+    from awskinesisconsumer_spark.operators.evaluation import (
+        calibration_drift, ece_binned_counts, pr_auc_score,
+        pr_auc_score_grouped,
+    )
+
+    spark = get_spark("eval-stats-r16-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scored(d):
+        # deterministic 0/1 label + a high-cardinality score and its
+        # 3-dp quantization; 5-way group
+        return d.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("string").alias("g"),
+            (F.length("text") % 2).alias("y"),
+            (F.xxhash64("text") % 1000000 / 1000000.0).alias("s_raw"),
+            (F.round(F.xxhash64("text") % 1000000 / 1000000.0, 3))
+            .alias("s_q3"),
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+            (F.length("text") % 5).alias("ra"),
+            (F.size(F.split(F.col("text"), r"\s+")) % 5).alias("rb"),
+            (F.abs(F.xxhash64("text")) % 100 / 100.0).alias("conf"),
+        )
+
+    for r in (1, 10, 40):
+        p = f"{WORK}/docs_x{r}.parquet"
+        amplify_docs(spark, r, p)
+        src = scored(spark.read.parquet(p))
+        n = 5000 * r
+
+        def drift(d):
+            kw = dict(label_col="ra", pred_col="rb", conf_col="conf",
+                      group_col="g")
+            return calibration_drift(
+                ece_binned_counts(d.where(F.col("is_ref")), **kw),
+                ece_binned_counts(d.where(~F.col("is_ref")), **kw),
+            )
+
+        for name, mk in (
+            ("pr-auc-raw-scores", lambda d: pr_auc_score(
+                d, label_col="y", score_col="s_raw")),
+            ("pr-auc-quantized", lambda d: pr_auc_score(
+                d, label_col="y", score_col="s_q3")),
+            ("pr-auc-grouped-q3", lambda d: pr_auc_score_grouped(
+                d, label_col="y", score_col="s_q3", group_col="g")),
+            ("calibration-drift", drift),
+        ):
+            cold, warm = timed(mk, src, spark)
+            print(f"{name:22s} n={n:7d} cold={cold:7.2f}s "
+                  f"warm={warm:7.2f}s", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -938,6 +1003,9 @@ def main() -> None:
         return
     if "--eval-stats-r14" in sys.argv:
         eval_stats_r14_study()
+        return
+    if "--eval-stats-r16" in sys.argv:
+        eval_stats_r16_study()
         return
     if "--eval-stats" in sys.argv:
         eval_stats_study()
