@@ -6826,6 +6826,126 @@ def _eval_calibration_drift(spark: SparkSession, sf: str) -> DataFrame:
     return calibration_drift(ref, cur)
 
 
+def _rankcorr_scored(spark: SparkSession, sf: str) -> DataFrame:
+    # Shared scorer pair for the rank-correlation family: the
+    # composite quality score (text.quality_score, 4 dp) vs the
+    # single-signal average-word-length proxy (text.text_stats,
+    # 4 dp), each quantized DOWN to a bucket INDEX for the
+    # contingency-state bound (quality -> 1/100 buckets, <= 101
+    # distinct; awl -> 1/10 buckets) — the auc/ks quantize-first
+    # state-size rule. Quantization is FLOOR(x * scale), not a
+    # second ROUND: re-ROUNDing an already-4-dp double diverges
+    # between engines at exact .5 boundaries (Spark rounds the
+    # decimal string, DuckDB the binary value — 0.575 -> 0.58 vs
+    # 0.57), while FLOOR on the identical double is bit-exact in
+    # both. Rank statistics only need a monotone binning, so the
+    # bucket index is the right quantizer anyway.
+    from awskinesisconsumer_spark.operators.text import (
+        quality_score, text_stats,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    scored = text_stats(
+        quality_score(docs, text_col="text"), text_col="text"
+    )
+    return scored.select(
+        "lang",
+        F.floor(F.col("quality") * 100).alias("qb"),
+        F.floor(F.col("avg_word_len") * 10).alias("ab"),
+    )
+
+
+def _eval_rankcorr(spark: SparkSession, sf: str) -> DataFrame:
+    # Kendall tau-b + Spearman rho between the composite quality
+    # score and the cheap avg-word-length proxy
+    # (operators/evaluation.py rank_correlation — r16): do two
+    # scorers RANK the corpus the same way — the continuous-score
+    # sibling of the kappa trio, and the question that decides
+    # whether the cheap proxy can drive the 100 TB pre-filter.
+    # Tie-exact integer contingency algebra on the densified
+    # quantized grid (2D dominance sweep, DECIMAL(38,0) pair sums,
+    # doubled average ranks); one float expression per statistic at
+    # the end, so the twin replays bit-for-bit.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation,
+    )
+
+    return rank_correlation(
+        _rankcorr_scored(spark, sf), a_col="qb", b_col="ab"
+    )
+
+
+def _stream_eval_rankcorr(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming rank-correlation maintenance (streaming/pipeline.py
+    # rankcorr_stream — r16): each micro-batch of a 3-file docs
+    # replay SUM-merges its (a, b) joint-contingency cells;
+    # rankcorr_from_counts over the final state == batch
+    # rank_correlation verbatim — the batch twin gates the stream.
+    # State bounded by the quantized K_a x K_b grid.
+    import tempfile
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rankcorr_from_counts,
+    )
+    from awskinesisconsumer_spark.operators.text import (
+        quality_score, text_stats,
+    )
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        rankcorr_stream,
+    )
+
+    docs = load_table(spark, "documents", sf).select("text")
+    src = tempfile.mkdtemp(prefix="rankcorr_src_")
+    out = tempfile.mkdtemp(prefix="rankcorr_out_")
+    ckpt = tempfile.mkdtemp(prefix="rankcorr_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    scored = text_stats(
+        quality_score(stream, text_col="text"), text_col="text"
+    ).select(
+        F.floor(F.col("quality") * 100).alias("qb"),
+        F.floor(F.col("avg_word_len") * 10).alias("ab"),
+    )
+    q = rankcorr_stream(
+        scored, a_col="qb", b_col="ab",
+        out_path=out, checkpoint=ckpt,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream-eval-rankcorr: stream timed out")
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    if n_batches < 3:
+        raise RuntimeError(
+            f"stream-eval-rankcorr: expected >=3 non-empty "
+            f"micro-batches, saw {n_batches}"
+        )
+    state = spark.read.parquet(out).select("a", "b", "n")
+    return rankcorr_from_counts(state)
+
+
+def _eval_rankcorr_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language rank correlation (operators/evaluation.py
+    # rank_correlation_grouped — r16): two scorers can rank-agree
+    # overall yet disagree on ONE language (different stopword hit
+    # rates, different length norms) — exactly when a proxy-driven
+    # pre-filter silently skews that source. The dominance windows
+    # partition by group; a single-group input replays the ungrouped
+    # form exactly (pinned in tests).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation_grouped,
+    )
+
+    return rank_correlation_grouped(
+        _rankcorr_scored(spark, sf).where(F.col("lang").isNotNull()),
+        a_col="qb", b_col="ab", group_col="lang",
+    )
+
+
 def _minhash_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Per-day MinHash sketches of each event type's user SET, merged
     # into the global sketch (operators/dedup.py minhash_group_sketch
@@ -7073,6 +7193,14 @@ GATE_NEW_THIS_ROUND = (
     # MOVED since the reference freeze; one bounded full-outer join
     # over two G x n_bins states (r15 verdict item 8).
     "ext-eval-calibration-drift",
+    # NEW in r16, third wave: rank correlation (Kendall tau-b +
+    # Spearman rho) between two continuous scorers — the
+    # continuous-score sibling of the kappa trio, deciding whether
+    # the cheap proxy can drive the 100 TB pre-filter. Tie-exact
+    # integer contingency algebra on the SUM-mergeable (a, b, n)
+    # cell state: batch, streaming maintainer, per-language grouped.
+    "ext-eval-rankcorr", "stream-eval-rankcorr",
+    "ext-eval-rankcorr-grouped",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -7177,22 +7305,21 @@ R16_ROTATION_CANDIDATES = (
 )
 
 # The r16 rotation: ALL 40 R16_ROTATION_CANDIDATES (the r10-cohort
-# remainder — zero freshness slack past this snapshot) + the
-# alphabetical head-3 of the 44-entry r11 cohort pulled forward to
-# shrink r17's mandatory load. 5 new/changed + 2 rows-only + 43 ==
-# exactly 50; queries() ASSERTS head == plan at call time.
-R16_ROTATION = (
-    *R16_ROTATION_CANDIDATES,
-    "agg-conversion-funnel", "agg-shipmode-priority", "agg-skyline-2d",
-)
+# remainder — zero freshness slack past this snapshot). The
+# rank-correlation wave took the window slots an r11 pull-forward
+# would have used (the r11 cohort has a full round of slack; new
+# entries have none). 8 new/changed + 2 rows-only + 40 == exactly
+# 50; queries() ASSERTS head == plan at call time.
+R16_ROTATION = R16_ROTATION_CANDIDATES
 
-# The r17 plan of record (written at r16 close): the 41-entry r11
-# cohort remainder. HARD deadline (freshness period =
-# ceil(271/50) = 6): r11 records stay legal through an r17 snapshot
-# and violate at r18 — take ALL 41 in r17 (GATE_NEW_r17 <= 7). The
-# 42-entry r12 cohort comes due right behind at r18
-# (GATE_NEW_r18 <= 6), so keep new-entry waves small through r18.
+# The r17 plan of record (written at r16 close): the FULL 44-entry
+# r11 cohort. HARD deadline (freshness period = ceil(274/50) = 6):
+# r11 records stay legal through an r17 snapshot and violate at
+# r18 — take ALL 44 in r17 (GATE_NEW_r17 <= 4). The 42-entry r12
+# cohort comes due right behind at r18 (GATE_NEW_r18 <= 6), so keep
+# new-entry waves small through r18.
 R17_ROTATION_CANDIDATES = (
+    "agg-conversion-funnel", "agg-shipmode-priority", "agg-skyline-2d",
     "agg-topn-per-group", "agg-window-ranks", "ext-ann-recall",
     "ext-anomaly-zscore", "ext-bloom-prefilter", "ext-chunk-text",
     "ext-collocations-pmi", "ext-curriculum-order", "ext-dedup-cluster",
@@ -7241,6 +7368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-eval-pr-auc": _stream_eval_pr_auc,
         "ext-eval-pr-auc-grouped": _eval_pr_auc_grouped,
         "ext-eval-calibration-drift": _eval_calibration_drift,
+        "ext-eval-rankcorr": _eval_rankcorr,
+        "stream-eval-rankcorr": _stream_eval_rankcorr,
+        "ext-eval-rankcorr-grouped": _eval_rankcorr_grouped,
         # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
         #    live inside the window permanently so their weaker
         #    rows-only check is refreshed every round.
@@ -7292,9 +7422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-segment-rollup": _stream_segment,
         "stream-throttle": _stream_throttle,
         "stream-tumbling-agg": _stream_tumbling,
-        "agg-conversion-funnel": _funnel,
-        "agg-shipmode-priority": _shipmode_priority,
-        "agg-skyline-2d": _skyline,
         # ---- gate horizon (position 50): entries below are past
         # the external gate's 50-entry window this round; all are
         # green in the union of CORRECTNESS_r*.json with fingerprints
@@ -7484,6 +7611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-corpus-drift": _corpus_drift,
         "ext-curate-corpus": _curate_corpus,
         # -- r11 ledger records:
+        "agg-conversion-funnel": _funnel,
+        "agg-shipmode-priority": _shipmode_priority,
+        "agg-skyline-2d": _skyline,
         "ext-train-batch": _train_batch,
         "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
         "ext-curriculum-order": _curriculum_order,
@@ -13994,6 +14124,218 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'moderate'
                     ELSE 'shifted' END AS drift_level
         FROM ece_ref a FULL OUTER JOIN ece_cur b ON a.g = b.g
+    """
+    # r16: rank correlation (Kendall tau-b + Spearman rho) between
+    # the composite quality score (2 dp) and the avg-word-length
+    # proxy (1 dp) — tie-exact integer contingency algebra replayed
+    # verbatim: dominance sweep on the DENSIFIED grid via two chained
+    # windows (cb_lt per a-row, then its prefix over a per b-column),
+    # HUGEINT pair/tie/power sums (== Spark's DECIMAL(38,0)), doubled
+    # average ranks (no /2 anywhere), degeneracy decided on the EXACT
+    # doubled tie terms da2/db2, and one double expression per
+    # statistic at the end with the identical tree as the Spark side.
+    _rc_pts = f"""
+        w AS (
+          SELECT lang, text, {words_expr} AS words FROM documents),
+        pts AS (
+          SELECT lang,
+            CAST(FLOOR((CASE WHEN len(words) = 0 THEN 0.0 ELSE ROUND(
+              0.4 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - len(list_filter(words, x ->
+                  list_contains({stop_list}, x)))
+                  / CAST(len(words) AS DOUBLE))
+              + 0.3 * (len(list_distinct(words))
+                  / CAST(len(words) AS DOUBLE)),
+            4) END) * 100) AS BIGINT) AS a,
+            CAST(FLOOR(ROUND(CASE WHEN len(words) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g'))
+                   / CAST(len(words) AS DOUBLE)
+              ELSE 0.0 END, 4) * 10) AS BIGINT) AS b
+          FROM w)
+    """
+    d["ext-eval-rankcorr"] = f"""
+        WITH {_rc_pts},
+        cells AS (SELECT a, b, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+        grid AS (SELECT dda.a, ddb.b
+                 FROM (SELECT DISTINCT a FROM cells) dda
+                 CROSS JOIN (SELECT DISTINCT b FROM cells) ddb),
+        dense AS (SELECT g.a, g.b, COALESCE(c.n, 0) AS n
+                  FROM grid g LEFT JOIN cells c
+                  ON g.a = c.a AND g.b = c.b),
+        cb AS (SELECT a, b, n,
+          COALESCE(SUM(n) OVER (PARTITION BY a ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb_lt,
+          COALESCE(SUM(n) OVER (PARTITION BY a ORDER BY b
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+            AS cb_gt
+         FROM dense),
+        dom AS (SELECT n,
+          COALESCE(SUM(cb_lt) OVER (PARTITION BY b ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS p_lt,
+          COALESCE(SUM(cb_gt) OVER (PARTITION BY b ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS q_lt
+         FROM cb),
+        pq AS (SELECT
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(p_lt AS HUGEINT)),
+                    0) AS p,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(q_lt AS HUGEINT)),
+                    0) AS q,
+           COALESCE(SUM(n), 0) AS n_total
+         FROM dom),
+        ra AS (SELECT a, SUM(n) AS r FROM cells GROUP BY a),
+        rb AS (SELECT b, SUM(n) AS r FROM cells GROUP BY b),
+        rra AS (SELECT a, r,
+          2 * COALESCE(SUM(r) OVER (ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + r + 1 AS da
+          FROM ra),
+        rrb AS (SELECT b, r,
+          2 * COALESCE(SUM(r) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + r + 1 AS db
+          FROM rb),
+        ties AS (SELECT
+          (SELECT COALESCE(SUM(CAST(r AS HUGEINT)
+                               * (CAST(r AS HUGEINT) - 1)), 0)
+           FROM ra) AS ta,
+          (SELECT COALESCE(SUM(CAST(r AS HUGEINT)
+                               * (CAST(r AS HUGEINT) - 1)), 0)
+           FROM rb) AS tb),
+        sp AS (SELECT
+           COALESCE(SUM(CAST(n AS HUGEINT)), 0) AS s1,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)),
+                    0) AS sa,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(db AS HUGEINT)),
+                    0) AS sb,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)
+                        * CAST(da AS HUGEINT)), 0) AS saa,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(db AS HUGEINT)
+                        * CAST(db AS HUGEINT)), 0) AS sbb,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)
+                        * CAST(db AS HUGEINT)), 0) AS sab
+         FROM cells JOIN rra USING (a) JOIN rrb USING (b)),
+        fin AS (SELECT p, q, n_total, s1, sa, sb, saa, sbb, sab,
+           CAST(n_total AS HUGEINT)
+             * (CAST(n_total AS HUGEINT) - 1) - ta AS da2,
+           CAST(n_total AS HUGEINT)
+             * (CAST(n_total AS HUGEINT) - 1) - tb AS db2
+         FROM pq CROSS JOIN ties CROSS JOIN sp)
+        SELECT CAST(n_total AS BIGINT) AS n,
+          ROUND(CASE WHEN da2 > 0 AND db2 > 0 THEN
+            2.0 * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+            / (SQRT(CAST(da2 AS DOUBLE)) * SQRT(CAST(db2 AS DOUBLE)))
+            END, 6) AS tau_b,
+          ROUND(CASE WHEN da2 > 0 AND db2 > 0 THEN
+            (CAST(s1 AS DOUBLE) * CAST(sab AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / (SQRT(CAST(s1 AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               * SQRT(CAST(s1 AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+            END, 6) AS spearman_rho
+        FROM fin
+    """
+    d["stream-eval-rankcorr"] = d["ext-eval-rankcorr"]
+    # r16: per-language rank correlation — same algebra keyed by g
+    # (the dominance windows partition by g; every per-group table
+    # joins back on g).
+    d["ext-eval-rankcorr-grouped"] = f"""
+        WITH {_rc_pts},
+        gpts AS (SELECT lang AS g, a, b FROM pts
+                 WHERE lang IS NOT NULL),
+        cells AS (SELECT g, a, b, COUNT(*) AS n
+                  FROM gpts GROUP BY 1, 2, 3),
+        grid AS (SELECT dda.g, dda.a, ddb.b
+                 FROM (SELECT DISTINCT g, a FROM cells) dda
+                 JOIN (SELECT DISTINCT g, b FROM cells) ddb
+                 USING (g)),
+        dense AS (SELECT gr.g, gr.a, gr.b, COALESCE(c.n, 0) AS n
+                  FROM grid gr LEFT JOIN cells c
+                  ON gr.g = c.g AND gr.a = c.a AND gr.b = c.b),
+        cb AS (SELECT g, a, b, n,
+          COALESCE(SUM(n) OVER (PARTITION BY g, a ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb_lt,
+          COALESCE(SUM(n) OVER (PARTITION BY g, a ORDER BY b
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+            AS cb_gt
+         FROM dense),
+        dom AS (SELECT g, n,
+          COALESCE(SUM(cb_lt) OVER (PARTITION BY g, b ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS p_lt,
+          COALESCE(SUM(cb_gt) OVER (PARTITION BY g, b ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS q_lt
+         FROM cb),
+        pq AS (SELECT g,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(p_lt AS HUGEINT)),
+                    0) AS p,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(q_lt AS HUGEINT)),
+                    0) AS q,
+           COALESCE(SUM(n), 0) AS n_total
+         FROM dom GROUP BY g),
+        ra AS (SELECT g, a, SUM(n) AS r FROM cells GROUP BY g, a),
+        rb AS (SELECT g, b, SUM(n) AS r FROM cells GROUP BY g, b),
+        rra AS (SELECT g, a, r,
+          2 * COALESCE(SUM(r) OVER (PARTITION BY g ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + r + 1 AS da
+          FROM ra),
+        rrb AS (SELECT g, b, r,
+          2 * COALESCE(SUM(r) OVER (PARTITION BY g ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + r + 1 AS db
+          FROM rb),
+        ta AS (SELECT g, COALESCE(SUM(CAST(r AS HUGEINT)
+                 * (CAST(r AS HUGEINT) - 1)), 0) AS ta
+               FROM ra GROUP BY g),
+        tb AS (SELECT g, COALESCE(SUM(CAST(r AS HUGEINT)
+                 * (CAST(r AS HUGEINT) - 1)), 0) AS tb
+               FROM rb GROUP BY g),
+        sp AS (SELECT cells.g,
+           COALESCE(SUM(CAST(n AS HUGEINT)), 0) AS s1,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)),
+                    0) AS sa,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(db AS HUGEINT)),
+                    0) AS sb,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)
+                        * CAST(da AS HUGEINT)), 0) AS saa,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(db AS HUGEINT)
+                        * CAST(db AS HUGEINT)), 0) AS sbb,
+           COALESCE(SUM(CAST(n AS HUGEINT) * CAST(da AS HUGEINT)
+                        * CAST(db AS HUGEINT)), 0) AS sab
+         FROM cells
+         JOIN rra ON cells.g = rra.g AND cells.a = rra.a
+         JOIN rrb ON cells.g = rrb.g AND cells.b = rrb.b
+         GROUP BY cells.g),
+        fin AS (SELECT pq.g, p, q, n_total,
+           s1, sa, sb, saa, sbb, sab,
+           CAST(n_total AS HUGEINT)
+             * (CAST(n_total AS HUGEINT) - 1) - ta AS da2,
+           CAST(n_total AS HUGEINT)
+             * (CAST(n_total AS HUGEINT) - 1) - tb AS db2
+         FROM pq JOIN ta ON pq.g = ta.g
+                 JOIN tb ON pq.g = tb.g
+                 JOIN sp ON pq.g = sp.g)
+        SELECT g AS "group",
+          CAST(n_total AS BIGINT) AS n,
+          ROUND(CASE WHEN da2 > 0 AND db2 > 0 THEN
+            2.0 * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+            / (SQRT(CAST(da2 AS DOUBLE)) * SQRT(CAST(db2 AS DOUBLE)))
+            END, 6) AS tau_b,
+          ROUND(CASE WHEN da2 > 0 AND db2 > 0 THEN
+            (CAST(s1 AS DOUBLE) * CAST(sab AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / (SQRT(CAST(s1 AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+               * SQRT(CAST(s1 AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+            END, 6) AS spearman_rho
+        FROM fin
     """
     # r14: Krippendorff's alpha (nominal/complete) — the fleiss
     # fixture + sums with the coincidence-form Do/De arithmetic

@@ -1783,3 +1783,240 @@ def calibration_drift(
         .when(delta < 0.05, F.lit("moderate"))
         .otherwise(F.lit("shifted")).alias("drift_level"),
     )
+
+
+def rank_correlation(
+    df: DataFrame, *, a_col: str, b_col: str,
+) -> DataFrame:
+    """Kendall tau-b and Spearman rho between two per-document
+    scores — "do two scorers RANK the corpus the same way", the
+    continuous-score sibling of the kappa trio (kappa compares
+    CATEGORICAL judges; a quality-gate pipeline's judges are usually
+    continuous scorers, and what selection cares about is rank
+    agreement, not value agreement: if a cheap proxy rank-agrees
+    with the expensive composite, the proxy can drive the 100 TB
+    pre-filter).
+
+    Both statistics reduce over the JOINT CONTINGENCY of the two
+    quantized scores — (a, b, n) cell counts (`rankcorr_counts`),
+    the SUM-mergeable state the streaming maintainer keeps — so the
+    whole computation is bounded by SCORE CARDINALITY (quantize
+    first: the auc/ks state-size rule), never corpus rows, and every
+    cross-row sum is an exact integer (the module rule).
+
+    Tie-exact algebra, all from cell/marginal counts:
+    - Concordant/discordant pair counts P, Q by 2D dominance sweep
+      on the DENSIFIED grid (distinct-a x distinct-b, absent cells
+      n=0): cb_lt(a,b) = sum_{b'<b} n(a,b') per a-row, then
+      p_lt(a,b) = sum_{a'<a} cb_lt(a',b) per b-column — two chained
+      windows, no self-join — and P = sum n*p_lt (each unordered
+      concordant pair counted once, at its larger-a member); Q the
+      same with cb_gt. Products ride DECIMAL(38,0) (the mcc rule).
+    - Doubled tie terms Da = n(n-1) - sum_a r_a(r_a-1) (and Db),
+      so tau_b = 2(P - Q) / (sqrt(Da) * sqrt(Db)) with NO /2
+      anywhere — every intermediate stays integer.
+    - Spearman via Pearson over DOUBLED average ranks (invariant
+      under the x2 affine scale): da = 2*below_a + r_a + 1 is an
+      exact integer, and the six weighted power sums
+      (S1, Sa, Sb, Saa, Sbb, Sab) are DECIMAL(38,0)-exact for
+      n <~ 2.9e12 rows (Saa <= 4n^3 < 10^38).
+    Floats appear only in the final row: each exact sum casts to
+    double once, then tau = 2(P-Q)/(sqrt(Da)sqrt(Db)) and
+    rho = (S1*Sab - Sa*Sb)/(sqrt(S1*Saa - Sa^2)*sqrt(S1*Sbb - Sb^2))
+    — the identical expression tree in the DuckDB twin, so the twin
+    replays bit-for-bit. Degeneracy is decided on EXACT integers,
+    not float variance: Da > 0 and Db > 0 (i.e. both scores take
+    >= 2 distinct values) or both statistics are NULL.
+
+    Returns ONE row (n, tau_b, spearman_rho), 6 dp; NULL a/b rows
+    are excluded. Scale shape: one map-side-combined
+    groupBy(a, b) over the corpus, then everything downstream runs
+    on the K_a x K_b dense grid (quantized: thousands of cells) —
+    two windows, two marginal aggregates, one constant-size final
+    row."""
+    return rankcorr_from_counts(
+        rankcorr_counts(df, a_col=a_col, b_col=b_col)
+    )
+
+
+def rank_correlation_grouped(
+    df: DataFrame, *, a_col: str, b_col: str, group_col: str,
+) -> DataFrame:
+    """`rank_correlation` stratified by `group_col` — one
+    (group, n, tau_b, spearman_rho) row per group: two scorers can
+    rank-agree overall yet disagree on ONE language (different
+    stopword lists, different length norms), which is exactly when
+    a proxy-driven pre-filter silently skews that source. Same
+    tie-exact cell algebra keyed by group — the dominance windows
+    partition by group, so no task ever holds more than one group's
+    grid; a single-group input replays `rank_correlation` exactly
+    (pinned in tests). Rows with NULL group are excluded."""
+    return rankcorr_from_counts(
+        rankcorr_counts(df, a_col=a_col, b_col=b_col,
+                        group_col=group_col)
+    )
+
+
+def rankcorr_counts(
+    df: DataFrame, *, a_col: str, b_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The (group?, a, b, n) joint-contingency stage of
+    `rank_correlation` — the mergeable state the streaming
+    maintainer SUM-merges per micro-batch (cell counts are exactly
+    associative). State bounded by K_a x K_b score cardinality
+    (x G when grouped) — quantize scores first."""
+    a = F.col(a_col)
+    b = F.col(b_col)
+    keep = a.isNotNull() & b.isNotNull()
+    cols = [a.cast("double").alias("a"), b.cast("double").alias("b")]
+    keys = ["a", "b"]
+    if group_col is not None:
+        keep = keep & F.col(group_col).isNotNull()
+        cols = [F.col(group_col).alias("group"), *cols]
+        keys = ["group", "a", "b"]
+    return (
+        df.where(keep)
+        .select(*cols)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rankcorr_from_counts(counts: DataFrame) -> DataFrame:
+    """`rank_correlation`'s final stage over a (group?, a, b, n)
+    cell table (see `rankcorr_counts`) — factored out so the
+    streaming state feeds the LITERAL batch code and the batch twin
+    gates the stream verbatim (the family contract). Defensive
+    re-merge first (the auc_from_counts rule): duplicate cell rows
+    would corrupt the dominance prefix sums. See
+    `rank_correlation` for the algebra and determinism contract."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    grouped = "group" in counts.columns
+    gkeys = ["group"] if grouped else []
+    merged = counts.groupBy(*gkeys, "a", "b").agg(
+        F.sum("n").alias("n")
+    )
+
+    # Densify: the dominance sweep needs every (a, b) grid point so
+    # the per-column prefix over a sees an aligned b value.
+    das = merged.select(*gkeys, "a").distinct()
+    dbs = merged.select(*gkeys, "b").distinct()
+    grid = das.join(dbs, on=gkeys) if grouped else das.crossJoin(dbs)
+    dense = grid.join(merged, on=[*gkeys, "a", "b"], how="left").select(
+        *gkeys, "a", "b",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+
+    zero = F.lit(0).cast("long")
+    wb = Window.partitionBy(*gkeys, "a").orderBy("b")
+    cb = dense.select(
+        *gkeys, "a", "b", "n",
+        F.coalesce(
+            F.sum("n").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)),
+            zero).alias("cb_lt"),
+        F.coalesce(
+            F.sum("n").over(
+                wb.rowsBetween(1, Window.unboundedFollowing)),
+            zero).alias("cb_gt"),
+    )
+    wa = Window.partitionBy(*gkeys, "b").orderBy("a").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dom = cb.select(
+        *gkeys, "n",
+        F.coalesce(F.sum("cb_lt").over(wa), zero).alias("p_lt"),
+        F.coalesce(F.sum("cb_gt").over(wa), zero).alias("q_lt"),
+    )
+    zdec = F.lit(0).cast(dec)
+    pq_aggs = [
+        F.coalesce(F.sum(F.col("n").cast(dec)
+                         * F.col("p_lt").cast(dec)), zdec).alias("p"),
+        F.coalesce(F.sum(F.col("n").cast(dec)
+                         * F.col("q_lt").cast(dec)), zdec).alias("q"),
+        F.coalesce(F.sum("n"), zero).alias("n_total"),
+    ]
+    pq = (dom.groupBy("group").agg(*pq_aggs) if grouped
+          else dom.agg(*pq_aggs))
+
+    def _marginal(key):
+        # (group?, key, r, dr): marginal count r and DOUBLED average
+        # rank dr = 2*below + r + 1 (exact integer), plus the doubled
+        # tie sum per group.
+        marg = merged.groupBy(*gkeys, key).agg(F.sum("n").alias("r"))
+        w = Window.partitionBy(*gkeys).orderBy(key).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ranked = marg.select(
+            *gkeys, key, "r",
+            (F.lit(2) * F.coalesce(F.sum("r").over(w), zero)
+             + F.col("r") + F.lit(1)).alias(f"d{key}"),
+        )
+        t_aggs = [
+            F.coalesce(
+                F.sum(F.col("r").cast(dec)
+                      * (F.col("r") - 1).cast(dec)), zdec
+            ).alias(f"t{key}")
+        ]
+        ties = (ranked.groupBy("group").agg(*t_aggs) if grouped
+                else ranked.agg(*t_aggs))
+        return ranked, ties
+
+    ra, ta = _marginal("a")
+    rb, tb = _marginal("b")
+
+    cells = (
+        merged
+        .join(ra.select(*gkeys, "a", "da"), on=[*gkeys, "a"])
+        .join(rb.select(*gkeys, "b", "db"), on=[*gkeys, "b"])
+    )
+    nd = F.col("n").cast(dec)
+    sp_aggs = [
+        F.coalesce(F.sum(nd), zdec).alias("s1"),
+        F.coalesce(F.sum(nd * F.col("da").cast(dec)), zdec).alias("sa"),
+        F.coalesce(F.sum(nd * F.col("db").cast(dec)), zdec).alias("sb"),
+        F.coalesce(F.sum(nd * F.col("da").cast(dec)
+                         * F.col("da").cast(dec)), zdec).alias("saa"),
+        F.coalesce(F.sum(nd * F.col("db").cast(dec)
+                         * F.col("db").cast(dec)), zdec).alias("sbb"),
+        F.coalesce(F.sum(nd * F.col("da").cast(dec)
+                         * F.col("db").cast(dec)), zdec).alias("sab"),
+    ]
+    sp = (cells.groupBy("group").agg(*sp_aggs) if grouped
+          else cells.agg(*sp_aggs))
+
+    if grouped:
+        # Every group with >= 1 cell appears in all three one-row-
+        # per-group tables — inner joins on the bounded G-row frames.
+        full = pq.join(ta, "group").join(tb, "group").join(sp, "group")
+    else:
+        full = pq.crossJoin(ta).crossJoin(tb).crossJoin(sp)
+
+    n_t = F.col("n_total")
+    da2 = (n_t.cast(dec) * (n_t - 1).cast(dec) - F.col("ta")).alias("da2")
+    db2 = (n_t.cast(dec) * (n_t - 1).cast(dec) - F.col("tb")).alias("db2")
+    full = full.select(*gkeys, "p", "q", "n_total",
+                       "s1", "sa", "sb", "saa", "sbb", "sab",
+                       da2, db2)
+    ok = (F.col("da2") > 0) & (F.col("db2") > 0)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tau = F.when(
+        ok,
+        F.lit(2.0) * (d("p") - d("q"))
+        / (F.sqrt(d("da2")) * F.sqrt(d("db2"))),
+    )
+    rho = F.when(
+        ok,
+        (d("s1") * d("sab") - d("sa") * d("sb"))
+        / (F.sqrt(d("s1") * d("saa") - d("sa") * d("sa"))
+           * F.sqrt(d("s1") * d("sbb") - d("sb") * d("sb"))),
+    )
+    return full.select(
+        *gkeys,
+        F.col("n_total").alias("n"),
+        F.round(tau, 6).alias("tau_b"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

@@ -2796,3 +2796,68 @@ def pr_auc_stream(
         out_path=out_path, checkpoint=checkpoint,
         trigger_available_now=trigger_available_now,
     )
+
+
+def _rankcorr_merge_fn(*, a_col, b_col, out_path):
+    """rankcorr_stream's foreachBatch body as a testable
+    module-level factory (the _cms_merge_fn pattern)."""
+    from pyspark.sql import functions as F
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rankcorr_counts,
+    )
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, out_path)
+        bid = _state_batch_id(prev)
+        _check_bid_lineage(batch_id, bid, where=out_path)
+        if bid == batch_id:
+            return
+        local = rankcorr_counts(batch_df, a_col=a_col, b_col=b_col)
+        both = (
+            local if prev is None
+            else local.unionByName(prev.select("a", "b", "n"))
+        )
+        _swap_state(
+            both.groupBy("a", "b").agg(
+                F.sum("n").alias("n"),
+            ).withColumn("_bid", F.lit(batch_id)),
+            out_path,
+        )
+
+    return _merge
+
+
+def rankcorr_stream(
+    rows,
+    *,
+    a_col: str,
+    b_col: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming rank-correlation maintenance: each micro-batch's
+    (a, b) joint-contingency cell counts
+    (`evaluation.rankcorr_counts`) SUM-merge into the persisted
+    state; `rankcorr_from_counts` over the final state equals batch
+    `rank_correlation` verbatim — the continuously maintained "does
+    the cheap proxy still rank like the expensive scorer" monitor
+    that tells you when the proxy-driven pre-filter needs
+    re-validation.
+
+    State bounded by K_a x K_b SCORE CARDINALITY (quantize scores —
+    the auc/ks state rule), corpus-size-independent; commits through
+    the swap-rename (or marker) protocol with the `_bid` replay
+    guard. Returns the started StreamingQuery.
+    """
+    writer = (
+        rows.writeStream.foreachBatch(_rankcorr_merge_fn(
+            a_col=a_col, b_col=b_col, out_path=out_path,
+        ))
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

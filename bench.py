@@ -307,6 +307,12 @@ HEADLINE = [
     "stream-eval-pr-auc",
     "ext-eval-pr-auc-grouped",
     "ext-eval-calibration-drift",
+    # r16: rank correlation (Kendall tau-b + Spearman rho) over the
+    # quality-vs-awl contingency — documents-scanning, with the
+    # densified-grid dominance sweep downstream.
+    "ext-eval-rankcorr",
+    "stream-eval-rankcorr",
+    "ext-eval-rankcorr-grouped",
 ]
 
 # Registered queries DELIBERATELY not timed (the no-silent-caps rule:

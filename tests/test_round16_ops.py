@@ -96,7 +96,7 @@ def test_marker_sentinel_to_unreadable_version_falls_back(
 # ---------------------------------------------------------------------------
 
 _FAMILIES = ["cms", "hist", "confusion", "psi", "ks", "chao1",
-             "bootstrap", "kappa", "ece", "brier", "auc"]
+             "bootstrap", "kappa", "ece", "brier", "auc", "rankcorr"]
 
 
 def _family_case(spark, family):
@@ -194,6 +194,13 @@ def _family_case(spark, family):
             1,
             [mk([(1, 0.9), (0, 0.7)], "y int, s double"),
              mk([(1, 0.7), (0, 0.3)], "y int, s double")],
+        ),
+        "rankcorr": (
+            lambda p: P._rankcorr_merge_fn(
+                a_col="x", b_col="y", out_path=p[0]),
+            1,
+            [mk([(1.0, 2.0), (1.0, 3.0)], "x double, y double"),
+             mk([(2.0, 3.0), (1.0, 2.0)], "x double, y double")],
         ),
     }
     return cases[family]
@@ -447,3 +454,181 @@ def test_calibration_drift_identical_snapshots_are_stable(spark):
         assert r["drift_level"] == "stable"
         assert r["ece_delta"] == 0.0
         assert r["n_ref"] == r["n_cur"]
+
+
+# ---------------------------------------------------------------------------
+# r16 third wave: rank correlation (Kendall tau-b + Spearman rho)
+# ---------------------------------------------------------------------------
+
+
+def _brute_rankcorr(rows):
+    """First-principles tau-b (O(n^2) pair loop) and Spearman rho
+    (average ranks + Pearson) — deliberately NOT the operator's
+    contingency algebra."""
+    import math
+    from collections import Counter
+
+    n = len(rows)
+    a = [x for x, _ in rows]
+    b = [y for _, y in rows]
+    p = q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (a[i] - a[j]) * (b[i] - b[j])
+            if s > 0:
+                p += 1
+            elif s < 0:
+                q += 1
+    da2 = n * (n - 1) - sum(r * (r - 1) for r in Counter(a).values())
+    db2 = n * (n - 1) - sum(r * (r - 1) for r in Counter(b).values())
+    if da2 <= 0 or db2 <= 0:
+        return n, None, None
+    tau = 2.0 * (p - q) / (math.sqrt(da2) * math.sqrt(db2))
+
+    def ranks(xs):
+        order = sorted(range(n), key=lambda i: xs[i])
+        out = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and xs[order[j]] == xs[order[i]]:
+                j += 1
+            for k in range(i, j):
+                out[order[k]] = (i + j - 1) / 2.0 + 1.0
+            i = j
+        return out
+
+    ra, rb = ranks(a), ranks(b)
+    ma = sum(ra) / n
+    mb = sum(rb) / n
+    cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    va = sum((x - ma) ** 2 for x in ra)
+    vb = sum((y - mb) ** 2 for y in rb)
+    rho = cov / math.sqrt(va * vb)
+    return n, tau, rho
+
+
+def _mk_pairs(seed, n, ka, kb, couple):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        x = rng.randrange(ka)
+        y = rng.randrange(kb) + (x if couple else 0)
+        rows.append((float(x) / 2.0, float(y) / 4.0))
+    return rows
+
+
+def test_rankcorr_matches_brute_force(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation,
+    )
+
+    for seed, n, ka, kb, couple in [
+        (1, 40, 3, 4, True), (2, 80, 6, 2, False),
+        (3, 55, 2, 7, True), (4, 33, 5, 5, False),
+    ]:
+        rows = _mk_pairs(seed, n, ka, kb, couple)
+        df = spark.createDataFrame(rows, "x double, y double")
+        got = rank_correlation(df, a_col="x", b_col="y").collect()[0]
+        en, et, er = _brute_rankcorr(rows)
+        assert got.n == en
+        assert got.tau_b == pytest.approx(et, abs=1.5e-6)
+        assert got.spearman_rho == pytest.approx(er, abs=1.5e-6)
+
+
+def test_rankcorr_grouped_equals_per_group_ungrouped(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation, rank_correlation_grouped,
+    )
+
+    rows = []
+    for gi, g in enumerate(["de", "en", "fr"]):
+        rows += [(g, x, y)
+                 for x, y in _mk_pairs(10 + gi, 35, 4, 5, gi % 2 == 0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    gr = {r.group: r for r in rank_correlation_grouped(
+        df, a_col="x", b_col="y", group_col="g").collect()}
+    assert set(gr) == {"de", "en", "fr"}
+    for g in gr:
+        one = rank_correlation(
+            df.where(F.col("g") == g), a_col="x", b_col="y"
+        ).collect()[0]
+        assert (gr[g].n, gr[g].tau_b, gr[g].spearman_rho) == (
+            one.n, one.tau_b, one.spearman_rho), g
+
+
+def test_rankcorr_from_counts_tolerates_unmerged_duplicates(spark):
+    # The defensive re-merge (the auc_from_counts rule): per-batch
+    # cell counts concatenated WITHOUT the SUM-merge must reduce to
+    # the same statistics as the merged state.
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation, rankcorr_counts, rankcorr_from_counts,
+    )
+
+    rows = _mk_pairs(7, 60, 4, 4, True)
+    df = spark.createDataFrame(rows, "x double, y double")
+    half1 = spark.createDataFrame(rows[:30], "x double, y double")
+    half2 = spark.createDataFrame(rows[30:], "x double, y double")
+    stacked = rankcorr_counts(half1, a_col="x", b_col="y").unionByName(
+        rankcorr_counts(half2, a_col="x", b_col="y")
+    )
+    got = rankcorr_from_counts(stacked).collect()[0]
+    want = rank_correlation(df, a_col="x", b_col="y").collect()[0]
+    assert (got.n, got.tau_b, got.spearman_rho) == (
+        want.n, want.tau_b, want.spearman_rho)
+
+
+def test_rankcorr_degenerate_and_perfect(spark):
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation,
+    )
+
+    # constant a: tau/rho undefined (exact-integer da2 == 0), n kept
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(6)], "x double, y double")
+    r = rank_correlation(df, a_col="x", b_col="y").collect()[0]
+    assert (r.n, r.tau_b, r.spearman_rho) == (6, None, None)
+    # empty input: one (0, NULL, NULL) row
+    r = rank_correlation(
+        df.where("x > 99"), a_col="x", b_col="y").collect()[0]
+    assert (r.n, r.tau_b, r.spearman_rho) == (0, None, None)
+    # strictly monotone: both exactly 1.0; reversed: exactly -1.0
+    up = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(8)],
+        "x double, y double")
+    r = up.transform(
+        lambda d: rank_correlation(d, a_col="x", b_col="y")
+    ).collect()[0]
+    assert (r.tau_b, r.spearman_rho) == (1.0, 1.0)
+    down = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(8)],
+        "x double, y double")
+    r = rank_correlation(down, a_col="x", b_col="y").collect()[0]
+    assert (r.tau_b, r.spearman_rho) == (-1.0, -1.0)
+
+
+def test_rankcorr_stream_state_equals_batch(spark, tmp_path):
+    # The family contract: two SUM-merged micro-batches + a replayed
+    # batch_id -> rankcorr_from_counts over the state equals the
+    # batch statistic over the union, and the replay is a no-op.
+    import awskinesisconsumer_spark.streaming.pipeline as P
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation, rankcorr_from_counts,
+    )
+
+    rows = _mk_pairs(21, 50, 5, 3, True)
+    b0 = spark.createDataFrame(rows[:20], "x double, y double")
+    b1 = spark.createDataFrame(rows[20:], "x double, y double")
+    out = str(tmp_path / "rc_state")
+    merge = P._rankcorr_merge_fn(a_col="x", b_col="y", out_path=out)
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # checkpoint replay must be a no-op
+    state = P._read_state(spark, out).select("a", "b", "n")
+    got = rankcorr_from_counts(state).collect()[0]
+    want = rank_correlation(
+        b0.unionByName(b1), a_col="x", b_col="y").collect()[0]
+    assert (got.n, got.tau_b, got.spearman_rho) == (
+        want.n, want.tau_b, want.spearman_rho)

@@ -174,3 +174,144 @@ def test_calibration_drift_delta_symmetry_and_identity(ref, cur):
     level = ("stable" if d_ab < 0.02 else
              "moderate" if d_ab < 0.05 else "shifted")
     assert level in ("stable", "moderate", "shifted")
+
+
+# ---------------------------------------------------------------------------
+# r16 third wave: rank-correlation contingency algebra
+# ---------------------------------------------------------------------------
+
+_ab_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 5)),
+    min_size=1, max_size=70,
+)
+
+
+def _rankcorr_cells_algebra(rows):
+    """Driver-side replica of rankcorr_from_counts: densified-grid
+    dominance sweep for P/Q, doubled tie terms, doubled average
+    ranks, and the exact final float expressions."""
+    from collections import Counter
+
+    cells = Counter(rows)
+    das = sorted({a for a, _ in cells})
+    dbs = sorted({b for _, b in cells})
+    n_by = {(a, b): cells.get((a, b), 0) for a in das for b in dbs}
+    # cb_lt/cb_gt per a-row, then prefix over a per b-column
+    p_sum = q_sum = 0
+    for bi, b in enumerate(dbs):
+        acc_lt = acc_gt = 0
+        for a in das:
+            row = [n_by[(a, bb)] for bb in dbs]
+            cb_lt = sum(row[:bi])
+            cb_gt = sum(row[bi + 1:])
+            p_sum += n_by[(a, b)] * acc_lt
+            q_sum += n_by[(a, b)] * acc_gt
+            acc_lt += cb_lt
+            acc_gt += cb_gt
+    n = sum(cells.values())
+    ra = Counter(a for a, _ in rows)
+    rb = Counter(b for _, b in rows)
+    da2 = n * (n - 1) - sum(r * (r - 1) for r in ra.values())
+    db2 = n * (n - 1) - sum(r * (r - 1) for r in rb.values())
+
+    def dranks(marg, keys):
+        out, below = {}, 0
+        for k in keys:
+            out[k] = 2 * below + marg[k] + 1
+            below += marg[k]
+        return out
+
+    dra = dranks(ra, das)
+    drb = dranks(rb, dbs)
+    s1 = sa = sb = saa = sbb = sab = 0
+    for (a, b), c in cells.items():
+        s1 += c
+        sa += c * dra[a]
+        sb += c * drb[b]
+        saa += c * dra[a] * dra[a]
+        sbb += c * drb[b] * drb[b]
+        sab += c * dra[a] * drb[b]
+    if da2 <= 0 or db2 <= 0:
+        return n, None, None
+    tau = (2.0 * (float(p_sum) - float(q_sum))
+           / (math.sqrt(float(da2)) * math.sqrt(float(db2))))
+    rho = ((float(s1) * float(sab) - float(sa) * float(sb))
+           / (math.sqrt(float(s1) * float(saa)
+                        - float(sa) * float(sa))
+              * math.sqrt(float(s1) * float(sbb)
+                          - float(sb) * float(sb))))
+    return n, tau, rho
+
+
+def _rankcorr_pair_brute(rows):
+    """tau-b by O(n^2) pair loop; Spearman by average ranks +
+    Pearson — first principles, no contingency table."""
+    n = len(rows)
+    a = [x for x, _ in rows]
+    b = [y for _, y in rows]
+    p = q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (a[i] - a[j]) * (b[i] - b[j])
+            if s > 0:
+                p += 1
+            elif s < 0:
+                q += 1
+    from collections import Counter
+
+    da2 = n * (n - 1) - sum(r * (r - 1) for r in Counter(a).values())
+    db2 = n * (n - 1) - sum(r * (r - 1) for r in Counter(b).values())
+    if da2 <= 0 or db2 <= 0:
+        return n, None, None
+    tau = 2.0 * (p - q) / math.sqrt(da2 * db2)
+
+    def ranks(xs):
+        order = sorted(range(n), key=lambda i: xs[i])
+        out = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and xs[order[j]] == xs[order[i]]:
+                j += 1
+            for k in range(i, j):
+                out[order[k]] = (i + j - 1) / 2.0 + 1.0
+            i = j
+        return out
+
+    ra, rb = ranks(a), ranks(b)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    va = sum((x - ma) ** 2 for x in ra)
+    vb = sum((y - mb) ** 2 for y in rb)
+    rho = cov / math.sqrt(va * vb)
+    return n, tau, rho
+
+
+@settings(max_examples=400, deadline=None)
+@given(_ab_rows)
+def test_rankcorr_algebra_matches_pair_brute_force(rows):
+    n1, t1, r1 = _rankcorr_cells_algebra(rows)
+    n2, t2, r2 = _rankcorr_pair_brute(rows)
+    assert n1 == n2
+    if t2 is None:
+        assert t1 is None and r1 is None
+    else:
+        assert math.isclose(t1, t2, rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(r1, r2, rel_tol=0, abs_tol=1e-9)
+        assert -1.0 - 1e-9 <= t1 <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r1 <= 1.0 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ab_rows, _ab_rows)
+def test_rankcorr_cell_state_is_merge_associative(rows_a, rows_b):
+    # The streaming contract driver-side: cells(batch0) + cells(
+    # batch1) summed per key == cells(union) — and therefore the
+    # final statistics agree however the stream was chunked.
+    from collections import Counter
+
+    merged = Counter(rows_a)
+    merged.update(rows_b)
+    assert merged == Counter(rows_a + rows_b)
+    assert (_rankcorr_cells_algebra(rows_a + rows_b)
+            == _rankcorr_cells_algebra(list(rows_a) + list(rows_b)))
