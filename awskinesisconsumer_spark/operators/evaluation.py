@@ -1833,7 +1833,15 @@ def rank_correlation(
     groupBy(a, b) over the corpus, then everything downstream runs
     on the K_a x K_b dense grid (quantized: thousands of cells) —
     two windows, two marginal aggregates, one constant-size final
-    row."""
+    row. Quantize-first is a HARD precondition here, not advice:
+    the densified grid is K_a * K_b cells — QUADRATIC in
+    unquantized per-axis cardinality (raw 5-dp scores over 200k
+    rows would densify to ~4e10 cells), where the AUC/KS state
+    rule is merely linear. FLOOR(score * scale) bucket indexes are
+    the right quantizer (monotone, engine-portable — see the gated
+    entries); up to ~1000 buckets per axis costs seconds, a
+    5000x1000 grid (5e6 dense cells) ~86 s — measured in
+    SCALING.md."""
     return rankcorr_from_counts(
         rankcorr_counts(df, a_col=a_col, b_col=b_col)
     )

@@ -974,6 +974,72 @@ def eval_stats_r16_study() -> None:
     spark.stop()
 
 
+def rankcorr_study() -> None:
+    """Scaling shape for the r16 rank-correlation operator over the
+    amplified corpora, splitting the two cost axes the docstring
+    claims: corpus rows n (the one map-side-combined groupBy(a, b)
+    scan — should grow ~linearly) vs quantization grid K_a x K_b
+    (everything downstream of the cell state — dominance windows,
+    marginal ranks, power sums — should be n-independent). Measured
+    as (a) fixed ~100x20 grid across n = 5k/50k/200k rows, and (b)
+    fixed n = 200k across ~100x20 / ~1000x200 / ~5000x1000 grids.
+    NO raw-score point: the densified grid is K_a x K_b cells —
+    QUADRATIC in unquantized per-axis cardinality (at 200k rows of
+    5-dp scores that is up to ~4e10 grid cells; a first measurement
+    attempt did not finish) — which is why quantize-first is a hard
+    precondition in the operator's contract, not advice.
+
+    Usage: SPARK_GRAFT_CPUS=16 python scripts/scaling_study.py --rankcorr
+    """
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation, rank_correlation_grouped,
+    )
+
+    spark = get_spark("rankcorr-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scored(d, ka_scale, kb_scale):
+        # two deterministic correlated pseudo-scores in [0, 1),
+        # floor-quantized to the requested per-axis bucket counts
+        sa = (F.xxhash64("text") % 1000000) / 1000000.0
+        sb = ((F.xxhash64("text", F.lit(1)) % 1000000) / 3000000.0
+              + sa * 2.0 / 3.0)
+        return d.select(
+            (F.col("doc_id") % 5).cast("string").alias("g"),
+            F.floor(sa * ka_scale).alias("qa"),
+            F.floor(sb * kb_scale).alias("qb"),
+        )
+
+    for r in (1, 10, 40):
+        p = f"{WORK}/docs_x{r}.parquet"
+        amplify_docs(spark, r, p)
+        src = scored(spark.read.parquet(p), 100, 20)
+        cold, warm = timed(
+            lambda d: rank_correlation(d, a_col="qa", b_col="qb"),
+            src, spark)
+        print(f"rankcorr-grid-100x20   n={5000 * r:7d} "
+              f"cold={cold:7.2f}s warm={warm:7.2f}s", flush=True)
+    base = spark.read.parquet(f"{WORK}/docs_x40.parquet")
+    for label, ka, kb in (
+        ("grid-1000x200", 1000, 200),
+        ("grid-5000x1000", 5000, 1000),
+    ):
+        src = scored(base, ka, kb)
+        cold, warm = timed(
+            lambda d: rank_correlation(d, a_col="qa", b_col="qb"),
+            src, spark)
+        print(f"rankcorr-{label:14s} n= 200000 "
+              f"cold={cold:7.2f}s warm={warm:7.2f}s", flush=True)
+    src = scored(base, 100, 20)
+    cold, warm = timed(
+        lambda d: rank_correlation_grouped(
+            d, a_col="qa", b_col="qb", group_col="g"),
+        src, spark)
+    print(f"rankcorr-grouped-5g    n= 200000 "
+          f"cold={cold:7.2f}s warm={warm:7.2f}s", flush=True)
+    spark.stop()
+
+
 def timed(make_df, src, spark) -> tuple[float, float]:
     times = []
     for _ in range(2):
@@ -1006,6 +1072,9 @@ def main() -> None:
         return
     if "--eval-stats-r16" in sys.argv:
         eval_stats_r16_study()
+        return
+    if "--rankcorr" in sys.argv:
+        rankcorr_study()
         return
     if "--eval-stats" in sys.argv:
         eval_stats_study()
