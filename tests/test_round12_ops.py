@@ -1035,18 +1035,19 @@ def test_rank_biased_overlap_hand_computed(spark):
 
 
 def test_audit_report_composition(spark):
-    # 64 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
+    # 69 rows: 2 counts + 5 per-lang KMV estimates + 10 overlap pairs
     # + 8 recall probes + 8 rbo probes + 6 SemDeDup-recall health rows
     # (r13: 2 n_assign values x 3 true-cosine buckets on this fixture)
     # + 15 per-lang token-mean CI rows (r14: estimate/lo/hi x 5
     # langs) + 10 per-lang calibration rows (r15: ece/brier x 5
-    # langs); every value non-null and the count rows are exact
-    # integers.
+    # langs) + 5 per-lang calibration-drift rows (r16: ece_drift x 5
+    # langs, even-vs-odd doc_id snapshots); every value non-null and
+    # the count rows are exact integers.
     import __spark_entry__ as entry
 
     rows = entry.queries()["ext-audit-report"](spark, SF_ORACLE).collect()
     metrics = {r["metric"]: r["value"] for r in rows}
-    assert len(rows) == 64 and len(metrics) == 64
+    assert len(rows) == 69 and len(metrics) == 69
     assert metrics["n_docs"] == 500.0
     assert metrics["n_exact_dup_docs"] >= 0.0
     fams = {
@@ -1060,6 +1061,7 @@ def test_audit_report_composition(spark):
         "token_mean_ci_hi:": 5,
         "ece:": 5,
         "brier:": 5,
+        "ece_drift:": 5,
     }
     for prefix, n in fams.items():
         got = [m for m in metrics if m.startswith(prefix)]
