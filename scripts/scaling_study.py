@@ -713,6 +713,17 @@ DRIFTERS = (
     "ext-audit-report", "ext-dataset-card",
 )
 
+# r16 round-close crossers vs the r15 driver map (0.37 -> 0.84 s and
+# 0.45 -> 0.94 s — both sub-second absolute, ambient suspects) plus
+# quiet baselines for the seven new r16 timed entries.
+DRIFTERS_R16 = (
+    "agg-moving-avg", "ext-corpus-drift",
+    "ext-eval-pr-auc", "stream-eval-pr-auc", "ext-eval-pr-auc-grouped",
+    "ext-eval-calibration-drift",
+    "ext-eval-rankcorr", "stream-eval-rankcorr",
+    "ext-eval-rankcorr-grouped",
+)
+
 
 def quiet_host_drifters() -> None:
     """Quiet-host median-of-5 re-measure of the DRIFTERS list (see
@@ -728,7 +739,8 @@ def quiet_host_drifters() -> None:
     spark = get_spark("quiet-drifters")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    for name in DRIFTERS:
+    names = (DRIFTERS_R16 if "--r16" in sys.argv else DRIFTERS)
+    for name in names:
         spark.sparkContext._jvm.System.gc()
         times = []
         for _ in range(5):
