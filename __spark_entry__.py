@@ -7281,7 +7281,7 @@ R15_ROTATION = (
 
 # The r16 plan of record (written at r15 close, EXECUTED whole in
 # r16): the 40-entry r10-cohort remainder. HARD deadline (freshness
-# period = ceil(271/50) = 6): r10 records stay legal through an r16
+# period = ceil(274/50) = 6): r10 records stay legal through an r16
 # snapshot (6 behind, exactly at the edge) and violate at r17 —
 # taking all 40 in r16 (GATE_NEW_r16 = 5 <= 8) keeps r17 fully free
 # for the r11 cohort.

@@ -632,3 +632,73 @@ def test_rankcorr_stream_state_equals_batch(spark, tmp_path):
         b0.unionByName(b1), a_col="x", b_col="y").collect()[0]
     assert (got.n, got.tau_b, got.spearman_rho) == (
         want.n, want.tau_b, want.spearman_rho)
+
+
+def test_rankcorr_corpus_scale_counts_no_overflow(spark):
+    # The docstring's DECIMAL(38,0) claim, pinned at corpus scale:
+    # cell counts ~1e11 (n_total 1.5e12 rows — the ~100 TB band,
+    # just under the documented ~2.9e12 exactness bound for the
+    # n*da^2 power sums) must produce non-NULL statistics that agree
+    # with exact Python integer arithmetic replaying the same
+    # formulas.
+    import math
+
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rankcorr_from_counts,
+    )
+
+    cells = [
+        (0.0, 0.0, 400_000_000_000),
+        (0.0, 1.0, 100_000_000_000),
+        (1.0, 0.0, 150_000_000_000),
+        (1.0, 1.0, 350_000_000_000),
+        (2.0, 1.0, 500_000_000_000),
+    ]
+    counts = spark.createDataFrame(cells, "a double, b double, n long")
+    got = rankcorr_from_counts(counts).collect()[0]
+
+    # exact replay in unbounded Python ints
+    n = sum(c for _, _, c in cells)
+    by = dict(((a, b), c) for a, b, c in cells)
+    das, dbs = [0.0, 1.0, 2.0], [0.0, 1.0]
+    p_sum = q_sum = 0
+    for bi, b in enumerate(dbs):
+        acc_lt = acc_gt = 0
+        for a in das:
+            row = [by.get((a, bb), 0) for bb in dbs]
+            p_sum += by.get((a, b), 0) * acc_lt
+            q_sum += by.get((a, b), 0) * acc_gt
+            acc_lt += sum(row[:bi])
+            acc_gt += sum(row[bi + 1:])
+    ra = {a: sum(c for (x, _), c in by.items() if x == a) for a in das}
+    rb = {b: sum(c for (_, y), c in by.items() if y == b) for b in dbs}
+    da2 = n * (n - 1) - sum(r * (r - 1) for r in ra.values())
+    db2 = n * (n - 1) - sum(r * (r - 1) for r in rb.values())
+    tau = (2.0 * (float(p_sum) - float(q_sum))
+           / (math.sqrt(float(da2)) * math.sqrt(float(db2))))
+
+    def dranks(marg, keys):
+        out, below = {}, 0
+        for k in keys:
+            out[k] = 2 * below + marg[k] + 1
+            below += marg[k]
+        return out
+
+    dra, drb = dranks(ra, das), dranks(rb, dbs)
+    s1 = sa = sb = saa = sbb = sab = 0
+    for (a, b), c in by.items():
+        s1 += c
+        sa += c * dra[a]
+        sb += c * drb[b]
+        saa += c * dra[a] ** 2
+        sbb += c * drb[b] ** 2
+        sab += c * dra[a] * drb[b]
+    assert saa < 10 ** 38 and sbb < 10 ** 38  # inside the DECIMAL band
+    rho = ((float(s1) * float(sab) - float(sa) * float(sb))
+           / (math.sqrt(float(s1) * float(saa) - float(sa) ** 2)
+              * math.sqrt(float(s1) * float(sbb) - float(sb) ** 2)))
+
+    assert got.n == n
+    assert got.tau_b is not None and got.spearman_rho is not None
+    assert got.tau_b == round(tau, 6)
+    assert got.spearman_rho == round(rho, 6)
