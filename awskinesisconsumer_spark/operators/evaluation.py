@@ -1907,6 +1907,17 @@ def rankcorr_from_counts(counts: DataFrame) -> DataFrame:
     merged = counts.groupBy(*gkeys, "a", "b").agg(
         F.sum("n").alias("n")
     )
+    # The cell table feeds EIGHT downstream subtrees (grid distincts,
+    # densify, both marginals, the power-sum join) — without a
+    # lineage cut Catalyst recomputes it per subtree, i.e. EIGHT
+    # corpus scans (measured; the scan-budget test pins the fix).
+    # A LAZY localCheckpoint materializes the bounded K_a x K_b
+    # table once at first action and keeps this function
+    # transformation-only; recompute-on-executor-loss is cheap at
+    # grid size (the dedup.py localCheckpoint rationale, inverted:
+    # there the intermediate was big and lineage the hazard, here
+    # the intermediate is tiny and the 8x scan is).
+    merged = merged.localCheckpoint(eager=False)
 
     # Densify: the dominance sweep needs every (a, b) grid point so
     # the per-column prefix over a sees an aligned b value.

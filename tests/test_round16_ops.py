@@ -702,3 +702,33 @@ def test_rankcorr_corpus_scale_counts_no_overflow(spark):
     assert got.tau_b is not None and got.spearman_rho is not None
     assert got.tau_b == round(tau, 6)
     assert got.spearman_rho == round(rho, 6)
+
+
+def test_rankcorr_scan_budget(spark):
+    # The cell table feeds eight downstream subtrees; without the
+    # lazy localCheckpoint lineage cut Catalyst recomputed the
+    # corpus scan PER SUBTREE (8 FileScans measured). Pin the fix:
+    # the composed physical plan carries ZERO direct corpus scans —
+    # the one real scan runs once, inside the checkpoint
+    # materialization (asserted on sparkPlan(), pre-AQE — the
+    # executedPlan duplicates subtrees under AQE).
+    from awskinesisconsumer_spark.operators.evaluation import (
+        rank_correlation, rank_correlation_grouped,
+    )
+
+    docs = _load(spark, SF_SMOKE, "documents")
+    src = docs.select(
+        "lang",
+        (F.xxhash64("text") % 100).alias("x"),
+        (F.xxhash64("text", F.lit(1)) % 20).alias("y"),
+    )
+    for df in (
+        rank_correlation(src, a_col="x", b_col="y"),
+        rank_correlation_grouped(
+            src.where(F.col("lang").isNotNull()),
+            a_col="x", b_col="y", group_col="lang"),
+    ):
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert plan.count("FileScan parquet") == 0, plan[:2000]
+        # and the checkpointed cell table is what feeds the plan
+        assert "ExistingRDD" in plan
