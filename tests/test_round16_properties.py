@@ -315,3 +315,24 @@ def test_rankcorr_cell_state_is_merge_associative(rows_a, rows_b):
     assert merged == Counter(rows_a + rows_b)
     assert (_rankcorr_cells_algebra(rows_a + rows_b)
             == _rankcorr_cells_algebra(list(rows_a) + list(rows_b)))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ab_rows)
+def test_rankcorr_invariant_under_monotone_transforms(rows):
+    # The defining property of RANK statistics: strictly monotone
+    # re-scaling of either axis (here x -> 3x + 1 and y -> y^3 on
+    # non-negative ints, both strictly increasing) changes neither
+    # tau-b nor Spearman rho — value-sensitive Pearson would move.
+    base = _rankcorr_cells_algebra(rows)
+    warped = _rankcorr_cells_algebra(
+        [(3 * a + 1, b ** 3) for a, b in rows]
+    )
+    n1, t1, r1 = base
+    n2, t2, r2 = warped
+    assert n1 == n2
+    if t1 is None:
+        assert t2 is None and r2 is None
+    else:
+        assert math.isclose(t1, t2, rel_tol=0, abs_tol=1e-12)
+        assert math.isclose(r1, r2, rel_tol=0, abs_tol=1e-12)
