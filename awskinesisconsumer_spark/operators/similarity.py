@@ -49,6 +49,26 @@ def _safe_div(num, denom):
     return F.when(denom > 0, num / denom)
 
 
+def _resolve_vectorized(df: DataFrame, id_col: str,
+                        vectorized: bool | None) -> bool:
+    """Resolve a `vectorized=None` (auto) kernel choice for the
+    cell-pair mine: the Arrow-batched numpy kernel
+    (`_np_fold_cosines`) is BIT-IDENTICAL to the HOF expressions
+    (dim-sequential fold, HALF_UP 6-dp rounding, NaN/zero-norm
+    exclusion — pinned in tests/test_round11_ops.py and gated by the
+    same oracles) and measured ~2x faster at sf0.1, so it is the
+    default wherever its one schema requirement holds: the kernel
+    emits BIGINT ids, so auto picks it only when the id column is
+    already LongType (any other id type keeps the HOF form, whose
+    output preserves the input id type exactly). Pass True/False to
+    force a path (tests pin both)."""
+    if vectorized is not None:
+        return vectorized
+    from pyspark.sql.types import LongType
+
+    return isinstance(df.schema[id_col].dataType, LongType)
+
+
 def cosine_scores(
     df: DataFrame, *, vec_col: str, query: list[float], out_col: str = "cosine_sim",
 ) -> DataFrame:
@@ -377,7 +397,7 @@ def semantic_dedup(
     centroids,
     threshold: float = 0.95,
     cell_cap: int | None = None,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
     assign: str = "literal",
     n_assign: int = 1,
 ) -> DataFrame:
@@ -413,16 +433,19 @@ def semantic_dedup(
     tiny; only the membership check catches it, and it wins over the
     superset property exactly there). See `_cell_pairs`.
 
-    `vectorized=True` scores each cell's pairwise cosines with the
-    Arrow-batched dim-sequential numpy kernel (`_np_fold_cosines` —
-    same float fold order and HALF_UP 6-dp rounding as the HOF
-    expressions, so the pair set and every downstream cluster are
-    BIT-IDENTICAL; NaN/zero-norm candidates are excluded on both
-    paths by the threshold filter). One applyInPandas group per
-    cell, so the whole cell must fit a task (an n_cell^2 double
-    matrix) — exactly the SemDeDup regime, with `cell_cap` as the
-    enforcement; integer ids required (the knn kernel's contract).
-    The HOF form stays the gate default.
+    `vectorized` selects the pair-scoring kernel: the Arrow-batched
+    dim-sequential numpy kernel (`_np_fold_cosines` — same float fold
+    order and HALF_UP 6-dp rounding as the HOF expressions, so the
+    pair set and every downstream cluster are BIT-IDENTICAL;
+    NaN/zero-norm candidates are excluded on both paths by the
+    threshold filter) vs the interpreted HOF expressions. One
+    applyInPandas group per cell, so the whole cell must fit a task
+    (an n_cell^2 double matrix) — exactly the SemDeDup regime, with
+    `cell_cap` as the enforcement; the kernel emits BIGINT ids.
+    Default None = AUTO (r16 optimization round): LongType ids take
+    the kernel (~2x faster, measured), any other id type keeps the
+    HOF form — see `_resolve_vectorized`. The two paths share every
+    oracle (the driver gates both hash-green).
 
     Scale shape: assignment is the `ivf_assign` argmin (narrow,
     map-only; at 100 TB the corpus is written partitionBy(cell)
@@ -485,7 +508,7 @@ def semantic_near_dup_pairs(
     centroids,
     threshold: float = 0.95,
     cell_cap: int | None = None,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
     assign: str = "literal",
     n_assign: int = 1,
 ) -> DataFrame:
@@ -555,7 +578,7 @@ def semantic_dedup_recall_audit(
     threshold: float = 0.95,
     n_assign_values: tuple[int, ...] = (1, 2),
     cell_cap: int | None = None,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
     assign: str = "literal",
     truth_max_rows: int | None = 20_000,
 ) -> DataFrame:
@@ -915,6 +938,7 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
       repo rule), which is the one regime where n_assign=2 may mine
       fewer pairs than n_assign=1; it is the regime where
       n_assign=1's own cap already gave up the cell's recall."""
+    vectorized = _resolve_vectorized(base, id_col, vectorized)
     eligible = base
     if cell_cap is not None:
         if cell_cap < 1:
@@ -1417,14 +1441,24 @@ def semantic_dedup_apply(
             f"semantic_dedup_apply: assign must be 'literal' or "
             f"'table', got {assign!r}"
         )
-    base = cells.select(F.col(id_col), F.col("cell"), F.col(vec_col))
+    # norms are precomputed ONCE per row on each side of the cell
+    # join (r16 optimization round): the per-candidate expression
+    # then folds only the dot product — float-identical to inline
+    # norms (same fold, same product), the _cell_pairs /
+    # embedding_near_dup_pairs precompute applied to the apply path,
+    # where it previously ran PER (doc x cell-rep) candidate.
+    base = cells.select(
+        F.col(id_col), F.col("cell"), F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_dn"),
+    )
     r = reps.select(
         F.col("cell"), F.col("rep_id").alias("_rid"),
         F.col("rep_vec").alias("_rv"),
+        _norm(F.col("rep_vec")).alias("_rn"),
     )
     sim = F.round(
         _safe_div(_dot(F.col(vec_col), F.col("_rv")),
-                  _norm(F.col(vec_col)) * _norm(F.col("_rv"))),
+                  F.col("_dn") * F.col("_rn")),
         6,
     )
     if broadcast_reps == "auto":

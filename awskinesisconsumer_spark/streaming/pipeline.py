@@ -1153,7 +1153,7 @@ def semantic_dedup_stream(
     out_path: str,
     checkpoint: str,
     assign: str = "literal",
-    vectorized: bool = False,
+    vectorized: bool | None = None,
     broadcast_reps: bool | str = "auto",
     broadcast_reps_cap: int = 100_000,
     trigger_available_now: bool = True,
