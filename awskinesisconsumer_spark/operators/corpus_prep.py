@@ -1130,7 +1130,21 @@ def _cdc_spans_to_chunks(df: DataFrame, *, id_col: str, t: Column,
                          hash_fn) -> DataFrame:
     """Shared CDC tail: (starts, ends) arrays -> one row per chunk
     with offsets, lengths, and the chunk-text hash (posexplode +
-    substr, all codegen)."""
+    substr, all codegen).
+
+    posexplode_OUTER, deliberately (r16 optimization round): a
+    non-outer Generate makes the optimizer infer a
+    `size(input) > 0 AND isnotnull(input)` Filter BELOW it
+    (InferFiltersFromGenerate), restating the WHOLE boundary-election
+    expression — per-character rolling hash and clamp fold included —
+    a second/third time in an operator where interpreted evaluation
+    cannot share it with the projection (measured 43 -> 15 md5
+    subtrees in the optimized plan and ~5x the wall of the staged
+    parts at sf0.1). `_se` is never empty (starts always leads with
+    0, ends always closes with L), so outer adds no rows on real
+    input; a NULL row from a hypothetical empty array would die at
+    the existing `clen > 0` filter. Output is bit-identical —
+    equality over the gate corpus pinned in tests."""
     base = df.select(
         F.col(id_col),
         t.alias("_t"),
@@ -1138,7 +1152,7 @@ def _cdc_spans_to_chunks(df: DataFrame, *, id_col: str, t: Column,
     ).select(
         id_col,
         "_t",
-        F.posexplode("_se").alias("chunk_idx", "_p"),
+        F.posexplode_outer("_se").alias("chunk_idx", "_p"),
     )
     clen = (F.col("_p.e") - F.col("_p.s")).cast("int")
     chunk = F.col("_t").substr(F.col("_p.s") + 1, clen)
@@ -1209,6 +1223,12 @@ def content_defined_chunks(
             f"content_defined_chunks: divisor >= 1, got {divisor}"
         )
     hash_fn = _cdc_default_hash(hash_fn, "content_defined_chunks")
+    # Parallelism floor for the per-character election (see
+    # skew.fan_out_small): tiny single-row-group inputs otherwise run
+    # the whole rolling-hash scan on one core. No-op at scale.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    df = fan_out_small(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
     bnd = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)
@@ -1273,6 +1293,10 @@ def content_defined_chunks_clamped(
             f"max_len, got min_len={min_len} max_len={max_len}"
         )
     hash_fn = _cdc_default_hash(hash_fn, "content_defined_chunks_clamped")
+    # Parallelism floor, as in content_defined_chunks. No-op at scale.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    df = fan_out_small(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     L = F.length(t)
     cand = _cdc_boundary_candidates(t, L, window, divisor, hash_fn)

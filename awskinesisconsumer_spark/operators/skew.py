@@ -105,3 +105,52 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return salted_facts.join(rep, [key, "_salt"], how).drop("_salt")
+
+
+def fan_out_small(
+    df: DataFrame, *, bytes_per_task: int | None = None
+) -> DataFrame:
+    """Scale-adaptive parallelism FLOOR for CPU-heavy map-only
+    operators (the inverse of AQE coalescing, optimization-guide §2):
+    a tiny input — one parquet row group, one replayed micro-batch —
+    plans as ONE scan split no matter how many cores the host has
+    (FileSourceScan cannot split below row-group granularity), so an
+    operator that burns CPU per row (per-character rolling-hash
+    election, per-span sentinel rendering) serializes on a single
+    core. When the plan-estimated input size is under
+    defaultParallelism * bytes_per_task, repartition to
+    defaultParallelism: a round-robin exchange whose total volume is,
+    by the very gate that fired it, at most cores * bytes_per_task —
+    trivially cheap exactly when it triggers. At scale the gate never
+    fires (100 TB >> cores * 4 MiB) and the caller keeps its map-only
+    zero-shuffle plan, so this is NOT a local[32] constant: the
+    threshold derives from the actual core count and actual input
+    size wherever it runs.
+
+    `bytes_per_task` defaults to $SPARK_GRAFT_FANOUT_TASK_BYTES or
+    4 MiB; pass 0 to disable. Streaming DataFrames and plans without
+    a size estimate are returned unchanged. Callers must be
+    partition-layout-independent (per-row outputs, integer/keyed
+    aggregation) — every in-repo caller is; do NOT use upstream of
+    monotonically_increasing_id or float cross-row folds."""
+    import os
+
+    if bytes_per_task is None:
+        bytes_per_task = int(
+            os.environ.get("SPARK_GRAFT_FANOUT_TASK_BYTES", 4 * 1024 * 1024)
+        )
+    if bytes_per_task <= 0 or df.isStreaming:
+        return df
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if par <= 1:
+            return df
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+    except Exception:  # unsized/foreign plan: leave it alone
+        return df
+    if size >= par * bytes_per_task:
+        return df
+    return df.repartition(par)
