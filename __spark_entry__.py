@@ -5349,10 +5349,23 @@ def _char8_shingles(docs: DataFrame) -> DataFrame:
     # length(text) >= 8 — shorter rows would yield an empty sequence
     # either way, but the filter keeps the twin's WHERE clause
     # load-bearing.
-    pos = docs.select(
+    #
+    # r16 optimization round: fan_out_small parallelizes the
+    # downstream per-shingle hashing for tiny single-row-group
+    # inputs (no-op on streams and at scale), and explode_OUTER
+    # stops InferFiltersFromGenerate restating the per-row
+    # `sequence(1, L-7)` allocation in a Filter below the Generate;
+    # the isNotNull guard reproduces non-outer row semantics exactly
+    # for any caller that skipped the length pre-filter. Downstream
+    # consumers are min/bottom-k sketches — partition-layout
+    # independent by construction.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    pos = fan_out_small(docs).select(
         "lang", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
-    )
+        F.explode_outer(
+            F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    ).where(F.col("i").isNotNull())
     return pos.select("lang", F.expr("substring(text, i, 8)").alias("sh"))
 
 

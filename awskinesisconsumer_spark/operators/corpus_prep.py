@@ -166,9 +166,15 @@ def corruption_spans(
         corruption_rate=corruption_rate, mean_span_len=mean_span_len,
         salt=salt, hash_fn=hash_fn, op="corruption_spans",
     )
+    # posexplode_OUTER + isNotNull (r16 optimization round): non-outer
+    # Generate restates the whole span-plan election in an inferred
+    # Filter below it (the _cdc_spans_to_chunks fix); the NULL row an
+    # empty plan emits under outer is dropped by the guard, so the
+    # row set is identical.
     return (
         df.select(F.col(id_col), spans.alias("_sp"))
-        .select(id_col, F.posexplode("_sp").alias("span_idx", "_s"))
+        .select(id_col, F.posexplode_outer("_sp").alias("span_idx", "_s"))
+        .where(F.col("_s").isNotNull())
         .select(
             id_col,
             F.col("span_idx").cast("int").alias("span_idx"),

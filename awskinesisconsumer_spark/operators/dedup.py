@@ -83,14 +83,26 @@ def shingle_rows(df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
     window+lead formulation which shuffled and sorted per doc. The
     consumer's groupBy provides the single shuffle of the pipeline."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col), words.alias("_ws"))
+    # fan_out_small (r16 optimization round): the zip/slice/concat
+    # gram build below is the CPU of every minhash/ngram pipeline and
+    # runs BEFORE the consumer's first shuffle — a tiny
+    # single-row-group input would build every gram on one core.
+    # No-op on streams and at scale; gram rows are per-doc outputs,
+    # partition-layout independent.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    base = fan_out_small(df.select(F.col(id_col), words.alias("_ws")))
     nw = F.size(F.col("_ws"))
     shifted = [F.col("_ws")] + [
         F.slice(F.col("_ws"), i + 1, F.greatest(nw - i, F.lit(0)))
         for i in range(1, n)
     ]
     z = F.arrays_zip(*[s.alias(f"w{i}") for i, s in enumerate(shifted)])
-    ex = base.select(id_col, F.explode(z).alias("_g"))
+    # explode_OUTER (r16): stops InferFiltersFromGenerate restating
+    # the zip+slices allocation in a Filter below the Generate; a
+    # NULL _g from an empty zip fails the existing w{n-1}/w0 filter,
+    # so the gram row set is identical.
+    ex = base.select(id_col, F.explode_outer(z).alias("_g"))
     gram = F.concat_ws(" ", *[F.col("_g")[f"w{i}"] for i in range(n)])
     grams = (
         ex.where(F.col(f"_g.w{n - 1}").isNotNull() & (F.col("_g.w0") != ""))
@@ -904,11 +916,18 @@ def _span_occurrences(
             ),
             lambda i: i * stride,
         )
+    # explode_OUTER + isNotNull (r16 optimization round): the
+    # non-outer Generate made InferFiltersFromGenerate restate the
+    # whole `starts` election — per-word hash filter included — in a
+    # Filter below it (the CDC-family fix, corpus_prep
+    # _cdc_spans_to_chunks); outer emits one NULL _start for an
+    # empty election, dropped by the guard, so the row set is
+    # identical for every input.
     return base.select(
         id_col,
-        F.explode(starts).alias("_start"),
+        F.explode_outer(starts).alias("_start"),
         "_ws",
-    ).select(
+    ).where(F.col("_start").isNotNull()).select(
         id_col,
         "_start",
         hash_fn(

@@ -230,9 +230,19 @@ def bootstrap_ci(
     if n_boot < 2:
         raise ValueError(f"bootstrap_ci: n_boot must be >= 2, got {n_boot}")
     v = F.col(value_col)
-    base = df.where(v.isNotNull() & F.col(id_col).isNotNull()).select(
-        F.col(id_col).cast("string").alias("_id"),
-        v.cast("long").alias("_v"),
+    # fan_out_small (r16 optimization round): the n_boot-way explode
+    # + per-replicate hash ladder below is n_boot md5s PER INPUT ROW
+    # before the first shuffle — a tiny single-row-group input would
+    # run all of it on one core. No-op on streams and at scale; the
+    # downstream sums are integer and group-keyed, so partition
+    # layout cannot change any value.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    base = fan_out_small(
+        df.where(v.isNotNull() & F.col(id_col).isNotNull()).select(
+            F.col(id_col).cast("string").alias("_id"),
+            v.cast("long").alias("_v"),
+        )
     )
     totals = base.agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -363,13 +373,19 @@ def bootstrap_replicate_sums(
             f"got {n_boot}"
         )
     v = F.col(value_col)
-    base = df.where(
-        v.isNotNull() & F.col(id_col).isNotNull()
-        & F.col(group_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("_g"),
-        F.col(id_col).cast("string").alias("_id"),
-        v.cast("long").alias("_v"),
+    # fan_out_small: see bootstrap_ci — the n_boot explode + hash
+    # ladder is the cost; integer group-keyed sums downstream.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    base = fan_out_small(
+        df.where(
+            v.isNotNull() & F.col(id_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        ).select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).cast("string").alias("_id"),
+            v.cast("long").alias("_v"),
+        )
     )
     totals = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("wn"),

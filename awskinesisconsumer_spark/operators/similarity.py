@@ -1512,17 +1512,20 @@ def pairwise_topk_cosine(
     the (tiny) probe set against the corpus — the corpus side never
     shuffles; ranking is a per-probe window over the scored candidates."""
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"),
+        # norm precomputed per side (r16; see knn_join_topk) — same
+        # doubles, float-identical cosines
+        _norm(F.col(vec_col)).alias("_pn"),
     )
     scored = (
-        df.alias("c")
+        df.withColumn("_cn", _norm(F.col(vec_col))).alias("c")
         .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
         .withColumn(
             "cosine_sim",
             F.round(
                 _safe_div(
                     _dot(F.col(vec_col), F.col("probe_vec")),
-                    _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                    F.col("_cn") * F.col("_pn"),
                 ),
                 6,
             ),
@@ -2182,16 +2185,29 @@ def knn_join_topk(
             "probe_id long, neighbor_id long, cosine_sim double",
         )
     else:
+        # norms precomputed ONCE per row on each side of the join
+        # (r16 optimization round): inline, the HOF norm fold re-ran
+        # per (corpus row x probe) pair — with P probes that is P
+        # corpus-norm folds per row. _cn * _pn multiplies the same
+        # doubles the inline form produced, so every cosine is
+        # float-identical (the semantic_dedup_apply precompute).
+        # The projections survive because CollapseProject cannot
+        # merge across the join.
+        probes_n = probes.withColumn("_pn", _norm(F.col("probe_vec")))
+        corpus_n = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "_cn", _norm(F.col(vec_col))
+        )
         scored = (
-            df.alias("c")
-            .join(F.broadcast(probes), on=F.col(id_col) != F.col("probe_id"))
+            corpus_n.alias("c")
+            .join(F.broadcast(probes_n),
+                  on=F.col(id_col) != F.col("probe_id"))
             .select(
                 "probe_id",
                 F.col(id_col).alias("neighbor_id"),
                 F.round(
                     _safe_div(
                         _dot(F.col(vec_col), F.col("probe_vec")),
-                        _norm(F.col(vec_col)) * _norm(F.col("probe_vec")),
+                        F.col("_cn") * F.col("_pn"),
                     ),
                     6,
                 ).alias("cosine_sim"),
@@ -2343,13 +2359,22 @@ def semantic_decontaminate(
             bench_id_col=bench_id_col, bench_vec_col=bench_vec_col,
             threshold=threshold,
         )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    # norms precomputed ONCE per row per side (r16 optimization
+    # round): inline, the corpus-norm fold re-ran per (corpus row x
+    # bench row). Same doubles, float-identical cosines (the
+    # semantic_dedup_apply precompute).
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     b = benchmark.select(
-        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bv")
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).alias("_bv"),
+        _norm(F.col(bench_vec_col)).alias("_bn"),
     )
     sim = F.round(
         _safe_div(_dot(F.col("_cv"), F.col("_bv")),
-                  _norm(F.col("_cv")) * _norm(F.col("_bv"))),
+                  F.col("_cn") * F.col("_bn")),
         6,
     )
     scored = (

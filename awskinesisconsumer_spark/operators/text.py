@@ -169,7 +169,20 @@ def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred",
     exactly what makes it the worked input for
     `evaluation.expected_calibration_error`: a calibration harness
     exists to measure how mis-calibrated such scores are."""
-    words = _words(F.lower(F.col(text_col)))
+    # The word array is STAGED into its own column (r16 optimization
+    # round): every language's marker filter re-derives `words`, and
+    # the per-lang scores are each referenced again by the argmax
+    # when-chain, the greatest(), and the confidence total — inline,
+    # the trim/lower/split re-ran per reference inside the
+    # interpreted HOF filters (measured 0.49s -> 0.30s per 5k docs
+    # per core at sf0.1, identical output; the denoising_pairs
+    # staging rule). CollapseProject keeps the stage because the
+    # alias is non-cheap and multiply referenced. An array_remove
+    # codegen rewrite was measured SLOWER (20 array allocations per
+    # row) and rejected.
+    tmp = "__langid_words"
+    staged = df.withColumn(tmp, _words(F.lower(F.col(text_col))))
+    words = F.col(tmp)
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         marr = F.array(*[F.lit(m) for m in markers])
@@ -183,7 +196,7 @@ def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred",
     pred = F.lit("und")
     for s in reversed(scores):
         pred = F.when((best > 0) & (s["score"] == best), s["lang"]).otherwise(pred)
-    out = df.withColumn(out_col, pred)
+    out = staged.withColumn(out_col, pred)
     if with_confidence:
         total = scores[0]["score"]
         for s in scores[1:]:
@@ -194,7 +207,7 @@ def language_id(df: DataFrame, *, text_col: str, out_col: str = "lang_pred",
                 F.lit(0.0)
             ),
         )
-    return out
+    return out.drop(tmp)
 
 
 def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -> DataFrame:
@@ -227,7 +240,13 @@ def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -
 
         return texts.map(one)
 
-    return df.withColumn(out_col, fp_udf(F.col(text_col)))
+    # fan_out_small (r16 optimization round): the kernel's
+    # parallelism axis IS the partition count (docstring above) — a
+    # tiny single-row-group input would fold every document in one
+    # Python worker. No-op on streams and at scale; per-row output.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    return fan_out_small(df).withColumn(out_col, fp_udf(F.col(text_col)))
 
 
 def repetition_stats(df: DataFrame, *, id_col: str,
@@ -1843,8 +1862,13 @@ def split_sentences(
         _SENT_BOUNDARY_RE, "$1" + _SENT_MARKER,
     )
     parts = F.split(marked, _SENT_MARKER)
+    # posexplode_OUTER (r16): stops InferFiltersFromGenerate from
+    # restating the regexp_replace+split chain in a Filter below the
+    # Generate; a NULL sentence row (empty/NULL parts) fails the
+    # existing length(trim(sentence)) > 0 filter, so the row set is
+    # identical.
     out = df.select(
-        id_col, F.posexplode(parts).alias("sent_idx", "sentence")
+        id_col, F.posexplode_outer(parts).alias("sent_idx", "sentence")
     )
     return (
         out.withColumn("sentence", F.trim("sentence"))
