@@ -1387,7 +1387,13 @@ def normalize_text(
     def _norm(col: pd.Series) -> pd.Series:
         return col.map(_normalize_string, na_action="ignore")
 
-    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    # fan_out_small (r16 optimization round): the Arrow kernel's
+    # parallelism axis is the partition count (the fingerprint rule)
+    # — a single-row-group input normalizes every doc in one Python
+    # worker. No-op on streams and at scale; per-row output.
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    out = fan_out_small(df).withColumn(out_col, _norm(F.col(text_col)))
     return out.withColumn(
         changed_col,
         F.when(
