@@ -1776,15 +1776,11 @@ def _kvs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(p)
             yield pd.DataFrame({"chunk_id": pdf["doc_id"], "payload": payloads})
 
-    # fan_out_small (r16 optimization round): the Python encode and
-    # the downstream EBML tokenize kernel parallelize by partition
-    # count — a single-row-group docs scan would run both on one
-    # worker. No-op at scale; per-chunk outputs are layout-independent.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    chunks = fan_out_small(docs).mapInPandas(
-        encode, "chunk_id bigint, payload binary"
-    )
+    # NOT fanned out (r16 optimization round): the interleaved on/off
+    # A/B on the frame-sample/png entries measured the size-gated
+    # fan-out a wash-to-loss — the encode is cheap and the pivot's
+    # own groupBy shuffles right after it.
+    chunks = docs.mapInPandas(encode, "chunk_id bigint, payload binary")
     out = kvs_frames_with_tags(chunks)
     return out.select(
         "chunk_id", "frame_position", "track", "timecode", "n_frames",

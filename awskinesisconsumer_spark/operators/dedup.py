@@ -83,20 +83,15 @@ def shingle_rows(df: DataFrame, *, id_col: str, text_col: str, n: int = 3,
     window+lead formulation which shuffled and sorted per doc. The
     consumer's groupBy provides the single shuffle of the pipeline."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # fan_out_small (r16 optimization round): the split + zip/slice/
-    # concat gram build is the CPU of every minhash/ngram pipeline
-    # and runs BEFORE the consumer's first shuffle — a tiny
-    # single-row-group input would build every gram on one core.
-    # Fan out the RAW text columns BEFORE the split projection
-    # (fanning the projection instead shuffles the materialized word
-    # ARRAYS and still splits single-core — measured a 2x regression
-    # on ext-dedup-minhash in the first attempt). No-op on streams
-    # and at scale; gram rows are per-doc outputs, layout-independent.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    base = fan_out_small(
-        df.select(F.col(id_col), F.col(text_col))
-    ).select(F.col(id_col), words.alias("_ws"))
+    # NOT fanned out (r16 optimization round): an interleaved on/off
+    # A/B on ext-dedup-minhash (the heaviest shingle consumer)
+    # measured the size-gated fan-out a WASH here — the gram build is
+    # cheap enough per row that the round-robin exchange cancels the
+    # parallelism win; the consumer's own groupBy provides the
+    # pipeline's shuffle. (A first attempt that fanned the projection
+    # output instead of the raw text measured a 2x regression —
+    # recorded so it is not retried.)
+    base = df.select(F.col(id_col), words.alias("_ws"))
     nw = F.size(F.col("_ws"))
     shifted = [F.col("_ws")] + [
         F.slice(F.col("_ws"), i + 1, F.greatest(nw - i, F.lit(0)))

@@ -196,14 +196,11 @@ def synth_wav_pcm16(df: DataFrame, *, id_col: str, n_frames: int = 441,
                 rows.append((did, buf.getvalue()))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    # fan_out_small (r16 optimization round): generator kernels
-    # parallelize by partition count; a single-row-group id source
-    # would synthesize every payload in one Python worker. No-op on
-    # streams and at scale.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    return fan_out_small(df.select(F.col(id_col))).mapInPandas(
-        synth, out_schema)
+    # NOT fanned out (r16 optimization round): the interleaved on/off
+    # A/B measured the size-gated fan-out a wash/loss on these
+    # generator kernels at gate SF — payload synthesis is too cheap
+    # to pay the exchange.
+    return df.select(F.col(id_col)).mapInPandas(synth, out_schema)
 
 
 def decode_wav(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
@@ -416,11 +413,8 @@ def encode_png_rgb(df: DataFrame, *, id_col: str, height: int = 8,
                 rows.append((did, png))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    # fan_out_small: see synthesize_audio — same generator shape.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    return fan_out_small(df.select(F.col(id_col))).mapInPandas(
-        encode, out_schema)
+    # NOT fanned out: see synthesize_audio — same measured wash.
+    return df.select(F.col(id_col)).mapInPandas(encode, out_schema)
 
 
 def decode_png(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:

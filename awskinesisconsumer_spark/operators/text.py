@@ -240,13 +240,10 @@ def fingerprint(df: DataFrame, *, text_col: str, out_col: str = "fingerprint") -
 
         return texts.map(one)
 
-    # fan_out_small (r16 optimization round): the kernel's
-    # parallelism axis IS the partition count (docstring above) — a
-    # tiny single-row-group input would fold every document in one
-    # Python worker. No-op on streams and at scale; per-row output.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    return fan_out_small(df).withColumn(out_col, fp_udf(F.col(text_col)))
+    # NOT fanned out (r16 optimization round): the interleaved on/off
+    # A/B measured the size-gated fan-out a wash on this kernel at
+    # gate SF — the per-doc fold is too cheap to pay the exchange.
+    return df.withColumn(out_col, fp_udf(F.col(text_col)))
 
 
 def repetition_stats(df: DataFrame, *, id_col: str,
@@ -1387,13 +1384,11 @@ def normalize_text(
     def _norm(col: pd.Series) -> pd.Series:
         return col.map(_normalize_string, na_action="ignore")
 
-    # fan_out_small (r16 optimization round): the Arrow kernel's
-    # parallelism axis is the partition count (the fingerprint rule)
-    # — a single-row-group input normalizes every doc in one Python
-    # worker. No-op on streams and at scale; per-row output.
-    from awskinesisconsumer_spark.operators.skew import fan_out_small
-
-    out = fan_out_small(df).withColumn(out_col, _norm(F.col(text_col)))
+    # NOT fanned out (r16 optimization round): the interleaved on/off
+    # A/B measured the size-gated fan-out a net LOSS here (0.52s ->
+    # 0.71s) — NFC normalization per doc is too cheap to pay the
+    # exchange at gate SF.
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
     return out.withColumn(
         changed_col,
         F.when(
