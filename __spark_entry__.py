@@ -5570,24 +5570,60 @@ def _audit_report(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("n_exact_dup_docs").alias("metric"),
         F.sum(F.col("n_dups") - 1).cast("double").alias("value"),
     )
-    kmv = _kmv_lang_distinct(spark, sf).select(
+    # r17 optimization round (VERDICT item 1 — the report's scan
+    # budget): the gate entries `_kmv_lang_distinct` and
+    # `_source_overlap` build the IDENTICAL (length>=8, 8-char
+    # shingle, by-lang, k=128) KMV sketch, and `_retrieval_metrics` /
+    # `_rank_overlap` compute the IDENTICAL exact-kNN + SRP-ANN
+    # rankings — composed verbatim, the report paid each expensive
+    # subtree twice. Build each ONCE and localCheckpoint the tiny
+    # result (<= G x 128 sketch rows; <= 2 x probes x k ranking
+    # rows), then run the SAME downstream operator code the gates
+    # run — identical input rows through identical arithmetic, so
+    # every value replays bit-for-bit (the lang-id checkpoint-seam
+    # pattern below, applied to the two other duplicated legs;
+    # budget pinned by tests/test_round16_ops.py::
+    # test_audit_report_scan_budget).
+    from awskinesisconsumer_spark.operators.similarity import (
+        ann_join_srp, knn_join_topk, rank_biased_overlap,
+        retrieval_metrics,
+    )
+    from awskinesisconsumer_spark.operators.sketches import (
+        kmv_distinct_estimate, kmv_overlap_matrix, kmv_sketch,
+    )
+
+    sk = kmv_sketch(
+        _char8_shingles(docs.filter(F.length("text") >= 8)),
+        key_col="sh", group_col="lang", k=128,
+    ).localCheckpoint()
+    kmv = kmv_distinct_estimate(sk, k=128).select(
         F.concat(F.lit("kmv_distinct_shingles:"), F.col("group"))
         .alias("metric"),
         F.col("kmv_estimate").alias("value"),
     )
-    overlap = _source_overlap(spark, sf).select(
+    overlap = kmv_overlap_matrix(sk, k=128).select(
         F.concat(
             F.lit("overlap_jaccard:"), F.col("group_a"),
             F.lit("/"), F.col("group_b"),
         ).alias("metric"),
         F.col("jaccard").alias("value"),
     )
-    recall = _retrieval_metrics(spark, sf).select(
+    emb = load_table(spark, "embeddings", sf)
+    probes = list(range(8))
+    exact = knn_join_topk(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        k=10,
+    ).localCheckpoint()
+    ann = ann_join_srp(
+        emb, id_col="vec_id", vec_col="embedding", probe_ids=probes,
+        planes=deterministic_planes(64, 8), k=10,
+    ).localCheckpoint()
+    recall = retrieval_metrics(exact, ann, k=10).select(
         F.concat(F.lit("ann_recall@10:probe_"), F.col("probe_id"))
         .alias("metric"),
         F.col("recall_at_k").alias("value"),
     )
-    rbo = _rank_overlap(spark, sf).select(
+    rbo = rank_biased_overlap(exact, ann, k=10, p=0.9).select(
         F.concat(F.lit("rbo@10:probe_"), F.col("probe_id"))
         .alias("metric"),
         F.col("rbo").alias("value"),
