@@ -50,23 +50,62 @@ def _safe_div(num, denom):
 
 
 def _resolve_vectorized(df: DataFrame, id_col: str,
-                        vectorized: bool | None) -> bool:
+                        vectorized: bool | None,
+                        cell_cap: int | None = None) -> bool:
     """Resolve a `vectorized=None` (auto) kernel choice for the
     cell-pair mine: the Arrow-batched numpy kernel
     (`_np_fold_cosines`) is BIT-IDENTICAL to the HOF expressions
     (dim-sequential fold, HALF_UP 6-dp rounding, NaN/zero-norm
     exclusion — pinned in tests/test_round11_ops.py and gated by the
-    same oracles) and measured ~2x faster at sf0.1, so it is the
-    default wherever its one schema requirement holds: the kernel
-    emits BIGINT ids, so auto picks it only when the id column is
-    already LongType (any other id type keeps the HOF form, whose
-    output preserves the input id type exactly). Pass True/False to
-    force a path (tests pin both)."""
+    same oracles) and measured ~2x faster at sf0.1. Its one schema
+    requirement: the kernel emits BIGINT ids, so non-LongType id
+    columns always keep the HOF form (whose output preserves the
+    input id type exactly).
+
+    MEMORY regime (r16 ADVICE, medium): the kernel runs one
+    applyInPandas group per cell — the whole cell materializes in
+    one task and the score matrix is dense n_cell^2 float64 — so
+    auto may only pick it when that regime is provably bounded:
+
+    * `cell_cap` is set (the enforcement the semantic_dedup
+      docstring names: capped cells are excluded from the mine, so
+      no task sees more than cell_cap rows), or
+    * the plan-estimated size of the WHOLE input is small enough
+      that even the degenerate all-rows-in-one-cell case fits a
+      task comfortably ($SPARK_GRAFT_SEMDEDUP_AUTO_BYTES, default
+      4 MiB ~ 8k rows of 64-dim float64 ~ a 512 MB worst-case
+      matrix; the fan_out_small size-gate pattern). Streaming or
+      unsized plans never auto-vectorize.
+
+    Past both gates a skewed/giant cell that the streamed HOF
+    cell-join would have handled could OOM an executor, so the user
+    must opt in explicitly: pass cell_cap (preferred — it is the
+    documented skew guard) or force `vectorized=True`. Pass
+    True/False to force a path (tests pin both)."""
     if vectorized is not None:
         return vectorized
     from pyspark.sql.types import LongType
 
-    return isinstance(df.schema[id_col].dataType, LongType)
+    if not isinstance(df.schema[id_col].dataType, LongType):
+        return False
+    if cell_cap is not None:
+        return True
+    import os
+
+    try:
+        cap = int(os.environ.get(
+            "SPARK_GRAFT_SEMDEDUP_AUTO_BYTES", 4 * 1024 * 1024))
+    except ValueError:
+        cap = 4 * 1024 * 1024
+    if cap <= 0 or df.isStreaming:
+        return False
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()))
+    except Exception:  # unsized/foreign plan: keep the streamed HOF
+        return False
+    return size <= cap
 
 
 def cosine_scores(
@@ -442,10 +481,13 @@ def semantic_dedup(
     applyInPandas group per cell, so the whole cell must fit a task
     (an n_cell^2 double matrix) — exactly the SemDeDup regime, with
     `cell_cap` as the enforcement; the kernel emits BIGINT ids.
-    Default None = AUTO (r16 optimization round): LongType ids take
-    the kernel (~2x faster, measured), any other id type keeps the
-    HOF form — see `_resolve_vectorized`. The two paths share every
-    oracle (the driver gates both hash-green).
+    Default None = AUTO: LongType ids take the kernel (~2x faster,
+    measured) WHEN the whole-cell-in-one-task memory regime is
+    provably bounded — `cell_cap` set, or the whole input small
+    enough that even a degenerate one-cell quantizer fits a task
+    (r17: the r16 ADVICE memory-safety gate) — any other case keeps
+    the streamed HOF form; see `_resolve_vectorized`. The two paths
+    share every oracle (the driver gates both hash-green).
 
     Scale shape: assignment is the `ivf_assign` argmin (narrow,
     map-only; at 100 TB the corpus is written partitionBy(cell)
@@ -938,7 +980,7 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
       repo rule), which is the one regime where n_assign=2 may mine
       fewer pairs than n_assign=1; it is the regime where
       n_assign=1's own cap already gave up the cell's recall."""
-    vectorized = _resolve_vectorized(base, id_col, vectorized)
+    vectorized = _resolve_vectorized(base, id_col, vectorized, cell_cap)
     eligible = base
     if cell_cap is not None:
         if cell_cap < 1:
@@ -986,8 +1028,13 @@ def _cell_pairs(base, *, id_col, vec_col, threshold, cell_cap,
             )
             sims = _np_fold_cosines(m, m)
             ia, ib = np.nonzero(~np.isnan(sims) & (sims >= thr))
-            keep = ia < ib  # sorted by id, so position order == id order
             ids = pdf[id_col].to_numpy()
+            # compare IDS, not positions (r16 ADVICE): after
+            # sort_values position order == id order only when ids
+            # are unique within the cell — a duplicated id would
+            # emit id_a == id_b self-pairs the HOF path's
+            # `id_a < id_b` filter excludes
+            keep = ids[ia] < ids[ib]
             out = {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]}
             if with_rank:
                 rk = pdf[rank_col].to_numpy()

@@ -136,9 +136,15 @@ def fan_out_small(
     import os
 
     if bytes_per_task is None:
-        bytes_per_task = int(
-            os.environ.get("SPARK_GRAFT_FANOUT_TASK_BYTES", 4 * 1024 * 1024)
-        )
+        try:
+            bytes_per_task = int(
+                os.environ.get(
+                    "SPARK_GRAFT_FANOUT_TASK_BYTES", 4 * 1024 * 1024)
+            )
+        except ValueError:  # malformed override: keep the default
+            # (r16 ADVICE: a bad env value must not raise at
+            # plan-build time inside every caller)
+            bytes_per_task = 4 * 1024 * 1024
     if bytes_per_task <= 0 or df.isStreaming:
         return df
     try:

@@ -326,18 +326,17 @@ def test_quality_blend_final_pass_is_map_only(spark):
 
 def test_normalize_text_single_arrow_pass_no_exchange(spark):
     # One ArrowEvalPython over the scan — the hygiene pass is a
-    # projection. r16: the size-gated fan_out_small round-robin is
-    # the ONE allowed exchange (tiny input -> all Python workers; at
-    # scale the gate never fires — pinned in test_skew.py); any
-    # hash/range partitioning is still a bug.
+    # projection. r17 (r16 ADVICE): normalize_text's fan_out_small
+    # was REVERTED in r16 (measured a loss), so the operator adds NO
+    # exchange — the r16 one-exchange allowance was dead and would
+    # have masked an unintended future exchange.
     from awskinesisconsumer_spark.operators.text import normalize_text
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = normalize_text(docs, text_col="text")
     plan = _plan(out)
     assert plan.count("ArrowEvalPython") == 1
-    assert plan.count("Exchange") <= 1, plan
-    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan  # never the row-at-a-time path
 
 
