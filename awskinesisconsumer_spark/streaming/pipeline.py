@@ -1193,6 +1193,7 @@ def semantic_dedup_stream(
     """
     from awskinesisconsumer_spark.operators.similarity import (
         semantic_dedup, semantic_dedup_apply, semantic_dedup_keep,
+        semantic_dedup_prepare_reps,
     )
 
     # `vectorized`/`assign` are the production dials (bit-identical
@@ -1204,9 +1205,13 @@ def semantic_dedup_stream(
         centroids=centroids, threshold=threshold, assign=assign,
         vectorized=vectorized,
     )
-    reps = semantic_dedup_keep(
+    # r17 (VERDICT item 3): persist the PREPARED rep side — norms
+    # precomputed once per stream start — so every trigger's apply
+    # plan reuses the static work instead of re-deriving it
+    # (float-identical, see semantic_dedup_prepare_reps)
+    reps = semantic_dedup_prepare_reps(semantic_dedup_keep(
         sem, reference, id_col=id_col, vec_col=vec_col
-    ).persist()
+    )).persist()
     n_reps = reps.count()  # freeze NOW — one job, before the stream
     if broadcast_reps == "auto":
         # resolve the join strategy ONCE against the frozen count
@@ -1731,7 +1736,7 @@ def _read_state(spark, path: str):
         return None  # first batch: no committed state anywhere
 
 
-def _swap_state(merged_df, path: str) -> None:
+def _swap_state(merged_df, path: str, *, bid: int | None = None) -> None:
     """Commit a merged state table to `path` with rename-level crash
     safety — `_publish_atomic`'s write-aside-and-swap (the new table
     is written to a temp dir, so the write NEVER overwrites the
@@ -1745,13 +1750,71 @@ def _swap_state(merged_df, path: str) -> None:
     — object stores without atomic rename) delegates to the
     versioned-dir + sentinel protocol (`_swap_state_marker`)
     instead; rename stays the fast path everywhere rename is
-    atomic."""
+    atomic.
+
+    `bid` (sum-merge callers): the micro-batch id this commit
+    merges, recorded with the committed bytes' fingerprint in
+    `_BID_MEMO` so the NEXT trigger's `_state_batch_id` probe can
+    skip its Spark job — see the memo contract above
+    `_state_fingerprint`. Callers without a replay guard (KMV
+    min-merge) pass nothing and any stale memo for the path is
+    dropped."""
     if _STATE_COMMIT_MODE == "marker":
-        return _swap_state_marker(merged_df, path)
-    _publish_atomic(merged_df, merged_df.sparkSession, path)
+        _swap_state_marker(merged_df, path)
+    else:
+        _publish_atomic(merged_df, merged_df.sparkSession, path)
+    fp = None if bid is None else _state_fingerprint(
+        merged_df.sparkSession, path)
+    if fp is not None:
+        _BID_MEMO[path] = (bid, fp)
+    else:
+        _BID_MEMO.pop(path, None)
 
 
-def _state_batch_id(state_df) -> int | None:
+# r17 optimization round (VERDICT item 6): the per-batch `_bid`
+# replay probe is a small Spark JOB (agg max over the state parquet,
+# ~0.13 s/batch measured r16) paid by every sum-merged state family
+# every trigger. The writer KNOWS the bid it just committed, so
+# `_swap_state(..., bid=batch_id)` records (bid, filesystem
+# fingerprint of the committed bytes) here, and the next trigger's
+# probe returns the memoized bid IFF the state's fingerprint still
+# matches — pure namenode metadata, no Spark job. Any interference
+# (crash-window restore renames the aside back, checkpoint reset, a
+# second writer, process restart losing the memo) changes or misses
+# the fingerprint and falls back to the full probe, so every replay
+# contract the r15 tests pin is preserved bit-for-bit.
+_BID_MEMO: dict[str, tuple[int, tuple]] = {}
+
+
+def _state_fingerprint(spark, path: str) -> tuple | None:
+    """Filesystem-metadata fingerprint of the committed state at
+    `path`: (committed version name, sorted (name, length, mtime) of
+    its parquet parts). Listing-only — no Spark job. None when
+    nothing is committed or the listing fails (callers then take the
+    full probe)."""
+    try:
+        jvm, fs = _fs_for(spark, path)
+        if _STATE_COMMIT_MODE == "marker":
+            version = _committed_version(jvm, fs, path)
+            if version is None:
+                return None
+            data = jvm.org.apache.hadoop.fs.Path(f"{path}/{version}")
+        else:
+            version = ""
+            data = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(data):
+            return None
+        parts = tuple(sorted(
+            (s.getPath().getName(), s.getLen(), s.getModificationTime())
+            for s in fs.listStatus(data)
+            if s.getPath().getName().endswith(".parquet")
+        ))
+        return (version, parts) if parts else None
+    except Exception:
+        return None
+
+
+def _state_batch_id(state_df, *, path: str | None = None) -> int | None:
     """Highest committed micro-batch id recorded in a state table's
     `_bid` column (None when no state exists yet) — the sum-merge
     replay guard: foreachBatch is at-least-once, and unlike the KMV
@@ -1760,7 +1823,13 @@ def _state_batch_id(state_df) -> int | None:
     re-added. A state table WITHOUT the column is refused loudly:
     it predates the replay guard, and merging onto it cannot tell a
     replay from fresh work — silent double-count is the exact bug
-    the guard exists for."""
+    the guard exists for.
+
+    With `path`, a memoized (bid, fingerprint) recorded by this
+    process's own `_swap_state(..., bid=...)` commit short-circuits
+    the probe when the on-disk fingerprint is unchanged — see
+    `_BID_MEMO`; the merged tables carry `_bid = lit(batch_id)` on
+    every row, so the memoized value IS what the agg would return."""
     from pyspark.sql import functions as F
 
     if state_df is None:
@@ -1772,6 +1841,11 @@ def _state_batch_id(state_df) -> int | None:
             "fresh state path, or backfill a _bid column before "
             "resuming"
         )
+    if path is not None:
+        memo = _BID_MEMO.get(path)
+        if memo is not None and memo[1] == _state_fingerprint(
+                state_df.sparkSession, path):
+            return memo[0]
     row = state_df.agg(F.max("_bid")).first()
     return None if row[0] is None else int(row[0])
 
@@ -1883,8 +1957,8 @@ def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
         # skippable and only the laggard re-merged.
         prev_sketch = _read_state(spark, sketch_path)
         prev_terms = _read_state(spark, terms_path)
-        sk_bid = _state_batch_id(prev_sketch)
-        tm_bid = _state_batch_id(prev_terms)
+        sk_bid = _state_batch_id(prev_sketch, path=sketch_path)
+        tm_bid = _state_batch_id(prev_terms, path=terms_path)
         _check_bid_lineage(batch_id, sk_bid, where=sketch_path)
         _check_bid_lineage(batch_id, tm_bid, where=terms_path)
         need_sk = sk_bid != batch_id
@@ -1909,6 +1983,7 @@ def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
                     .agg(F.sum("n").alias("n"))
                     .withColumn("_bid", F.lit(batch_id)),
                     sketch_path,
+                    bid=batch_id,
                 )
             if need_tm:
                 local_terms = tok.groupBy("term").agg(
@@ -1925,6 +2000,7 @@ def _cms_merge_fn(*, text_col, depth, width, salt, hash_fn,
                     .agg(F.sum("exact").alias("exact"))
                     .withColumn("_bid", F.lit(batch_id)),
                     terms_path,
+                    bid=batch_id,
                 )
         finally:
             # a failed commit retries through the checkpoint, which
@@ -2003,7 +2079,7 @@ def _hist_merge_fn(*, value_col, lo, hi, n_bins, out_path):
         # SUM-merge replay guard + swap-rename commit — see
         # _cms_merge_fn for the at-least-once rationale.
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2018,6 +2094,7 @@ def _hist_merge_fn(*, value_col, lo, hi, n_bins, out_path):
             both.groupBy("bin").agg(F.sum("c").alias("c"))
             .withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2075,7 +2152,7 @@ def _confusion_merge_fn(*, label_col, pred_col, out_path):
         # SUM-merge replay guard + swap-rename commit — see
         # _cms_merge_fn for the at-least-once rationale.
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2090,6 +2167,7 @@ def _confusion_merge_fn(*, label_col, pred_col, out_path):
             both.groupBy("label", "pred").agg(F.sum("n").alias("n"))
             .withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2147,7 +2225,7 @@ def _psi_merge_fn(*, value_col, group_col, group_a, group_b, lo, hi,
         # SUM-merge replay guard + swap-rename commit — see
         # _cms_merge_fn for the at-least-once rationale.
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2165,6 +2243,7 @@ def _psi_merge_fn(*, value_col, group_col, group_a, group_b, lo, hi,
                 F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2228,7 +2307,7 @@ def _ks_merge_fn(*, value_col, group_col, group_a, group_b, out_path):
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2245,6 +2324,7 @@ def _ks_merge_fn(*, value_col, group_col, group_a, group_b, out_path):
                 F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2303,7 +2383,7 @@ def _chao1_merge_fn(*, text_col, out_path):
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2316,6 +2396,7 @@ def _chao1_merge_fn(*, text_col, out_path):
             both.groupBy("term").agg(F.sum("n").alias("n"))
             .withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2369,7 +2450,7 @@ def _bootstrap_merge_fn(*, id_col, value_col, group_col, n_boot, salt,
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2387,6 +2468,7 @@ def _bootstrap_merge_fn(*, id_col, value_col, group_col, n_boot, salt,
                 F.sum("wv").alias("wv"), F.sum("wn").alias("wn")
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2446,7 +2528,7 @@ def _kappa_merge_fn(*, rater_a_col, rater_b_col, out_path):
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2463,6 +2545,7 @@ def _kappa_merge_fn(*, rater_a_col, rater_b_col, out_path):
             .agg(F.sum("n").alias("n"))
             .withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2517,7 +2600,7 @@ def _ece_merge_fn(*, label_col, pred_col, conf_col, group_col, n_bins,
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2537,6 +2620,7 @@ def _ece_merge_fn(*, label_col, pred_col, conf_col, group_col, n_bins,
                 F.sum("c6").alias("c6"),
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2595,7 +2679,7 @@ def _brier_merge_fn(*, label_col, pred_col, conf_col, group_col,
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2615,6 +2699,7 @@ def _brier_merge_fn(*, label_col, pred_col, conf_col, group_col,
                 F.sum("sq").alias("sq"),
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2718,7 +2803,7 @@ def _auc_merge_fn(*, label_col, score_col, out_path):
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2735,6 +2820,7 @@ def _auc_merge_fn(*, label_col, score_col, out_path):
                 F.sum("neg").alias("neg"),
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge
@@ -2810,7 +2896,7 @@ def _rankcorr_merge_fn(*, a_col, b_col, out_path):
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _read_state(spark, out_path)
-        bid = _state_batch_id(prev)
+        bid = _state_batch_id(prev, path=out_path)
         _check_bid_lineage(batch_id, bid, where=out_path)
         if bid == batch_id:
             return
@@ -2824,6 +2910,7 @@ def _rankcorr_merge_fn(*, a_col, b_col, out_path):
                 F.sum("n").alias("n"),
             ).withColumn("_bid", F.lit(batch_id)),
             out_path,
+            bid=batch_id,
         )
 
     return _merge

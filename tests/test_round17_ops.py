@@ -97,6 +97,64 @@ def test_cell_pairs_duplicate_ids_match_hof(spark):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# `_bid` probe memo (VERDICT r16 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_bid_memo_fast_path_and_invalidation(spark, tmp_path):
+    # the writer-recorded (bid, fingerprint) memo must serve the next
+    # probe without re-agg, and ANY out-of-band change to the state
+    # bytes must invalidate it (fall back to the real probe)
+    from awskinesisconsumer_spark.streaming import pipeline as P
+
+    st = str(tmp_path / "state")
+    df0 = spark.createDataFrame([("a", 1)], "k string, n long") \
+        .withColumn("_bid", F.lit(0))
+    P._swap_state(df0, st, bid=0)
+    assert P._BID_MEMO[st][0] == 0
+    prev = P._read_state(spark, st)
+    assert P._state_batch_id(prev, path=st) == 0  # memo hit
+    # commit batch 1 through the protocol: memo advances
+    df1 = spark.createDataFrame([("a", 2)], "k string, n long") \
+        .withColumn("_bid", F.lit(1))
+    P._swap_state(df1, st, bid=1)
+    assert P._state_batch_id(P._read_state(spark, st), path=st) == 1
+    # out-of-band tamper (a second writer / restored aside): the
+    # fingerprint no longer matches, so the probe must re-run and
+    # see the REAL state, not the memo
+    df9 = spark.createDataFrame([("a", 9)], "k string, n long") \
+        .withColumn("_bid", F.lit(9))
+    P._publish_atomic(df9, spark, st)
+    assert P._state_batch_id(P._read_state(spark, st), path=st) == 9
+    # a commit without a bid (min-merge callers) drops the memo
+    P._swap_state(df1, st)
+    assert st not in P._BID_MEMO
+
+
+def test_bid_memo_replay_skip_equals_probe(spark, tmp_path):
+    # end-to-end through a real sum-merged family: a replayed batch
+    # id must be skipped with the memo exactly as it was with the
+    # probe (the r15 replay contract, exercised via the memo path)
+    from awskinesisconsumer_spark.streaming import pipeline as P
+    from awskinesisconsumer_spark.streaming.pipeline import (
+        _hist_merge_fn,
+    )
+
+    out = str(tmp_path / "hist")
+    merge = _hist_merge_fn(value_col="v", lo=0.0, hi=10.0, n_bins=5,
+                           out_path=out)
+    b0 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b1 = spark.createDataFrame([(9.0,)], "v double")
+    merge(b0, 0)
+    assert P._BID_MEMO[out][0] == 0
+    merge(b1, 1)
+    merge(b1, 1)  # replay: memo says bid 1 -> skipped
+    got = {r["bin"]: r["c"] for r in
+           spark.read.parquet(out).collect()}
+    assert sum(got.values()) == 3  # no double count
+
+
 def test_fan_out_small_malformed_env_falls_back(spark, monkeypatch):
     from awskinesisconsumer_spark.operators.skew import fan_out_small
 
