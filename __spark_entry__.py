@@ -5025,10 +5025,17 @@ def _contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf)
+    # r17 (VERDICT item 5): neighbor scoring through knn_join_topk's
+    # Arrow numpy kernel instead of the per-(row x probe) interpreted
+    # HOF folds — bit-equal on these inputs (integer ids; the
+    # embeddings tables have no NULL / zero-norm vectors at any SF,
+    # verified — the ext-knn-join-vec precedent) and pinned by
+    # tests/test_round11_ops.py's vectorized-triplets equality test;
+    # the oracle gates the result verbatim.
     return contrastive_triplets(
         emb, id_col="vec_id", vec_col="embedding",
         pos_threshold=0.45, k_neg=2,
-        planes=deterministic_planes(64, 8),
+        planes=deterministic_planes(64, 8), vectorized=True,
     )
 
 
@@ -5500,10 +5507,15 @@ def _stream_distinct_intersect(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
-    sh = _char8_shingles(stream)
+    # r17: shingles derive INSIDE foreachBatch (prepare=) where the
+    # micro-batch is a sized batch df, so _char8_shingles'
+    # size-gated fan-out works and the per-shingle hashing
+    # parallelizes — on the streaming plan it passed through and
+    # each trigger hashed on one core. Same rows, same sketch
+    # (bit-identical state), same oracle.
     q = kmv_sketch_stream(
-        sh, key_col="sh", group_col="lang", k=256,
-        out_path=out, checkpoint=ckpt,
+        stream, key_col="sh", group_col="lang", k=256,
+        out_path=out, checkpoint=ckpt, prepare=_char8_shingles,
     )
     if not q.awaitTermination(300):
         q.stop()
@@ -5766,10 +5778,11 @@ def _stream_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
     )
-    sh = _char8_shingles(stream)
+    # r17: shingles derive INSIDE foreachBatch (prepare=) — see
+    # stream-distinct-intersect; bit-identical sketch, same oracle.
     q = kmv_sketch_stream(
-        sh, key_col="sh", group_col="lang", k=128,
-        out_path=out, checkpoint=ckpt,
+        stream, key_col="sh", group_col="lang", k=128,
+        out_path=out, checkpoint=ckpt, prepare=_char8_shingles,
     )
     if not q.awaitTermination(300):
         q.stop()
