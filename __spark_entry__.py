@@ -7243,30 +7243,22 @@ def _semantic_dedup_multi(spark: SparkSession, sf: str) -> DataFrame:
 # instead of pinning the 50-entry order verbatim (the r10 verdict
 # flagged the pinned r9 list as stale the moment the window rotated).
 GATE_NEW_THIS_ROUND = (
-    # CHANGED in r16, re-gated inside the window: ext-audit-report
-    # (gained the per-lang calibration-drift rows from the new
-    # calibration_drift gate — r15 verdict item 8's fold).
+    # CHANGED in r17 (optimization round 2 — NO new operators, per
+    # the optimization-round contract; these four entry bodies
+    # changed and must re-gate inside the window):
+    # ext-audit-report — the duplicated KMV-sketch and exact/ANN
+    # ranking subtrees now build once behind checkpoint seams
+    # (VERDICT r16 item 1).
     "ext-audit-report",
-    # NEW in r16, first wave: PR-AUC / average precision — the
-    # imbalance-appropriate discrimination summary (rare positives:
-    # contamination, PII, judge failures), derived from the SAME
-    # (score, pos, neg) counts state as ROC AUC (r15 verdict item 4):
-    # batch, streaming maintainer (one state dir serves both ROC and
-    # PR), and the per-language grouped form.
-    "ext-eval-pr-auc", "stream-eval-pr-auc", "ext-eval-pr-auc-grouped",
-    # NEW in r16, second wave: calibration drift between two frozen
-    # per-group calibration snapshots — which group's calibration
-    # MOVED since the reference freeze; one bounded full-outer join
-    # over two G x n_bins states (r15 verdict item 8).
-    "ext-eval-calibration-drift",
-    # NEW in r16, third wave: rank correlation (Kendall tau-b +
-    # Spearman rho) between two continuous scorers — the
-    # continuous-score sibling of the kappa trio, deciding whether
-    # the cheap proxy can drive the 100 TB pre-filter. Tie-exact
-    # integer contingency algebra on the SUM-mergeable (a, b, n)
-    # cell state: batch, streaming maintainer, per-language grouped.
-    "ext-eval-rankcorr", "stream-eval-rankcorr",
-    "ext-eval-rankcorr-grouped",
+    # ext-contrastive-triplets — neighbor scoring through the Arrow
+    # numpy kernel (bit-equal, the BNLJ folds drop out; VERDICT r16
+    # item 5).
+    "ext-contrastive-triplets",
+    # the two KMV maintainer streams — shingle keys now derive
+    # INSIDE foreachBatch (kmv_sketch_stream prepare=), where the
+    # sized micro-batch lets the size-gated fan-out parallelize the
+    # per-key hashing; bit-identical sketch state.
+    "stream-distinct-intersect", "stream-source-overlap",
 )
 
 # Queries registered WITHOUT an oracle twin BY DESIGN (the driver
@@ -7404,6 +7396,14 @@ R17_ROTATION_CANDIDATES = (
     "stream-semantic-decontaminate", "stream-sliding-agg",
 )
 
+# The r17 rotation: ALL 44 R17_ROTATION_CANDIDATES, exactly as the
+# r16-close plan of record pinned it. 4 changed + 2 rows-only + 44
+# == exactly 50; queries() ASSERTS head == plan at call time. The
+# r18 plan of record: the 42-entry r12 cohort comes due (r12 records
+# are 6 behind once an r18 snapshot lands), so GATE_NEW_r18 <= 4 —
+# new-entry waves must stay small, exactly as r16's comment planned.
+R17_ROTATION = R17_ROTATION_CANDIDATES
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate records only the
@@ -7423,13 +7423,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/gate_ledger.py). tests/test_oracle_parity.py locally
     # re-verifies ALL entries regardless of position.
     out = {
-        # -- CHANGED in r16, re-gated (see GATE_NEW_THIS_ROUND):
-        #    the audit report (gained the per-lang calibration-
-        #    drift rows).
+        # -- CHANGED in r17 (optimization round 2), re-gated (see
+        #    GATE_NEW_THIS_ROUND): the audit report (shared sketch/
+        #    ranking checkpoint seams), contrastive triplets (Arrow
+        #    neighbor-scoring kernel), and the two KMV maintainer
+        #    streams (keys now derive inside foreachBatch).
         "ext-audit-report": _audit_report,
-        # -- NEW in round 16: PR-AUC / average precision (batch +
-        #    streaming off the SHARED auc_counts state + grouped)
-        #    and the two-snapshot calibration-drift gate.
+        "ext-contrastive-triplets": _contrastive_triplets,
+        "stream-distinct-intersect": _stream_distinct_intersect,
+        "stream-source-overlap": _stream_source_overlap,
+        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
+        #    live inside the window permanently so their weaker
+        #    rows-only check is refreshed every round.
+        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
+        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
+        # -- the r17 rotation (R17_ROTATION): the FULL 44-entry r11
+        #    cohort (r11 records are exactly at the freshness edge
+        #    after this snapshot). 4 changed + 2 rows-only + 44 ==
+        #    exactly 50; queries() asserts head == plan at call time.
+        "agg-conversion-funnel": _funnel,
+        "agg-shipmode-priority": _shipmode_priority,
+        "agg-skyline-2d": _skyline,
+        "agg-topn-per-group": _topn_per_group,
+        "agg-window-ranks": _window_ranks,
+        "ext-ann-recall": _ann_recall,
+        "ext-anomaly-zscore": _zscore,
+        "ext-bloom-prefilter": _bloom_prefilter,
+        "ext-chunk-text": _chunk_text,
+        "ext-collocations-pmi": _collocations,
+        "ext-curriculum-order": _curriculum_order,
+        "ext-dedup-cluster": _dedup_cluster,
+        "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
+        "ext-distinct-hll": _distinct_hll,
+        "ext-embedding-quantize": _embedding_quantize,
+        "ext-fim-serialize": _fim_serialize,
+        "ext-histogram-quantile": _hist_quantiles,
+        "ext-knn-join": _knn_join,
+        "ext-length-buckets": _equidepth_buckets,
+        "ext-normalize-text": _normalize_text,
+        "ext-pack-sequences": _pack_sequences,
+        "ext-reservoir-sample": _reservoir,
+        "ext-scd2-versions": _scd2,
+        "ext-sequence-build": _sequence_build,
+        "ext-similarity-pq": _ann_pq,
+        "ext-snapshot-diff": _snapshot_diff,
+        "ext-train-batch": _train_batch,
+        "ext-ul2-pairs": _ul2_pairs,
+        "ext-ul2-plan": _ul2_plan,
+        "ext-zorder-layout": _zorder_layout,
+        "join-large-orders": _large_orders,
+        "join-shipping-priority": _shipping_priority,
+        "pivot-tag-assembly": _pivot_tags,
+        "scan-prune-elements": _scan_prune,
+        "segment-fragments": _segment,
+        "sink-bucketed-join": _bucketed_join_gate,
+        "source-parquet-evolve": _parquet_evolve,
+        "stream-domain-cap": _stream_domain_cap,
+        "stream-enrich-static": _stream_enrich,
+        "stream-join-interval": _stream_interval_join,
+        "stream-mixture-expand": _stream_mixture_expand,
+        "stream-restart-resume": _stream_restart_resume,
+        "stream-semantic-decontaminate": _stream_semantic_decontaminate,
+        "stream-sliding-agg": _stream_sliding,
+        # ---- gate horizon (position 50): entries below are past
+        # the external gate's 50-entry window this round; all are
+        # green in the union of CORRECTNESS_r*.json with fingerprints
+        # in GATE_LEDGER.json, textually unchanged since (asserted by
+        # tests/test_oracle_parity.py::test_gate_rotation_invariant).
+        # -- r16 ledger records:
         "ext-eval-pr-auc": _eval_pr_auc,
         "stream-eval-pr-auc": _stream_eval_pr_auc,
         "ext-eval-pr-auc-grouped": _eval_pr_auc_grouped,
@@ -7437,17 +7498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-eval-rankcorr": _eval_rankcorr,
         "stream-eval-rankcorr": _stream_eval_rankcorr,
         "ext-eval-rankcorr-grouped": _eval_rankcorr_grouped,
-        # -- rows-only BY DESIGN (xxhash64 has no SQL twin): must
-        #    live inside the window permanently so their weaker
-        #    rows-only check is refreshed every round.
-        "ext-cdc-chunk-text-prod": _cdc_chunk_text_prod,
-        "ext-cdc-chunk-clamped-prod": _cdc_chunk_clamped_prod,
-        # -- the r16 rotation (R16_ROTATION): ALL 40 remaining r10-
-        #    record veterans (r10 violates freshness at r17 -- zero
-        #    slack past this snapshot) + the alphabetical head-3 of
-        #    the 44-entry r11 cohort pulled forward to shrink r17's
-        #    mandatory load. 5 new/changed + 2 rows-only + 43 ==
-        #    exactly 50; queries() asserts head == plan at call time.
         "ext-dedup-ngram-containment": _ngram_containment,
         "ext-denoise-pairs": _denoise_pairs,
         "ext-embedding-pool": _embedding_pool,
@@ -7488,10 +7538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream-segment-rollup": _stream_segment,
         "stream-throttle": _stream_throttle,
         "stream-tumbling-agg": _stream_tumbling,
-        # ---- gate horizon (position 50): entries below are past
-        # the external gate's 50-entry window this round; all are
-        # green in the union of CORRECTNESS_r*.json with fingerprints
-        # in GATE_LEDGER.json.
         # -- r15 ledger records:
         "ext-dataset-card": _dataset_card,
         "ext-eval-ece-grouped": _eval_ece_grouped,
@@ -7544,8 +7590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-dedup-semantic-recall": _semantic_dedup_recall,
         "ext-distinct-intersect": _distinct_intersect,
         "ext-source-overlap": _source_overlap,
-        "stream-distinct-intersect": _stream_distinct_intersect,
-        "stream-source-overlap": _stream_source_overlap,
         "ext-minhash-overlap": _minhash_overlap,
         "ext-bootstrap-ci-grouped": _bootstrap_ci_grouped,
         "ext-eval-confusion": _eval_confusion,
@@ -7649,7 +7693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-budget-select": _budget_select,
         "stream-token-quota": _stream_token_quota,
         "ext-dedup-semantic": _semantic_dedup,
-        "ext-contrastive-triplets": _contrastive_triplets,
         "stream-pack-sequences": _stream_pack_sequences,
         "agg-retention-cohorts": _cohorts,
         "stream-scd2": _stream_scd2,
@@ -7676,55 +7719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext-compact-files": _compact_files,
         "ext-corpus-drift": _corpus_drift,
         "ext-curate-corpus": _curate_corpus,
-        # -- r11 ledger records:
-        "agg-conversion-funnel": _funnel,
-        "agg-shipmode-priority": _shipmode_priority,
-        "agg-skyline-2d": _skyline,
-        "ext-train-batch": _train_batch,
-        "ext-dedup-keep-best-capped": _dedup_keep_best_capped,
-        "ext-curriculum-order": _curriculum_order,
-        "stream-mixture-expand": _stream_mixture_expand,
-        "ext-ul2-plan": _ul2_plan,
-        "ext-ul2-pairs": _ul2_pairs,
-        "ext-fim-serialize": _fim_serialize,
-        "ext-pack-sequences": _pack_sequences,
-        "ext-dedup-cluster": _dedup_cluster,
-        "scan-prune-elements": _scan_prune,
-        "pivot-tag-assembly": _pivot_tags,
-        "segment-fragments": _segment,
-        "ext-snapshot-diff": _snapshot_diff,
-        "stream-semantic-decontaminate": _stream_semantic_decontaminate,
-        "stream-domain-cap": _stream_domain_cap,
-        "ext-normalize-text": _normalize_text,
-        "ext-embedding-quantize": _embedding_quantize,
-        "ext-sequence-build": _sequence_build,
-        "ext-similarity-pq": _ann_pq,
-        "stream-restart-resume": _stream_restart_resume,
-        "ext-distinct-hll": _distinct_hll,
-        "ext-chunk-text": _chunk_text,
-        "ext-bloom-prefilter": _bloom_prefilter,
-        "ext-zorder-layout": _zorder_layout,
-        "agg-topn-per-group": _topn_per_group,
-        "stream-sliding-agg": _stream_sliding,
-        "ext-length-buckets": _equidepth_buckets,
-        "stream-enrich-static": _stream_enrich,
-        "stream-join-interval": _stream_interval_join,
-        "join-shipping-priority": _shipping_priority,
-        "join-large-orders": _large_orders,
-        "agg-window-ranks": _window_ranks,
-        "ext-collocations-pmi": _collocations,
-        "ext-reservoir-sample": _reservoir,
-        "ext-histogram-quantile": _hist_quantiles,
-        "ext-knn-join": _knn_join,
-        "ext-anomaly-zscore": _zscore,
-        "ext-scd2-versions": _scd2,
-        "ext-ann-recall": _ann_recall,
-        "source-parquet-evolve": _parquet_evolve,
-        "sink-bucketed-join": _bucketed_join_gate,
     }
     # Composed-at-call window assertion (r12 verdict item 1): the
     # documented rotation plan IS the gate window, exactly.
-    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R16_ROTATION)
+    plan = (*GATE_NEW_THIS_ROUND, *ROWS_ONLY_BY_DESIGN, *R17_ROTATION)
     assert len(plan) == 50, f"window plan is {len(plan)} entries, not 50"
     head = list(out)[:50]
     assert head == list(plan), (
