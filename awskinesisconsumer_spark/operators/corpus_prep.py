@@ -1913,7 +1913,18 @@ def curate_corpus(
         span_len=span_len, stride=stride, min_docs=min_docs,
         hash_fn=hash_fn, anchored=True,
     ).select(id_col, "text_clean", "n_removed")
-    withg = cleaned.join(df.select(id_col, group_col), id_col).where(
+    # The group re-attach is corpus JOIN corpus: BOTH sides have the
+    # input's cardinality, so neither may ever broadcast — but the
+    # column-pruned (id, group) projection's size ESTIMATE shrinks
+    # under autoBroadcastJoinThreshold while its true build size is
+    # corpus-bound (guide §3.1: estimates lie after transforms).
+    # Found by the r17 sf1 tier: at 1.28M docs the planner broadcast
+    # the pruned side and the build OOM'd ("Not enough memory to
+    # build and broadcast"). MERGE-hint the join — id-keyed
+    # sort-merge, always works, spills gracefully; same rows.
+    withg = cleaned.hint("merge").join(
+        df.select(id_col, group_col), id_col
+    ).where(
         F.coalesce(F.length("text_clean"), F.lit(0)) > 0
     ).localCheckpoint(eager=False)
     # exact dedup, first copy (min id) survives; 32-byte digest keys

@@ -1069,7 +1069,153 @@ def timed(make_df, src, spark) -> tuple[float, float]:
     return times[0], times[1]
 
 
+# ---------------------------------------------------------------------------
+# sf1 tier (r17, VERDICT item 7): a derived table set big enough that
+# (a) scans split into many tasks, (b) fan_out_small's size gate does
+# NOT fire, and (c) per-entry parallel efficiency is measurable by
+# running the same entries at two core counts.
+# ---------------------------------------------------------------------------
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_derived")
+SF1_DOC_REPL = 256   # 5,000 -> 1.28M docs, parquet ~hundreds of MB
+SF1_EMB_REPL = 32    # 2,000 -> 64k vectors
+
+# Top-of-the-bench entries whose cost is data-proportional (linear
+# scan/hash/window shapes) and whose inputs are the amplified tables.
+# The quadratic-by-construction entries (semantic dedup at fixed k=8
+# centroids, contrastive anchors) are EXCLUDED with reasons — their
+# 100 TB shape holds per-cell work flat by growing k with n (the r12
+# study), which a fixed-centroid gate entry cannot demonstrate.
+SF1_ENTRIES = [
+    "ext-prepare-corpus", "ext-curate-corpus", "ext-bm25-rank",
+    "ext-word-entropy", "ext-cdc-chunk-clamped", "ext-source-overlap",
+    "ext-minhash-overlap", "ext-dedup-minhash", "ext-pagerank-dups",
+    "ext-knn-join", "stream-source-overlap",
+]
+
+
+def build_sf1(spark) -> None:
+    """Derive the sf1 set from sf0.1: copy every table, then replace
+    documents/embeddings with deterministic amplifications. Document
+    replicas get 30 replica-unique tail tokens, so they are NOT
+    near-dups of each other (jaccard ~0.4 at ~45 base words) — the
+    dedup entries stay in their linear LSH regime instead of the
+    quadratic dense-bucket stress amplify_docs deliberately builds
+    for the dedup study. n_chars is recomputed so the column stays
+    consistent with the mutated text."""
+    import shutil
+
+    if os.path.exists(os.path.join(SF1_DIR, "_SF1_READY")):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events").split():
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{SF1_DIR}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tail = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda j: F.concat(F.lit("r"), F.col("_rep").cast("string"),
+                           F.lit("t"), j.cast("string")),
+    ))
+    (docs.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(SF1_DOC_REPL - 1)))
+        .alias("_rep"))
+     .select(
+        (F.col("doc_id") * SF1_DOC_REPL + F.col("_rep")).alias("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), tail)
+        .alias("text"),
+        "lang", "source")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (emb.select(
+        "vec_id", "embedding", "label",
+        F.explode(F.sequence(F.lit(0), F.lit(SF1_EMB_REPL - 1)))
+        .alias("_rep"))
+     .select(
+        (F.col("vec_id") * SF1_EMB_REPL + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + (F.col("_rep") * 17 + i) % 13 / 1e4)
+            .cast("float"),
+        ).alias("embedding"),
+        "label")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet"))
+    open(os.path.join(SF1_DIR, "_SF1_READY"), "w").write("ok\n")
+
+
+def sf1_tier() -> None:
+    """Time SF1_ENTRIES against the derived sf1 set at the session's
+    core count ($SPARK_GRAFT_CPUS; run once at 8 and once at 32 for
+    the parallel-efficiency table). Two runs per entry, the second is
+    the headline (the study's steady-state rule). Also verifies the
+    two size gates behave at sf1: fan_out_small must be a NO-OP
+    (plan-estimated documents >> cores x 4 MiB) and the semantic auto
+    kernel must resolve to the streamed HOF form (input > 4 MiB)."""
+    import __spark_entry__ as m
+    from awskinesisconsumer_spark.operators.skew import fan_out_small
+
+    spark = get_spark("sf1-tier")
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+    build_sf1(spark)
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+    est = int(str(docs._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes()))
+    noop = fan_out_small(docs) is docs
+    print(f"cores={cores} sf1 documents est={est/2**20:.0f} MiB "
+          f"fan_out_small no-op: {noop}", flush=True)
+    from awskinesisconsumer_spark.operators.similarity import (
+        _resolve_vectorized,
+    )
+    emb = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    print("semantic auto kernel at sf1 (no cell_cap):",
+          _resolve_vectorized(emb, "vec_id", None), flush=True)
+    qs = m.queries()
+    qs["query-point-lookup"](spark, SF1_DIR).count()  # warm
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = sys.argv[i + 1]
+    for name in SF1_ENTRIES:
+        if only and not any(o in name for o in only.split(",")):
+            continue
+        spark.sparkContext.setJobDescription(f"sf1: {name}")
+        reps = []
+        for _ in range(2):
+            # entries built on release_after persist their RESULT at
+            # construction; an identical rebuild would ride the
+            # CacheManager's canonicalized-plan match and time a
+            # cache READ, not the operator — clear between reps
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, SF1_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+            except Exception as e:  # record, keep the tier going
+                print(f"{name}: ERROR {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                reps = []
+                break
+            reps.append(time.perf_counter() - t0)
+        if reps:
+            print(f"{name}: cores={cores} cold={reps[0]:.2f}s "
+                  f"warm={reps[1]:.2f}s", flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if "--sf1" in sys.argv:
+        sf1_tier()
+        return
     if "--recall-curve" in sys.argv:
         recall_curve()
         return
